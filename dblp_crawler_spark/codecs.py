@@ -1,0 +1,95 @@
+"""Deterministic image codecs, phash, PSNR — pure numpy + zlib.
+
+This container has no image library (no PIL/cv2), so — per the build
+brief — the *codec* is a clearly-marked deterministic stand-in while
+everything Spark-side (schema, Arrow batching, UDF signature,
+partitioning) is real and tested:
+
+  * fmt='png'  → SPNG container: lossless zlib of raw RGB.
+  * fmt='jpeg' → SJPG container: LOSSY mid-tread quantization (step
+    4) + zlib. Max per-pixel error 2 → MSE ≤ 1.5 → PSNR ≈ 46 dB,
+    deterministically above the input_hint's 40 dB gate, so the
+    PSNR verification path is exercised for real.
+
+Swapping in real PNG/JPEG on a cluster touches only `encode_image` /
+`decode_image`; every caller is format-agnostic.
+
+phash: 64-bit block-mean hash (8×8 grayscale downsample, threshold
+at the mean) — deterministic, numpy-vectorized, stored as signed
+int64 per the input_hint schema.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_MAGIC_PNG = b"SPNG"
+_MAGIC_JPG = b"SJPG"
+_Q = 4  # jpeg-stand-in quantization step
+
+
+def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic gradient+noise RGB uint8 array for fixtures."""
+    seed = zlib.crc32(image_id.encode()) & 0xFFFFFFFF
+    rng = np.random.Generator(np.random.PCG64(seed))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 255) // max(w - 1, 1) + (yy * 255) // max(h - 1, 1)) // 2
+    img = np.stack([base, np.flipud(base), (xx * yy) % 256], axis=-1)
+    noise = rng.integers(0, 32, size=(h, w, 3))
+    return ((img + noise) % 256).astype(np.uint8)
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    h, w = pixels.shape[0], pixels.shape[1]
+    if fmt == "png":
+        return _MAGIC_PNG + struct.pack("<HH", h, w) + zlib.compress(pixels.tobytes(), 6)
+    if fmt == "jpeg":
+        q = (pixels.astype(np.uint16) // _Q).astype(np.uint8)
+        return _MAGIC_JPG + struct.pack("<HHB", h, w, _Q) + zlib.compress(q.tobytes(), 6)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    magic = payload[:4]
+    if magic == _MAGIC_PNG:
+        h, w = struct.unpack("<HH", payload[4:8])
+        raw = zlib.decompress(payload[8:])
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    if magic == _MAGIC_JPG:
+        h, w, q = struct.unpack("<HHB", payload[4:9])
+        raw = zlib.decompress(payload[9:])
+        qarr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.uint16)
+        return np.clip(qarr * q + q // 2, 0, 255).astype(np.uint8)
+    raise NotImplementedError(
+        "real PNG/JPEG decode requires an image library not present in this "
+        "container; deploy builds bind decode_image to PIL/libvips here"
+    )
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10((255.0 * 255.0) / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Block-mean 64-bit hash → signed int64 (input_hint phash column)."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # crop to a multiple of 8 then 8x8 block means
+    h8, w8 = (h // 8) * 8, (w // 8) * 8
+    g = gray[:h8, :w8].reshape(8, h8 // 8, 8, w8 // 8).mean(axis=(1, 3))
+    bits = (g > g.mean()).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        val |= np.uint64(b) << np.uint64(i)
+    return int(val.astype(np.int64))
+
+
+def phash64_batch(pixel_list: list[np.ndarray]) -> np.ndarray:
+    return np.array([phash64(p) for p in pixel_list], dtype=np.int64)

@@ -1,0 +1,91 @@
+"""Frontier expansion operators (SURVEY.md J1-J4, P1/P2, U1/U3).
+
+Everything here is native DataFrame ops — explode, anti-join,
+aggregate — so the whole BFS filter path stays in whole-stage
+codegen. Anti-joins are the reference's seen-set guards
+(graph.py:24-26,42-44,111-113) re-expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.priority import priority_col
+from ..functions.text import first_doi, journal_key, keyword_cnf_match, title_hash
+
+
+def host_expr(pid: Column) -> Column:
+    """Deterministic fixture 'DNS' — mirrors fixtures.host_of_pid
+    (crc32-based) so engine and oracle agree on hosts."""
+    h = F.crc32(F.encode(pid, "utf-8"))
+    return F.when(F.pmod(h, 100) < 85, F.lit("dblp.org")).otherwise(
+        F.concat(F.lit("host"), (F.pmod(h, 3) + 1).cast("string"), F.lit(".example.org"))
+    )
+
+
+def crawler_filter(pubs: DataFrame, year: int, rules: list[list[str]], pub_col: str = "pub") -> DataFrame:
+    """filter_publications_at_crawler (graph.py:62-66,
+    __main__.py:37-40): year >= Y (NULL fails) AND CNF keyword match.
+    Semantic pushdown INTO the BFS — prunes reachability, so it must
+    run before expansion, exactly like the reference (SURVEY.md §4).
+    """
+    p = F.col(pub_col)
+    return pubs.filter((p["year"] >= F.lit(year)) & keyword_cnf_match(p["title"], rules))
+
+
+def dedup_new_pubs(pubs: DataFrame, seen: DataFrame) -> DataFrame:
+    """Seen-set guard (graph.py:111-113): candidates ∖ seen.
+    At 10^10 scale the exact anti-join is preceded by the bloom
+    pre-filter (operators/bloom.py); survivors still take this exact
+    path, so correctness never depends on the filter."""
+    return pubs.join(seen.select("key"), "key", "left_anti")
+
+
+def discover_authors(new_pubs: DataFrame, frontier_pids: DataFrame) -> DataFrame:
+    """J1: new pubs → unseen author pids with max-priority rule.
+
+    Canonical priority of a discovered pid: MAX (priority, -depth)
+    over the pubs discovering it this wave (oracle.py). new_pubs has
+    columns (key, pub struct, ccf, base_depth)."""
+    cand = new_pubs.select(
+        F.explode("pub.authors").alias("a"),
+        priority_col("ccf", F.col("pub.year"), F.col("base_depth")).alias("prio"),
+        F.col("base_depth").alias("depth"),
+    ).select(F.col("a.pid").alias("pid"), "prio", "depth")
+    best = (
+        cand.groupBy("pid")
+        .agg(F.max(F.struct(F.col("prio"), (-F.col("depth")).alias("nd"))).alias("b"))
+        .select("pid", F.col("b.prio").alias("priority"), (-F.col("b.nd")).alias("depth"))
+    )
+    return best.join(frontier_pids.select("pid"), "pid", "left_anti")
+
+
+def pub_record_cols(pub_col: str, ccf_col: str) -> list[Column]:
+    """Derived publication record columns (parser.py:131-149):
+    title_hash (P4), journal_key (P6), doi (P5), ccf (P7)."""
+    p = F.col(pub_col)
+    return [
+        p["key"].alias("key"),
+        p["title"].alias("title"),
+        F.when(p["title"].isNotNull(), title_hash(p["title"])).alias("title_hash"),
+        p["journal"].alias("journal"),
+        journal_key(p["url"]).alias("journal_key"),
+        p["year"].alias("year"),
+        p["mdate"].alias("mdate"),
+        first_doi(p["ee"]).alias("doi"),
+        F.col(ccf_col).alias("ccf"),
+        p["authors"].alias("authors"),
+        p["image_id"].alias("image_id"),
+    ]
+
+
+def with_ccf(df: DataFrame, ccf_rank: DataFrame, jkey_col: Column) -> DataFrame:
+    """P7: broadcast dim join + coalesce('N') (parser.py:124-129)."""
+    dim = F.broadcast(ccf_rank.select(F.col("journal_key").alias("__jk"), F.col("rank").alias("__rank")))
+    return (
+        df.withColumn("__jk", jkey_col)
+        .join(dim, "__jk", "left")
+        .withColumn("ccf", F.coalesce(F.col("__rank"), F.lit("N")))
+        .drop("__jk", "__rank")
+    )

@@ -1,0 +1,371 @@
+"""CrawlEngine — the distributed BFS wave driver.
+
+Re-expresses the reference loop (graph.py:81-158 driven by
+__main__.py:43-53) as one declarative DataFrame DAG per wave over
+lakehouse state tables; semantics are pinned by the oracle
+(oracle.py docstring) and verified wave-for-wave in tests.
+
+Per-wave plan (SURVEY.md §3.1 "Spark lifecycle replacement"):
+
+  scan frontier → politeness window (O5) → crawl-order sequencing →
+  fetch-join against the page store (S1, simulated network) →
+  EMIT last wave's pubs (nodes/edges/publications, A3-A5/J5) →
+  EXPAND fetched persons (J2) → crawler filter (P1/P2, semantic
+  pushdown INTO the BFS) → seen anti-join (J3) → discover authors
+  (J1/J4) → MERGE frontier/seen/pending_pubs/metrics.
+
+Every wave ends in atomic lakehouse commits plus a state manifest
+(wave, next_seq, per-table snapshot ids) — the per-partition lineage
+checkpoint of the north_rule: a killed run resumes from the manifest
+and reproduces the identical crawl order and seen set (tested).
+
+Scale posture: all joins are equi-joins planned by Catalyst/AQE;
+dimension joins (robots, ccf_rank) are broadcast; the hot-host window
+is budget-bounded; fetch/parse work is salted by url hash (O6); wave
+writes are the natural lineage truncation for an iterative algorithm
+(no exponential plan growth).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from .. import schemas
+from ..fixtures import SEED_PRIORITY, person_url
+from ..lakehouse import Lakehouse
+from ..operators.frontier import (
+    crawler_filter,
+    dedup_new_pubs,
+    discover_authors,
+    host_expr,
+    pub_record_cols,
+    with_ccf,
+)
+from ..operators.scheduler import global_sequence, politeness_pop, robots_status
+
+PENDING_PUBS = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("pub", schemas.PUB, True),
+        StructField("ccf", StringType(), True),
+        StructField("base_depth", IntegerType(), False),
+    ]
+)
+
+_STATE_TABLES = [
+    "frontier", "seen_pubs", "pending_pubs", "crawl_order",
+    "nodes", "edges", "publications", "emitted_persons", "metrics",
+]
+
+
+@dataclass
+class CrawlConfig:
+    year: int = 2000
+    rules: list = field(default_factory=list)  # CNF keyword rules
+    host_budget: int | None = None
+    max_attempts: int = 3
+    limit: int = -1
+    use_robots: bool = True
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, lake: Lakehouse, config: CrawlConfig) -> None:
+        self.spark = spark
+        self.lake = lake
+        self.cfg = config
+        self.wave = 0
+        self.next_seq = 0
+        self.done = False
+
+    # ---- state manifest (resume/lineage, O7) -----------------------------
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.lake.root, "crawl_state.json")
+
+    def _save_state(self) -> None:
+        state = {
+            "wave": self.wave,
+            "next_seq": self.next_seq,
+            "done": self.done,
+            "config": {
+                "year": self.cfg.year, "rules": self.cfg.rules,
+                "host_budget": self.cfg.host_budget, "max_attempts": self.cfg.max_attempts,
+                "limit": self.cfg.limit, "use_robots": self.cfg.use_robots,
+            },
+            "snapshots": {t: self.lake.current_snapshot(t) for t in _STATE_TABLES},
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.lake.root)
+        with os.fdopen(fd, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._state_path)
+
+    @classmethod
+    def resume(cls, spark: SparkSession, lake: Lakehouse) -> "CrawlEngine":
+        """Recover from the last committed wave manifest: roll every
+        state table back to its recorded snapshot (discarding any
+        partially-written wave) and continue."""
+        with open(os.path.join(lake.root, "crawl_state.json")) as f:
+            state = json.load(f)
+        cfg = CrawlConfig(**state["config"])
+        cfg.rules = [list(r) for r in cfg.rules]
+        eng = cls(spark, lake, cfg)
+        eng.wave = state["wave"]
+        eng.next_seq = state["next_seq"]
+        eng.done = state["done"]
+        for t, snap in state["snapshots"].items():
+            if snap is not None and lake.current_snapshot(t) != snap:
+                lake.rollback(t, snap)
+        return eng
+
+    # ---- init -------------------------------------------------------------
+    def initialize(self) -> None:
+        robots = self.lake.read_or_empty("robots", schemas.ROBOTS)
+        seeds = self.lake.read("seeds")
+        seed_rows = (
+            seeds.filter(F.col("seed_type") == "pid")
+            .select(
+                F.col("value").alias("pid"),
+                F.concat(F.lit("pid/"), F.col("value")).alias("url"),
+                host_expr(F.col("value")).alias("host"),
+                F.lit("pending").alias("status"),
+                F.lit(0).alias("depth"),
+                F.lit(SEED_PRIORITY).cast("long").alias("priority"),
+                F.lit(0).alias("attempts"),
+                F.lit(0).alias("wave_added"),
+            )
+        )
+        if self.cfg.use_robots:
+            seed_rows = robots_status(seed_rows, robots)
+        self.lake.overwrite("frontier", seed_rows.select(*[f.name for f in schemas.FRONTIER]))
+        for t, sch in [
+            ("seen_pubs", schemas.SEEN_PUBS), ("pending_pubs", PENDING_PUBS),
+            ("crawl_order", schemas.CRAWL_ORDER), ("nodes", schemas.NODES),
+            ("edges", schemas.EDGES), ("publications", schemas.PUBLICATIONS_OUT),
+            ("emitted_persons", schemas.EMITTED_PERSONS), ("metrics", schemas.METRICS),
+        ]:
+            self.lake.overwrite(t, self.spark.createDataFrame([], sch))
+        self.wave, self.next_seq, self.done = 0, 0, False
+        self._save_state()
+
+    # ---- one wave ----------------------------------------------------------
+    def run_wave(self) -> dict:
+        spark, lake, cfg, w = self.spark, self.lake, self.cfg, self.wave
+        pages = lake.read("pages")
+        ccf_rank = lake.read_or_empty("ccf_rank", schemas.CCF_RANK)
+        robots = lake.read_or_empty("robots", schemas.ROBOTS)
+        frontier = lake.read("frontier")
+        seen = lake.read("seen_pubs")
+
+        order_batches: list[DataFrame] = []
+
+        # ---- wave-0 journal init (graph.py:30-60, journal.py:21-38) ------
+        journal_new = None
+        if w == 0:
+            jseeds = lake.read("seeds").filter(F.col("seed_type") == "journal")
+            index_urls = jseeds.select(F.concat("value", F.lit("/index")).alias("url"))
+            order_batches.append(index_urls.withColumn("priority", F.lit(0).cast("long")))
+            jl = pages.filter(F.col("kind") == "journal_list").join(index_urls, "url", "left_semi")
+            refs = jl.select(F.explode("journal_list.refs").alias("vurl"))
+            procs = jl.select("journal_list.h1", F.explode("journal_list.proceedings").alias("p")).filter(
+                # keep unless (booktitle present AND ∉ h1); require url (P11)
+                (
+                    F.col("p.booktitle").isNull()
+                    | F.contains(F.lower("h1"), F.lower(F.col("p.booktitle")))
+                )
+                & F.col("p.url").isNotNull()
+            ).select(F.col("p.url").alias("vurl"))
+            vol_urls = (
+                refs.unionByName(procs)
+                .select(F.regexp_replace("vurl", r"\.html$", "").alias("url"))  # P12
+                .distinct()
+            )
+            order_batches.append(vol_urls.withColumn("priority", F.lit(0).cast("long")))
+            vols = pages.filter(F.col("kind") == "journal").join(vol_urls, "url", "left_semi")
+            jpubs = vols.select(F.explode("journal.pubs").alias("pub"))
+            jpubs = crawler_filter(jpubs, cfg.year, cfg.rules)
+            journal_new = (
+                jpubs.select(F.col("pub.key").alias("key"), "pub")
+                .dropDuplicates(["key"])
+                .withColumn("base_depth", F.lit(0))
+            )
+
+        # ---- schedule (T3 pop + O5 politeness) ---------------------------
+        pending = frontier.filter(
+            (F.col("status") == "pending") & (F.col("attempts") < cfg.max_attempts)
+        )
+        sched = politeness_pop(pending, cfg.host_budget).cache()
+        n_sched = sched.count()
+
+        # crawl-order commit: wave-0 index urls, then volume urls, then
+        # persons — each batch ordered by (priority DESC, url ASC)
+        for batch in order_batches + [sched.select("url", "priority")]:
+            n = batch.count()
+            if n == 0:
+                continue
+            seq_df = global_sequence(
+                batch.select("url", "priority"), self.next_seq, [F.desc("priority"), F.asc("url")]
+            )
+            rows = seq_df.select(F.lit(w).alias("wave"), "seq", "url")
+            lake.append("crawl_order", rows, schemas.CRAWL_ORDER)
+            self.next_seq += n
+
+        # ---- fetch (S1/S2: join simulates HTTP against the page store) ---
+        person_pages = pages.filter(F.col("kind") == "person").select("url", "person")
+        fetched = sched.join(person_pages, "url", "left").cache()
+        ok = F.col("person").isNotNull()
+        n_succ = fetched.filter(ok).count()
+        n_fail = n_sched - n_succ
+
+        # frontier transition: merged fetch+expand (oracle.py) — success
+        # → 'expanded'; failure retries until max_attempts (O3)
+        updated = fetched.select(
+            "pid", "url", "host",
+            F.when(ok, F.lit("expanded"))
+            .when(F.col("attempts") + 1 >= cfg.max_attempts, F.lit("failed"))
+            .otherwise(F.lit("pending"))
+            .alias("status"),
+            "depth", "priority",
+            (F.col("attempts") + 1).alias("attempts"),
+            "wave_added",
+        )
+        lake.merge_upsert("frontier", updated, ["pid"], schemas.FRONTIER)
+        frontier_new = lake.read("frontier")
+
+        # ---- emission of last wave's pubs (graph.py:139-152) -------------
+        pend = lake.read_or_empty("pending_pubs", PENDING_PUBS)
+        n_emit = pend.count()
+        if n_emit:
+            expanded_pids = frontier_new.filter(F.col("status") == "expanded").select("pid")
+            expl = (
+                pend.select("key", F.explode("pub.authors").alias("a"))
+                .select("key", F.col("a.pid").alias("pid"))
+                .dropDuplicates(["key", "pid"])  # authors_id is a set (graph.py:143-148)
+            )
+            ok_auth = expl.join(expanded_pids, "pid", "left_semi").cache()
+            emitted = lake.read("emitted_persons")
+            new_nodes = ok_auth.select("pid").distinct().join(emitted.select("pid"), "pid", "left_anti")
+            person_rec = pages.filter(F.col("kind") == "person").select(
+                F.col("person.pid").alias("pid"),
+                F.col("person.name").alias("name"),
+                F.col("person.affiliations").alias("affiliations"),
+                F.transform("person.pubs", lambda p: p["key"]).alias("pub_keys"),
+            )
+            node_rows = new_nodes.join(person_rec, "pid", "inner")
+            lake.append("nodes", node_rows.select(*[f.name for f in schemas.NODES]), schemas.NODES)
+            lake.append(
+                "emitted_persons",
+                new_nodes.select("pid", F.lit(w).alias("wave")),
+                schemas.EMITTED_PERSONS,
+            )
+            # J5: canonical-ordered pair self-join per pub
+            a, b = ok_auth.alias("a"), ok_auth.alias("b")
+            edge_rows = a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.pid") < F.col("b.pid"))).select(
+                F.col("a.pid").alias("src"), F.col("b.pid").alias("dst"), F.col("a.key").alias("pub_key")
+            )
+            lake.append("edges", edge_rows, schemas.EDGES)
+            pub_rows = pend.select(*pub_record_cols("pub", "ccf"), F.lit(True).alias("selected"))
+            lake.append(
+                "publications",
+                pub_rows.select(*[f.name for f in schemas.PUBLICATIONS_OUT]),
+                schemas.PUBLICATIONS_OUT,
+            )
+            ok_auth.unpersist()
+
+        # ---- expansion (J2) + filter (P1/P2) + seen dedup (J3) ------------
+        pubs_expl = fetched.filter(ok).select(
+            F.col("pid").alias("expander"), F.col("depth").alias("exp_depth"), F.explode("person.pubs").alias("pub")
+        )
+        filt = crawler_filter(pubs_expl, cfg.year, cfg.rules).withColumn("key", F.col("pub.key"))
+        seen_now = seen.select("key")
+        if journal_new is not None:
+            seen_now = seen_now.unionByName(journal_new.select("key"))
+        person_new = dedup_new_pubs(filt, seen_now)
+        # canonical discoverer = min expander pid per key (oracle.py)
+        person_new = (
+            person_new.groupBy("key")
+            .agg(F.min(F.struct("expander", "exp_depth", "pub")).alias("d"))
+            .select("key", F.col("d.pub").alias("pub"), (F.col("d.exp_depth") + 1).alias("base_depth"))
+        )
+        new_pubs = person_new if journal_new is None else journal_new.unionByName(person_new)
+        new_pubs = with_ccf(new_pubs, ccf_rank, F.substring_index(F.col("pub.url"), "/", 3))
+        lake.overwrite("pending_pubs", new_pubs.select(*PENDING_PUBS.fieldNames()))
+        n_new_pubs = lake.read("pending_pubs").count()
+        lake.append(
+            "seen_pubs",
+            lake.read("pending_pubs").select("key", F.lit(w).alias("wave")),
+            schemas.SEEN_PUBS,
+        )
+
+        # ---- discovery (J1/J4): new pubs → unseen author pids ------------
+        disc = discover_authors(lake.read("pending_pubs"), frontier_new)
+        disc_rows = disc.select(
+            "pid",
+            F.concat(F.lit("pid/"), F.col("pid")).alias("url"),
+            host_expr(F.col("pid")).alias("host"),
+            F.lit("pending").alias("status"),
+            F.col("depth").cast("int").alias("depth"),
+            F.col("priority").cast("long").alias("priority"),
+            F.lit(0).alias("attempts"),
+            F.lit(w).alias("wave_added"),
+        )
+        if cfg.use_robots:
+            disc_rows = robots_status(disc_rows, robots)
+        lake.append("frontier", disc_rows.select(*[f.name for f in schemas.FRONTIER]), schemas.FRONTIER)
+        n_disc = disc_rows.count()
+
+        remain = (
+            lake.read("frontier")
+            .filter((F.col("status") == "pending") & (F.col("attempts") < cfg.max_attempts))
+            .count()
+        )
+        m = {
+            "wave": w, "scheduled": n_sched, "fetch_succ": n_succ, "fetch_fail": n_fail,
+            "pubs_new": n_new_pubs, "authors_new": n_disc, "remain_pending": remain, "emitted": n_emit,
+        }
+        lake.append("metrics", spark.createDataFrame([m], schemas.METRICS), schemas.METRICS)
+        sched.unpersist()
+        fetched.unpersist()
+        self.wave = w + 1
+        if remain == 0 and n_new_pubs == 0:
+            self.done = True
+        self._save_state()
+        return m
+
+    # ---- driver loop (bfs_to_end, __main__.py:43-53) -----------------------
+    def run_to_end(self) -> list[dict]:
+        out = []
+        while not self.done and (self.cfg.limit < 0 or self.wave < self.cfg.limit):
+            out.append(self.run_wave())
+        self.finalize()
+        return out
+
+    def finalize(self) -> None:
+        """Non-selected pubs: every pub on every summarized person's
+        page (dict_summary update(pub), summarizer/networkx.py:84-86)."""
+        lake = self.lake
+        pages = lake.read("pages")
+        ccf_rank = lake.read_or_empty("ccf_rank", schemas.CCF_RANK)
+        nodes = lake.read("nodes").select("pid")
+        person_pubs = (
+            pages.filter(F.col("kind") == "person")
+            .select(F.col("person.pid").alias("pid"), F.explode("person.pubs").alias("pub"))
+            .join(nodes, "pid", "left_semi")
+            .select(F.col("pub.key").alias("key"), "pub")
+            .dropDuplicates(["key"])
+            .join(lake.read("publications").select("key"), "key", "left_anti")
+        )
+        person_pubs = with_ccf(person_pubs, ccf_rank, F.substring_index(F.col("pub.url"), "/", 3))
+        rows = person_pubs.select(*pub_record_cols("pub", "ccf"), F.lit(False).alias("selected"))
+        lake.append(
+            "publications",
+            rows.select(*[f.name for f in schemas.PUBLICATIONS_OUT]),
+            schemas.PUBLICATIONS_OUT,
+        )
+        self._save_state()

@@ -1,0 +1,85 @@
+"""End-to-end equivalence: CrawlEngine vs the reference oracle.
+
+The BASELINE.json correctness gate: exact crawl-order match, exact
+URL-seen-set match, plus node/edge/publication summary equality,
+under the same seed list and politeness budget.
+"""
+
+import pytest
+
+from dblp_crawler_spark import fixtures, oracle
+from dblp_crawler_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+
+def run_engine(spark, lake, u, **kw):
+    fixtures.write_tables(spark, lake, u)
+    cfg = CrawlConfig(year=u.year_filter, rules=u.keyword_rules, **kw)
+    eng = CrawlEngine(spark, lake, cfg)
+    eng.initialize()
+    eng.run_to_end()
+    return eng
+
+
+def collect_engine(lake):
+    order = [
+        (r.wave, r.seq, r.url)
+        for r in lake.read("crawl_order").orderBy("seq").collect()
+    ]
+    seen = {r.key for r in lake.read("seen_pubs").collect()}
+    nodes = {r.pid: (r.name, tuple(r.affiliations or []), tuple(r.pub_keys or [])) for r in lake.read("nodes").collect()}
+    edges = {(r.src, r.dst, r.pub_key) for r in lake.read("edges").collect()}
+    pubs = {
+        r.key: (r.title, r.title_hash, r.journal, r.journal_key, r.year, r.mdate, r.doi, r.ccf, r.selected)
+        for r in lake.read("publications").collect()
+    }
+    return order, seen, nodes, edges, pubs
+
+
+def oracle_views(res, u):
+    order = list(res.crawl_order)
+    seen = set(res.seen_pubs)
+    nodes = {k: (v["name"], tuple(v["affiliations"]), tuple(v["pub_keys"])) for k, v in res.nodes.items()}
+    edges = set(res.edges)
+    pubs = {
+        k: (v["title"], v["title_hash"], v["journal"], v["journal_key"], v["year"], v["mdate"], v["doi"], v["ccf"], v["selected"])
+        for k, v in res.publications.items()
+    }
+    return order, seen, nodes, edges, pubs
+
+
+@pytest.mark.parametrize("budget", [None, 8])
+def test_engine_matches_oracle(spark, lake, universe, budget):
+    u = universe
+    res = oracle.run_oracle(u, host_budget=budget, max_attempts=3)
+    run_engine(spark, lake, u, host_budget=budget, max_attempts=3)
+    e_order, e_seen, e_nodes, e_edges, e_pubs = collect_engine(lake)
+    o_order, o_seen, o_nodes, o_edges, o_pubs = oracle_views(res, u)
+
+    assert e_seen == o_seen, "URL-seen (publication) set mismatch"
+    assert e_order == o_order, "crawl order mismatch"
+    assert e_nodes == o_nodes
+    assert e_edges == o_edges
+    assert e_pubs == o_pubs
+
+
+def test_wave_metrics_match(spark, lake, universe):
+    u = universe
+    res = oracle.run_oracle(u, host_budget=8, max_attempts=3)
+    eng = run_engine(spark, lake, u, host_budget=8, max_attempts=3)
+    e_metrics = [
+        {k: getattr(r, k) for k in ("wave", "scheduled", "fetch_succ", "fetch_fail", "pubs_new", "authors_new", "remain_pending", "emitted")}
+        for r in lake.read("metrics").orderBy("wave").collect()
+    ]
+    assert len(e_metrics) == len(res.metrics) == eng.wave
+    for em, om in zip(e_metrics, res.metrics):
+        assert em == om, f"metrics mismatch at wave {om['wave']}: {em} vs {om}"
+
+
+def test_limit_bounds_waves(spark, lake, universe):
+    u = universe
+    res = oracle.run_oracle(u, host_budget=8, limit=2)
+    run_engine(spark, lake, u, host_budget=8, limit=2)
+    e_order, e_seen, *_ = collect_engine(lake)
+    assert {o[0] for o in e_order} <= {0, 1}
+    assert e_seen == res.seen_pubs
+    assert e_order == res.crawl_order
