@@ -28,6 +28,7 @@ writes are the natural lineage truncation for an iterative algorithm
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import tempfile
@@ -62,6 +63,7 @@ PENDING_PUBS = StructType(
 _STATE_TABLES = [
     "frontier", "seen_pubs", "pending_pubs", "crawl_order",
     "nodes", "edges", "publications", "emitted_persons", "metrics",
+    "seen_filter",
 ]
 
 
@@ -73,6 +75,12 @@ class CrawlConfig:
     max_attempts: int = 3
     limit: int = -1
     use_robots: bool = True
+    # seen-set scale path: bloom pre-filter before the exact anti-join
+    # (operators/bloom.py). Results are identical either way; the
+    # bloom path is what survives 10^10 keys.
+    use_bloom: bool = False
+    bloom_buckets: int = 32
+    bloom_bits: int = 1 << 17
 
 
 class CrawlEngine:
@@ -83,6 +91,9 @@ class CrawlEngine:
         self.wave = 0
         self.next_seq = 0
         self.done = False
+        from ..operators.bloom import BloomBank
+
+        self.bloom = BloomBank(lake, n_buckets=config.bloom_buckets, m_bits=config.bloom_bits)
 
     # ---- state manifest (resume/lineage, O7) -----------------------------
     @property
@@ -94,11 +105,7 @@ class CrawlEngine:
             "wave": self.wave,
             "next_seq": self.next_seq,
             "done": self.done,
-            "config": {
-                "year": self.cfg.year, "rules": self.cfg.rules,
-                "host_budget": self.cfg.host_budget, "max_attempts": self.cfg.max_attempts,
-                "limit": self.cfg.limit, "use_robots": self.cfg.use_robots,
-            },
+            "config": dataclasses.asdict(self.cfg),
             "snapshots": {t: self.lake.current_snapshot(t) for t in _STATE_TABLES},
         }
         fd, tmp = tempfile.mkstemp(dir=self.lake.root)
@@ -283,10 +290,18 @@ class CrawlEngine:
             F.col("pid").alias("expander"), F.col("depth").alias("exp_depth"), F.explode("person.pubs").alias("pub")
         )
         filt = crawler_filter(pubs_expl, cfg.year, cfg.rules).withColumn("key", F.col("pub.key"))
-        seen_now = seen.select("key")
-        if journal_new is not None:
-            seen_now = seen_now.unionByName(journal_new.select("key"))
-        person_new = dedup_new_pubs(filt, seen_now)
+        if cfg.use_bloom:
+            # bloom fast path vs the committed seen set; this wave's
+            # journal keys (wave 0 only, not yet in the bank) get an
+            # exact (tiny) anti-join on top
+            person_new = self.bloom.prefiltered_new(filt, seen.select("key"))
+            if journal_new is not None:
+                person_new = person_new.join(journal_new.select("key"), "key", "left_anti")
+        else:
+            seen_now = seen.select("key")
+            if journal_new is not None:
+                seen_now = seen_now.unionByName(journal_new.select("key"))
+            person_new = dedup_new_pubs(filt, seen_now)
         # canonical discoverer = min expander pid per key (oracle.py)
         person_new = (
             person_new.groupBy("key")
@@ -302,6 +317,9 @@ class CrawlEngine:
             lake.read("pending_pubs").select("key", F.lit(w).alias("wave")),
             schemas.SEEN_PUBS,
         )
+        if cfg.use_bloom:
+            # keep the bank exactly in sync with the committed seen set
+            self.bloom.add(lake.read("pending_pubs").select("key"))
 
         # ---- discovery (J1/J4): new pubs → unseen author pids ------------
         disc = discover_authors(lake.read("pending_pubs"), frontier_new)

@@ -75,6 +75,19 @@ def test_wave_metrics_match(spark, lake, universe):
         assert em == om, f"metrics mismatch at wave {om['wave']}: {em} vs {om}"
 
 
+def test_engine_with_bloom_matches_oracle(spark, lake):
+    """Bloom pre-filter path must be result-identical to the exact
+    anti-join path (false positives re-checked, no false negatives)."""
+    u = fixtures.make_universe(n_authors=60, n_pubs=150, n_venues=5, seed=3)
+    res = oracle.run_oracle(u, host_budget=None, max_attempts=2)
+    run_engine(spark, lake, u, host_budget=None, max_attempts=2, use_bloom=True, bloom_buckets=8, bloom_bits=1 << 12)
+    e_order, e_seen, e_nodes, e_edges, e_pubs = collect_engine(lake)
+    o_order, o_seen, o_nodes, o_edges, o_pubs = oracle_views(res, u)
+    assert e_seen == o_seen
+    assert e_order == o_order
+    assert e_nodes == o_nodes and e_edges == o_edges and e_pubs == o_pubs
+
+
 def test_limit_bounds_waves(spark, lake, universe):
     u = universe
     res = oracle.run_oracle(u, host_budget=8, limit=2)
