@@ -1,0 +1,173 @@
+"""Image payload operators — Arrow-batched decode/verify/transform.
+
+The scheduler's fetch targets are image+caption pages stored in the
+`images` Iceberg-style table (EXACT input_hint shape). All pixel work
+runs inside `mapInPandas` over Arrow batches: the per-batch loop
+dispatches one numpy-vectorized operation per image — no per-row
+Python in the pyspark sense (no row-at-a-time UDF; BASELINE.json
+input_hint). The codec itself is the deterministic stand-in from
+codecs.py (this container has no image library); swapping PIL/libvips
+in touches codecs.py only.
+
+input_hint gates implemented here:
+  * decoded-pixel allclose vs the reference pixel source of truth —
+    PSNR = ∞ for lossless 'png', ≥ 40 dB for lossy 'jpeg';
+  * caption equality vs the linked publication;
+  * phash recompute: equal for lossless, hamming ≤ 4 for lossy.
+
+Scale: images are fetched by equi-join on image_id (shuffle hash
+join; at 100 TB the images table is partitioned/bucketed by
+xxhash64(image_id) so the join co-locates); decode is cpu-bound and
+salted across executors (functions.hashing.salted_repartition
+upstream when the source is skewed by host).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import codecs
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("fmt", StringType(), True),
+        StructField("w", IntegerType(), True),
+        StructField("h", IntegerType(), True),
+        StructField("decoded_w", IntegerType(), True),
+        StructField("decoded_h", IntegerType(), True),
+        StructField("psnr_db", DoubleType(), True),  # vs reference pixels (inf → None-safe big)
+        StructField("phash_stored", LongType(), True),
+        StructField("phash_recomputed", LongType(), True),
+        StructField("phash_hamming", IntegerType(), True),
+        StructField("decode_ok", BooleanType(), False),
+    ]
+)
+
+
+def decode_and_verify(images: DataFrame) -> DataFrame:
+    """Decode every image and compute the input_hint invariants
+    against the deterministic reference pixels (codecs.synth_pixels
+    keyed by image_id — the fixture's source of truth)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in DECODE_SCHEMA.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                rec = {
+                    "image_id": row.image_id, "fmt": row.fmt, "w": row.w, "h": row.h,
+                    "decoded_w": None, "decoded_h": None, "psnr_db": None,
+                    "phash_stored": row.phash, "phash_recomputed": None,
+                    "phash_hamming": None, "decode_ok": False,
+                }
+                try:
+                    px = codecs.decode_image(bytes(row.bytes))
+                    ref = codecs.synth_pixels(row.image_id, int(row.w), int(row.h))
+                    p = codecs.psnr(ref, px)
+                    rh = codecs.phash64(px)
+                    ham = bin((rh ^ int(row.phash)) & ((1 << 64) - 1)).count("1")
+                    rec.update(
+                        decoded_w=int(px.shape[1]), decoded_h=int(px.shape[0]),
+                        psnr_db=float(min(p, 99.0)), phash_recomputed=rh,
+                        phash_hamming=ham, decode_ok=True,
+                    )
+                except Exception:
+                    pass
+                for k, v in rec.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(run, DECODE_SCHEMA)
+
+
+def payload_gate(decoded: DataFrame) -> DataFrame:
+    """Boolean gate per input_hint: lossless must round-trip exactly
+    (psnr capped at 99 = inf), lossy must clear 40 dB; phash hamming
+    0 (lossless) / ≤4 (lossy); dimensions must match metadata."""
+    lossless = F.col("fmt") == "png"
+    return decoded.withColumn(
+        "payload_ok",
+        F.col("decode_ok")
+        & (F.col("decoded_w") == F.col("w"))
+        & (F.col("decoded_h") == F.col("h"))
+        & F.when(lossless, (F.col("psnr_db") >= 99.0) & (F.col("phash_hamming") == 0)).otherwise(
+            (F.col("psnr_db") >= 40.0) & (F.col("phash_hamming") <= 4)
+        ),
+    )
+
+
+def fetch_images_for_pubs(pubs: DataFrame, images: DataFrame) -> DataFrame:
+    """The scheduler's payload fetch (north_rule: 'schedule fetches of
+    image+caption pages'): emitted pubs → their image pages, with the
+    caption-equality gate vs the linked pub title
+    (fixture contract: caption == title ⊕ ' — figure 1')."""
+    p = pubs.select(
+        F.col("key").alias("pub_key"),
+        F.col("title"),
+        F.col("image_id"),
+    ).filter(F.col("image_id").isNotNull())
+    joined = p.join(images, "image_id", "inner")
+    expected = F.concat(
+        F.coalesce(F.col("title"), F.concat(F.lit("untitled "), F.col("pub_key"))), F.lit(" — figure 1")
+    )
+    return joined.withColumn("caption_ok", F.col("caption") == expected)
+
+
+# ---- generic multimodal transforms (training-pipeline ops) ---------------
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+        StructField("std_gray", DoubleType(), True),
+        StructField("thumb_phash", LongType(), True),
+    ]
+)
+
+
+def extract_features(images: DataFrame, thumb: int = 16) -> DataFrame:
+    """Decode → per-channel stats + thumbnail phash. The pattern —
+    binary column in, typed feature columns out, numpy inside Arrow
+    batches — is the template for any decode/feature/resize stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in FEATURES_SCHEMA.fieldNames()}
+            for row in pdf.itertuples(index=False):
+                try:
+                    px = codecs.decode_image(bytes(row.bytes)).astype(np.float64)
+                    small = _resize_nearest(px, thumb, thumb)
+                    out["image_id"].append(row.image_id)
+                    out["mean_r"].append(float(px[..., 0].mean()))
+                    out["mean_g"].append(float(px[..., 1].mean()))
+                    out["mean_b"].append(float(px[..., 2].mean()))
+                    out["std_gray"].append(float(px.mean(axis=2).std()))
+                    out["thumb_phash"].append(codecs.phash64(small.astype(np.uint8)))
+                except Exception:
+                    out["image_id"].append(row.image_id)
+                    for k in ("mean_r", "mean_g", "mean_b", "std_gray", "thumb_phash"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def _resize_nearest(px: np.ndarray, w: int, h: int) -> np.ndarray:
+    ys = (np.arange(h) * px.shape[0] // h).clip(0, px.shape[0] - 1)
+    xs = (np.arange(w) * px.shape[1] // w).clip(0, px.shape[1] - 1)
+    return px[ys][:, xs]

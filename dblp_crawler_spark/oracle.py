@@ -291,6 +291,74 @@ def run_oracle(
     return res
 
 
+def dict_summary(res: "OracleResult", u: Universe) -> dict:
+    """Reference dict_summary (summarizer/networkx.py:66-96) over the
+    oracle result, with canonical (sorted) list orders: only
+    edge-incident persons are nodes; a node's publications are its
+    incident-edge pubs; edge cooperation = full page pub-key
+    intersection; publications = edge pubs (selected) ∪ node page
+    pubs."""
+    import json as _json
+
+    incident: dict[str, set] = {}
+    pair_pubs: dict[tuple, set] = {}
+    for a, b, k in res.edges:
+        incident.setdefault(a, set()).add(k)
+        incident.setdefault(b, set()).add(k)
+        pair_pubs.setdefault((a, b), set()).add(k)
+    nodes = {}
+    for pid in incident:
+        n = res.nodes[pid]
+        nodes[pid] = {
+            "id": pid,
+            "label": n["name"],
+            "person": {
+                "dblp_pid": pid,
+                "name": n["name"],
+                "affiliations": list(n["affiliations"]),
+                "publications": list(n["pub_keys"]),
+            },
+            "publications": sorted(incident[pid]),
+        }
+    edges = {}
+    for (a, b), ks in pair_pubs.items():
+        pa, pb = set(res.nodes[a]["pub_keys"]), set(res.nodes[b]["pub_keys"])
+        edges[_json.dumps({"from": a, "to": b})] = {
+            "from": a,
+            "to": b,
+            "publications": sorted(ks),
+            "cooperation": sorted(pa & pb),
+        }
+    edge_keys = {k for ks in pair_pubs.values() for k in ks}
+    pubs = {}
+
+    def emit_pub(key: str, selected: bool) -> None:
+        rec = _pub_record(u.pubs[key], u, selected)
+        d = {
+            "dblp_key": key,
+            "title": rec["title"],
+            "title_hash": rec["title_hash"],
+            "journal": rec["journal"],
+            "journal_key": rec["journal_key"],
+            "year": rec["year"],
+            "mdate": rec["mdate"],
+            "doi": rec["doi"],
+            "ccf": rec["ccf"],
+            "authors": {a["pid"]: {"dblp_pid": a["pid"], "name": a["name"], "orcid": a["orcid"]} for a in rec["authors"]},
+        }
+        if selected:
+            d["selected"] = True
+        pubs[key] = d
+
+    for k in edge_keys:
+        emit_pub(k, True)
+    for pid in incident:
+        for k in res.nodes[pid]["pub_keys"]:
+            if k not in pubs:
+                emit_pub(k, False)
+    return {"nodes": nodes, "edges": edges, "publications": pubs}
+
+
 def _discoverer_pid(pub: dict, frontier: dict) -> str:
     """Canonical discoverer of a person-expanded pub: the minimum pid
     among this wave's expanded authors of the pub. (Any author
