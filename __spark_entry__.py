@@ -1,38 +1,541 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the engine's operator inventory (SURVEY.md §2 +
+the training-pipeline additions) over the driver-provided TPC-H-ish
+tables; `oracle_sql()` gives the DuckDB-equivalent SQL. Column names
+and rounding are aligned on both sides. Crawl-specific operators that
+need the fixture universe (BFS waves, politeness, robots, bloom,
+payload gates) are verified engine-vs-oracle in tests/ — here their
+relational cores are exercised on the generic tables so the DuckDB
+gate covers the same plan shapes.
+
+Non-SQL-expressible entries (xxhash64-based minhash/simhash/
+fingerprint, LSH ANN) have no oracle_sql → rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dblp_crawler_spark.functions.text import keyword_cnf_match, keyword_weak_match
+from dblp_crawler_spark.operators import dedup as D
+from dblp_crawler_spark.operators import similarity as SIM
+from dblp_crawler_spark.operators import textstats as T
+from dblp_crawler_spark.streaming import events as E
+
+CNF_RULES = [["spark", "join"], ["window", "agg"]]
+SW_LIST = "', '".join(T.EN_STOPWORDS)
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the engine's J5 pair-co-occurrence core on sf0.001."""
+    return q_pair_cooccurrence(spark, "/root/testdata/sf0.001")
+
+
+# ---- crawl-semantics family (engine operator cores) -----------------------
+def q_pushdown_year_filter(spark, sf_dir):
+    """P1: year predicate pushed to the scan, partial agg (A1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.year("l_shipdate") >= 2000)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q_keyword_cnf_filter(spark, sf_dir):
+    """P2: OR-of-ANDs CNF keyword match (keyword/__init__.py:24-32)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(keyword_cnf_match("text", CNF_RULES))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_matched"))
+    )
+
+
+def q_keyword_weak_filter(spark, sf_dir):
+    """P3: any-word weak match (keyword/__init__.py:34-39)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(keyword_weak_match("text", CNF_RULES).alias("weak_match")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_canonical_title_hash(spark, sf_dir):
+    """P4: canonicalization → distinct canonical keys per brand."""
+    part = _t(spark, sf_dir, "part")
+    canon = F.regexp_replace(F.lower("p_name"), "[^0-9a-z]", "")
+    return part.groupBy("p_brand").agg(F.count_distinct(canon).alias("n_canon"))
+
+
+def q_url2doi(spark, sf_dir):
+    """P5: url→doi extraction over a constructed ee column."""
+    from dblp_crawler_spark.functions.text import url2doi
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("https://doi.org/10.1234/"), F.col("doc_id"))
+    ).otherwise(F.concat(F.lit("https://example.org/"), F.col("doc_id")))
+    return docs.select("doc_id", url2doi(url).alias("doi")).filter(F.col("doi").isNotNull())
+
+
+def q_journal_key_prefix(spark, sf_dir):
+    """P6: first-k-segment URL canonicalization (substring_index)."""
+    part = _t(spark, sf_dir, "part")
+    path = F.concat(F.regexp_replace(F.col("p_type"), " ", "/"), F.lit("/"), F.col("p_brand"))
+    return part.groupBy(F.substring_index(path, "/", 2).alias("jkey")).agg(F.count("*").alias("n"))
+
+
+def q_dim_broadcast_lookup(spark, sf_dir):
+    """P7: broadcast dim join + coalesce('N') (parser.py:124-129)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_regionkey") < 3)
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .groupBy(F.coalesce("r_name", F.lit("N")).alias("rank"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_frontier_antijoin(spark, sf_dir):
+    """J3/U3: seen-set anti-join — customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    no_orders = cust.join(orders.select("o_custkey"), cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        no_orders.join(nation, no_orders.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_frontier_expand_join(spark, sf_dir):
+    """J1: candidate expansion minus a synthetic seen set."""
+    orders = _t(spark, sf_dir, "orders")
+    cands = orders.filter(F.year("o_orderdate") >= 1997).select("o_custkey").distinct()
+    unseen = cands.filter(F.col("o_custkey") % 7 != 0)
+    return unseen.agg(F.count("*").alias("n_new"))
+
+
+def q_pair_cooccurrence(spark, sf_dir):
+    """J5: canonical-ordered pair self-join (co-authorship core)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.withColumnsRenamed({"l_partkey": "a"})
+    b = li.withColumnsRenamed({"l_partkey": "b"})
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+def q_degree_threshold(spark, sf_dir):
+    """A6: degree filter — parts in ≥ 8 distinct orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+def q_politeness_window(spark, sf_dir):
+    """O5: per-host budget window — top-3 orders per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q_priority_pop(spark, sf_dir):
+    """T3: deterministic global priority pop (top-100)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q_seen_set_union(spark, sf_dir):
+    """U1/U3: set union + except on key sets."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    done = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    union = urgent.union(done).distinct()
+    minus = urgent.exceptAll(done).select("o_orderkey").distinct()
+    return union.agg(F.count("*").alias("n_union")).crossJoin(
+        minus.agg(F.count("*").alias("n_minus"))
+    )
+
+
+def q_metrics_rollup(spark, sf_dir):
+    """A1/A7: per-class counters."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# ---- training-pipeline family ---------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups on a 40-char text prefix (hash groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    pfx = docs.select(F.col("doc_id"), F.substring("text", 1, 40).alias("pfx"))
+    return D.exact_dup_groups(pfx, text_col="pfx", id_col="doc_id")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Blocked 3-gram Jaccard near-dup pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, block_col="source", n=3, threshold=0.2)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dups (xxhash64 — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_near_dups(docs, num_hashes=32, bands=8, threshold=0.2)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dups (xxhash64 — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, max_hamming=8, prefix_bits=8)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Cosine ≥ τ near-dup pairs, blocked by label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(emb, block_col="label", threshold=0.8)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return SIM.brute_force_topk(queries, emb, k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-k (recall<1 — rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return SIM.lsh_topk(queries, emb, k=10, n_planes=6, n_tables=8, seed=42, dim=64)
+
+
+def q_text_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(T.token_count("text")).alias("total_tokens"),
+        F.round(F.avg(T.token_count("text")), 4).alias("avg_tokens"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(T.quality_score("text")), 4).alias("avg_quality"),
+        F.round(F.avg(T.punct_ratio("text")), 4).alias("avg_punct"),
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(T.lang_id("text").alias("lang_pred")).agg(F.count("*").alias("n"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Rolling 64-bit fingerprint (xxhash64 — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint64("text").alias("fingerprint"))
+
+
+def q_events_windowed_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return E.windowed_counts(ev, "hour")
+
+
+def q_events_sessionization(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return E.session_stats(ev, gap_minutes=30)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched binary decode plumbing on synthesized images
+    (no image table in the driver set — build a deterministic one
+    from doc ids; rows-only check)."""
+    from dblp_crawler_spark import codecs
+
+    docs = _t(spark, sf_dir, "documents").limit(64).select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                iid = f"img_{int(d):06d}"
+                px = codecs.synth_pixels(iid, 32, 32)
+                ids.append(iid)
+                blobs.append(codecs.encode_image(px, "png"))
+            yield pd.DataFrame({"image_id": ids, "bytes": blobs})
+
+    imgs = docs.mapInPandas(gen, "image_id string, bytes binary")
+    from dblp_crawler_spark.operators.multimodal import extract_features
+
+    return extract_features(imgs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pushdown_year_filter": q_pushdown_year_filter,
+        "keyword_cnf_filter": q_keyword_cnf_filter,
+        "keyword_weak_filter": q_keyword_weak_filter,
+        "canonical_title_hash": q_canonical_title_hash,
+        "url2doi": q_url2doi,
+        "journal_key_prefix": q_journal_key_prefix,
+        "dim_broadcast_lookup": q_dim_broadcast_lookup,
+        "frontier_antijoin": q_frontier_antijoin,
+        "frontier_expand_join": q_frontier_expand_join,
+        "pair_cooccurrence": q_pair_cooccurrence,
+        "degree_threshold": q_degree_threshold,
+        "politeness_window": q_politeness_window,
+        "priority_pop": q_priority_pop,
+        "seen_set_union": q_seen_set_union,
+        "metrics_rollup": q_metrics_rollup,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "events_windowed_agg": q_events_windowed_agg,
+        "events_sessionization": q_events_sessionization,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+_TOK = "regexp_extract_all(lower(text), '[0-9a-z_]+')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pushdown_year_filter": """
+            SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+            FROM lineitem WHERE year(l_shipdate) >= 2000 GROUP BY l_returnflag
+        """,
+        "keyword_cnf_filter": f"""
+            SELECT lang, COUNT(*) AS n_matched FROM documents
+            WHERE list_has_all({_TOK}, ['spark','join'])
+               OR list_has_all({_TOK}, ['window','agg'])
+            GROUP BY lang
+        """,
+        "keyword_weak_filter": f"""
+            SELECT len(list_intersect({_TOK},
+                       ['spark','join','window','agg'])) > 0 AS weak_match,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "canonical_title_hash": """
+            SELECT p_brand, COUNT(DISTINCT regexp_replace(lower(p_name), '[^0-9a-z]', '', 'g')) AS n_canon
+            FROM part GROUP BY p_brand
+        """,
+        "url2doi": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                     THEN 'https://doi.org/10.1234/' || doc_id
+                     ELSE 'https://example.org/' || doc_id END AS url
+              FROM documents)
+            SELECT doc_id, regexp_replace(regexp_extract(url, '^https?://doi\\.org(/[^?#]*)', 1), '^/+', '') AS doi
+            FROM u WHERE url LIKE 'https://doi.org/%'
+        """,
+        "journal_key_prefix": """
+            WITH p AS (SELECT replace(p_type, ' ', '/') || '/' || p_brand AS path FROM part)
+            SELECT regexp_extract(path, '^([^/]*/[^/]*)', 1) AS jkey, COUNT(*) AS n
+            FROM p GROUP BY 1
+        """,
+        "dim_broadcast_lookup": """
+            SELECT COALESCE(r.r_name, 'N') AS rank, COUNT(*) AS n
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            LEFT JOIN (SELECT * FROM region WHERE r_regionkey < 3) r
+              ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
+        """,
+        "frontier_antijoin": """
+            SELECT n.n_name, COUNT(*) AS n_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY n.n_name
+        """,
+        "frontier_expand_join": """
+            SELECT COUNT(*) AS n_new FROM (
+              SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) >= 1997
+            ) WHERE o_custkey % 7 <> 0
+        """,
+        "pair_cooccurrence": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
+        "degree_threshold": """
+            SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 8
+        """,
+        "politeness_window": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "priority_pop": """
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+        "seen_set_union": """
+            SELECT
+              (SELECT COUNT(*) FROM (
+                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+                 UNION SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')) AS n_union,
+              (SELECT COUNT(*) FROM (
+                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+                 EXCEPT SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')) AS n_minus
+        """,
+        "metrics_rollup": """
+            SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT md5(substring(text, 1, 40)) AS text_hash, COUNT(*) AS n, MIN(doc_id) AS keep_id
+            FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH toks AS (
+              SELECT doc_id, source, {_TOK} AS tk FROM documents
+            ), sh AS (
+              SELECT doc_id, source,
+                CASE WHEN len(tk) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                ELSE [array_to_string(tk, ' ')] END AS sh
+              FROM toks
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                         len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
+        """,
+        "ann_cosine_topk": """
+            SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
+              SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                     list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                                c.vec_id ASC) AS rank
+              FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN embeddings c
+            ) WHERE rank <= 10
+        """,
+        "text_token_count": f"""
+            SELECT source, SUM(len({_TOK})) AS total_tokens,
+                   ROUND(AVG(len({_TOK})), 4) AS avg_tokens
+            FROM documents GROUP BY source
+        """,
+        "text_quality": f"""
+            WITH s AS (
+              SELECT source,
+                len({_TOK}) AS n_tok,
+                CASE WHEN length(text) > 0 THEN
+                  length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(text)
+                ELSE 0.0 END AS punct,
+                CASE WHEN len({_TOK}) > 0 THEN
+                  len(list_filter({_TOK}, t -> list_contains(['{SW_LIST}'], t)))::DOUBLE / len({_TOK})
+                ELSE 0.0 END AS swr
+              FROM documents)
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(AVG(ROUND((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                       + (CASE WHEN punct <= 0.1 THEN 0.3 ELSE 0.0 END)
+                       + (CASE WHEN swr >= 0.01 THEN 0.3 ELSE 0.0 END), 6)), 4) AS avg_quality,
+                   ROUND(AVG(punct), 4) AS avg_punct
+            FROM s GROUP BY source
+        """,
+        "text_lang_id": f"""
+            WITH s AS (
+              SELECT CASE
+                WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
+                WHEN len({_TOK}) > 0 AND
+                     len(list_filter({_TOK}, t -> list_contains(['{SW_LIST}'], t)))::DOUBLE
+                     / len({_TOK}) >= 0.05 THEN 'en'
+                ELSE 'unk' END AS lang_pred
+              FROM documents)
+            SELECT lang_pred, COUNT(*) AS n FROM s GROUP BY lang_pred
+        """,
+        "events_windowed_agg": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionization": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w IS NULL
+                       OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flagged
+            ), agg AS (
+              SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   ROUND(AVG((epoch_ms(e) - epoch_ms(s)) / 1000.0), 3) AS avg_session_secs
+            FROM agg GROUP BY user_id
+        """,
+    }

@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families over a `documents(doc_id, text, ...)` table:
+exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. All hot paths are native Spark
+expressions (xxhash64 / higher-order array functions) so they stay
+in whole-stage codegen; nothing here is a Python UDF.
+
+Scale notes:
+  * exact dedup is one hash agg — the canonical 100 TB dedup is
+    groupBy(md5(text)) with partial aggregation map-side;
+  * MinHash/LSH: signatures are k independent min-aggregations over
+    shingle hashes (one shuffle), banding turns O(n²) similarity
+    into an equi-join on band keys — the only join is on
+    (band_id, band_hash), which AQE skew-splits if a band is hot;
+  * SimHash: a 64-lane majority vote folded with F.aggregate —
+    zero shuffles beyond the final groupBy;
+  * n-gram Jaccard / cosine near-dup are quadratic and therefore
+    BLOCKED (same blocking key) — pass a blocking column; the
+    all-pairs variant is only for candidate verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+
+# ---- exact ---------------------------------------------------------------
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: groups with >1 identical text."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def drop_exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per identical text."""
+    w = F.md5(F.col(text_col)).alias("text_hash")
+    reps = docs.select(w, F.col(id_col)).groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    return docs.join(reps, id_col, "left_semi")
+
+
+# ---- shingles / minhash / lsh ---------------------------------------------
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the unit of Jaccard).
+    Built from the ORDERED token sequence (multiplicity preserved),
+    then deduped at the shingle level."""
+    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    toks = F.filter(F.split(t, r"[^0-9a-z_]+"), lambda w: w != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+    """(id, sig array<long>): k independent min-hash lanes.
+
+    One explode + one groupBy with k min() aggregates — all JVM-side
+    xxhash64; partial aggregation makes the shuffle carry only
+    k longs per doc."""
+    sh = docs.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8) -> DataFrame:
+    """Band the signature, hash each band, equi-join on
+    (band, band_hash) → candidate pairs (a < b). This is the
+    O(n²)→O(n) LSH step; verify candidates with jaccard after."""
+    k = bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * (F.size("sig") / k).cast("int") + 1, (F.size("sig") / k).cast("int")),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.withColumnsRenamed({id_col: "a"})
+    b = banded.withColumnsRenamed({id_col: "b"})
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """Full MinHash+LSH pipeline: signature → band join → exact
+    Jaccard verification of candidates (no false positives in the
+    output; LSH only bounds recall)."""
+    sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    sh = docs.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    return (
+        cands.join(sh.withColumnsRenamed({id_col: "a", "sh": "sh_a"}), "a")
+        .join(sh.withColumnsRenamed({id_col: "b", "sh": "sh_b"}), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---- simhash ----------------------------------------------------------------
+# literal lane masks (bit 63 expressed as the signed-long value) so no
+# shift-by-column is needed anywhere — keeps the fold a pure expression
+_LANE_MASKS = [(1 << b) if b < 63 else (1 << 63) - (1 << 64) for b in range(64)]
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash folded entirely with higher-order functions:
+    per-token xxhash64 → ±1 votes per bit lane (literal masks) →
+    sign → pack. Pure JVM expression — no shuffle, no UDF."""
+    toks = tokenize(text)
+    masks = F.array(*[F.lit(m).cast("long") for m in _LANE_MASKS])
+    votes = F.aggregate(
+        toks,
+        F.transform(masks, lambda _: F.lit(0).cast("long")),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(F.xxhash64(t).bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    packed = F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(packed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """SimHash near-dup: block on the top `prefix_bits` (near-dups
+    rarely differ there), verify hamming ≤ max_hamming in-block."""
+    h = docs.select(F.col(id_col), simhash64(text_col).alias("sh"))
+    blocked = h.withColumn("block", F.shiftrightunsigned("sh", 64 - prefix_bits))
+    a = blocked.withColumnsRenamed({id_col: "a", "sh": "sh_a"})
+    b = blocked.withColumnsRenamed({id_col: "b", "sh": "sh_b"})
+    return (
+        a.join(b, "block")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ---- n-gram jaccard ----------------------------------------------------------
+def ngram_jaccard_pairs(docs: DataFrame, block_col: str, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Blocked pairwise Jaccard over word n-gram shingles."""
+    sh = docs.select(F.col(id_col), F.col(block_col).alias("block"), shingles(text_col, n).alias("sh"))
+    a = sh.withColumnsRenamed({id_col: "a", "sh": "sh_a"})
+    b = sh.withColumnsRenamed({id_col: "b", "sh": "sh_b"})
+    return (
+        a.join(b, "block")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---- embedding cosine near-dup ------------------------------------------------
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine over two array<float> columns — zip_with dot product,
+    JVM-side (no UDF)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+                        block_col: str | None = None, threshold: float = 0.95) -> DataFrame:
+    """Cosine ≥ τ pairs. With block_col: equi-join blocked; without:
+    all-pairs (verification-scale only — at 100 TB use the LSH/IVF
+    path in operators/similarity.py)."""
+    cols = [F.col(id_col), F.col(vec_col)]
+    if block_col:
+        cols.append(F.col(block_col).alias("block"))
+    v = emb.select(*cols)
+    a = v.withColumnsRenamed({id_col: "a", vec_col: "va"})
+    b = v.withColumnsRenamed({id_col: "b", vec_col: "vb"})
+    j = a.join(b, "block") if block_col else a.crossJoin(b)
+    return (
+        j.filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_sim(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )

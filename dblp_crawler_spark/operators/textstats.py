@@ -1,0 +1,95 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting. All native expressions (P2-style
+tokenization shared with the crawl filter path) — DuckDB-oracle-able
+because every formula is plain SQL arithmetic over the same
+tokenization regex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+# deterministic tiny english stopword list (shared with oracle SQL —
+# keep sorted & lowercase)
+EN_STOPWORDS = sorted(
+    "a an and are as at be by for from has he in is it its of on that the to was were will with".split()
+)
+
+
+def tokens_all(text: Column | str) -> Column:
+    """All (non-distinct) tokens — counting needs multiplicity."""
+    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    return F.filter(F.split(t, r"[^0-9a-z_]+"), lambda w: w != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens_all(text))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens_all(text)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(t) > 0, punct / F.length(t)).otherwise(F.lit(0.0))
+
+
+def lang_id(text: Column | str, en_threshold: float = 0.05) -> Column:
+    """N-gram/stopword heuristic: enough english stopwords → 'en';
+    any CJK chars → 'zh'; else 'unk'."""
+    t = F.col(text) if isinstance(text, str) else text
+    has_cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", "")) > 0
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when(stopword_ratio(t) >= en_threshold, F.lit("en"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality: length band + low punctuation +
+    healthy stopword ratio (the classic pretraining heuristics)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n_tok = F.size(tokens_all(t))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(t) <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(t) >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(len_ok + punct_ok + sw_ok, 6)
+
+
+_FP_MOD = (1 << 31) - 1  # Mersenne prime keeps acc*31+h < 2^63 (ANSI-safe)
+
+
+def fingerprint64(text: Column | str) -> Column:
+    """Rolling polynomial fingerprint over tokens:
+    acc = (acc * 31 + xxhash64(token) mod M) mod M, M = 2^31-1.
+    Order-aware (unlike a bag-of-words hash); pure JVM fold; modular
+    arithmetic avoids ANSI overflow while staying deterministic."""
+    toks = tokens_all(text)
+    m = F.lit(_FP_MOD).cast("long")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), m), m),
+    )
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One pass, all stats — single projection, no shuffle."""
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens_all(text_col)).alias("n_tokens"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        lang_id(text_col).alias("lang_pred"),
+        quality_score(text_col).alias("quality"),
+        fingerprint64(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,114 @@
+"""Training-pipeline operators: dedup (exact/minhash/simhash/jaccard/
+embedding), ANN similarity, text stats — semantic unit tests on
+hand-built data (the DuckDB value parity runs via tools/check_oracle
+and the driver's own gate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dblp_crawler_spark.operators import dedup as D
+from dblp_crawler_spark.operators import similarity as SIM
+from dblp_crawler_spark.operators import textstats as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "a"),
+        (1, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "a"),  # near dup of 0
+        (3, "completely different text about spark shuffles and joins", "a"),
+        (4, "another unrelated document mentioning window aggregates", "b"),
+        (5, "the quick brown fox jumps over the lazy dog", "b"),  # exact dup, other block
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = D.exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].n == 3 and groups[0].keep_id == 0
+    kept = D.drop_exact_dups(docs)
+    assert kept.count() == 4  # 0 survives for the triple
+    assert {r.doc_id for r in kept.collect()} == {0, 2, 3, 4}
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.a, r.b): r.jaccard for r in D.ngram_jaccard_pairs(docs, "source", threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    found = {(r.a, r.b) for r in D.minhash_near_dups(docs, num_hashes=32, bands=16, threshold=0.5).collect()}
+    assert (0, 1) in found  # identical docs always collide
+    assert (0, 5) in found and (1, 5) in found
+    assert not any(3 in p or 4 in p for p in found)
+    # verified jaccard means no false positives by construction
+    sigs = D.minhash_signature(docs, num_hashes=32)
+    s = {r.doc_id: r.sig for r in sigs.collect()}
+    assert s[0] == s[1] == s[5]  # identical text → identical signature
+
+
+def test_simhash_semantics(spark, docs):
+    h = {r.doc_id: r.h for r in docs.select("doc_id", D.simhash64("text").alias("h")).collect()}
+    assert h[0] == h[1] == h[5]
+    ham02 = bin((h[0] ^ h[2]) & ((1 << 64) - 1)).count("1")
+    ham03 = bin((h[0] ^ h[3]) & ((1 << 64) - 1)).count("1")
+    assert ham02 < ham03  # near dup closer than unrelated
+    pairs = {(r.a, r.b) for r in D.simhash_near_dups(docs, max_hamming=0, prefix_bits=8).collect()}
+    assert (0, 1) in pairs
+
+
+def test_embedding_near_dup_and_topk(spark):
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    base = rng.standard_normal(16)
+    rows = [
+        (0, [float(x) for x in base], 0),
+        (1, [float(x) for x in base * 2.0], 0),  # same direction → cosine 1
+        (2, [float(x) for x in base + rng.standard_normal(16) * 0.05], 0),  # near
+        (3, [float(x) for x in rng.standard_normal(16)], 0),  # far
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    near = {(r.a, r.b) for r in D.embedding_near_dups(emb, block_col="label", threshold=0.95).collect()}
+    assert (0, 1) in near and (0, 2) in near and (0, 3) not in near
+
+    q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    topk = SIM.brute_force_topk(q, emb, k=3).collect()
+    assert [r.vec_id for r in sorted(topk, key=lambda r: r.rank)][0] in (0, 1)  # self/dup at top
+    assert all(r1.cosine >= r2.cosine for r1, r2 in zip(topk, topk[1:]))
+
+
+def test_lsh_topk_recall(spark):
+    """ANN recall vs the exact baseline on a real slice."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 3").select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = {(r.q_id, r.vec_id) for r in SIM.brute_force_topk(q, emb, k=5).collect()}
+    approx = {(r.q_id, r.vec_id) for r in SIM.lsh_topk(q, emb, k=5, n_planes=6, n_tables=8, seed=1, dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # 8-table multiprobe LSH; exactness is the baseline's job
+    assert (0, 0) in approx  # self always lands in its own bucket
+
+
+def test_text_stats(spark):
+    rows = [
+        (0, "the cat and the dog are in the house with a mouse"),  # stopword-heavy en
+        (1, "zzz qqq xxx yyy www"),  # no stopwords
+        (2, ""),
+        (3, "!!! ??? ..."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r.doc_id: r for r in T.doc_stats(df).collect()}
+    assert stats[0].lang_pred == "en" and stats[1].lang_pred == "unk"
+    assert stats[0].n_tokens == 12
+    assert stats[2].n_tokens == 0 and stats[2].fingerprint == 0
+    assert stats[3].punct_ratio > 0.5
+    assert stats[0].quality > stats[1].quality
+    # fingerprint is order-aware
+    fp = lambda s: df.sparkSession.createDataFrame([(s,)], "text string").select(
+        T.fingerprint64("text").alias("f")
+    ).collect()[0].f
+    assert fp("a b c") != fp("c b a")
+    assert fp("a b c") == fp("a  b   c!")
