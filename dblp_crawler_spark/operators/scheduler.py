@@ -37,17 +37,48 @@ def politeness_pop(pending: DataFrame, host_budget: int | None) -> DataFrame:
 def global_sequence(df: DataFrame, start: int, order_cols: list) -> DataFrame:
     """Assign contiguous seq numbers following a total order.
 
-    Implemented via sort + zipWithIndex (two distributed passes), not
-    a global Window (which would funnel the whole batch through one
-    partition). The scheduled batch is budget-bounded, but at
-    10^10-URL scale a wave can still be millions of rows across
-    thousands of hosts — this keeps sequencing parallel.
+    Fully JVM-side two-pass plan (no global Window, which would
+    funnel the whole batch through one partition, and no RDD
+    zipWithIndex, which would round-trip every row through Python):
+
+      1. range-repartition + sort on the order columns — rows land in
+         partition p iff they sort before every row of partition p+1;
+      2. per-partition row_number (window keyed by the *partition id*,
+         so each task ranks only its own rows in parallel);
+      3. add the exclusive prefix-sum of partition counts (a
+         #partitions-row aggregate, broadcast back).
+
+    The scheduled batch is budget-bounded, but at 10^10-URL scale a
+    wave can still be millions of rows — this keeps sequencing
+    parallel and entirely inside whole-stage codegen. Deterministic
+    because the order columns form a total order (url is unique).
+
+    The whole thing is ONE lazy DAG (no driver collect, no cache):
+    the counts branch and the main branch share the identical
+    range-repartition exchange, which Spark's ReuseExchange computes
+    once. Range-partitioner sampling is deterministic for a given
+    input, so both branches (and any task retry) see the same
+    partition boundaries.
     """
-    spark = df.sparkSession
-    out_schema = df.schema.add("seq", "integer", False)
-    ordered = df.orderBy(*order_cols)
-    rdd = ordered.rdd.zipWithIndex().map(lambda t: (*t[0], start + t[1]))
-    return spark.createDataFrame(rdd, out_schema)
+    cols = df.columns
+    n_part = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    d = (
+        df.repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"))
+        .select("__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"))
+    )
+    w_rn = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn("seq", (F.lit(start) + F.col("__off") + F.row_number().over(w_rn) - 1).cast("int"))
+        .select(*cols, "seq")
+    )
 
 
 def robots_status(df: DataFrame, robots: DataFrame) -> DataFrame:
