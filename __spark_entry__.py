@@ -111,9 +111,10 @@ def q_dim_broadcast_lookup(spark, sf_dir):
 
 
 def q_frontier_antijoin(spark, sf_dir):
-    """J3/U3: seen-set anti-join — customers with no orders."""
+    """J3/U3: seen-set anti-join — customers with no orders since
+    1998 (the year filter keeps the result non-empty at every SF)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") >= 1998)
     nation = _t(spark, sf_dir, "nation")
     no_orders = cust.join(orders.select("o_custkey"), cust.c_custkey == orders.o_custkey, "left_anti")
     return (
@@ -227,7 +228,7 @@ def q_dedup_simhash(spark, sf_dir):
 def q_embedding_near_dup(spark, sf_dir):
     """Cosine ≥ τ near-dup pairs, blocked by label."""
     emb = _t(spark, sf_dir, "embeddings")
-    return D.embedding_near_dups(emb, block_col="label", threshold=0.8)
+    return D.embedding_near_dups(emb, block_col="label", threshold=0.3)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -398,7 +399,9 @@ def oracle_sql() -> dict[str, str]:
         "frontier_antijoin": """
             SELECT n.n_name, COUNT(*) AS n_customers
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND year(o.o_orderdate) >= 1998)
             GROUP BY n.n_name
         """,
         "frontier_expand_join": """
@@ -467,7 +470,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
         """,
         "ann_cosine_topk": """
             SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (

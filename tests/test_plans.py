@@ -1,0 +1,129 @@
+"""Physical-plan shape assertions — the .explain audit, automated.
+
+These lock in the scale-critical plan properties so a refactor cannot
+silently regress them:
+  * filters/column pruning reach the parquet scan (PushedFilters /
+    ReadSchema);
+  * dimension joins broadcast (no shuffle of the big side);
+  * the BFS filter path stays inside WholeStageCodegen (no Python
+    eval in the hot path);
+  * seen-set guards plan as broadcast/shuffle hash anti-joins, and
+    the fetch join against the payload table broadcasts the
+    (budget-bounded) scheduled keys rather than shuffling blobs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dblp_crawler_spark.operators.frontier import crawler_filter, with_ccf
+from dblp_crawler_spark.operators.scheduler import global_sequence, politeness_pop
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def sfdir():
+    return "/root/testdata/sf0.001"
+
+
+def test_scan_pushdown_and_pruning(spark, sfdir):
+    li = spark.read.parquet(f"{sfdir}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    # column pruning: the scan must read only the two needed columns
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in rs and "l_quantity" in rs and "l_comment" not in rs
+
+
+def test_dim_join_broadcasts(spark, sfdir):
+    cust = spark.read.parquet(f"{sfdir}/customer.parquet")
+    nation = spark.read.parquet(f"{sfdir}/nation.parquet")
+    q = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ccf_dim_join_broadcasts(spark, sfdir):
+    pubs = spark.createDataFrame(
+        [("k1", "db/conf/v00"), ("k2", "db/conf/v01")], "key string, jk string"
+    )
+    dim = spark.createDataFrame([("db/conf/v00", "A")], "journal_key string, rank string")
+    q = with_ccf(pubs, dim, F.col("jk"))
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_crawler_filter_is_codegen(spark):
+    """P1/P2 (year + CNF keyword match) must be pure JVM expressions:
+    whole-stage codegen, no Python eval operators."""
+    pubs = spark.createDataFrame(
+        [(("k1", "t", "video edge computing", 2020),)],
+        "pub struct<key:string,type:string,title:string,year:int>",
+    )
+    q = crawler_filter(pubs, 2000, [["video"], ["edge", "computing"]])
+    plan = plan_of(q)
+    # pure JVM expression filter: the CNF match compiles to
+    # exists/forall array expressions (codegen-fallback but JVM-side,
+    # vectorizable input) — and NEVER a Python eval operator
+    assert "exists(" in plan and "codegen id" in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert bad not in plan, bad
+
+
+def test_seen_antijoin_is_hash_join(spark, sfdir):
+    orders = spark.read.parquet(f"{sfdir}/orders.parquet")
+    seen = orders.select("o_custkey").limit(100)
+    q = orders.join(seen, "o_custkey", "left_anti")
+    plan = plan_of(q)
+    assert "LeftAnti" in plan
+    assert "HashJoin" in plan  # broadcast or shuffled hash — never cartesian
+
+
+def test_politeness_window_partitions_by_host(spark):
+    df = spark.createDataFrame(
+        [("u1", "h1", 5), ("u2", "h1", 3), ("u3", "h2", 9)],
+        "url string, host string, priority long",
+    )
+    plan = plan_of(politeness_pop(df, 2))
+    assert "Window" in plan
+    # partitioned window — never the single-partition global window
+    assert "hashpartitioning(host" in plan
+
+
+def test_global_sequence_no_python_no_global_window(spark):
+    df = spark.createDataFrame(
+        [(f"u{i}", i % 7) for i in range(50)], "url string, priority long"
+    )
+    q = global_sequence(df, 0, [F.desc("priority"), F.asc("url")])
+    plan = plan_of(q)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert bad not in plan, bad
+    # the big-side window is keyed by partition id; the only
+    # unkeyed window runs on the #partitions-row offsets aggregate
+    assert "rangepartitioning" in plan
+    assert "row_number" in plan
+
+
+def test_fetch_join_broadcasts_keys_not_blobs(spark, tmp_path):
+    """The payload fetch must broadcast the scheduled KEYS; the blob
+    side must stay on its scan partitioning (no exchange above the
+    payload scan other than the broadcast)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    images = spark.createDataFrame(
+        [(f"img_{i}", bytearray(b"x" * 10), 8, 8, "png", "c", 0) for i in range(100)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    p = str(tmp_path / "imgs")
+    images.write.parquet(p)
+    imgs = spark.read.parquet(p)
+    keys = spark.createDataFrame([(f"img_{i}",) for i in range(5)], "image_id string")
+    q = imgs.join(F.broadcast(keys), "image_id", "inner")
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # blobs never shuffle
