@@ -78,8 +78,10 @@ class Lakehouse:
         snap = self.current_snapshot(table) if snapshot is None else snapshot
         if snap is None:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
-        files = self.manifest(table, snap)["files"]
-        return self.spark.read.parquet(*[os.path.join(self._tdir(table), f) for f in files])
+        m = self.manifest(table, snap)
+        if not m["files"]:  # empty snapshot: schema lives in the manifest
+            return self.spark.createDataFrame([], StructType.fromJson(json.loads(m["schema_json"])))
+        return self.spark.read.parquet(*[os.path.join(self._tdir(table), f) for f in m["files"]])
 
     def read_or_empty(self, table: str, schema: StructType) -> DataFrame:
         if self.exists(table):
@@ -117,6 +119,16 @@ class Lakehouse:
         out = self._data_dir(table, snap)
         df.write.mode("overwrite").parquet(out)
         self._commit(table, [os.path.basename(out)], snap, meta or {})
+        return snap
+
+    def create_empty(self, table: str, schema: StructType, meta: dict | None = None) -> int:
+        """Commit an empty snapshot without running a Spark job —
+        a metadata-only truncate (Iceberg: TRUNCATE TABLE). The
+        schema is recorded in the manifest so reads stay typed."""
+        snap = self._next_snap(table)
+        self._commit(
+            table, [], snap, {**(meta or {}), "schema_json": json.dumps(schema.jsonValue())}
+        )
         return snap
 
     def append(self, table: str, df: DataFrame, schema: StructType, meta: dict | None = None) -> int:

@@ -28,6 +28,13 @@ from pyspark.sql import functions as F
 from ..functions.text import tokenize
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-file inputs arrive as one scan split; the per-doc
+    expression work here (shingling, hashing, folds) is the expensive
+    part, so spread rows across the cluster before computing it."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # ---- exact ---------------------------------------------------------------
 def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: groups with >1 identical text."""
@@ -50,13 +57,22 @@ def drop_exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles (the unit of Jaccard).
     Built from the ORDERED token sequence (multiplicity preserved),
-    then deduped at the shingle level."""
+    then deduped at the shingle level.
+
+    Implementation: n-1 zip_with concatenations of shifted slices —
+    flat O(tokens) work. (The obvious per-index
+    `transform(idx, i -> array_join(slice(toks, i, n)))` materializes
+    an n-array per position through interpreted lambdas; measured
+    ~25× slower on real documents.)"""
     t = F.lower(F.col(text) if isinstance(text, str) else text)
     toks = F.filter(F.split(t, r"[^0-9a-z_]+"), lambda w: w != "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(F.size(toks) >= n, F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    )).otherwise(F.array(F.array_join(toks, " ")))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    sh = F.slice(toks, 1, m)
+    for k in range(1, n):
+        sh = F.zip_with(sh, F.slice(toks, k + 1, m), lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
 
 
 def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -66,7 +82,7 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "do
     One explode + one groupBy with k min() aggregates — all JVM-side
     xxhash64; partial aggregation makes the shuffle carry only
     k longs per doc."""
-    sh = docs.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    sh = _spread(docs).select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
     aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
@@ -112,15 +128,20 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
     output; LSH only bounds recall)."""
     sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, bands)
-    sh = docs.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    # |A∪B| = |A|+|B|−|A∩B|: one array op per pair instead of two
+    # (shingle arrays are already distinct), sizes computed pre-join.
+    # Intersect 64-bit shingle hashes, not strings: same Jaccard
+    # (collisions are 2^-64-rare), ~10x cheaper per pair and 8 bytes
+    # per shingle through the join.
+    sh = _spread(docs).select(
+        F.col(id_col),
+        F.transform(shingles(text_col, shingle_n), lambda t: F.xxhash64(t)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
     return (
-        cands.join(sh.withColumnsRenamed({id_col: "a", "sh": "sh_a"}), "a")
-        .join(sh.withColumnsRenamed({id_col: "b", "sh": "sh_b"}), "b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
+        cands.join(sh.withColumnsRenamed({id_col: "a", "sh": "sh_a", "n_sh": "na"}), "a")
+        .join(sh.withColumnsRenamed({id_col: "b", "sh": "sh_b", "n_sh": "nb"}), "b")
+        .withColumn("ninter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
@@ -158,7 +179,7 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
                       max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
     """SimHash near-dup: block on the top `prefix_bits` (near-dups
     rarely differ there), verify hamming ≤ max_hamming in-block."""
-    h = docs.select(F.col(id_col), simhash64(text_col).alias("sh"))
+    h = _spread(docs).select(F.col(id_col), simhash64(text_col).alias("sh"))
     blocked = h.withColumn("block", F.shiftrightunsigned("sh", 64 - prefix_bits))
     a = blocked.withColumnsRenamed({id_col: "a", "sh": "sh_a"})
     b = blocked.withColumnsRenamed({id_col: "b", "sh": "sh_b"})
@@ -174,17 +195,27 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
 # ---- n-gram jaccard ----------------------------------------------------------
 def ngram_jaccard_pairs(docs: DataFrame, block_col: str, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Blocked pairwise Jaccard over word n-gram shingles."""
-    sh = docs.select(F.col(id_col), F.col(block_col).alias("block"), shingles(text_col, n).alias("sh"))
-    a = sh.withColumnsRenamed({id_col: "a", "sh": "sh_a"})
-    b = sh.withColumnsRenamed({id_col: "b", "sh": "sh_b"})
+    """Blocked pairwise Jaccard over word n-gram shingles.
+    |A∪B| via |A|+|B|−|A∩B| — one array op per pair, sizes pre-join."""
+    sh = _spread(docs).select(
+        F.col(id_col), F.col(block_col).alias("block"),
+        F.transform(shingles(text_col, n), lambda t: F.xxhash64(t)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    # the docs table is often a handful of scan splits; the pair work
+    # is quadratic per block, so spread the probe side across the
+    # cluster by block BEFORE the join (the build side broadcasts).
+    # Explicit partition count: AQE would coalesce this tiny-bytes
+    # shuffle into a few partitions, but the post-join work is
+    # quadratic per input byte — partition count must follow the
+    # block count, not the byte size.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    a = sh.repartition(n_part, "block").withColumnsRenamed({id_col: "a", "sh": "sh_a", "n_sh": "na"})
+    b = sh.withColumnsRenamed({id_col: "b", "sh": "sh_b", "n_sh": "nb"})
     return (
         a.join(b, "block")
         .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
-        )
+        .withColumn("ninter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -91,6 +91,7 @@ class CrawlEngine:
         self.wave = 0
         self.next_seq = 0
         self.done = False
+        self._person_pages = None
         from ..operators.bloom import BloomBank
 
         self.bloom = BloomBank(lake, n_buckets=config.bloom_buckets, m_bits=config.bloom_bits)
@@ -157,11 +158,28 @@ class CrawlEngine:
             ("edges", schemas.EDGES), ("publications", schemas.PUBLICATIONS_OUT),
             ("emitted_persons", schemas.EMITTED_PERSONS), ("metrics", schemas.METRICS),
         ]:
-            self.lake.overwrite(t, self.spark.createDataFrame([], sch))
+            self.lake.create_empty(t, sch)  # metadata-only, no Spark job
         self.wave, self.next_seq, self.done = 0, 0, False
         self._save_state()
 
     # ---- one wave ----------------------------------------------------------
+    @property
+    def person_pages(self):
+        """Cached (url, person) projection of the page store. The
+        pages table is immutable for the duration of a crawl (TTL
+        refresh happens between crawls), so caching the projection
+        saves one scan per use per wave. At 100 TB the same call
+        site simply stays an (Iceberg-pruned) scan — drop the cache,
+        nothing else changes."""
+        if self._person_pages is None:
+            self._person_pages = (
+                self.lake.read("pages")
+                .filter(F.col("kind") == "person")
+                .select("url", "person")
+                .cache()
+            )
+        return self._person_pages
+
     def run_wave(self) -> dict:
         spark, lake, cfg, w = self.spark, self.lake, self.cfg, self.wave
         pages = lake.read("pages")
@@ -211,9 +229,13 @@ class CrawlEngine:
         n_sched = sched.count()
 
         # crawl-order commit: wave-0 index urls, then volume urls, then
-        # persons — each batch ordered by (priority DESC, url ASC)
-        for batch in order_batches + [sched.select("url", "priority")]:
-            n = batch.count()
+        # persons — each batch ordered by (priority DESC, url ASC).
+        # The scheduled batch's count is already known (n_sched).
+        for batch, n in [(b, None) for b in order_batches] + [
+            (sched.select("url", "priority"), n_sched)
+        ]:
+            if n is None:
+                n = batch.count()
             if n == 0:
                 continue
             seq_df = global_sequence(
@@ -224,10 +246,9 @@ class CrawlEngine:
             self.next_seq += n
 
         # ---- fetch (S1/S2: join simulates HTTP against the page store) ---
-        person_pages = pages.filter(F.col("kind") == "person").select("url", "person")
-        fetched = sched.join(person_pages, "url", "left").cache()
+        fetched = sched.join(self.person_pages, "url", "left").cache()
         ok = F.col("person").isNotNull()
-        n_succ = fetched.filter(ok).count()
+        n_succ = fetched.agg(F.sum(ok.cast("long"))).collect()[0][0] or 0
         n_fail = n_sched - n_succ
 
         # frontier transition: merged fetch+expand (oracle.py) — success
@@ -258,7 +279,7 @@ class CrawlEngine:
             ok_auth = expl.join(expanded_pids, "pid", "left_semi").cache()
             emitted = lake.read("emitted_persons")
             new_nodes = ok_auth.select("pid").distinct().join(emitted.select("pid"), "pid", "left_anti")
-            person_rec = pages.filter(F.col("kind") == "person").select(
+            person_rec = self.person_pages.select(
                 F.col("person.pid").alias("pid"),
                 F.col("person.name").alias("name"),
                 F.col("person.affiliations").alias("affiliations"),
@@ -368,11 +389,10 @@ class CrawlEngine:
         """Non-selected pubs: every pub on every summarized person's
         page (dict_summary update(pub), summarizer/networkx.py:84-86)."""
         lake = self.lake
-        pages = lake.read("pages")
         ccf_rank = lake.read_or_empty("ccf_rank", schemas.CCF_RANK)
         nodes = lake.read("nodes").select("pid")
         person_pubs = (
-            pages.filter(F.col("kind") == "person")
+            self.person_pages
             .select(F.col("person.pid").alias("pid"), F.explode("person.pubs").alias("pub"))
             .join(nodes, "pid", "left_semi")
             .select(F.col("pub.key").alias("key"), "pub")
