@@ -202,6 +202,78 @@ def make_universe(
     return u
 
 
+# ---- XML rendering (for the sources/xml_pages.py parse path) -------------
+def _esc(t: str) -> str:
+    from xml.sax.saxutils import escape, quoteattr
+
+    return escape(str(t))
+
+
+def _attr(t: str) -> str:
+    from xml.sax.saxutils import quoteattr
+
+    return quoteattr(str(t))
+
+
+def _render_pub_xml(pub: dict) -> str:
+    """Render one publication as the <r>-wrapped dblp element."""
+    el = pub["type"]
+    parts = [f'<r><{el} key={_attr(pub["key"])} mdate={_attr(pub["mdate"])}>']
+    for a in pub["authors"]:
+        orcid = f' orcid={_attr(a["orcid"])}' if a.get("orcid") else ""
+        parts.append(f'<author pid={_attr(a["pid"])}{orcid}>{_esc(a["name"])}</author>')
+    if pub["title"] is not None:
+        parts.append(f'<title>{_esc(pub["title"])}</title>')
+    if pub["year"] is not None:
+        parts.append(f'<year>{pub["year"]}</year>')
+    jtag = {"inproceedings": "booktitle", "proceedings": "booktitle", "article": "journal",
+            "incollection": "booktitle", "book": "series"}.get(el)
+    if jtag and pub.get("journal") is not None:
+        parts.append(f'<{jtag}>{_esc(pub["journal"])}</{jtag}>')
+    if pub.get("url") is not None:
+        parts.append(f'<url>{_esc(pub["url"])}</url>')
+    for ee in pub.get("ee", []):
+        parts.append(f'<ee>{_esc(ee)}</ee>')
+    parts.append(f'</{el}></r>')
+    return "".join(parts)
+
+
+def render_person_xml(payload: dict) -> str:
+    """Person page XML in the dblpperson shape (parser.py:152-186)."""
+    parts = [f'<dblpperson pid={_attr(payload["pid"])} name={_attr(payload["name"])}><person>']
+    for aff in payload["affiliations"]:
+        parts.append(f'<note type="affiliation">{_esc(aff)}</note>')
+    parts.append("</person>")
+    parts.extend(_render_pub_xml(p) for p in payload["pubs"])
+    parts.append("</dblpperson>")
+    return "".join(parts)
+
+
+def render_journal_xml(payload: dict) -> str:
+    """Volume page XML in the bht shape (journal.py:12-18)."""
+    parts = ["<bht><dblpcites>"]
+    parts.extend(_render_pub_xml(p) for p in payload["pubs"])
+    parts.append("</dblpcites></bht>")
+    return "".join(parts)
+
+
+def render_journal_list_xml(payload: dict) -> str:
+    """Venue index XML in the bht shape (journal.py:21-38)."""
+    parts = [f'<bht title={_attr(payload["title"])}><h1>{_esc(payload["h1"])}</h1><ul>']
+    for ref in payload["refs"]:
+        parts.append(f'<li><ref href={_attr(ref)}>v</ref></li>')
+    parts.append("</ul><dblpcites>")
+    for pr in payload["proceedings"]:
+        parts.append("<r><proceedings key=\"x\" mdate=\"2020-01-01\">")
+        if pr.get("booktitle") is not None:
+            parts.append(f'<booktitle>{_esc(pr["booktitle"])}</booktitle>')
+        if pr.get("url") is not None:
+            parts.append(f'<url>{_esc(pr["url"])}</url>')
+        parts.append("</proceedings></r>")
+    parts.append("</dblpcites></bht>")
+    return "".join(parts)
+
+
 # --------------------------------------------------------------------------
 def pages_rows(u: Universe) -> list[dict]:
     """Flatten the universe into `pages` table rows (schemas.PAGES)."""
