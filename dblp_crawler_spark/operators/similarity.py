@@ -44,19 +44,29 @@ def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _planes_literal(planes: np.ndarray) -> Column:
+    """array<array<double>> literal via ONE parsed SQL expression.
+    (Building it from per-element F.lit calls costs thousands of py4j
+    round trips — measured ~8 s of driver time for 8 tables x 6
+    planes x 64 dims before any Spark work started.)"""
+    rows = ",".join("array(" + ",".join(f"{float(x)!r}D" for x in row) + ")" for row in planes)
+    return F.expr(f"array({rows})")
+
+
 def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit signature: bit_i = 1 iff vec · plane_i > 0. The plane
-    dot products are unrolled into literal-weighted aggregates —
-    JVM-side, codegen-friendly, no UDF."""
-    bits = []
-    for i, p in enumerate(planes):
-        weights = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(F.zip_with(vec, weights, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig.bitwiseOR(b)
-    return sig
+    """Sign-bit signature: bit_i = 1 iff vec · plane_i > 0 — one
+    zip_with over (plane, bitmask) pairs, JVM-side, no UDF."""
+    pl = _planes_literal(planes)
+    masks = F.expr("array(" + ",".join(f"{1 << i}L" for i in range(len(planes))) + ")")
+    bits = F.zip_with(
+        pl,
+        masks,
+        lambda p, m: F.when(
+            F.aggregate(F.zip_with(vec, p, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v) > 0,
+            m,
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
 
 
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, n_planes: int = 8,

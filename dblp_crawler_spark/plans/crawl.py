@@ -246,10 +246,20 @@ class CrawlEngine:
             self.next_seq += n
 
         # ---- fetch (S1/S2: join simulates HTTP against the page store) ---
-        fetched = sched.join(self.person_pages, "url", "left").cache()
-        ok = F.col("person").isNotNull()
-        n_succ = fetched.agg(F.sum(ok.cast("long"))).collect()[0][0] or 0
+        # Join shape for scale: the scheduled batch is budget-bounded
+        # and tiny next to the page store, so broadcast the BATCH into
+        # the pages scan (inner join, build-left) — a plain left-outer
+        # would force Spark to broadcast/shuffle the big pages side.
+        # Failures are recovered afterwards by anti-joining the batch
+        # against the (small) succeeded key set.
+        succ = sched.hint("broadcast").join(self.person_pages, "url", "inner").cache()
+        n_succ = succ.count()
         n_fail = n_sched - n_succ
+        failed = sched.join(F.broadcast(succ.select("url")), "url", "left_anti").withColumn(
+            "person", F.lit(None).cast(schemas.PERSON_PAYLOAD)
+        )
+        fetched = succ.unionByName(failed.select(*succ.columns)).cache()
+        ok = F.col("person").isNotNull()
 
         # frontier transition: merged fetch+expand (oracle.py) — success
         # → 'expanded'; failure retries until max_attempts (O3)
@@ -370,6 +380,7 @@ class CrawlEngine:
         }
         lake.append("metrics", spark.createDataFrame([m], schemas.METRICS), schemas.METRICS)
         sched.unpersist()
+        succ.unpersist()
         fetched.unpersist()
         self.wave = w + 1
         if remain == 0 and n_new_pubs == 0:
