@@ -14,24 +14,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def politeness_pop(pending: DataFrame, host_budget: int | None) -> DataFrame:
+def politeness_pop(
+    pending: DataFrame, host_budget: int | None, host_budgets: DataFrame | None = None
+) -> DataFrame:
     """Per-host budgeted pop: within each host, highest (priority,
-    url) first, at most `host_budget` rows; rest stay pending.
+    url) first, at most budget rows; rest stay pending.
+
+    The budget is the tighter of the global `host_budget` and the
+    host's entry in `host_budgets` (host, budget) — the latter is how
+    robots crawl-delay becomes a politeness window: with a wave
+    modeled as `wave_ms` of wall time, a host allowing one request
+    per `crawl_delay_ms` gets floor(wave_ms / delay) slots
+    (plans/crawl.py builds that dim; it is tiny and broadcast).
 
     Scale note: the window shuffles by host — the hot host (dblp.org,
     O6) lands in one partition, but the window only ranks and cuts at
-    `host_budget`, so the per-partition work is bounded by the
+    the budget, so the per-partition work is bounded by the
     politeness budget itself; the expensive fetch/parse work is
     re-salted afterwards (functions.hashing.salted_repartition).
     """
-    if host_budget is None:
+    if host_budget is None and host_budgets is None:
         return pending
+    out = pending
+    budget = F.lit(host_budget).cast("long") if host_budget is not None else F.lit(None).cast("long")
+    if host_budgets is not None:
+        out = out.join(
+            F.broadcast(host_budgets.select("host", F.col("budget").alias("__hb"))), "host", "left"
+        )
+        budget = F.least(F.coalesce(budget, F.col("__hb")), F.coalesce(F.col("__hb"), budget))
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
-    return (
-        pending.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= host_budget)
-        .drop("__rn")
+    out = (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(budget.isNull() | (F.col("__rn") <= budget))
+        .drop("__rn", "__hb")
     )
+    return out
 
 
 def global_sequence(df: DataFrame, start: int, order_cols: list) -> DataFrame:

@@ -127,6 +127,7 @@ def run_oracle(
     year: int | None = None,
     rules: list[list[str]] | None = None,
     host_budget: int | None = None,
+    wave_ms: int | None = None,
     max_attempts: int = 3,
     limit: int = -1,
     use_robots: bool = True,
@@ -195,11 +196,21 @@ def run_oracle(
         # ---- schedule person fetches (T3 + O5) ---------------------------
         candidates = [r for r in frontier.values() if r["status"] == "pending" and r["attempts"] < max_attempts]
         candidates.sort(key=lambda r: (-r["priority"], r["url"]))
+        # per-host budget: tighter of the global budget and the
+        # robots-crawl-delay-derived slot count (engine mirror:
+        # operators/scheduler.politeness_pop + plans/crawl.py)
+        delay_budget: dict[str, int] = {}
+        if wave_ms:
+            for rb in u.robots:
+                d = rb.get("crawl_delay_ms")
+                if d:
+                    delay_budget[rb["host"]] = wave_ms // d
         scheduled = []
         host_counts: dict[str, int] = {}
         for r in candidates:
             c = host_counts.get(r["host"], 0)
-            if host_budget is not None and c >= host_budget:
+            limits = [b for b in (host_budget, delay_budget.get(r["host"])) if b is not None]
+            if limits and c >= min(limits):
                 continue  # stays pending for a later wave
             host_counts[r["host"]] = c + 1
             scheduled.append(r)

@@ -75,6 +75,10 @@ class CrawlConfig:
     max_attempts: int = 3
     limit: int = -1
     use_robots: bool = True
+    # politeness window length in ms: hosts with a robots crawl_delay
+    # get floor(wave_ms / delay) fetch slots per wave (None = delay
+    # not modeled; only host_budget applies)
+    wave_ms: int | None = None
     # seen-set scale path: bloom pre-filter before the exact anti-join
     # (operators/bloom.py). Results are identical either way; the
     # bloom path is what survives 10^10 keys.
@@ -225,7 +229,15 @@ class CrawlEngine:
         pending = frontier.filter(
             (F.col("status") == "pending") & (F.col("attempts") < cfg.max_attempts)
         )
-        sched = politeness_pop(pending, cfg.host_budget).cache()
+        host_budgets = None
+        if cfg.wave_ms:
+            host_budgets = robots.filter(
+                F.col("crawl_delay_ms").isNotNull() & (F.col("crawl_delay_ms") > 0)
+            ).select(
+                "host",
+                F.floor(F.lit(cfg.wave_ms) / F.col("crawl_delay_ms")).cast("long").alias("budget"),
+            )
+        sched = politeness_pop(pending, cfg.host_budget, host_budgets).cache()
         n_sched = sched.count()
 
         # crawl-order commit: wave-0 index urls, then volume urls, then

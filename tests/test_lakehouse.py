@@ -50,3 +50,27 @@ def test_rollback(spark, lake):
 def test_empty_table_roundtrip(spark, lake):
     lake.overwrite("t", spark.createDataFrame([], schemas.SEEN_PUBS))
     assert lake.read("t").count() == 0
+
+
+def test_freshness_ttl(spark, lake):
+    """S5: per-kind TTL filter + stale re-fetch set (downloader.py
+    semantics: person/journal_list 30d, journal forever)."""
+    from datetime import datetime, timedelta, timezone
+
+    from dblp_crawler_spark.operators.freshness import fresh_pages, stale_urls
+
+    now = datetime(2026, 1, 31, tzinfo=timezone.utc)
+    old = now - timedelta(days=40)
+    new = now - timedelta(days=5)
+    rows = [
+        ("p_old", "h", "person", old), ("p_new", "h", "person", new),
+        ("jl_old", "h", "journal_list", old), ("j_old", "h", "journal", old),
+    ]
+    pages = spark.createDataFrame(rows, "url string, host string, kind string, fetched_at timestamp")
+    fresh = {r.url for r in fresh_pages(pages, now).collect()}
+    assert fresh == {"p_new", "j_old"}  # journal TTL is forever
+    stale = {r.url for r in stale_urls(pages, now).collect()}
+    assert stale == {"p_old", "jl_old"}
+    # override: journals expire too
+    stale2 = {r.url for r in stale_urls(pages, now, {"journal": 10}).collect()}
+    assert stale2 == {"p_old", "jl_old", "j_old"}
