@@ -9,8 +9,16 @@ from dblp_crawler_spark.session import get_spark  # noqa: E402
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("spark-frontier-tests", master="local[4]", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    s = get_spark(
+        "spark-frontier-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={
+            # static conf: bucketed-table tests need a throwaway warehouse
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("wh")),
+        },
+    )
     yield s
     s.stop()
 

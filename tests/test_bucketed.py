@@ -1,0 +1,51 @@
+"""Bucketed payload store: bucket pruning + exchange-free joins,
+proven at the plan level (the scale path when a wave is too large to
+broadcast)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dblp_crawler_spark.sources import bucketed_store as B
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def payload_df(spark):
+    return spark.range(2000).select(
+        F.format_string("img_%06d", F.col("id")).alias("image_id"),
+        F.encode(F.format_string("payload-%d", F.col("id")), "utf-8").alias("bytes"),
+    )
+
+
+def test_partition_pruned_fetch(spark, payload_df, tmp_path):
+    path = str(tmp_path / "store")
+    B.write_partitioned(payload_df, path, "image_id", n_buckets=16)
+    keys = spark.range(25).select(F.format_string("img_%06d", F.col("id")).alias("image_id"))
+    fetched = B.pruned_fetch(spark, path, keys, "image_id", n_buckets=16)
+    assert fetched.count() == 25
+    plan = plan_of(fetched)
+    # the scan carries a partition filter on bucket — pruned at
+    # metadata level, non-matching directories never read
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, payload_df, tmp_path):
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        B.write_bucketed_table(payload_df, "imgs_bkt", "image_id", n_buckets=8)
+        keys = spark.range(500).select(
+            F.format_string("img_%06d", F.col("id") * 3).alias("image_id")
+        )
+        B.write_bucketed_table(keys, "keys_bkt", "image_id", n_buckets=8)
+        j = B.bucketed_join(spark, "imgs_bkt", "keys_bkt", "image_id")
+        plan = plan_of(j)
+        assert "Exchange" not in plan, plan  # co-located: no shuffle on either side
+        assert j.count() == keys.join(payload_df, "image_id").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS imgs_bkt")
+        spark.sql("DROP TABLE IF EXISTS keys_bkt")
