@@ -1,0 +1,64 @@
+"""Property-based engine-vs-oracle equivalence (SURVEY.md §5.6):
+random universe shapes and scheduler configs must always produce the
+exact oracle crawl order and seen set, plus the standing invariants
+(seen-set monotonicity via per-wave metrics, politeness budget never
+exceeded, no dangling edges)."""
+
+import collections
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dblp_crawler_spark import fixtures, oracle
+from dblp_crawler_spark.lakehouse import Lakehouse
+from dblp_crawler_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_authors=st.integers(min_value=25, max_value=60),
+    n_pubs=st.integers(min_value=60, max_value=150),
+    host_budget=st.sampled_from([None, 5, 11]),
+)
+def test_engine_matches_oracle_on_random_universes(
+    spark, tmp_path_factory, seed, n_authors, n_pubs, host_budget
+):
+    u = fixtures.make_universe(
+        n_authors=n_authors, n_pubs=n_pubs, n_venues=4, seed=seed, with_images=False
+    )
+    lake = Lakehouse(spark, str(tmp_path_factory.mktemp("prop")))
+    fixtures.write_tables(spark, lake, u)
+    cfg = CrawlConfig(
+        year=u.year_filter, rules=u.keyword_rules, host_budget=host_budget, max_attempts=2
+    )
+    eng = CrawlEngine(spark, lake, cfg)
+    eng.initialize()
+    metrics = eng.run_to_end()
+    res = oracle.run_oracle(u, host_budget=host_budget, max_attempts=2)
+
+    order = [(r.wave, r.seq, r.url) for r in lake.read("crawl_order").orderBy("seq").collect()]
+    assert order == res.crawl_order
+    assert {r.key for r in lake.read("seen_pubs").collect()} == res.seen_pubs
+
+    # politeness: per (wave, host) scheduled person fetches ≤ budget
+    if host_budget is not None:
+        sched = collections.Counter()
+        host_of = {r["url"]: r["host"] for r in lake.read("frontier").collect()}
+        for wave, _seq, url in order:
+            if url in host_of:
+                sched[(wave, host_of[url])] += 1
+        assert all(c <= host_budget for c in sched.values()), sched
+
+    # seen-set monotonicity: pubs_new per wave sums to the final set
+    assert sum(m["pubs_new"] for m in metrics) == len(res.seen_pubs)
+
+    # no dangling edges: both endpoints of every edge are nodes
+    node_ids = {r.pid for r in lake.read("nodes").collect()}
+    for e in lake.read("edges").collect():
+        assert e.src in node_ids and e.dst in node_ids
