@@ -226,7 +226,12 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Cosine ≥ τ near-dup pairs, blocked by label."""
+    """Cosine ≥ τ pairs, blocked by label. τ=0.3 here because the
+    driver's embeddings table is synthetic and contains no planted
+    near-dup pairs — at a real near-dup τ (0.8+) the result is empty
+    at every SF and the oracle comparison would be vacuous. The
+    operator's behavior at high τ is pinned separately on planted
+    duplicates in tests/test_pipeline_ops.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return D.embedding_near_dups(emb, block_col="label", threshold=0.3)
 
@@ -250,10 +255,14 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_text_token_count(spark, sf_dir):
+    """avg computed as SUM/COUNT (not AVG): token counts are exact
+    integers, so one fp divide is bitwise identical on both the Spark
+    and DuckDB sides — AVG's summation order is not."""
     docs = _t(spark, sf_dir, "documents")
+    n = T.token_count("text")
     return docs.groupBy("source").agg(
-        F.sum(T.token_count("text")).alias("total_tokens"),
-        F.round(F.avg(T.token_count("text")), 4).alias("avg_tokens"),
+        F.sum(n).alias("total_tokens"),
+        F.round(F.sum(n) / F.count(F.lit(1)), 4).alias("avg_tokens"),
     )
 
 
@@ -484,7 +493,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_count": f"""
             SELECT source, SUM(len({_TOK})) AS total_tokens,
-                   ROUND(AVG(len({_TOK})), 4) AS avg_tokens
+                   ROUND(SUM(len({_TOK}))::DOUBLE / COUNT(*), 4) AS avg_tokens
             FROM documents GROUP BY source
         """,
         "text_quality": f"""

@@ -137,20 +137,25 @@ def prepare(spark: SparkSession, outdir: str, n: int) -> None:
 
 
 # ---- measure ---------------------------------------------------------------
-def run_wave_core(
+def _scheduled(
     spark: SparkSession, indir: str, host_budget: int | None, sample: float | None = None
-) -> tuple[int, int, float]:
+) -> DataFrame:
     frontier = spark.read.parquet(os.path.join(indir, "frontier"))
-    images = spark.read.parquet(os.path.join(indir, "images"))
     if sample is not None:
         frontier = frontier.sample(sample, seed=7)
     robots = spark.createDataFrame(
         [("dblp.org", ["private/"], 50), ("host1.example.org", ["img/img_00000000"], 200)],
         schemas.ROBOTS,
     )
-
     pending = robots_status(frontier, robots).filter(F.col("status") == "pending")
-    sched = politeness_pop(pending, host_budget)
+    return politeness_pop(pending, host_budget)
+
+
+def run_wave_core(
+    spark: SparkSession, indir: str, host_budget: int | None, sample: float | None = None
+) -> tuple[int, float]:
+    images = spark.read.parquet(os.path.join(indir, "images"))
+    sched = _scheduled(spark, indir, host_budget, sample)
     seq = global_sequence(sched.select("url", "priority"), 0, [F.desc("priority"), F.asc("url")])
 
     # Fetch = join of the scheduled keys against the image store. The
@@ -175,7 +180,7 @@ def run_wave_core(
         F.min("psnr_db").alias("min_psnr"),
     ).collect()[0]
     assert agg["n_ok"] == agg["n"], f"payload gate failed: {agg}"
-    return agg["n"], agg["n"], float(agg["min_psnr"])
+    return agg["n"], float(agg["min_psnr"])
 
 
 def measure(spark: SparkSession, indir: str, host_budget: int | None, warmup: bool) -> dict:
@@ -184,16 +189,25 @@ def measure(spark: SparkSession, indir: str, host_budget: int | None, warmup: bo
         # (2×cores tasks in the salted decode stage) and JIT/codegen-
         # warms the whole pipeline.
         run_wave_core(spark, indir, host_budget=None, sample=0.05)
-    # best-of-3: the scaling criterion is about sustained throughput
-    # on a warm cluster; single-JVM warm-up effects (codegen, heap
-    # growth, Python worker pool fill) are not part of the metric.
+    # The scheduled count is the politeness-pop output BEFORE the
+    # image join (n_fetched is the post-join row count — they can
+    # differ if a scheduled url has no stored page). The input is
+    # static across runs, so count it once, untimed.
+    n_sched = _scheduled(spark, indir, host_budget).count()
+    # best-of-N AND median-of-N are both reported: the scaling
+    # criterion is about sustained throughput on a warm cluster
+    # (codegen, heap growth, Python worker pool fill excluded), but a
+    # gate verdict should not flip on the min-vs-median choice — the
+    # orchestrator records both.
     runs = []
     for i in range(4):
         t0 = time.monotonic()
-        n_sched, n_fetched, min_psnr = run_wave_core(spark, indir, host_budget)
+        n_fetched, min_psnr = run_wave_core(spark, indir, host_budget)
         runs.append(round(time.monotonic() - t0, 3))
         print(f"# run {i}: {runs[-1]}s", flush=True)
     secs = min(runs)
+    srt = sorted(runs)
+    secs_median = round((srt[len(srt) // 2] + srt[(len(srt) - 1) // 2]) / 2, 3)
     master = spark.sparkContext.master
     return {
         "master": master,
@@ -201,8 +215,10 @@ def measure(spark: SparkSession, indir: str, host_budget: int | None, warmup: bo
         "n_fetched": n_fetched,
         "min_psnr_db": round(min_psnr, 2),
         "seconds": secs,
+        "seconds_median": secs_median,
         "all_runs": runs,
         "urls_per_sec": round((n_sched + n_fetched) / 2 / secs, 1),
+        "urls_per_sec_median": round((n_sched + n_fetched) / 2 / secs_median, 1),
     }
 
 
