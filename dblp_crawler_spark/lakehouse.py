@@ -11,18 +11,35 @@ This container ships no Iceberg runtime jar, so `Lakehouse` provides
 the same contract over parquet:
 
   * every write lands in a fresh immutable snapshot directory
-    `<table>/snap-<n>/` (parquet files written by Spark),
-  * a manifest `<table>/snap-<n>.json` records row count and schema,
+    `<table>/data-<n>/` (parquet files written by Spark),
+  * a manifest `<table>/snap-<n>.json` records the layer list, per-
+    layer row counts (read from parquet footers — no Spark job) and
+    schema,
   * the table HEAD is a single pointer file updated via atomic
     `os.replace` — readers only ever see fully-committed snapshots,
-  * `merge_upsert` / `append_new` implement MERGE INTO ... WHEN
-    [NOT] MATCHED via anti-join + union (what Iceberg MoR does
-    logically), keyed exactly like the reference's Neo4j MERGE
-    (summarizer/neo4j.py:13-41).
+  * keyed tables (created with `merge_keys`) are MERGE-ON-READ:
+    `merge_upsert` writes ONLY the delta rows as a new layer tagged
+    with the commit sequence; `read` resolves last-writer-wins per
+    key across layers (what Iceberg MoR equality deletes do
+    logically). Per-commit write I/O is O(delta), NOT O(total
+    state) — on a 10^10-row frontier a wave writes the wave, never
+    rewrites the table. `compact()` folds the layers back into one
+    (Iceberg's rewrite_data_files maintenance action) to bound read
+    amplification; callers run it on a cadence.
+  * unkeyed tables keep the legacy copy-on-write MERGE (anti-join +
+    union + full overwrite) — acceptable for small dims, never used
+    for per-wave state.
 
 On a real cluster the same call sites bind to an Iceberg catalog
 (`spark.sql("MERGE INTO ...")`); the interface is deliberately the
 Iceberg verb set so the swap is config, not code.
+
+Keyed-table write contract (same as Iceberg MERGE source dedup): a
+single `merge_upsert`/`append` batch must be key-unique, and `append`
+must only add keys not already present (the engine's discovery rows
+are anti-joined against the frontier before the append). Resolution
+is then deterministic: per key, exactly one row carries the maximal
+commit sequence.
 """
 
 from __future__ import annotations
@@ -33,7 +50,21 @@ import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+def _dir_rows(path: str) -> int:
+    """Row count from parquet footers (driver-side metadata read —
+    the Iceberg manifest count; no Spark job)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _, names in os.walk(path):
+        for name in names:
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+    return total
 
 
 class Lakehouse:
@@ -62,8 +93,15 @@ class Lakehouse:
     def exists(self, table: str) -> bool:
         return self.current_snapshot(table) is not None
 
-    def _commit(self, table: str, files: list[str], snap: int, meta: dict) -> None:
-        manifest = {"snapshot": snap, "committed_at": time.time(), "files": files, **meta}
+    def _commit(self, table: str, layers: list[dict], snap: int, meta: dict) -> None:
+        manifest = {
+            "snapshot": snap,
+            "committed_at": time.time(),
+            "files": [l["dir"] for l in layers],
+            "layers": layers,
+            "n_rows": sum(l["rows"] for l in layers),
+            **meta,
+        }
         mpath = os.path.join(self._tdir(table), f"snap-{snap:06d}.json")
         with open(mpath, "w") as f:
             json.dump(manifest, f)
@@ -79,9 +117,34 @@ class Lakehouse:
         if snap is None:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
         m = self.manifest(table, snap)
-        if not m["files"]:  # empty snapshot: schema lives in the manifest
+        layers = m["layers"]
+        if not layers:  # empty snapshot: schema lives in the manifest
             return self.spark.createDataFrame([], StructType.fromJson(json.loads(m["schema_json"])))
-        return self.spark.read.parquet(*[os.path.join(self._tdir(table), f) for f in m["files"]])
+        keys = m.get("merge_keys")
+        if not keys or len(layers) == 1:
+            return self.spark.read.parquet(
+                *[os.path.join(self._tdir(table), l["dir"]) for l in layers]
+            )
+        # MoR resolution: last-writer-wins per key across layers. One
+        # hash aggregation over the live state — at scale this is the
+        # read-side cost that compact() bounds (layer count stays
+        # small), and it shuffles keys only, never payload-heavy
+        # history: each key's losing rows die in the map-side partial
+        # aggregate of their own layer partition.
+        union = None
+        for l in layers:
+            d = self.spark.read.parquet(os.path.join(self._tdir(table), l["dir"])).withColumn(
+                "__seq", F.lit(l["seq"]).cast("long")
+            )
+            union = d if union is None else union.unionByName(d)
+        cols = [c for c in union.columns if c != "__seq"]
+        others = [c for c in cols if c not in keys]
+        resolved = (
+            union.groupBy(*keys)
+            .agg(F.max_by(F.struct(*others), F.col("__seq")).alias("__r"))
+            .select(*keys, *[F.col(f"__r.{c}").alias(c) for c in others])
+        )
+        return resolved.select(*cols)
 
     def read_or_empty(self, table: str, schema: StructType) -> DataFrame:
         if self.exists(table):
@@ -91,7 +154,21 @@ class Lakehouse:
     def manifest(self, table: str, snapshot: int | None = None) -> dict:
         snap = self.current_snapshot(table) if snapshot is None else snapshot
         with open(os.path.join(self._tdir(table), f"snap-{snap:06d}.json")) as f:
-            return json.load(f)
+            m = json.load(f)
+        if "layers" not in m:  # pre-MoR manifest (round-1 layout)
+            m["layers"] = [{"dir": d, "seq": m["snapshot"], "rows": -1} for d in m["files"]]
+        return m
+
+    def layer_rows(self, table: str, snapshot: int | None = None) -> int:
+        """Rows added by the given (default: HEAD) commit — the wave
+        delta, from the manifest, no Spark job."""
+        m = self.manifest(table, snapshot)
+        return m["layers"][-1]["rows"] if m["layers"] else 0
+
+    def n_rows(self, table: str, snapshot: int | None = None) -> int:
+        """Total stored rows (pre-resolution for MoR tables) from the
+        manifest, no Spark job."""
+        return self.manifest(table, snapshot)["n_rows"]
 
     def snapshots(self, table: str) -> list[int]:
         tdir = self._tdir(table)
@@ -113,12 +190,25 @@ class Lakehouse:
         base = max(snaps) if snaps else -1
         return max(base, -1 if head is None else head) + 1
 
-    def overwrite(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
-        """Full-replace commit (Iceberg: REPLACE TABLE ... AS SELECT)."""
-        snap = self._next_snap(table)
+    def _write_layer(self, table: str, df: DataFrame, snap: int) -> dict:
         out = self._data_dir(table, snap)
         df.write.mode("overwrite").parquet(out)
-        self._commit(table, [os.path.basename(out)], snap, meta or {})
+        return {"dir": os.path.basename(out), "seq": snap, "rows": _dir_rows(out)}
+
+    def overwrite(
+        self, table: str, df: DataFrame, meta: dict | None = None, merge_keys: list[str] | None = None
+    ) -> int:
+        """Full-replace commit (Iceberg: REPLACE TABLE ... AS SELECT).
+        `merge_keys` declares the table keyed → every later
+        `merge_upsert`/`append` is an O(delta) MoR layer. When
+        omitted, an existing table keeps its key spec (so compaction
+        and re-loads don't silently de-key a table)."""
+        if merge_keys is None and self.exists(table):
+            merge_keys = self.manifest(table).get("merge_keys")
+        snap = self._next_snap(table)
+        layer = self._write_layer(table, df, snap)
+        extra = {"merge_keys": merge_keys} if merge_keys else {}
+        self._commit(table, [layer], snap, {**(meta or {}), **extra})
         return snap
 
     def create_empty(self, table: str, schema: StructType, meta: dict | None = None) -> int:
@@ -132,17 +222,46 @@ class Lakehouse:
         return snap
 
     def append(self, table: str, df: DataFrame, schema: StructType, meta: dict | None = None) -> int:
-        """Fast append: write ONLY the new rows; the manifest unions
-        the previous snapshot's file list (Iceberg fast-append —
-        metadata-only, no data rewrite). Old snapshots stay readable."""
+        """Fast append: write ONLY the new rows; the manifest carries
+        the previous snapshot's layers forward (Iceberg fast-append —
+        metadata-only, no data rewrite). Old snapshots stay readable.
+        On a keyed table the appended batch must hold only new keys
+        (see module contract)."""
         head = self.current_snapshot(table)
         if head is None:
             return self.overwrite(table, df, meta)
+        m = self.manifest(table, head)
+        snap = self._next_snap(table)
+        layer = self._write_layer(table, df, snap)
+        mk = m.get("merge_keys")
+        extra = {"merge_keys": mk} if mk else {}
+        self._commit(table, m["layers"] + [layer], snap, {**(meta or {}), **extra})
+        return snap
+
+    def append_local(
+        self, table: str, rows: list[dict], schema: StructType, meta: dict | None = None
+    ) -> int:
+        """Driver-side micro-append: write a tiny parquet layer with
+        pyarrow — NO Spark job. For single-row commits (per-wave
+        metrics, state stamps) where launching a distributed write
+        is pure latency. The layer is indistinguishable from a Spark
+        write to readers (same schema via the Arrow conversion
+        Spark itself uses)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         snap = self._next_snap(table)
         out = self._data_dir(table, snap)
-        df.write.mode("overwrite").parquet(out)
-        files = self.manifest(table, head)["files"] + [os.path.basename(out)]
-        self._commit(table, files, snap, meta or {})
+        os.makedirs(out, exist_ok=True)
+        t = pa.Table.from_pylist(rows, schema=to_arrow_schema(schema))
+        pq.write_table(t, os.path.join(out, "part-00000.parquet"))
+        layer = {"dir": os.path.basename(out), "seq": snap, "rows": len(rows)}
+        head = self.current_snapshot(table)
+        prev = self.manifest(table, head)["layers"] if head is not None else []
+        mk = self.manifest(table, head).get("merge_keys") if head is not None else None
+        extra = {"merge_keys": mk} if mk else {}
+        self._commit(table, prev + [layer], snap, {**(meta or {}), **extra})
         return snap
 
     def append_new(
@@ -152,9 +271,16 @@ class Lakehouse:
 
         Reference analog: the existence-check-before-write pattern of
         summarizer/neo4j.py:62-68,76-83 and every seen-set guard.
-        """
+        Keyed table: one read of current keys, write O(delta) — the
+        unmatched-fresh rows land as a new layer. Unkeyed legacy
+        table: copy-on-write rewrite (kept for small dims only)."""
+        if not self.exists(table):
+            return self.overwrite(table, df.dropDuplicates(keys), meta, merge_keys=keys)
+        mk = self.manifest(table).get("merge_keys")
+        fresh = df.dropDuplicates(keys).join(self.read(table).select(*keys), on=keys, how="left_anti")
+        if mk == keys:
+            return self.append(table, fresh, schema, meta)
         old = self.read_or_empty(table, schema)
-        fresh = df.dropDuplicates(keys).join(old.select(*keys), on=keys, how="left_anti")
         return self.overwrite(table, old.unionByName(fresh), meta)
 
     def merge_upsert(
@@ -162,12 +288,35 @@ class Lakehouse:
     ) -> int:
         """MERGE ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED INSERT.
 
-        Logical plan: old rows not matched by key survive; every key
+        Logical result: old rows not matched by key survive; every key
         in `df` takes the new row (last-writer-wins within `df` is
-        the caller's responsibility — pass pre-deduped input)."""
+        the caller's responsibility — pass pre-deduped input).
+
+        Keyed table: the delta IS the commit (new layer, O(delta)
+        write); the merge happens at read time. Unkeyed legacy table:
+        copy-on-write anti-join + union + overwrite."""
+        cols = [c.name for c in schema]
+        if not self.exists(table):
+            return self.overwrite(table, df.select(*cols), meta, merge_keys=keys)
+        if self.manifest(table).get("merge_keys") == keys:
+            return self.append(table, df.select(*cols), schema, meta)
         old = self.read_or_empty(table, schema)
         kept = old.join(df.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
-        return self.overwrite(table, kept.unionByName(df.select(*[c.name for c in schema])), meta)
+        return self.overwrite(table, kept.unionByName(df.select(*cols)), meta)
+
+    def compact(self, table: str) -> int:
+        """Fold a keyed table's MoR layers into one resolved layer
+        (Iceberg rewrite_data_files). Result-identical to the pre-
+        compaction read; bounds future read amplification. The one
+        place where write cost is O(live state) — run on a cadence,
+        not per commit."""
+        m = self.manifest(table)
+        if not m.get("merge_keys") or len(m["layers"]) <= 1:
+            return m["snapshot"]
+        return self.overwrite(table, self.read(table), merge_keys=m["merge_keys"])
+
+    def n_layers(self, table: str) -> int:
+        return len(self.manifest(table)["layers"])
 
     def rollback(self, table: str, snapshot: int) -> None:
         """Time-travel the HEAD pointer back (Iceberg: rollback_to_snapshot)."""

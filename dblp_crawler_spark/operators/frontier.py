@@ -34,6 +34,24 @@ def crawler_filter(pubs: DataFrame, year: int, rules: list[list[str]], pub_col: 
     return pubs.filter((p["year"] >= F.lit(year)) & keyword_cnf_match(p["title"], rules))
 
 
+def output_filter(
+    pubs: DataFrame, year: int | None, rules: list[list[str]] | None, pub_col: str = "pub"
+) -> DataFrame:
+    """F2: filter_publications_at_output (graph.py:68-72): prune pubs
+    at the EMISSION step only. Unlike the crawler filter this does
+    not cut reachability — the crawl still expands through filtered
+    pubs; they just never appear in nodes/edges/publications. The
+    reference's default hook passes everything through; year/rules
+    are the declarative (no-eval) subclass equivalents."""
+    p = F.col(pub_col)
+    cond = F.lit(True)
+    if year is not None:
+        cond = cond & (p["year"] >= F.lit(year))
+    if rules:
+        cond = cond & keyword_cnf_match(p["title"], rules)
+    return pubs.filter(cond)
+
+
 def dedup_new_pubs(pubs: DataFrame, seen: DataFrame) -> DataFrame:
     """Seen-set guard (graph.py:111-113): candidates ∖ seen.
     At 10^10 scale the exact anti-join is preceded by the bloom

@@ -142,6 +142,18 @@ def publish_edges(publications: DataFrame) -> DataFrame:
     )
 
 
+def seeds_from_mirror(lake) -> DataFrame:
+    """S11 graph-DB seed source (reference data/neo4j.py:4-16,
+    authors_in_neo4j): seed a new crawl from every person already in
+    the mirror — rows in the `seeds` table shape. A MATCH over the
+    person nodes is a scan of the mirror_persons key column here."""
+    return (
+        lake.read("mirror_persons")
+        .filter(F.col("dblp_pid").isNotNull())
+        .select(F.lit("pid").alias("seed_type"), F.col("dblp_pid").alias("value"))
+    )
+
+
 def mirror_summarize(lake, pages: DataFrame, publications: DataFrame) -> dict[str, int]:
     """Run the full mirror pass: upsert nodes, insert-only edges.
     Returns the committed snapshot ids (resume manifest material)."""

@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 
 def politeness_pop(
-    pending: DataFrame, host_budget: int | None, host_budgets: DataFrame | None = None
+    pending: DataFrame,
+    host_budget: int | None,
+    host_budgets: DataFrame | None = None,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Per-host budgeted pop: within each host, highest (priority,
     url) first, at most budget rows; rest stay pending.
@@ -24,14 +27,25 @@ def politeness_pop(
     host's entry in `host_budgets` (host, budget) — the latter is how
     robots crawl-delay becomes a politeness window: with a wave
     modeled as `wave_ms` of wall time, a host allowing one request
-    per `crawl_delay_ms` gets floor(wave_ms / delay) slots
+    per `crawl_delay_ms` gets max(1, floor(wave_ms / delay)) slots
     (plans/crawl.py builds that dim; it is tiny and broadcast).
 
-    Scale note: the window shuffles by host — the hot host (dblp.org,
-    O6) lands in one partition, but the window only ranks and cuts at
-    the budget, so the per-partition work is bounded by the
-    politeness budget itself; the expensive fetch/parse work is
-    re-salted afterwards (functions.hashing.salted_repartition).
+    Scale shape — salted two-level top-k. A single
+    `Window.partitionBy(host)` would sort the hot host's ENTIRE
+    pending set in one task (85% of a 10^10-URL frontier on dblp.org
+    → one ~10^10-row sort) before cutting at the budget. Instead:
+
+      1. salt each row by url hash into `n_salts` sub-partitions and
+         take the per-(host, salt) top-`budget` — parallel local
+         sorts, each cut at the budget;
+      2. re-rank only the ≤ n_salts × budget survivors per host —
+         the second window's input is bounded by the budget, not by
+         the frontier.
+
+    Exactly equivalent to the single window: every global top-budget
+    row of a host ranks ≤ budget within its own salt, so level 1
+    never discards a winner. Hosts with NO budget (neither global
+    nor dim) bypass both windows entirely — no cut, no sort.
     """
     if host_budget is None and host_budgets is None:
         return pending
@@ -42,13 +56,23 @@ def politeness_pop(
             F.broadcast(host_budgets.select("host", F.col("budget").alias("__hb"))), "host", "left"
         )
         budget = F.least(F.coalesce(budget, F.col("__hb")), F.coalesce(F.col("__hb"), budget))
-    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
-    out = (
-        out.withColumn("__rn", F.row_number().over(w))
-        .filter(budget.isNull() | (F.col("__rn") <= budget))
-        .drop("__rn", "__hb")
+    unbudgeted = out.filter(budget.isNull()).drop("__hb")
+    salted = out.filter(budget.isNotNull()).withColumn(
+        "__salt", F.pmod(F.xxhash64("url"), F.lit(n_salts))
     )
-    return out
+    order = [F.desc("priority"), F.asc("url")]
+    w1 = Window.partitionBy("host", "__salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= budget)
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    final = (
+        survivors.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= budget)
+        .drop("__salt", "__rn1", "__rn", "__hb")
+    )
+    return final.unionByName(unbudgeted).select(*pending.columns)
 
 
 def global_sequence(df: DataFrame, start: int, order_cols: list) -> DataFrame:

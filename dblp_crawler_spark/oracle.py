@@ -103,6 +103,16 @@ def crawler_filter(pub: dict, year: int, rules: list[list[str]]) -> bool:
     return keyword_match(pub["title"], rules)
 
 
+def output_match(pub: dict, year: int | None, rules: list[list[str]] | None) -> bool:
+    """F2 output-filter (graph.py:68-72): emission-only pruning; the
+    crawl still expands through non-matching pubs."""
+    if year is not None and (pub["year"] is None or pub["year"] < year):
+        return False
+    if rules:
+        return keyword_match(pub["title"], rules)
+    return True
+
+
 @dataclass
 class OracleResult:
     crawl_order: list = field(default_factory=list)  # (wave, seq, url)
@@ -112,6 +122,7 @@ class OracleResult:
     edges: set = field(default_factory=set)  # (src, dst, pub_key)
     publications: dict = field(default_factory=dict)
     metrics: list = field(default_factory=list)
+    journal_init_counts: dict = field(default_factory=dict)  # A7
     waves: int = 0
 
 
@@ -131,6 +142,8 @@ def run_oracle(
     max_attempts: int = 3,
     limit: int = -1,
     use_robots: bool = True,
+    output_year: int | None = None,
+    output_rules: list[list[str]] | None = None,
 ) -> OracleResult:
     year = u.year_filter if year is None else year
     rules = u.keyword_rules if rules is None else rules
@@ -192,6 +205,10 @@ def run_oracle(
                         continue
                     res.seen_pubs.add(pub["key"])
                     journal_pubs.append(pub)
+            # A7 (graph.py:46-58): init batch counts per journal
+            for p in journal_pubs:
+                jk = pub_journal_key(p)
+                res.journal_init_counts[jk] = res.journal_init_counts.get(jk, 0) + 1
 
         # ---- schedule person fetches (T3 + O5) ---------------------------
         candidates = [r for r in frontier.values() if r["status"] == "pending" and r["attempts"] < max_attempts]
@@ -204,7 +221,12 @@ def run_oracle(
             for rb in u.robots:
                 d = rb.get("crawl_delay_ms")
                 if d:
-                    delay_budget[rb["host"]] = wave_ms // d
+                    # ≥1 slot/wave: a delay longer than the wave
+                    # window throttles but never starves the host
+                    # (zero slots would leave its URLs pending
+                    # forever and break termination). Engine mirror:
+                    # plans/crawl.py host_budgets.
+                    delay_budget[rb["host"]] = max(1, wave_ms // d)
         scheduled = []
         host_counts: dict[str, int] = {}
         for r in candidates:
@@ -237,6 +259,8 @@ def run_oracle(
 
         for key in sorted(pending_emission):
             pub = u.pubs[key]
+            if not output_match(pub, output_year, output_rules):
+                continue  # F2: crawled but never emitted
             authors_id = sorted({a["pid"] for a in pub["authors"] if fetch_succeeded(a["pid"])})
             for a in authors_id:
                 if a not in res.nodes:

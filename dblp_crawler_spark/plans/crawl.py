@@ -46,6 +46,7 @@ from ..operators.frontier import (
     dedup_new_pubs,
     discover_authors,
     host_expr,
+    output_filter,
     pub_record_cols,
     with_ccf,
 )
@@ -85,6 +86,15 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_buckets: int = 32
     bloom_bits: int = 1 << 17
+    # F2 output-filter hook (graph.py:68-72): prune at emission only;
+    # the crawl still expands through filtered pubs. None/[] = pass
+    # everything (the reference's default hook).
+    output_year: int | None = None
+    output_rules: list | None = None
+    # fold the frontier's MoR delta layers into one resolved layer
+    # every N waves (Iceberg rewrite_data_files cadence) — bounds
+    # read amplification while keeping per-wave writes O(wave delta)
+    compact_every: int = 8
 
 
 class CrawlEngine:
@@ -155,7 +165,13 @@ class CrawlEngine:
         )
         if self.cfg.use_robots:
             seed_rows = robots_status(seed_rows, robots)
-        self.lake.overwrite("frontier", seed_rows.select(*[f.name for f in schemas.FRONTIER]))
+        # keyed table → per-wave merge_upsert is an O(wave) MoR delta
+        # layer, never a rewrite of the full 10^10-row frontier
+        self.lake.overwrite(
+            "frontier",
+            seed_rows.select(*[f.name for f in schemas.FRONTIER]),
+            merge_keys=["pid"],
+        )
         for t, sch in [
             ("seen_pubs", schemas.SEEN_PUBS), ("pending_pubs", PENDING_PUBS),
             ("crawl_order", schemas.CRAWL_ORDER), ("nodes", schemas.NODES),
@@ -224,6 +240,16 @@ class CrawlEngine:
                 .dropDuplicates(["key"])
                 .withColumn("base_depth", F.lit(0))
             )
+            # A7 (graph.py:46-58): per-journal init batch counts — a
+            # small committed rollup instead of the reference's log line
+            from ..functions.text import journal_key as _jk
+
+            lake.overwrite(
+                "journal_init_counts",
+                journal_new.groupBy(_jk(F.col("pub.url")).alias("journal_key")).agg(
+                    F.count("*").alias("n_pubs")
+                ),
+            )
 
         # ---- schedule (T3 pop + O5 politeness) ---------------------------
         pending = frontier.filter(
@@ -231,31 +257,33 @@ class CrawlEngine:
         )
         host_budgets = None
         if cfg.wave_ms:
+            # clamp to ≥1 slot/wave: a host whose crawl_delay exceeds
+            # the wave window must throttle, never starve — with 0
+            # slots its URLs stay pending forever and remain_pending
+            # can never reach 0 (termination). Mirrored in the oracle.
             host_budgets = robots.filter(
                 F.col("crawl_delay_ms").isNotNull() & (F.col("crawl_delay_ms") > 0)
             ).select(
                 "host",
-                F.floor(F.lit(cfg.wave_ms) / F.col("crawl_delay_ms")).cast("long").alias("budget"),
+                F.greatest(
+                    F.floor(F.lit(cfg.wave_ms) / F.col("crawl_delay_ms")), F.lit(1)
+                ).cast("long").alias("budget"),
             )
         sched = politeness_pop(pending, cfg.host_budget, host_budgets).cache()
-        n_sched = sched.count()
 
         # crawl-order commit: wave-0 index urls, then volume urls, then
         # persons — each batch ordered by (priority DESC, url ASC).
-        # The scheduled batch's count is already known (n_sched).
-        for batch, n in [(b, None) for b in order_batches] + [
-            (sched.select("url", "priority"), n_sched)
-        ]:
-            if n is None:
-                n = batch.count()
-            if n == 0:
-                continue
+        # Batch sizes come from the committed layer's parquet footers
+        # (manifest metadata), not separate count() jobs.
+        n_sched = 0
+        for batch in order_batches + [sched.select("url", "priority")]:
             seq_df = global_sequence(
                 batch.select("url", "priority"), self.next_seq, [F.desc("priority"), F.asc("url")]
             )
             rows = seq_df.select(F.lit(w).alias("wave"), "seq", "url")
             lake.append("crawl_order", rows, schemas.CRAWL_ORDER)
-            self.next_seq += n
+            n_sched = lake.layer_rows("crawl_order")
+            self.next_seq += n_sched
 
         # ---- fetch (S1/S2: join simulates HTTP against the page store) ---
         # Join shape for scale: the scheduled batch is budget-bounded
@@ -289,8 +317,14 @@ class CrawlEngine:
         frontier_new = lake.read("frontier")
 
         # ---- emission of last wave's pubs (graph.py:139-152) -------------
+        # pending count comes from last wave's commit manifest (no job);
+        # with an output filter (F2) the emitted subset must be counted
         pend = lake.read_or_empty("pending_pubs", PENDING_PUBS)
-        n_emit = pend.count()
+        n_emit = lake.n_rows("pending_pubs") if lake.exists("pending_pubs") else 0
+        has_out_filter = cfg.output_year is not None or bool(cfg.output_rules)
+        if n_emit and has_out_filter:
+            pend = output_filter(pend, cfg.output_year, cfg.output_rules)
+            n_emit = pend.count()
         if n_emit:
             expanded_pids = frontier_new.filter(F.col("status") == "expanded").select("pid")
             expl = (
@@ -354,7 +388,7 @@ class CrawlEngine:
         new_pubs = person_new if journal_new is None else journal_new.unionByName(person_new)
         new_pubs = with_ccf(new_pubs, ccf_rank, F.substring_index(F.col("pub.url"), "/", 3))
         lake.overwrite("pending_pubs", new_pubs.select(*PENDING_PUBS.fieldNames()))
-        n_new_pubs = lake.read("pending_pubs").count()
+        n_new_pubs = lake.layer_rows("pending_pubs")  # from the commit manifest
         lake.append(
             "seen_pubs",
             lake.read("pending_pubs").select("key", F.lit(w).alias("wave")),
@@ -379,7 +413,7 @@ class CrawlEngine:
         if cfg.use_robots:
             disc_rows = robots_status(disc_rows, robots)
         lake.append("frontier", disc_rows.select(*[f.name for f in schemas.FRONTIER]), schemas.FRONTIER)
-        n_disc = disc_rows.count()
+        n_disc = lake.layer_rows("frontier")  # from the commit manifest
 
         remain = (
             lake.read("frontier")
@@ -390,13 +424,17 @@ class CrawlEngine:
             "wave": w, "scheduled": n_sched, "fetch_succ": n_succ, "fetch_fail": n_fail,
             "pubs_new": n_new_pubs, "authors_new": n_disc, "remain_pending": remain, "emitted": n_emit,
         }
-        lake.append("metrics", spark.createDataFrame([m], schemas.METRICS), schemas.METRICS)
+        lake.append_local("metrics", [m], schemas.METRICS)  # driver-side, no Spark job
         sched.unpersist()
         succ.unpersist()
         fetched.unpersist()
         self.wave = w + 1
         if remain == 0 and n_new_pubs == 0:
             self.done = True
+        if cfg.compact_every and self.wave % cfg.compact_every == 0:
+            # fold frontier MoR layers (result-identical; bounds the
+            # per-read resolution cost between compactions)
+            lake.compact("frontier")
         self._save_state()
         return m
 
@@ -429,4 +467,10 @@ class CrawlEngine:
             rows.select(*[f.name for f in schemas.PUBLICATIONS_OUT]),
             schemas.PUBLICATIONS_OUT,
         )
+        # release the page-projection cache: a later pages refresh
+        # (freshness.refresh_pages) must not serve stale payloads, and
+        # repeated engine constructions must not accumulate blocks
+        if self._person_pages is not None:
+            self._person_pages.unpersist()
+            self._person_pages = None
         self._save_state()

@@ -177,6 +177,16 @@ METRICS = StructType(
     ]
 )
 
+# A7: per-seed-journal batch counts at journal init (reference
+# graph.py:46-58 — "%d publications in %s", log-only there; a
+# committed table here)
+JOURNAL_INIT_COUNTS = StructType(
+    [
+        StructField("journal_key", StringType(), False),
+        StructField("n_pubs", LongType(), False),
+    ]
+)
+
 # --- dimensions -----------------------------------------------------------
 SEEDS = StructType(
     [StructField("seed_type", StringType(), False), StructField("value", StringType(), False)]

@@ -86,6 +86,59 @@ def write_summary_json(
     return doc
 
 
+def summary_doc_from_frames(
+    nodes: DataFrame, edges: DataFrame, publications: DataFrame
+) -> dict:
+    """Assemble the legacy document from already-summarized frames
+    (the SUMMARY_* schemas of read_summary_json) — the write side of
+    the offline filter pipeline (filter/__main__.py:18-22): load →
+    filter DataFrames → dump. Driver-side like the reference's
+    json.dump; the summary is small by construction."""
+    out_nodes = {
+        r.pid: {
+            "id": r.pid,
+            "label": r.label,
+            "person": {
+                "dblp_pid": r.pid,
+                "name": r.label,
+                "affiliations": list(r.affiliations or []),
+                "publications": list(r.all_pubs or []),
+            },
+            "publications": list(r.selected_pubs or []),
+        }
+        for r in nodes.collect()
+    }
+    out_edges = {
+        json.dumps({"from": r.src, "to": r.dst}): {
+            "from": r.src,
+            "to": r.dst,
+            "publications": list(r.publications or []),
+            "cooperation": list(r.cooperation or []),
+        }
+        for r in edges.collect()
+    }
+    out_pubs = {}
+    for r in publications.collect():
+        out_pubs[r.key] = {
+            "dblp_key": r.key,
+            "title": r.title,
+            "title_hash": r.title_hash,
+            "journal": r.journal,
+            "journal_key": r.journal_key,
+            "year": r.year,
+            "mdate": r.mdate,
+            "doi": r.doi,
+            "ccf": r.ccf,
+            "authors": {
+                a.pid: {"dblp_pid": a.pid, "name": a.name, "orcid": a.orcid}
+                for a in (r.authors or [])
+            },
+        }
+        if r.selected:
+            out_pubs[r.key]["selected"] = True
+    return {"nodes": out_nodes, "edges": out_edges, "publications": out_pubs}
+
+
 def read_summary_json(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

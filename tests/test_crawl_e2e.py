@@ -73,6 +73,9 @@ def test_wave_metrics_match(spark, lake, universe):
     assert len(e_metrics) == len(res.metrics) == eng.wave
     for em, om in zip(e_metrics, res.metrics):
         assert em == om, f"metrics mismatch at wave {om['wave']}: {em} vs {om}"
+    # A7: per-journal init batch counts (graph.py:46-58)
+    e_jc = {r.journal_key: r.n_pubs for r in lake.read("journal_init_counts").collect()}
+    assert e_jc == res.journal_init_counts
 
 
 def test_engine_with_bloom_matches_oracle(spark, lake):
@@ -96,6 +99,67 @@ def test_limit_bounds_waves(spark, lake, universe):
     assert {o[0] for o in e_order} <= {0, 1}
     assert e_seen == res.seen_pubs
     assert e_order == res.crawl_order
+
+
+def test_wave_job_budget(spark, lake):
+    """Driver action-diet canary: a steady-state wave stays under a
+    fixed Spark-job budget (wave counters come from commit manifests
+    and the metrics row commits driver-side — no count() jobs over
+    recomputed DAGs). AQE stage materialization spawns several jobs
+    per action, so the bound is a canary against regressions, not an
+    action count."""
+    u = fixtures.make_universe(n_authors=40, n_pubs=100, n_venues=4, seed=9)
+    fixtures.write_tables(spark, lake, u)
+    cfg = CrawlConfig(year=u.year_filter, rules=u.keyword_rules, max_attempts=2)
+    eng = CrawlEngine(spark, lake, cfg)
+    eng.initialize()
+    eng.run_wave()  # wave 0 (journal init) excluded — extra batches
+    sc = spark.sparkContext
+    sc.setJobGroup("wave-diet", "steady-state wave")
+    eng.run_wave()
+    sc.setJobGroup("rest", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("wave-diet")
+    assert 0 < len(jobs) <= 90, f"steady-state wave ran {len(jobs)} jobs"
+
+
+def test_output_filter_hook_matches_oracle(spark, lake, universe):
+    """F2 (graph.py:68-72): a year-at-output-only config prunes pubs
+    at emission while the frontier still expands through them —
+    crawl order and seen set equal the unfiltered crawl, but the
+    emitted summary shrinks. Engine must match the oracle under the
+    same hook."""
+    u = universe
+    res = oracle.run_oracle(u, host_budget=8, output_year=2015)
+    run_engine(spark, lake, u, host_budget=8, output_year=2015)
+    e_order, e_seen, e_nodes, e_edges, e_pubs = collect_engine(lake)
+    o_order, o_seen, o_nodes, o_edges, o_pubs = oracle_views(res, u)
+    assert e_order == o_order and e_seen == o_seen
+    assert e_nodes == o_nodes and e_edges == o_edges and e_pubs == o_pubs
+    # expansion is NOT cut by the output filter: order/seen identical
+    # to the unfiltered crawl, but strictly fewer pubs are emitted
+    res_nf = oracle.run_oracle(u, host_budget=8)
+    assert res.crawl_order == res_nf.crawl_order
+    assert res.seen_pubs == res_nf.seen_pubs
+    sel = {k for k, p in res.publications.items() if p["selected"]}
+    sel_nf = {k for k, p in res_nf.publications.items() if p["selected"]}
+    assert sel < sel_nf
+    assert all(u.pubs[k]["year"] >= 2015 for k in sel)
+
+
+def test_crawl_delay_exceeding_wave_still_terminates(spark, lake):
+    """A host whose crawl_delay exceeds the wave window is clamped to
+    1 slot/wave — throttled, never starved (a zero budget would leave
+    its URLs pending forever and the crawl would never terminate)."""
+    u = fixtures.make_universe(n_authors=15, n_pubs=30, n_venues=3, seed=11)
+    u.seeds_journals = []  # person-seeded only, keeps the crawl small
+    # wave_ms=40 < dblp.org's 50ms delay → floor() would give 0 slots
+    res = oracle.run_oracle(u, wave_ms=40, max_attempts=2, limit=40)
+    assert res.waves < 40, "oracle failed to terminate under clamped budget"
+    run_engine(spark, lake, u, wave_ms=40, max_attempts=2, limit=40)
+    e_order, e_seen, e_nodes, e_edges, e_pubs = collect_engine(lake)
+    o_order, o_seen, o_nodes, o_edges, o_pubs = oracle_views(res, u)
+    assert e_order == o_order and e_seen == o_seen
+    assert e_nodes == o_nodes and e_edges == o_edges and e_pubs == o_pubs
 
 
 def test_crawl_delay_budgets_match_oracle(spark, universe, tmp_path):

@@ -47,6 +47,82 @@ def test_rollback(spark, lake):
     assert {r.key for r in lake.read("t").collect()} == {"a", "z"}
 
 
+def test_keyed_merge_upsert_writes_delta_only(spark, lake):
+    """MoR contract: on a keyed table, a merge commit writes ONLY the
+    delta rows as a new layer — per-wave write I/O is O(wave delta),
+    never O(total state). Read resolves last-writer-wins."""
+    base = _df(spark, [(f"k{i:04d}", 0) for i in range(500)])
+    lake.overwrite("t", base, merge_keys=["key"])
+    delta = _df(spark, [("k0001", 9), ("k0007", 9), ("new1", 1)])
+    lake.merge_upsert("t", delta, ["key"], schemas.SEEN_PUBS)
+    m = lake.manifest("t")
+    assert m["merge_keys"] == ["key"]
+    assert len(m["layers"]) == 2
+    # the commit's data files hold the 3 delta rows, not the 500-row state
+    assert m["layers"][-1]["rows"] == 3
+    assert m["layers"][0]["rows"] == 500
+    got = {r.key: r.wave for r in lake.read("t").collect()}
+    assert got["k0001"] == 9 and got["k0007"] == 9 and got["new1"] == 1
+    assert got["k0002"] == 0 and len(got) == 501
+
+
+def test_keyed_append_new_writes_delta_only(spark, lake):
+    lake.overwrite("t", _df(spark, [("a", 0)]), merge_keys=["key"])
+    lake.append_new("t", _df(spark, [("a", 9), ("b", 1)]), ["key"], schemas.SEEN_PUBS)
+    m = lake.manifest("t")
+    assert m["layers"][-1]["rows"] == 1  # only the unmatched row landed
+    got = {r.key: r.wave for r in lake.read("t").collect()}
+    assert got == {"a": 0, "b": 1}
+
+
+def test_compact_folds_layers_result_identical(spark, lake):
+    lake.overwrite("t", _df(spark, [("a", 0), ("b", 0)]), merge_keys=["key"])
+    lake.merge_upsert("t", _df(spark, [("b", 1), ("c", 1)]), ["key"], schemas.SEEN_PUBS)
+    lake.merge_upsert("t", _df(spark, [("c", 2), ("d", 2)]), ["key"], schemas.SEEN_PUBS)
+    before = {r.key: r.wave for r in lake.read("t").collect()}
+    assert lake.n_layers("t") == 3
+    lake.compact("t")
+    assert lake.n_layers("t") == 1
+    assert {r.key: r.wave for r in lake.read("t").collect()} == before == {
+        "a": 0, "b": 1, "c": 2, "d": 2,
+    }
+    # compaction preserves the key spec: later merges stay deltas
+    lake.merge_upsert("t", _df(spark, [("a", 7)]), ["key"], schemas.SEEN_PUBS)
+    assert lake.manifest("t")["layers"][-1]["rows"] == 1
+    assert {r.key: r.wave for r in lake.read("t").collect()}["a"] == 7
+
+
+def test_keyed_rollback_time_travels_layers(spark, lake):
+    lake.overwrite("t", _df(spark, [("a", 0)]), merge_keys=["key"])
+    lake.merge_upsert("t", _df(spark, [("a", 1)]), ["key"], schemas.SEEN_PUBS)
+    assert {r.key: r.wave for r in lake.read("t").collect()} == {"a": 1}
+    lake.rollback("t", 0)
+    assert {r.key: r.wave for r in lake.read("t").collect()} == {"a": 0}
+
+
+def test_manifest_row_counts_no_spark_job(spark, lake):
+    """Layer/table row counts come from parquet footers recorded at
+    commit time — the wave driver's action diet reads these instead
+    of running count() jobs."""
+    lake.overwrite("t", _df(spark, [("a", 0), ("b", 0)]))
+    lake.append("t", _df(spark, [("c", 1)]), schemas.SEEN_PUBS)
+    assert lake.n_rows("t") == 3
+    assert lake.layer_rows("t") == 1
+
+
+def test_append_local_no_spark_job(spark, lake):
+    """Driver-side micro-append: commits a readable layer without
+    launching a Spark job (per-wave metrics path)."""
+    lake.overwrite("t", _df(spark, [("a", 0)]))
+    spark.sparkContext.setJobGroup("append-local-probe", "probe")
+    lake.append_local("t", [{"key": "b", "wave": 1}], schemas.SEEN_PUBS)
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("append-local-probe")
+    spark.sparkContext.setJobGroup("rest", "")
+    assert len(jobs) == 0, f"append_local launched Spark jobs: {jobs}"
+    assert {(r.key, r.wave) for r in lake.read("t").collect()} == {("a", 0), ("b", 1)}
+    assert lake.layer_rows("t") == 1
+
+
 def test_empty_table_roundtrip(spark, lake):
     lake.overwrite("t", spark.createDataFrame([], schemas.SEEN_PUBS))
     assert lake.read("t").count() == 0

@@ -71,6 +71,37 @@ def test_mirror_orcid_lookup(spark, crawled, universe):
         assert got.get(pid) == want, pid
 
 
+def test_seeds_from_mirror_reseeds_crawl(spark, crawled, universe, tmp_path):
+    """S11 (reference data/neo4j.py:4-16): crawl → mirror → re-seed a
+    fresh crawl from the mirrored persons; the second crawl must match
+    the oracle seeded with the same pid set."""
+    lake = crawled
+    M.mirror_summarize(lake, lake.read("pages"), lake.read("publications"))
+    seed_rows = M.seeds_from_mirror(lake)
+    assert {r.seed_type for r in seed_rows.collect()} == {"pid"}
+    pids = sorted(r.value for r in seed_rows.collect())
+    # mirrored persons = every person page in the store
+    assert set(pids) == {p for p in universe.persons if p not in universe.missing_pids}
+
+    # second crawl, fresh lake, seeded from the mirror (bounded waves:
+    # with every person pre-seeded the interesting part is wave 0-1)
+    from dblp_crawler_spark.lakehouse import Lakehouse
+
+    u2 = fixtures.make_universe(n_authors=120, n_pubs=360, n_venues=8, seed=7)
+    u2.seeds_pids = pids
+    u2.seeds_journals = []
+    lake2 = Lakehouse(spark, str(tmp_path / "reseedlake"))
+    fixtures.write_tables(spark, lake2, u2)
+    cfg = CrawlConfig(year=u2.year_filter, rules=u2.keyword_rules, host_budget=40, limit=2)
+    eng = CrawlEngine(spark, lake2, cfg)
+    eng.initialize()
+    eng.run_to_end()
+    res = oracle.run_oracle(u2, host_budget=40, limit=2)
+    order = [(r.wave, r.seq, r.url) for r in lake2.read("crawl_order").orderBy("seq").collect()]
+    assert order == res.crawl_order
+    assert {r.key for r in lake2.read("seen_pubs").collect()} == res.seen_pubs
+
+
 def test_write_edges_match_reference_shape(spark, crawled, universe):
     lake = crawled
     pubs = lake.read("publications")

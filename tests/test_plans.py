@@ -83,15 +83,50 @@ def test_seen_antijoin_is_hash_join(spark, sfdir):
     assert "HashJoin" in plan  # broadcast or shuffled hash — never cartesian
 
 
-def test_politeness_window_partitions_by_host(spark):
+def test_politeness_pop_two_level_salted(spark):
     df = spark.createDataFrame(
         [("u1", "h1", 5), ("u2", "h1", 3), ("u3", "h2", 9)],
         "url string, host string, priority long",
     )
     plan = plan_of(politeness_pop(df, 2))
-    assert "Window" in plan
-    # partitioned window — never the single-partition global window
-    assert "hashpartitioning(host" in plan
+    # level 1 is keyed by (host, salt): the hot host's full pending
+    # set is never ranked in a single task — per-salt local sorts cut
+    # at the budget, then the final window ranks only the ≤
+    # n_salts×budget survivors
+    assert "hashpartitioning(host#" in plan.replace(" ", "") or "hashpartitioning(host," in plan
+    assert "__salt" in plan
+    assert plan.count("Window") >= 2
+
+
+def test_politeness_pop_matches_single_window(spark):
+    """Salted two-level pop ≡ the naive single window, including
+    budget-dim hosts, null-budget hosts, and ties broken by url."""
+    from pyspark.sql import Window as W
+
+    rows = [
+        (f"u{i:03d}", f"h{i % 5}", (i * 7) % 11) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, priority long")
+    budgets = spark.createDataFrame([("h0", 3), ("h1", 1)], "host string, budget long")
+    got = politeness_pop(df, 4, budgets, n_salts=4)
+    w = W.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    bdim = budgets.withColumnRenamed("budget", "__b")
+    want = (
+        df.join(bdim, "host", "left")
+        .withColumn("__eff", F.least(F.coalesce(F.lit(4).cast("long"), F.col("__b")), F.coalesce(F.col("__b"), F.lit(4).cast("long"))))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__eff"))
+        .select("url", "host", "priority")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # no-budget hosts pass through untouched
+    got2 = politeness_pop(df, None, budgets, n_salts=4)
+    w_b = {r.host: r.budget for r in budgets.collect()}
+    expect_n = sum(
+        min(w_b.get(h, 10**9), sum(1 for r in rows if r[1] == h))
+        for h in {r[1] for r in rows}
+    )
+    assert got2.count() == expect_n
 
 
 def test_global_sequence_no_python_no_global_window(spark):
