@@ -254,6 +254,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(queries, emb, k=10, n_planes=6, n_tables=8, seed=42, dim=64)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN top-k: hash-seeded k-means coarse quantizer,
+    nprobe-cell probe, exact in-cell re-rank (recall<1 — rows-only
+    check; recall gate in tests/test_pipeline_ops.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # 8 cells / 1 Lloyd round: the index build runs inside the query
+    # here (demo form); production builds the index once and writes
+    # `assigned` partitioned by cell — the probe is then pruned I/O
+    cents, assigned = SIM.ivf_index(emb, n_cells=8, iters=1, seed=42)
+    return SIM.ivf_topk(queries, cents, assigned, k=10, nprobe=4)
+
+
 def q_text_token_count(spark, sf_dir):
     """avg computed as SUM/COUNT (not AVG): token counts are exact
     integers, so one fp divide is bitwise identical on both the Spark
@@ -346,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,

@@ -96,13 +96,23 @@ def main() -> None:
     if os.path.exists(scal_path):
         with open(scal_path) as f:
             s = json.load(f)
+        p = s.get("primary", s)  # two-pair format (round 2) or legacy
         out["scaling"] = {
-            "n_urls": s["n_urls"],
-            "urls_per_sec_low": s["low"]["urls_per_sec"],
-            "urls_per_sec_high": s["high"]["urls_per_sec"],
-            "masters": [s["low"]["master"], s["high"]["master"]],
-            "scaling_efficiency": s["scaling_efficiency"],
+            "n_urls": p["n_urls"],
+            "urls_per_sec_low": p["low"]["urls_per_sec"],
+            "urls_per_sec_high": p["high"]["urls_per_sec"],
+            "masters": [p["low"]["master"], p["high"]["master"]],
+            "scaling_efficiency": p["scaling_efficiency"],
+            "scaling_efficiency_median": p.get("scaling_efficiency_median"),
         }
+        if "secondary" in s:
+            q = s["secondary"]
+            out["scaling_8_32"] = {
+                "urls_per_sec_low": q["low"]["urls_per_sec"],
+                "urls_per_sec_high": q["high"]["urls_per_sec"],
+                "scaling_efficiency": q["scaling_efficiency"],
+                "scaling_efficiency_median": q.get("scaling_efficiency_median"),
+            }
     spark.stop()
     print(json.dumps(out))
 

@@ -125,22 +125,27 @@ class Lakehouse:
             return self.spark.read.parquet(
                 *[os.path.join(self._tdir(table), l["dir"]) for l in layers]
             )
-        # MoR resolution: last-writer-wins per key across layers. One
-        # hash aggregation over the live state — at scale this is the
-        # read-side cost that compact() bounds (layer count stays
-        # small), and it shuffles keys only, never payload-heavy
-        # history: each key's losing rows die in the map-side partial
-        # aggregate of their own layer partition.
-        union = None
-        for l in layers:
-            d = self.spark.read.parquet(os.path.join(self._tdir(table), l["dir"])).withColumn(
-                "__seq", F.lit(l["seq"]).cast("long")
-            )
-            union = d if union is None else union.unionByName(d)
-        cols = [c for c in union.columns if c != "__seq"]
+        # MoR resolution: last-writer-wins per key across layers. ONE
+        # parquet scan over all layer dirs (the layer's commit seq is
+        # recovered from the `data-<seq>` path via the _metadata
+        # column — no per-layer sub-plans, no N file indexes), then
+        # one hash aggregation over the live state. At scale this is
+        # the read-side cost that compact() bounds (layer count stays
+        # small), and it shuffles keys only: each key's losing rows
+        # die in the map-side partial aggregate.
+        union = self.spark.read.parquet(
+            *[os.path.join(self._tdir(table), l["dir"]) for l in layers]
+        )
+        cols = union.columns
+        seq = (
+            F.regexp_extract(F.col("_metadata.file_path"), r"data-(\d+)/", 1)
+            .cast("long")
+            .alias("__seq")
+        )
         others = [c for c in cols if c not in keys]
         resolved = (
-            union.groupBy(*keys)
+            union.select(*cols, seq)
+            .groupBy(*keys)
             .agg(F.max_by(F.struct(*others), F.col("__seq")).alias("__r"))
             .select(*keys, *[F.col(f"__r.{c}").alias(c) for c in others])
         )

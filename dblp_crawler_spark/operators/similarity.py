@@ -1,17 +1,23 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths:
+Three paths:
   * brute-force cosine top-k — the exactness baseline: broadcast the
     (small) query set against the corpus, JVM-side zip_with dot
     products, per-query top-k window;
-  * LSH-bucketed ANN — the scale path: deterministic random
+  * LSH-bucketed ANN — a scale path: deterministic random
     hyperplanes (seeded numpy, shipped as literals) → sign bits →
     bucket equi-join with multi-probe (hamming-1 neighbors), exact
-    re-rank inside the candidate set.
+    re-rank inside the candidate set;
+  * IVF ANN — the other classic scale path: a coarse quantizer
+    (hash-seeded k-means, a few distributed Lloyd rounds) assigns
+    every corpus vector to a cell; a query probes only its
+    `nprobe` nearest cells. The centroid table is tiny and
+    broadcast; the corpus side is written partitioned by cell so a
+    probe is a partition-pruned scan.
 
-At 100 TB the corpus side is bucketed-by-signature on disk, so the
-probe join prunes partitions; the brute-force path stays as the
-verification oracle.
+At 100 TB the corpus side is bucketed on disk by signature/cell, so
+the probe join prunes partitions; the brute-force path stays as the
+verification oracle (recall gates in tests).
 """
 
 from __future__ import annotations
@@ -69,6 +75,92 @@ def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
 
 
+def _nearest_cells(vec: Column, centroids: DataFrame, n: int, cent_id: str = "cell",
+                   cent_vec: str = "centroid"):
+    """Per-row top-n centroid ids by cosine — centroids collected to
+    ONE array literal-like broadcast struct column (the centroid
+    table is ≤ a few thousand rows by construction)."""
+    cents = F.broadcast(
+        centroids.groupBy().agg(
+            F.collect_list(F.struct(F.col(cent_id).alias("c"), F.col(cent_vec).alias("v"))).alias("__cents")
+        )
+    )
+    scored = F.transform(
+        F.col("__cents"),
+        lambda s: F.struct(cosine_sim(vec, s["v"]).alias("sim"), s["c"].alias("c")),
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    return cents, F.transform(top, lambda s: s["c"])
+
+
+def ivf_index(corpus: DataFrame, n_cells: int = 16, iters: int = 2, seed: int = 42,
+              c_id: str = "vec_id", c_vec: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """Build the IVF coarse quantizer: deterministic init (the
+    n_cells corpus rows with the smallest xxhash64(id, seed) — a
+    seeded sample without RNG state), then `iters` distributed Lloyd
+    rounds (assign = argmax cosine vs broadcast centroids; update =
+    per-(cell, dimension) mean via posexplode + two hash aggs).
+
+    Returns (centroids(cell, centroid), assigned(corpus + cell)).
+    At scale: write `assigned` partitioned/bucketed by cell — then a
+    probe reads only nprobe cells (partition pruning), and the
+    centroid table is broadcast everywhere. Each Lloyd round is two
+    shuffles (argmax agg is map-side partial over the explode)."""
+    c0 = corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("__cv"))
+    init = (
+        c0.orderBy(F.xxhash64(F.col(c_id).cast("string"), F.lit(seed)))
+        .limit(n_cells)
+        .select(F.col("__cv").alias("centroid"))
+    )
+    w0 = Window.orderBy(F.xxhash64(F.col("centroid").cast("array<string>").cast("string")))
+    centroids = init.withColumn("cell", F.row_number().over(w0) - 1).select("cell", "centroid")
+    for _ in range(iters):
+        cents, top1 = _nearest_cells(F.col("__cv"), centroids, 1)
+        assigned = c0.crossJoin(cents).select(
+            F.col(c_id), F.col("__cv"), F.element_at(top1, 1).alias("cell")
+        )
+        centroids = (
+            assigned.select("cell", F.posexplode("__cv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+        )
+    cents, top1 = _nearest_cells(F.col("__cv"), centroids, 1)
+    assigned = c0.crossJoin(cents).select(
+        F.col(c_id), F.col("__cv").alias("vec"), F.element_at(top1, 1).alias("cell")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(queries: DataFrame, centroids: DataFrame, assigned: DataFrame, k: int = 10,
+             nprobe: int = 4, q_id: str = "q_id", q_vec: str = "q_vec",
+             c_id: str = "vec_id") -> DataFrame:
+    """IVF search: per query, cosine-rank the broadcast centroids,
+    take the top-`nprobe` cells, equi-join the (cell-partitioned)
+    corpus on cell, exact re-rank inside the probed cells. Recall < 1
+    by design — gated against brute_force_topk in tests."""
+    q0 = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv"))
+    cents, topn = _nearest_cells(F.col("__qv"), centroids, nprobe)
+    probes = q0.crossJoin(cents).select(
+        F.col(q_id), F.col("__qv"), F.explode(topn).alias("cell")
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .withColumn("cosine", cosine_sim(F.col("__qv"), F.col("vec")))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, n_planes: int = 8,
              n_tables: int = 4, seed: int = 42, dim: int | None = None,
              q_id: str = "q_id", c_id: str = "vec_id",
@@ -80,9 +172,14 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, n_planes: int =
     design; compare against brute_force_topk to measure it.
 
     The bucket join key is (table, bucket) — at scale the corpus is
-    written bucketed by this key so each probe is partition-pruned."""
+    written bucketed by this key so each probe is partition-pruned.
+
+    `dim` is required: the plane literals are built driver-side and
+    the array length is not in the schema — inferring it would run a
+    hidden corpus job before the query even builds."""
     if dim is None:
-        dim = len(corpus.select(c_vec).first()[0])
+        raise ValueError("lsh_topk requires dim (embedding length); "
+                         "inferring it would run a hidden driver-side job")
     c0 = corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("__cv"))
     q0 = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv"))
     sig_cols_c, sig_cols_q = [], []

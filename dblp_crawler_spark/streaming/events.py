@@ -63,6 +63,123 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sessionize_stateful(
+    events: DataFrame, gap_minutes: int = 30, idle_timeout: bool = False
+) -> DataFrame:
+    """Gap sessionization as a CUSTOM STATEFUL streaming operator
+    (`applyInPandasWithState`) — the unbounded-stream form of
+    `sessionize`. The batch plan (lag + cumulative-sum windows) needs
+    a user's whole history per query; here per-group state is O(1):
+    only the OPEN session (start, last_ts, n, sum) survives between
+    micro-batches. Closed sessions are emitted as soon as a gap >
+    `gap_minutes` is observed; an idle session is flushed by state
+    timeout. Arrow-batched; the in-batch session split is vectorized
+    pandas (cumsum over gap flags), not per-row Python.
+
+    Emits CLOSED sessions only — each user's currently-open session
+    is in state, not in the sink (tests compare against the batch
+    result minus each user's final session).
+
+    Ordering contract: events must arrive in event-time order ACROSS
+    micro-batches per user (in-batch disorder is fine — each batch is
+    sorted). Late events need the watermark/buffer machinery of
+    Spark's built-in session_window; this operator is the custom-
+    state-API form for ordered streams.
+
+    `idle_timeout=True` additionally flushes an idle user's open
+    session via ProcessingTimeTimeout after one gap of silence.
+    Default off: this container's Spark 4.1.2 hits an internal
+    planner NPE (PythonSQLMetrics on a null-session SparkPlan) when
+    the timeout-only micro-batch plans after an availableNow drain —
+    the data results are already committed when it fires, but a
+    clean run keeps it disabled.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+    uid_dt = events.schema["user_id"].dataType.simpleString()
+    out_schema = (
+        f"user_id {uid_dt}, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start long, last long, n long, sv double"
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        open_start, open_last, open_n, open_sv = (
+            state.get if state.exists else (None, None, 0, 0.0)
+        )
+        if state.hasTimedOut:
+            # idle flush: the open session closes with no new events
+            state.remove()
+            if open_start is not None:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user],
+                        "session_start": [pd.to_datetime(open_start, unit="ms")],
+                        "session_end": [pd.to_datetime(open_last, unit="ms")],
+                        "n_events": [open_n],
+                        "sum_value": [open_sv],
+                    }
+                )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(["ts", "event_id"], ignore_index=True)
+        ms = rows["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+        prev = ms.shift(1)
+        if open_last is not None:
+            prev.iloc[0] = open_last
+        new_flag = prev.isna() | ((ms - prev) > gap_ms)
+        sess_id = new_flag.cumsum()  # first in-batch session is 0 iff it continues the open one
+        sessions = (
+            pd.DataFrame({"sid": sess_id, "ms": ms, "value": rows["value"].astype(float)})
+            .groupby("sid")
+            .agg(start=("ms", "min"), last=("ms", "max"), n=("ms", "size"), sv=("value", "sum"))
+            .reset_index()
+            .sort_values("sid", ignore_index=True)
+        )
+        parts = []
+        if open_start is not None:
+            if new_flag.iloc[0]:
+                # batch opens a NEW session → the open one is closed now
+                parts.append(
+                    pd.DataFrame(
+                        {"start": [open_start], "last": [open_last], "n": [open_n], "sv": [open_sv]}
+                    )
+                )
+            else:
+                # merge the first in-batch session into the open one
+                sessions.loc[0, "start"] = open_start
+                sessions.loc[0, "n"] += open_n
+                sessions.loc[0, "sv"] += open_sv
+        parts.append(sessions.iloc[:-1][["start", "last", "n", "sv"]])
+        closed = pd.concat(parts, ignore_index=True)
+        tail = sessions.iloc[-1]
+        state.update((int(tail["start"]), int(tail["last"]), int(tail["n"]), float(tail["sv"])))
+        if idle_timeout:
+            state.setTimeoutDuration(gap_ms)
+        if len(closed):
+            yield pd.DataFrame(
+                {
+                    "user_id": user,
+                    "session_start": pd.to_datetime(closed["start"], unit="ms"),
+                    "session_end": pd.to_datetime(closed["last"], unit="ms"),
+                    "n_events": closed["n"].astype("int64"),
+                    "sum_value": closed["sv"].round(4),
+                }
+            )
+
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if idle_timeout else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", conf
+    )
+
+
 def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user session rollup (count + mean length in seconds)."""
     s = sessionize(events, gap_minutes)

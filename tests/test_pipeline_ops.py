@@ -92,6 +92,26 @@ def test_lsh_topk_recall(spark):
     assert (0, 0) in approx  # self always lands in its own bucket
 
 
+def test_ivf_index_and_recall(spark):
+    """IVF coarse quantizer: every corpus vector lands in exactly one
+    cell; nprobe=all is exact; small-nprobe recall clears a floor."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, assigned = SIM.ivf_index(emb, n_cells=8, iters=2, seed=7)
+    n_cells = cents.count()
+    assert 1 <= n_cells <= 8
+    assert assigned.count() == emb.count()  # total partition of the corpus
+    assert assigned.select("cell").distinct().count() <= n_cells
+    q = emb.filter("vec_id < 3").select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = {(r.q_id, r.vec_id) for r in SIM.brute_force_topk(q, emb, k=5).collect()}
+    # probing every cell ≡ brute force (same score, same tie-break)
+    allprobe = {(r.q_id, r.vec_id) for r in SIM.ivf_topk(q, cents, assigned, k=5, nprobe=8).collect()}
+    assert allprobe == exact
+    probed = {(r.q_id, r.vec_id) for r in SIM.ivf_topk(q, cents, assigned, k=5, nprobe=3).collect()}
+    recall = len(probed & exact) / len(exact)
+    assert recall >= 0.6, recall
+    assert (0, 0) in probed  # a query's own vector is in its top cell
+
+
 def test_text_stats(spark):
     rows = [
         (0, "the cat and the dog are in the house with a mouse"),  # stopword-heavy en

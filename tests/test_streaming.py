@@ -44,6 +44,89 @@ def test_streaming_windowed_counts_matches_batch(spark, events_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def _session_events(spark):
+    """Deterministic two-phase event set. Phase 2 starts where phase
+    1 ends: user 1's open session CONTINUES across the batch boundary
+    (gap < 30 min), user 2's open session CLOSES (gap > 30 min)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    p1, p2, eid = [], [], 0
+    for u in (1, 2):
+        t = base
+        for _ in range(2):  # two closed sessions in phase 1
+            for _ in range(3):
+                p1.append((eid, u, t, 1.5))
+                eid += 1
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(hours=1)
+        p1.append((eid, u, t, 2.0))  # opens the cross-phase session
+        eid += 1
+        gap = dt.timedelta(minutes=10) if u == 1 else dt.timedelta(hours=3)
+        t += gap
+        for _ in range(2):
+            p2.append((eid, u, t, 0.5))
+            eid += 1
+            t += dt.timedelta(minutes=5)
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    return spark.createDataFrame(p1, schema), spark.createDataFrame(p2, schema), schema
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    gap sessions with O(1) state per group, across a STOPPED AND
+    RESUMED stream (two availableNow runs over a growing directory,
+    same checkpoint — state survives the restart). Emitted CLOSED
+    sessions must equal the batch sessionizer on the full input minus
+    each user's final (still-open) session."""
+    from dblp_crawler_spark.streaming.events import sessionize, sessionize_stateful
+
+    df1, df2, schema = _session_events(spark)
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+    df1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_phase():
+        # file sink: the one sink kind that restarts from a checkpoint
+        stream = spark.readStream.schema(df1.schema).parquet(src)
+        q = (
+            sessionize_stateful(stream, gap_minutes=30)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_phase()
+    df2.coalesce(1).write.mode("append").parquet(src)
+    run_phase()
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    full = df1.unionByName(df2)
+    batch = sessionize(full, 30).collect()
+    last = {}
+    for r in batch:
+        if r.user_id not in last or r.session_start > last[r.user_id].session_start:
+            last[r.user_id] = r
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in batch
+        if last[r.user_id] is not r
+    }
+    # 2 closed/user from p1 + user 2's cross-phase close = 5; user 1's
+    # cross-phase session merged into state and stayed open (got==want
+    # proves the merge: it appears in neither side)
+    assert len(got) == 5
+    assert got == want
+
+
 def test_streaming_xml_ingestion(spark, universe, tmp_path):
     """The fetch→parse ingestion as a stream: raw XML documents land
     in a directory source; the Arrow-batched parser (mapInPandas)

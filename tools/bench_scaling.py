@@ -59,7 +59,7 @@ def spark_submit(master: str, pyfiles: str, job_args: list[str]) -> dict:
     return json.loads(lines[-1])
 
 
-def run(n: int, workdir: str, masters: tuple[str, str] = ("local[4]", "local[16]")) -> dict:
+def run_pair(n: int, workdir: str, masters: tuple[str, str], runs: int) -> dict:
     os.makedirs(workdir, exist_ok=True)
     pyz = build_pkg_zip(os.path.join(workdir, "dblp_crawler_spark.zip"))
     indir = os.path.join(workdir, f"input_n{n}")
@@ -67,15 +67,20 @@ def run(n: int, workdir: str, masters: tuple[str, str] = ("local[4]", "local[16]
         spark_submit(masters[1], pyz, ["--prepare", "--dir", indir, "--n", str(n)])
     res = {}
     for m in masters:
-        res[m] = spark_submit(m, pyz, ["--measure", "--dir", indir, "--n", str(n)])
-    t_n, t_4n = res[masters[0]]["urls_per_sec"], res[masters[1]]["urls_per_sec"]
-    eff = (t_4n / t_n) / 4.0
+        res[m] = spark_submit(m, pyz, ["--measure", "--dir", indir, "--n", str(n), "--runs", str(runs)])
+    lo, hi = res[masters[0]], res[masters[1]]
+    # both protocols reported so the gate verdict is not sensitive to
+    # the min-vs-median choice (each run is best/median of `runs`)
+    eff_best = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0
+    eff_median = (hi["urls_per_sec_median"] / lo["urls_per_sec_median"]) / 4.0
     return {
         "n_urls": n,
-        "low": res[masters[0]],
-        "high": res[masters[1]],
-        "scaling_efficiency": round(eff, 3),
-        "passes_north_rule": eff >= 0.8,
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(eff_best, 3),
+        "scaling_efficiency_median": round(eff_median, 3),
+        "passes_north_rule": eff_best >= 0.8,
+        "passes_north_rule_median": eff_median >= 0.8,
     }
 
 
@@ -89,56 +94,91 @@ per-wave scheduled+fetched core: robots → politeness window →
 priority pop → crawl-order sequencing → broadcast-keys fetch join
 against the input_hint image+caption table (payload bytes never
 shuffle) → Arrow decode + PSNR/phash payload gate) on the SAME
-prepared input at two parallelism levels, both under this host's 32
-physical cores so per-core clocks are comparable. Timing protocol:
-best of 4 back-to-back runs per level (sustained-throughput metric;
-excludes single-JVM warm-up artifacts a long-lived cluster does not
-have).
+prepared input at two parallelism levels.
+
+Two pairs are reported. The primary pair is local[4]→local[16]: both
+levels sit well under this host's 32 physical cores, so per-core
+clocks are comparable (measured pure-python burn: 0.91 per-core ratio
+4→16 vs 0.82 at 8→32 — at 32-way load the cores clock down, an
+artifact a real 4N-executor cluster of 4× machines does not have).
+The local[8]→local[32] pair is recorded alongside with that caveat.
+Timing protocol: {n_runs} back-to-back runs per level; BOTH best-of
+and median-of efficiencies are reported so the verdict is not
+sensitive to the protocol choice.
+
+## Primary pair: {m_low} → {m_high}
 
 | Quantity | Value |
 |---|---|
 | Input | {n_urls:,} frontier URLs → image+caption pages (85% on hot host `dblp.org`) |
 | Deployment | `spark-submit --py-files dblp_crawler_spark.zip tools/throughput_job.py` |
-| Throughput @ `{m_low}` (N) | **{t_low:,.1f} urls/sec** ({s_low:.1f}s, payload gate 100% pass, min PSNR {p_low} dB) |
-| Throughput @ `{m_high}` (4N) | **{t_high:,.1f} urls/sec** ({s_high:.1f}s, payload gate 100% pass, min PSNR {p_high} dB) |
-| Scaling efficiency (tput₄ₙ/tputₙ)/4 | **{eff:.3f}** (target ≥ 0.8 → {verdict}) |
+| Throughput @ `{m_low}` (N) | **{t_low:,.1f} urls/sec** best / {tm_low:,.1f} median ({s_low:.1f}s best, payload gate 100% pass, min PSNR {p_low} dB) |
+| Throughput @ `{m_high}` (4N) | **{t_high:,.1f} urls/sec** best / {tm_high:,.1f} median ({s_high:.1f}s best, payload gate 100% pass, min PSNR {p_high} dB) |
+| Scaling efficiency, best-of-{n_runs} | **{eff:.3f}** (target ≥ 0.8 → {verdict}) |
+| Scaling efficiency, median-of-{n_runs} | **{eff_med:.3f}** (target ≥ 0.8 → {verdict_med}) |
 | All runs @ N | {runs_low} |
 | All runs @ 4N | {runs_high} |
 
-Reproduce: `python tools/bench_scaling.py --n {n_urls} --write-md`.
+## Secondary pair: {m_low2} → {m_high2} (frequency-droop caveat)
+
+| Quantity | Value |
+|---|---|
+| Throughput @ `{m_low2}` (N) | {t_low2:,.1f} urls/sec best / {tm_low2:,.1f} median |
+| Throughput @ `{m_high2}` (4N) | {t_high2:,.1f} urls/sec best / {tm_high2:,.1f} median |
+| Scaling efficiency, best-of-{n_runs} | {eff2:.3f} |
+| Scaling efficiency, median-of-{n_runs} | {eff2_med:.3f} |
+| All runs @ N | {runs_low2} |
+| All runs @ 4N | {runs_high2} |
+
+Reproduce: `python tools/bench_scaling.py --n {n_urls} --runs {n_runs} --write-md`.
 """
 
 
-def write_md(result: dict, path: str) -> None:
-    lo, hi = result["low"], result["high"]
+def write_md(primary: dict, secondary: dict, n_runs: int, path: str) -> None:
+    lo, hi = primary["low"], primary["high"]
+    lo2, hi2 = secondary["low"], secondary["high"]
     md = MD_TEMPLATE.format(
-        n_urls=result["n_urls"],
+        n_urls=primary["n_urls"], n_runs=n_runs,
         m_low=lo["master"], m_high=hi["master"],
         t_low=lo["urls_per_sec"], t_high=hi["urls_per_sec"],
+        tm_low=lo["urls_per_sec_median"], tm_high=hi["urls_per_sec_median"],
         s_low=lo["seconds"], s_high=hi["seconds"],
         p_low=lo["min_psnr_db"], p_high=hi["min_psnr_db"],
-        eff=result["scaling_efficiency"],
-        verdict="PASS" if result["passes_north_rule"] else "FAIL",
+        eff=primary["scaling_efficiency"],
+        eff_med=primary["scaling_efficiency_median"],
+        verdict="PASS" if primary["passes_north_rule"] else "FAIL",
+        verdict_med="PASS" if primary["passes_north_rule_median"] else "FAIL",
         runs_low=lo["all_runs"], runs_high=hi["all_runs"],
+        m_low2=lo2["master"], m_high2=hi2["master"],
+        t_low2=lo2["urls_per_sec"], t_high2=hi2["urls_per_sec"],
+        tm_low2=lo2["urls_per_sec_median"], tm_high2=hi2["urls_per_sec_median"],
+        eff2=secondary["scaling_efficiency"],
+        eff2_med=secondary["scaling_efficiency_median"],
+        runs_low2=lo2["all_runs"], runs_high2=hi2["all_runs"],
     )
     with open(path, "w") as f:
         f.write(md)
     cache_dir = os.path.join(REPO, ".bench")
     os.makedirs(cache_dir, exist_ok=True)
     with open(os.path.join(cache_dir, "scaling.json"), "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump({"primary": primary, "secondary": secondary, "runs_per_level": n_runs}, f, indent=1)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=800_000)
     ap.add_argument("--workdir", default="/tmp/spark_graft_scaling")
+    ap.add_argument("--runs", type=int, default=6)
     ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--skip-secondary", action="store_true")
     args = ap.parse_args()
-    result = run(args.n, args.workdir)
-    if args.write_md:
-        write_md(result, os.path.join(REPO, "BENCH.md"))
-    print(json.dumps(result))
+    primary = run_pair(args.n, args.workdir, ("local[4]", "local[16]"), args.runs)
+    print(json.dumps({"pair": "4->16", **primary}))
+    if not args.skip_secondary:
+        secondary = run_pair(args.n, args.workdir, ("local[8]", "local[32]"), args.runs)
+        print(json.dumps({"pair": "8->32", **secondary}))
+        if args.write_md:
+            write_md(primary, secondary, args.runs, os.path.join(REPO, "BENCH.md"))
 
 
 if __name__ == "__main__":

@@ -183,12 +183,16 @@ def run_wave_core(
     return agg["n"], float(agg["min_psnr"])
 
 
-def measure(spark: SparkSession, indir: str, host_budget: int | None, warmup: bool) -> dict:
+def measure(
+    spark: SparkSession, indir: str, host_budget: int | None, warmup: bool, n_runs: int = 4
+) -> dict:
     if warmup:
-        # untimed warm-up on a sample: spawns every Python worker
-        # (2×cores tasks in the salted decode stage) and JIT/codegen-
-        # warms the whole pipeline.
-        run_wave_core(spark, indir, host_budget=None, sample=0.05)
+        # untimed FULL warm-up run: spawns every Python worker, JIT/
+        # codegen-compiles the whole pipeline, and faults the input
+        # into the page cache. (A 5%-sample warm-up left a monotone
+        # decay across the first 4-5 timed runs at high core counts —
+        # warm-up leakage that poisons the median.)
+        run_wave_core(spark, indir, host_budget)
     # The scheduled count is the politeness-pop output BEFORE the
     # image join (n_fetched is the post-join row count — they can
     # differ if a scheduled url has no stored page). The input is
@@ -200,7 +204,7 @@ def measure(spark: SparkSession, indir: str, host_budget: int | None, warmup: bo
     # gate verdict should not flip on the min-vs-median choice — the
     # orchestrator records both.
     runs = []
-    for i in range(4):
+    for i in range(n_runs):
         t0 = time.monotonic()
         n_fetched, min_psnr = run_wave_core(spark, indir, host_budget)
         runs.append(round(time.monotonic() - t0, 3))
@@ -232,6 +236,7 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--runs", type=int, default=4)
     args = ap.parse_args()
     spark = _spark(args.master, args.shuffle_partitions)
     try:
@@ -240,7 +245,7 @@ def main() -> None:
             print(json.dumps({"prepared": args.n, "dir": args.dir}))
         if args.measure:
             budget = args.host_budget if args.host_budget > 0 else None
-            print(json.dumps(measure(spark, args.dir, budget, warmup=not args.no_warmup)))
+            print(json.dumps(measure(spark, args.dir, budget, warmup=not args.no_warmup, n_runs=args.runs)))
     finally:
         spark.stop()
 
