@@ -314,7 +314,10 @@ class Lakehouse:
         (Iceberg rewrite_data_files). Result-identical to the pre-
         compaction read; bounds future read amplification. The one
         place where write cost is O(live state) — run on a cadence,
-        not per commit."""
+        not per commit. No-op on missing/unkeyed/single-layer
+        tables."""
+        if not self.exists(table):
+            return -1
         m = self.manifest(table)
         if not m.get("merge_keys") or len(m["layers"]) <= 1:
             return m["snapshot"]

@@ -106,8 +106,13 @@ class BloomBank:
             )
 
         updated = joined.groupBy("bucket").applyInPandas(build, FILTER_SCHEMA)
-        untouched = existing.join(hashed.select("bucket").distinct(), "bucket", "left_anti")
-        self.lake.overwrite(self.table, updated.unionByName(untouched))
+        # MoR keyed commit: ONLY the touched buckets land in the new
+        # layer (each already ORs in the previous bits via the join
+        # above); untouched buckets stay in their old layers — write
+        # cost scales with the wave's bucket fan-out, never with the
+        # whole 12 GB bank. The engine compacts on the same cadence
+        # as the frontier.
+        self.lake.merge_upsert(self.table, updated, ["bucket"], FILTER_SCHEMA)
 
     # -- probe -------------------------------------------------------------
     def maybe_seen(self, df: DataFrame, key_col: str = "key") -> DataFrame:

@@ -432,9 +432,11 @@ class CrawlEngine:
         if remain == 0 and n_new_pubs == 0:
             self.done = True
         if cfg.compact_every and self.wave % cfg.compact_every == 0:
-            # fold frontier MoR layers (result-identical; bounds the
-            # per-read resolution cost between compactions)
+            # fold MoR layers (result-identical; bounds the per-read
+            # resolution cost between compactions). compact() is a
+            # no-op on unkeyed or single-layer tables.
             lake.compact("frontier")
+            lake.compact(self.bloom.table)
         self._save_state()
         return m
 

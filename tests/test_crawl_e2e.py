@@ -80,10 +80,13 @@ def test_wave_metrics_match(spark, lake, universe):
 
 def test_engine_with_bloom_matches_oracle(spark, lake):
     """Bloom pre-filter path must be result-identical to the exact
-    anti-join path (false positives re-checked, no false negatives)."""
+    anti-join path (false positives re-checked, no false negatives).
+    compact_every=2 forces mid-crawl MoR compaction of BOTH the
+    frontier and the bloom bank — results must be unchanged."""
     u = fixtures.make_universe(n_authors=60, n_pubs=150, n_venues=5, seed=3)
     res = oracle.run_oracle(u, host_budget=None, max_attempts=2)
-    run_engine(spark, lake, u, host_budget=None, max_attempts=2, use_bloom=True, bloom_buckets=8, bloom_bits=1 << 12)
+    run_engine(spark, lake, u, host_budget=None, max_attempts=2, use_bloom=True,
+               bloom_buckets=8, bloom_bits=1 << 12, compact_every=2)
     e_order, e_seen, e_nodes, e_edges, e_pubs = collect_engine(lake)
     o_order, o_seen, o_nodes, o_edges, o_pubs = oracle_views(res, u)
     assert e_seen == o_seen
