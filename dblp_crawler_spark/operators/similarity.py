@@ -161,6 +161,41 @@ def ivf_topk(queries: DataFrame, centroids: DataFrame, assigned: DataFrame, k: i
     )
 
 
+def write_ivf_store(assigned: DataFrame, path: str) -> None:
+    """Persist the IVF-assigned corpus partitioned by cell —
+    `ivf_topk_pruned` then scans ONLY the probed cells (Catalyst
+    partition pruning; the Iceberg equivalent is a partition
+    transform on cell). This is how the probe stays O(probed cells)
+    I/O at 100 TB instead of a full-corpus scan per query batch."""
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_pruned(spark, path: str, queries: DataFrame, centroids: DataFrame,
+                    k: int = 10, nprobe: int = 4, q_id: str = "q_id",
+                    q_vec: str = "q_vec", c_id: str = "vec_id") -> DataFrame:
+    """IVF search against the cell-partitioned store. The probe-cell
+    set (≤ queries × nprobe values, deduped) collects driver-side —
+    a tiny aggregate, never the vectors — and prunes the scan to
+    those directories; then the same exact in-cell re-rank as
+    ivf_topk. Result-identical to ivf_topk over the same index."""
+    q0 = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv"))
+    cents, topn = _nearest_cells(F.col("__qv"), centroids, nprobe)
+    probes = q0.crossJoin(cents).select(
+        F.col(q_id), F.col("__qv"), F.explode(topn).alias("cell")
+    )
+    wanted = [r[0] for r in probes.select("cell").distinct().collect()]
+    store = spark.read.parquet(path).filter(F.col("cell").isin(wanted))
+    scored = probes.join(store, "cell").withColumn(
+        "cosine", cosine_sim(F.col("__qv"), F.col("vec"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, n_planes: int = 8,
              n_tables: int = 4, seed: int = 42, dim: int | None = None,
              q_id: str = "q_id", c_id: str = "vec_id",

@@ -49,3 +49,23 @@ def test_bucketed_join_has_no_exchange(spark, payload_df, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS imgs_bkt")
         spark.sql("DROP TABLE IF EXISTS keys_bkt")
+
+
+def test_ivf_store_partition_pruned(spark, tmp_path):
+    """IVF cell-partitioned store: the probe scans ONLY the probed
+    cells (PartitionFilters on cell) and is result-identical to the
+    in-memory ivf_topk over the same index."""
+    from dblp_crawler_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, assigned = SIM.ivf_index(emb, n_cells=8, iters=1, seed=7)
+    path = str(tmp_path / "ivf_store")
+    SIM.write_ivf_store(assigned, path)
+    q = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    pruned = SIM.ivf_topk_pruned(spark, path, q, cents, k=5, nprobe=3)
+    want = {tuple(r) for r in SIM.ivf_topk(q, cents, assigned, k=5, nprobe=3).collect()}
+    assert {tuple(r) for r in pruned.collect()} == want and len(want) == 15
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan and "cell" in plan
