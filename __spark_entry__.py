@@ -337,6 +337,54 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(imgs)
 
 
+def q_video_frame_sample(spark, sf_dir):
+    """Video frame sampling: 1 row → every-Nth-frame rows with
+    timestamps + per-frame phash (deterministic synthetic container;
+    rows-only check — Arrow plumbing is the tested artifact)."""
+    from dblp_crawler_spark import codecs
+    from dblp_crawler_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").limit(8).select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                vid = f"vid_{int(d):06d}"
+                ids.append(vid)
+                blobs.append(codecs.synth_video(vid, n_frames=12, w=32, h=24, fps=10))
+            yield pd.DataFrame({"video_id": ids, "bytes": blobs})
+
+    vids = docs.mapInPandas(gen, "video_id string, bytes binary")
+    return sample_frames(vids, every_n=4)
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio features over REAL PCM16 WAV decode (stdlib wave):
+    duration/RMS/zero-crossing-rate/peak (rows-only check; analytic
+    sine values pinned in tests)."""
+    from dblp_crawler_spark import codecs
+    from dblp_crawler_spark.operators.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents").limit(16).select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                aid = f"aud_{int(d):06d}"
+                ids.append(aid)
+                blobs.append(codecs.synth_wav(aid, seconds=0.5, freq_hz=200.0 + (int(d) % 10) * 50))
+            yield pd.DataFrame({"audio_id": ids, "bytes": blobs})
+
+    auds = docs.mapInPandas(gen, "audio_id string, bytes binary")
+    return audio_features(auds)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -369,6 +417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": q_events_windowed_agg,
         "events_sessionization": q_events_sessionization,
         "multimodal_features": q_multimodal_features,
+        "video_frame_sample": q_video_frame_sample,
+        "audio_features": q_audio_features,
     }
 
 

@@ -93,3 +93,72 @@ def phash64(pixels: np.ndarray) -> int:
 
 def phash64_batch(pixel_list: list[np.ndarray]) -> np.ndarray:
     return np.array([phash64(p) for p in pixel_list], dtype=np.int64)
+
+
+# ---- video (deterministic container stand-in, same policy as images) -------
+_MAGIC_VID = b"SVID"
+
+
+def synth_video(video_id: str, n_frames: int, w: int, h: int, fps: int = 10) -> bytes:
+    """Deterministic multi-frame 'video': per-frame pixels derive from
+    synth_pixels(video_id#frame) so any sampled frame is independently
+    verifiable."""
+    frames = [synth_pixels(f"{video_id}#{i}", w, h) for i in range(n_frames)]
+    return encode_video(frames, fps)
+
+
+def encode_video(frames: list[np.ndarray], fps: int) -> bytes:
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    body = zlib.compress(b"".join(f.tobytes() for f in frames), 6)
+    return _MAGIC_VID + struct.pack("<HHHB", h, w, len(frames), fps) + body
+
+
+def decode_video(payload: bytes) -> tuple[list[np.ndarray], int]:
+    """→ (frames, fps). Real containers (mp4/webm) need a codec
+    library this container lacks; deploy builds bind this to
+    PyAV/ffmpeg — every caller is container-agnostic."""
+    if payload[:4] != _MAGIC_VID:
+        raise NotImplementedError(
+            "real video decode requires a codec library not present in this "
+            "container; deploy builds bind decode_video to PyAV/ffmpeg here"
+        )
+    h, w, n, fps = struct.unpack("<HHHB", payload[4:11])
+    raw = zlib.decompress(payload[11:])
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(n, h, w, 3)
+    return [arr[i] for i in range(n)], fps
+
+
+# ---- audio (REAL wav codec — PCM16 via stdlib `wave`, no external lib) -----
+def synth_wav(audio_id: str, seconds: float, freq_hz: float, sample_rate: int = 16000,
+              amplitude: float = 0.5) -> bytes:
+    """Deterministic mono PCM16 WAV: a pure sine at freq_hz — its
+    RMS (amplitude/√2) and zero-crossing rate (2·freq) are analytic,
+    so feature extraction is verifiable to first principles."""
+    import io
+    import wave
+
+    n = int(seconds * sample_rate)
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    phase = (zlib.crc32(audio_id.encode()) % 360) * np.pi / 180.0
+    samples = (amplitude * np.sin(2 * np.pi * freq_hz * t + phase) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """→ (float64 samples in [-1, 1], sample_rate). PCM16 WAV is a
+    stdlib-parseable format — this decode path is REAL, not a stub."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise NotImplementedError("only mono PCM16 wav in this build")
+        sr = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    return np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32767.0, sr

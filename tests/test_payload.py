@@ -81,3 +81,74 @@ def test_extract_features_plumbing(spark, images_df):
     assert len(rows) == 20
     assert all(r.mean_r is not None and 0.0 <= r.mean_r <= 255.0 for r in rows)
     assert all(r.thumb_phash is not None for r in rows)
+
+
+def test_resize_images_roundtrip(spark):
+    from dblp_crawler_spark import codecs
+    from dblp_crawler_spark.operators.multimodal import resize_images
+
+    rows = [
+        (f"img_{i}", codecs.encode_image(codecs.synth_pixels(f"img_{i}", 64, 48), "png"))
+        for i in range(6)
+    ] + [("bad", b"not an image")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r.image_id: r for r in resize_images(df, 16, 16).collect()}
+    assert len(got) == 7
+    assert not got["bad"].resize_ok and got["bad"].bytes is None
+    for i in range(6):
+        r = got[f"img_{i}"]
+        assert r.resize_ok and (r.w, r.h) == (16, 16)
+        px = codecs.decode_image(bytes(r.bytes))
+        assert px.shape == (16, 16, 3)  # decodable, exact target dims
+
+
+def test_sample_frames_every_nth_with_timestamps(spark):
+    from dblp_crawler_spark import codecs
+    from dblp_crawler_spark.operators.multimodal import sample_frames
+
+    rows = [
+        ("vid_a", codecs.synth_video("vid_a", n_frames=23, w=32, h=24, fps=10)),
+        ("vid_b", codecs.synth_video("vid_b", n_frames=7, w=16, h=16, fps=5)),
+        ("vid_bad", b"mp4 soup"),  # real containers: stubbed decode, row dropped
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    got = sample_frames(df, every_n=5).collect()
+    a = sorted((r.frame_idx, r.ts_ms) for r in got if r.video_id == "vid_a")
+    b = sorted((r.frame_idx, r.ts_ms) for r in got if r.video_id == "vid_b")
+    assert a == [(0, 0), (5, 500), (10, 1000), (15, 1500), (20, 2000)]
+    assert b == [(0, 0), (5, 1000)]
+    assert not any(r.video_id == "vid_bad" for r in got)
+    # each sampled frame's phash matches an independent re-decode
+    for r in got:
+        if r.video_id == "vid_a":
+            ref = codecs.synth_pixels(f"vid_a#{r.frame_idx}", 32, 24)
+            assert r.frame_phash == codecs.phash64(ref)
+            assert (r.w, r.h) == (32, 24)
+
+
+def test_audio_features_analytic_values(spark):
+    """REAL wav decode (stdlib): a pure sine's RMS and zero-crossing
+    rate are analytic — RMS = A/sqrt(2), ZCR = 2f crossings/sec →
+    zero_crossing_hz ~= f."""
+    import math
+
+    from dblp_crawler_spark import codecs
+    from dblp_crawler_spark.operators.multimodal import audio_features
+
+    rows = [
+        ("a440", codecs.synth_wav("a440", seconds=2.0, freq_hz=440.0, amplitude=0.5)),
+        ("a100", codecs.synth_wav("a100", seconds=1.0, freq_hz=100.0, amplitude=0.9)),
+        ("bad", b"\x00\x01 not wav"),
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    got = {r.audio_id: r for r in audio_features(df).collect()}
+    assert not got["bad"].decode_ok
+    r = got["a440"]
+    assert r.decode_ok and r.sample_rate == 16000
+    assert abs(r.duration_s - 2.0) < 1e-3
+    assert abs(r.rms - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(r.zero_crossing_hz - 440.0) < 5.0
+    assert 0.45 <= r.peak <= 0.5
+    r2 = got["a100"]
+    assert abs(r2.rms - 0.9 / math.sqrt(2)) < 0.01
+    assert abs(r2.zero_crossing_hz - 100.0) < 2.0
