@@ -302,7 +302,11 @@ class CrawlEngine:
         ok = F.col("person").isNotNull()
 
         # frontier transition: merged fetch+expand (oracle.py) — success
-        # → 'expanded'; failure retries until max_attempts (O3)
+        # → 'expanded'; failure retries until max_attempts (O3).
+        # NOT committed yet: the status delta and this wave's
+        # discovered pids land in ONE MoR layer at the end of the
+        # wave (key-disjoint by construction), halving frontier
+        # commits and skipping a mid-wave resolution read.
         updated = fetched.select(
             "pid", "url", "host",
             F.when(ok, F.lit("expanded"))
@@ -313,8 +317,6 @@ class CrawlEngine:
             (F.col("attempts") + 1).alias("attempts"),
             "wave_added",
         )
-        lake.merge_upsert("frontier", updated, ["pid"], schemas.FRONTIER)
-        frontier_new = lake.read("frontier")
 
         # ---- emission of last wave's pubs (graph.py:139-152) -------------
         # pending count comes from last wave's commit manifest (no job);
@@ -326,7 +328,14 @@ class CrawlEngine:
             pend = output_filter(pend, cfg.output_year, cfg.output_rules)
             n_emit = pend.count()
         if n_emit:
-            expanded_pids = frontier_new.filter(F.col("status") == "expanded").select("pid")
+            # 'fetch EVER succeeded' = committed expanded set ∪ this
+            # wave's successes (the delta isn't committed yet)
+            expanded_pids = (
+                frontier.filter(F.col("status") == "expanded")
+                .select("pid")
+                .unionByName(succ.select("pid"))
+                .distinct()
+            )
             expl = (
                 pend.select("key", F.explode("pub.authors").alias("a"))
                 .select("key", F.col("a.pid").alias("pid"))
@@ -399,7 +408,9 @@ class CrawlEngine:
             self.bloom.add(lake.read("pending_pubs").select("key"))
 
         # ---- discovery (J1/J4): new pubs → unseen author pids ------------
-        disc = discover_authors(lake.read("pending_pubs"), frontier_new)
+        # anti-join against the PRE-delta frontier: the pending delta
+        # only rewrites existing pids, so the pid set is identical
+        disc = discover_authors(lake.read("pending_pubs"), frontier)
         disc_rows = disc.select(
             "pid",
             F.concat(F.lit("pid/"), F.col("pid")).alias("url"),
@@ -412,8 +423,12 @@ class CrawlEngine:
         )
         if cfg.use_robots:
             disc_rows = robots_status(disc_rows, robots)
-        lake.append("frontier", disc_rows.select(*[f.name for f in schemas.FRONTIER]), schemas.FRONTIER)
-        n_disc = lake.layer_rows("frontier")  # from the commit manifest
+        # ONE frontier commit per wave: status updates ∪ discoveries
+        # (key-disjoint) as a single MoR delta layer
+        fcols = [f.name for f in schemas.FRONTIER]
+        delta = updated.select(*fcols).unionByName(disc_rows.select(*fcols))
+        lake.merge_upsert("frontier", delta, ["pid"], schemas.FRONTIER)
+        n_disc = lake.layer_rows("frontier") - n_sched  # from the commit manifest
 
         remain = (
             lake.read("frontier")
