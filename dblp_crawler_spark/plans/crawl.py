@@ -34,7 +34,7 @@ import os
 import tempfile
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -106,6 +106,9 @@ class CrawlEngine:
         self.next_seq = 0
         self.done = False
         self._person_pages = None
+        # incrementally-tracked pending count (None → recount once);
+        # saves a full MoR frontier resolve+count job per wave
+        self._remain = None
         from ..operators.bloom import BloomBank
 
         self.bloom = BloomBank(lake, n_buckets=config.bloom_buckets, m_bits=config.bloom_bits)
@@ -427,14 +430,33 @@ class CrawlEngine:
         # (key-disjoint) as a single MoR delta layer
         fcols = [f.name for f in schemas.FRONTIER]
         delta = updated.select(*fcols).unionByName(disc_rows.select(*fcols))
+        # remain_pending is tracked incrementally instead of a full
+        # MoR frontier resolve+count job per wave:
+        #   remain = remain_prev - n_sched + (pending rows in delta)
+        # Exact by construction: politeness_pop pops only from the
+        # remain set (same predicate), the delta is key-disjoint from
+        # undisturbed rows, and every pending delta row has
+        # attempts < max (retry status is only assigned below max;
+        # discoveries start at attempts=0). The delta-side count is
+        # an Observation on the commit's own write job — no extra
+        # action.
+        obs = Observation()
+        delta = delta.observe(
+            obs, F.sum(F.when(F.col("status") == "pending", 1).otherwise(0)).alias("n_pend")
+        )
         lake.merge_upsert("frontier", delta, ["pid"], schemas.FRONTIER)
         n_disc = lake.layer_rows("frontier") - n_sched  # from the commit manifest
 
-        remain = (
-            lake.read("frontier")
-            .filter((F.col("status") == "pending") & (F.col("attempts") < cfg.max_attempts))
-            .count()
-        )
+        if self._remain is None:
+            # fresh engine or resume: one full count, then incremental
+            remain = (
+                lake.read("frontier")
+                .filter((F.col("status") == "pending") & (F.col("attempts") < cfg.max_attempts))
+                .count()
+            )
+        else:
+            remain = self._remain - n_sched + int(obs.get["n_pend"] or 0)
+        self._remain = remain
         m = {
             "wave": w, "scheduled": n_sched, "fetch_succ": n_succ, "fetch_fail": n_fail,
             "pubs_new": n_new_pubs, "authors_new": n_disc, "remain_pending": remain, "emitted": n_emit,
