@@ -236,6 +236,62 @@ def q_embedding_near_dup(spark, sf_dir):
     return D.embedding_near_dups(emb, block_col="label", threshold=0.3)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup pairs → transitive duplicate clusters (connected
+    components by min-label propagation). The grouping step after
+    pair finding: A~B, B~C collapse to one cluster even when A~C was
+    never emitted. Oracle: DuckDB recursive CTE computing the same
+    min-reachable-id fixpoint."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dups(emb, block_col="label", threshold=0.3)
+    cc = D.connected_components(pairs, src="a", dst="b")
+    return cc.select(F.col("id").alias("vec_id"), "component")
+
+
+def q_text_repetition(spark, sf_dir):
+    """Per-doc repeated word-3-gram fraction (boilerplate/spam
+    signal). rep_ratio = 1 - distinct/total grams — exact integer
+    sizes, one fp divide, bit-identical on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(T.repetition_ratio("text", n=3), 4).alias("rep_ratio")
+    )
+
+
+def q_text_top_ngrams(spark, sf_dir):
+    """Corpus-wide 20 most frequent word 3-grams (boilerplate
+    discovery), ties broken by gram text. Executes as
+    TakeOrderedAndProject — per-partition local top-k, no global
+    sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.top_ngrams(docs, n=3, k=20)
+
+
+def q_pipeline_curation(spark, sf_dir):
+    """End-to-end curation pass: language gate + quality gate +
+    repetition gate + exact-dedup (min-id representative per
+    identical text) — the composed filter chain of a pretraining
+    data pipeline, all native expressions + one hash agg."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+        F.round(T.repetition_ratio("text", n=3), 4).alias("rep_ratio"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+    kept = scored.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.7)
+        & (F.col("rep_ratio") <= 0.6)
+        & (F.col("n_tokens") >= 10)
+    )
+    return D.drop_exact_dups(kept, text_col="text", id_col="doc_id").select(
+        "doc_id", "n_tokens", "quality", "rep_ratio"
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k (exact ANN baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -407,6 +463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
+        "dedup_components": q_dedup_components,
+        "text_repetition": q_text_repetition,
+        "text_top_ngrams": q_text_top_ngrams,
+        "pipeline_curation": q_pipeline_curation,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -546,6 +606,82 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        """,
+        "dedup_components": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+            ), sym AS (
+              SELECT a AS id, b AS nbr FROM pairs
+              UNION
+              SELECT b AS id, a AS nbr FROM pairs
+            ), reach(id, comp) AS (
+              SELECT id, id FROM sym
+              UNION
+              SELECT s.nbr, r.comp FROM reach r JOIN sym s ON s.id = r.id
+              WHERE r.comp < s.nbr
+            )
+            SELECT id AS vec_id, MIN(comp) AS component FROM reach GROUP BY id
+        """,
+        "text_repetition": f"""
+            WITH g AS (
+              SELECT doc_id,
+                CASE WHEN len(tk) >= 3 THEN
+                  list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [array_to_string(tk, ' ')] END AS grams
+              FROM (SELECT doc_id, {_TOK} AS tk FROM documents)
+            )
+            SELECT doc_id,
+                   ROUND(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4) AS rep_ratio
+            FROM g
+        """,
+        "text_top_ngrams": f"""
+            WITH g AS (
+              SELECT doc_id,
+                CASE WHEN len(tk) >= 3 THEN
+                  list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [array_to_string(tk, ' ')] END AS grams
+              FROM (SELECT doc_id, {_TOK} AS tk FROM documents)
+            ), e AS (SELECT unnest(grams) AS gram FROM g)
+            SELECT gram, COUNT(*) AS cnt FROM e
+            GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20
+        """,
+        "pipeline_curation": f"""
+            WITH m AS (
+              SELECT doc_id, text, len(tk) AS n_tok,
+                CASE WHEN length(text) > 0 THEN
+                  length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(text)
+                ELSE 0.0 END AS punct,
+                CASE WHEN len(tk) > 0 THEN
+                  len(list_filter(tk, t -> list_contains(['{SW_LIST}'], t)))::DOUBLE / len(tk)
+                ELSE 0.0 END AS swr,
+                CASE WHEN len(tk) >= 3 THEN
+                  list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [array_to_string(tk, ' ')] END AS grams,
+                length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk
+              FROM (SELECT doc_id, text, {_TOK} AS tk FROM documents)
+            ), q AS (
+              SELECT doc_id, text, n_tok,
+                ROUND((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)::DOUBLE
+                    + (CASE WHEN punct <= 0.1 THEN 0.3 ELSE 0.0 END)
+                    + (CASE WHEN swr >= 0.01 THEN 0.3 ELSE 0.0 END), 6) AS quality,
+                ROUND(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4) AS rep_ratio,
+                CASE WHEN n_cjk > 0 THEN 'zh'
+                     WHEN n_tok > 0 AND swr >= 0.05 THEN 'en'
+                     ELSE 'unk' END AS lang_pred
+              FROM m
+            ), kept AS (
+              SELECT * FROM q
+              WHERE lang_pred = 'en' AND quality >= 0.7
+                AND rep_ratio <= 0.6 AND n_tok >= 10
+            )
+            SELECT doc_id, n_tok AS n_tokens, quality, rep_ratio FROM kept
+            WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY md5(text))
         """,
         "ann_cosine_topk": """
             SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (

@@ -64,15 +64,9 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     `transform(idx, i -> array_join(slice(toks, i, n)))` materializes
     an n-array per position through interpreted lambdas; measured
     ~25× slower on real documents.)"""
-    t = F.lower(F.col(text) if isinstance(text, str) else text)
-    toks = F.filter(F.split(t, r"[^0-9a-z_]+"), lambda w: w != "")
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    sh = F.slice(toks, 1, m)
-    for k in range(1, n):
-        sh = F.zip_with(sh, F.slice(toks, k + 1, m), lambda x, y: F.concat(x, F.lit(" "), y))
-    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
-        F.array(F.array_join(toks, " "))
-    )
+    from .textstats import word_ngrams
+
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -249,3 +243,67 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---- duplicate-cluster grouping (connected components) --------------------
+def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over an undirected near-dup edge list by
+    min-label propagation: every node ends with component = smallest
+    node id reachable from it. This is the grouping step a real dedup
+    pipeline needs AFTER pair finding (MinHash/SimHash/cosine emit
+    PAIRS; keeping one representative per transitive cluster requires
+    components — A~B, B~C must collapse to one cluster even when A~C
+    was never emitted).
+
+    Scale shape (min-propagation a la Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each round is one equi-join
+    of the edge list against current labels plus a partial/final min
+    aggregation — never any all-pairs work; rounds needed = graph
+    diameter, and near-dup graphs are shallow (clusters are near-
+    cliques). Lineage is truncated every round with localCheckpoint
+    (on a cluster: a reliable checkpoint dir or intermediate table)
+    so the plan stays O(1) per round; convergence is detected by an
+    Observation riding the checkpoint's own job — no extra action
+    per round.
+
+    Returns (id, component), one row per distinct endpoint.
+    """
+    from pyspark.sql import Observation
+
+    sym = (
+        edges.select(F.col(src).cast("long").alias("id"), F.col(dst).cast("long").alias("nbr"))
+        .unionByName(
+            edges.select(F.col(dst).cast("long").alias("id"), F.col(src).cast("long").alias("nbr"))
+        )
+        .distinct()
+    )
+    comp = (
+        sym.select("id").distinct().withColumn("comp", F.col("id")).localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                comp.select(F.col("id").alias("nbr"), F.col("comp").alias("nbr_comp")), "nbr"
+            )
+            .groupBy("id")
+            .agg(F.min("nbr_comp").alias("nbr_min"))
+        )
+        obs = Observation()
+        nxt = (
+            comp.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("new_comp"),
+                "comp",
+            )
+            .observe(
+                obs,
+                F.sum(F.when(F.col("new_comp") < F.col("comp"), 1).otherwise(0)).alias("n_changed"),
+            )
+            .select("id", F.col("new_comp").alias("comp"))
+        )
+        comp = nxt.localCheckpoint()
+        if int(obs.get["n_changed"] or 0) == 0:
+            return comp.select("id", F.col("comp").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -29,6 +29,51 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens_all(text))
 
 
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Ordered word n-grams WITH multiplicity (repetition analysis
+    needs duplicates; `dedup.shingles` layers array_distinct on top).
+
+    Built as n-1 zip_with concatenations of shifted slices — flat
+    O(tokens) JVM work (a per-index `transform(..., i -> slice)`
+    materializes an n-array per position through interpreted lambdas;
+    measured ~25× slower). Texts shorter than n tokens collapse to a
+    single joined gram so every non-empty doc yields ≥1 gram."""
+    toks = tokens_all(text)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    sh = F.slice(toks, 1, m)
+    for k in range(1, n):
+        sh = F.zip_with(sh, F.slice(toks, k + 1, m), lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.when(F.size(toks) >= n, sh).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Fraction of repeated word n-grams: 1 - distinct/total — the
+    classic boilerplate/spam signal of pretraining curation (high =
+    the doc repeats itself). Pure per-row expression, no shuffle."""
+    g = word_ngrams(text, n)
+    return F.when(
+        F.size(g) > 0, F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 20,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-wide k most frequent word n-grams (boilerplate
+    discovery: the grams shared by thousands of docs are the
+    templates/footers to strip). explode → hash-agg with map-side
+    partial counts → orderBy+limit, which Spark executes as
+    TakeOrderedAndProject: each partition keeps only its local top-k,
+    no global sort materialization — scale-safe at any corpus size.
+    Ties broken by gram text for a deterministic result."""
+    g = docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    return (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
+
+
 def stopword_ratio(text: Column | str) -> Column:
     toks = tokens_all(text)
     sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])

@@ -156,3 +156,38 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     # every LSH hit is exactly-scored: its cosine must match the
     # brute-force score for the same pair (re-rank is exact)
     assert len(bf) == 200
+
+
+def test_connected_components_transitive(spark):
+    # chain 1-2-3 (1~3 never emitted), pair 10-11, isolated edge 20-21:
+    # components must close transitively and stay separate otherwise
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (21, 20)], "a long, b long"
+    )
+    cc = {r.id: r.component for r in D.connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_path(spark):
+    # a 12-node path needs several propagation rounds — exercises the
+    # iterate-to-fixpoint loop, not just one hop
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "a long, b long"
+    )
+    cc = D.connected_components(edges)
+    comps = {r.component for r in cc.collect()}
+    assert comps == {0} and cc.count() == 12
+
+
+def test_repetition_and_top_ngrams(spark, docs):
+    rep = {r.doc_id: r.r for r in docs.select(
+        "doc_id", F.round(T.repetition_ratio("text", 3), 4).alias("r")
+    ).collect()}
+    assert rep[3] == 0.0  # no repeated 3-gram
+    spam = spark.createDataFrame([(0, "buy now " * 30)], "doc_id long, text string")
+    r = spam.select(F.round(T.repetition_ratio("text", 3), 4).alias("r")).first().r
+    assert r > 0.9  # pathological repetition is flagged
+    top = T.top_ngrams(docs, n=3, k=3).collect()
+    # 4 docs share the fox sentence prefix; ties broken by gram text
+    assert top[0].cnt >= top[1].cnt >= top[2].cnt
+    assert top[0].gram == "brown fox jumps" and top[0].cnt == 4
