@@ -57,14 +57,24 @@ from pyspark.sql.types import StructType
 def _dir_rows(path: str) -> int:
     """Row count from parquet footers (driver-side metadata read —
     the Iceberg manifest count; no Spark job)."""
+    return sum(f["rows"] for f in _dir_files(path))
+
+
+def _dir_files(path: str) -> list[dict]:
+    """Per-file (i.e. per-written-partition) row counters from the
+    parquet footers — the manifest's per-partition lineage: each
+    layer records which task wrote how many rows, so a resumed or
+    audited run can account for every partition without a Spark job
+    (Iceberg manifest-file granularity)."""
     import pyarrow.parquet as pq
 
-    total = 0
+    out = []
     for root, _, names in os.walk(path):
-        for name in names:
+        for name in sorted(names):
             if name.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
-    return total
+                n = pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+                out.append({"file": name, "rows": n})
+    return out
 
 
 class Lakehouse:
@@ -198,7 +208,13 @@ class Lakehouse:
     def _write_layer(self, table: str, df: DataFrame, snap: int) -> dict:
         out = self._data_dir(table, snap)
         df.write.mode("overwrite").parquet(out)
-        return {"dir": os.path.basename(out), "seq": snap, "rows": _dir_rows(out)}
+        files = _dir_files(out)
+        return {
+            "dir": os.path.basename(out),
+            "seq": snap,
+            "rows": sum(f["rows"] for f in files),
+            "files": files,
+        }
 
     def overwrite(
         self, table: str, df: DataFrame, meta: dict | None = None, merge_keys: list[str] | None = None
@@ -261,7 +277,12 @@ class Lakehouse:
         os.makedirs(out, exist_ok=True)
         t = pa.Table.from_pylist(rows, schema=to_arrow_schema(schema))
         pq.write_table(t, os.path.join(out, "part-00000.parquet"))
-        layer = {"dir": os.path.basename(out), "seq": snap, "rows": len(rows)}
+        layer = {
+            "dir": os.path.basename(out),
+            "seq": snap,
+            "rows": len(rows),
+            "files": [{"file": "part-00000.parquet", "rows": len(rows)}],
+        }
         head = self.current_snapshot(table)
         prev = self.manifest(table, head)["layers"] if head is not None else []
         mk = self.manifest(table, head).get("merge_keys") if head is not None else None

@@ -108,6 +108,10 @@ def test_manifest_row_counts_no_spark_job(spark, lake):
     lake.append("t", _df(spark, [("c", 1)]), schemas.SEEN_PUBS)
     assert lake.n_rows("t") == 3
     assert lake.layer_rows("t") == 1
+    # per-partition lineage: every layer carries per-file counters
+    # that sum to the layer total (manifest-file granularity)
+    for layer in lake.manifest("t")["layers"]:
+        assert layer["files"] and sum(f["rows"] for f in layer["files"]) == layer["rows"]
 
 
 def test_append_local_no_spark_job(spark, lake):
