@@ -393,6 +393,42 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(imgs)
 
 
+def q_image_phash_dedup(spark, sf_dir):
+    """Image near-dup pairs by perceptual hash over a deterministic
+    synthetic images table (per-id random pixels — the fixture
+    gradient is shared across images so its phashes genuinely
+    collide; every 8th image gets a planted brightness-nudged twin).
+    Blocked hamming equi-join on the stored phash column — no
+    decode, no bytes in the shuffle (rows-only check; pair semantics
+    pinned in tests/test_payload.py)."""
+    import numpy as np
+
+    from dblp_crawler_spark import codecs
+    from dblp_crawler_spark.operators.multimodal import phash_near_dup_images
+
+    docs = _t(spark, sf_dir, "documents").limit(64).select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for d in pdf["doc_id"]:
+                iid = f"img_{int(d):06d}"
+                rng = np.random.Generator(np.random.PCG64(int(d)))
+                px = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+                ids.append(iid)
+                hashes.append(codecs.phash64(px))
+                if int(d) % 8 == 0:
+                    twin = np.clip(px.astype(np.int16) + 1, 0, 255).astype(np.uint8)
+                    ids.append(iid + "_twin")
+                    hashes.append(codecs.phash64(twin))
+            yield pd.DataFrame({"image_id": ids, "phash": hashes})
+
+    imgs = docs.mapInPandas(gen, "image_id string, phash long")
+    return phash_near_dup_images(imgs, max_hamming=4, prefix_bits=8)
+
+
 def q_video_frame_sample(spark, sf_dir):
     """Video frame sampling: 1 row → every-Nth-frame rows with
     timestamps + per-frame phash (deterministic synthetic container;
@@ -477,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": q_events_windowed_agg,
         "events_sessionization": q_events_sessionization,
         "multimodal_features": q_multimodal_features,
+        "image_phash_dedup": q_image_phash_dedup,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
     }

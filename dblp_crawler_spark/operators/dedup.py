@@ -169,12 +169,16 @@ def simhash64(text: Column | str) -> Column:
     return F.aggregate(packed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
-def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+def hamming_near_dups(hashed: DataFrame, hash_col: str, id_col: str,
                       max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """SimHash near-dup: block on the top `prefix_bits` (near-dups
-    rarely differ there), verify hamming ≤ max_hamming in-block."""
-    h = _spread(docs).select(F.col(id_col), simhash64(text_col).alias("sh"))
-    blocked = h.withColumn("block", F.shiftrightunsigned("sh", 64 - prefix_bits))
+    """Generic 64-bit-fingerprint near-dup: block on the top
+    `prefix_bits` (near-dups rarely differ there — recall<1 by
+    design, same trade as any LSH), verify hamming ≤ max_hamming
+    in-block with a pure JVM xor+bit_count. Shared kernel for
+    SimHash text near-dup and perceptual-hash image near-dup."""
+    blocked = hashed.select(F.col(id_col), F.col(hash_col).alias("sh")).withColumn(
+        "block", F.shiftrightunsigned("sh", 64 - prefix_bits)
+    )
     a = blocked.withColumnsRenamed({id_col: "a", "sh": "sh_a"})
     b = blocked.withColumnsRenamed({id_col: "b", "sh": "sh_b"})
     return (
@@ -184,6 +188,14 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """SimHash near-dup: 64-bit SimHash per doc, then the shared
+    prefix-block + hamming-verify kernel."""
+    h = _spread(docs).select(F.col(id_col), simhash64(text_col).alias("sh"))
+    return hamming_near_dups(h, "sh", id_col, max_hamming, prefix_bits)
 
 
 # ---- n-gram jaccard ----------------------------------------------------------

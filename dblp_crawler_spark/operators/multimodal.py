@@ -292,3 +292,20 @@ def audio_features(audios: DataFrame, id_col: str = "audio_id", bytes_col: str =
             yield pd.DataFrame(out)
 
     return audios.select(F.col(id_col), F.col(bytes_col)).mapInPandas(run, AUDIO_SCHEMA)
+
+
+def phash_near_dup_images(images: DataFrame, max_hamming: int = 4,
+                          prefix_bits: int = 12) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: the crawl's
+    images table already carries `phash:int64` (input_hint shape), so
+    duplicate-image detection across URLs — re-hosted figures,
+    resized copies, recompressed thumbnails — is the SAME blocked
+    hamming join as SimHash text dedup, on a column that needs no
+    decode. Reuses dedup.hamming_near_dups (prefix block + in-block
+    xor/bit_count verify): an equi-join, never all-pairs, and no
+    image bytes ever enter the shuffle (phash + id only)."""
+    from .dedup import hamming_near_dups
+
+    return hamming_near_dups(
+        images.select("image_id", "phash"), "phash", "image_id", max_hamming, prefix_bits
+    )

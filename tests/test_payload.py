@@ -152,3 +152,31 @@ def test_audio_features_analytic_values(spark):
     r2 = got["a100"]
     assert abs(r2.rms - 0.9 / math.sqrt(2)) < 0.01
     assert abs(r2.zero_crossing_hz - 100.0) < 2.0
+
+
+def test_phash_near_dup_images(spark):
+    """Planted near-identical images (slight pixel perturbation) must
+    pair up by phash; unrelated images must not."""
+    import numpy as np
+
+    from dblp_crawler_spark import codecs
+    from dblp_crawler_spark.operators.multimodal import phash_near_dup_images
+
+    # per-id random pixels, NOT synth_pixels: the fixture gradient is
+    # shared across images, so block-mean hashes genuinely collide
+    # there (visually homogeneous corpus = all near-dups — correct
+    # but vacuous for this test)
+    rows = []
+    for i in range(6):
+        rng = np.random.Generator(np.random.PCG64(1000 + i))
+        px = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+        rows.append((f"img{i}", int(codecs.phash64(px))))
+        if i < 2:  # plant a near-dup twin: tiny brightness nudge
+            twin = np.clip(px.astype(np.int16) + 1, 0, 255).astype(np.uint8)
+            rows.append((f"img{i}_twin", int(codecs.phash64(twin))))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = {(r.a, r.b) for r in phash_near_dup_images(df, max_hamming=4, prefix_bits=8).collect()}
+    assert ("img0", "img0_twin") in pairs
+    assert ("img1", "img1_twin") in pairs
+    # distinct synthetic images are far apart in phash space
+    assert not any({a, b} <= {"img0", "img1", "img2", "img3", "img4", "img5"} for a, b in pairs)
