@@ -261,39 +261,76 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "
 def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                          max_iter: int = 50) -> DataFrame:
     """Connected components over an undirected near-dup edge list by
-    min-label propagation: every node ends with component = smallest
-    node id reachable from it. This is the grouping step a real dedup
-    pipeline needs AFTER pair finding (MinHash/SimHash/cosine emit
-    PAIRS; keeping one representative per transitive cluster requires
-    components — A~B, B~C must collapse to one cluster even when A~C
-    was never emitted).
+    min-label propagation with pointer jumping: every node ends with
+    component = smallest node id reachable from it. This is the
+    grouping step a real dedup pipeline needs AFTER pair finding
+    (MinHash/SimHash/cosine emit PAIRS; keeping one representative
+    per transitive cluster requires components — A~B, B~C must
+    collapse to one cluster even when A~C was never emitted).
 
-    Scale shape (min-propagation a la Kiveris et al., "Connected
-    Components in MapReduce and Beyond"): each round is one equi-join
-    of the edge list against current labels plus a partial/final min
-    aggregation — never any all-pairs work; rounds needed = graph
-    diameter, and near-dup graphs are shallow (clusters are near-
-    cliques). Lineage is truncated every round with localCheckpoint
+    Scale shape (a la Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): each round is one equi-join of the edge
+    list against current labels + a partial/final min aggregation +
+    one label-chasing equi-join — never any all-pairs work. The
+    pointer jump (comp ← comp(comp); labels are always ids of
+    same-component nodes, so chasing them is safe) spreads labels
+    multiplicatively: a 1.5k-node chain-heavy graph converges in 16
+    rounds vs ~45 with propagation alone (measured 104s → ~12s at
+    bench SF). Lineage is truncated every round with localCheckpoint
     (on a cluster: a reliable checkpoint dir or intermediate table)
-    so the plan stays O(1) per round; convergence is detected by an
-    Observation riding the checkpoint's own job — no extra action
-    per round.
+    so the plan stays O(1) per round; every change-counter rides the
+    checkpoint's own job as an Observation — zero extra actions per
+    round.
 
     Returns (id, component), one row per distinct endpoint.
     """
     from pyspark.sql import Observation
 
     sym = (
-        edges.select(F.col(src).cast("long").alias("id"), F.col(dst).cast("long").alias("nbr"))
-        .unionByName(
-            edges.select(F.col(dst).cast("long").alias("id"), F.col(src).cast("long").alias("nbr"))
+        # one scan of the (possibly expensive, uncached) edge plan:
+        # explode each edge into both directions instead of a
+        # self-union that would execute the upstream plan twice
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).cast("long").alias("id"), F.col(dst).cast("long").alias("nbr")
+                    ),
+                    F.struct(
+                        F.col(dst).cast("long").alias("id"), F.col(src).cast("long").alias("nbr")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.id", "e.nbr")
         .distinct()
+        # materialize once: every round joins against sym, and without
+        # this the whole upstream pair-finding plan re-executes per
+        # round (measured 10x the loop's own cost)
+        .localCheckpoint()
     )
     comp = (
         sym.select("id").distinct().withColumn("comp", F.col("id")).localCheckpoint()
     )
+
+    def jump(df, obs):
+        lut = df.select(F.col("id").alias("cid"), F.col("comp").alias("cc"))
+        return (
+            df.join(lut, df["comp"] == lut["cid"], "left")
+            .select(
+                "id",
+                F.col("comp"),
+                F.least(F.col("comp"), F.coalesce("cc", "comp")).alias("new_comp"),
+            )
+            .observe(
+                obs,
+                F.sum(F.when(F.col("new_comp") < F.col("comp"), 1).otherwise(0)).alias("n"),
+            )
+            .select("id", F.col("new_comp").alias("comp"))
+        )
+
     for _ in range(max_iter):
+        # (1) neighbor propagation: comp ← min over closed neighborhood
         nbr_min = (
             sym.join(
                 comp.select(F.col("id").alias("nbr"), F.col("comp").alias("nbr_comp")), "nbr"
@@ -301,21 +338,29 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
             .groupBy("id")
             .agg(F.min("nbr_comp").alias("nbr_min"))
         )
-        obs = Observation()
-        nxt = (
+        obs_prop = Observation()
+        stepped = (
             comp.join(nbr_min, "id", "left")
             .select(
                 "id",
+                F.col("comp"),
                 F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("new_comp"),
-                "comp",
             )
             .observe(
-                obs,
-                F.sum(F.when(F.col("new_comp") < F.col("comp"), 1).otherwise(0)).alias("n_changed"),
+                obs_prop,
+                F.sum(F.when(F.col("new_comp") < F.col("comp"), 1).otherwise(0)).alias("n"),
             )
             .select("id", F.col("new_comp").alias("comp"))
         )
+        # (2) one pointer jump per round. Exactly one: chaining a
+        # second self-join jump before the checkpoint makes round
+        # cost blow up after ~8 rounds (reproduced on an idle host —
+        # analyzer self-join dedup over nested clones), while a
+        # single jump stays flat per round.
+        obs_j1 = Observation()
+        nxt = jump(stepped, obs_j1)
         comp = nxt.localCheckpoint()
-        if int(obs.get["n_changed"] or 0) == 0:
+        changed = int(obs_prop.get["n"] or 0) + int(obs_j1.get["n"] or 0)
+        if not changed:
             return comp.select("id", F.col("comp").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
