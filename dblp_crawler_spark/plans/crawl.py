@@ -80,10 +80,14 @@ class CrawlConfig:
     # get floor(wave_ms / delay) fetch slots per wave (None = delay
     # not modeled; only host_budget applies)
     wave_ms: int | None = None
-    # seen-set scale path: bloom pre-filter before the exact anti-join
-    # (operators/bloom.py). Results are identical either way; the
-    # bloom path is what survives 10^10 keys.
+    # seen-set scale path: probabilistic pre-filter before the exact
+    # anti-join (north_rule "partitioned bloom/cuckoo URL-seen
+    # filter"). Results are identical either way — the filter only
+    # routes definitely-new rows around the big anti-join. kind:
+    # "bloom" (operators/bloom.py) or "cuckoo" (operators/cuckoo.py;
+    # supports deletion, e.g. TTL-expired URLs re-entering the crawl).
     use_bloom: bool = False
+    seen_filter_kind: str = "bloom"
     bloom_buckets: int = 32
     bloom_bits: int = 1 << 17
     # F2 output-filter hook (graph.py:68-72): prune at emission only;
@@ -109,9 +113,14 @@ class CrawlEngine:
         # incrementally-tracked pending count (None → recount once);
         # saves a full MoR frontier resolve+count job per wave
         self._remain = None
-        from ..operators.bloom import BloomBank
+        if config.seen_filter_kind == "cuckoo":
+            from ..operators.cuckoo import CuckooBank
 
-        self.bloom = BloomBank(lake, n_buckets=config.bloom_buckets, m_bits=config.bloom_bits)
+            self.bloom = CuckooBank(lake, n_buckets=config.bloom_buckets)
+        else:
+            from ..operators.bloom import BloomBank
+
+            self.bloom = BloomBank(lake, n_buckets=config.bloom_buckets, m_bits=config.bloom_bits)
 
     # ---- state manifest (resume/lineage, O7) -----------------------------
     @property
