@@ -125,6 +125,23 @@ def test_wave_job_budget(spark, lake):
     assert 0 < len(jobs) <= 90, f"steady-state wave ran {len(jobs)} jobs"
 
 
+def test_one_frontier_commit_per_wave(spark, lake):
+    """The status delta and the wave's discoveries land in ONE
+    key-disjoint MoR layer: the frontier snapshot advances exactly
+    once per steady-state wave (compaction cadence aside)."""
+    u = fixtures.make_universe(n_authors=40, n_pubs=100, n_venues=4, seed=9)
+    fixtures.write_tables(spark, lake, u)
+    cfg = CrawlConfig(year=u.year_filter, rules=u.keyword_rules, max_attempts=2, compact_every=0)
+    eng = CrawlEngine(spark, lake, cfg)
+    eng.initialize()
+    eng.run_wave()  # wave 0
+    for _ in range(2):
+        before = lake.current_snapshot("frontier")
+        eng.run_wave()
+        layers_before = before  # snapshot ids are monotone per commit
+        assert lake.current_snapshot("frontier") == layers_before + 1
+
+
 def test_output_filter_hook_matches_oracle(spark, lake, universe):
     """F2 (graph.py:68-72): a year-at-output-only config prunes pubs
     at emission while the frontier still expands through them —
