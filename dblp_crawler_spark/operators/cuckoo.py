@@ -202,7 +202,11 @@ class CuckooBank:
 
     def delete(self, keys: DataFrame, key_col: str = "key") -> None:
         """Remove the keys' fingerprints (the operation a bloom
-        filter cannot support). Absent keys are a no-op."""
+        filter cannot support). Standard cuckoo-filter contract:
+        only delete keys that were actually inserted — deleting an
+        absent key whose fingerprint collides with a present one
+        would evict the wrong entry. Absent, non-colliding keys are
+        a no-op."""
         self._apply(keys, key_col, delete=True)
 
     # -- probe -------------------------------------------------------------

@@ -105,3 +105,54 @@ def test_engine_with_cuckoo_matches_oracle(spark, lake):
     order = [(r.wave, r.seq, r.url) for r in lake.read("crawl_order").orderBy("seq").collect()]
     assert order == res.crawl_order
     assert {r.key for r in lake.read("seen_pubs").collect()} == res.seen_pubs
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    ops=st.lists(
+        st.tuples(st.sampled_from(["add", "delete"]), st.integers(0, 120), st.integers(1, 80)),
+        min_size=1, max_size=4,
+    ),
+)
+def test_cuckoo_random_ops_match_reference_set(spark, tmp_path_factory, seed, ops):
+    """Random add/delete batches under kick-out pressure (tiny
+    table) vs an exact Python reference set: no false negatives
+    ever, and prefiltered_new == plain anti-join."""
+    lake = Lakehouse(spark, str(tmp_path_factory.mktemp("cuckoo")))
+    bank = CuckooBank(lake, n_buckets=2, m_slots=32, way=2, stash_max=256)
+    ref: set[str] = set()
+    for kind, lo, n in ops:
+        keys = [f"k{seed}/{i}" for i in range(lo, lo + n)]
+        if kind == "add":
+            bank.add(spark.createDataFrame([(k,) for k in keys], "key string"))
+            ref |= set(keys)
+        else:
+            # cuckoo deletion contract: only delete keys known to be
+            # inserted (deleting an absent key whose fingerprint
+            # collides with a present one would evict the wrong
+            # entry — standard cuckoo-filter caveat, documented in
+            # CuckooBank.delete)
+            todel = [k for k in keys if k in ref]
+            if todel:
+                bank.delete(spark.createDataFrame([(k,) for k in todel], "key string"))
+                ref -= set(todel)
+    if ref:
+        present = spark.createDataFrame([(k,) for k in sorted(ref)], "key string")
+        misses = bank.maybe_seen(present).filter(~F.col("__maybe_seen")).count()
+        assert misses == 0  # NO false negatives, ever
+    seen_df = spark.createDataFrame([(k,) for k in sorted(ref)] or [("__none__",)], "key string")
+    cands = spark.createDataFrame(
+        [(f"k{seed}/{i}",) for i in range(0, 220)], "key string"
+    )
+    got = {r.key for r in bank.prefiltered_new(cands, seen_df).collect()}
+    want = {r.key for r in cands.join(seen_df, "key", "left_anti").collect()}
+    assert got == want
