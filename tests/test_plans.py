@@ -162,3 +162,41 @@ def test_fetch_join_broadcasts_keys_not_blobs(spark, tmp_path):
     plan = plan_of(q)
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan  # blobs never shuffle
+
+
+def test_top_ngrams_is_local_topk(spark, sfdir):
+    """Corpus top-k must plan as TakeOrderedAndProject (per-partition
+    local top-k) — a global Sort before the limit would materialize
+    the full gram distribution."""
+    from dblp_crawler_spark.operators.textstats import top_ngrams
+
+    docs = spark.read.parquet(f"{sfdir}/documents.parquet")
+    plan = plan_of(top_ngrams(docs, n=3, k=20))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
+
+
+def test_textstats_scan_prunes_columns(spark, sfdir):
+    """Per-doc text metrics read ONLY (doc_id, text) from the scan —
+    a full-row read for a 2-column projection is wrong at 100 TB."""
+    from dblp_crawler_spark.operators.textstats import repetition_ratio
+
+    docs = spark.read.parquet(f"{sfdir}/documents.parquet")
+    plan = plan_of(docs.select("doc_id", F.round(repetition_ratio("text"), 4).alias("r")))
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"doc_id", "text"}
+
+
+def test_hamming_near_dups_is_equi_join(spark):
+    """The phash/simhash near-dup kernel must plan as an equi-join on
+    the prefix block — never a cartesian/broadcast-nested-loop."""
+    from dblp_crawler_spark.operators.dedup import hamming_near_dups
+
+    df = spark.range(100).select(
+        F.concat(F.lit("im"), F.col("id")).alias("image_id"), F.xxhash64("id").alias("ph")
+    )
+    plan = plan_of(hamming_near_dups(df, "ph", "image_id", max_hamming=4, prefix_bits=8))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
