@@ -248,6 +248,19 @@ def q_dedup_components(spark, sf_dir):
     return cc.select(F.col("id").alias("vec_id"), "component")
 
 
+def q_dedup_drop_list(spark, sf_dir):
+    """The actionable dedup artifact: every doc in a near-dup cluster
+    EXCEPT its representative (cluster-min id) — what a 100 TB
+    curation pass actually deletes. Representative choice is the CC
+    fixpoint itself, so the drop list is deterministic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dups(emb, block_col="label", threshold=0.3)
+    cc = D.connected_components(pairs, src="a", dst="b")
+    return cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("vec_id"), F.col("component").alias("keep_vec_id")
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Per-doc repeated word-3-gram fraction (boilerplate/spam
     signal). rep_ratio = 1 - distinct/total grams — exact integer
@@ -500,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_components": q_dedup_components,
+        "dedup_drop_list": q_dedup_drop_list,
         "text_repetition": q_text_repetition,
         "text_top_ngrams": q_text_top_ngrams,
         "pipeline_curation": q_pipeline_curation,
@@ -661,6 +675,26 @@ def oracle_sql() -> dict[str, str]:
               WHERE r.comp < s.nbr
             )
             SELECT id AS vec_id, MIN(comp) AS component FROM reach GROUP BY id
+        """,
+        "dedup_drop_list": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+            ), sym AS (
+              SELECT a AS id, b AS nbr FROM pairs
+              UNION
+              SELECT b AS id, a AS nbr FROM pairs
+            ), reach(id, comp) AS (
+              SELECT id, id FROM sym
+              UNION
+              SELECT s.nbr, r.comp FROM reach r JOIN sym s ON s.id = r.id
+              WHERE r.comp < s.nbr
+            ), cc AS (
+              SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+            )
+            SELECT id AS vec_id, component AS keep_vec_id FROM cc WHERE id != component
         """,
         "text_repetition": f"""
             WITH g AS (
