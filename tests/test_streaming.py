@@ -161,3 +161,54 @@ def test_streaming_xml_ingestion(spark, universe, tmp_path):
         p = got[fixtures.person_url(pid)]
         assert p["pid"] == payload["pid"]
         assert len(p["pubs"]) == len(payload["pubs"])
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """The curation chain (lang/quality/repetition gates + exact
+    dedup) over a stream must keep exactly the batch pipeline's
+    survivor set — including dedup ACROSS micro-batches via keyed
+    state (two availableNow runs, same checkpoint: a duplicate
+    arriving in run 2 of a text already kept in run 1 must NOT be
+    re-emitted)."""
+    from dblp_crawler_spark.streaming.documents import curate
+
+    good = "the quick brown fox jumps over the lazy dog it is a fine day for all of us"
+    rows1 = [
+        (0, good),
+        (1, good + " extra words here and there"),
+        (2, "x y"),  # too short → gated
+        (3, ("spam " * 40).strip()),  # repetitive → gated
+    ]
+    rows2 = [
+        (4, good),  # exact dup of doc 0 across batches → deduped
+        (5, good + " completely new tail for the second batch run"),
+    ]
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+    df1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    df1.write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            curate(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(rows2, "doc_id long, text string").write.mode("append").parquet(src)
+    run_once()
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {0, 1, 5}  # 2,3 gated; 4 deduped across batches
+    # batch mode, same definition: same survivor TEXTS (batch dedup
+    # may keep either duplicate — compare on content)
+    all_docs = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+    batch = curate(all_docs)
+    texts = dict(rows1 + rows2)
+    assert {texts[r.doc_id] for r in batch.collect()} == {texts[i] for i in got}
