@@ -116,42 +116,45 @@ class BloomBank:
 
     # -- probe -------------------------------------------------------------
     def maybe_seen(self, df: DataFrame, key_col: str = "key") -> DataFrame:
-        """Adds boolean `__maybe_seen`: False ⇒ DEFINITELY unseen."""
+        """Adds boolean `__maybe_seen`: False ⇒ DEFINITELY unseen.
+
+        Probe shape: cogroup candidates with the bank by bucket —
+        each bucket's bitset crosses the Arrow boundary ONCE PER
+        BUCKET. (A plain `join(bank, "bucket")` replicates the
+        per-bucket blob onto every candidate row in the joined
+        stream — measured ~3.5x slower at 200k probes — and at a
+        12 GB bank would be catastrophic.)"""
         m, k = self.m_bits, self.k
         existing = self._read().select("bucket", "bits")
         hashed = _hash_cols(df, key_col, self.n_buckets)
         if "n_items" in hashed.columns:
             hashed = hashed.drop("n_items")
-        joined = hashed.join(existing, "bucket", "left")
-        cols = [c for c in joined.columns if c != "bits"]
-
-        def probe(it):
-            for pdf in it:
-                empty = pdf["bits"].isna()
-                res = np.zeros(len(pdf), dtype=bool)
-                groups = pdf.groupby("bucket", sort=False).indices
-                for _, idx in groups.items():
-                    sub = pdf.iloc[idx]
-                    raw = sub["bits"].iloc[0]
-                    if raw is None:
-                        continue
-                    bits = np.frombuffer(raw, dtype=np.uint8)
-                    h1 = sub["__h1"].to_numpy(dtype=np.int64).view(np.uint64)
-                    h2 = sub["__h2"].to_numpy(dtype=np.int64).view(np.uint64)
-                    pos = _positions(h1, h2, k, m)
-                    hit = np.ones(len(sub), dtype=bool)
-                    for j in range(k):
-                        p = pos[:, j]
-                        hit &= (bits[(p >> np.uint64(3)).astype(np.int64)] & (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8))) != 0
-                    res[idx] = hit
-                out = pdf[cols].copy()
-                out["__maybe_seen"] = res & ~empty.to_numpy()
-                yield out
-
         schema = StructType(
-            [f for f in joined.schema.fields if f.name != "bits"] + [StructField("__maybe_seen", BooleanType(), False)]
+            list(hashed.schema.fields) + [StructField("__maybe_seen", BooleanType(), False)]
         )
-        return joined.mapInPandas(probe, schema).drop("__h1", "__h2", "bucket")
+
+        def probe(_key, pdf: pd.DataFrame, bank: pd.DataFrame) -> pd.DataFrame:
+            out = pdf.copy()
+            if not len(bank) or bank["bits"].iloc[0] is None or not len(pdf):
+                out["__maybe_seen"] = False
+                return out
+            bits = np.frombuffer(bank["bits"].iloc[0], dtype=np.uint8)
+            h1 = pdf["__h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            h2 = pdf["__h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            pos = _positions(h1, h2, k, m)
+            hit = np.ones(len(pdf), dtype=bool)
+            for j in range(k):
+                p = pos[:, j]
+                hit &= (bits[(p >> np.uint64(3)).astype(np.int64)] & (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8))) != 0
+            out["__maybe_seen"] = hit
+            return out
+
+        res = (
+            hashed.groupBy("bucket")
+            .cogroup(existing.groupBy("bucket"))
+            .applyInPandas(probe, schema)
+        )
+        return res.drop("__h1", "__h2", "bucket")
 
     def prefiltered_new(self, candidates: DataFrame, seen: DataFrame, key_col: str = "key") -> DataFrame:
         """Exact 'new keys' via bloom fast path:

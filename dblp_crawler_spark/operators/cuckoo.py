@@ -211,42 +211,42 @@ class CuckooBank:
 
     # -- probe -------------------------------------------------------------
     def maybe_seen(self, df: DataFrame, key_col: str = "key") -> DataFrame:
-        """Adds boolean `__maybe_seen`: False ⇒ DEFINITELY unseen."""
+        """Adds boolean `__maybe_seen`: False ⇒ DEFINITELY unseen.
+
+        Probe shape: cogroup by bucket — each bucket's fingerprint
+        table crosses the Arrow boundary once per bucket, never once
+        per candidate row (see BloomBank.maybe_seen)."""
         nb, m, way = self.n_buckets, self.m_slots, self.way
         existing = self._read().select("bucket", "table", "stash")
         hashed = _hash_cols(df, key_col, nb)
-        joined = hashed.join(existing, "bucket", "left")
-        carry = [c for c in joined.columns if c not in ("table", "stash")]
-
-        def probe(it):
-            for pdf in it:
-                res = np.zeros(len(pdf), dtype=bool)
-                for _, idx in pdf.groupby("bucket", sort=False).indices.items():
-                    sub = pdf.iloc[idx]
-                    raw = sub["table"].iloc[0]
-                    if raw is None:
-                        continue
-                    tab = np.frombuffer(raw, dtype=np.uint16).reshape(m, way)
-                    stash = np.frombuffer(sub["stash"].iloc[0], dtype=np.uint16)
-                    h1 = sub["__h1"].to_numpy(dtype=np.int64)
-                    fp = sub["__fp"].to_numpy(dtype=np.int64).astype(np.uint16)
-                    s1 = _slot1(h1, nb, m)
-                    s2 = s1 ^ _g(fp, m)
-                    hit = (
-                        (tab[s1] == fp[:, None]).any(axis=1)
-                        | (tab[s2] == fp[:, None]).any(axis=1)
-                        | np.isin(fp, stash)
-                    )
-                    res[idx] = hit
-                out = pdf[carry].copy()
-                out["__maybe_seen"] = res
-                yield out
-
         schema = StructType(
-            [f for f in joined.schema.fields if f.name in carry]
-            + [StructField("__maybe_seen", BooleanType(), False)]
+            list(hashed.schema.fields) + [StructField("__maybe_seen", BooleanType(), False)]
         )
-        return joined.mapInPandas(probe, schema).drop("__h1", "__fp", "bucket")
+
+        def probe(_key, pdf: pd.DataFrame, bank: pd.DataFrame) -> pd.DataFrame:
+            out = pdf.copy()
+            if not len(bank) or not len(pdf):
+                out["__maybe_seen"] = False
+                return out
+            tab = np.frombuffer(bank["table"].iloc[0], dtype=np.uint16).reshape(m, way)
+            stash = np.frombuffer(bank["stash"].iloc[0], dtype=np.uint16)
+            h1 = pdf["__h1"].to_numpy(dtype=np.int64)
+            fp = pdf["__fp"].to_numpy(dtype=np.int64).astype(np.uint16)
+            s1 = _slot1(h1, nb, m)
+            s2 = s1 ^ _g(fp, m)
+            out["__maybe_seen"] = (
+                (tab[s1] == fp[:, None]).any(axis=1)
+                | (tab[s2] == fp[:, None]).any(axis=1)
+                | np.isin(fp, stash)
+            )
+            return out
+
+        res = (
+            hashed.groupBy("bucket")
+            .cogroup(existing.groupBy("bucket"))
+            .applyInPandas(probe, schema)
+        )
+        return res.drop("__h1", "__fp", "bucket")
 
     def prefiltered_new(self, candidates: DataFrame, seen: DataFrame, key_col: str = "key") -> DataFrame:
         """Exact 'new keys' via the cuckoo fast path — identical
