@@ -189,6 +189,14 @@ def q_seen_set_union(spark, sf_dir):
     )
 
 
+def q_events_asof_attribution(spark, sf_dir):
+    """As-of join: each click attributes to the user's most recent
+    strictly-preceding view (running last-ignorenulls window — one
+    shuffle, linear per user; no range join)."""
+    ev = _t(spark, sf_dir, "events")
+    return E.asof_attribute(ev, anchor_type="click", attr_type="view")
+
+
 def q_metrics_rollup(spark, sf_dir):
     """A1/A7: per-class counters."""
     ev = _t(spark, sf_dir, "events")
@@ -526,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed_agg,
         "events_sessionization": q_events_sessionization,
+        "events_asof_attribution": q_events_asof_attribution,
         "multimodal_features": q_multimodal_features,
         "image_phash_dedup": q_image_phash_dedup,
         "video_frame_sample": q_video_frame_sample,
@@ -803,6 +812,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
                    ROUND(AVG(value), 6) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_asof_attribution": """
+            SELECT user_id, event_id, ts_ms, src_event_id, src_ts_ms FROM (
+              SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+                last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                  OVER w AS src_event_id,
+                last_value(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END IGNORE NULLS)
+                  OVER w AS src_ts_ms
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ) WHERE event_type = 'click'
         """,
         "events_sessionization": """
             WITH flagged AS (

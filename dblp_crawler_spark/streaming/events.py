@@ -196,3 +196,37 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             3,
         ).alias("avg_session_secs"),
     )
+
+
+def asof_attribute(events: DataFrame, anchor_type: str, attr_type: str) -> DataFrame:
+    """As-of join within one stream: for each `anchor_type` event,
+    the most recent strictly-preceding `attr_type` event of the same
+    user ("which view does this click attribute to"). The classic
+    temporal operator Spark has no primitive for — expressed as a
+    running `last(..., ignorenulls)` over a (ts, event_id)-ordered
+    per-user window: ONE shuffle on user_id, no range join, no
+    per-row Python. Deterministic under ts ties via the event_id
+    tiebreak.
+
+    At scale this beats the generic range-join formulation (join on
+    user + ts inequality → O(anchors x candidates) per user before
+    dedup); the window form is linear in events per user and
+    partition-local after the single shuffle.
+
+    Returns (user_id, event_id, ts, src_event_id, src_ts) for anchor
+    events; src_* are null when no prior attr event exists.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)  # strictly before
+    )
+    is_attr = F.col("event_type") == attr_type
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("src_event_id", F.last(F.when(is_attr, F.col("event_id")), ignorenulls=True).over(w))
+        .withColumn("src_ts_ms", F.last(F.when(is_attr, ms), ignorenulls=True).over(w))
+        .filter(F.col("event_type") == anchor_type)
+        .select("user_id", "event_id", ms.alias("ts_ms"), "src_event_id", "src_ts_ms")
+    )

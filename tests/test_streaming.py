@@ -212,3 +212,29 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     batch = curate(all_docs)
     texts = dict(rows1 + rows2)
     assert {texts[r.doc_id] for r in batch.collect()} == {texts[i] for i in got}
+
+
+def test_asof_attribution_semantics(spark):
+    """Hand-built stream: strictly-preceding semantics, per-user
+    isolation, (ts, event_id) tiebreak, and null when no prior
+    attr event exists."""
+    from datetime import datetime
+
+    from dblp_crawler_spark.streaming.events import asof_attribute
+
+    T0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: view(1) @t0, click(2) @t0 (same ts, higher id → attributes to 1),
+        # view(3) @t1, click(4) @t2 → attributes to 3
+        (1, T0, 1, "view"), (2, T0, 1, "click"),
+        (3, datetime(2026, 1, 1, 12, 1), 1, "view"),
+        (4, datetime(2026, 1, 1, 12, 2), 1, "click"),
+        # user 2: click(5) with NO prior view → null source
+        (5, T0, 2, "click"),
+        (6, datetime(2026, 1, 1, 12, 3), 2, "view"),
+        # user 2: click(7) after view(6) → 6 (user-1 views invisible)
+        (7, datetime(2026, 1, 1, 12, 4), 2, "click"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.event_id: r.src_event_id for r in asof_attribute(ev, "click", "view").collect()}
+    assert got == {2: 1, 4: 3, 5: None, 7: 6}
