@@ -197,6 +197,14 @@ def q_events_asof_attribution(spark, sf_dir):
     return E.asof_attribute(ev, anchor_type="click", attr_type="view")
 
 
+def q_events_range_join(spark, sf_dir):
+    """Range join (banded): purchases within 30 min after a click,
+    same user — equi-join on (user, Δ-bin) + exact inequality
+    filter; never a per-user nested loop."""
+    ev = _t(spark, sf_dir, "events")
+    return E.range_follow_join(ev, anchor_type="click", follow_type="purchase", within_minutes=30)
+
+
 def q_metrics_rollup(spark, sf_dir):
     """A1/A7: per-class counters."""
     ev = _t(spark, sf_dir, "events")
@@ -535,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": q_events_windowed_agg,
         "events_sessionization": q_events_sessionization,
         "events_asof_attribution": q_events_asof_attribution,
+        "events_range_join": q_events_range_join,
         "multimodal_features": q_multimodal_features,
         "image_phash_dedup": q_image_phash_dedup,
         "video_frame_sample": q_video_frame_sample,
@@ -812,6 +821,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
                    ROUND(AVG(value), 6) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_range_join": """
+            SELECT a.user_id AS user_id, a.event_id AS anchor_id, f.event_id AS follow_id,
+                   epoch_ms(f.ts) - epoch_ms(a.ts) AS gap_ms
+            FROM events a JOIN events f
+              ON a.user_id = f.user_id
+             AND a.event_type = 'click' AND f.event_type = 'purchase'
+             AND epoch_ms(f.ts) > epoch_ms(a.ts)
+             AND epoch_ms(f.ts) <= epoch_ms(a.ts) + 30 * 60 * 1000
         """,
         "events_asof_attribution": """
             SELECT user_id, event_id, ts_ms, src_event_id, src_ts_ms FROM (

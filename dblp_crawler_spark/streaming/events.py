@@ -230,3 +230,39 @@ def asof_attribute(events: DataFrame, anchor_type: str, attr_type: str) -> DataF
         .filter(F.col("event_type") == anchor_type)
         .select("user_id", "event_id", ms.alias("ts_ms"), "src_event_id", "src_ts_ms")
     )
+
+
+def range_follow_join(events: DataFrame, anchor_type: str, follow_type: str,
+                      within_minutes: int = 30) -> DataFrame:
+    """Range join: (anchor, follow) pairs where the follow event of
+    the same user lands in (anchor_ts, anchor_ts + Δ] — "purchases
+    within 30 min of a click". Spark has no range-join primitive and
+    the naive formulation (equi-join on user + ts inequality) makes
+    the optimizer pick a nested-loop per user; this is the banded
+    form: bucket time into Δ-wide bins, probe each anchor against
+    bins b and b+1 (a (ts, ts+Δ] interval spans at most two), then
+    filter the exact inequality. Pure equi-join on (user_id, bin) —
+    partition-prunable, AQE-skew-splittable, linear shuffle volume
+    (2 rows per anchor, 1 per follow).
+
+    Returns (user_id, anchor_id, follow_id, gap_ms), gap_ms > 0.
+    """
+    delta_ms = within_minutes * 60 * 1000
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    anchors = (
+        events.filter(F.col("event_type") == anchor_type)
+        .select("user_id", F.col("event_id").alias("anchor_id"), ms.alias("a_ms"))
+        .withColumn("bin", F.explode(F.array(
+            F.floor(F.col("a_ms") / delta_ms), F.floor(F.col("a_ms") / delta_ms) + 1
+        )))
+    )
+    follows = (
+        events.filter(F.col("event_type") == follow_type)
+        .select("user_id", F.col("event_id").alias("follow_id"), ms.alias("f_ms"))
+        .withColumn("bin", F.floor(F.col("f_ms") / delta_ms))
+    )
+    return (
+        anchors.join(follows, ["user_id", "bin"])
+        .filter((F.col("f_ms") > F.col("a_ms")) & (F.col("f_ms") <= F.col("a_ms") + delta_ms))
+        .select("user_id", "anchor_id", "follow_id", (F.col("f_ms") - F.col("a_ms")).alias("gap_ms"))
+    )

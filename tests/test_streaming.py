@@ -238,3 +238,27 @@ def test_asof_attribution_semantics(spark):
     ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
     got = {r.event_id: r.src_event_id for r in asof_attribute(ev, "click", "view").collect()}
     assert got == {2: 1, 4: 3, 5: None, 7: 6}
+
+
+def test_range_follow_join_semantics_and_plan(spark):
+    """Boundary semantics ((a, a+Δ], bin-crossing pairs found) and
+    plan shape (equi-join, no nested loop)."""
+    from datetime import datetime, timedelta
+
+    from dblp_crawler_spark.streaming.events import range_follow_join
+
+    T0 = datetime(2026, 1, 1, 12, 0, 0)
+    m = lambda k: T0 + timedelta(minutes=k)
+    rows = [
+        (1, m(0), 1, "click"),
+        (2, m(29), 1, "purchase"),   # inside (bin-crossing for Δ=30 iff bins differ)
+        (3, m(30), 1, "purchase"),   # exactly Δ → included (<=)
+        (4, m(31), 1, "purchase"),   # outside
+        (5, m(0), 1, "purchase"),    # same ts as anchor → excluded (strict >)
+        (6, m(5), 2, "purchase"),    # other user → excluded
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r.anchor_id, r.follow_id, r.gap_ms) for r in range_follow_join(ev, "click", "purchase", 30).collect()}
+    assert got == {(1, 2, 29 * 60000), (1, 3, 30 * 60000)}
+    plan = range_follow_join(ev, "click", "purchase", 30)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
