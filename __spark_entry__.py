@@ -205,6 +205,14 @@ def q_events_range_join(spark, sf_dir):
     return E.range_follow_join(ev, anchor_type="click", follow_type="purchase", within_minutes=30)
 
 
+def q_events_hypertable_rollup(spark, sf_dir):
+    """Continuous-aggregate rollup: day stats composed from hour
+    partials composed from minute partials (sum-of-sums; one raw
+    scan at the finest level only)."""
+    ev = _t(spark, sf_dir, "events")
+    return E.hypertable_rollup(ev)
+
+
 def q_metrics_rollup(spark, sf_dir):
     """A1/A7: per-class counters."""
     ev = _t(spark, sf_dir, "events")
@@ -544,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": q_events_sessionization,
         "events_asof_attribution": q_events_asof_attribution,
         "events_range_join": q_events_range_join,
+        "events_hypertable_rollup": q_events_hypertable_rollup,
         "multimodal_features": q_multimodal_features,
         "image_phash_dedup": q_image_phash_dedup,
         "video_frame_sample": q_video_frame_sample,
@@ -820,6 +829,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
                    ROUND(AVG(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_hypertable_rollup": """
+            SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "events_range_join": """

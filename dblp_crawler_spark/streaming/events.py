@@ -266,3 +266,39 @@ def range_follow_join(events: DataFrame, anchor_type: str, follow_type: str,
         .filter((F.col("f_ms") > F.col("a_ms")) & (F.col("f_ms") <= F.col("a_ms") + delta_ms))
         .select("user_id", "anchor_id", "follow_id", (F.col("f_ms") - F.col("a_ms")).alias("gap_ms"))
     )
+
+
+def hypertable_rollup(events: DataFrame) -> DataFrame:
+    """Continuous-aggregate (hypertable) rollup: minute → hour → day,
+    each level computed FROM the previous level's partials, never by
+    rescanning raw rows. The TimescaleDB continuous-aggregate
+    pattern: at 100 TB the minute level is the only full scan; the
+    hour level aggregates ~60x fewer rows, the day level ~24x fewer
+    again, and a refresh of one late minute only touches its hour
+    and day rows. count/sum compose losslessly (sum of sums); avg is
+    re-derived as sum/count at each level, never averaged-of-avgs.
+
+    Returns the day level: (day, event_type, n, sum_value) — the
+    finer levels are intermediate DataFrames a caller can persist as
+    materialized rollup tables.
+    """
+    # sums in DECIMAL: double addition is order-sensitive, and a
+    # rollup sums in a different order than a direct aggregation —
+    # decimal is exact and associative, so every level (and the
+    # DuckDB oracle) lands on the identical value
+    val = F.col("value").cast("decimal(18,6)")
+    minute = (
+        events.groupBy(
+            F.date_trunc("minute", F.col("ts").cast("timestamp")).alias("minute"),
+            "event_type",
+        ).agg(F.count("*").alias("n"), F.sum(val).alias("sum_value"))
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "minute").alias("hour"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "hour").cast("date").alias("day"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_value").cast("decimal(18,6)").alias("sum_value"))
+    )
+    return day

@@ -262,3 +262,30 @@ def test_range_follow_join_semantics_and_plan(spark):
     assert got == {(1, 2, 29 * 60000), (1, 3, 30 * 60000)}
     plan = range_follow_join(ev, "click", "purchase", 30)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_hypertable_rollup_partials_equal_direct(spark):
+    """Day level composed from minute/hour partials must EXACTLY
+    equal a direct day aggregation over raw rows (decimal sums are
+    associative — this is what makes incremental refresh sound)."""
+    from datetime import datetime, timedelta
+
+    from dblp_crawler_spark.streaming.events import hypertable_rollup
+
+    T0 = datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (i, T0 + timedelta(minutes=17 * i), i % 5, "click" if i % 2 else "view", 0.1 * i)
+        for i in range(500)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+    via_rollup = {(str(r.day), r.event_type): (r.n, r.sum_value) for r in hypertable_rollup(ev).collect()}
+    direct = {
+        (str(r.day), r.event_type): (r.n, r.sum_value)
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("sum_value"),
+        ).collect()
+    }
+    assert via_rollup == direct and len(direct) > 10
