@@ -213,6 +213,17 @@ def q_events_hypertable_rollup(spark, sf_dir):
     return E.hypertable_rollup(ev)
 
 
+def q_sketch_distinct_users(spark, sf_dir):
+    """Mergeable HLL distinct sketch (pure expressions): estimated
+    distinct users per event_type. xxhash64-based → rows-only check;
+    register determinism + merge + accuracy gated in
+    tests/test_sketch.py."""
+    from dblp_crawler_spark.operators.sketch import hll_build, hll_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_estimate(hll_build(ev, "user_id", ["event_type"], p=12), p=12)
+
+
 def q_metrics_rollup(spark, sf_dir):
     """A1/A7: per-class counters."""
     ev = _t(spark, sf_dir, "events")
@@ -553,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attribution": q_events_asof_attribution,
         "events_range_join": q_events_range_join,
         "events_hypertable_rollup": q_events_hypertable_rollup,
+        "sketch_distinct_users": q_sketch_distinct_users,
         "multimodal_features": q_multimodal_features,
         "image_phash_dedup": q_image_phash_dedup,
         "video_frame_sample": q_video_frame_sample,

@@ -1,0 +1,66 @@
+"""HLL distinct sketch: register determinism (pinned vs from-spec
+XXH64), mergeability (a CRDT max-join), and accuracy vs exact."""
+
+from pyspark.sql import functions as F
+
+from dblp_crawler_spark.operators.sketch import (
+    hll_build,
+    hll_error_bound,
+    hll_estimate,
+    hll_merge,
+)
+from xxh64_ref import xxh64_bytes
+
+P = 12
+M64 = (1 << 64) - 1
+
+
+def _expected_register_rho(key: str, p: int = P) -> tuple[int, int]:
+    h = xxh64_bytes(key.encode(), seed=42)
+    register = h >> (64 - p)
+    w = (h << p) & M64
+    if w == 0:
+        return register, 64 - p + 1
+    return register, 65 - w.bit_length()
+
+
+def test_registers_match_from_spec_xxh64(spark):
+    keys = [f"user/{i}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {(r.register, r.rho) for r in hll_build(df, "key", p=P).collect()}
+    expect = {}
+    for k in keys:
+        reg, rho = _expected_register_rho(k)
+        expect[reg] = max(expect.get(reg, 0), rho)
+    assert got == set(expect.items())
+
+
+def test_merge_equals_single_build(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) register-exactly
+    — the property that lets per-partition/per-day sketches answer
+    global questions without rescans."""
+    a = spark.range(0, 3000).select(F.concat(F.lit("u"), F.col("id")).alias("key"))
+    b = spark.range(2000, 5000).select(F.concat(F.lit("u"), F.col("id")).alias("key"))
+    merged = {(r.register, r.rho) for r in hll_merge(hll_build(a, "key"), hll_build(b, "key")).collect()}
+    single = {(r.register, r.rho) for r in hll_build(a.unionByName(b), "key").collect()}
+    assert merged == single
+
+
+def test_estimate_accuracy_and_groups(spark):
+    n = 20_000
+    df = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("key"),
+        (F.col("id") % 2 == 0).cast("string").alias("g"),
+    )
+    est = {r.g: r.n_distinct_est for r in hll_estimate(hll_build(df, "key", ["g"], p=P), p=P).collect()}
+    tol = 4 * hll_error_bound(P)  # 4 sigma ≈ 6.5% at p=12
+    for g, exact in (("true", n // 2), ("false", n // 2)):
+        assert abs(est[g] - exact) / exact < tol, (g, est[g], exact)
+
+
+def test_small_range_linear_counting(spark):
+    """Tiny cardinalities route through linear counting — estimates
+    there must be near-exact, not harmonic-mean noise."""
+    df = spark.range(40).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    est = hll_estimate(hll_build(df, "key", p=P), p=P).collect()[0].n_distinct_est
+    assert abs(est - 40) <= 2
