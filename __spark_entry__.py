@@ -224,6 +224,19 @@ def q_sketch_distinct_users(spark, sf_dir):
     return hll_estimate(hll_build(ev, "user_id", ["event_type"], p=12), p=12)
 
 
+def q_sketch_heavy_hitters(spark, sf_dir):
+    """Count-min heavy hitters (pure expressions, integer counters):
+    top estimated-activity users from the sketch alone. xxhash64 →
+    rows-only; never-underestimate + exact-merge pinned in
+    tests/test_sketch.py."""
+    from dblp_crawler_spark.operators.sketch import cms_build, cms_query
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_build(ev, "user_id")
+    est = cms_query(sk, ev.select("user_id").distinct(), "user_id")
+    return est.orderBy(F.desc("cnt_est"), F.asc("user_id")).limit(10)
+
+
 def q_metrics_rollup(spark, sf_dir):
     """A1/A7: per-class counters."""
     ev = _t(spark, sf_dir, "events")
@@ -565,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_hypertable_rollup": q_events_hypertable_rollup,
         "sketch_distinct_users": q_sketch_distinct_users,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "multimodal_features": q_multimodal_features,
         "image_phash_dedup": q_image_phash_dedup,
         "video_frame_sample": q_video_frame_sample,

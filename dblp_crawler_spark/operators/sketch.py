@@ -84,3 +84,52 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
 def hll_error_bound(p: int) -> float:
     """~1 sigma relative standard error for 2^p registers."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# ---- count-min sketch (heavy hitters) -------------------------------------
+def cms_build(df: DataFrame, key_col: str, d: int = 4, w: int = 1 << 12,
+              weight_col: str | None = None) -> DataFrame:
+    """Count-min sketch as a (row, slot, cnt) table: d hash rows of
+    w counters; cnt(key) is OVER-estimated only (never under). The
+    crawl's use: heavy-hitter detection over candidate hosts — find
+    the dblp.org-style hot keys that need salting (O6) from a tiny
+    mergeable table instead of a full groupBy over 10^10 rows.
+
+    Integer counters → build/merge are EXACT deterministic
+    aggregations (no float noise); merge = slot-wise sum, so
+    per-partition/per-day sketches compose losslessly. One explode
+    (d rows per input row, d is 4) + one partial-agg groupBy."""
+    weight = F.col(weight_col) if weight_col else F.lit(1)
+    rows = df.select(
+        F.posexplode(
+            F.array(*[F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(w)) for i in range(d)])
+        ).alias("row", "slot"),
+        weight.cast("long").alias("__w"),
+    )
+    return rows.groupBy("row", "slot").agg(F.sum("__w").alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Slot-wise sum — associative/commutative, exactly equal to a
+    single build over the concatenated inputs."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "slot").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(sketch: DataFrame, keys: DataFrame, key_col: str,
+              d: int = 4, w: int = 1 << 12) -> DataFrame:
+    """Estimated count per key = min over the d rows' counters
+    (broadcast the tiny sketch; never shuffles the key stream)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(*[F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(w)) for i in range(d)])
+        ).alias("row", "slot"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "slot"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cnt_est"))
+    )

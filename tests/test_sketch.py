@@ -64,3 +64,32 @@ def test_small_range_linear_counting(spark):
     df = spark.range(40).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
     est = hll_estimate(hll_build(df, "key", p=P), p=P).collect()[0].n_distinct_est
     assert abs(est - 40) <= 2
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy_keys(spark):
+    from dblp_crawler_spark.operators.sketch import cms_build, cms_merge, cms_query
+
+    # zipf-ish: one hot host with 5000 hits, 500 cold hosts with 1-2
+    hot = spark.range(5000).select(F.lit("dblp.org").alias("host"))
+    cold = spark.range(1000).select(F.concat(F.lit("h"), F.col("id") % 500).alias("host"))
+    df = hot.unionByName(cold)
+    sk = cms_build(df, "host").cache()
+    exact = {r.host: r.n for r in df.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    est = {r.host: r.cnt_est for r in cms_query(sk, df.select("host").distinct(), "host").collect()}
+    for h, n in exact.items():
+        assert est[h] >= n  # count-min NEVER underestimates
+    # heavy hitter is near-exact (w=4096 >> distinct keys → few collisions)
+    assert est["dblp.org"] <= exact["dblp.org"] + 10
+    # absent key probes to ~0 (collision slack only)
+    ghost = spark.createDataFrame([("nosuch.example",)], "host string")
+    assert cms_query(sk, ghost, "host").collect()[0].cnt_est <= 10
+
+
+def test_cms_merge_equals_single_build(spark):
+    from dblp_crawler_spark.operators.sketch import cms_build, cms_merge
+
+    a = spark.range(0, 2000).select(F.concat(F.lit("h"), F.col("id") % 50).alias("host"))
+    b = spark.range(0, 3000).select(F.concat(F.lit("h"), F.col("id") % 80).alias("host"))
+    merged = {(r.row, r.slot, r.cnt) for r in cms_merge(cms_build(a, "host"), cms_build(b, "host")).collect()}
+    single = {(r.row, r.slot, r.cnt) for r in cms_build(a.unionByName(b), "host").collect()}
+    assert merged == single  # integer counters: EXACT equality
