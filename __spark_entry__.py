@@ -237,6 +237,18 @@ def q_sketch_heavy_hitters(spark, sf_dir):
     return est.orderBy(F.desc("cnt_est"), F.asc("user_id")).limit(10)
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts per source (letter/digit runs +
+    punctuation marks); exact integer SUM/COUNT avg like
+    text_token_count."""
+    docs = _t(spark, sf_dir, "documents")
+    n = T.bpe_token_count("text")
+    return docs.groupBy("source").agg(
+        F.sum(n).alias("total_bpe_tokens"),
+        F.round(F.sum(n) / F.count(F.lit(1)), 4).alias("avg_bpe_tokens"),
+    )
+
+
 def q_metrics_rollup(spark, sf_dir):
     """A1/A7: per-class counters."""
     ev = _t(spark, sf_dir, "events")
@@ -569,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_count": q_text_token_count,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
@@ -816,6 +829,15 @@ def oracle_sql() -> dict[str, str]:
                                 c.vec_id ASC) AS rank
               FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN embeddings c
             ) WHERE rank <= 10
+        """,
+        "text_bpe_tokens": """
+            WITH t AS (
+              SELECT source,
+                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n
+              FROM documents)
+            SELECT source, SUM(n) AS total_bpe_tokens,
+                   ROUND(SUM(n)::DOUBLE / COUNT(*), 4) AS avg_bpe_tokens
+            FROM t GROUP BY source
         """,
         "text_token_count": f"""
             SELECT source, SUM(len({_TOK})) AS total_tokens,

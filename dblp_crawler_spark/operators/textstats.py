@@ -138,3 +138,19 @@ def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         quality_score(text_col).alias("quality"),
         fingerprint64(text_col).alias("fingerprint"),
     )
+
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single
+# non-alnum-non-space marks — the GPT-2-style split classes reduced
+# to a subset whose semantics are identical in Java regex (Spark) and
+# RE2 (DuckDB), so the count is cross-engine oracle-able.
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Subword-ish token count: how a BPE pre-tokenizer would split
+    the text before merges — the unit that matters for LLM context
+    budgeting (punctuation and digit runs count, unlike whitespace
+    tokenization). Pure regexp_extract_all, no UDF."""
+    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), F.lit(0)))

@@ -191,3 +191,11 @@ def test_repetition_and_top_ngrams(spark, docs):
     # 4 docs share the fox sentence prefix; ties broken by gram text
     assert top[0].cnt >= top[1].cnt >= top[2].cnt
     assert top[0].gram == "brown fox jumps" and top[0].cnt == 4
+
+
+def test_bpe_token_count(spark):
+    rows = [(0, "Hello, world! GPT-4 is 100x faster..."), (1, ""), (2, "a.b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n for r in df.select("doc_id", T.bpe_token_count("text").alias("n")).collect()}
+    # hello , world ! gpt - 4 is 100 x faster . . . → 14
+    assert got == {0: 14, 1: 0, 2: 3}
