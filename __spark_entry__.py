@@ -835,12 +835,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT source,
                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n
               FROM documents)
-            SELECT source, SUM(n) AS total_bpe_tokens,
+            SELECT source, CAST(SUM(n) AS BIGINT) AS total_bpe_tokens,
                    ROUND(SUM(n)::DOUBLE / COUNT(*), 4) AS avg_bpe_tokens
             FROM t GROUP BY source
         """,
         "text_token_count": f"""
-            SELECT source, SUM(len({_TOK})) AS total_tokens,
+            SELECT source, CAST(SUM(len({_TOK})) AS BIGINT) AS total_tokens,
                    ROUND(SUM(len({_TOK}))::DOUBLE / COUNT(*), 4) AS avg_tokens
             FROM documents GROUP BY source
         """,
@@ -881,7 +881,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hypertable_rollup": """
             SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_value
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "events_range_join": """

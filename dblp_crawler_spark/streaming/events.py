@@ -299,6 +299,12 @@ def hypertable_rollup(events: DataFrame) -> DataFrame:
     )
     day = (
         hour.groupBy(F.date_trunc("day", "hour").cast("date").alias("day"), "event_type")
-        .agg(F.sum("n").alias("n"), F.sum("sum_value").cast("decimal(18,6)").alias("sum_value"))
+        # the sum is computed exactly in decimal, then emitted as double so
+        # the output type matches engines whose decimal widths differ
+        # (DuckDB SUM(DECIMAL(18,6)) widens to DECIMAL(38,6))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").cast("decimal(18,6)").cast("double").alias("sum_value"),
+        )
     )
     return day

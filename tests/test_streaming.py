@@ -285,7 +285,10 @@ def test_hypertable_rollup_partials_equal_direct(spark):
             F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
         ).agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("sum_value"),
         ).collect()
     }
     assert via_rollup == direct and len(direct) > 10
