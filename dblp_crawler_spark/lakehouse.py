@@ -147,8 +147,12 @@ class Lakehouse:
             *[os.path.join(self._tdir(table), l["dir"]) for l in layers]
         )
         cols = union.columns
+        # anchored to the LAST path segment's parent: a lakehouse root
+        # that itself contains 'data-<n>/' (e.g. /mnt/data-2/lake)
+        # must not shadow the layer dir, or last-writer-wins would
+        # silently degrade to arbitrary-row-wins
         seq = (
-            F.regexp_extract(F.col("_metadata.file_path"), r"data-(\d+)/", 1)
+            F.regexp_extract(F.col("_metadata.file_path"), r"data-(\d+)/[^/]*$", 1)
             .cast("long")
             .alias("__seq")
         )
@@ -171,7 +175,17 @@ class Lakehouse:
         with open(os.path.join(self._tdir(table), f"snap-{snap:06d}.json")) as f:
             m = json.load(f)
         if "layers" not in m:  # pre-MoR manifest (round-1 layout)
-            m["layers"] = [{"dir": d, "seq": m["snapshot"], "rows": -1} for d in m["files"]]
+            # backfill real row counts from the parquet footers so
+            # layer_rows()/n_rows() stay correct on cross-version resume
+            m["layers"] = [
+                {
+                    "dir": d,
+                    "seq": m["snapshot"],
+                    "rows": _dir_rows(os.path.join(self._tdir(table), d)),
+                }
+                for d in m["files"]
+            ]
+            m["n_rows"] = sum(l["rows"] for l in m["layers"])
         return m
 
     def layer_rows(self, table: str, snapshot: int | None = None) -> int:
@@ -258,6 +272,34 @@ class Lakehouse:
         extra = {"merge_keys": mk} if mk else {}
         self._commit(table, m["layers"] + [layer], snap, {**(meta or {}), **extra})
         return snap
+
+    def append_nonempty(
+        self, table: str, df: DataFrame, schema: StructType, meta: dict | None = None
+    ) -> int:
+        """Append that commits ONLY when the batch has rows; returns
+        the number of rows committed. Steady-state crawl waves often
+        produce empty batches — committing them would grow one empty
+        layer + manifest per wave forever on never-compacted append
+        tables. Emptiness is read from the written parquet footers
+        (no extra Spark job); an empty write is rolled back by
+        deleting the uncommitted layer dir (HEAD never moved, so no
+        reader can have seen it)."""
+        import shutil
+
+        head = self.current_snapshot(table)
+        if head is None:
+            snap = self.overwrite(table, df, meta)
+            return self.layer_rows(table, snap)
+        m = self.manifest(table, head)
+        snap = self._next_snap(table)
+        layer = self._write_layer(table, df, snap)
+        if layer["rows"] == 0:
+            shutil.rmtree(self._data_dir(table, snap), ignore_errors=True)
+            return 0
+        mk = m.get("merge_keys")
+        extra = {"merge_keys": mk} if mk else {}
+        self._commit(table, m["layers"] + [layer], snap, {**(meta or {}), **extra})
+        return layer["rows"]
 
     def append_local(
         self, table: str, rows: list[dict], schema: StructType, meta: dict | None = None

@@ -98,7 +98,13 @@ def cms_build(df: DataFrame, key_col: str, d: int = 4, w: int = 1 << 12,
     Integer counters → build/merge are EXACT deterministic
     aggregations (no float noise); merge = slot-wise sum, so
     per-partition/per-day sketches compose losslessly. One explode
-    (d rows per input row, d is 4) + one partial-agg groupBy."""
+    (d rows per input row, d is 4) + one partial-agg groupBy.
+
+    The sketch carries its own (d, w) as literal columns: slot
+    addressing is parameter-dependent, so query/merge read the
+    parameters FROM the sketch instead of trusting the caller to
+    repeat them — a build/query parameter mismatch is a hard error,
+    never a silently-wrong estimate."""
     weight = F.col(weight_col) if weight_col else F.lit(1)
     rows = df.select(
         F.posexplode(
@@ -106,22 +112,42 @@ def cms_build(df: DataFrame, key_col: str, d: int = 4, w: int = 1 << 12,
         ).alias("row", "slot"),
         weight.cast("long").alias("__w"),
     )
-    return rows.groupBy("row", "slot").agg(F.sum("__w").alias("cnt"))
+    agg = rows.groupBy("row", "slot").agg(F.sum("__w").alias("cnt"))
+    return agg.select("row", "slot", "cnt", F.lit(d).alias("d"), F.lit(w).alias("w"))
+
+
+def _sketch_params(sketch: DataFrame) -> tuple[int, int]:
+    """(d, w) embedded in the sketch — one driver read of a single
+    row of the (tiny, ≤ d·w-row) sketch table."""
+    if "d" not in sketch.columns or "w" not in sketch.columns:
+        raise ValueError("not a cms sketch: missing embedded d/w parameter columns")
+    params = sketch.select("d", "w").distinct().collect()
+    if not params:
+        raise ValueError("empty cms sketch: parameters unrecoverable")
+    if len(params) > 1:
+        raise ValueError(f"cms sketch mixes parameter sets {sorted((r.d, r.w) for r in params)}")
+    return int(params[0]["d"]), int(params[0]["w"])
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Slot-wise sum — associative/commutative, exactly equal to a
-    single build over the concatenated inputs."""
+    single build over the concatenated inputs. Grouping includes the
+    embedded (d, w): sketches built with different parameters never
+    blend into one wrong table (they surface as distinct parameter
+    groups a query will then reject)."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row", "slot").agg(F.sum("cnt").alias("cnt"))
+    return out.groupBy("row", "slot", "d", "w").agg(F.sum("cnt").alias("cnt")).select(
+        "row", "slot", "cnt", "d", "w"
+    )
 
 
-def cms_query(sketch: DataFrame, keys: DataFrame, key_col: str,
-              d: int = 4, w: int = 1 << 12) -> DataFrame:
+def cms_query(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     """Estimated count per key = min over the d rows' counters
-    (broadcast the tiny sketch; never shuffles the key stream)."""
+    (broadcast the tiny sketch; never shuffles the key stream).
+    (d, w) come from the sketch itself — see cms_build."""
+    d, w = _sketch_params(sketch)
     probes = keys.select(
         F.col(key_col),
         F.posexplode(
@@ -129,7 +155,7 @@ def cms_query(sketch: DataFrame, keys: DataFrame, key_col: str,
         ).alias("row", "slot"),
     )
     return (
-        probes.join(F.broadcast(sketch), ["row", "slot"], "left")
+        probes.join(F.broadcast(sketch.select("row", "slot", "cnt")), ["row", "slot"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cnt_est"))
     )

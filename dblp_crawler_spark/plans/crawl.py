@@ -189,6 +189,9 @@ class CrawlEngine:
             ("crawl_order", schemas.CRAWL_ORDER), ("nodes", schemas.NODES),
             ("edges", schemas.EDGES), ("publications", schemas.PUBLICATIONS_OUT),
             ("emitted_persons", schemas.EMITTED_PERSONS), ("metrics", schemas.METRICS),
+            # person-seeded crawls never hit the wave-0 journal branch:
+            # pre-commit an empty rollup so the read side is total
+            ("journal_init_counts", schemas.JOURNAL_INIT_COUNTS),
         ]:
             self.lake.create_empty(t, sch)  # metadata-only, no Spark job
         self.wave, self.next_seq, self.done = 0, 0, False
@@ -293,8 +296,10 @@ class CrawlEngine:
                 batch.select("url", "priority"), self.next_seq, [F.desc("priority"), F.asc("url")]
             )
             rows = seq_df.select(F.lit(w).alias("wave"), "seq", "url")
-            lake.append("crawl_order", rows, schemas.CRAWL_ORDER)
-            n_sched = lake.layer_rows("crawl_order")
+            # empty batches (steady-state tail waves) commit nothing:
+            # crawl_order is append-only and never compacted, so an
+            # empty layer per wave would grow the manifest unboundedly
+            n_sched = lake.append_nonempty("crawl_order", rows, schemas.CRAWL_ORDER)
             self.next_seq += n_sched
 
         # ---- fetch (S1/S2: join simulates HTTP against the page store) ---

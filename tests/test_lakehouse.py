@@ -154,3 +154,56 @@ def test_freshness_ttl(spark, lake):
     # override: journals expire too
     stale2 = {r.url for r in stale_urls(pages, now, {"journal": 10}).collect()}
     assert stale2 == {"p_old", "jl_old", "j_old"}
+
+
+def test_mor_seq_unaffected_by_data_dir_in_root(spark, tmp_path):
+    """A lakehouse ROOT containing a 'data-<n>/' segment must not
+    shadow the layer dir when recovering each layer's commit seq from
+    the file path — otherwise last-writer-wins silently degrades to
+    arbitrary-row-wins for every keyed table."""
+    from dblp_crawler_spark.lakehouse import Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "data-2" / "lake"))
+    lake.overwrite("t", _df(spark, [("a", 0), ("b", 0)]), merge_keys=["key"])
+    lake.merge_upsert("t", _df(spark, [("a", 1)]), ["key"], _df(spark, []).schema)
+    lake.merge_upsert("t", _df(spark, [("a", 2), ("c", 2)]), ["key"], _df(spark, []).schema)
+    got = {r.key: r.wave for r in lake.read("t").collect()}
+    assert got == {"a": 2, "b": 0, "c": 2}
+
+
+def test_append_nonempty_skips_empty_batches(spark, lake):
+    """Empty batches commit nothing: no new snapshot, no new layer,
+    no orphan data dir — the guard that keeps append-only tables'
+    manifests bounded over long steady-state crawls."""
+    import os
+
+    lake.overwrite("t", _df(spark, [("a", 0)]))
+    head0 = lake.current_snapshot("t")
+    n = lake.append_nonempty("t", _df(spark, []), _df(spark, [("x", 0)]).schema)
+    assert n == 0
+    assert lake.current_snapshot("t") == head0 and lake.n_layers("t") == 1
+    # the rolled-back layer dir is gone
+    dirs = [d for d in os.listdir(lake._tdir("t")) if d.startswith("data-")]
+    assert len(dirs) == 1
+    n = lake.append_nonempty("t", _df(spark, [("b", 1)]), _df(spark, [("x", 0)]).schema)
+    assert n == 1 and lake.n_layers("t") == 2
+    assert {r.key for r in lake.read("t").collect()} == {"a", "b"}
+
+
+def test_pre_mor_manifest_backfills_real_row_counts(spark, lake):
+    """Round-1 manifests (no 'layers') must resolve layer_rows/n_rows
+    from the parquet footers on cross-version resume, not -1/KeyError."""
+    import json
+    import os
+
+    lake.overwrite("t", _df(spark, [("a", 0), ("b", 0), ("c", 0)]))
+    snap = lake.current_snapshot("t")
+    mpath = os.path.join(lake._tdir("t"), f"snap-{snap:06d}.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    legacy = {"snapshot": m["snapshot"], "committed_at": m["committed_at"], "files": m["files"]}
+    with open(mpath, "w") as f:
+        json.dump(legacy, f)
+    assert lake.layer_rows("t") == 3
+    assert lake.n_rows("t") == 3
+    assert lake.read("t").count() == 3

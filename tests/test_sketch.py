@@ -93,3 +93,20 @@ def test_cms_merge_equals_single_build(spark):
     merged = {(r.row, r.slot, r.cnt) for r in cms_merge(cms_build(a, "host"), cms_build(b, "host")).collect()}
     single = {(r.row, r.slot, r.cnt) for r in cms_build(a.unionByName(b), "host").collect()}
     assert merged == single  # integer counters: EXACT equality
+
+
+def test_cms_params_travel_with_sketch(spark):
+    """(d, w) are embedded in the sketch: queries address slots with
+    the BUILD parameters automatically, and mixing parameter sets is
+    a hard error instead of a silently-wrong estimate."""
+    import pytest
+
+    from dblp_crawler_spark.operators.sketch import cms_build, cms_merge, cms_query
+
+    df = spark.createDataFrame([(f"h{i % 7}",) for i in range(70)], "host string")
+    sk_small = cms_build(df, "host", d=2, w=64)
+    est = {r.host: r.cnt_est for r in cms_query(sk_small, df.select("host").distinct(), "host").collect()}
+    assert all(v >= 10 for v in est.values())  # never underestimates
+    mixed = cms_merge(sk_small, cms_build(df, "host", d=4, w=128))
+    with pytest.raises(ValueError, match="parameter sets"):
+        cms_query(mixed, df.select("host").distinct(), "host")
