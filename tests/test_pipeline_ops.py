@@ -112,6 +112,23 @@ def test_ivf_index_and_recall(spark):
     assert (0, 0) in probed  # a query's own vector is in its top cell
 
 
+def test_ivf_build_lineage_truncated(spark):
+    """iters=5 must NOT nest five rounds of assignment plans: each
+    Lloyd round localCheckpoints its centroids, so the final centroid
+    plan reads materialized rows (ExistingRDD), not the k-means
+    history — the failure mode that makes every downstream action
+    re-run the whole chain."""
+    from tests.test_plans import plan_of
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, assigned = SIM.ivf_index(emb, n_cells=8, iters=5, seed=7)
+    plan = plan_of(cents)
+    assert "ExistingRDD" in plan
+    assert "posexplode" not in plan and "Join" not in plan, plan
+    # still a valid total partition of the corpus
+    assert assigned.count() == emb.count()
+
+
 def test_text_stats(spark):
     rows = [
         (0, "the cat and the dog are in the house with a mouse"),  # stopword-heavy en
