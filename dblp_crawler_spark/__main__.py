@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Author pids to start crawling.")
     parser.add_argument("-j", "--journal", action="append", default=[],
                         help="Journal keys to start crawling.")
+    parser.add_argument("--pid-file", action="append", default=[],
+                        help="File of author pids, one per line (# comments and "
+                             "blank lines ignored); repeatable. The bulk-seed "
+                             "analog of the reference's venue-set seeding "
+                             "(README.md:210-236) without eval.")
+    parser.add_argument("--journal-file", action="append", default=[],
+                        help="File of journal keys, one per line; repeatable.")
     parser.add_argument("--data", required=True,
                         help="Lakehouse root holding the ingested pages/robots/"
                              "ccf_rank tables (the engine's page store).")
@@ -68,6 +75,18 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _read_seed_files(paths: list[str]) -> list[str]:
+    """One seed per line; blank lines and '#' comments ignored."""
+    out = []
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                v = line.strip()
+                if v and not v.startswith("#"):
+                    out.append(v)
+    return out
+
+
 def run_crawl(spark, lake, args):
     from pyspark.sql import functions as F
 
@@ -77,8 +96,10 @@ def run_crawl(spark, lake, args):
 
     rules = [[w for w in k.split(" ") if w] for k in args.keyword]
     rules = [r for r in rules if r]
-    seeds = [{"seed_type": "pid", "value": p} for p in args.pid] + [
-        {"seed_type": "journal", "value": j} for j in args.journal
+    pids = list(args.pid) + _read_seed_files(args.pid_file)
+    journals = list(args.journal) + _read_seed_files(args.journal_file)
+    seeds = [{"seed_type": "pid", "value": p} for p in pids] + [
+        {"seed_type": "journal", "value": j} for j in journals
     ]
     seed_df = spark.createDataFrame(seeds, schemas.SEEDS) if seeds else (
         spark.createDataFrame([], schemas.SEEDS)
@@ -89,8 +110,8 @@ def run_crawl(spark, lake, args):
         )
     lake.overwrite("seeds", seed_df)
     logger.info("Specified keyword rules: %s", rules)
-    logger.info("Specified persons for init: %s", args.pid)
-    logger.info("Specified journals or conferences for init: %s", args.journal)
+    logger.info("Specified persons for init: %s", pids)
+    logger.info("Specified journals or conferences for init: %s", journals)
     logger.info("Specified BFS depth limitation: %s", args.limit)
     cfg = CrawlConfig(
         year=args.year,

@@ -99,6 +99,16 @@ class CrawlConfig:
     # every N waves (Iceberg rewrite_data_files cadence) — bounds
     # read amplification while keeping per-wave writes O(wave delta)
     compact_every: int = 8
+    # AQE during the wave core. The wave DAG has a FIXED shape
+    # (broadcast fetch join, budget-bounded batches, keyed MoR
+    # commits), so adaptive re-planning buys nothing and each AQE
+    # stage materialization adds driver latency — measured ~70
+    # jobs/wave on tiny fixtures with AQE on (BENCH.md A/B). Default
+    # off for the wave body only (restored after each wave); turn on
+    # for clusters where a single wave shuffles many TB and runtime
+    # coalesce/skew-split across hundreds of executors pays for the
+    # extra scheduling round-trips.
+    adaptive_waves: bool = False
 
 
 class CrawlEngine:
@@ -216,6 +226,18 @@ class CrawlEngine:
         return self._person_pages
 
     def run_wave(self) -> dict:
+        """One BFS wave, with AQE toggled per CrawlConfig.adaptive_waves
+        for the duration of the wave body (session conf is restored
+        either way — queries outside the engine keep their setting)."""
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", str(self.cfg.adaptive_waves).lower())
+        try:
+            return self._run_wave_body()
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev)
+
+    def _run_wave_body(self) -> dict:
         spark, lake, cfg, w = self.spark, self.lake, self.cfg, self.wave
         pages = lake.read("pages")
         ccf_rank = lake.read_or_empty("ccf_rank", schemas.CCF_RANK)

@@ -56,3 +56,79 @@ def test_cli_networkx_then_filter(spark, tmp_path):
         assert e["from"] in got2["nodes"] and e["to"] in got2["nodes"]
         for k in e["cooperation"]:
             assert got2["publications"][k]["year"] >= 2010
+
+
+def test_cli_bulk_seed_files(spark, tmp_path):
+    """Bulk seeding via --pid-file/--journal-file (one value per
+    line, comments allowed) — the no-eval analog of the reference's
+    venue-set seeding (README.md:210-236). Must be byte-equivalent
+    to flag seeding: summary equals the oracle's."""
+    u = fixtures.make_universe(n_authors=60, n_pubs=150, n_venues=5, seed=3)
+    lroot = str(tmp_path / "clilake")
+    lake = Lakehouse(spark, lroot)
+    fixtures.write_tables(spark, lake, u)
+
+    pid_file = tmp_path / "pids.txt"
+    pid_file.write_text("# seed authors\n" + "".join(f"{p}\n" for p in u.seeds_pids) + "\n")
+    journal_file = tmp_path / "journals.txt"
+    journal_file.write_text("".join(f"{j}\n" for j in u.seeds_journals))
+    assert len(u.seeds_journals) == 2  # the bulk-seed scenario under test
+
+    dest = str(tmp_path / "out.json")
+    args = [sys.executable, "-m", "dblp_crawler_spark", "-y", str(u.year_filter), "-l", "-1"]
+    for r in u.keyword_rules:
+        args += ["-k", " ".join(r)]
+    args += ["--pid-file", str(pid_file), "--journal-file", str(journal_file)]
+    args += ["--data", lroot, "--master", "local[4]", "networkx", "--dest", dest]
+    subprocess.run(args, check=True, cwd=REPO, timeout=560)
+
+    with open(dest) as f:
+        got = json.load(f)
+    assert got == oracle.dict_summary(oracle.run_oracle(u), u)
+
+
+def test_cli_filter_module_plugin(spark, tmp_path):
+    """--filter-module: a user module registers a custom transform by
+    name; the CLI output must be byte-identical to the built-in the
+    plugin reimplements via the generic combinators."""
+    u = fixtures.make_universe(n_authors=60, n_pubs=150, n_venues=5, seed=3)
+    lroot = str(tmp_path / "clilake")
+    lake = Lakehouse(spark, lroot)
+    fixtures.write_tables(spark, lake, u)
+
+    dest = str(tmp_path / "out.json")
+    args = [sys.executable, "-m", "dblp_crawler_spark", "-y", str(u.year_filter)]
+    for r in u.keyword_rules:
+        args += ["-k", " ".join(r)]
+    for p in u.seeds_pids:
+        args += ["-p", p]
+    args += ["--data", lroot, "--master", "local[4]", "networkx", "--dest", dest]
+    subprocess.run(args, check=True, cwd=REPO, timeout=560)
+
+    plugin_dir = tmp_path / "plugins"
+    plugin_dir.mkdir()
+    (plugin_dir / "my_filters.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "from dblp_crawler_spark.filter import map_cooperation, register_filter\n"
+        "\n"
+        "@register_filter('my_recent_coop')\n"
+        "def my_recent_coop(sn, se, sp, raw):\n"
+        "    return sn, map_cooperation(se, sp, F.col('year') >= int(raw)), sp\n"
+    )
+    env = dict(os.environ, PYTHONPATH=f"{plugin_dir}:{os.environ.get('PYTHONPATH', '')}")
+
+    out_plugin = str(tmp_path / "plugin.json")
+    subprocess.run(
+        [sys.executable, "-m", "dblp_crawler_spark.filter", "-i", dest, "-o", out_plugin,
+         "--filter-module", "my_filters", "-f", "my_recent_coop=2010",
+         "--master", "local[4]"],
+        check=True, cwd=REPO, timeout=560, env=env,
+    )
+    out_builtin = str(tmp_path / "builtin.json")
+    subprocess.run(
+        [sys.executable, "-m", "dblp_crawler_spark.filter", "-i", dest, "-o", out_builtin,
+         "-f", "drop_old_cooperation=2010", "--master", "local[4]"],
+        check=True, cwd=REPO, timeout=560,
+    )
+    with open(out_plugin) as f, open(out_builtin) as g:
+        assert json.load(f) == json.load(g)

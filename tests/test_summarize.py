@@ -66,3 +66,62 @@ def test_filters_f5(spark, crawled):
 
     se4 = S.drop_edges_by_all_publications(se, 2)
     assert all(len(r.cooperation) >= 2 for r in se4.collect())
+
+
+def _rows(df):
+    """Hashable row set (array columns → tuples)."""
+    return {
+        tuple(tuple(v) if isinstance(v, list) else v for v in r) for r in df.collect()
+    }
+
+
+def test_generic_combinators_reproduce_builtins(spark, crawled):
+    """F5 combinator half (reference filter/utils.py:13-77): the
+    generic map_* hooks must reproduce the named built-ins exactly —
+    the done-criterion for the extension point."""
+    from dblp_crawler_spark import filter as FL
+
+    lake, res = crawled
+    nodes, edges, pubs = lake.read("nodes"), lake.read("edges"), lake.read("publications")
+    sn, se = S.summary_nodes(nodes, edges), S.summary_edges(nodes, edges)
+
+    y = 2015
+    assert _rows(FL.map_person_publications(sn, pubs, F.col("year") >= y)) == _rows(
+        S.drop_old_person_publications(sn, pubs, y)
+    )
+    assert _rows(FL.map_cooperation(se, pubs, F.col("year") >= y)) == _rows(
+        S.drop_old_cooperation(se, pubs, y)
+    )
+    n = 5
+    wn, we = S.drop_nodes_by_all_publications(sn, se, n)
+    gn, ge = FL.map_node(sn, se, F.size("all_pubs") >= n)
+    assert _rows(gn) == _rows(wn) and _rows(ge) == _rows(we)
+    assert _rows(FL.map_edge(se, F.size("cooperation") >= 2)) == _rows(
+        S.drop_edges_by_all_publications(se, 2)
+    )
+
+
+def test_filter_registry_custom_transform(spark, crawled):
+    """A registered custom transform goes through the same resolve
+    path the CLI uses and equals the built-in it reimplements."""
+    from dblp_crawler_spark import filter as FL
+    from dblp_crawler_spark.filter.__main__ import apply_filter
+
+    lake, res = crawled
+    nodes, edges, pubs = lake.read("nodes"), lake.read("edges"), lake.read("publications")
+    sn, se = S.summary_nodes(nodes, edges), S.summary_edges(nodes, edges)
+
+    @FL.register_filter("recent_pubs_only_test")
+    def _recent(sn, se, sp, raw):
+        return FL.map_person_publications(sn, sp, F.col("year") >= int(raw)), se, sp
+
+    try:
+        gn, ge, gp = apply_filter("recent_pubs_only_test=2015", sn, se, pubs)
+        wn, we, wp = apply_filter("drop_old_person_publications=2015", sn, se, pubs)
+        assert _rows(gn) == _rows(wn)
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="unknown filter"):
+            apply_filter("no_such_filter=1", sn, se, pubs)
+    finally:
+        del FL.FILTER_REGISTRY["recent_pubs_only_test"]
