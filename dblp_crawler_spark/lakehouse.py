@@ -386,6 +386,57 @@ class Lakehouse:
             return m["snapshot"]
         return self.overwrite(table, self.read(table), merge_keys=m["merge_keys"])
 
+    def merge_small_layers(self, table: str, max_layers: int = 8) -> int:
+        """Size-tiered layer merge for APPEND tables (Iceberg
+        rewrite_data_files binpack strategy): when the manifest holds
+        more than `max_layers` layers, fold the SMALLEST ones into a
+        single new layer so the layer count drops back to
+        `max_layers`. Append-heavy tables (crawl_order, seen_pubs,
+        edges, publications, metrics) gain one small layer per wave
+        forever; without this their manifests and per-read file lists
+        grow unboundedly on long crawls.
+
+        Unlike `compact()`, write cost is O(merged rows), NOT
+        O(table): the largest layers are never rewritten once they
+        out-grow the merge set, so total rewrite work over a crawl's
+        life amortizes to O(n log n) (LSM size-tiering) rather than
+        O(n * waves). Result-identical: an unkeyed table's read is
+        the union of its layers, which merging preserves row-for-row.
+
+        Keyed tables delegate to `compact()` (and only past the
+        layer bound): their last-writer-wins resolution orders rows
+        by commit seq, and rewriting a non-contiguous layer subset
+        under a single new seq could reorder wins.
+        """
+        if not self.exists(table):
+            return -1
+        m = self.manifest(table)
+        layers = m["layers"]
+        if len(layers) <= max_layers:
+            return m["snapshot"]
+        if m.get("merge_keys"):
+            return self.compact(table)
+        by_rows = sorted(layers, key=lambda l: (l["rows"], l["seq"]))
+        victims = by_rows[: len(layers) - max_layers + 1]
+        victim_dirs = {v["dir"] for v in victims}
+        keep = [l for l in layers if l["dir"] not in victim_dirs]
+        snap = self._next_snap(table)
+        # 0-row layers contribute nothing to the union — drop them
+        # from the manifest without scanning them
+        nonempty = sorted(v["dir"] for v in victims if v["rows"] > 0)
+        extra = {k: m[k] for k in ("schema_json",) if k in m}
+        if nonempty:
+            merged = self.spark.read.parquet(
+                *[os.path.join(self._tdir(table), d) for d in nonempty]
+            )
+            keep = keep + [self._write_layer(table, merged, snap)]
+        elif not keep and "schema_json" not in extra:
+            # all layers empty and no recorded schema: keep one empty
+            # layer so read() stays typed
+            keep = [victims[0]]
+        self._commit(table, keep, snap, extra)
+        return snap
+
     def n_layers(self, table: str) -> int:
         return len(self.manifest(table)["layers"])
 

@@ -99,6 +99,11 @@ class CrawlConfig:
     # every N waves (Iceberg rewrite_data_files cadence) — bounds
     # read amplification while keeping per-wave writes O(wave delta)
     compact_every: int = 8
+    # append-heavy tables (crawl_order, seen_pubs, edges,
+    # publications, nodes, emitted_persons, metrics) gain one layer
+    # per wave; on the compact cadence their smallest layers are
+    # size-tier merged back under this bound (0 = never)
+    max_append_layers: int = 8
     # AQE during the wave core. The wave DAG has a FIXED shape
     # (broadcast fetch join, budget-bounded batches, keyed MoR
     # commits), so adaptive re-planning buys nothing and each AQE
@@ -510,6 +515,16 @@ class CrawlEngine:
             # no-op on unkeyed or single-layer tables.
             lake.compact("frontier")
             lake.compact(self.bloom.table)
+            if cfg.max_append_layers:
+                # size-tier merge the per-wave append layers so long
+                # crawls keep bounded manifests (ADVICE r2 / verdict
+                # item 8); O(merged rows) per merge, LSM-amortized
+                for t in (
+                    "crawl_order", "seen_pubs", "edges", "publications",
+                    "nodes", "emitted_persons", "metrics",
+                ):
+                    if lake.exists(t):
+                        lake.merge_small_layers(t, cfg.max_append_layers)
         self._save_state()
         return m
 

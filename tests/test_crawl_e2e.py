@@ -86,12 +86,20 @@ def test_engine_with_bloom_matches_oracle(spark, lake):
     u = fixtures.make_universe(n_authors=60, n_pubs=150, n_venues=5, seed=3)
     res = oracle.run_oracle(u, host_budget=None, max_attempts=2)
     run_engine(spark, lake, u, host_budget=None, max_attempts=2, use_bloom=True,
-               bloom_buckets=8, bloom_bits=1 << 12, compact_every=2)
+               bloom_buckets=8, bloom_bits=1 << 12, compact_every=2,
+               max_append_layers=2)
     e_order, e_seen, e_nodes, e_edges, e_pubs = collect_engine(lake)
     o_order, o_seen, o_nodes, o_edges, o_pubs = oracle_views(res, u)
     assert e_seen == o_seen
     assert e_order == o_order
     assert e_nodes == o_nodes and e_edges == o_edges and e_pubs == o_pubs
+    # verdict r2 item 8: append-per-wave tables stay layer-bounded
+    # under the compaction cadence (max_append_layers=2 + one layer
+    # per wave since the last merge) with results unchanged (above)
+    for t in ("crawl_order", "seen_pubs", "edges", "publications",
+              "nodes", "emitted_persons", "metrics"):
+        if lake.exists(t):
+            assert lake.n_layers(t) <= 2 + 2, f"{t} layers unbounded"
 
 
 def test_limit_bounds_waves(spark, lake, universe):
