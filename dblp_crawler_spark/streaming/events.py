@@ -87,12 +87,21 @@ def sessionize_stateful(
     state-API form for ordered streams.
 
     `idle_timeout=True` additionally flushes an idle user's open
-    session via ProcessingTimeTimeout after one gap of silence.
-    Default off: this container's Spark 4.1.2 hits an internal
-    planner NPE (PythonSQLMetrics on a null-session SparkPlan) when
-    the timeout-only micro-batch plans after an availableNow drain —
-    the data results are already committed when it fires, but a
-    clean run keeps it disabled.
+    session WITHOUT a follow-up event from that user, via
+    EventTimeTimeout: a 0-delay watermark is stamped on `ts` and
+    each open session arms a timeout at `last_ts + gap`; when OTHER
+    users' events advance the event-time watermark past that point,
+    the next micro-batch fires the timeout and emits the closed
+    session. Event-time is the correct clock here — the flush means
+    "no event can close this gap any more", which a wall clock
+    cannot know. (ProcessingTimeTimeout was tried first and is
+    unusable under `availableNow` on Spark 4.1.2: with a pending
+    processing-time timer the drained query busy-loops timeout-only
+    micro-batches — hundreds of state-store commits, never
+    terminates. Event-time timeouts only fire when data moves the
+    watermark, so the drain terminates normally.) Timeouts use the
+    watermark as of the PREVIOUS batch, so a flush lands one
+    data-carrying micro-batch after the watermark passes it.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -160,7 +169,11 @@ def sessionize_stateful(
         tail = sessions.iloc[-1]
         state.update((int(tail["start"]), int(tail["last"]), int(tail["n"]), float(tail["sv"])))
         if idle_timeout:
-            state.setTimeoutDuration(gap_ms)
+            # must be strictly past the current watermark or Spark
+            # rejects it; an already-overdue session then fires on
+            # the very next watermark advance
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(int(tail["last"]) + gap_ms, wm + 1))
         if len(closed):
             yield pd.DataFrame(
                 {
@@ -172,9 +185,11 @@ def sessionize_stateful(
                 }
             )
 
-    conf = (
-        GroupStateTimeout.ProcessingTimeTimeout if idle_timeout else GroupStateTimeout.NoTimeout
-    )
+    conf = GroupStateTimeout.EventTimeTimeout if idle_timeout else GroupStateTimeout.NoTimeout
+    if idle_timeout and events.isStreaming:
+        # ordered-stream contract (above): no lateness allowance —
+        # the watermark tracks the max seen event time
+        events = events.withWatermark("ts", "0 seconds")
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", conf
     )

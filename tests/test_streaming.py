@@ -127,6 +127,51 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stateful_sessionization_idle_timeout_flush(spark, tmp_path):
+    """EventTimeTimeout idle flush: a user whose stream goes silent
+    gets their open session emitted WITHOUT any follow-up event from
+    them, once other users' events push the event-time watermark past
+    last_ts + gap. Three files driven as three micro-batches in ONE
+    availableNow run (maxFilesPerTrigger=1): file 1 opens user 1's
+    session, files 2-3 carry only user 2 — whose timestamps advance
+    the watermark and fire user 1's timeout in the final batch."""
+    import datetime as dt
+
+    from dblp_crawler_spark.streaming.events import sessionize_stateful
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    f1 = [(i, 1, base + dt.timedelta(minutes=5 * i), 1.0) for i in range(3)]
+    f2 = [(10, 2, base + dt.timedelta(hours=2), 2.0), (11, 2, base + dt.timedelta(hours=2, minutes=5), 2.0)]
+    f3 = [(12, 2, base + dt.timedelta(hours=3), 3.0)]
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    for rows in (f1, f2, f3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sessionize_stateful(stream, gap_minutes=30, idle_timeout=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "availableNow drain must terminate (no timeout busy-loop)"
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        # user 1's idle session: flushed by timeout, no follow-up event
+        (1, base, base + dt.timedelta(minutes=10)): (3, 3.0),
+        # user 2's first session: closed by their own later event (data path)
+        (2, base + dt.timedelta(hours=2), base + dt.timedelta(hours=2, minutes=5)): (2, 4.0),
+    }
+    assert got == want  # user 2's final session is still open -> absent
+
+
 def test_streaming_xml_ingestion(spark, universe, tmp_path):
     """The fetch→parse ingestion as a stream: raw XML documents land
     in a directory source; the Arrow-batched parser (mapInPandas)
