@@ -296,6 +296,20 @@ def q_embedding_near_dup(spark, sf_dir):
     return D.embedding_near_dups(emb, block_col="label", threshold=0.3)
 
 
+def q_embedding_near_dup_planted(spark, sf_dir):
+    """Near-dup semantics at a MEANINGFUL τ (0.9): the driver's
+    synthetic embeddings contain no natural near-dups, so every 10th
+    vector is planted back with id+1000000 — each plant pairs with
+    its source at cosine ~1.0. Exercises the high-τ path end-to-end
+    with a DuckDB oracle over the identically-augmented input."""
+    emb = _t(spark, sf_dir, "embeddings")
+    plants = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    aug = emb.select("vec_id", "embedding", "label").unionByName(plants)
+    return D.embedding_near_dups(aug, block_col="label", threshold=0.9)
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup pairs → transitive duplicate clusters (connected
     components by min-label propagation). The grouping step after
@@ -319,6 +333,22 @@ def q_dedup_drop_list(spark, sf_dir):
     return cc.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("vec_id"), F.col("component").alias("keep_vec_id")
     )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing ≥1 distinct 8-gram
+    with a 'benchmark' set. The benchmark is synthesized from the
+    corpus itself (every 97th doc contributes tokens 5-24 as one
+    eval item) so contamination is planted and the result non-empty
+    at every SF. The engine joins on xxhash64(gram) — the 100 TB
+    shape — while the oracle joins raw gram strings; outputs are
+    per-doc counts, identical short of 64-bit collisions."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.tokens_all("text")
+    bench = docs.filter((F.col("doc_id") % 97 == 0) & (F.size(toks) >= 24)).select(
+        F.array_join(F.slice(toks, 5, 20), " ").alias("text")
+    )
+    return D.decontaminate(docs, bench, n=8, min_overlap=1)
 
 
 def q_text_repetition(spark, sf_dir):
@@ -428,6 +458,21 @@ def q_text_quality(spark, sf_dir):
         F.round(F.avg(T.quality_score("text")), 4).alias("avg_quality"),
         F.round(F.avg(T.punct_ratio("text")), 4).alias("avg_punct"),
     )
+
+
+def q_pipeline_source_cap(spark, sf_dir):
+    """Per-domain quota: top-25 docs per source by (quality DESC,
+    doc_id ASC) — window group limit, one shuffle keyed on source."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.per_source_cap(docs, n=25)
+
+
+def q_pipeline_pack_shards(spark, sf_dir):
+    """Token-budget sequence packing into ~2000-token shards —
+    distributed exclusive prefix sum (range partition + per-
+    partition running sums + broadcast partition totals)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.pack_shards(docs, shard_tokens=2000)
 
 
 def q_text_lang_id(spark, sf_dir):
@@ -583,8 +628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_planted": q_embedding_near_dup_planted,
         "dedup_components": q_dedup_components,
         "dedup_drop_list": q_dedup_drop_list,
+        "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "text_top_ngrams": q_text_top_ngrams,
         "pipeline_curation": q_pipeline_curation,
@@ -594,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_quality": q_text_quality,
+        "pipeline_source_cap": q_pipeline_source_cap,
+        "pipeline_pack_shards": q_pipeline_pack_shards,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed_agg,
@@ -728,12 +777,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
         """,
+        "decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOK} AS tk FROM documents
+            ), bsh AS (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(
+                  CASE WHEN len(sl) >= 8 THEN
+                    list_transform(range(1, len(sl) - 6), i -> array_to_string(sl[i:i+7], ' '))
+                  ELSE [array_to_string(sl, ' ')] END) AS g
+                FROM (SELECT tk[5:24] AS sl FROM toks WHERE doc_id % 97 = 0 AND len(tk) >= 24))
+            ), dsh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id, unnest(
+                  CASE WHEN len(tk) >= 8 THEN
+                    list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))
+                  ELSE [array_to_string(tk, ' ')] END) AS g
+                FROM toks)
+            )
+            SELECT d.doc_id, COUNT(*) AS n_hits
+            FROM dsh d JOIN bsh b ON d.g = b.g
+            GROUP BY d.doc_id HAVING COUNT(*) >= 1
+        """,
         "embedding_near_dup": """
             SELECT a.vec_id AS a, b.vec_id AS b,
                    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        """,
+        "embedding_near_dup_planted": """
+            WITH aug AS (
+              SELECT vec_id, embedding, label FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding, label
+              FROM embeddings WHERE vec_id % 10 = 0
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM aug a JOIN aug b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
         """,
         "dedup_components": """
             WITH RECURSIVE pairs AS (
@@ -872,6 +956,29 @@ def oracle_sql() -> dict[str, str]:
                        + (CASE WHEN swr >= 0.01 THEN 0.3 ELSE 0.0 END), 6)), 4) AS avg_quality,
                    ROUND(AVG(punct), 4) AS avg_punct
             FROM s GROUP BY source
+        """,
+        "pipeline_source_cap": f"""
+            WITH s AS (
+              SELECT doc_id, source,
+                ROUND((CASE WHEN len({_TOK}) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                  + (CASE WHEN (CASE WHEN length(text) > 0 THEN
+                        length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(text)
+                      ELSE 0.0 END) <= 0.1 THEN 0.3 ELSE 0.0 END)
+                  + (CASE WHEN (CASE WHEN len({_TOK}) > 0 THEN
+                        len(list_filter({_TOK}, t -> list_contains(['{SW_LIST}'], t)))::DOUBLE / len({_TOK})
+                      ELSE 0.0 END) >= 0.01 THEN 0.3 ELSE 0.0 END), 6)::DOUBLE AS quality
+              FROM documents)
+            SELECT doc_id, source, quality, rk FROM (
+              SELECT doc_id, source, quality,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC)::INTEGER AS rk
+              FROM s)
+            WHERE rk <= 25
+        """,
+        "pipeline_pack_shards": f"""
+            SELECT doc_id, n_tokens,
+                   CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
+            FROM (SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents)
         """,
         "text_lang_id": f"""
             WITH s AS (

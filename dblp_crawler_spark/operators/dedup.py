@@ -227,6 +227,50 @@ def ngram_jaccard_pairs(docs: DataFrame, block_col: str, text_col: str = "text",
     )
 
 
+# ---- benchmark decontamination ---------------------------------------------
+def decontaminate(docs: DataFrame, benchmark: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bench_text_col: str = "text", n: int = 8,
+                  min_overlap: int = 1, hash_shingles: bool = True,
+                  broadcast_bench: bool = True) -> DataFrame:
+    """Training-set decontamination: flag documents that share at
+    least `min_overlap` DISTINCT word n-grams with any benchmark
+    item — the n-gram-collision audit run on pre-training corpora
+    against eval sets (n typically 8-13). Returns
+    (id_col, n_hits) for flagged docs.
+
+    Plan for 100 TB: the benchmark side collapses to DISTINCT n-gram
+    hashes — longs, and an eval suite is MBs not TBs, so it
+    broadcasts; the corpus side explodes to (doc_id, gram_hash) and
+    the hit count runs with map-side partial aggregation. Document
+    text never crosses a shuffle, and with `hash_shingles` neither
+    do the gram strings. Set broadcast_bench=False for a huge
+    benchmark side (plain equi-join on the hash instead).
+    `hash_shingles=False` joins on raw gram strings — same result
+    short of 64-bit collisions; it exists for cross-engine oracles.
+    """
+    sh_doc = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("g"))
+    sh_bench = benchmark.select(F.explode(shingles(bench_text_col, n)).alias("g"))
+    if hash_shingles:
+        sh_doc = sh_doc.select(id_col, F.xxhash64("g").alias("g"))
+        sh_bench = sh_bench.select(F.xxhash64("g").alias("g"))
+    sh_bench = sh_bench.distinct()
+    if broadcast_bench:
+        sh_bench = F.broadcast(sh_bench)
+    return (
+        sh_doc.join(sh_bench, "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").alias("n_hits"))
+        .filter(F.col("n_hits") >= int(min_overlap))
+    )
+
+
+def drop_contaminated(docs: DataFrame, benchmark: DataFrame, **kw) -> DataFrame:
+    """The pipeline verb: remove flagged docs (anti-join on the
+    contamination list)."""
+    id_col = kw.get("id_col", "doc_id")
+    return docs.join(decontaminate(docs, benchmark, **kw), id_col, "left_anti")
+
+
 # ---- embedding cosine near-dup ------------------------------------------------
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine over two array<float> columns — zip_with dot product,

@@ -110,6 +110,67 @@ def quality_score(text: Column | str) -> Column:
     return F.round(len_ok + punct_ok + sw_ok, 6)
 
 
+def pack_shards(docs: DataFrame, shard_tokens: int, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Sequence packing: walk docs in id order and assign
+    shard = floor(exclusive_prefix_tokens / shard_tokens) —
+    consecutive docs fill a training shard until its token budget is
+    crossed, then the next shard starts. Returns
+    (id, n_tokens, shard).
+
+    Same two-pass distributed prefix sum as the crawl's
+    `global_sequence` (operators/scheduler.py): range partition on
+    id, per-partition running sum in parallel, then the exclusive
+    prefix of the per-partition token TOTALS (a #partitions-row
+    aggregate) broadcast back. No global single-partition window —
+    the only Window.orderBy with no partition key runs over the
+    tiny totals aggregate."""
+    from pyspark.sql import Window
+
+    n_part = max(2, docs.sparkSession.sparkContext.defaultParallelism)
+    d = (
+        docs.select(F.col(id_col), token_count(text_col).cast("long").alias("n_tokens"))
+        .repartitionByRange(n_part, id_col)
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("__t"))
+        .select("__pid", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"))
+    )
+    w_run = Window.partitionBy("__pid").orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    prior = F.coalesce(F.sum("n_tokens").over(w_run), F.lit(0)) + F.col("__off")
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn("shard", F.floor(prior / F.lit(int(shard_tokens))).cast("long"))
+        .select(id_col, "n_tokens", "shard")
+    )
+
+
+def per_source_cap(docs: DataFrame, n: int, source_col: str = "source",
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Domain quota sampling: keep the top-`n` docs per source by
+    (quality DESC, id ASC) — the per-domain cap of corpus mixing,
+    which stops one dominant domain from swamping the training mix.
+
+    Scale shape: ONE shuffle keyed on source; rank ≤ n is a window
+    group limit, which Spark pushes below the sort (per-partition
+    top-n heaps, WindowGroupLimit in the plan) — no domain's full
+    doc list is ever sorted in one task beyond its top-n. A skewed
+    mega-domain still maps to one partition; cap-then-recap salting
+    applies if a single domain outgrows an executor."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(F.desc("quality"), F.asc(id_col))
+    return (
+        docs.select(F.col(id_col), F.col(source_col), quality_score(text_col).alias("quality"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(n))
+    )
+
+
 _FP_MOD = (1 << 31) - 1  # Mersenne prime keeps acc*31+h < 2^63 (ANSI-safe)
 
 

@@ -216,3 +216,64 @@ def test_bpe_token_count(spark):
     got = {r.doc_id: r.n for r in df.select("doc_id", T.bpe_token_count("text").alias("n")).collect()}
     # hello , world ! gpt - 4 is 100 x faster . . . → 14
     assert got == {0: 14, 1: 0, 2: 3}
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Planted contamination: doc 0 contains the benchmark sentence
+    verbatim (all its 4-grams hit), doc 1 shares a partial window,
+    doc 2 is clean. drop_contaminated removes exactly the flagged
+    docs; the hashed and raw-string paths agree."""
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "intro words then alpha beta gamma delta epsilon zeta and more"),
+            (1, "only beta gamma delta epsilon here nothing else aligns fully"),
+            (2, "entirely clean document with no overlapping token windows at all"),
+        ],
+        "doc_id long, text string",
+    )
+    # n=4: bench has 3 distinct 4-grams; doc 0 contains all 3,
+    # doc 1 contains exactly the middle one
+    hits = {r.doc_id: r.n_hits for r in D.decontaminate(docs, bench, n=4).collect()}
+    assert hits == {0: 3, 1: 1}
+    # min_overlap raises the bar past doc 1's single collision
+    hits2 = {r.doc_id for r in D.decontaminate(docs, bench, n=4, min_overlap=2).collect()}
+    assert hits2 == {0}
+    # raw-string join path is result-identical to the hashed path
+    raw = {r.doc_id: r.n_hits for r in D.decontaminate(docs, bench, n=4, hash_shingles=False).collect()}
+    assert raw == hits
+    kept = {r.doc_id for r in D.drop_contaminated(docs, bench, n=4).collect()}
+    assert kept == {2}
+
+
+def test_per_source_cap_quota_and_plan(spark, docs):
+    """Per-domain cap: exactly min(n, domain size) docs survive per
+    source, ranked (quality DESC, doc_id ASC); the rank filter must
+    push below the window sort (WindowGroupLimit) so no domain is
+    fully sorted in one task."""
+    capped = T.per_source_cap(docs, n=2)
+    rows = sorted((r.source, r.rk, r.doc_id) for r in capped.collect())
+    by_src = {}
+    for s, rk, i in rows:
+        by_src.setdefault(s, []).append((rk, i))
+    assert len(by_src["a"]) == 2 and len(by_src["b"]) == 2
+    assert [rk for rk, _ in by_src["a"]] == [1, 2]
+    # all fixture docs tie on quality -> rank order falls back to doc_id
+    assert [i for _, i in by_src["a"]] == sorted(i for _, i in by_src["a"])
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_pack_shards_prefix_sum(spark):
+    """Shard assignment equals the serial exclusive-prefix-sum rule
+    (floor(prior_tokens / budget)) computed in plain Python."""
+    rows = [(i, "w " * (i % 7 + 1)) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.shard) for r in T.pack_shards(docs, shard_tokens=10).collect()}
+    prior = 0
+    for i in range(50):
+        n = i % 7 + 1
+        assert got[i] == (n, prior // 10), f"doc {i}"
+        prior += n

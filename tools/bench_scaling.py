@@ -156,6 +156,20 @@ def write_md(primary: dict, secondary: dict, n_runs: int, path: str) -> None:
         eff2_med=secondary["scaling_efficiency_median"],
         runs_low2=lo2["all_runs"], runs_high2=hi2["all_runs"],
     )
+    # refreshing the scaling evidence must not clobber the A/B
+    # sections appended below it across rounds: carry over every
+    # section the template itself does not produce
+    template_heads = ("# BENCH", "## Primary pair:", "## Secondary pair:")
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        kept = [
+            "## " + part
+            for part in old.split("\n## ")[1:]
+            if not any(("## " + part).startswith(h) for h in template_heads)
+        ]
+        if kept:
+            md = md.rstrip() + "\n\n" + "\n".join(k.rstrip() + "\n" for k in kept)
     with open(path, "w") as f:
         f.write(md)
     cache_dir = os.path.join(REPO, ".bench")
