@@ -480,6 +480,66 @@ def q_text_lang_id(spark, sf_dir):
     return docs.groupBy(T.lang_id("text").alias("lang_pred")).agg(F.count("*").alias("n"))
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub with a planted payload: the driver's synthetic text
+    contains no PII, so every 7th doc gets a deterministic suffix
+    carrying one email, one IPv4, and one phone number (the same
+    expression on both engines). The entry reports per-kind match
+    counts AND md5(redacted_text) — the oracle therefore pins the
+    exact redacted bytes, not just that something was replaced. Pure
+    regexp projection, no shuffle."""
+    from dblp_crawler_spark.operators import redact as R
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit(" or +1 555-000-1234."),
+        ),
+    ).otherwise(F.col("text"))
+    p = docs.select("doc_id", planted.alias("text"))
+    counts = R.pii_counts("text")
+    return p.select(
+        "doc_id",
+        *[c.cast("long").alias(n) for n, c in counts.items()],
+        F.md5(R.redact_pii("text").cast("binary")).alias("redacted_md5"),
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 salient terms by (tf DESC, df ASC, term ASC)
+    with smoothed tf-idf values — explode → two keyed hash-aggs →
+    window group limit. Ranking key is all-integer so the selected
+    rows are engine-independent; the float score is a value column
+    rounded to 6."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, k=3)
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic 10% val split via the first 4 hex chars of
+    md5(doc_id): membership depends only on the id, so growing the
+    corpus never reassigns a doc between train and val. Pure
+    projection (no shuffle, no rand seed to disagree about)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.hash_split(val_pct=10).alias("split"))
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Corpus composition rollup per (source, predicted lang):
+    doc count, token sum, mean quality — the report a curation run
+    ends with. One map-side-partial hash-agg over one projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.corpus_mix_report(docs)
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Rolling 64-bit fingerprint (xxhash64 — rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
@@ -644,6 +704,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_source_cap": q_pipeline_source_cap,
         "pipeline_pack_shards": q_pipeline_pack_shards,
         "text_lang_id": q_text_lang_id,
+        "pii_redaction": q_pii_redaction,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "hash_split": q_hash_split,
+        "corpus_mix": q_corpus_mix,
         "text_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed_agg,
         "events_sessionization": q_events_sessionization,
@@ -990,6 +1054,70 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'unk' END AS lang_pred
               FROM documents)
             SELECT lang_pred, COUNT(*) AS n FROM s GROUP BY lang_pred
+        """,
+        "pii_redaction": r"""
+            WITH p AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN
+                  text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com from 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+                       || '.' || CAST(doc_id % 11 AS VARCHAR)
+                       || ' or +1 555-000-1234.'
+                ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+              len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+              len(regexp_extract_all(text, '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}')) AS n_phone,
+              md5(regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g')) AS redacted_md5
+            FROM p
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            nn AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT doc_id, term, tf, df, rk,
+                   ROUND(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+            FROM (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, nn.n,
+                     ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                         ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rk
+              FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
+            WHERE rk <= 3
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "corpus_mix": f"""
+            WITH s AS (
+              SELECT source,
+                CASE
+                  WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
+                  WHEN len({_TOK}) > 0 AND
+                       len(list_filter({_TOK}, t -> list_contains(['{SW_LIST}'], t)))::DOUBLE
+                       / len({_TOK}) >= 0.05 THEN 'en'
+                  ELSE 'unk' END AS lang_pred,
+                len({_TOK})::BIGINT AS n_tok,
+                ROUND((CASE WHEN len({_TOK}) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                  + (CASE WHEN (CASE WHEN length(text) > 0 THEN
+                        length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / length(text)
+                      ELSE 0.0 END) <= 0.1 THEN 0.3 ELSE 0.0 END)
+                  + (CASE WHEN (CASE WHEN len({_TOK}) > 0 THEN
+                        len(list_filter({_TOK}, t -> list_contains(['{SW_LIST}'], t)))::DOUBLE / len({_TOK})
+                      ELSE 0.0 END) >= 0.01 THEN 0.3 ELSE 0.0 END), 6) AS q
+              FROM documents)
+            SELECT source, lang_pred, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(q), 6) AS avg_quality
+            FROM s GROUP BY source, lang_pred
         """,
         "events_windowed_agg": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

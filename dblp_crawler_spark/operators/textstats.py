@@ -215,3 +215,85 @@ def bpe_token_count(text: Column | str) -> Column:
     tokenization). Pure regexp_extract_all, no UDF."""
     t = F.lower(F.col(text) if isinstance(text, str) else text)
     return F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document salient terms: the k terms ranked by
+    (tf DESC, df ASC, term ASC) with their smoothed tf-idf score
+    tf * ln((N+1)/(df+1)) — keyword extraction for corpus search /
+    topic tagging. The RANKING key is all-integer (term frequency,
+    then corpus rarity, then lexicographic), so the selected rows are
+    bit-identical across engines; the float score is a reported
+    value, rounded to 6.
+
+    Scale shape: explode(tokens) → (doc,term) hash-agg with map-side
+    partials; df is a second hash-agg over the distinct (doc,term)
+    pairs (already deduped by the tf agg — no count_distinct blowup);
+    N is a broadcast scalar; per-doc top-k is a window group limit
+    (rank ≤ k pushed below the sort: per-partition heaps, never a
+    full per-doc sort). Three shuffles total, each keyed and
+    partial-aggregated — the plan you'd want at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), F.explode(tokens_all(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.col("rk").cast("long").alias("rk"),
+            F.round(F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1)), 6).alias("tfidf"),
+        )
+    )
+
+
+def hash_split(val_pct: int = 10, id_col: str = "doc_id") -> Column:
+    """Deterministic train/val assignment: 'val' iff the first 4 hex
+    chars of md5(id) fall below val_pct% of 0x10000. Fixed-width
+    lowercase hex compares lexicographically == numerically, and both
+    Spark and DuckDB emit the same md5 hex for the same UTF-8 string,
+    so the split is portable and bit-stable.
+
+    Why this over row_number % k or rand(seed): it is a pure
+    projection (no shuffle, no window), and membership depends only
+    on the id — adding or removing other documents never reassigns a
+    doc between train and val (the property that keeps eval sets
+    uncontaminated as the corpus grows).
+    """
+    threshold = f"{(int(val_pct) * 0x10000) // 100:04x}"
+    h4 = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4)
+    return F.when(h4 < F.lit(threshold), F.lit("val")).otherwise(F.lit("train"))
+
+
+def corpus_mix_report(docs: DataFrame, text_col: str = "text",
+                      source_col: str = "source") -> DataFrame:
+    """The corpus composition rollup a data run ends with: per
+    (source, predicted language) — document count, token sum, mean
+    quality. One hash-agg with map-side partials over a single
+    projection; group-key cardinality is #sources × #langs (tiny), so
+    the shuffle is a few rows per partition at any corpus size."""
+    return (
+        docs.select(
+            F.col(source_col).alias("source"),
+            lang_id(text_col).alias("lang_pred"),
+            token_count(text_col).cast("long").alias("n_tok"),
+            quality_score(text_col).alias("q"),
+        )
+        .groupBy("source", "lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+    )

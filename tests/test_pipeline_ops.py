@@ -277,3 +277,78 @@ def test_pack_shards_prefix_sum(spark):
         n = i % 7 + 1
         assert got[i] == (n, prior // 10), f"doc {i}"
         prior += n
+
+
+def test_pii_redaction_planted(spark):
+    """Planted email/IP/phone are all replaced by their placeholders;
+    clean text passes through byte-identical; counts audit the raw
+    matches."""
+    from dblp_crawler_spark.operators import redact as R
+
+    rows = [
+        (0, "write to alice.smith+x@example-mail.co.uk for details"),
+        (1, "server at 10.0.3.217 answered"),
+        (2, "call +1 555-000-1234 or +44 020-946-0018 today"),
+        (3, "nothing sensitive here, just 1.2 release notes"),
+        (4, "a@b.io and 192.168.0.1 and +1 555-111-2222 together"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in R.redact_documents(docs).collect()}
+    assert out[0].n_email == 1 and out[0].redacted == "write to <EMAIL> for details"
+    assert out[1].n_ip == 1 and out[1].redacted == "server at <IP> answered"
+    assert out[2].n_phone == 2 and out[2].redacted == "call <PHONE> or <PHONE> today"
+    assert out[3].redacted == rows[3][1]  # untouched, incl. "1.2"
+    assert (out[4].n_email, out[4].n_ip, out[4].n_phone) == (1, 1, 1)
+    assert out[4].redacted == "<EMAIL> and <IP> and <PHONE> together"
+
+
+def test_tfidf_top_terms_ranking(spark):
+    """tf breaks first, corpus rarity (df) second, term asc last;
+    ubiquitous terms rank below doc-frequent rare terms."""
+    rows = [
+        (0, "spark spark spark common rare0"),
+        (1, "common spark tuning tuning"),
+        (2, "common other words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.rk): (r.term, r.tf, r.df) for r in T.tfidf_top_terms(docs, k=2).collect()}
+    assert got[(0, 1)] == ("spark", 3, 2)          # highest tf wins
+    assert got[(0, 2)] == ("rare0", 1, 1)          # tf tie vs 'common': rarer df wins
+    assert got[(1, 1)] == ("tuning", 2, 1)
+    assert got[(2, 1)][1:] == (1, 1)               # all tf=1 -> df then term asc
+    # scores are monotone with rank within a doc
+    sc = {(r.doc_id, r.rk): r.tfidf for r in T.tfidf_top_terms(docs, k=2).collect()}
+    assert sc[(0, 1)] >= sc[(0, 2)]
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """Same ids always land in the same split; assignment is
+    unchanged when unrelated rows are added (the eval-set stability
+    property); val fraction is in a sane band at 10%."""
+    a = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in a.select("doc_id", T.hash_split(10).alias("split")).collect()}
+    b = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s2 = {r.doc_id: r.split for r in b.select("doc_id", T.hash_split(10).alias("split")).collect()}
+    assert all(s2[i] == s1[i] for i in s1)  # growth never reassigns
+    frac = sum(v == "val" for v in s1.values()) / len(s1)
+    assert 0.05 < frac < 0.15
+    # md5-prefix rule matches an independent Python computation
+    import hashlib
+
+    for i in (0, 1, 17, 999):
+        expect = "val" if hashlib.md5(str(i).encode()).hexdigest()[:4] < "1999" else "train"
+        assert s1[i] == expect, i
+
+
+def test_corpus_mix_report(spark):
+    """Rollup counts docs and sums tokens per (source, lang)."""
+    rows = [
+        (0, "the cat is on the mat and it is flat", "a"),
+        (1, "qwz brr xyzzy", "a"),
+        (2, "the dog was in the fog and it was agog", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.source, r.lang_pred): (r.n_docs, r.total_tokens) for r in T.corpus_mix_report(docs).collect()}
+    assert got[("a", "en")] == (1, 10)
+    assert got[("a", "unk")] == (1, 3)
+    assert got[("b", "en")] == (1, 10)
