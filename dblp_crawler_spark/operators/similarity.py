@@ -26,7 +26,19 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine_sim
+from .dedup import cosine_sim, l2_norm
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cos_pre(qv, cv, nq, nc) -> Column:
+    """Cosine from precomputed norms: the dot/(nq*nc) expression is
+    bit-identical to cosine_sim — only where the norm folds run
+    moves (once per input row, BEFORE the candidate join/explode,
+    instead of once per candidate pair)."""
+    return _dot(qv, cv) / (F.col(nq) * F.col(nc))
 
 # centroid scoring runs through an interpreted HOF lambda: O(cells ·
 # dim) interpreted ops per corpus row. Past this many cells the build
@@ -38,10 +50,20 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                      q_id: str = "q_id", c_id: str = "vec_id",
                      q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
     """Exact top-k by cosine; deterministic tie-break on corpus id.
-    Queries are broadcast (the small side by construction)."""
-    q = F.broadcast(queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv")))
-    c = corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("__cv"))
-    scored = q.crossJoin(c).withColumn("cosine", cosine_sim(F.col("__qv"), F.col("__cv")))
+    Queries are broadcast (the small side by construction). Norms are
+    folded once per input row BEFORE the cross join (bit-identical:
+    the dot/(nq*nc) expression is unchanged), so each of the
+    |q|x|corpus| pairs costs one dot product, not three folds."""
+    from .dedup import l2_norm
+
+    q = F.broadcast(
+        queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv"))
+        .withColumn("__nq", l2_norm(F.col("__qv")))
+    )
+    c = corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("__cv")).withColumn(
+        "__nc", l2_norm(F.col("__cv"))
+    )
+    scored = q.crossJoin(c).withColumn("cosine", _cos_pre("__qv", "__cv", "__nq", "__nc"))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -173,14 +195,16 @@ def ivf_topk(queries: DataFrame, centroids: DataFrame, assigned: DataFrame, k: i
     take the top-`nprobe` cells, equi-join the (cell-partitioned)
     corpus on cell, exact re-rank inside the probed cells. Recall < 1
     by design — gated against brute_force_topk in tests."""
-    q0 = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv"))
+    q0 = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv")).withColumn(
+        "__nq", l2_norm(F.col("__qv"))
+    )
     cents, topn = _nearest_cells(F.col("__qv"), centroids, nprobe)
     probes = q0.crossJoin(cents).select(
-        F.col(q_id), F.col("__qv"), F.explode(topn).alias("cell")
+        F.col(q_id), F.col("__qv"), F.col("__nq"), F.explode(topn).alias("cell")
     )
     scored = (
-        probes.join(assigned, "cell")
-        .withColumn("cosine", cosine_sim(F.col("__qv"), F.col("vec")))
+        probes.join(assigned.withColumn("__nc", l2_norm(F.col("vec"))), "cell")
+        .withColumn("cosine", _cos_pre("__qv", "vec", "__nq", "__nc"))
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
     return (
@@ -207,15 +231,19 @@ def ivf_topk_pruned(spark, path: str, queries: DataFrame, centroids: DataFrame,
     a tiny aggregate, never the vectors — and prunes the scan to
     those directories; then the same exact in-cell re-rank as
     ivf_topk. Result-identical to ivf_topk over the same index."""
-    q0 = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv"))
+    q0 = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv")).withColumn(
+        "__nq", l2_norm(F.col("__qv"))
+    )
     cents, topn = _nearest_cells(F.col("__qv"), centroids, nprobe)
     probes = q0.crossJoin(cents).select(
-        F.col(q_id), F.col("__qv"), F.explode(topn).alias("cell")
+        F.col(q_id), F.col("__qv"), F.col("__nq"), F.explode(topn).alias("cell")
     )
     wanted = [r[0] for r in probes.select("cell").distinct().collect()]
-    store = spark.read.parquet(path).filter(F.col("cell").isin(wanted))
+    store = spark.read.parquet(path).filter(F.col("cell").isin(wanted)).withColumn(
+        "__nc", l2_norm(F.col("vec"))
+    )
     scored = probes.join(store, "cell").withColumn(
-        "cosine", cosine_sim(F.col("__qv"), F.col("vec"))
+        "cosine", _cos_pre("__qv", "vec", "__nq", "__nc")
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
     return (
@@ -244,15 +272,19 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, n_planes: int =
     if dim is None:
         raise ValueError("lsh_topk requires dim (embedding length); "
                          "inferring it would run a hidden driver-side job")
-    c0 = corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("__cv"))
-    q0 = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv"))
+    c0 = corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("__cv")).withColumn(
+        "__nc", l2_norm(F.col("__cv"))
+    )
+    q0 = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv")).withColumn(
+        "__nq", l2_norm(F.col("__qv"))
+    )
     sig_cols_c, sig_cols_q = [], []
     for t in range(n_tables):
         planes = _planes(dim, n_planes, seed + t)
         sig_cols_c.append(lsh_signature(F.col("__cv"), planes).alias(f"b{t}"))
         sig_cols_q.append(lsh_signature(F.col("__qv"), planes).alias(f"b{t}"))
-    c = c0.select(F.col(c_id), F.col("__cv"), F.posexplode(F.array(*sig_cols_c)).alias("table", "bucket"))
-    q = q0.select(F.col(q_id), F.col("__qv"), F.posexplode(F.array(*sig_cols_q)).alias("table", "bucket"))
+    c = c0.select(F.col(c_id), F.col("__cv"), F.col("__nc"), F.posexplode(F.array(*sig_cols_c)).alias("table", "bucket"))
+    q = q0.select(F.col(q_id), F.col("__qv"), F.col("__nq"), F.posexplode(F.array(*sig_cols_q)).alias("table", "bucket"))
     if multiprobe:
         masks = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
         probes = F.array_union(
@@ -262,9 +294,9 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, n_planes: int =
         q = q.withColumn("bucket", F.explode(probes))
     scored = (
         q.join(c, ["table", "bucket"])
-        .select(q_id, c_id, "__qv", "__cv")
+        .select(q_id, c_id, "__qv", "__cv", "__nq", "__nc")
         .dropDuplicates([q_id, c_id])
-        .withColumn("cosine", cosine_sim(F.col("__qv"), F.col("__cv")))
+        .withColumn("cosine", _cos_pre("__qv", "__cv", "__nq", "__nc"))
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
     return (
