@@ -215,25 +215,33 @@ def q_events_hypertable_rollup(spark, sf_dir):
 
 def q_sketch_distinct_users(spark, sf_dir):
     """Mergeable HLL distinct sketch (pure expressions): estimated
-    distinct users per event_type. xxhash64-based → rows-only check;
-    register determinism + merge + accuracy gated in
-    tests/test_sketch.py."""
+    distinct users per event_type, on the portable hash family so
+    the DuckDB oracle replays registers AND estimate. The harmonic
+    sum is an exact scaled-integer aggregate (hll_estimate), so the
+    estimate is bit-deterministic across partitionings and engines;
+    the only residual fp is deterministic scalar arithmetic.
+    xxhash64 stays the library default (registers value-pinned in
+    tests/test_sketch.py)."""
+    from dblp_crawler_spark.functions.hashing import hash60
     from dblp_crawler_spark.operators.sketch import hll_build, hll_estimate
 
     ev = _t(spark, sf_dir, "events")
-    return hll_estimate(hll_build(ev, "user_id", ["event_type"], p=12), p=12)
+    sk = hll_build(ev, "user_id", ["event_type"], p=12, hash_fn=hash60, hash_bits=60)
+    return hll_estimate(sk, p=12, hash_bits=60)
 
 
 def q_sketch_heavy_hitters(spark, sf_dir):
-    """Count-min heavy hitters (pure expressions, integer counters):
-    top estimated-activity users from the sketch alone. xxhash64 →
-    rows-only; never-underestimate + exact-merge pinned in
-    tests/test_sketch.py."""
+    """Count-min heavy hitters (pure expressions, integer counters —
+    exact deterministic aggregation): top estimated-activity users
+    from the sketch alone, on the portable hash family so the DuckDB
+    oracle replays the counters and the min-over-rows query exactly.
+    Never-underestimate + exact-merge pinned in tests/test_sketch.py."""
+    from dblp_crawler_spark.functions.hashing import hash60
     from dblp_crawler_spark.operators.sketch import cms_build, cms_query
 
     ev = _t(spark, sf_dir, "events")
-    sk = cms_build(ev, "user_id")
-    est = cms_query(sk, ev.select("user_id").distinct(), "user_id")
+    sk = cms_build(ev, "user_id", hash_fn=hash60)
+    est = cms_query(sk, ev.select("user_id").distinct(), "user_id", hash_fn=hash60)
     return est.orderBy(F.desc("cnt_est"), F.asc("user_id")).limit(10)
 
 
@@ -274,15 +282,27 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dups (xxhash64 — rows-only check)."""
+    """MinHash+LSH near-dups on the PORTABLE hash family
+    (functions.hashing.hash60, md5-derived): the full pipeline —
+    32 min-hash lanes → 8 band hashes → candidate equi-join → exact
+    Jaccard verify — replays bit-identically in the DuckDB oracle.
+    The xxhash64 fast path stays the library default and is
+    value-pinned against a from-spec XXH64 in tests."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
     docs = _t(spark, sf_dir, "documents")
-    return D.minhash_near_dups(docs, num_hashes=32, bands=8, threshold=0.2)
+    return D.minhash_near_dups(docs, num_hashes=32, bands=8, threshold=0.2, hash_fn=hash60)
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dups (xxhash64 — rows-only check)."""
+    """SimHash near-dups on the portable 60-bit hash family
+    (hash_fn=hash60, bits=60): per-token hash → lane votes → packed
+    simhash → prefix-block + hamming verify, all replayed by the
+    DuckDB oracle. xxhash64/64-bit stays the library default."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_near_dups(docs, max_hamming=8, prefix_bits=8)
+    return D.simhash_near_dups(docs, max_hamming=8, prefix_bits=8, hash_fn=hash60, bits=60)
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -541,9 +561,14 @@ def q_corpus_mix(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
-    """Rolling 64-bit fingerprint (xxhash64 — rows-only check)."""
+    """Rolling polynomial fingerprint on the portable hash family —
+    the order-aware fold replays in DuckDB as a list_reduce, so the
+    oracle checks every fingerprint bit-exactly. xxhash64 stays the
+    library default (value-pinned in tests)."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.fingerprint64("text").alias("fingerprint"))
+    return docs.select("doc_id", T.fingerprint64("text", hash_fn=hash60).alias("fingerprint"))
 
 
 def q_events_windowed_agg(spark, sf_dir):
@@ -725,6 +750,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --------------------------------------------------------------------------
 _TOK = "regexp_extract_all(lower(text), '[0-9a-z_]+')"
+
+
+def _portable_hash_oracles() -> dict[str, str]:
+    """DuckDB replays of the portable-hash-family entries.
+
+    These oracles reproduce the ENTIRE operator pipelines — minhash
+    signatures/bands/verify, simhash lane votes, the rolling
+    fingerprint fold, HLL registers+estimate, CMS counters+query —
+    because `functions.hashing.hash60` (md5-derived 60-bit) is
+    computable bit-identically in any engine with md5. The SQL is
+    generated, not hand-written, so lane/band counts stay in lockstep
+    with the Spark entries' parameters."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    # tokenize() (functions/text.py): DISTINCT tokens, wide char class
+    tok_distinct = "list_distinct(regexp_extract_all(lower(text), '[0-9a-z_À-￿]+'))"
+    # dedup.shingles(): distinct word 3-grams over _TOK with multiplicity
+    shingle = f"""
+        SELECT doc_id,
+          CASE WHEN len(tk) >= 3 THEN
+            list_distinct(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+          ELSE [array_to_string(tk, ' ')] END AS sh
+        FROM (SELECT doc_id, {_TOK} AS tk FROM documents)
+    """
+
+    # ---- minhash+lsh: 32 lanes, 8 bands of 4, jaccard >= 0.2 ----
+    n_hashes, bands, thr = 32, 8, 0.2
+    per = n_hashes // bands
+    mins = ",\n                ".join(f"MIN({H('s', i)}) AS h{i}" for i in range(n_hashes))
+    band_rows = "\n              UNION ALL\n              ".join(
+        "SELECT doc_id, {b} AS band, {bh} AS band_hash FROM sig".format(
+            b=b,
+            bh=H(" || ',' || ".join(f"h{i}::VARCHAR" for i in range(b * per, (b + 1) * per))),
+        )
+        for b in range(bands)
+    )
+    minhash_sql = f"""
+        WITH sh AS ({shingle}),
+        hsh AS (SELECT doc_id, list_transform(sh, t -> {H('t')}) AS hs, len(sh) AS n FROM sh),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+        bandt AS ({band_rows}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bandt x JOIN bandt y
+            ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+        )
+        SELECT c.a, c.b,
+               len(list_intersect(ha.hs, hb.hs))::DOUBLE /
+               (ha.n + hb.n - len(list_intersect(ha.hs, hb.hs))) AS jaccard
+        FROM cand c JOIN hsh ha ON c.a = ha.doc_id JOIN hsh hb ON c.b = hb.doc_id
+        WHERE len(list_intersect(ha.hs, hb.hs))::DOUBLE /
+              (ha.n + hb.n - len(list_intersect(ha.hs, hb.hs))) >= {thr}
+    """
+
+    # ---- simhash: 60 lanes, prefix-block 8 bits, hamming <= 8 ----
+    bits, prefix_bits, max_ham = 60, 8, 8
+    lanes = ",\n              ".join(
+        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(bits)
+    )
+    simhash_sql = f"""
+        WITH tk AS (
+          SELECT doc_id, unnest({tok_distinct}) AS t FROM documents
+        ), hh AS (
+          SELECT doc_id, {H('t')} AS h FROM tk
+        ), votes AS (
+          SELECT doc_id, {lanes} FROM hh GROUP BY doc_id
+        ), sim AS (
+          SELECT d.doc_id, COALESCE({packed}, 0) AS sh
+          FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+        ), blocked AS (
+          SELECT doc_id, sh, sh // {1 << (bits - prefix_bits)} AS block FROM sim
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.sh, y.sh)) AS hamming
+        FROM blocked x JOIN blocked y ON x.block = y.block AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.sh, y.sh)) <= {max_ham}
+    """
+
+    # ---- rolling fingerprint: (acc*31 + h%M) % M over ordered tokens ----
+    fp_sql = f"""
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform({_TOK}, t -> {H('t')} % 2147483647)),
+            (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+        FROM documents
+    """
+
+    # ---- HLL: p=12 registers over hash60, exact scaled harmonic sum ----
+    p, hb = 12, 60
+    m, k = 1 << p, hb - p  # 4096 registers, 48-bit rho field
+    alpha_mm = repr(0.7213 / (1.0 + 1.079 / m) * m * m)
+    hll_sql = f"""
+        WITH regs AS (
+          SELECT event_type,
+                 CAST(h // {1 << k} AS INT) AS register,
+                 h % {1 << k} AS r
+          FROM (SELECT event_type, {H('user_id')} AS h FROM events)
+        ), sk AS (
+          SELECT event_type, register,
+                 MAX(CASE WHEN r = 0 THEN {k + 1} ELSE {k + 1} - length(bin(r)) END) AS rho
+          FROM regs GROUP BY event_type, register
+        ), agg AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(pow(2, {k + 1} - rho) AS HUGEINT)) AS DOUBLE) / {float(1 << (k + 1))!r} AS inv_sum,
+                 COUNT(*) AS present
+          FROM sk GROUP BY event_type
+        )
+        SELECT event_type,
+          CAST(ROUND(CASE WHEN {alpha_mm} / (inv_sum + ({m} - present)) <= {2.5 * m!r}
+                           AND {m} - present > 0
+                     THEN {float(m)!r} * ln({float(m)!r} / ({m} - present))
+                     ELSE {alpha_mm} / (inv_sum + ({m} - present)) END) AS BIGINT) AS n_distinct_est
+        FROM agg
+    """
+
+    # ---- CMS: d=4 rows x w=4096 slots, min-over-rows query, top 10 ----
+    # slot seed is the row index i (a column, not a literal), so the
+    # hash60 seeded form is inlined here instead of using H(expr, seed)
+    d, w = 4, 1 << 12
+    slot = ("CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || chr(31) || i::VARCHAR), 1, 15)) "
+            f"AS BIGINT) % {w}")
+    cms_sql = f"""
+        WITH cnts AS (
+          SELECT i, {slot} AS slot, COUNT(*) AS cnt
+          FROM events, range({d}) r(i) GROUP BY 1, 2
+        ), probes AS (
+          SELECT DISTINCT user_id, i, {slot} AS slot
+          FROM events, range({d}) r(i)
+        )
+        SELECT p.user_id, MIN(c.cnt) AS cnt_est
+        FROM probes p JOIN cnts c ON p.i = c.i AND p.slot = c.slot
+        GROUP BY p.user_id
+        ORDER BY cnt_est DESC, p.user_id ASC LIMIT 10
+    """
+
+    return {
+        "dedup_minhash_lsh": minhash_sql,
+        "dedup_simhash": simhash_sql,
+        "text_fingerprint": fp_sql,
+        "sketch_distinct_users": hll_sql,
+        "sketch_heavy_hitters": cms_sql,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1170,4 +1341,5 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG((epoch_ms(e) - epoch_ms(s)) / 1000.0), 3) AS avg_session_secs
             FROM agg GROUP BY user_id
         """,
+        **_portable_hash_oracles(),
     }

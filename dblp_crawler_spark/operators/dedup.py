@@ -70,29 +70,38 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+                      num_hashes: int = 32, shingle_n: int = 3,
+                      hash_fn=None) -> DataFrame:
     """(id, sig array<long>): k independent min-hash lanes.
 
     One explode + one groupBy with k min() aggregates — all JVM-side
-    xxhash64; partial aggregation makes the shuffle carry only
-    k longs per doc."""
+    hashing (xxhash64 by default; pass functions.hashing.hash60 for
+    the engine-portable md5-derived family); partial aggregation
+    makes the shuffle carry only k longs per doc."""
+    from ..functions.hashing import xx64
+
+    hash_fn = hash_fn or xx64
     sh = _spread(docs).select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
-    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    aggs = [F.min(hash_fn("sh", i)).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8,
+                        hash_fn=None) -> DataFrame:
     """Band the signature, hash each band, equi-join on
     (band, band_hash) → candidate pairs (a < b). This is the
     O(n²)→O(n) LSH step; verify candidates with jaccard after."""
+    from ..functions.hashing import xx64
+
+    hash_fn = hash_fn or xx64
     k = bands
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda b: F.xxhash64(
+                lambda b: hash_fn(
                     F.array_join(
                         F.transform(
                             F.slice(F.col("sig"), b * (F.size("sig") / k).cast("int") + 1, (F.size("sig") / k).cast("int")),
@@ -116,12 +125,15 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8)
 
 def minhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8, hash_fn=None) -> DataFrame:
     """Full MinHash+LSH pipeline: signature → band join → exact
     Jaccard verification of candidates (no false positives in the
     output; LSH only bounds recall)."""
-    sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    from ..functions.hashing import xx64
+
+    hash_fn = hash_fn or xx64
+    sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n, hash_fn=hash_fn)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, hash_fn=hash_fn)
     # |A∪B| = |A|+|B|−|A∩B|: one array op per pair instead of two
     # (shingle arrays are already distinct), sizes computed pre-join.
     # Intersect 64-bit shingle hashes, not strings: same Jaccard
@@ -129,7 +141,7 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
     # per shingle through the join.
     sh = _spread(docs).select(
         F.col(id_col),
-        F.transform(shingles(text_col, shingle_n), lambda t: F.xxhash64(t)).alias("sh"),
+        F.transform(shingles(text_col, shingle_n), lambda t: hash_fn(t)).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
     return (
         cands.join(sh.withColumnsRenamed({id_col: "a", "sh": "sh_a", "n_sh": "na"}), "a")
@@ -147,12 +159,19 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
 _LANE_MASKS = [(1 << b) if b < 63 else (1 << 63) - (1 << 64) for b in range(64)]
 
 
-def simhash64(text: Column | str) -> Column:
-    """64-bit SimHash folded entirely with higher-order functions:
-    per-token xxhash64 → ±1 votes per bit lane (literal masks) →
-    sign → pack. Pure JVM expression — no shuffle, no UDF."""
+def simhash64(text: Column | str, hash_fn=None, bits: int = 64) -> Column:
+    """SimHash folded entirely with higher-order functions:
+    per-token hash (xxhash64 by default) → ±1 votes per bit lane
+    (literal masks) → sign → pack. Pure JVM expression — no shuffle,
+    no UDF. With hash_fn=hash60 use bits=60 (the portable hash only
+    populates the low 60 bits; lanes above it would vote
+    constantly)."""
+    from ..functions.hashing import xx64
+
+    hash_fn = hash_fn or xx64
+    lane_masks = _LANE_MASKS[:bits]
     toks = tokenize(text)
-    masks = F.array(*[F.lit(m).cast("long") for m in _LANE_MASKS])
+    masks = F.array(*[F.lit(m).cast("long") for m in lane_masks])
     votes = F.aggregate(
         toks,
         F.transform(masks, lambda _: F.lit(0).cast("long")),
@@ -160,7 +179,7 @@ def simhash64(text: Column | str) -> Column:
             acc,
             F.transform(
                 masks,
-                lambda m: F.when(F.xxhash64(t).bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+                lambda m: F.when(hash_fn(t).bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
             ),
             lambda x, y: x + y,
         ),
@@ -170,14 +189,15 @@ def simhash64(text: Column | str) -> Column:
 
 
 def hamming_near_dups(hashed: DataFrame, hash_col: str, id_col: str,
-                      max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Generic 64-bit-fingerprint near-dup: block on the top
-    `prefix_bits` (near-dups rarely differ there — recall<1 by
-    design, same trade as any LSH), verify hamming ≤ max_hamming
+                      max_hamming: int = 3, prefix_bits: int = 16,
+                      width: int = 64) -> DataFrame:
+    """Generic fingerprint near-dup over a `width`-bit hash: block on
+    the top `prefix_bits` (near-dups rarely differ there — recall<1
+    by design, same trade as any LSH), verify hamming ≤ max_hamming
     in-block with a pure JVM xor+bit_count. Shared kernel for
     SimHash text near-dup and perceptual-hash image near-dup."""
     blocked = hashed.select(F.col(id_col), F.col(hash_col).alias("sh")).withColumn(
-        "block", F.shiftrightunsigned("sh", 64 - prefix_bits)
+        "block", F.shiftrightunsigned("sh", width - prefix_bits)
     )
     a = blocked.withColumnsRenamed({id_col: "a", "sh": "sh_a"})
     b = blocked.withColumnsRenamed({id_col: "b", "sh": "sh_b"})
@@ -191,11 +211,12 @@ def hamming_near_dups(hashed: DataFrame, hash_col: str, id_col: str,
 
 
 def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """SimHash near-dup: 64-bit SimHash per doc, then the shared
+                      max_hamming: int = 3, prefix_bits: int = 16,
+                      hash_fn=None, bits: int = 64) -> DataFrame:
+    """SimHash near-dup: `bits`-bit SimHash per doc, then the shared
     prefix-block + hamming-verify kernel."""
-    h = _spread(docs).select(F.col(id_col), simhash64(text_col).alias("sh"))
-    return hamming_near_dups(h, "sh", id_col, max_hamming, prefix_bits)
+    h = _spread(docs).select(F.col(id_col), simhash64(text_col, hash_fn=hash_fn, bits=bits).alias("sh"))
+    return hamming_near_dups(h, "sh", id_col, max_hamming, prefix_bits, width=bits)
 
 
 # ---- n-gram jaccard ----------------------------------------------------------

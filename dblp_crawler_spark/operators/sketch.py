@@ -35,17 +35,31 @@ from pyspark.sql import functions as F
 
 
 def hll_build(df: DataFrame, key_col: str, group_cols: list[str] | None = None,
-              p: int = 12) -> DataFrame:
-    """(group..., register, rho) sketch rows — at most 2^p per group."""
+              p: int = 12, hash_fn=None, hash_bits: int = 64) -> DataFrame:
+    """(group..., register, rho) sketch rows — at most 2^p per group.
+
+    hash_fn/hash_bits select the hash family: xxhash64/64 (default,
+    fast path) or functions.hashing.hash60/60 (portable — the whole
+    register table replays bit-identically in DuckDB for the
+    correctness oracle). rho is always computed shift-free from the
+    low (hash_bits - p) bits, so the same formula serves both
+    families."""
+    from ..functions.hashing import xx64
+
+    hash_fn = hash_fn or xx64
     group_cols = list(group_cols or [])
-    h = F.xxhash64(F.col(key_col))
-    register = F.shiftrightunsigned(h, 64 - p).cast("int").alias("register")
-    w = F.shiftleft(h, p)
-    # bin() prints the 64-bit two's-complement without leading zeros:
-    # highest-set-bit position = length(bin(w)), so clz = 64 - len.
+    h = hash_fn(F.col(key_col))
+    k = hash_bits - p  # width of the rho field
+    register = F.shiftrightunsigned(h, k).cast("int").alias("register")
+    # low k bits; pmod handles the signed 64-bit family (2^k is a
+    # Python int — exact — and the result is always in [0, 2^k)).
+    r = F.pmod(h, F.lit(1 << k).cast("decimal(20,0)")).cast("long")
+    # bin() prints the value without leading zeros: highest-set-bit
+    # position = length(bin(r)), so clz within the k-bit field =
+    # k - length, and rho = clz + 1.
     rho = (
-        F.when(w == 0, F.lit(64 - p + 1))
-        .otherwise(F.lit(65) - F.length(F.bin(w)))
+        F.when(r == 0, F.lit(k + 1))
+        .otherwise(F.lit(k + 1) - F.length(F.bin(r)))
         .cast("int")
         .alias("rho")
     )
@@ -65,13 +79,22 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
 
 
-def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
-    """Collapse a register table to (group..., n_distinct_est)."""
+def hll_estimate(sketch: DataFrame, p: int = 12, hash_bits: int = 64) -> DataFrame:
+    """Collapse a register table to (group..., n_distinct_est).
+
+    The harmonic sum Σ 2^-rho is computed EXACTLY as a scaled
+    integer (Σ 2^(rho_max - rho), a DECIMAL(38,0) sum of exact
+    powers of two) and descaled with one deterministic fp division —
+    so the estimate is bit-identical under any partitioning, merge
+    order, or engine, unlike a float summation whose rounding
+    depends on row order."""
     m = 1 << p
+    rho_max = hash_bits - p + 1
     alpha = 0.7213 / (1.0 + 1.079 / m)  # standard alpha_m for m >= 128
     group_cols = [c for c in sketch.columns if c not in ("register", "rho")]
+    scaled = F.pow(F.lit(2.0), F.lit(rho_max) - F.col("rho")).cast("decimal(38,0)")
     agg = sketch.groupBy(*group_cols).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__inv_sum"),
+        (F.sum(scaled).cast("double") / F.lit(float(2 ** rho_max))).alias("__inv_sum"),
         F.count("*").alias("__present"),
     )
     zeros = F.lit(m) - F.col("__present")  # registers never hit
@@ -88,7 +111,7 @@ def hll_error_bound(p: int) -> float:
 
 # ---- count-min sketch (heavy hitters) -------------------------------------
 def cms_build(df: DataFrame, key_col: str, d: int = 4, w: int = 1 << 12,
-              weight_col: str | None = None) -> DataFrame:
+              weight_col: str | None = None, hash_fn=None) -> DataFrame:
     """Count-min sketch as a (row, slot, cnt) table: d hash rows of
     w counters; cnt(key) is OVER-estimated only (never under). The
     crawl's use: heavy-hitter detection over candidate hosts — find
@@ -104,11 +127,18 @@ def cms_build(df: DataFrame, key_col: str, d: int = 4, w: int = 1 << 12,
     addressing is parameter-dependent, so query/merge read the
     parameters FROM the sketch instead of trusting the caller to
     repeat them — a build/query parameter mismatch is a hard error,
-    never a silently-wrong estimate."""
+    never a silently-wrong estimate.
+
+    hash_fn selects the row-hash family (xxhash64 default;
+    functions.hashing.hash60 for engine-portable slot addressing —
+    query with the SAME family)."""
+    from ..functions.hashing import xx64
+
+    hash_fn = hash_fn or xx64
     weight = F.col(weight_col) if weight_col else F.lit(1)
     rows = df.select(
         F.posexplode(
-            F.array(*[F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(w)) for i in range(d)])
+            F.array(*[F.pmod(hash_fn(F.col(key_col), i), F.lit(w)) for i in range(d)])
         ).alias("row", "slot"),
         weight.cast("long").alias("__w"),
     )
@@ -143,15 +173,19 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     )
 
 
-def cms_query(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+def cms_query(sketch: DataFrame, keys: DataFrame, key_col: str, hash_fn=None) -> DataFrame:
     """Estimated count per key = min over the d rows' counters
     (broadcast the tiny sketch; never shuffles the key stream).
-    (d, w) come from the sketch itself — see cms_build."""
+    (d, w) come from the sketch itself — see cms_build; hash_fn
+    must be the family the sketch was built with."""
+    from ..functions.hashing import xx64
+
+    hash_fn = hash_fn or xx64
     d, w = _sketch_params(sketch)
     probes = keys.select(
         F.col(key_col),
         F.posexplode(
-            F.array(*[F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(w)) for i in range(d)])
+            F.array(*[F.pmod(hash_fn(F.col(key_col), i), F.lit(w)) for i in range(d)])
         ).alias("row", "slot"),
     )
     return (

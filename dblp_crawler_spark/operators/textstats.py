@@ -174,17 +174,22 @@ def per_source_cap(docs: DataFrame, n: int, source_col: str = "source",
 _FP_MOD = (1 << 31) - 1  # Mersenne prime keeps acc*31+h < 2^63 (ANSI-safe)
 
 
-def fingerprint64(text: Column | str) -> Column:
+def fingerprint64(text: Column | str, hash_fn=None) -> Column:
     """Rolling polynomial fingerprint over tokens:
-    acc = (acc * 31 + xxhash64(token) mod M) mod M, M = 2^31-1.
+    acc = (acc * 31 + hash(token) mod M) mod M, M = 2^31-1.
     Order-aware (unlike a bag-of-words hash); pure JVM fold; modular
-    arithmetic avoids ANSI overflow while staying deterministic."""
+    arithmetic avoids ANSI overflow while staying deterministic.
+    hash defaults to xxhash64; with functions.hashing.hash60 the
+    whole fold replays in DuckDB as a list_reduce."""
+    from ..functions.hashing import xx64
+
+    hash_fn = hash_fn or xx64
     toks = tokens_all(text)
     m = F.lit(_FP_MOD).cast("long")
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), m), m),
+        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + F.pmod(hash_fn(t), m), m),
     )
 
 
