@@ -425,7 +425,11 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-k (recall<1 — rows-only check)."""
+    """LSH-bucketed ANN top-k. Signatures are fixed-point-quantized
+    (lsh_signature_quantized) — bucket assignment is exact integer
+    arithmetic, so the DuckDB oracle replays the full candidate set
+    and re-rank bit-identically (recall<1 vs brute force by design;
+    the recall gate lives in tests/test_pipeline_ops.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -889,12 +893,62 @@ def _portable_hash_oracles() -> dict[str, str]:
         ORDER BY cnt_est DESC, p.user_id ASC LIMIT 10
     """
 
+    # ---- ANN LSH: quantized signatures make the candidate set exact ----
+    # 8 tables x 6 planes, multiprobe hamming-1, cosine re-rank top-10.
+    # The fixed-point integer signatures (operators/similarity.py,
+    # lsh_signature_quantized) are engine-portable, so DuckDB replays
+    # the EXACT candidate set; the re-rank reuses the proven
+    # list_cosine_similarity equivalence from ann_cosine_topk.
+    from dblp_crawler_spark.operators.similarity import LSH_QUANT_SCALE, _iplanes, _planes
+
+    n_planes, n_tables, seed = 6, 8, 42
+    def bucket_expr(iplanes):
+        terms = []
+        for j, row in enumerate(iplanes):
+            plist = "[" + ",".join(f"{p}.0" for p in row) + "]::DOUBLE[]"
+            terms.append(f"(CASE WHEN list_dot_product(v, {plist}) > 0 THEN {1 << j} ELSE 0 END)")
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    sig_rows = "\n          UNION ALL\n          ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(_iplanes(_planes(64, n_planes, seed + t)))} AS bucket FROM base"
+        for t in range(n_tables)
+    )
+    masks = "[" + ",".join(str(1 << i) for i in range(n_planes)) + "]"
+    lsh_ann_sql = f"""
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 list_transform(embedding::DOUBLE[], x -> floor(x * {float(LSH_QUANT_SCALE)!r})) AS v
+          FROM embeddings
+        ), csig AS (
+          {sig_rows}
+        ), probes AS (
+          SELECT q_id, tbl, unnest(probe) AS bucket FROM (
+            SELECT vec_id AS q_id, tbl,
+                   list_concat([bucket], list_transform({masks}, m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
+            FROM csig WHERE vec_id < 5
+          )
+        ), cand AS (
+          SELECT DISTINCT p.q_id, c.vec_id
+          FROM probes p JOIN csig c ON p.tbl = c.tbl AND p.bucket = c.bucket
+        ), scored AS (
+          SELECT cand.q_id, cand.vec_id,
+                 list_cosine_similarity(qe.e, ce.e) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                   ORDER BY list_cosine_similarity(qe.e, ce.e) DESC, cand.vec_id ASC) AS rank
+          FROM cand
+          JOIN base qe ON cand.q_id = qe.vec_id
+          JOIN base ce ON cand.vec_id = ce.vec_id
+        )
+        SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM scored WHERE rank <= 10
+    """
+
     return {
         "dedup_minhash_lsh": minhash_sql,
         "dedup_simhash": simhash_sql,
         "text_fingerprint": fp_sql,
         "sketch_distinct_users": hll_sql,
         "sketch_heavy_hitters": cms_sql,
+        "ann_lsh_topk": lsh_ann_sql,
     }
 
 

@@ -86,6 +86,40 @@ def _planes_literal(planes: np.ndarray) -> Column:
     return F.expr(f"array({rows})")
 
 
+#: fixed-point scale for quantized LSH signatures (2^20): plane and
+#: vector components become exact integers, so every dot product is
+#: exact integer arithmetic — the SAME bucket assignment in any
+#: engine (Spark, DuckDB, a future executor version), instead of
+#: depending on float summation order at the sign boundary.
+LSH_QUANT_SCALE = 1 << 20
+
+
+def _iplanes(planes: np.ndarray) -> list[list[int]]:
+    """Quantize plane components to integers in PYTHON so the exact
+    same literals ship to Spark and to the SQL oracle."""
+    return [[int(round(float(x) * LSH_QUANT_SCALE)) for x in row] for row in planes]
+
+
+def lsh_signature_quantized(vec: Column, iplanes: list[list[int]]) -> Column:
+    """Sign-bit signature over fixed-point integers: bit_i = 1 iff
+    floor(vec·2^20) · iplane_i > 0. All-long zip_with/aggregate —
+    exact, order-independent, engine-portable. With |vec| ≤ ~1 and
+    N(0,1) planes the products stay < 2^43 and 64-dim sums < 2^49:
+    no overflow, and even a double-based replay is exact."""
+    qv = F.transform(vec, lambda x: F.floor(x * F.lit(float(LSH_QUANT_SCALE))).cast("long"))
+    bits = []
+    for i, row in enumerate(iplanes):
+        pl = F.expr("array(" + ",".join(f"{p}L" for p in row) + ")")
+        dot = F.aggregate(
+            F.zip_with(qv, pl, lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, v: acc + v
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
 def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
     """Sign-bit signature: bit_i = 1 iff vec · plane_i > 0 — one
     zip_with over (plane, bitmask) pairs, JVM-side, no UDF."""
@@ -257,7 +291,7 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, n_planes: int =
              n_tables: int = 4, seed: int = 42, dim: int | None = None,
              q_id: str = "q_id", c_id: str = "vec_id",
              q_vec: str = "q_vec", c_vec: str = "embedding",
-             multiprobe: bool = True) -> DataFrame:
+             multiprobe: bool = True, quantized: bool = True) -> DataFrame:
     """ANN top-k, standard multi-table LSH: L independent plane sets,
     candidate = bucket match in ANY table (plus hamming-1 probes),
     exact cosine re-rank within the candidate set. Recall < 1 by
@@ -265,6 +299,15 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, n_planes: int =
 
     The bucket join key is (table, bucket) — at scale the corpus is
     written bucketed by this key so each probe is partition-pruned.
+
+    quantized=True (default) computes signatures in fixed-point
+    integer arithmetic (see lsh_signature_quantized): bucket
+    assignment becomes exact and engine-portable — a corpus bucketed
+    on disk years ago still joins correctly, and the DuckDB oracle
+    replays the candidate set bit-identically. quantized=False keeps
+    the float-dot signature (identical buckets except for vectors
+    lying within ~2^-20 of a plane). Recall is gated for the default
+    path in tests.
 
     `dim` is required: the plane literals are built driver-side and
     the array length is not in the schema — inferring it would run a
@@ -281,8 +324,13 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, n_planes: int =
     sig_cols_c, sig_cols_q = [], []
     for t in range(n_tables):
         planes = _planes(dim, n_planes, seed + t)
-        sig_cols_c.append(lsh_signature(F.col("__cv"), planes).alias(f"b{t}"))
-        sig_cols_q.append(lsh_signature(F.col("__qv"), planes).alias(f"b{t}"))
+        if quantized:
+            ip = _iplanes(planes)
+            sig_cols_c.append(lsh_signature_quantized(F.col("__cv"), ip).alias(f"b{t}"))
+            sig_cols_q.append(lsh_signature_quantized(F.col("__qv"), ip).alias(f"b{t}"))
+        else:
+            sig_cols_c.append(lsh_signature(F.col("__cv"), planes).alias(f"b{t}"))
+            sig_cols_q.append(lsh_signature(F.col("__qv"), planes).alias(f"b{t}"))
     c = c0.select(F.col(c_id), F.col("__cv"), F.col("__nc"), F.posexplode(F.array(*sig_cols_c)).alias("table", "bucket"))
     q = q0.select(F.col(q_id), F.col("__qv"), F.col("__nq"), F.posexplode(F.array(*sig_cols_q)).alias("table", "bucket"))
     if multiprobe:
