@@ -463,6 +463,26 @@ def q_ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk_pruned(spark, store, queries, cents, k=10, nprobe=4)
 
 
+def q_image_aspect_bucket(spark, sf_dir):
+    """Aspect-ratio bucketing over image (w, h) METADATA — the
+    training-batch geometry step (BASELINE.json input_hint columns
+    w:int32/h:int32). No image table ships with the driver set, so
+    the metadata is planted deterministically from doc ids via the
+    portable hash60 family — both engines derive identical (w, h),
+    and the bucket argmin itself is deterministic scalar arithmetic,
+    so the assignment is DuckDB-oracled row-by-row."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.multimodal import aspect_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    imgs = docs.select(
+        "doc_id",
+        (F.lit(256) + F.pmod(hash60("doc_id"), F.lit(1024))).cast("int").alias("w"),
+        (F.lit(256) + F.pmod(hash60("doc_id", 1), F.lit(1024))).cast("int").alias("h"),
+    )
+    return aspect_bucket(imgs)
+
+
 def q_text_token_count(spark, sf_dir):
     """avg computed as SUM/COUNT (not AVG): token counts are exact
     integers, so one fp divide is bitwise identical on both the Spark
@@ -747,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "multimodal_features": q_multimodal_features,
         "image_phash_dedup": q_image_phash_dedup,
+        "image_aspect_bucket": q_image_aspect_bucket,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
     }
@@ -949,7 +970,33 @@ def _portable_hash_oracles() -> dict[str, str]:
         "sketch_distinct_users": hll_sql,
         "sketch_heavy_hitters": cms_sql,
         "ann_lsh_topk": lsh_ann_sql,
+        "image_aspect_bucket": _aspect_bucket_oracle(),
     }
+
+
+def _aspect_bucket_oracle() -> str:
+    """DuckDB replay of q_image_aspect_bucket: identical planted
+    (w, h) via hash60, identical argmin over the same bucket ladder
+    (integer-division doubles are deterministic in both engines)."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.operators.multimodal import DEFAULT_ASPECT_BUCKETS
+
+    vals = ", ".join(f"({i}, {bw}, {bh})" for i, (bw, bh) in enumerate(DEFAULT_ASPECT_BUCKETS))
+    return f"""
+        WITH imgs AS (
+          SELECT doc_id,
+                 CAST(256 + ({H('doc_id')} % 1024) AS INT) AS w,
+                 CAST(256 + ({H('doc_id', 1)} % 1024) AS INT) AS h
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, w, h, b.i, b.bw, b.bh,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY abs(w::DOUBLE / h::DOUBLE - bw::DOUBLE / bh::DOUBLE) ASC, b.i ASC) AS rn
+          FROM imgs CROSS JOIN (VALUES {vals}) b(i, bw, bh)
+        )
+        SELECT doc_id, w, h, i AS bucket_id, bw AS target_w, bh AS target_h
+        FROM scored WHERE rn = 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:

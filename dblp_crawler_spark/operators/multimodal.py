@@ -309,3 +309,46 @@ def phash_near_dup_images(images: DataFrame, max_hamming: int = 4,
     return hamming_near_dups(
         images.select("image_id", "phash"), "phash", "image_id", max_hamming, prefix_bits
     )
+
+
+# ---- aspect-ratio bucketing (training-batch geometry) -----------------------
+#: SDXL-style resolution buckets around a 1024^2 pixel budget:
+#: (width, height) targets whose aspect ratios ladder from 1:4 to 4:1.
+DEFAULT_ASPECT_BUCKETS: list[tuple[int, int]] = [
+    (512, 2048), (576, 1728), (640, 1536), (768, 1344), (832, 1216),
+    (896, 1152), (1024, 1024), (1152, 896), (1216, 832), (1344, 768),
+    (1536, 640), (1728, 576), (2048, 512),
+]
+
+
+def aspect_bucket(images: DataFrame, w_col: str = "w", h_col: str = "h",
+                  buckets: list[tuple[int, int]] | None = None) -> DataFrame:
+    """Assign every image to the resolution bucket whose aspect ratio
+    is nearest its own — the standard geometry step of a multimodal
+    training pipeline (images in one batch must share a target
+    (w, h); mixing aspect ratios forces destructive square crops).
+
+    Adds (bucket_id, target_w, target_h) to the input. Pure
+    projection over the (w, h) METADATA columns — never touches
+    image bytes, so at 100 TB it runs on a pruned two-int-column
+    scan and shuffles nothing. The argmin is an array_sort over a
+    13-struct literal array per row (JVM-side); the aspect-distance
+    doubles are deterministic scalar divisions of integers, so
+    bucket assignment is exact and engine-portable (the driver entry
+    is DuckDB-oracled row-by-row). Ties break to the smaller bucket
+    index. Input hint parity: operates on exactly the w:int32 /
+    h:int32 columns of the image+caption table shape
+    (BASELINE.json input_hint)."""
+    bks = buckets or DEFAULT_ASPECT_BUCKETS
+    ar = F.col(w_col).cast("double") / F.col(h_col).cast("double")
+    arr = F.array(*[
+        F.struct(
+            F.abs(ar - F.lit(bw / bh)).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, (bw, bh) in enumerate(bks)
+    ])
+    best_i = F.array_sort(arr)[0]["i"]
+    tw = F.element_at(F.array(*[F.lit(bw) for bw, _ in bks]), best_i + 1).alias("target_w")
+    th = F.element_at(F.array(*[F.lit(bh) for _, bh in bks]), best_i + 1).alias("target_h")
+    return images.select("*", best_i.alias("bucket_id"), tw, th)

@@ -180,3 +180,30 @@ def test_phash_near_dup_images(spark):
     assert ("img1", "img1_twin") in pairs
     # distinct synthetic images are far apart in phash space
     assert not any({a, b} <= {"img0", "img1", "img2", "img3", "img4", "img5"} for a, b in pairs)
+
+
+def test_aspect_bucket_nearest_and_metadata_only(spark):
+    """Bucket assignment picks the nearest-aspect-ratio target (ties
+    to the lower index) and the plan is a pure projection: no
+    exchange, no bytes — it must run on a two-int-column scan."""
+    from dblp_crawler_spark.operators.multimodal import (
+        DEFAULT_ASPECT_BUCKETS,
+        aspect_bucket,
+    )
+
+    rows = [
+        ("sq", 1024, 1024),    # exact square bucket
+        ("wide", 2048, 512),   # exact 4:1
+        ("tall", 512, 2048),   # exact 1:4
+        ("photo", 800, 600),   # 1.333 -> nearest 1152/896 = 1.2857
+    ]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+    got = {r.image_id: (r.bucket_id, r.target_w, r.target_h)
+           for r in aspect_bucket(df).collect()}
+    assert got["sq"] == (6, 1024, 1024)
+    assert got["wide"] == (12, 2048, 512)
+    assert got["tall"] == (0, 512, 2048)
+    assert got["photo"] == (7, 1152, 896)
+    assert DEFAULT_ASPECT_BUCKETS[got["photo"][0]] == (1152, 896)
+    plan = aspect_bucket(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
