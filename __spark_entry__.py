@@ -463,6 +463,43 @@ def q_ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk_pruned(spark, store, queries, cents, k=10, nprobe=4)
 
 
+def q_pipeline_image_caption(spark, sf_dir):
+    """Image+caption pair curation — the multimodal composition of
+    the pipeline gates over the input-hint table shape: caption
+    token band + stopword gate (captions must read like language),
+    extreme-aspect drop (w > 4h or h > 4w ruins every resize
+    target), aspect-ratio bucket assignment, then the per-bucket
+    training-mix report. Geometry comes from (w, h) METADATA only —
+    planted via the portable hash60 family so the DuckDB oracle
+    derives identical pairs; integer SUM/COUNT keeps the averages
+    bit-exact."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.multimodal import aspect_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        (F.lit(256) + F.pmod(hash60("doc_id"), F.lit(1024))).cast("int").alias("w"),
+        (F.lit(256) + F.pmod(hash60("doc_id", 1), F.lit(1024))).cast("int").alias("h"),
+        T.token_count("text").alias("n_cap"),
+        T.stopword_ratio("text").alias("swr"),
+    )
+    gated = pairs.filter(
+        (F.col("n_cap") >= 5) & (F.col("n_cap") <= 4096)
+        & (F.col("swr") >= 0.01)
+        & (F.col("w") <= 4 * F.col("h")) & (F.col("h") <= 4 * F.col("w"))
+    )
+    return (
+        aspect_bucket(gated)
+        .groupBy("bucket_id", "target_w", "target_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n_cap").alias("total_caption_tokens"),
+            F.round(F.sum("n_cap") / F.count(F.lit(1)), 4).alias("avg_caption_tokens"),
+        )
+    )
+
+
 def q_image_aspect_bucket(spark, sf_dir):
     """Aspect-ratio bucketing over image (w, h) METADATA — the
     training-batch geometry step (BASELINE.json input_hint columns
@@ -768,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "image_phash_dedup": q_image_phash_dedup,
         "image_aspect_bucket": q_image_aspect_bucket,
+        "pipeline_image_caption": q_pipeline_image_caption,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
     }
@@ -971,7 +1009,46 @@ def _portable_hash_oracles() -> dict[str, str]:
         "sketch_heavy_hitters": cms_sql,
         "ann_lsh_topk": lsh_ann_sql,
         "image_aspect_bucket": _aspect_bucket_oracle(),
+        "pipeline_image_caption": _image_caption_oracle(),
     }
+
+
+def _image_caption_oracle() -> str:
+    """DuckDB replay of q_pipeline_image_caption: identical planted
+    geometry, identical caption gates, identical bucket argmin, then
+    the exact-integer per-bucket mix report (SUM cast BIGINT — DuckDB
+    integer SUM is HUGEINT)."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.operators.multimodal import DEFAULT_ASPECT_BUCKETS
+
+    vals = ", ".join(f"({i}, {bw}, {bh})" for i, (bw, bh) in enumerate(DEFAULT_ASPECT_BUCKETS))
+    return f"""
+        WITH pairs AS (
+          SELECT doc_id,
+                 CAST(256 + ({H('doc_id')} % 1024) AS INT) AS w,
+                 CAST(256 + ({H('doc_id', 1)} % 1024) AS INT) AS h,
+                 len(tk) AS n_cap,
+                 CASE WHEN len(tk) > 0 THEN
+                   len(list_filter(tk, t -> list_contains(['{SW_LIST}'], t)))::DOUBLE / len(tk)
+                 ELSE 0.0 END AS swr
+          FROM (SELECT doc_id, {_TOK} AS tk FROM documents)
+        ), gated AS (
+          SELECT * FROM pairs
+          WHERE n_cap BETWEEN 5 AND 4096 AND swr >= 0.01
+            AND w <= 4 * h AND h <= 4 * w
+        ), scored AS (
+          SELECT doc_id, n_cap, b.i, b.bw, b.bh,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY abs(w::DOUBLE / h::DOUBLE - bw::DOUBLE / bh::DOUBLE) ASC, b.i ASC) AS rn
+          FROM gated CROSS JOIN (VALUES {vals}) b(i, bw, bh)
+        )
+        SELECT i AS bucket_id, bw AS target_w, bh AS target_h,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(n_cap) AS BIGINT) AS total_caption_tokens,
+               ROUND(SUM(n_cap)::DOUBLE / COUNT(*), 4) AS avg_caption_tokens
+        FROM scored WHERE rn = 1
+        GROUP BY i, bw, bh
+    """
 
 
 def _aspect_bucket_oracle() -> str:

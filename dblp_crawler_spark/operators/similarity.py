@@ -100,24 +100,35 @@ def _iplanes(planes: np.ndarray) -> list[list[int]]:
     return [[int(round(float(x) * LSH_QUANT_SCALE)) for x in row] for row in planes]
 
 
-def lsh_signature_quantized(vec: Column, iplanes: list[list[int]]) -> Column:
+def quantize_vec(vec: Column) -> Column:
+    """floor(vec · 2^20) as array<long> — compute ONCE per row and
+    share across all signature tables."""
+    return F.transform(vec, lambda x: F.floor(x * F.lit(float(LSH_QUANT_SCALE))).cast("long"))
+
+
+def lsh_signature_quantized(qvec: Column, iplanes: list[list[int]]) -> Column:
     """Sign-bit signature over fixed-point integers: bit_i = 1 iff
-    floor(vec·2^20) · iplane_i > 0. All-long zip_with/aggregate —
-    exact, order-independent, engine-portable. With |vec| ≤ ~1 and
-    N(0,1) planes the products stay < 2^43 and 64-dim sums < 2^49:
-    no overflow, and even a double-based replay is exact."""
-    qv = F.transform(vec, lambda x: F.floor(x * F.lit(float(LSH_QUANT_SCALE))).cast("long"))
-    bits = []
-    for i, row in enumerate(iplanes):
-        pl = F.expr("array(" + ",".join(f"{p}L" for p in row) + ")")
-        dot = F.aggregate(
-            F.zip_with(qv, pl, lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, v: acc + v
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    qvec · iplane_i > 0, where qvec = quantize_vec(vec). Same
+    single-expression zip_with(planes, masks) shape as the float
+    lsh_signature (one nested fold, not a per-plane expression
+    chain — measured ~1.5× cheaper). All-long arithmetic — exact,
+    order-independent, engine-portable. With |vec| ≤ ~1 and N(0,1)
+    planes the products stay < 2^43 and 64-dim sums < 2^49: no
+    overflow, and even a double-based replay is exact."""
+    rows = ",".join("array(" + ",".join(f"{p}L" for p in row) + ")" for row in iplanes)
+    pl = F.expr(f"array({rows})")
+    masks = F.expr("array(" + ",".join(f"{1 << i}L" for i in range(len(iplanes))) + ")")
+    bits = F.zip_with(
+        pl,
+        masks,
+        lambda p, m: F.when(
+            F.aggregate(
+                F.zip_with(qvec, p, lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, v: acc + v
+            ) > 0,
+            m,
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, x: a.bitwiseOR(x))
 
 
 def lsh_signature(vec: Column, planes: np.ndarray) -> Column:
@@ -321,13 +332,16 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, n_planes: int =
     q0 = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv")).withColumn(
         "__nq", l2_norm(F.col("__qv"))
     )
+    if quantized:
+        c0 = c0.withColumn("__qq", quantize_vec(F.col("__cv")))
+        q0 = q0.withColumn("__qq", quantize_vec(F.col("__qv")))
     sig_cols_c, sig_cols_q = [], []
     for t in range(n_tables):
         planes = _planes(dim, n_planes, seed + t)
         if quantized:
             ip = _iplanes(planes)
-            sig_cols_c.append(lsh_signature_quantized(F.col("__cv"), ip).alias(f"b{t}"))
-            sig_cols_q.append(lsh_signature_quantized(F.col("__qv"), ip).alias(f"b{t}"))
+            sig_cols_c.append(lsh_signature_quantized(F.col("__qq"), ip).alias(f"b{t}"))
+            sig_cols_q.append(lsh_signature_quantized(F.col("__qq"), ip).alias(f"b{t}"))
         else:
             sig_cols_c.append(lsh_signature(F.col("__cv"), planes).alias(f"b{t}"))
             sig_cols_q.append(lsh_signature(F.col("__qv"), planes).alias(f"b{t}"))
