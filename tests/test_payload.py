@@ -207,3 +207,41 @@ def test_aspect_bucket_nearest_and_metadata_only(spark):
     assert DEFAULT_ASPECT_BUCKETS[got["photo"][0]] == (1152, 896)
     plan = aspect_bucket(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_image_caption_pipeline_gates(spark):
+    """The multimodal curation pass drops extreme-aspect pairs and
+    non-language captions, and the per-bucket report aggregates the
+    survivors exactly."""
+    from dblp_crawler_spark.operators.multimodal import aspect_bucket
+    from dblp_crawler_spark.operators.textstats import stopword_ratio, token_count
+
+    rows = [
+        # (id, w, h, caption): survivors and planted drops
+        (1, 1024, 1024, "the cat is sitting on the mat in the sun"),
+        (2, 900, 4000, "the dog is running through the park"),        # h > 4w: drop
+        (3, 1024, 1000, "x1 y2 z3 q4 r5 s6"),                         # no stopwords: drop
+        (4, 800, 600, "a bird and a tree with the sky behind it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w int, h int, text string")
+    pairs = df.select(
+        "doc_id", "w", "h",
+        token_count("text").alias("n_cap"),
+        stopword_ratio("text").alias("swr"),
+    )
+    from pyspark.sql import functions as F
+
+    gated = pairs.filter(
+        (F.col("n_cap") >= 5) & (F.col("n_cap") <= 4096)
+        & (F.col("swr") >= 0.01)
+        & (F.col("w") <= 4 * F.col("h")) & (F.col("h") <= 4 * F.col("w"))
+    )
+    out = (
+        aspect_bucket(gated)
+        .groupBy("bucket_id", "target_w", "target_h")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("n_cap").alias("total_caption_tokens"))
+        .collect()
+    )
+    kept = {r.bucket_id: (r.n_pairs, r.total_caption_tokens) for r in out}
+    # ids 1 (square bucket 6) and 4 (bucket 7) survive; 2 and 3 dropped
+    assert kept == {6: (1, 10), 7: (1, 10)}
