@@ -132,3 +132,46 @@ def test_cli_filter_module_plugin(spark, tmp_path):
     )
     with open(out_plugin) as f, open(out_builtin) as g:
         assert json.load(f) == json.load(g)
+
+
+def test_curate_cli_e2e(spark, tmp_path):
+    """Subprocess e2e of the curation CLI: planted junk (too short /
+    high repetition / non-language) is gated out, planted exact and
+    near dups collapse to one representative, all original columns
+    survive, and the printed JSON report counts match."""
+    import json
+    import subprocess
+    import sys
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs through the quiet field before the sun finally sets "
+            "while a gentle wind moves across the warm evening grass ")
+    rows = [
+        (0, base, "keepme"),
+        (1, base, "exact-dup-of-0"),
+        (2, base + "one extra tail sentence is appended here today", "near-dup-of-0"),
+        (3, "short", "too-short"),
+        (4, ("spam spam spam spam spam spam spam spam spam spam "
+             "spam spam spam spam spam spam spam spam spam spam"), "repetitive"),
+        (5, ("a completely different document about the history of "
+             "distributed dataflow systems and the engines behind them "
+             "written with plenty of ordinary connective prose"), "keeper-2"),
+    ]
+    src = tmp_path / "docs.parquet"
+    out = tmp_path / "kept"
+    spark.createDataFrame(rows, "doc_id long, text string, tag string").write.parquet(str(src))
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "dblp_crawler_spark.curate",
+         "-i", str(src), "-o", str(out),
+         "--dedup", "minhash", "--minhash-threshold", "0.5",
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    kept = spark.read.parquet(str(out)).collect()
+    kept_ids = {r.doc_id for r in kept}
+    assert kept_ids == {0, 5}, kept_ids          # dups 1,2 dropped; junk 3,4 gated
+    assert {r.tag for r in kept} == {"keepme", "keeper-2"}  # original columns intact
+    assert report["n_input"] == 6 and report["n_gated"] == 4 and report["n_kept"] == 2

@@ -62,3 +62,44 @@ def test_engine_matches_oracle_on_random_universes(
     node_ids = {r.pid for r in lake.read("nodes").collect()}
     for e in lake.read("edges").collect():
         assert e.src in node_ids and e.dst in node_ids
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """connected_components (min-label propagation + pointer jump,
+    Observation-terminated) equals a direct union-find on arbitrary
+    random edge lists — including self-dup edges, chains, and
+    multi-component graphs."""
+    from dblp_crawler_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical component = min node id reachable
+    expected = {}
+    nodes = {n for e in edges for n in e}
+    roots = {n: find(n) for n in nodes}
+    min_of_root: dict[int, int] = {}
+    for n, r in roots.items():
+        min_of_root[r] = min(min_of_root.get(r, n), n)
+    expected = {n: min_of_root[roots[n]] for n in nodes}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == expected
