@@ -439,11 +439,15 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN top-k, production shape: the index is built
-    ONCE per corpus (hash-seeded k-means, per-round lineage
-    truncation) and written partitioned by cell; the query probes
-    nprobe cells through a partition-pruned scan + exact in-cell
-    re-rank (recall<1 — rows-only check; recall gate and
-    pruned≡unpruned equivalence in tests/test_pipeline_ops.py)."""
+    ONCE per corpus (fixed-point quantizer — portable seeded init,
+    integer-L2 Lloyd assignment, floor-of-mean centroids; per-round
+    lineage truncation) and written partitioned by cell; the query
+    probes nprobe cells through a partition-pruned scan + exact
+    in-cell float-cosine re-rank. Every cell-membership decision is
+    exact integer arithmetic, so the DuckDB oracle replays the
+    whole index build AND probe bit-identically (recall<1 vs brute
+    force by design — recall gate and pruned≡unpruned equivalence
+    in tests/test_pipeline_ops.py)."""
     import hashlib
     import os
     import tempfile
@@ -453,14 +457,14 @@ def q_ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    store = os.path.join(tempfile.gettempdir(), f"ivf_store_c8_i1_s42_{tag}")
+    store = os.path.join(tempfile.gettempdir(), f"ivf_store_q_c8_i1_s99_{tag}")
     cent_path = os.path.join(store, "_centroids")
     if not (os.path.exists(os.path.join(store, "_SUCCESS")) and os.path.exists(cent_path)):
-        cents, assigned = SIM.ivf_index(emb, n_cells=8, iters=1, seed=42)
+        cents, assigned = SIM.ivf_index_quantized(emb, n_cells=8, iters=1, seed=99)
         SIM.write_ivf_store(assigned, store)  # overwrite: store dir first
         cents.write.mode("overwrite").parquet(cent_path)
     cents = spark.read.parquet(cent_path)
-    return SIM.ivf_topk_pruned(spark, store, queries, cents, k=10, nprobe=4)
+    return SIM.ivf_topk_pruned(spark, store, queries, cents, k=10, nprobe=4, quantized=True)
 
 
 def q_pipeline_image_caption(spark, sf_dir):
@@ -1008,9 +1012,95 @@ def _portable_hash_oracles() -> dict[str, str]:
         "sketch_distinct_users": hll_sql,
         "sketch_heavy_hitters": cms_sql,
         "ann_lsh_topk": lsh_ann_sql,
+        "ann_ivf_topk": _ann_ivf_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
         "pipeline_image_caption": _image_caption_oracle(),
     }
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB replay of q_ann_ivf_topk's ENTIRE fixed-point IVF:
+    portable seeded init (smallest hash60(vec_id, seed)), one Lloyd
+    round with exact integer-L2 argmin (distances via the
+    dot(a,a) − 2·dot(a,b) + dot(b,b) identity — exact in double for
+    fixed-point magnitudes), floor-of-mean centroids, final
+    assignment, nprobe-cell probe, float-cosine re-rank. Cell
+    membership is bit-identical to the Spark build."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.operators.similarity import LSH_QUANT_SCALE
+
+    n_cells, seed, nprobe, k, dim = 8, 99, 4, 10, 64
+    dist = ("list_dot_product(b.qv, b.qv) - 2 * list_dot_product(b.qv, c.qc)"
+            " + list_dot_product(c.qc, c.qc)")
+    return f"""
+        WITH raw AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 -- l2 norm as the SAME left-to-right fold Spark runs
+                 -- (identical partial sums -> identical quantized ints)
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(embedding::DOUBLE[], x -> x * x)),
+                                  (a, b) -> a + b)) AS nrm
+          FROM embeddings
+        ), base AS (
+          SELECT vec_id, e,
+                 list_transform(e, x -> floor(x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)
+                                              * {float(LSH_QUANT_SCALE)!r})) AS qv
+          FROM raw
+        ), seeded AS (
+          SELECT vec_id, qv,
+                 ROW_NUMBER() OVER (ORDER BY {H('vec_id', seed)} ASC, vec_id ASC) AS rn
+          FROM base
+        ), cents0 AS (
+          SELECT rn - 1 AS cell, qv AS qc FROM seeded WHERE rn <= {n_cells}
+        ), a1 AS (
+          SELECT vec_id, qv, cell FROM (
+            SELECT b.vec_id, b.qv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {dist} ASC, c.cell ASC) AS rr
+            FROM base b CROSS JOIN cents0 c
+          ) WHERE rr = 1
+        ), craw AS (
+          SELECT cell, list(m ORDER BY i) AS qraw FROM (
+            SELECT cell, i, CAST(floor(AVG(qv[i])) AS DOUBLE) AS m
+            FROM a1 CROSS JOIN range(1, {dim + 1}) r(i)
+            GROUP BY cell, i
+          ) GROUP BY cell
+        ), cents1 AS (
+          -- re-normalize to unit fixed point (mirrors the Spark
+          -- build; every value here is an exact small integer in
+          -- double, so the fold and the floor replay bit-identically)
+          SELECT cell,
+                 list_transform(qraw, x -> floor(x / (CASE WHEN cn = 0 THEN 1.0 ELSE cn END)
+                                              * {float(LSH_QUANT_SCALE)!r})) AS qc
+          FROM (
+            SELECT cell, qraw,
+                   sqrt(list_reduce(list_prepend(0.0, list_transform(qraw, x -> x * x)),
+                                    (a, b) -> a + b)) AS cn
+            FROM craw
+          )
+        ), a2 AS (
+          SELECT vec_id, cell FROM (
+            SELECT b.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {dist} ASC, c.cell ASC) AS rr
+            FROM base b CROSS JOIN cents1 c
+          ) WHERE rr = 1
+        ), probes AS (
+          SELECT q_id, cell FROM (
+            SELECT b.vec_id AS q_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {dist} ASC, c.cell ASC) AS rr
+            FROM base b CROSS JOIN cents1 c WHERE b.vec_id < 5
+          ) WHERE rr <= {nprobe}
+        ), cand AS (
+          SELECT DISTINCT p.q_id, a.vec_id FROM probes p JOIN a2 a ON p.cell = a.cell
+        ), scored AS (
+          SELECT cand.q_id, cand.vec_id,
+                 list_cosine_similarity(qe.e, ce.e) AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY cand.q_id
+                   ORDER BY list_cosine_similarity(qe.e, ce.e) DESC, cand.vec_id ASC) AS rank
+          FROM cand
+          JOIN base qe ON cand.q_id = qe.vec_id
+          JOIN base ce ON cand.vec_id = ce.vec_id
+        )
+        SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM scored WHERE rank <= {k}
+    """
 
 
 def _image_caption_oracle() -> str:
