@@ -334,6 +334,15 @@ def ivf_index_quantized(corpus: DataFrame, n_cells: int = 8, iters: int = 1, see
     Returns (centroids(cell, qcent), assigned(id, vec, cell))."""
     from ..functions.hashing import hash60
 
+    if n_cells > _MAX_HOF_CELLS:
+        import warnings
+
+        warnings.warn(
+            f"n_cells={n_cells} scores centroids through an interpreted HOF "
+            f"lambda; beyond {_MAX_HOF_CELLS} cells build sharded indexes instead",
+            stacklevel=2,
+        )
+
     c0 = (
         corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("__cv"))
         .withColumn("__nrm", l2_norm(F.col("__cv")))
