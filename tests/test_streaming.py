@@ -337,3 +337,46 @@ def test_hypertable_rollup_partials_equal_direct(spark):
         ).collect()
     }
     assert via_rollup == direct and len(direct) > 10
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    """HLL registers maintained as a streaming aggregation (two
+    micro-batches via maxFilesPerTrigger=1) equal the one-shot batch
+    build over the union — the CRDT-merge property under Structured
+    Streaming, with state bounded by 2^p registers per group."""
+    from dblp_crawler_spark.operators.sketch import hll_build
+    from dblp_crawler_spark.streaming.sketches import hll_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "user_id"
+    )
+    half = ev.filter(F.col("user_id") % 2 == 0)
+    other = ev.subtract(half)
+    src = str(tmp_path / "src")
+    half.coalesce(1).write.mode("overwrite").parquet(src)
+    other.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    regs = hll_stream(stream, "user_id", ["event_type"], p=12)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.event_type, r.register): r.rho
+        for r in spark.sql("SELECT * FROM hll_regs").collect()
+    }
+    want = {
+        (r.event_type, r.register): r.rho
+        for r in hll_build(ev, "user_id", ["event_type"], p=12).collect()
+    }
+    assert got == want
