@@ -177,8 +177,14 @@ class CrawlEngine:
     def initialize(self) -> None:
         robots = self.lake.read_or_empty("robots", schemas.ROBOTS)
         seeds = self.lake.read("seeds")
+        # dedupe: the reference's Graph.persons is a dict, so seeding
+        # the same pid twice is a no-op there (graph.py:25); a
+        # duplicate row here would double-schedule the url in wave 0
+        # (same-key rows inside ONE MoR layer are not resolved —
+        # last-writer-wins works across layers)
         seed_rows = (
             seeds.filter(F.col("seed_type") == "pid")
+            .dropDuplicates(["value"])
             .select(
                 F.col("value").alias("pid"),
                 F.concat(F.lit("pid/"), F.col("value")).alias("url"),
@@ -256,6 +262,14 @@ class CrawlEngine:
         journal_new = None
         if w == 0:
             jseeds = lake.read("seeds").filter(F.col("seed_type") == "journal")
+            # NO distinct here — deliberately asymmetric with person
+            # seeds: the reference iterates init_journals AS-IS
+            # (graph.py:34-35 downloads each listed jid, duplicates
+            # included — a cache hit the second time), while persons
+            # dedupe through the dict (graph.py:14). Duplicate journal
+            # seeds therefore re-schedule the index fetch; the pubs on
+            # it are still processed once (publications-set guard /
+            # the left_semi page join below).
             index_urls = jseeds.select(F.concat("value", F.lit("/index")).alias("url"))
             order_batches.append(index_urls.withColumn("priority", F.lit(0).cast("long")))
             jl = pages.filter(F.col("kind") == "journal_list").join(index_urls, "url", "left_semi")

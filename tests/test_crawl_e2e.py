@@ -217,3 +217,31 @@ def test_crawl_delay_budgets_match_oracle(spark, universe, tmp_path):
     # of the two un-delayed minor hosts
     sched = lake.read("metrics").agg({"scheduled": "max"}).collect()[0][0]
     assert sched <= 20 + 5 + 50 * 2
+
+
+def test_duplicate_seeds_match_reference_semantics(spark, lake):
+    """The reference is deliberately ASYMMETRIC about duplicate
+    seeds: person seeds dedupe through the Graph.persons dict
+    (graph.py:14), but init_journals is iterated as-is (graph.py:34)
+    so a duplicate journal seed re-fetches its index (the pubs on it
+    are still processed once via the publications set). The engine
+    must reproduce both behaviors. Regression for a hypothesis-found
+    divergence: the fixture seed list [pids[3], pids[10],
+    pids[57 % 27]] self-collides at n_authors=27 and the engine
+    double-scheduled the pid."""
+    u = fixtures.make_universe(n_authors=27, n_pubs=60, n_venues=4, seed=0, with_images=False)
+    # plant explicit duplicates of BOTH seed kinds
+    u.seeds_pids = [u.seeds_pids[0], u.seeds_pids[1], u.seeds_pids[0]]
+    u.seeds_journals = [u.seeds_journals[0], u.seeds_journals[0], u.seeds_journals[1]]
+    run_engine(spark, lake, u, host_budget=None, max_attempts=2)
+    res = oracle.run_oracle(u, host_budget=None, max_attempts=2)
+    got = collect_engine(lake)
+    want = oracle_views(res, u)
+    assert got == want
+    urls = [url for _, _, url in got[0]]
+    # seeded persons schedule ONCE in wave 0 (later repeats of a pid
+    # url are legitimate retry re-fetches, max_attempts=2)
+    w0_pids = [url for wave, _, url in got[0] if wave == 0 and url.startswith("pid/")]
+    assert len(w0_pids) == len(set(w0_pids)), "a seeded person was scheduled twice"
+    # the duplicated journal's index IS fetched twice (reference semantics)
+    assert urls.count(u.seeds_journals[0] + "/index") == 2
