@@ -380,3 +380,42 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path):
         for r in hll_build(ev, "user_id", ["event_type"], p=12).collect()
     }
     assert got == want
+
+
+def test_streaming_cms_counters_equal_batch(spark, tmp_path):
+    """CMS counters maintained as a streaming aggregation equal the
+    one-shot batch build — exact integer slot sums, so the equality
+    is exact, not approximate."""
+    from dblp_crawler_spark.operators.sketch import cms_build
+    from dblp_crawler_spark.streaming.sketches import cms_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id"
+    )
+    # Split on event_id parity (a row partition, not a set op: subtract()
+    # would collapse duplicate user_id rows and change the counters).
+    half = ev.filter(F.col("event_id") % 2 == 0).select("user_id")
+    other = ev.filter(F.col("event_id") % 2 != 0).select("user_id")
+    ev = ev.select("user_id")
+    src = str(tmp_path / "src")
+    half.coalesce(1).write.mode("overwrite").parquet(src)
+    other.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cms_stream(stream, "user_id", d=4, w=256)
+        .writeStream.format("memory")
+        .queryName("cms_counters")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {(r.row, r.slot): r.cnt for r in spark.sql("SELECT * FROM cms_counters").collect()}
+    want = {(r.row, r.slot): r.cnt for r in cms_build(ev, "user_id", d=4, w=256).collect()}
+    assert got == want
