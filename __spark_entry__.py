@@ -673,39 +673,29 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_image_phash_dedup(spark, sf_dir):
-    """Image near-dup pairs by perceptual hash over a deterministic
-    synthetic images table (per-id random pixels — the fixture
-    gradient is shared across images so its phashes genuinely
-    collide; every 8th image gets a planted brightness-nudged twin).
-    Blocked hamming equi-join on the stored phash column — no
-    decode, no bytes in the shuffle (rows-only check; pair semantics
-    pinned in tests/test_payload.py)."""
-    import numpy as np
-
-    from dblp_crawler_spark import codecs
+    """Image near-dup pairs on the STORED phash column (the
+    input_hint table carries phash:int64, so duplicate detection
+    never decodes a byte). The operator under test is the blocked
+    hamming equi-join (prefix block → in-block xor/bit_count), so
+    the phashes are planted via the portable hash60 family — 60-bit
+    non-negative, identical in both engines, making the ENTIRE join
+    DuckDB-replayable — with every 8th image given a twin whose two
+    lowest bits are XOR-flipped (hamming exactly 2, same prefix
+    block). phash-from-pixels itself stays value-pinned in
+    tests/test_payload.py."""
+    from dblp_crawler_spark.functions.hashing import hash60
     from dblp_crawler_spark.operators.multimodal import phash_near_dup_images
 
-    docs = _t(spark, sf_dir, "documents").limit(64).select("doc_id")
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids, hashes = [], []
-            for d in pdf["doc_id"]:
-                iid = f"img_{int(d):06d}"
-                rng = np.random.Generator(np.random.PCG64(int(d)))
-                px = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
-                ids.append(iid)
-                hashes.append(codecs.phash64(px))
-                if int(d) % 8 == 0:
-                    twin = np.clip(px.astype(np.int16) + 1, 0, 255).astype(np.uint8)
-                    ids.append(iid + "_twin")
-                    hashes.append(codecs.phash64(twin))
-            yield pd.DataFrame({"image_id": ids, "phash": hashes})
-
-    imgs = docs.mapInPandas(gen, "image_id string, phash long")
-    return phash_near_dup_images(imgs, max_hamming=4, prefix_bits=8)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    iid = F.format_string("img_%06d", "doc_id")
+    base = docs.select(iid.alias("image_id"), hash60(iid).alias("phash"))
+    twins = docs.filter(F.col("doc_id") % 8 == 0).select(
+        F.concat(iid, F.lit("_twin")).alias("image_id"),
+        hash60(iid).bitwiseXOR(F.lit(3)).alias("phash"),
+    )
+    return phash_near_dup_images(
+        base.unionByName(twins), max_hamming=4, prefix_bits=12
+    )
 
 
 def q_video_frame_sample(spark, sf_dir):
@@ -1014,6 +1004,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "ann_lsh_topk": lsh_ann_sql,
         "ann_ivf_topk": _ann_ivf_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
+        "image_phash_dedup": _phash_dedup_oracle(),
         "pipeline_image_caption": _image_caption_oracle(),
     }
 
@@ -1138,6 +1129,32 @@ def _image_caption_oracle() -> str:
                ROUND(SUM(n_cap)::DOUBLE / COUNT(*), 4) AS avg_caption_tokens
         FROM scored WHERE rn = 1
         GROUP BY i, bw, bh
+    """
+
+
+def _phash_dedup_oracle() -> str:
+    """DuckDB replay of q_image_phash_dedup: identical planted
+    phashes via hash60 (non-negative, so `>> 52` equals Spark's
+    shiftrightunsigned(sh, 64-12)), identical block equi-join and
+    xor/bit_count hamming verify."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    pid = "printf('img_%06d', doc_id)"
+    return f"""
+        WITH base AS (
+          SELECT {pid} AS image_id, {H(pid)} AS phash FROM documents
+        ), twins AS (
+          SELECT {pid} || '_twin' AS image_id, xor({H(pid)}, 3) AS phash
+          FROM documents WHERE doc_id % 8 = 0
+        ), blocked AS (
+          SELECT image_id, phash, phash >> 52 AS block
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM twins)
+        )
+        SELECT x.image_id AS a, y.image_id AS b,
+               CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+        FROM blocked x JOIN blocked y ON x.block = y.block
+        WHERE x.image_id < y.image_id
+          AND bit_count(xor(x.phash, y.phash)) <= 4
     """
 
 
