@@ -625,6 +625,95 @@ def q_corpus_mix(spark, sf_dir):
     return T.corpus_mix_report(docs)
 
 
+def q_doc_chunk_overlap(spark, sf_dir):
+    """Fixed-token-window chunking with overlap (window 32, stride
+    16) — documents → training-sample context windows. Map-only
+    projection: sequence of starts → explode → slice; no shuffle, no
+    UDF. DuckDB replays it with generate_series + list_slice."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.chunk_tokens(docs, window=32, stride=16)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-flattening mixture resample (alpha = 1/2) over a
+    PLANTED skewed source map (the driver's synthetic `source` column
+    is perfectly uniform, which would make every keep-rate 1.0 and
+    exercise nothing): bucket doc_id%16 → one 'big' source (8/16 of
+    docs), one 'mid' (4/16), four 'tail' sources (1/16 each), so the
+    entry demonstrates real downsampling — tail kept whole, mid at
+    sqrt(1/4)=0.5, big at sqrt(1/8)≈0.354. The keep decision is
+    exact integer arithmetic on the portable 30-bit hash uniform
+    (u²·n_s < n_min·2^60), so DuckDB derives the identical kept set;
+    the report is per-source (n_docs, n_kept, keep_rate)."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.col("doc_id") % 16
+    skewed = docs.select(
+        "doc_id",
+        F.when(b < 8, F.lit("big"))
+        .when(b < 12, F.lit("mid"))
+        .otherwise(F.concat(F.lit("tail"), b.cast("string")))
+        .alias("source"),
+    )
+    kept = T.mixture_flatten(skewed).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    total = skewed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return total.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(F.coalesce("n_kept", F.lit(0)) / F.col("n_docs"), 4).alias("keep_rate"),
+    )
+
+
+def q_text_classifier_gate(spark, sf_dir):
+    """Hashed linear quality classifier (fastText-style) with
+    portable integer pseudo-weights: per-token weight
+    hash60(token,seed) mod 2001 − 1000, doc score = fold with
+    multiplicity, accept iff score > 0. Integer-exact in both
+    engines; report is per-source accept counts + exact total
+    score + SUM/COUNT average."""
+    docs = _t(spark, sf_dir, "documents")
+    sc = docs.select("source", T.hashed_linear_score("text").alias("score"))
+    return sc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("score") > 0).cast("int")).alias("n_accepted"),
+        F.sum("score").alias("total_score"),
+        F.round(F.sum("score") / F.count(F.lit(1)), 4).alias("avg_score"),
+    )
+
+
+def q_image_phash_components(spark, sf_dir):
+    """Duplicate-image CLUSTERS: the phash hamming pair join feeding
+    connected components — A~B, B~C collapse to one cluster even when
+    hamming(A,C) > threshold. Planted portable-hash geometry makes
+    transitivity real: every 8th image gets a twin at XOR 3 (hamming
+    2) and every 16th ALSO a twin2 at XOR 60 (hamming 4 from base,
+    but hamming 6 from twin — linked only THROUGH the base), so the
+    3-node clusters exist only if the components step actually
+    closes transitively. Oracle: the same pair SQL + the recursive
+    min-reachable-id CTE."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.multimodal import phash_near_dup_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    iid = F.format_string("img_%06d", "doc_id")
+    base = docs.select(iid.alias("image_id"), hash60(iid).alias("phash"))
+    twin1 = docs.filter(F.col("doc_id") % 8 == 0).select(
+        F.concat(iid, F.lit("_twin")).alias("image_id"),
+        hash60(iid).bitwiseXOR(F.lit(3)).alias("phash"),
+    )
+    twin2 = docs.filter(F.col("doc_id") % 16 == 0).select(
+        F.concat(iid, F.lit("_twin2")).alias("image_id"),
+        hash60(iid).bitwiseXOR(F.lit(60)).alias("phash"),
+    )
+    pairs = phash_near_dup_images(
+        base.unionByName(twin1).unionByName(twin2), max_hamming=4, prefix_bits=12
+    )
+    cc = D.connected_components(pairs, src="a", dst="b")
+    return cc.select(F.col("id").alias("image_id"), F.col("component").alias("cluster_rep"))
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Rolling polynomial fingerprint on the portable hash family —
     the order-aware fold replays in DuckDB as a list_reduce, so the
@@ -788,6 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "hash_split": q_hash_split,
         "corpus_mix": q_corpus_mix,
+        "doc_chunk_overlap": q_doc_chunk_overlap,
+        "mixture_sample": q_mixture_sample,
+        "text_classifier_gate": q_text_classifier_gate,
         "text_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed_agg,
         "events_sessionization": q_events_sessionization,
@@ -798,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "multimodal_features": q_multimodal_features,
         "image_phash_dedup": q_image_phash_dedup,
+        "image_phash_components": q_image_phash_components,
         "image_aspect_bucket": q_image_aspect_bucket,
         "pipeline_image_caption": q_pipeline_image_caption,
         "video_frame_sample": q_video_frame_sample,
@@ -1005,6 +1098,23 @@ def _portable_hash_oracles() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
         "image_phash_dedup": _phash_dedup_oracle(),
+        "image_phash_components": _phash_components_oracle(),
+        "mixture_sample": _mixture_sample_oracle(),
+        "text_classifier_gate": _classifier_gate_oracle(),
+        "doc_chunk_overlap": f"""
+            WITH tk AS (
+              SELECT doc_id, {_TOK} AS tk FROM documents
+            ), st AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(0, greatest(len(tk) - 1, 0), 16)) AS s
+              FROM tk
+            )
+            SELECT doc_id,
+                   CAST(s // 16 AS INT) AS chunk_id,
+                   CAST(len(list_slice(tk, s + 1, s + 32)) AS INT) AS n_chunk_tokens,
+                   array_to_string(list_slice(tk, s + 1, s + 32), ' ') AS chunk_text
+            FROM st
+        """,
         "pipeline_image_caption": _image_caption_oracle(),
     }
 
@@ -1155,6 +1265,95 @@ def _phash_dedup_oracle() -> str:
         FROM blocked x JOIN blocked y ON x.block = y.block
         WHERE x.image_id < y.image_id
           AND bit_count(xor(x.phash, y.phash)) <= 4
+    """
+
+
+def _phash_components_oracle() -> str:
+    """DuckDB replay of q_image_phash_components: identical planted
+    phashes (base + XOR-3 twin + XOR-60 twin2), identical blocked
+    hamming pair join, then the same recursive min-reachable-id CTE
+    used by dedup_components."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    pid = "printf('img_%06d', doc_id)"
+    return f"""
+        WITH RECURSIVE imgs AS (
+          SELECT {pid} AS image_id, {H(pid)} AS phash FROM documents
+          UNION ALL
+          SELECT {pid} || '_twin', xor({H(pid)}, 3) FROM documents WHERE doc_id % 8 = 0
+          UNION ALL
+          SELECT {pid} || '_twin2', xor({H(pid)}, 60) FROM documents WHERE doc_id % 16 = 0
+        ), blocked AS (
+          SELECT image_id, phash, phash >> 52 AS block FROM imgs
+        ), pairs AS (
+          SELECT x.image_id AS a, y.image_id AS b
+          FROM blocked x JOIN blocked y ON x.block = y.block
+          WHERE x.image_id < y.image_id
+            AND bit_count(xor(x.phash, y.phash)) <= 4
+        ), sym AS (
+          SELECT a AS id, b AS nbr FROM pairs
+          UNION
+          SELECT b AS id, a AS nbr FROM pairs
+        ), reach(id, comp) AS (
+          SELECT id, id FROM sym
+          UNION
+          SELECT s.nbr, r.comp FROM reach r JOIN sym s ON s.id = r.id
+          WHERE r.comp < s.nbr
+        )
+        SELECT id AS image_id, MIN(comp) AS cluster_rep FROM reach GROUP BY id
+    """
+
+
+def _mixture_sample_oracle() -> str:
+    """DuckDB replay of q_mixture_sample: identical planted skewed
+    source map, identical exact-integer keep test (HUGEINT stands in
+    for Spark's decimal(38,0))."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    u = f"({H('doc_id')} >> 30)"
+    return f"""
+        WITH sk AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 16 < 8 THEN 'big'
+                      WHEN doc_id % 16 < 12 THEN 'mid'
+                      ELSE 'tail' || CAST(doc_id % 16 AS VARCHAR) END AS source
+          FROM documents
+        ), c AS (
+          SELECT source, COUNT(*) AS n_s FROM sk GROUP BY source
+        ), m AS (
+          SELECT MIN(n_s) AS n_min FROM c
+        ), k AS (
+          SELECT sk.source FROM sk JOIN c USING (source) CROSS JOIN m
+          WHERE CAST({u} AS HUGEINT) * {u} * n_s
+                < CAST(n_min AS HUGEINT) * 1152921504606846976
+        ), kc AS (
+          SELECT source, COUNT(*) AS n_kept FROM k GROUP BY source
+        )
+        SELECT c.source, c.n_s AS n_docs,
+               CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept,
+               ROUND(CAST(COALESCE(kc.n_kept, 0) AS DOUBLE) / c.n_s, 4) AS keep_rate
+        FROM c LEFT JOIN kc USING (source)
+    """
+
+
+def _classifier_gate_oracle() -> str:
+    """DuckDB replay of q_text_classifier_gate: same tokenization,
+    same hash60-derived integer weights, integer-exact fold; SUM
+    cast to BIGINT (DuckDB integer SUM is HUGEINT)."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    return f"""
+        WITH s AS (
+          SELECT source,
+                 CAST(COALESCE(list_sum(list_transform({_TOK},
+                      t -> ({H('t', 7)} % 2001) - 1000)), 0) AS BIGINT) AS score
+          FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+               CAST(SUM(score) AS BIGINT) AS total_score,
+               ROUND(CAST(SUM(score) AS DOUBLE) / COUNT(*), 4) AS avg_score
+        FROM s GROUP BY source
     """
 
 

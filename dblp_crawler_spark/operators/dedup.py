@@ -364,6 +364,13 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
     """
     from pyspark.sql import Observation
 
+    # min-label works over ANY totally-ordered id type (string image
+    # ids as well as numeric vec/doc ids); the only constraint is the
+    # two exploded structs sharing one field type, so cast to long
+    # only when the endpoint types differ (e.g. int src vs long dst).
+    c_src, c_dst = F.col(src), F.col(dst)
+    if edges.schema[src].dataType != edges.schema[dst].dataType:
+        c_src, c_dst = c_src.cast("long"), c_dst.cast("long")
     sym = (
         # one scan of the (possibly expensive, uncached) edge plan:
         # explode each edge into both directions instead of a
@@ -371,12 +378,8 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         edges.select(
             F.explode(
                 F.array(
-                    F.struct(
-                        F.col(src).cast("long").alias("id"), F.col(dst).cast("long").alias("nbr")
-                    ),
-                    F.struct(
-                        F.col(dst).cast("long").alias("id"), F.col(src).cast("long").alias("nbr")
-                    ),
+                    F.struct(c_src.alias("id"), c_dst.alias("nbr")),
+                    F.struct(c_dst.alias("id"), c_src.alias("nbr")),
                 )
             ).alias("e")
         )

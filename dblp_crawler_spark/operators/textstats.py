@@ -302,3 +302,101 @@ def corpus_mix_report(docs: DataFrame, text_col: str = "text",
             F.round(F.avg("q"), 6).alias("avg_quality"),
         )
     )
+
+
+def chunk_tokens(docs: DataFrame, window: int = 32, stride: int = 16,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fixed-token-window chunking with overlap — the step that turns
+    curated documents into training samples (context windows). Chunk
+    k starts at token k*stride and takes up to `window` tokens; the
+    tail chunk may run short. stride < window gives the standard
+    overlapping windows (overlap = window - stride); stride == window
+    gives disjoint packing.
+
+    Scale shape: pure per-row expressions — one sequence() of start
+    offsets, one explode, one slice — a map-only projection with no
+    shuffle and no UDF, so the only cost at 100 TB is the deliberate
+    output amplification (~window/stride × input tokens). Catalyst
+    keeps the whole thing in one WholeStageCodegen span, and the
+    parquet scan reads only (id, text).
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens_all(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__tk") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("__tk"))
+        .select(id_col, "__tk", F.explode(starts).alias("__start"))
+        .select(
+            F.col(id_col),
+            F.floor(F.col("__start") / stride).cast("int").alias("chunk_id"),
+            F.slice("__tk", F.col("__start") + 1, F.lit(window)).alias("__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__chunk").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def mixture_flatten(docs: DataFrame, source_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic temperature-flattening mixture resample
+    (alpha = 1/2): re-weights the corpus toward p_s ∝ sqrt(n_s) by
+    downsampling over-represented sources — keep rate
+    r_s = sqrt(n_min / n_s), so the smallest source is kept whole and
+    a source 100× larger keeps 10% of its rows.
+
+    The keep decision is EXACT integer arithmetic on a portable
+    30-bit hash uniform:  u² · n_s < n_min · 2^60  ⟺
+    u / 2^30 < sqrt(n_min / n_s)  with u = hash60(id) >> 30 — no
+    float pow(), so ANY engine (the DuckDB oracle included) derives
+    the identical kept set, and membership depends only on the doc id
+    and the source counts. decimal(38,0) keeps the product exact
+    (u² ≤ 2^60, × n_s stays inside 38 digits up to 10^19-row
+    sources).
+
+    Scale shape: one tiny per-source count aggregate (map-side
+    partials, #sources rows) broadcast back, then a map-only filter —
+    no data shuffle at any corpus size.
+    """
+    from ..functions.hashing import hash60
+
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    n_min = counts.agg(F.min("__n_s").alias("__n_min"))
+    u = F.shiftrightunsigned(hash60(F.col(id_col)), 30).cast("decimal(38,0)")
+    lhs = u * u * F.col("__n_s").cast("decimal(38,0)")
+    rhs = F.col("__n_min").cast("decimal(38,0)") * F.lit(1 << 60).cast("decimal(38,0)")
+    return (
+        docs.join(F.broadcast(counts), source_col)
+        .crossJoin(F.broadcast(n_min))
+        .filter(lhs < rhs)
+        .select(*docs.columns)  # restore input column order (join fronts the key)
+    )
+
+
+def hashed_linear_score(text: Column | str, seed: int = 7) -> Column:
+    """fastText-style hashed linear quality scorer with portable
+    pseudo-weights: every token hashes to an integer weight in
+    [-1000, 1000] (hash60(token, seed) mod 2001 − 1000) and the doc
+    score is the weight sum over tokens WITH multiplicity. All
+    integer arithmetic on the portable hash family, so any engine
+    derives the identical score — the classifier-gate plumbing is
+    testable end-to-end without shipping a model.
+
+    A real deployment swaps the hash-derived weight for a learned
+    vocabulary table broadcast-joined (or map-looked-up) on the same
+    token hash; the plan shape — flat per-token map + per-doc fold,
+    no shuffle, no UDF — is exactly this one.
+    """
+    from ..functions.hashing import hash60
+
+    w = F.transform(
+        tokens_all(text),
+        lambda t: F.pmod(hash60(t, seed), F.lit(2001)) - 1000,
+    )
+    return F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + x)
