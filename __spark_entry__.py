@@ -714,6 +714,27 @@ def q_image_phash_components(spark, sf_dir):
     return cc.select(F.col("id").alias("image_id"), F.col("component").alias("cluster_rep"))
 
 
+def q_image_batch_assembly(spark, sf_dir):
+    """Aspect-bucketed training-batch assembly (batch_size=8,
+    drop_last): every batch holds 8 images of one resolution bucket,
+    filled in id order; ragged bucket tails dropped. Geometry planted
+    from the portable hash60 family (same (w, h) map as
+    image_aspect_bucket); the per-bucket rank comes from the
+    distributed prefix sum, which the oracle replays as a plain
+    row_number — equality proves the two-pass rank IS the per-bucket
+    ordinal."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.multimodal import assemble_batches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    imgs = docs.select(
+        "doc_id",
+        (F.lit(256) + F.pmod(hash60("doc_id"), F.lit(1024))).cast("int").alias("w"),
+        (F.lit(256) + F.pmod(hash60("doc_id", 1), F.lit(1024))).cast("int").alias("h"),
+    )
+    return assemble_batches(imgs, batch_size=8, id_col="doc_id")
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Rolling polynomial fingerprint on the portable hash family —
     the order-aware fold replays in DuckDB as a list_reduce, so the
@@ -891,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "image_phash_dedup": q_image_phash_dedup,
         "image_phash_components": q_image_phash_components,
+        "image_batch_assembly": q_image_batch_assembly,
         "image_aspect_bucket": q_image_aspect_bucket,
         "pipeline_image_caption": q_pipeline_image_caption,
         "video_frame_sample": q_video_frame_sample,
@@ -1099,6 +1121,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "image_aspect_bucket": _aspect_bucket_oracle(),
         "image_phash_dedup": _phash_dedup_oracle(),
         "image_phash_components": _phash_components_oracle(),
+        "image_batch_assembly": _batch_assembly_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "text_classifier_gate": _classifier_gate_oracle(),
         "doc_chunk_overlap": f"""
@@ -1354,6 +1377,42 @@ def _classifier_gate_oracle() -> str:
                CAST(SUM(score) AS BIGINT) AS total_score,
                ROUND(CAST(SUM(score) AS DOUBLE) / COUNT(*), 4) AS avg_score
         FROM s GROUP BY source
+    """
+
+
+def _batch_assembly_oracle() -> str:
+    """DuckDB replay of q_image_batch_assembly: identical planted
+    geometry + bucket argmin, then per-bucket rank as a plain
+    row_number (the engine's distributed prefix sum must equal it),
+    full-batch filter, batch/slot arithmetic."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.operators.multimodal import DEFAULT_ASPECT_BUCKETS
+
+    vals = ", ".join(f"({i}, {bw}, {bh})" for i, (bw, bh) in enumerate(DEFAULT_ASPECT_BUCKETS))
+    return f"""
+        WITH imgs AS (
+          SELECT doc_id,
+                 CAST(256 + ({H('doc_id')} % 1024) AS INT) AS w,
+                 CAST(256 + ({H('doc_id', 1)} % 1024) AS INT) AS h
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, b.i, b.bw, b.bh,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY abs(w::DOUBLE / h::DOUBLE - bw::DOUBLE / bh::DOUBLE) ASC, b.i ASC) AS rn
+          FROM imgs CROSS JOIN (VALUES {vals}) b(i, bw, bh)
+        ), assigned AS (
+          SELECT doc_id, i AS bucket_id, bw AS target_w, bh AS target_h
+          FROM scored WHERE rn = 1
+        ), ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY bucket_id ORDER BY doc_id) - 1 AS rk,
+                 COUNT(*) OVER (PARTITION BY bucket_id) AS n_b
+          FROM assigned
+        )
+        SELECT doc_id, bucket_id, target_w, target_h,
+               CAST(rk // 8 AS INT) AS batch_id,
+               CAST(rk % 8 AS INT) AS slot
+        FROM ranked WHERE rk < n_b - n_b % 8
     """
 
 

@@ -28,7 +28,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -352,3 +352,58 @@ def aspect_bucket(images: DataFrame, w_col: str = "w", h_col: str = "h",
     tw = F.element_at(F.array(*[F.lit(bw) for bw, _ in bks]), best_i + 1).alias("target_w")
     th = F.element_at(F.array(*[F.lit(bh) for _, bh in bks]), best_i + 1).alias("target_h")
     return images.select("*", best_i.alias("bucket_id"), tw, th)
+
+
+def assemble_batches(images: DataFrame, batch_size: int,
+                     id_col: str = "image_id", w_col: str = "w", h_col: str = "h",
+                     buckets: list[tuple[int, int]] | None = None,
+                     drop_last: bool = True) -> DataFrame:
+    """Training-batch assembly over aspect buckets: every batch holds
+    exactly `batch_size` images of ONE resolution bucket (mixed
+    geometry in a batch forces destructive square crops), batches are
+    filled in id order, and with drop_last the ragged tail of each
+    bucket is dropped — the SDXL-style bucketed dataloader contract,
+    materialized as columns so shards can be written batch-contiguous.
+
+    Returns (id, bucket_id, target_w, target_h, batch_id, slot):
+    batch_id is per-bucket (bucket b's batches are 0..n_b/B-1), slot
+    is the position inside the batch.
+
+    Scale shape: a per-bucket row_number window would funnel each
+    bucket — ~1/len(buckets) of the CORPUS — through one task, so the
+    rank comes from the same two-pass distributed prefix sum as the
+    crawl's global_sequence, range-partitioned on (bucket_id, id)
+    (each bucket spans many partitions), minus each bucket's start
+    offset (a len(buckets)-row aggregate, broadcast back). Metadata
+    only — bytes stay in the store until the shard writer reads the
+    assembled manifest."""
+    from .scheduler import global_sequence
+
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    assigned = aspect_bucket(images, w_col=w_col, h_col=h_col, buckets=buckets)
+    seq = global_sequence(assigned, 0, ["bucket_id", id_col])
+    counts = seq.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("__n_b"))
+    w_off = Window.orderBy("bucket_id").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket_id",
+        F.coalesce(F.sum("__n_b").over(w_off), F.lit(0)).alias("__off"),
+        "__n_b",
+    )
+    rank = (F.col("seq") - F.col("__off")).alias("__rank")
+    out = (
+        seq.join(F.broadcast(offsets), "bucket_id")
+        .select(
+            F.col(id_col),
+            "bucket_id",
+            "target_w",
+            "target_h",
+            F.floor(rank / batch_size).cast("int").alias("batch_id"),
+            (rank % batch_size).cast("int").alias("slot"),
+            rank,
+            "__n_b",
+        )
+    )
+    if drop_last:
+        out = out.filter(F.col("__rank") < (F.col("__n_b") - F.col("__n_b") % batch_size))
+    return out.drop("__rank", "__n_b")

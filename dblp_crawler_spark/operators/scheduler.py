@@ -94,12 +94,25 @@ def global_sequence(df: DataFrame, start: int, order_cols: list) -> DataFrame:
     parallel and entirely inside whole-stage codegen. Deterministic
     because the order columns form a total order (url is unique).
 
-    The whole thing is ONE lazy DAG (no driver collect, no cache):
-    the counts branch and the main branch share the identical
-    range-repartition exchange, which Spark's ReuseExchange computes
-    once. Range-partitioner sampling is deterministic for a given
-    input, so both branches (and any task retry) see the same
-    partition boundaries.
+    Branch consistency is ENFORCED by a lazy localCheckpoint of the
+    partitioned frame, not assumed from ReuseExchange: the counts
+    branch and the main branch MUST see the identical partitioning,
+    but independently materialized copies of the same
+    repartitionByRange are NOT guaranteed identical — Spark's range
+    partitioner seeds its reservoir sampling with the RDD id, so a
+    re-executed exchange can draw different boundaries. ReuseExchange
+    usually dedupes the two branches, but Catalyst's column pruning
+    can specialize their exchanges into non-canonical twins and
+    defeat it (observed: misaligned seq under local[8] when the
+    caller consumed the result through two differently-pruned paths).
+    The checkpoint materializes the exchange once (to executor-local
+    storage — the batch was being shuffled anyway) and both branches
+    read the same frozen blocks. Trade-off (same as the
+    connected_components rounds): lineage is truncated, so an
+    executor loss mid-query fails the job instead of recomputing —
+    on a cluster where that matters, swap for a reliable
+    checkpoint dir or an intermediate table; what is NOT acceptable
+    is two branches numbering rows under different partitionings.
     """
     cols = df.columns
     n_part = max(2, df.sparkSession.sparkContext.defaultParallelism)
@@ -107,6 +120,7 @@ def global_sequence(df: DataFrame, start: int, order_cols: list) -> DataFrame:
         df.repartitionByRange(n_part, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (

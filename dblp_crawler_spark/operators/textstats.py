@@ -133,6 +133,11 @@ def pack_shards(docs: DataFrame, shard_tokens: int, text_col: str = "text",
         .repartitionByRange(n_part, id_col)
         .sortWithinPartitions(id_col)
         .withColumn("__pid", F.spark_partition_id())
+        # freeze the partitioning before the two branches read it —
+        # independently re-executed range exchanges can draw different
+        # boundaries (sampler seed includes the RDD id); see
+        # scheduler.global_sequence for the full rationale
+        .localCheckpoint(eager=False)
     )
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (

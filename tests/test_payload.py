@@ -245,3 +245,42 @@ def test_image_caption_pipeline_gates(spark):
     kept = {r.bucket_id: (r.n_pairs, r.total_caption_tokens) for r in out}
     # ids 1 (square bucket 6) and 4 (bucket 7) survive; 2 and 3 dropped
     assert kept == {6: (1, 10), 7: (1, 10)}
+
+
+def test_assemble_batches_contract(spark):
+    """Every batch holds exactly batch_size images of ONE bucket,
+    filled in id order; ragged bucket tails are dropped; and the
+    distributed prefix-sum rank enumerates each bucket cleanly
+    (0..n-1) — the regression for the range-exchange branch-
+    consistency bug, where independently re-executed
+    repartitionByRange copies drew different boundaries (sampler
+    seed includes the RDD id) and produced negative batch ids."""
+    import collections
+
+    from dblp_crawler_spark.operators.multimodal import assemble_batches
+
+    # enough rows to spread over several range partitions at
+    # local[4]; geometry spread over several buckets
+    rows = [(f"i{i:05d}", 256 + (i * 37) % 1024, 256 + (i * 53) % 1024)
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int")
+    out = assemble_batches(df, batch_size=8).collect()
+    assert all(r.batch_id >= 0 and 0 <= r.slot < 8 for r in out)
+    by_batch = collections.defaultdict(list)
+    for r in out:
+        by_batch[(r.bucket_id, r.batch_id)].append(r)
+    for (bk, _), members in by_batch.items():
+        assert len(members) == 8                      # full batches only
+        assert {(m.target_w, m.target_h) for m in members} == \
+               {(members[0].target_w, members[0].target_h)}  # one geometry
+    # per-bucket (batch_id, slot) is a clean enumeration in id order
+    by_bucket = collections.defaultdict(list)
+    for r in out:
+        by_bucket[r.bucket_id].append(r)
+    for bk, lst in by_bucket.items():
+        lst.sort(key=lambda r: r.image_id)
+        assert [(r.batch_id, r.slot) for r in lst] == \
+               [(i // 8, i % 8) for i in range(len(lst))]
+    # drop_last=False keeps every row and tails stay partial
+    n_all = assemble_batches(df, batch_size=8, drop_last=False).count()
+    assert n_all == 5000

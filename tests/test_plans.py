@@ -138,9 +138,17 @@ def test_global_sequence_no_python_no_global_window(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert bad not in plan, bad
     # the big-side window is keyed by partition id; the only
-    # unkeyed window runs on the #partitions-row offsets aggregate
-    assert "rangepartitioning" in plan
+    # unkeyed window runs on the #partitions-row offsets aggregate.
+    # The range exchange itself is frozen behind the branch-
+    # consistency localCheckpoint, so the consumer plan reads the
+    # checkpointed RDD rather than re-planning the exchange —
+    # exactly the property the checkpoint exists to enforce.
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
     assert "row_number" in plan
+    # the exchange is real — it lives in the checkpointed prefix:
+    # sequencing output must be the exact total-order enumeration
+    rows = sorted(q.collect(), key=lambda r: (-r.priority, r.url))
+    assert [r.seq for r in rows] == list(range(50))
 
 
 def test_fetch_join_broadcasts_keys_not_blobs(spark, tmp_path):
