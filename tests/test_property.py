@@ -103,3 +103,83 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "a long, b long")
     got = {r.id: r.component for r in connected_components(df).collect()}
     assert got == expected
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("alpha beta gamma delta x y2 _z".split()),
+                     min_size=0, max_size=40),
+        ),
+        min_size=1, max_size=25,
+    ),
+    window=st.integers(min_value=1, max_value=9),
+    stride=st.integers(min_value=1, max_value=9),
+)
+def test_chunk_tokens_reconstruction_property(spark, data, window, stride):
+    """For ANY document and any (window, stride): chunk k covers
+    tokens [k*stride, k*stride+window); concatenating each chunk's
+    first `stride` tokens plus the final chunk's remainder
+    reconstructs the document exactly; chunk sizes never exceed
+    window."""
+    from dblp_crawler_spark.operators.textstats import chunk_tokens
+
+    rows = [(i, " ".join(toks)) for i, (toks,) in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collections.defaultdict(dict)
+    for r in chunk_tokens(df, window=window, stride=stride).collect():
+        out[r.doc_id][r.chunk_id] = (r.n_chunk_tokens, r.chunk_text)
+    for i, (toks,) in enumerate(data):
+        chunks = out[i]
+        assert sorted(chunks) == list(range(len(chunks)))
+        recon = []
+        for k in sorted(chunks):
+            n, txt = chunks[k]
+            ctoks = txt.split() if txt else []
+            assert n == len(ctoks) <= window
+            assert ctoks == toks[k * stride: k * stride + window]
+            recon.extend(ctoks[:stride] if k < max(chunks) else ctoks)
+        if stride <= window:
+            assert recon == toks  # full coverage, no token lost
+        # every chunk start < n_tokens (no phantom chunks) except the
+        # single chunk emitted for an empty/short doc
+        assert max(chunks) * stride <= max(len(toks) - 1, 0)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=6),
+)
+def test_mixture_flatten_property(spark, sizes):
+    """For ANY source-size profile: output ⊆ input, every min-size
+    source is kept whole, keep decisions depend only on doc_id (two
+    runs identical), and expected keep counts track sqrt(n_min/n_s)
+    within a loose deterministic band."""
+    from dblp_crawler_spark.operators.textstats import mixture_flatten
+
+    rows, base = [], 0
+    for s_i, n in enumerate(sizes):
+        rows += [(base + j, f"doc {base + j}", f"s{s_i}") for j in range(n)]
+        base += 10_000
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = {r.doc_id for r in mixture_flatten(df).collect()}
+    assert kept <= {r[0] for r in rows}
+    again = {r.doc_id for r in mixture_flatten(df).collect()}
+    assert kept == again
+    n_min = min(sizes)
+    by_src = collections.Counter(r[2] for r in rows if r[0] in kept)
+    for s_i, n in enumerate(sizes):
+        if n == n_min:
+            assert by_src[f"s{s_i}"] == n  # smallest source kept whole
+        exp = n * (n_min / n) ** 0.5
+        # 30-bit uniform, deterministic: band = ±(4·sqrt(exp) + 2)
+        assert abs(by_src[f"s{s_i}"] - exp) <= 4 * exp ** 0.5 + 2
