@@ -57,3 +57,56 @@ def curate(docs: DataFrame, min_tokens: int = 10, min_quality: float = 0.7,
     else:
         deduped = kept.dropDuplicates(["text_hash"])
     return deduped.select(id_col, "n_tokens", "quality", "rep_ratio")
+
+
+def quota_cap_stream(docs: DataFrame, n: int, source_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Streaming per-source quota cap: admit the first `n` documents
+    per source in ARRIVAL order and drop the rest — the unbounded
+    twin of textstats.per_source_cap (which ranks by quality over a
+    finished corpus; a stream admits greedily as pages land, the
+    crawl-side mix control). Arrival order = micro-batch order;
+    inside one micro-batch, ascending id is the deterministic
+    tie-break (group rows reach the state function unordered).
+
+    Returns (source, id, rank): rank is the admit ordinal within the
+    source (0-based, contiguous across micro-batches).
+
+    State posture: ONE integer per source (the admitted count) —
+    state is bounded by #sources regardless of stream length, the
+    opposite regime from exact dedup's per-key state. No timeout:
+    a quota never expires.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    id_dt = docs.schema[id_col].dataType.simpleString()
+    src_dt = docs.schema[source_col].dataType.simpleString()
+    out_schema = f"{source_col} {src_dt}, {id_col} {id_dt}, rank long"
+    state_schema = "admitted long"
+
+    def fn(key, pdfs, state: GroupState):
+        (src,) = key
+        (admitted,) = state.get if state.exists else (0,)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(id_col, ignore_index=True)
+        take = rows.iloc[: max(n - admitted, 0)]
+        if len(take):
+            yield pd.DataFrame(
+                {
+                    source_col: take[source_col],
+                    id_col: take[id_col],
+                    "rank": range(admitted, admitted + len(take)),
+                }
+            )
+        state.update((admitted + len(take),))
+
+    return (
+        docs.select(source_col, id_col)
+        .groupBy(source_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
