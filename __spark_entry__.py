@@ -1881,7 +1881,11 @@ def oracle_sql() -> dict[str, str]:
               FROM sess GROUP BY user_id, session_id
             )
             SELECT user_id, COUNT(*) AS n_sessions,
-                   ROUND(AVG((epoch_ms(e) - epoch_ms(s)) / 1000.0), 3) AS avg_session_secs
+                   -- exact integer SUM + one float divide (NOT AVG of
+                   -- doubles): keeps the pre-round double identical to
+                   -- Spark's regardless of summation order
+                   ROUND(CAST(SUM(epoch_ms(e) - epoch_ms(s)) AS DOUBLE)
+                         / (COUNT(*) * 1000.0), 3) AS avg_session_secs
             FROM agg GROUP BY user_id
         """,
         **_portable_hash_oracles(),

@@ -196,19 +196,23 @@ def sessionize_stateful(
 
 
 def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Per-user session rollup (count + mean length in seconds)."""
+    """Per-user session rollup (count + mean length in seconds).
+
+    The mean is SUM(integer ms) / (n · 1000), not AVG(double):
+    durations are exact integer milliseconds, so the integer sum is
+    order-independent and the single float division lands on the
+    identical double in any engine — AVG over doubles is summed in
+    partition order and once hit a round-to-3dp cliff (57.4915 ms
+    boundary) where Spark and the SQL oracle rounded to different
+    sides of it."""
     s = sessionize(events, gap_minutes)
+    dur_ms = F.unix_millis(F.col("session_end").cast("timestamp")) - F.unix_millis(
+        F.col("session_start").cast("timestamp")
+    )
     return s.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
         F.round(
-            F.avg(
-                (
-                    F.unix_millis(F.col("session_end").cast("timestamp"))
-                    - F.unix_millis(F.col("session_start").cast("timestamp"))
-                )
-                / 1000.0
-            ),
-            3,
+            F.sum(dur_ms) / (F.count(F.lit(1)) * F.lit(1000.0)), 3
         ).alias("avg_session_secs"),
     )
 
