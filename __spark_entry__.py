@@ -355,6 +355,19 @@ def q_dedup_drop_list(spark, sf_dir):
     )
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact substring-span dedup (Lee-et-al regime, bounded to
+    k-token windows): the merged repeated passages across the corpus
+    — the dedup family that excises boilerplate PASSAGES instead of
+    dropping whole documents. hash60 gram hashes so the DuckDB
+    oracle replays window hashing, the corpus-wide >=2 count, and
+    the per-doc interval merge bit-identically."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicate_spans(docs, k=12, min_count=2, hash_fn=hash60)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs sharing ≥1 distinct 8-gram
     with a 'benchmark' set. The benchmark is synthesized from the
@@ -881,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_planted": q_embedding_near_dup_planted,
         "dedup_components": q_dedup_components,
         "dedup_drop_list": q_dedup_drop_list,
+        "dedup_substring_spans": q_dedup_substring_spans,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "text_top_ngrams": q_text_top_ngrams,
@@ -1118,6 +1132,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "sketch_heavy_hitters": cms_sql,
         "ann_lsh_topk": lsh_ann_sql,
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "dedup_substring_spans": _substring_spans_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
         "image_phash_dedup": _phash_dedup_oracle(),
         "image_phash_components": _phash_components_oracle(),
@@ -1140,6 +1155,41 @@ def _portable_hash_oracles() -> dict[str, str]:
         """,
         "pipeline_image_caption": _image_caption_oracle(),
     }
+
+
+def _substring_spans_oracle() -> str:
+    """DuckDB replay of q_dedup_substring_spans: rolling k-token
+    window grams per start offset (DuckDB list slices are
+    inclusive-end: tk[i:i+k-1] is the k-gram at 1-based i), hash60
+    gram hashes, corpus-wide count >= 2, then the identical
+    window-island interval merge."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    k = 12
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOK} AS tk FROM documents
+        ), g AS (
+          SELECT doc_id, r.i - 1 AS start,
+                 {H(f"array_to_string(tk[r.i:r.i+{k - 1}], ' ')")} AS gh
+          FROM toks, unnest(range(1, len(tk) - {k} + 2)) AS r(i)
+        ), dup AS (
+          SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2
+        ), occ AS (
+          SELECT g.doc_id, g.start FROM g JOIN dup USING (gh)
+        ), brk AS (
+          SELECT doc_id, start,
+            CASE WHEN start > COALESCE(MAX(start + {k}) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS b
+          FROM occ
+        ), isl AS (
+          SELECT doc_id, start, SUM(b) OVER (PARTITION BY doc_id ORDER BY start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM brk
+        )
+        SELECT doc_id, MIN(start) AS span_start, MAX(start) + {k} AS span_end,
+               MAX(start) + {k} - MIN(start) AS span_tokens
+        FROM isl GROUP BY doc_id, island
+    """
 
 
 def _ann_ivf_oracle() -> str:

@@ -248,6 +248,117 @@ def ngram_jaccard_pairs(docs: DataFrame, block_col: str, text_col: str = "text",
     )
 
 
+# ---- exact substring-span dedup ---------------------------------------------
+def duplicate_spans(docs: DataFrame, k: int = 16, min_count: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    hash_fn=None) -> DataFrame:
+    """Exact substring-level dedup, the regime of Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better"):
+    instead of dropping whole near-dup documents, find the REPEATED
+    PASSAGES themselves — every maximal token span covered by
+    length-k token windows occurring >= min_count times corpus-wide
+    (cross-document AND within-document repeats both count, as in the
+    suffix-array formulation). Returns one row per merged span:
+    (id, span_start, span_end, span_tokens), token offsets, end
+    exclusive.
+
+    Plan: tokenize -> one rolling k-window gram per start offset
+    (posexplode of the zip_with n-gram chain, so start == pos) ->
+    64-bit gram hash -> ONE corpus-wide hash agg keeps hashes seen
+    >= min_count times -> semi-join the occurrences back -> per-doc
+    interval merge (window cumulative max + island sum). This is the
+    MapReduce analog of the suffix-array pass: the single groupBy on
+    the gram hash carries one long per token position with map-side
+    partial counts — the inherent cost of substring dedup — while
+    the interval-merge window only ever sees the DUPLICATED
+    positions per doc, not the whole corpus. Gram text never crosses
+    a shuffle (hashes do); 2^-64 collisions trade exactness the same
+    way the minhash verify path documents.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import xx64
+    from .textstats import token_ngrams, tokens_all
+
+    hash_fn = hash_fn or xx64
+    d = (
+        _spread(docs)
+        .select(F.col(id_col), tokens_all(text_col).alias("__tk"))
+        .filter(F.size("__tk") >= k)
+    )
+    g = d.select(
+        F.col(id_col), F.posexplode(token_ngrams(F.col("__tk"), k)).alias("start", "gram")
+    ).select(id_col, "start", hash_fn("gram").alias("gh"))
+    dup = g.groupBy("gh").agg(F.count("*").alias("__n")).filter(F.col("__n") >= int(min_count))
+    occ = g.join(dup.select("gh"), "gh", "left_semi").select(id_col, "start")
+    w_prev = Window.partitionBy(id_col).orderBy("start").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.partitionBy(id_col).orderBy("start").rowsBetween(Window.unboundedPreceding, 0)
+    spans = (
+        occ.withColumn(
+            "__brk",
+            (F.col("start") > F.coalesce(F.max(F.col("start") + k).over(w_prev), F.lit(-1))).cast("int"),
+        )
+        .withColumn("__island", F.sum("__brk").over(w_run))
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            (F.max("start") + k).cast("long").alias("span_end"),
+        )
+    )
+    return spans.select(
+        id_col, "span_start", "span_end", (F.col("span_end") - F.col("span_start")).alias("span_tokens")
+    )
+
+
+def strip_duplicate_spans(docs: DataFrame, spans: DataFrame | None = None, k: int = 16,
+                          min_count: int = 2, text_col: str = "text",
+                          id_col: str = "doc_id", hash_fn=None) -> DataFrame:
+    """The removal verb for duplicate_spans: drop every token inside
+    a duplicated span and re-join the survivors — the output is the
+    corpus with repeated passages excised (documents, not pairs, so
+    it composes with the rest of the curation chain). Returns
+    (id, text_col, n_tokens_removed).
+
+    The spans list aggregates to one array per affected doc and
+    equi-joins back (left: untouched docs pass through whole); token
+    filtering is a pure higher-order expression over (token, index)
+    structs — no UDF, no second shuffle beyond the span agg's own."""
+    from .textstats import tokens_all
+
+    if spans is None:
+        spans = duplicate_spans(docs, k, min_count, text_col, id_col, hash_fn)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = tokens_all(text_col)
+    idx = F.when(
+        F.size(toks) > 0,
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(0).cast("long"), F.size(toks).cast("long") - 1),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<t:string,i:bigint>>"))
+    spans_or_empty = F.coalesce(
+        F.col("__spans"),
+        F.expr("array()").cast("array<struct<span_start:bigint,span_end:bigint>>"),
+    )
+    kept = F.filter(
+        idx,
+        lambda s: ~F.exists(
+            spans_or_empty, lambda p: (s["i"] >= p["span_start"]) & (s["i"] < p["span_end"])
+        ),
+    )
+    return (
+        docs.join(sp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(text_col),
+            (F.size(idx) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        )
+    )
+
+
 # ---- benchmark decontamination ---------------------------------------------
 def decontaminate(docs: DataFrame, benchmark: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bench_text_col: str = "text", n: int = 8,

@@ -46,6 +46,20 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, sh).otherwise(F.array(F.array_join(toks, " ")))
 
 
+def token_ngrams(toks: Column, n: int) -> Column:
+    """Ordered n-grams of a token-ARRAY column (strict form: the
+    caller must guarantee size(toks) >= n, e.g. with a filter —
+    shorter arrays make the slice length non-positive). Same n-1
+    zip_with shifted-slice construction as word_ngrams, without its
+    short-text single-gram fallback; gram i starts at token offset i
+    (0-based), which is what span-level operators key on."""
+    m = F.size(toks) - (n - 1)
+    sh = F.slice(toks, 1, m)
+    for k in range(1, n):
+        sh = F.zip_with(sh, F.slice(toks, k + 1, m), lambda x, y: F.concat(x, F.lit(" "), y))
+    return sh
+
+
 def repetition_ratio(text: Column | str, n: int = 3) -> Column:
     """Fraction of repeated word n-grams: 1 - distinct/total — the
     classic boilerplate/spam signal of pretraining curation (high =

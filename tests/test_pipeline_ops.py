@@ -464,3 +464,74 @@ def test_connected_components_string_ids(spark):
         "img_a": "img_a", "img_a_twin": "img_a", "img_a_twin2": "img_a",
         "zz_1": "zz_1", "zz_2": "zz_1",
     }
+
+
+def test_duplicate_spans_planted(spark):
+    """Exact substring-span dedup: a 10-token passage shared by two
+    docs is found at its exact token offsets in both; within-doc
+    repeats count toward min_count (the suffix-array formulation);
+    adjacent duplicated windows merge into one maximal span; a doc
+    with no repeated window emits nothing."""
+    common = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"intro one two {common} tail aa bb"),
+        (2, f"other words here {common} closing remarks xx"),
+        (3, "nothing shared at all in this one document seven eight nine ten eleven"),
+        (4, f"{common} {common} doubled inside one doc"),  # within-doc only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in D.duplicate_spans(docs, k=10, min_count=2).collect()
+    }
+    assert got == {(1, 3, 13, 10), (2, 3, 13, 10), (4, 0, 20, 20)}
+
+
+def test_duplicate_spans_overlap_merge(spark):
+    """Two duplicated windows whose spans overlap mid-token merge
+    into ONE maximal span covering their union."""
+    w1 = "a1 a2 a3 a4 a5"            # window 1 (k=5)
+    w2 = "b1 b2 b3 b4 b5"            # window 2 (k=5)
+    rows = [
+        # doc 10: w1 at offset 2, w2 at offset 5 -> spans [2,7) and
+        # [5,10) overlap -> merged [2,10)
+        (10, f"x0 x1 a1 a2 a3 {w2} y9"),
+        (11, f"{w1} padpad11"),       # w1 source elsewhere
+        (12, f"{w2} padpad12"),       # w2 source elsewhere
+    ]
+    # rebuild doc 10 so w1's 5 tokens START at 2 and w2's at 5:
+    # tokens: x0 x1 a1 a2 a3 b1 b2 b3 b4 b5 y9 — w1 = a1..a5 doesn't
+    # appear; instead plant w1 = "a1 a2 a3 b1 b2" and w2 = "a3 b1 b2
+    # b3 b4" so both windows exist in doc 10 at offsets 2 and 4.
+    w1 = "a1 a2 a3 b1 b2"
+    w2 = "a3 b1 b2 b3 b4"
+    rows = [
+        (10, "x0 x1 a1 a2 a3 b1 b2 b3 b4 b5 y9"),
+        (11, f"{w1} padpad11 eleven twelve"),
+        (12, f"{w2} padpad12 thirteen fourteen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in D.duplicate_spans(docs, k=5, min_count=2).collect()
+    }
+    # doc 10: window@2 ([2,7)) and window@4 ([4,9)) merge -> [2,9)
+    assert (10, 2, 9) in got
+    assert (11, 0, 5) in got and (12, 0, 5) in got
+
+
+def test_strip_duplicate_spans(spark):
+    """Removal verb: duplicated passages are excised, survivors
+    re-join in order, untouched docs pass through with 0 removed."""
+    common = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"intro one two {common} tail aa bb"),
+        (2, f"other words here {common} closing remarks xx"),
+        (3, "nothing shared at all in this one document seven eight nine ten eleven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in D.strip_duplicate_spans(docs, k=10, min_count=2).collect()}
+    assert got[1] == ("intro one two tail aa bb", 10)
+    assert got[2] == ("other words here closing remarks xx", 10)
+    assert got[3] == ("nothing shared at all in this one document seven eight nine ten eleven", 0)
