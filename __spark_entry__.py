@@ -679,6 +679,18 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_lm_bits_score(spark, sf_dir):
+    """Count-based bigram LM quality score (perplexity-filter
+    surrogate): per-doc mean bit-length of its bigrams' corpus
+    frequencies — an integer log2, so the score is exact in any
+    engine until one final divide. hash60 gram hashes for the
+    oracle replay."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    return T.lm_bits_score(docs, n=2, hash_fn=hash60)
+
+
 def q_text_classifier_gate(spark, sf_dir):
     """Hashed linear quality classifier (fastText-style) with
     portable integer pseudo-weights: per-token weight
@@ -914,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "doc_chunk_overlap": q_doc_chunk_overlap,
         "mixture_sample": q_mixture_sample,
+        "lm_bits_score": q_lm_bits_score,
         "text_classifier_gate": q_text_classifier_gate,
         "text_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed_agg,
@@ -1133,6 +1146,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "ann_lsh_topk": lsh_ann_sql,
         "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_substring_spans": _substring_spans_oracle(),
+        "lm_bits_score": _lm_bits_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
         "image_phash_dedup": _phash_dedup_oracle(),
         "image_phash_components": _phash_components_oracle(),
@@ -1189,6 +1203,34 @@ def _substring_spans_oracle() -> str:
         SELECT doc_id, MIN(start) AS span_start, MAX(start) + {k} AS span_end,
                MAX(start) + {k} - MIN(start) AS span_tokens
         FROM isl GROUP BY doc_id, island
+    """
+
+
+def _lm_bits_oracle() -> str:
+    """DuckDB replay of q_lm_bits_score: same bigrams (word_ngrams'
+    short-text single-gram fallback included), hash60 gram hashes,
+    corpus counts, and the per-doc mean of length(bin(count)) —
+    bin() emits the identical binary literal in both engines, so
+    the integer log2 is string-exact."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    return f"""
+        WITH g0 AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) >= 2 THEN
+              list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+            ELSE [array_to_string(tk, ' ')] END AS grams
+          FROM (SELECT doc_id, {_TOK} AS tk FROM documents)
+        ), g AS (
+          SELECT doc_id, {H('gram')} AS gh
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM g0)
+        ), c AS (
+          SELECT gh, COUNT(*) AS cnt FROM g GROUP BY gh
+        )
+        SELECT doc_id, COUNT(*) AS n_grams,
+               CAST(SUM(length(bin(cnt))) AS BIGINT) AS sum_bits,
+               ROUND(CAST(SUM(length(bin(cnt))) AS DOUBLE) / COUNT(*), 6) AS lm_bits
+        FROM g JOIN c USING (gh) GROUP BY doc_id
     """
 
 

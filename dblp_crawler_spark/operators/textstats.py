@@ -398,6 +398,56 @@ def mixture_flatten(docs: DataFrame, source_col: str = "source",
     )
 
 
+def lm_bits_score(docs: DataFrame, n: int = 2, text_col: str = "text",
+                  id_col: str = "doc_id", hash_fn=None) -> DataFrame:
+    """Count-based n-gram LM quality score — the CCNet/KenLM
+    perplexity-filter step re-expressed as exact integer work: the
+    corpus itself is the language model, and a document's score is
+    the mean bit-length of its n-grams' corpus frequencies
+    (bit_length(c) = floor(log2 c)+1, an integer log). Fluent text
+    built from common constructions scores high; gibberish and
+    boilerplate-free noise score low — the same ranking signal as
+    negative perplexity under a count LM, with NO floating-point
+    log anywhere until the single final divide, so any engine
+    derives the identical score (the log2 magnitude is the length
+    of the binary literal, string-exact in Spark's bin() and
+    DuckDB's bin()).
+
+    Returns (id, n_grams, sum_bits, lm_bits = sum_bits/n_grams).
+
+    Scale shape: explode n-grams (multiplicity kept — frequency
+    weighting is the point) → hash-agg corpus counts with map-side
+    partials → ONE equi-join back on the 64-bit gram hash → per-doc
+    sum/count agg. Gram strings never cross a shuffle (hashes do);
+    the counts side is a (hash, count) long pair — at 100 TB this
+    is two shuffles over longs plus the join, the same plan family
+    as decontaminate. A real deployment scores against a FROZEN
+    reference-corpus count table instead of self-counts — same
+    plan, the counts side just comes from a stored table.
+    """
+    from ..functions.hashing import xx64
+
+    hash_fn = hash_fn or xx64
+    g = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("__gram")
+    ).select(id_col, hash_fn("__gram").alias("__gh"))
+    counts = g.groupBy("__gh").agg(F.count("*").alias("__c"))
+    return (
+        g.join(counts, "__gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.length(F.bin("__c"))).cast("long").alias("sum_bits"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "sum_bits",
+            F.round(F.col("sum_bits") / F.col("n_grams"), 6).alias("lm_bits"),
+        )
+    )
+
+
 def hashed_linear_score(text: Column | str, seed: int = 7) -> Column:
     """fastText-style hashed linear quality scorer with portable
     pseudo-weights: every token hashes to an integer weight in

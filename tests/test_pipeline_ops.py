@@ -535,3 +535,20 @@ def test_strip_duplicate_spans(spark):
     assert got[1] == ("intro one two tail aa bb", 10)
     assert got[2] == ("other words here closing remarks xx", 10)
     assert got[3] == ("nothing shared at all in this one document seven eight nine ten eleven", 0)
+
+
+def test_lm_bits_score_semantics(spark):
+    """Count-LM quality surrogate: a doc built from corpus-common
+    bigrams outscores gibberish; bit-lengths are exact (a bigram
+    seen 4x contributes floor(log2 4)+1 = 3 bits)."""
+    rows = [(i, "the cat sat on the mat") for i in range(4)]  # every bigram x4
+    rows += [(100, "zqx vbn plm wkj rty uio")]                # singleton bigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.lm_bits_score(docs, n=2).collect()}
+    # "the cat sat on the mat" -> 5 bigrams, each with corpus count 4
+    # (4 identical docs) -> bits = len(bin(4)) = 3 each
+    assert got[0].n_grams == 5 and got[0].sum_bits == 15
+    assert abs(got[0].lm_bits - 3.0) < 1e-9
+    # gibberish: 5 singleton bigrams -> 1 bit each
+    assert got[100].n_grams == 5 and got[100].sum_bits == 5
+    assert got[0].lm_bits > got[100].lm_bits
