@@ -679,6 +679,15 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    """Seeded deterministic training-order shuffle: global rank by
+    (hash60(id, seed), id) through the distributed two-pass prefix
+    sum — no single-partition window; the oracle is one
+    ROW_NUMBER() over the same portable key."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.seeded_shuffle(docs, seed=17)
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -926,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "doc_chunk_overlap": q_doc_chunk_overlap,
         "mixture_sample": q_mixture_sample,
+        "corpus_shuffle": q_corpus_shuffle,
         "lm_bits_score": q_lm_bits_score,
         "text_classifier_gate": q_text_classifier_gate,
         "text_fingerprint": q_text_fingerprint,
@@ -1147,6 +1157,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_oracle(),
         "dedup_substring_spans": _substring_spans_oracle(),
         "lm_bits_score": _lm_bits_oracle(),
+        "corpus_shuffle": _corpus_shuffle_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
         "image_phash_dedup": _phash_dedup_oracle(),
         "image_phash_components": _phash_components_oracle(),
@@ -1203,6 +1214,19 @@ def _substring_spans_oracle() -> str:
         SELECT doc_id, MIN(start) AS span_start, MAX(start) + {k} AS span_end,
                MAX(start) + {k} - MIN(start) AS span_tokens
         FROM isl GROUP BY doc_id, island
+    """
+
+
+def _corpus_shuffle_oracle() -> str:
+    """DuckDB replay of q_corpus_shuffle: one ROW_NUMBER over the
+    identical portable permutation key — what the distributed
+    two-pass prefix sum computes without a global window."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    return f"""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY {H('doc_id', 17)} ASC, doc_id ASC) - 1 AS epoch_rank
+        FROM documents
     """
 
 

@@ -75,7 +75,7 @@ def politeness_pop(
     return final.unionByName(unbudgeted).select(*pending.columns)
 
 
-def global_sequence(df: DataFrame, start: int, order_cols: list) -> DataFrame:
+def global_sequence(df: DataFrame, start: int, order_cols: list, out_type: str = "int") -> DataFrame:
     """Assign contiguous seq numbers following a total order.
 
     Fully JVM-side two-pass plan (no global Window, which would
@@ -131,7 +131,7 @@ def global_sequence(df: DataFrame, start: int, order_cols: list) -> DataFrame:
     w_rn = Window.partitionBy("__pid").orderBy(*order_cols)
     return (
         d.join(F.broadcast(offsets), "__pid")
-        .withColumn("seq", (F.lit(start) + F.col("__off") + F.row_number().over(w_rn) - 1).cast("int"))
+        .withColumn("seq", (F.lit(start) + F.col("__off") + F.row_number().over(w_rn) - 1).cast(out_type))
         .select(*cols, "seq")
     )
 

@@ -398,6 +398,33 @@ def mixture_flatten(docs: DataFrame, source_col: str = "source",
     )
 
 
+def seeded_shuffle(docs: DataFrame, seed: int = 0, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle: rank every doc
+    by (hash60(id, seed), id) — a seeded pseudorandom permutation
+    whose order depends only on ids and the seed, so re-runs (and
+    any other engine) derive the identical epoch order, and changing
+    the seed gives an independent permutation for the next epoch.
+
+    Returns (id, epoch_rank) with rank contiguous from 0.
+
+    Scale shape: the ranking reuses the crawl's `global_sequence`
+    two-pass distributed prefix sum (operators/scheduler.py) — range
+    partition on the hash key, per-partition row_number in parallel,
+    broadcast exclusive prefix of partition counts; NO global
+    single-partition window and no driver-side collect, rank emitted
+    as long (a 100 TB corpus outgrows int). This is the shuffle step
+    a training-data pipeline runs after curation to break
+    source/time locality before sharding."""
+    from ..functions.hashing import hash60
+    from .scheduler import global_sequence
+
+    d = docs.select(F.col(id_col), hash60(F.col(id_col), seed).alias("__hk"))
+    return (
+        global_sequence(d, start=0, order_cols=["__hk", id_col], out_type="long")
+        .select(id_col, F.col("seq").alias("epoch_rank"))
+    )
+
+
 def lm_bits_score(docs: DataFrame, n: int = 2, text_col: str = "text",
                   id_col: str = "doc_id", hash_fn=None) -> DataFrame:
     """Count-based n-gram LM quality score — the CCNet/KenLM

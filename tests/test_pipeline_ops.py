@@ -552,3 +552,23 @@ def test_lm_bits_score_semantics(spark):
     # gibberish: 5 singleton bigrams -> 1 bit each
     assert got[100].n_grams == 5 and got[100].sum_bits == 5
     assert got[0].lm_bits > got[100].lm_bits
+
+
+def test_seeded_shuffle_permutation(spark):
+    """Seeded shuffle: ranks are a contiguous 0..n-1 permutation,
+    deterministic across runs, different seeds give different orders,
+    and the order matches the single-window reference ranking."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+    got = {r.doc_id: r.epoch_rank for r in T.seeded_shuffle(docs, seed=3).collect()}
+    assert sorted(got.values()) == list(range(97))
+    again = {r.doc_id: r.epoch_rank for r in T.seeded_shuffle(docs, seed=3).collect()}
+    assert got == again
+    other = {r.doc_id: r.epoch_rank for r in T.seeded_shuffle(docs, seed=4).collect()}
+    assert got != other
+    w = Window.orderBy(hash60(F.col("doc_id"), 3), "doc_id")
+    ref = {r.doc_id: r.rk for r in docs.select(
+        "doc_id", (F.row_number().over(w) - 1).alias("rk")).collect()}
+    assert got == ref
