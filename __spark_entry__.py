@@ -330,6 +330,26 @@ def q_embedding_near_dup_planted(spark, sf_dir):
     return D.embedding_near_dups(aug, block_col="label", threshold=0.9)
 
 
+def q_semdedup_drop_list(spark, sf_dir):
+    """SemDeDup: coarse-quantize the embedding space (fixed-point
+    IVF — exact integer cell membership), find cosine>=0.9 pairs
+    ONLY within cells, group transitively, drop all but the min-id
+    representative. The driver's embeddings have no natural dups at
+    τ=0.9, so every 10th vector is planted back TWICE (trios test
+    transitive grouping); the DuckDB oracle replays the quantizer,
+    the in-cell pair scan, and the recursive-CTE components."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    p1 = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    p2 = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+    )
+    aug = base.unionByName(p1).unionByName(p2)
+    return D.semantic_dedup(aug, n_cells=8, iters=1, seed=99, threshold=0.9)
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup pairs → transitive duplicate clusters (connected
     components by min-label propagation). The grouping step after
@@ -913,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_planted": q_embedding_near_dup_planted,
+        "semdedup_drop_list": q_semdedup_drop_list,
         "dedup_components": q_dedup_components,
         "dedup_drop_list": q_dedup_drop_list,
         "dedup_substring_spans": q_dedup_substring_spans,
@@ -1158,6 +1179,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "dedup_substring_spans": _substring_spans_oracle(),
         "lm_bits_score": _lm_bits_oracle(),
         "corpus_shuffle": _corpus_shuffle_oracle(),
+        "semdedup_drop_list": _semdedup_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
         "image_phash_dedup": _phash_dedup_oracle(),
         "image_phash_components": _phash_components_oracle(),
@@ -1258,28 +1280,32 @@ def _lm_bits_oracle() -> str:
     """
 
 
-def _ann_ivf_oracle() -> str:
-    """DuckDB replay of q_ann_ivf_topk's ENTIRE fixed-point IVF:
-    portable seeded init (smallest hash60(vec_id, seed)), one Lloyd
-    round with exact integer-L2 argmin (distances via the
-    dot(a,a) − 2·dot(a,b) + dot(b,b) identity — exact in double for
-    fixed-point magnitudes), floor-of-mean centroids, final
-    assignment, nprobe-cell probe, float-cosine re-rank. Cell
-    membership is bit-identical to the Spark build."""
+#: exact integer-L2 via the dot(a,a) − 2·dot(a,b) + dot(b,b) identity
+#: (exact in double for fixed-point magnitudes)
+_IVF_DIST = ("list_dot_product(b.qv, b.qv) - 2 * list_dot_product(b.qv, c.qc)"
+             " + list_dot_product(c.qc, c.qc)")
+
+
+def _ivf_assign_ctes(src: str, n_cells: int, seed: int, dim: int) -> str:
+    """The shared CTE chain replaying ivf_index_quantized over
+    relation `src`(vec_id, embedding): portable seeded init
+    (smallest hash60(vec_id, seed)), one Lloyd round with exact
+    integer-L2 argmin, floor-of-mean re-normalized centroids, final
+    assignment. Ends with a2(vec_id, cell); raw(vec_id, e) and
+    cents1(cell, qc) stay referencable. Cell membership is
+    bit-identical to the Spark build — both the ANN probe oracle
+    and the SemDeDup oracle build on this."""
     from dblp_crawler_spark.functions.hashing import hash60_sql as H
     from dblp_crawler_spark.operators.similarity import LSH_QUANT_SCALE
 
-    n_cells, seed, nprobe, k, dim = 8, 99, 4, 10, 64
-    dist = ("list_dot_product(b.qv, b.qv) - 2 * list_dot_product(b.qv, c.qc)"
-            " + list_dot_product(c.qc, c.qc)")
-    return f"""
-        WITH raw AS (
+    dist = _IVF_DIST
+    return f"""raw AS (
           SELECT vec_id, embedding::DOUBLE[] AS e,
                  -- l2 norm as the SAME left-to-right fold Spark runs
                  -- (identical partial sums -> identical quantized ints)
                  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding::DOUBLE[], x -> x * x)),
                                   (a, b) -> a + b)) AS nrm
-          FROM embeddings
+          FROM {src}
         ), base AS (
           SELECT vec_id, e,
                  list_transform(e, x -> floor(x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)
@@ -1322,7 +1348,17 @@ def _ann_ivf_oracle() -> str:
                    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {dist} ASC, c.cell ASC) AS rr
             FROM base b CROSS JOIN cents1 c
           ) WHERE rr = 1
-        ), probes AS (
+        )"""
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB replay of q_ann_ivf_topk's ENTIRE fixed-point IVF
+    (the shared _ivf_assign_ctes chain) + nprobe-cell probe +
+    float-cosine re-rank."""
+    n_cells, seed, nprobe, k, dim = 8, 99, 4, 10, 64
+    dist = _IVF_DIST
+    return f"""
+        WITH {_ivf_assign_ctes('embeddings', n_cells, seed, dim)}, probes AS (
           SELECT q_id, cell FROM (
             SELECT b.vec_id AS q_id, c.cell,
                    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {dist} ASC, c.cell ASC) AS rr
@@ -1340,6 +1376,40 @@ def _ann_ivf_oracle() -> str:
           JOIN base ce ON cand.vec_id = ce.vec_id
         )
         SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM scored WHERE rank <= {k}
+    """
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB replay of q_semdedup_drop_list: identical planted
+    trios, the shared fixed-point-IVF assignment chain, in-cell
+    cosine>=0.9 pairs, recursive-CTE transitive components, min-id
+    representative drop list."""
+    return f"""
+        WITH RECURSIVE aug AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+          UNION ALL
+          SELECT vec_id + 2000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+        ), {_ivf_assign_ctes('aug', 8, 99, 64)}, pairs AS (
+          SELECT x.vec_id AS a, y.vec_id AS b
+          FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          JOIN raw ex ON ex.vec_id = x.vec_id
+          JOIN raw ey ON ey.vec_id = y.vec_id
+          WHERE list_cosine_similarity(ex.e, ey.e) >= 0.9
+        ), sym AS (
+          SELECT a AS id, b AS nbr FROM pairs
+          UNION
+          SELECT b AS id, a AS nbr FROM pairs
+        ), reach(id, comp) AS (
+          SELECT id, id FROM sym
+          UNION
+          SELECT s.nbr, r.comp FROM reach r JOIN sym s ON s.id = r.id
+          WHERE r.comp < s.nbr
+        ), cc AS (
+          SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+        )
+        SELECT id AS vec_id, component AS keep_vec_id FROM cc WHERE id != component
     """
 
 

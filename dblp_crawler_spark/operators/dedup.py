@@ -446,6 +446,46 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "
     )
 
 
+# ---- semantic dedup (SemDeDup) ---------------------------------------------
+def semantic_dedup(emb: DataFrame, n_cells: int = 8, iters: int = 1, seed: int = 99,
+                   threshold: float = 0.9, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster
+    the embedding space with a coarse k-means quantizer, search for
+    cosine >= tau pairs ONLY within each cluster, group transitively,
+    and drop everything but the min-id representative per semantic
+    cluster. Returns the drop list (id_col, keep_<id_col>).
+
+    Composition of three existing scale shapes — nothing new runs
+    all-pairs: the fixed-point IVF quantizer (similarity.py; exact
+    integer cell membership, engine-portable, per-round lineage
+    truncation), the blocked cosine pair scan with precomputed norms
+    (embedding_near_dups with block_col=cell — quadratic only within
+    a cell, the SemDeDup trick that makes web-scale feasible), and
+    min-label connected components (pairs are transitive evidence,
+    A~B,B~C must collapse even when A~C was never emitted). At 100 TB
+    the assigned corpus is written partitioned by cell (see
+    write_ivf_store) so each cell's pair scan is a partition-local
+    job. Recall < 1 like any clustered near-dup search: cross-cell
+    near-dups are unseen by design (raise n_cells for tighter cells
+    or iters for better centroids; the trade is documented in the
+    paper)."""
+    from .similarity import ivf_index_quantized
+
+    _, assigned = ivf_index_quantized(
+        emb, n_cells=n_cells, iters=iters, seed=seed, c_id=id_col, c_vec=vec_col
+    )
+    pairs = embedding_near_dups(
+        assigned.select(F.col(id_col), F.col("vec").alias(vec_col), "cell"),
+        id_col=id_col, vec_col=vec_col, block_col="cell", threshold=threshold,
+    )
+    comp = connected_components(pairs)
+    return comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col), F.col("component").alias(f"keep_{id_col}")
+    )
+
+
 # ---- duplicate-cluster grouping (connected components) --------------------
 def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
                          max_iter: int = 50) -> DataFrame:

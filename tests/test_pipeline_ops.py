@@ -572,3 +572,23 @@ def test_seeded_shuffle_permutation(spark):
     ref = {r.doc_id: r.rk for r in docs.select(
         "doc_id", (F.row_number().over(w) - 1).alias("rk")).collect()}
     assert got == ref
+
+
+def test_semantic_dedup_planted_trio(spark):
+    """SemDeDup: a planted trio of identical vectors collapses to
+    the min-id representative through transitive grouping; unrelated
+    near-orthogonal vectors are never dropped."""
+    import math
+    dim = 8
+    def unit(i):  # distinct near-orthogonal unit vectors
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        v[(i + 3) % dim] = 0.05 * (i + 1)
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+    rows = [(i, unit(i)) for i in range(6)]
+    rows += [(100, unit(0)), (200, unit(0))]  # trio with vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.vec_id, r.keep_vec_id)
+           for r in D.semantic_dedup(emb, n_cells=2, iters=1, seed=5, threshold=0.95).collect()}
+    assert got == {(100, 0), (200, 0)}
