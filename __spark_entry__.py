@@ -189,6 +189,69 @@ def q_seen_set_union(spark, sf_dir):
     )
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """General URL canonicalization collapsing raw spellings to one
+    seen-set key (north_rule's first verb: "canonicalizes and hashes
+    candidate URLs"; generalizes the reference's dblp-only '.html'
+    strip, download.py). Five planted raw spellings per document —
+    scheme/host case, default port, fragment, unsorted + empty query
+    params, trailing slash — must collapse to exactly three canonical
+    URLs per host group, proving the frontier can never double-fetch
+    a re-spelled resource. Pure projection + one hash agg; the DuckDB
+    oracle replays canonical_url_sql verbatim."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.functions.urlnorm import canonical_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 50).cast("string")
+    variants = F.array(
+        F.concat(F.lit("http://example"), k, F.lit(".org/path/"), k, F.lit("?b=2&a=1")),
+        F.concat(F.lit("HTTP://EXAMPLE"), k, F.lit(".ORG:80/path/"), k, F.lit("/?a=1&b=2#frag")),
+        F.concat(F.lit("http://example"), k, F.lit(".org/path/"), k, F.lit("#sec")),
+        F.concat(F.lit("https://example"), k, F.lit(".org:443/other/"), k),
+        F.concat(F.lit("https://example"), k, F.lit(".org/other/"), k, F.lit("?")),
+    )
+    raw = docs.select(F.explode(variants).alias("url"))
+    return (
+        raw.select("url", canonical_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("url").alias("n_forms"),
+        )
+        .select(
+            "canonical_url",
+            "n_raw",
+            "n_forms",
+            hash60("canonical_url").alias("seen_key"),
+        )
+    )
+
+
+def q_frontier_pagerank(spark, sf_dir):
+    """Link-centrality frontier prioritization: integer-exact
+    PageRank (operators/pagerank.py) over a planted 3-out-degree
+    portable-hash graph on the documents ids — the web-crawl analog
+    of the reference's venue/year priority (PageRank-ordered
+    crawling). All mass arithmetic is integer floor division, so the
+    ranks are bit-identical in any engine and at any partitioning;
+    the oracle replays 4 power iterations as chained CTEs."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.pagerank import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    edges = None
+    for j in (1, 2, 3):
+        ej = docs.crossJoin(n).select(
+            F.col("doc_id").alias("src"),
+            (hash60("doc_id", j) % F.col("n")).alias("dst"),
+        )
+        edges = ej if edges is None else edges.union(ej)
+    pr = pagerank(edges, iters=4)
+    return pr.select(F.col("id").alias("doc_id"), "rank_int")
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join: each click attributes to the user's most recent
     strictly-preceding view (running last-ignorenulls window — one
@@ -957,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_overlap": q_doc_chunk_overlap,
         "mixture_sample": q_mixture_sample,
         "corpus_shuffle": q_corpus_shuffle,
+        "url_canonicalize": q_url_canonicalize,
+        "frontier_pagerank": q_frontier_pagerank,
         "lm_bits_score": q_lm_bits_score,
         "text_classifier_gate": q_text_classifier_gate,
         "text_fingerprint": q_text_fingerprint,
@@ -1179,6 +1244,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "dedup_substring_spans": _substring_spans_oracle(),
         "lm_bits_score": _lm_bits_oracle(),
         "corpus_shuffle": _corpus_shuffle_oracle(),
+        "url_canonicalize": _url_canonicalize_oracle(),
+        "frontier_pagerank": _pagerank_oracle(),
         "semdedup_drop_list": _semdedup_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
         "image_phash_dedup": _phash_dedup_oracle(),
@@ -1237,6 +1304,69 @@ def _substring_spans_oracle() -> str:
                MAX(start) + {k} - MIN(start) AS span_tokens
         FROM isl GROUP BY doc_id, island
     """
+
+
+def _url_canonicalize_oracle() -> str:
+    """DuckDB replay of q_url_canonicalize: the identical planted raw
+    spellings, canonical_url_sql (the fragment kept adjacent to the
+    Spark expression chain in functions/urlnorm.py), and the hash60
+    seen key."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.functions.urlnorm import canonical_url_sql
+
+    c = canonical_url_sql("url")
+    return f"""
+        WITH raw AS (
+          SELECT unnest([
+            'http://example' || (doc_id % 50) || '.org/path/' || (doc_id % 50) || '?b=2&a=1',
+            'HTTP://EXAMPLE' || (doc_id % 50) || '.ORG:80/path/' || (doc_id % 50) || '/?a=1&b=2#frag',
+            'http://example' || (doc_id % 50) || '.org/path/' || (doc_id % 50) || '#sec',
+            'https://example' || (doc_id % 50) || '.org:443/other/' || (doc_id % 50),
+            'https://example' || (doc_id % 50) || '.org/other/' || (doc_id % 50) || '?'
+          ]) AS url FROM documents
+        ), canon AS (
+          SELECT url, {c} AS canonical_url FROM raw
+        )
+        SELECT canonical_url,
+               COUNT(*) AS n_raw,
+               COUNT(DISTINCT url) AS n_forms,
+               {H('canonical_url')} AS seen_key
+        FROM canon GROUP BY canonical_url
+    """
+
+
+def _pagerank_oracle(iters: int = 4) -> str:
+    """DuckDB replay of q_frontier_pagerank: the identical planted
+    edge list and `iters` unrolled integer power iterations —
+    SUM(r // odeg) per target, damped as (85*m)//100 + base. Every
+    SUM is cast back to BIGINT (DuckDB integer SUM is HUGEINT)."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    r0 = 10**12
+    base = (r0 * 15) // 100
+    edges_union = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id AS src, {H('doc_id', j)} % (SELECT n FROM nn) AS dst FROM documents"
+        for j in (1, 2, 3)
+    )
+    ctes = [
+        "nn AS (SELECT COUNT(*) AS n FROM documents)",
+        f"e0 AS (\n            {edges_union}\n        )",
+        "od AS (SELECT src, COUNT(*) AS odeg FROM e0 GROUP BY src)",
+        "e AS (SELECT e0.src, e0.dst, od.odeg FROM e0 JOIN od USING (src))",
+        "nodes AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e0 UNION ALL SELECT dst AS id FROM e0))",
+        f"pr0 AS (SELECT id, CAST({r0} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""pr{i} AS (
+          SELECT n.id, CAST({base} + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS id, CAST(SUM(rr.r // e.odeg) AS BIGINT) AS m
+            FROM e JOIN pr{i - 1} rr ON e.src = rr.id GROUP BY e.dst
+          ) s ON n.id = s.id
+        )""")
+    body = ",\n        ".join(ctes)
+    return f"WITH {body}\n        SELECT id AS doc_id, r AS rank_int FROM pr{iters}"
 
 
 def _corpus_shuffle_oracle() -> str:

@@ -1,0 +1,125 @@
+"""General URL canonicalization — the north_rule's first verb
+("each iteration canonicalizes and hashes candidate URLs").
+
+The reference crawls one site, so its canonicalization is two
+ad-hoc string ops (strip the ``.html`` suffix, prepend the pid
+prefix — dblp_crawler/graph.py person/pub key handling); a general
+frontier over the open web needs RFC-3986-style normalization so
+that the seen-set and politeness accounting key on ONE spelling of
+each resource:
+
+  * scheme and host lowercased,
+  * default ports stripped (``:80`` for http, ``:443`` for https),
+  * fragment dropped,
+  * empty query params dropped and the rest byte-sorted,
+  * trailing slashes collapsed (path '' and '/' both → '/').
+
+Everything is a pure JVM expression chain (regexp + array HOFs) —
+no Python on the row path, whole-stage-codegen-able, and replayed
+bit-identically by the DuckDB fragment in :func:`canonical_url_sql`
+(kept adjacent so the two definitions evolve together, same
+discipline as hash60/hash60_sql).
+
+Scale shape: a per-row projection — no shuffle, no state. The
+canonical string (or better, ``hash60(canonical_url(u))``) is what
+enters the bloom/cuckoo seen bank and the per-host budget key, so
+two raw spellings of one URL can never double-fetch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: scheme per RFC 3986: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def _strip_ws(u: Column) -> Column:
+    # trim() strips only U+0020 in both engines; hrefs carry \t\n too
+    return F.regexp_replace(F.regexp_replace(u, r"^\s+", ""), r"\s+$", "")
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host[:port] of an absolute URL ('' if relative).
+    The politeness/budget key — cheaper than full canonicalization
+    when only the authority matters."""
+    u = F.col(url) if isinstance(url, str) else url
+    rest = F.regexp_replace(_strip_ws(u), _SCHEME_RE, "")
+    return F.lower(F.regexp_extract(rest, "^([^/?#]*)", 1))
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical spelling of an absolute URL (pure expressions).
+
+    URLs without a ``scheme://`` prefix are returned trimmed and
+    fragment-stripped but otherwise untouched (relative hrefs are
+    resolved upstream, at parse time, where the base URL is known).
+    """
+    u = _strip_ws(F.col(url) if isinstance(url, str) else url)
+    u = F.regexp_replace(u, "#.*$", "")  # fragment never reaches the server
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    pathq = F.regexp_replace(rest, "^[^/?]*", "")
+    rawpath = F.regexp_extract(pathq, "^([^?]*)", 1)
+    path0 = F.regexp_replace(rawpath, "/+$", "")
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    query = F.when(
+        pathq.contains("?"), F.regexp_replace(pathq, "^[^?]*\\?", "")
+    ).otherwise(F.lit(""))
+    qnorm = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != F.lit(""))),
+        "&",
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
+    )
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def canonical_url_sql(expr: str) -> str:
+    """The DuckDB fragment computing exactly ``canonical_url(expr)``.
+
+    DuckDB regexp_replace is first-match (no 'g' flag passed), which
+    matches Spark's semantics for these anchored/greedy patterns.
+    """
+    ws = (
+        f"regexp_replace(regexp_replace({expr}, '^\\s+', ''), '\\s+$', '')"
+    )
+    u = f"regexp_replace({ws}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
+    rest = f"regexp_replace({u}, '{_SCHEME_RE}', '')"
+    hostport = f"lower(regexp_extract({rest}, '^([^/?]*)', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '')"
+        f" WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '')"
+        f" ELSE {hostport} END"
+    )
+    pathq = f"regexp_replace({rest}, '^[^/?]*', '')"
+    path0 = f"regexp_replace(regexp_extract({pathq}, '^([^?]*)', 1), '/+$', '')"
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    query = (
+        f"CASE WHEN contains({pathq}, '?')"
+        f" THEN regexp_replace({pathq}, '^[^?]*\\?', '') ELSE '' END"
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join(array()) is ''
+    qnorm = (
+        "coalesce(array_to_string(list_sort(list_filter("
+        f"string_split({query}, '&'), x -> x <> '')), '&'), '')"
+    )
+    canon = (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {qnorm} = '' THEN '' ELSE '?' || {qnorm} END"
+    )
+    return f"CASE WHEN {scheme} = '' THEN {u} ELSE {canon} END"
