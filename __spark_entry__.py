@@ -252,6 +252,62 @@ def q_frontier_pagerank(spark, sf_dir):
     return pr.select(F.col("id").alias("doc_id"), "rank_int")
 
 
+_ROBOTS_VARIANTS = [
+    "# hi\nUser-agent: *\nDisallow: /private\nDisallow: /tmp\nCrawl-delay: 2",
+    "User-agent: googlebot\nDisallow: /g\n\nUser-agent: *\nDisallow: /x",
+    "Disallow: /orphan\nUser-agent: badbot\nUser-agent: *\nDisallow: /y\nCrawl-delay: 10",
+    "User-agent: onlybot\nDisallow: /z",
+    "User-agent: *\nDisallow: /a\nCrawl-delay: 1\n\nUser-agent: *\nDisallow: /b\nCrawl-delay: 3",
+    "USER-AGENT :  *\ndisallow:/caps",
+]
+
+
+def q_robots_parse(spark, sf_dir):
+    """robots.txt → the scheduler's politeness inputs
+    (sources/webparse.parse_robots): RFC-9309 group semantics —
+    stacked User-agent lines form one group, orphan directives are
+    ignored, only wildcard groups apply, malformed multi-star files
+    union their prefixes and take the max crawl delay. Planted: 24
+    hosts cycling six adversarial robots.txt shapes; per-host
+    windowed parse, no global state. The oracle replays the whole
+    windowed parse (parse_robots_sql)."""
+    from dblp_crawler_spark.sources.webparse import parse_robots
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 24)
+    txt = F.lit(None).cast("string")
+    for i, v in enumerate(_ROBOTS_VARIANTS):
+        txt = F.when(F.col("doc_id") % 6 == i, F.lit(v)).otherwise(txt)
+    pages = docs.select(
+        F.format_string("h%d.org", "doc_id").alias("host"), txt.alias("robots_txt")
+    )
+    return parse_robots(pages)
+
+
+def q_html_text_extract(spark, sf_dir):
+    """HTML boilerplate strip (sources/webparse.html_to_text): the
+    fetch→curation hand-off — script/style/comments removed, tags
+    dropped, entities decoded, whitespace collapsed, all as one
+    codegen-fused regexp chain over planted pages wrapping each
+    document's text in markup. The DuckDB oracle replays the exact
+    fragment (html_to_text_sql)."""
+    from dblp_crawler_spark.sources.webparse import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><script>var x = 1;</script><style>.a{}</style></head>"
+              "<body><h1>Doc &amp; "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><!-- c --><p>"),
+        F.col("text"),
+        F.lit("&nbsp;&lt;end&gt;</p></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return pages.select(
+        "doc_id",
+        html_to_text("html").alias("text"),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join: each click attributes to the user's most recent
     strictly-preceding view (running last-ignorenulls window — one
@@ -1022,6 +1078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "url_canonicalize": q_url_canonicalize,
         "frontier_pagerank": q_frontier_pagerank,
+        "robots_parse": q_robots_parse,
+        "html_text_extract": q_html_text_extract,
         "lm_bits_score": q_lm_bits_score,
         "text_classifier_gate": q_text_classifier_gate,
         "text_fingerprint": q_text_fingerprint,
@@ -1246,6 +1304,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "corpus_shuffle": _corpus_shuffle_oracle(),
         "url_canonicalize": _url_canonicalize_oracle(),
         "frontier_pagerank": _pagerank_oracle(),
+        "robots_parse": _robots_parse_oracle(),
+        "html_text_extract": _html_text_oracle(),
         "semdedup_drop_list": _semdedup_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
         "image_phash_dedup": _phash_dedup_oracle(),
@@ -1367,6 +1427,47 @@ def _pagerank_oracle(iters: int = 4) -> str:
         )""")
     body = ",\n        ".join(ctes)
     return f"WITH {body}\n        SELECT id AS doc_id, r AS rank_int FROM pr{iters}"
+
+
+def _robots_parse_oracle() -> str:
+    """DuckDB replay of q_robots_parse: identical planted robots.txt
+    variants (newlines via chr(10)), then the full windowed group
+    parse from webparse.parse_robots_sql over a CTE named
+    robots_pages."""
+    from dblp_crawler_spark.sources.webparse import parse_robots_sql
+
+    cases = []
+    for i, v in enumerate(_ROBOTS_VARIANTS):
+        lit = " || chr(10) || ".join(
+            "'" + part.replace("'", "''") + "'" for part in v.split("\n")
+        )
+        cases.append(f"WHEN doc_id % 6 = {i} THEN {lit}")
+    body = parse_robots_sql("robots_pages").strip()
+    assert body.upper().startswith("WITH")
+    return f"""
+        WITH robots_pages AS (
+          SELECT 'h' || doc_id || '.org' AS host,
+                 CASE {' '.join(cases)} END AS robots_txt
+          FROM documents WHERE doc_id < 24
+        ), {body[len('WITH '):]}
+    """
+
+
+def _html_text_oracle() -> str:
+    """DuckDB replay of q_html_text_extract via html_to_text_sql
+    over the identical planted markup."""
+    from dblp_crawler_spark.sources.webparse import html_to_text_sql
+
+    html = (
+        "'<html><head><script>var x = 1;</script><style>.a{}</style></head>"
+        "<body><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) || '</h1><!-- c --><p>'"
+        " || text || '&nbsp;&lt;end&gt;</p></body></html>'"
+    )
+    t = html_to_text_sql(html)
+    return f"""
+        SELECT doc_id, {t} AS text, CAST(length({t}) AS BIGINT) AS n_chars
+        FROM documents
+    """
 
 
 def _corpus_shuffle_oracle() -> str:

@@ -1,0 +1,192 @@
+"""Fetch-side parsing for a general web crawl: robots.txt,
+sitemap.xml, and HTML-to-text extraction — all pure JVM expression
+chains with adjacent DuckDB fragments where an entry oracle replays
+them.
+
+The reference needs none of these (it crawls one well-behaved API
+host and parses XML, dblp_crawler/downloader.py); a web-scale
+frontier fetches arbitrary hosts, so the scheduler's politeness
+inputs (`schemas.ROBOTS`: host, disallow_prefixes, crawl_delay_ms)
+have to come FROM fetched robots.txt bytes, seed URLs come from
+sitemaps, and the payload pipeline starts with boilerplate-stripped
+text. Scale shape: everything here is a per-row projection or a
+per-host window over that host's robots lines (a few hundred rows
+per host at worst) — no global state, no Python on the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---- robots.txt ------------------------------------------------------------
+#
+# Group semantics per the robots exclusion spec (RFC 9309 §2.1):
+# consecutive User-agent lines form ONE group sharing the rules that
+# follow; a User-agent line after a non-UA line starts a NEW group.
+# We honor the wildcard agent '*': a group applies iff any of its UA
+# lines is '*'. Directives before any UA line are ignored. Where the
+# (malformed) file has several '*' groups we take the union of their
+# Disallow prefixes and the max Crawl-delay — a safe superset.
+
+_UA_RE = r"(?i)^user-agent\s*:\s*(.*\S)\s*$"
+_DIS_RE = r"(?i)^disallow\s*:\s*(\S+)\s*$"
+_DELAY_RE = r"(?i)^crawl-delay\s*:\s*([0-9]+)\s*$"
+
+
+def parse_robots(
+    pages: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) → the scheduler's ROBOTS shape
+    (host, disallow_prefixes sorted, crawl_delay_ms) — one row per
+    host that has an applicable wildcard group.
+
+    Plugs directly into `scheduler.robots_status` and the crawl
+    config's delay budgets; comments (#…) and blank lines ignored.
+    """
+    lines = pages.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    ua = F.nullif(F.regexp_extract("line", _UA_RE, 1), F.lit(""))
+    tagged = lines.select("host", "pos", "line", ua.alias("ua"))
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = tagged.select(
+        "host",
+        "pos",
+        "line",
+        "ua",
+        F.sum(
+            (
+                F.col("ua").isNotNull()
+                & ~F.coalesce(F.lag(F.col("ua").isNotNull()).over(w), F.lit(False))
+            ).cast("int")
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    ).filter(F.col("grp") > 0)
+    per_group = grouped.groupBy("host", "grp").agg(
+        F.max((F.col("ua") == "*").cast("int")).alias("star"),
+        F.sort_array(
+            F.collect_list(F.nullif(F.regexp_extract("line", _DIS_RE, 1), F.lit("")))
+        ).alias("dis"),
+        F.max(F.nullif(F.regexp_extract("line", _DELAY_RE, 1), F.lit("")).cast("int")).alias(
+            "delay_s"
+        ),
+    )
+    return (
+        per_group.filter(F.col("star") == 1)
+        .groupBy("host")
+        .agg(
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("dis")))).alias(
+                "disallow_prefixes"
+            ),
+            (F.max("delay_s") * 1000).cast("int").alias("crawl_delay_ms"),
+        )
+    )
+
+
+def parse_robots_sql(src: str = "robots_pages") -> str:
+    """DuckDB replay of :func:`parse_robots` over a relation
+    ``src(host, robots_txt)`` — same windows, same group rule."""
+    return f"""
+        WITH lines AS (
+          SELECT host, CAST(pos AS BIGINT) AS pos,
+                 trim(regexp_replace(raw, '#.*$', '')) AS line
+          FROM (
+            SELECT host, unnest(string_split(robots_txt, chr(10))) AS raw,
+                   generate_subscripts(string_split(robots_txt, chr(10)), 1) AS pos
+            FROM {src}
+          )
+        ), tagged AS (
+          SELECT host, pos, line,
+                 nullif(regexp_extract(line, '(?i)^user-agent\\s*:\\s*(.*\\S)\\s*$', 1), '') AS ua
+          FROM lines
+        ), bnd AS (
+          -- DuckDB forbids nested window calls: lag first, sum next
+          SELECT host, pos, line, ua,
+                 CASE WHEN ua IS NOT NULL AND NOT
+                      coalesce(lag(ua IS NOT NULL) OVER (PARTITION BY host ORDER BY pos), FALSE)
+                 THEN 1 ELSE 0 END AS b
+          FROM tagged
+        ), grouped AS (
+          SELECT host, pos, line, ua,
+                 SUM(b) OVER (PARTITION BY host ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM bnd
+        ), per_group AS (
+          SELECT host, grp,
+                 MAX(CASE WHEN ua = '*' THEN 1 ELSE 0 END) AS star,
+                 list_sort(list_filter(list(
+                   nullif(regexp_extract(line, '(?i)^disallow\\s*:\\s*(\\S+)\\s*$', 1), '')
+                 ), x -> x IS NOT NULL)) AS dis,
+                 MAX(CAST(nullif(regexp_extract(line, '(?i)^crawl-delay\\s*:\\s*([0-9]+)\\s*$', 1), '') AS INT)) AS delay_s
+          FROM grouped WHERE grp > 0 GROUP BY host, grp
+        )
+        SELECT host,
+               list_sort(list_distinct(flatten(list(dis)))) AS disallow_prefixes,
+               CAST(MAX(delay_s) * 1000 AS INT) AS crawl_delay_ms
+        FROM per_group WHERE star = 1 GROUP BY host
+    """
+
+
+# ---- sitemap.xml -----------------------------------------------------------
+def sitemap_urls(pages: DataFrame, xml_col: str = "sitemap_xml", keep: list | None = None) -> DataFrame:
+    """Extract <loc> URLs from sitemap / sitemap-index XML and emit
+    them canonicalized — the bulk frontier-seeding path (the web
+    analog of the reference's venue-index pages). One row per loc."""
+    from ..functions.urlnorm import canonical_url
+
+    cols = keep if keep is not None else [c for c in pages.columns if c != xml_col]
+    locs = F.regexp_extract_all(F.col(xml_col), F.lit(r"<loc>([^<]*)</loc>"), 1)
+    return pages.select(
+        *cols, F.explode(locs).alias("raw_loc")
+    ).select(*cols, canonical_url("raw_loc").alias("url"))
+
+
+# ---- HTML → text -----------------------------------------------------------
+# NOTE: no backreferences anywhere — the DuckDB side is RE2.
+_HTML_STEPS = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+]
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so '&amp;lt;' decodes to the literal '&lt;'
+]
+
+
+def html_to_text(html) -> F.Column:
+    """Boilerplate-stripped visible text of an HTML page: script/
+    style/comments removed, tags dropped, common entities decoded,
+    whitespace collapsed. The first step of any text-curation
+    pipeline over crawled pages; pure regexp chain, codegen-fused."""
+    x = F.col(html) if isinstance(html, str) else html
+    for pat, rep in _HTML_STEPS:
+        x = F.regexp_replace(x, pat, rep)
+    for ent, ch in _ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB fragment computing exactly ``html_to_text(expr)``
+    (regexp_replace needs the 'g' flag there; Spark's is global)."""
+    x = expr
+    for pat, rep in _HTML_STEPS:
+        p = pat.replace("'", "''")
+        x = f"regexp_replace({x}, '{p}', '{rep}', 'g')"
+    for ent, ch in _ENTITIES:
+        c = ch.replace("'", "''")
+        x = f"replace({x}, '{ent}', '{c}')"
+    return f"trim(regexp_replace({x}, '\\s+', ' ', 'g'))"

