@@ -308,6 +308,29 @@ def q_html_text_extract(spark, sf_dir):
     ).withColumn("n_chars", F.length("text").cast("long"))
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-frequency line boilerplate removal (CCNet/C4 pass,
+    textstats.strip_common_lines): planted 4-line pages — a unique
+    id line, a footer shared by EVERY page, the document body, and a
+    per-language nav line — must lose exactly the >=5-frequency
+    lines while keeping survivors in order; the all-hash agg keeps
+    line text out of the corpus-wide shuffle. Fully replayed by the
+    DuckDB oracle (hash60 line hashes, string_agg ORDER BY pos)."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("id: "), F.col("doc_id").cast("string"), F.lit("\n"),
+            F.lit("COMMON FOOTER"), F.lit("\n"),
+            F.col("text"), F.lit("\n"),
+            F.lit("lang: "), F.col("lang"),
+        ).alias("text"),
+    )
+    return T.strip_common_lines(planted, min_count=5, hash_fn=hash60)
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join: each click attributes to the user's most recent
     strictly-preceding view (running last-ignorenulls window — one
@@ -1079,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "frontier_pagerank": q_frontier_pagerank,
         "robots_parse": q_robots_parse,
+        "line_dedup": q_line_dedup,
         "html_text_extract": q_html_text_extract,
         "lm_bits_score": q_lm_bits_score,
         "text_classifier_gate": q_text_classifier_gate,
@@ -1305,6 +1329,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "url_canonicalize": _url_canonicalize_oracle(),
         "frontier_pagerank": _pagerank_oracle(),
         "robots_parse": _robots_parse_oracle(),
+        "line_dedup": _line_dedup_oracle(),
         "html_text_extract": _html_text_oracle(),
         "semdedup_drop_list": _semdedup_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
@@ -1427,6 +1452,44 @@ def _pagerank_oracle(iters: int = 4) -> str:
         )""")
     body = ",\n        ".join(ctes)
     return f"WITH {body}\n        SELECT id AS doc_id, r AS rank_int FROM pr{iters}"
+
+
+def _line_dedup_oracle() -> str:
+    """DuckDB replay of q_line_dedup: identical planted 4-line pages,
+    hash60 line hashes, corpus count >= 5, reassembly via
+    string_agg(line, chr(10) ORDER BY pos)."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 'id: ' || doc_id || chr(10) || 'COMMON FOOTER' || chr(10)
+                 || text || chr(10) || 'lang: ' || lang AS text
+          FROM documents
+        ), lines AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS pos
+          FROM planted
+        ), hashed AS (
+          SELECT doc_id, pos, line, {H('line')} AS lh FROM lines
+        ), common AS (
+          SELECT lh FROM hashed GROUP BY lh HAVING COUNT(*) >= 5
+        ), kept AS (
+          SELECT * FROM hashed WHERE lh NOT IN (SELECT lh FROM common)
+        ), agg AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ), tot AS (
+          SELECT doc_id, COUNT(*) AS total FROM lines GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(a.text, '') AS text,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(t.total - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        FROM tot t LEFT JOIN agg a USING (doc_id)
+    """
 
 
 def _robots_parse_oracle() -> str:

@@ -496,3 +496,65 @@ def hashed_linear_score(text: Column | str, seed: int = 7) -> Column:
         lambda t: F.pmod(hash60(t, seed), F.lit(2001)) - 1000,
     )
     return F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def strip_common_lines(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """Corpus-frequency line dedup (the CCNet/C4 boilerplate pass):
+    remove every line that occurs >= min_count times ACROSS the
+    corpus (nav bars, cookie banners, footers), keeping remaining
+    lines in their original order. Complements
+    dedup.strip_duplicate_spans (token-window granularity): spans
+    catch repeated PASSAGES inside otherwise-unique prose; this
+    catches short template lines whose window never reaches k
+    tokens.
+
+    Scale shape: explode → ONE corpus-wide hash agg on 64-bit line
+    hashes (line text itself never crosses that shuffle) → one
+    anti-join back → per-doc reassembly via array_sort(collect_list)
+    keyed by line position (no window). Docs whose every line is
+    boilerplate survive with text='' — the output is total over the
+    input ids.
+
+    Returns (id, text, n_kept, n_removed).
+    """
+    from ..functions.hashing import xx64
+
+    h = hash_fn or xx64
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hashed = lines.select("__id", "pos", "line", h(F.col("line")).alias("lh"))
+    common = (
+        hashed.groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("lh")
+    )
+    kept = hashed.join(common, "lh", "left_anti")
+    kept_agg = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        totals.join(kept_agg, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("__text", F.lit("")).alias(text_col),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("__total") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

@@ -592,3 +592,40 @@ def test_semantic_dedup_planted_trio(spark):
     got = {(r.vec_id, r.keep_vec_id)
            for r in D.semantic_dedup(emb, n_cells=2, iters=1, seed=5, threshold=0.95).collect()}
     assert got == {(100, 0), (200, 0)}
+
+
+def test_strip_common_lines_boilerplate(spark):
+    """Lines at corpus frequency >= min_count vanish everywhere;
+    unique lines keep their original order; an all-boilerplate doc
+    survives with empty text."""
+    footer = "(c) example corp - all rights reserved"
+    nav = "home | about | contact"
+    rows = []
+    for i in range(6):
+        rows.append((i, f"unique headline {i}\n{nav}\nbody text {i}\n{footer}"))
+    rows.append((6, f"{nav}\n{footer}"))          # all boilerplate
+    rows.append((7, "one of a kind\nsolo line"))  # nothing removed
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_removed"])
+        for r in T.strip_common_lines(docs, min_count=5).collect()
+    }
+    assert len(got) == 8  # total over input ids
+    for i in range(6):
+        assert got[i] == (f"unique headline {i}\nbody text {i}", 2, 2)
+    assert got[6] == ("", 0, 2)
+    assert got[7] == ("one of a kind\nsolo line", 2, 0)
+
+
+def test_strip_common_lines_threshold_boundary(spark):
+    """A line occurring exactly min_count-1 times stays."""
+    rows = [(i, f"keepme\nuniq {i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = T.strip_common_lines(docs, min_count=5).filter(
+        F.col("n_removed") > 0
+    ).count()
+    assert got == 0
+    got5 = T.strip_common_lines(docs, min_count=4).filter(
+        F.col("n_removed") == 1
+    ).count()
+    assert got5 == 4
