@@ -331,6 +331,28 @@ def q_line_dedup(spark, sf_dir):
     return T.strip_common_lines(planted, min_count=5, hash_fn=hash60)
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """Transitive redirect resolution before frontier admission
+    (operators/redirects.py): planted 10-node chains ending at a
+    terminal plus 10-node cycles (every 20th block), walked under a
+    12-hop cap — chains resolve to their block terminal with exact
+    hop counts, cycles cap out resolved=false exactly like an HTTP
+    client's too-many-redirects. One equi-join per round against the
+    functional redirect map, Observation-terminated. Oracle: a
+    recursive CTE walking the same map to the same cap, max_by(cur,
+    hops) per src."""
+    from dblp_crawler_spark.operators.redirects import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    chain = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    cycle = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 9).alias("dst")
+    )
+    return resolve_redirects(chain.union(cycle), max_hops=12)
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join: each click attributes to the user's most recent
     strictly-preceding view (running last-ignorenulls window — one
@@ -1103,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_pagerank": q_frontier_pagerank,
         "robots_parse": q_robots_parse,
         "line_dedup": q_line_dedup,
+        "redirect_resolve": q_redirect_resolve,
         "html_text_extract": q_html_text_extract,
         "lm_bits_score": q_lm_bits_score,
         "text_classifier_gate": q_text_classifier_gate,
@@ -1330,6 +1353,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "frontier_pagerank": _pagerank_oracle(),
         "robots_parse": _robots_parse_oracle(),
         "line_dedup": _line_dedup_oracle(),
+        "redirect_resolve": _redirect_oracle(),
         "html_text_extract": _html_text_oracle(),
         "semdedup_drop_list": _semdedup_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
@@ -1452,6 +1476,31 @@ def _pagerank_oracle(iters: int = 4) -> str:
         )""")
     body = ",\n        ".join(ctes)
     return f"WITH {body}\n        SELECT id AS doc_id, r AS rank_int FROM pr{iters}"
+
+
+def _redirect_oracle(max_hops: int = 12) -> str:
+    """DuckDB replay of q_redirect_resolve: recursive CTE bounded at
+    max_hops over the identical planted chain+cycle map; the furthest
+    row per src (max_by over hops) IS the linear walk's outcome."""
+    return f"""
+        WITH RECURSIVE rmap AS (
+          SELECT doc_id AS src, doc_id - 1 AS dst FROM documents WHERE doc_id % 10 <> 0
+          UNION ALL
+          SELECT doc_id AS src, doc_id + 9 AS dst FROM documents WHERE doc_id % 20 = 0
+        ), walk AS (
+          SELECT src, dst AS cur, 1 AS hops FROM rmap
+          UNION ALL
+          SELECT w.src, m.dst, w.hops + 1
+          FROM walk w JOIN rmap m ON w.cur = m.src
+          WHERE w.hops < {max_hops}
+        ), fin AS (
+          SELECT src, max_by(cur, hops) AS final, MAX(hops) AS hops
+          FROM walk GROUP BY src
+        )
+        SELECT f.src, f.final, CAST(f.hops AS INT) AS hops,
+               m.src IS NULL AS resolved
+        FROM fin f LEFT JOIN rmap m ON f.final = m.src
+    """
 
 
 def _line_dedup_oracle() -> str:
