@@ -353,6 +353,39 @@ def q_redirect_resolve(spark, sf_dir):
     return resolve_redirects(chain.union(cycle), max_hops=12)
 
 
+def q_url_trap_filter(spark, sf_dir):
+    """Spider-trap triage before frontier admission
+    (functions/urlnorm.url_trap_flags): planted per-doc URLs cycling
+    clean / 10-deep path / repeated-segment loop / PHPSESSID alias /
+    calendar archive; the report is per-host counts of each trap
+    class. Pure projection + one hash agg; DuckDB replays the exact
+    heuristics (url_trap_flags_sql)."""
+    from dblp_crawler_spark.functions.urlnorm import url_host, url_trap_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 5
+    deep_path = "/" + "/".join(f"p{i}" for i in range(10))
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://h"), k, F.lit(".org/a/b?x=1")))
+        .when(v == 1, F.concat(F.lit("http://h"), k, F.lit(".org" + deep_path)))
+        .when(v == 2, F.concat(F.lit("http://h"), k, F.lit(".org/cat/page/cat/page/cat")))
+        .when(v == 3, F.concat(F.lit("http://h"), k, F.lit(".org/a?PHPSESSID=abc&x=1")))
+        .otherwise(F.concat(F.lit("http://h"), k, F.lit(".org/2020/01/2020/02/x")))
+    )
+    flagged = docs.select(url.alias("url")).select(
+        url_host("url").alias("host"), url_trap_flags("url").alias("t")
+    )
+    return flagged.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("t.deep_path").cast("int")).alias("n_deep"),
+        F.sum(F.col("t.repeated_segments").cast("int")).alias("n_repeat"),
+        F.sum(F.col("t.session_param").cast("int")).alias("n_session"),
+        F.sum(F.col("t.calendar_loop").cast("int")).alias("n_calendar"),
+        F.sum(F.col("t.is_trap").cast("int")).alias("n_trapped"),
+    )
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join: each click attributes to the user's most recent
     strictly-preceding view (running last-ignorenulls window — one
@@ -1126,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "line_dedup": q_line_dedup,
         "redirect_resolve": q_redirect_resolve,
+        "url_trap_filter": q_url_trap_filter,
         "html_text_extract": q_html_text_extract,
         "lm_bits_score": q_lm_bits_score,
         "text_classifier_gate": q_text_classifier_gate,
@@ -1354,6 +1388,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "robots_parse": _robots_parse_oracle(),
         "line_dedup": _line_dedup_oracle(),
         "redirect_resolve": _redirect_oracle(),
+        "url_trap_filter": _url_trap_oracle(),
         "html_text_extract": _html_text_oracle(),
         "semdedup_drop_list": _semdedup_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
@@ -1476,6 +1511,41 @@ def _pagerank_oracle(iters: int = 4) -> str:
         )""")
     body = ",\n        ".join(ctes)
     return f"WITH {body}\n        SELECT id AS doc_id, r AS rank_int FROM pr{iters}"
+
+
+def _url_trap_oracle() -> str:
+    """DuckDB replay of q_url_trap_filter: identical planted URLs,
+    url_trap_flags_sql heuristics, per-host counts (SUMs cast back
+    to BIGINT)."""
+    from dblp_crawler_spark.functions.urlnorm import url_trap_flags_sql
+
+    deep_path = "/" + "/".join(f"p{i}" for i in range(10))
+    fr = url_trap_flags_sql("url")
+    sums = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN {fr[name]} THEN 1 ELSE 0 END) AS BIGINT) AS {alias}"
+        for name, alias in [
+            ("deep_path", "n_deep"),
+            ("repeated_segments", "n_repeat"),
+            ("session_param", "n_session"),
+            ("calendar_loop", "n_calendar"),
+            ("is_trap", "n_trapped"),
+        ]
+    )
+    return f"""
+        WITH raw AS (
+          SELECT CASE doc_id % 5
+            WHEN 0 THEN 'http://h' || (doc_id % 50) || '.org/a/b?x=1'
+            WHEN 1 THEN 'http://h' || (doc_id % 50) || '.org{deep_path}'
+            WHEN 2 THEN 'http://h' || (doc_id % 50) || '.org/cat/page/cat/page/cat'
+            WHEN 3 THEN 'http://h' || (doc_id % 50) || '.org/a?PHPSESSID=abc&x=1'
+            ELSE 'http://h' || (doc_id % 50) || '.org/2020/01/2020/02/x'
+          END AS url FROM documents
+        )
+        SELECT 'h' || regexp_extract(url, 'h([0-9]+)\\.org', 1) || '.org' AS host,
+               COUNT(*) AS n_urls,
+               {sums}
+        FROM raw GROUP BY 1
+    """
 
 
 def _redirect_oracle(max_hops: int = 12) -> str:

@@ -123,3 +123,63 @@ def canonical_url_sql(expr: str) -> str:
         f"CASE WHEN {qnorm} = '' THEN '' ELSE '?' || {qnorm} END"
     )
     return f"CASE WHEN {scheme} = '' THEN {u} ELSE {canon} END"
+
+
+# ---- spider-trap heuristics -------------------------------------------------
+#: query params that mint unbounded URL aliases for one resource
+_SESSION_RE = r"(?i)[?&](sid|sessionid|session_id|phpsessid|jsessionid)="
+#: two year/month-looking path pairs — the calendar-archive loop
+_CALENDAR_RE = r"(/[0-9]{4}/[0-9]{1,2}){2}"
+
+
+def url_trap_flags(url: Column | str, max_depth: int = 8) -> Column:
+    """Spider-trap heuristics over one URL → struct(depth, deep_path,
+    repeated_segments, session_param, calendar_loop, is_trap).
+
+    Crawler traps (infinite calendars, session-id aliases,
+    self-recursive path generators) don't exist on the reference's
+    single curated host, but dominate wasted fetches on the open
+    web; a frontier admits a candidate only when is_trap is false
+    (or schedules it at a penalized priority). Pure expressions —
+    pair with canonical_url first so heuristics see one spelling.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    pathq = F.regexp_replace(rest, "^[^/?]*", "")
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
+    depth = F.size(segs)
+    deep = depth > max_depth
+    repeated = (depth - F.size(F.array_distinct(segs))) >= 2
+    session = u.rlike(_SESSION_RE)
+    calendar = path.rlike(_CALENDAR_RE)
+    return F.struct(
+        depth.cast("int").alias("depth"),
+        deep.alias("deep_path"),
+        repeated.alias("repeated_segments"),
+        session.alias("session_param"),
+        calendar.alias("calendar_loop"),
+        (deep | repeated | session | calendar).alias("is_trap"),
+    )
+
+
+def url_trap_flags_sql(expr: str, max_depth: int = 8) -> dict[str, str]:
+    """DuckDB fragments computing exactly the fields of
+    :func:`url_trap_flags` (kept adjacent; RE2-safe patterns)."""
+    rest = f"regexp_replace({expr}, '{_SCHEME_RE}', '')"
+    pathq = f"regexp_replace({rest}, '^[^/?]*', '')"
+    path = f"regexp_extract({pathq}, '^([^?]*)', 1)"
+    segs = f"list_filter(string_split({path}, '/'), x -> x <> '')"
+    depth = f"len({segs})"
+    deep = f"({depth} > {max_depth})"
+    repeated = f"(({depth} - len(list_distinct({segs}))) >= 2)"
+    session = f"regexp_matches({expr}, '{_SESSION_RE}')"
+    calendar = f"regexp_matches({path}, '{_CALENDAR_RE}')"
+    return {
+        "depth": f"CAST({depth} AS INT)",
+        "deep_path": deep,
+        "repeated_segments": repeated,
+        "session_param": session,
+        "calendar_loop": calendar,
+        "is_trap": f"({deep} OR {repeated} OR {session} OR {calendar})",
+    }

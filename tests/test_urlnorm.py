@@ -102,3 +102,120 @@ def test_canonical_url_is_pure_projection(spark):
     plan = df.select(canonical_url("url").alias("c"))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+# ---- property: random structured URLs, three-way agreement ------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_seg = st.text(alphabet="abcXYZ059._-~%", min_size=1, max_size=6)
+_host_word = st.text(alphabet="abcDEF01-", min_size=1, max_size=8)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp"]))
+    host = ".".join(draw(st.lists(_host_word, min_size=1, max_size=3)))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = "".join("/" + draw(_seg) for _ in range(draw(st.integers(0, 4))))
+    path += draw(st.sampled_from(["", "/", "//"]))
+    params = draw(st.lists(
+        st.tuples(st.text(alphabet="abz0", min_size=1, max_size=3),
+                  st.text(alphabet="xy19", min_size=0, max_size=3)),
+        max_size=4,
+    ))
+    query = "&".join(f"{k}={v}" for k, v in params)
+    query = draw(st.sampled_from(["", "?"])) if not query else "?" + query
+    frag = draw(st.sampled_from(["", "#f", "#a/b?c"]))
+    pad = draw(st.sampled_from(["", " ", "\t"]))
+    return f"{pad}{scheme}://{host}{port}{path}{query}{frag}{pad}"
+
+
+def _py_canonical(u: str) -> str:
+    """Pure-Python model of canonical_url (the third vote)."""
+    import re
+
+    u = re.sub(r"\s+$", "", re.sub(r"^\s+", "", u))
+    u = re.sub(r"#.*$", "", u, flags=re.S)
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
+    if not m:
+        return u
+    scheme = m.group(1).lower()
+    rest = u[m.end():]
+    hp = re.match(r"^([^/?]*)", rest).group(1).lower()
+    host = hp
+    if scheme == "http" and hp.endswith(":80"):
+        host = hp[:-3]
+    elif scheme == "https" and hp.endswith(":443"):
+        host = hp[:-4]
+    pathq = rest[len(hp):]
+    rawpath = re.match(r"^([^?]*)", pathq).group(1)
+    path = re.sub(r"/+$", "", rawpath) or "/"
+    query = re.sub(r"^[^?]*\?", "", pathq) if "?" in pathq else ""
+    parts = sorted(p for p in query.split("&") if p != "")
+    qn = "&".join(parts)
+    return f"{scheme}://{host}{path}" + (f"?{qn}" if qn else "")
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_urls(), min_size=1, max_size=40, unique=True))
+def test_canonical_url_three_way_property(spark, urls):
+    """Random structured URLs: Spark expression chain, DuckDB
+    fragment, and an independent Python model must agree exactly,
+    and the result must be a fixed point."""
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        canonical_url("url").alias("c"),
+        canonical_url(canonical_url("url")).alias("cc"),
+    ).collect()
+    con = duckdb.connect()
+    for r in rows:
+        assert r["c"] == _py_canonical(r["url"]), r["url"]
+        assert r["cc"] == r["c"], r["url"]
+        lit = "'" + r["url"].replace("'", "''") + "'"
+        (duck,) = con.sql(f"SELECT {canonical_url_sql(lit)}").fetchone()
+        assert duck == r["c"], r["url"]
+
+
+# ---- spider-trap heuristics --------------------------------------------------
+TRAP_CASES = [
+    ("http://h.org/a/b?x=1", dict(depth=2, is_trap=False)),
+    ("http://h.org/" + "/".join(f"p{i}" for i in range(10)),
+     dict(depth=10, deep_path=True, is_trap=True)),
+    ("http://h.org/cat/page/cat/page/cat",
+     dict(repeated_segments=True, is_trap=True)),
+    ("http://h.org/a/b/a", dict(repeated_segments=False, is_trap=False)),  # 1 dup only
+    ("http://h.org/a?PHPSESSID=abc&x=1", dict(session_param=True, is_trap=True)),
+    ("http://h.org/a?version=2", dict(session_param=False, is_trap=False)),  # no substring FP
+    ("http://h.org/2020/01/2020/02/x", dict(calendar_loop=True, is_trap=True)),
+    ("http://h.org/2020/01/x", dict(calendar_loop=False, is_trap=False)),
+]
+
+
+def test_url_trap_flags_semantics(spark):
+    from dblp_crawler_spark.functions.urlnorm import url_trap_flags
+
+    df = spark.createDataFrame([(u,) for u, _ in TRAP_CASES], "url string")
+    got = {r["url"]: r["t"].asDict() for r in
+           df.select("url", url_trap_flags("url").alias("t")).collect()}
+    for u, want in TRAP_CASES:
+        for k, v in want.items():
+            assert got[u][k] == v, (u, k, got[u])
+
+
+def test_url_trap_flags_matches_duckdb(spark):
+    from dblp_crawler_spark.functions.urlnorm import url_trap_flags, url_trap_flags_sql
+
+    df = spark.createDataFrame([(u,) for u, _ in TRAP_CASES], "url string")
+    got = {r["url"]: r["t"].asDict() for r in
+           df.select("url", url_trap_flags("url").alias("t")).collect()}
+    con = duckdb.connect()
+    for u, _ in TRAP_CASES:
+        lit = "'" + u.replace("'", "''") + "'"
+        frags = url_trap_flags_sql(lit)
+        sel = ", ".join(f"{sql} AS {name}" for name, sql in frags.items())
+        row = con.sql(f"SELECT {sel}").df().iloc[0].to_dict()
+        for k in frags:
+            assert bool(row[k]) == bool(got[u][k]) if k != "depth" else row[k] == got[u][k], (u, k)
