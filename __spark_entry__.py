@@ -386,6 +386,39 @@ def q_url_trap_filter(spark, sf_dir):
     )
 
 
+def q_frontier_admission(spark, sf_dir):
+    """The composed open-web admission path
+    (operators/frontier.admit_candidates — north_rule:
+    "canonicalizes and hashes candidate URLs, tests membership
+    against a ... URL-seen filter"): six planted spellings per doc
+    (five aliases/variants + one session-id trap) are canonicalized,
+    trap-dropped, batch-deduped on the hash60 seen key, and
+    anti-joined against a planted persistent seen set (every 4th
+    host's main page already crawled). Output is SF-independent by
+    construction — the dedup collapses document multiplicity — which
+    itself proves the collapse happened. Fully SQL-replayed."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.frontier import admit_candidates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 50).cast("string")
+    variants = F.array(
+        F.concat(F.lit("http://example"), k, F.lit(".org/path/"), k, F.lit("?b=2&a=1")),
+        F.concat(F.lit("HTTP://EXAMPLE"), k, F.lit(".ORG:80/path/"), k, F.lit("/?a=1&b=2#frag")),
+        F.concat(F.lit("http://example"), k, F.lit(".org/path/"), k, F.lit("#sec")),
+        F.concat(F.lit("https://example"), k, F.lit(".org:443/other/"), k),
+        F.concat(F.lit("https://example"), k, F.lit(".org/other/"), k, F.lit("?")),
+        F.concat(F.lit("http://example"), k, F.lit(".org/a?PHPSESSID=x")),
+    )
+    cand = docs.select(F.explode(variants).alias("url"))
+    seen = docs.filter((F.col("doc_id") % 50) % 4 == 0).select(
+        hash60(
+            F.concat(F.lit("http://example"), k, F.lit(".org/path/"), k, F.lit("?a=1&b=2"))
+        ).alias("seen_key")
+    )
+    return admit_candidates(cand, seen, hash_fn=hash60)
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join: each click attributes to the user's most recent
     strictly-preceding view (running last-ignorenulls window — one
@@ -1160,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "redirect_resolve": q_redirect_resolve,
         "url_trap_filter": q_url_trap_filter,
+        "frontier_admission": q_frontier_admission,
         "html_text_extract": q_html_text_extract,
         "lm_bits_score": q_lm_bits_score,
         "text_classifier_gate": q_text_classifier_gate,
@@ -1389,6 +1423,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle(),
         "redirect_resolve": _redirect_oracle(),
         "url_trap_filter": _url_trap_oracle(),
+        "frontier_admission": _frontier_admission_oracle(),
         "html_text_extract": _html_text_oracle(),
         "semdedup_drop_list": _semdedup_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
@@ -1545,6 +1580,49 @@ def _url_trap_oracle() -> str:
                COUNT(*) AS n_urls,
                {sums}
         FROM raw GROUP BY 1
+    """
+
+
+def _frontier_admission_oracle() -> str:
+    """DuckDB replay of q_frontier_admission: canonical_url_sql +
+    url_trap_flags_sql is_trap + hash60 keying + MIN-url batch dedup
+    + NOT IN seen — every stage of admit_candidates in SQL."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.functions.urlnorm import (
+        canonical_url_sql,
+        url_host_sql,
+        url_trap_flags_sql,
+    )
+
+    trap = url_trap_flags_sql("url")["is_trap"]
+    seen_url = (
+        "'http://example' || (doc_id % 50) || '.org/path/' || (doc_id % 50) || '?a=1&b=2'"
+    )
+    return f"""
+        WITH raw AS (
+          SELECT unnest([
+            'http://example' || (doc_id % 50) || '.org/path/' || (doc_id % 50) || '?b=2&a=1',
+            'HTTP://EXAMPLE' || (doc_id % 50) || '.ORG:80/path/' || (doc_id % 50) || '/?a=1&b=2#frag',
+            'http://example' || (doc_id % 50) || '.org/path/' || (doc_id % 50) || '#sec',
+            'https://example' || (doc_id % 50) || '.org:443/other/' || (doc_id % 50),
+            'https://example' || (doc_id % 50) || '.org/other/' || (doc_id % 50) || '?',
+            'http://example' || (doc_id % 50) || '.org/a?PHPSESSID=x'
+          ]) AS url FROM documents
+        ), canon AS (
+          SELECT {canonical_url_sql('url')} AS url FROM raw
+        ), clean AS (
+          SELECT url FROM canon WHERE NOT {trap}
+        ), keyed AS (
+          SELECT url, {H('url')} AS seen_key FROM clean
+        ), batch AS (
+          SELECT seen_key, MIN(url) AS url FROM keyed GROUP BY seen_key
+        ), seen AS (
+          SELECT DISTINCT {H(seen_url)} AS seen_key
+          FROM documents WHERE (doc_id % 50) % 4 = 0
+        )
+        SELECT b.url, {url_host_sql('b.url')} AS host, b.seen_key
+        FROM batch b
+        WHERE b.seen_key NOT IN (SELECT seen_key FROM seen)
     """
 
 

@@ -49,6 +49,13 @@ def url_host(url: Column | str) -> Column:
     return F.lower(F.regexp_extract(rest, "^([^/?#]*)", 1))
 
 
+def url_host_sql(expr: str) -> str:
+    """DuckDB fragment computing exactly ``url_host(expr)``."""
+    ws = f"regexp_replace(regexp_replace({expr}, '^\\s+', ''), '\\s+$', '')"
+    rest = f"regexp_replace({ws}, '{_SCHEME_RE}', '')"
+    return f"lower(regexp_extract({rest}, '^([^/?#]*)', 1))"
+
+
 def canonical_url(url: Column | str) -> Column:
     """Canonical spelling of an absolute URL (pure expressions).
 

@@ -107,3 +107,47 @@ def with_ccf(df: DataFrame, ccf_rank: DataFrame, jkey_col: Column) -> DataFrame:
         .withColumn("ccf", F.coalesce(F.col("__rank"), F.lit("N")))
         .drop("__jk", "__rank")
     )
+
+
+def admit_candidates(
+    candidates: DataFrame,
+    seen_keys: DataFrame | None = None,
+    url_col: str = "url",
+    max_depth: int = 8,
+    hash_fn=None,
+) -> DataFrame:
+    """Open-web frontier admission: raw candidate hrefs →
+    (url, host, seen_key) rows safe to append to the frontier.
+
+    The composed general-web counterpart of the dblp-specific wave
+    admission in plans/crawl.py (north_rule: "each iteration
+    canonicalizes and hashes candidate URLs, tests membership against
+    a partitioned bloom/cuckoo URL-seen filter"):
+
+      1. canonicalize (functions/urlnorm.canonical_url) so every raw
+         spelling maps to ONE seen key,
+      2. drop spider traps (url_trap_flags — depth, repeated
+         segments, session params, calendar loops),
+      3. collapse this batch's duplicates (one hash agg on the
+         64-bit seen key; min url is a deterministic tiebreak of
+         identical canonical strings),
+      4. anti-join the persistent seen set by key (or feed the
+         bloom/cuckoo bank's probe in place of the exact join).
+
+    `seen_keys`: one `seen_key` column (pass the bank-backed maybe-
+    seen survivors for the filter fast path). hash_fn defaults to
+    xxhash64; pass functions.hashing.hash60 for SQL-replayable keys.
+    Pure projections + one hash agg + one anti-join — nothing here
+    shuffles url text except the one admitted row itself.
+    """
+    from ..functions.hashing import xx64
+    from ..functions.urlnorm import canonical_url, url_host, url_trap_flags
+
+    h = hash_fn or xx64
+    canon = candidates.select(canonical_url(F.col(url_col)).alias("url"))
+    clean = canon.filter(~url_trap_flags("url", max_depth=max_depth)["is_trap"])
+    keyed = clean.select("url", h(F.col("url")).alias("seen_key"))
+    batch = keyed.groupBy("seen_key").agg(F.min("url").alias("url"))
+    if seen_keys is not None:
+        batch = batch.join(seen_keys.select("seen_key"), "seen_key", "left_anti")
+    return batch.select("url", url_host("url").alias("host"), "seen_key")

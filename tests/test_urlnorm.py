@@ -219,3 +219,34 @@ def test_url_trap_flags_matches_duckdb(spark):
         row = con.sql(f"SELECT {sel}").df().iloc[0].to_dict()
         for k in frags:
             assert bool(row[k]) == bool(got[u][k]) if k != "depth" else row[k] == got[u][k], (u, k)
+
+
+# ---- composed frontier admission ---------------------------------------------
+def test_admit_candidates_composition(spark):
+    """Raw spellings collapse to one admitted row; traps never enter;
+    already-seen keys are excluded; host is the politeness key."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.frontier import admit_candidates
+
+    cands = spark.createDataFrame(
+        [
+            ("HTTP://A.org:80/x/?b=2&a=1",),   # alias 1
+            ("http://a.org/x?a=1&b=2#frag",),  # alias 2 (same resource)
+            ("http://a.org/y",),               # fresh
+            ("http://a.org/z",),               # already seen
+            ("http://a.org/a?PHPSESSID=1",),   # trap: session param
+            ("http://a.org/c/p/c/p/c",),       # trap: repeated segments
+        ],
+        "url string",
+    )
+    seen = spark.createDataFrame([("http://a.org/z",)], "u string").select(
+        hash60("u").alias("seen_key")
+    )
+    got = {
+        r["url"]: r["host"]
+        for r in admit_candidates(cands, seen, hash_fn=hash60).collect()
+    }
+    assert got == {
+        "http://a.org/x?a=1&b=2": "a.org",
+        "http://a.org/y": "a.org",
+    }
