@@ -1,0 +1,55 @@
+"""Streaming frontier admission: the batch admission chain
+(canonicalize → trap-drop → seen-dedup) applied to an unbounded
+candidate-URL stream.
+
+A crawl DISCOVERS urls as a stream — parse workers emit hrefs
+continuously — so admission runs incrementally rather than per-wave
+batch re-scan. Canonicalization and trap triage are stateless
+per-row expressions (functions/urlnorm), streaming-safe verbatim;
+the only stateful step is first-spelling-wins dedup on the seen key,
+which becomes Structured Streaming keyed state (`dropDuplicates`),
+exactly the posture of streaming/documents.curate: one state row per
+distinct resource (the streaming twin of the frontier's seen table),
+or horizon-bounded state via `within_watermark` when re-discovery
+beyond the window is acceptable to re-admit (the downstream exact
+anti-join against the persistent seen table still guarantees no
+double fetch — same EXACTNESS-NEVER-LOST layering as the bloom
+bank).
+
+`admit_stream` is one definition for both engines: on a batch
+DataFrame it equals operators/frontier.admit_candidates up to the
+dedup tiebreak (first arrival vs min-url — both deterministic given
+an arrival order); on a readStream it runs under any trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def admit_stream(
+    candidates: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 8,
+    hash_fn=None,
+    within_watermark: str | None = None,
+) -> DataFrame:
+    """Raw candidate hrefs (streaming or batch) → admitted
+    (url, host, seen_key) rows, first spelling wins per resource."""
+    from ..functions.hashing import xx64
+    from ..functions.urlnorm import canonical_url, url_host, url_trap_flags
+
+    h = hash_fn or xx64
+    canon = candidates.withColumn("__curl", canonical_url(F.col(url_col)))
+    clean = canon.filter(~url_trap_flags("__curl", max_depth=max_depth)["is_trap"])
+    keyed = clean.withColumn("seen_key", h(F.col("__curl")))
+    if within_watermark is not None:
+        deduped = keyed.dropDuplicatesWithinWatermark(["seen_key"])
+    else:
+        deduped = keyed.dropDuplicates(["seen_key"])
+    return deduped.select(
+        F.col("__curl").alias("url"),
+        url_host("__curl").alias("host"),
+        "seen_key",
+    )

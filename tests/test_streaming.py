@@ -469,3 +469,56 @@ def test_streaming_quota_cap(spark, tmp_path):
                   {4: 0, 5: 1, 0: 2})          # ids 4,5 arrived first
     assert s1 in ({100: 0, 101: 1, 102: 2},    # id 100 arrived first
                   {101: 0, 102: 1, 103: 2})    # ids 101..104 arrived first
+
+
+def test_streaming_admission_matches_batch(spark, tmp_path):
+    """admit_stream over two availableNow runs with one checkpoint:
+    canonical aliases and traps are handled per-row, and a re-spelled
+    re-discovery of a resource admitted in run 1 must NOT re-admit in
+    run 2 (keyed state on the seen key survives the restart). The
+    admitted RESOURCE set equals the batch admit_candidates set."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.frontier import admit_candidates
+    from dblp_crawler_spark.streaming.frontier import admit_stream
+
+    rows1 = [
+        ("HTTP://A.org:80/x/?b=2&a=1",),   # resource X, spelling 1
+        ("http://a.org/y#frag",),          # resource Y
+        ("http://a.org/s?PHPSESSID=9",),   # trap → never admitted
+    ]
+    rows2 = [
+        ("http://a.org/x?a=1&b=2",),       # resource X re-discovered → deduped
+        ("https://b.org:443/z/",),         # resource Z
+    ]
+    src = str(tmp_path / "cand_src")
+    out = str(tmp_path / "cand_out")
+    ckpt = str(tmp_path / "cand_ckpt")
+    spark.createDataFrame(rows1, "url string").write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("url string").parquet(src)
+        q = (
+            admit_stream(stream, hash_fn=hash60)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(rows2, "url string").write.mode("append").parquet(src)
+    run_once()
+    got = {(r.url, r.host) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        ("http://a.org/x?a=1&b=2", "a.org"),
+        ("http://a.org/y", "a.org"),
+        ("https://b.org/z", "b.org"),
+    }
+    # batch admission over the full arrival set admits the same keys
+    all_cands = spark.createDataFrame(rows1 + rows2, "url string")
+    batch = admit_candidates(all_cands, hash_fn=hash60)
+    assert {r.seen_key for r in batch.collect()} == {
+        r.seen_key for r in spark.read.parquet(out).collect()
+    }
