@@ -419,6 +419,35 @@ def q_frontier_admission(spark, sf_dir):
     return admit_candidates(cand, seen, hash_fn=hash60)
 
 
+def q_video_scene_cuts(spark, sf_dir):
+    """Shot-boundary segmentation on stored per-frame phashes
+    (multimodal.scene_cuts): 8 planted frames per video in three
+    scenes (portable-hash base per scene, small XOR jitter within),
+    cut where adjacent hamming > 10. One window per video, frame
+    bytes never in the plan. Oracle replays lag + running-sum
+    islands + bit_count(xor) exactly."""
+    from dblp_crawler_spark.functions.hashing import HASH60_SEP
+    from dblp_crawler_spark.operators.multimodal import scene_cuts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    frames = docs.select(
+        F.col("doc_id").alias("video_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx"),
+    )
+    scene = F.expr("frame_idx div 3").cast("string")
+    base = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("video_id").cast("string"), F.lit(HASH60_SEP), scene)),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    planted = frames.withColumn(
+        "phash", base.bitwiseXOR((F.col("frame_idx") % 3).cast("long"))
+    )
+    return scene_cuts(planted, max_hamming=10)
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join: each click attributes to the user's most recent
     strictly-preceding view (running last-ignorenulls window — one
@@ -1194,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "url_trap_filter": q_url_trap_filter,
         "frontier_admission": q_frontier_admission,
+        "video_scene_cuts": q_video_scene_cuts,
         "html_text_extract": q_html_text_extract,
         "lm_bits_score": q_lm_bits_score,
         "text_classifier_gate": q_text_classifier_gate,
@@ -1424,6 +1454,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "redirect_resolve": _redirect_oracle(),
         "url_trap_filter": _url_trap_oracle(),
         "frontier_admission": _frontier_admission_oracle(),
+        "video_scene_cuts": _scene_cuts_oracle(),
         "html_text_extract": _html_text_oracle(),
         "semdedup_drop_list": _semdedup_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
@@ -1580,6 +1611,43 @@ def _url_trap_oracle() -> str:
                COUNT(*) AS n_urls,
                {sums}
         FROM raw GROUP BY 1
+    """
+
+
+def _scene_cuts_oracle(max_hamming: int = 10) -> str:
+    """DuckDB replay of q_video_scene_cuts: identical planted frame
+    phashes (seeded-hash60 base per scene, XOR jitter), lag + running
+    sum in separate CTEs (no nested windows), bit_count(xor)."""
+    base = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || chr(31) "
+            "|| CAST(i // 3 AS VARCHAR)), 1, 15)) AS BIGINT)")
+    return f"""
+        WITH frames AS (
+          SELECT doc_id AS video_id, CAST(i AS INT) AS frame_idx,
+                 xor({base}, CAST(i % 3 AS BIGINT)) AS phash
+          FROM documents, range(8) t(i)
+        ), lagged AS (
+          SELECT video_id, frame_idx, phash,
+                 lag(phash) OVER (PARTITION BY video_id ORDER BY frame_idx) AS prev
+          FROM frames
+        ), cuts AS (
+          SELECT video_id, frame_idx,
+                 CASE WHEN prev IS NULL
+                      OR bit_count(xor(phash, prev)) > {max_hamming}
+                 THEN 1 ELSE 0 END AS cut
+          FROM lagged
+        ), scened AS (
+          SELECT video_id, frame_idx,
+                 SUM(cut) OVER (PARTITION BY video_id ORDER BY frame_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene
+          FROM cuts
+        ), per_scene AS (
+          SELECT video_id, scene, COUNT(*) AS len FROM scened GROUP BY video_id, scene
+        )
+        SELECT video_id,
+               CAST(SUM(len) AS BIGINT) AS n_frames,
+               COUNT(*) AS n_scenes,
+               MAX(len) AS longest_scene
+        FROM per_scene GROUP BY video_id
     """
 
 

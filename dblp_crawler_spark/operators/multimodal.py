@@ -407,3 +407,45 @@ def assemble_batches(images: DataFrame, batch_size: int,
     if drop_last:
         out = out.filter(F.col("__rank") < (F.col("__n_b") - F.col("__n_b") % batch_size))
     return out.drop("__rank", "__n_b")
+
+
+def scene_cuts(frames: DataFrame, max_hamming: int = 10,
+               video_col: str = "video_id", idx_col: str = "frame_idx",
+               phash_col: str = "phash") -> DataFrame:
+    """Shot-boundary segmentation over per-frame perceptual hashes:
+    a cut opens a new scene wherever hamming(phash, previous frame's
+    phash) > max_hamming. The standard first pass for video training
+    data — scene-level sampling (one keyframe per scene) beats
+    uniform frame sampling, and scene counts gate slideshow-like
+    junk.
+
+    Scale shape: ONE window per video (lag + running sum — frames of
+    one video are processed together, state linear in frames of that
+    video, videos parallel); phashes are 64-bit ints, frame BYTES
+    never enter this plan at all (the phash column comes from the
+    stored feature table, same no-decode posture as
+    phash_near_dup_images).
+
+    Returns (video_id, n_frames, n_scenes, longest_scene).
+    """
+    w = Window.partitionBy(video_col).orderBy(idx_col)
+    prev = F.lag(phash_col).over(w)
+    cut = (
+        prev.isNull()
+        | (F.bit_count(F.col(phash_col).bitwiseXOR(prev)) > max_hamming)
+    ).cast("int")
+    scened = frames.select(
+        video_col,
+        idx_col,
+        F.sum(cut).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("scene"),
+    )
+    per_scene = scened.groupBy(video_col, "scene").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return per_scene.groupBy(video_col).agg(
+        F.sum("len").alias("n_frames"),
+        F.count(F.lit(1)).alias("n_scenes"),
+        F.max("len").alias("longest_scene"),
+    )

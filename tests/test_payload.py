@@ -284,3 +284,22 @@ def test_assemble_batches_contract(spark):
     # drop_last=False keeps every row and tails stay partial
     n_all = assemble_batches(df, batch_size=8, drop_last=False).count()
     assert n_all == 5000
+
+
+def test_scene_cuts_segmentation(spark):
+    """Known frame sequence: two hard cuts -> three scenes; within-
+    scene jitter below the threshold never splits; a single-frame
+    video is one scene."""
+    from dblp_crawler_spark.operators.multimodal import scene_cuts
+
+    A, B, C = 0x0FF00FF00FF00FF0, 0x5A5A5A5A5A5A5A5A, 0x00000000FFFFFFFF
+    rows = [("v1", i, p) for i, p in enumerate(
+        [A, A ^ 1, A ^ 3,      # scene 1 (hamming 1,2)
+         B, B ^ 2,             # scene 2 (cut: A^3 vs B is far)
+         C, C ^ 1, C ^ 4]      # scene 3
+    )] + [("v2", 0, A)]
+    df = spark.createDataFrame(rows, "video_id string, frame_idx int, phash long")
+    got = {r["video_id"]: (r["n_frames"], r["n_scenes"], r["longest_scene"])
+           for r in scene_cuts(df, max_hamming=10).collect()}
+    assert got["v1"] == (8, 3, 3)
+    assert got["v2"] == (1, 1, 1)
