@@ -816,6 +816,60 @@ def q_image_aspect_bucket(spark, sf_dir):
     return aspect_bucket(imgs)
 
 
+def q_clip_align_gate(spark, sf_dir):
+    """CLIP-score style image/caption alignment gate at tau=0.30 —
+    the LAION-style curation step for the input-hint table shape.
+    No embedding model ships in the container, so dim-8 INTEGER
+    embeddings are planted per doc via the portable hash60 family:
+    every 4th doc's caption embedding is its image embedding with
+    one component nudged (aligned, cosine ~1), the rest draw
+    independent components (cosine centered on 0, so the tau=0.30
+    test does real discrimination — some unaligned pairs legitimately
+    pass). The gate itself is cross-multiplied integer arithmetic
+    (dot^2 * 10^4 >= tau_pct^2 * |a|^2 * |b|^2), so the DuckDB oracle
+    derives the identical booleans row-by-row."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.multimodal import clip_alignment_gate
+
+    dim = 8
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def comp(s):
+        return (F.pmod(hash60("doc_id", s), F.lit(15)) - 7).cast("long")
+
+    aligned = F.pmod(hash60("doc_id", 99), F.lit(4)) == 0
+    img = [comp(s) for s in range(dim)]
+    cap = [
+        F.when(aligned, img[s] + F.lit(1 if s == 0 else 0)).otherwise(comp(100 + s))
+        for s in range(dim)
+    ]
+    pairs = docs.select(
+        "doc_id", F.array(*img).alias("img_emb"), F.array(*cap).alias("cap_emb")
+    )
+    return clip_alignment_gate(pairs, tau_pct=30).select(
+        "doc_id", "dot", "n_img", "n_cap", "align_keep"
+    )
+
+
+def q_caption_dedup_best(spark, sf_dir):
+    """Caption dedup keeping the BEST image (LAION rule): many images
+    share one caption; keep the highest-resolution one, not the
+    min-id one. Captions are planted into 37 collision groups and
+    (w, h) via the portable hash60 family, so the DuckDB oracle
+    derives the identical (area DESC, id ASC) survivor per group —
+    window group-limit shape, one shuffle."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = docs.select(
+        "doc_id",
+        F.concat(F.lit("caption "), (F.col("doc_id") % 37).cast("string")).alias("caption"),
+        (F.lit(256) + F.pmod(hash60("doc_id"), F.lit(1024))).cast("int").alias("w"),
+        (F.lit(256) + F.pmod(hash60("doc_id", 1), F.lit(1024))).cast("int").alias("h"),
+    ).withColumn("area", (F.col("w") * F.col("h")).cast("long"))
+    return D.drop_dups_keep_best(pairs, key_col="caption", score_col="area")
+
+
 def q_text_token_count(spark, sf_dir):
     """avg computed as SUM/COUNT (not AVG): token counts are exact
     integers, so one fp divide is bitwise identical on both the Spark
@@ -1240,6 +1294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_components": q_image_phash_components,
         "image_batch_assembly": q_image_batch_assembly,
         "image_aspect_bucket": q_image_aspect_bucket,
+        "clip_align_gate": q_clip_align_gate,
+        "caption_dedup_best": q_caption_dedup_best,
         "pipeline_image_caption": q_pipeline_image_caption,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
@@ -1458,6 +1514,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "html_text_extract": _html_text_oracle(),
         "semdedup_drop_list": _semdedup_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
+        "clip_align_gate": _clip_align_oracle(),
+        "caption_dedup_best": _caption_dedup_best_oracle(),
         "image_phash_dedup": _phash_dedup_oracle(),
         "image_phash_components": _phash_components_oracle(),
         "image_batch_assembly": _batch_assembly_oracle(),
@@ -1479,6 +1537,74 @@ def _portable_hash_oracles() -> dict[str, str]:
         """,
         "pipeline_image_caption": _image_caption_oracle(),
     }
+
+
+def _clip_align_oracle() -> str:
+    """DuckDB replay of q_clip_align_gate: the identical hash60
+    component plants expanded to scalar columns (dim 8), the dot /
+    norm sums written out term-by-term, and the identical
+    cross-multiplied integer threshold test. hash60 is non-negative,
+    so DuckDB's % matches Spark's pmod."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    dim = 8
+    img = [f"(({H('doc_id', s)}) % 15 - 7)" for s in range(dim)]
+    cap_raw = [f"(({H('doc_id', 100 + s)}) % 15 - 7)" for s in range(dim)]
+    aligned = f"(({H('doc_id', 99)}) % 4 = 0)"
+    img_cols = ",\n                 ".join(f"{e} AS i{s}" for s, e in enumerate(img))
+    cap_cols = ",\n                 ".join(
+        f"CASE WHEN {aligned} THEN i{s} + {1 if s == 0 else 0} "
+        f"ELSE {cap_raw[s]} END AS c{s}"
+        for s in range(dim)
+    )
+    dot = " + ".join(f"i{s} * c{s}" for s in range(dim))
+    na = " + ".join(f"i{s} * i{s}" for s in range(dim))
+    nb = " + ".join(f"c{s} * c{s}" for s in range(dim))
+    return f"""
+        WITH e AS (
+          SELECT doc_id,
+                 {img_cols}
+          FROM documents
+        ), p AS (
+          SELECT doc_id,
+                 {cap_cols},
+                 * EXCLUDE (doc_id)
+          FROM e
+        ), s AS (
+          SELECT doc_id,
+                 CAST({dot} AS BIGINT) AS dot,
+                 CAST({na} AS BIGINT) AS n_img,
+                 CAST({nb} AS BIGINT) AS n_cap
+          FROM p
+        )
+        SELECT doc_id, dot, n_img, n_cap,
+               (dot > 0 AND dot * dot * 10000 >= 900 * n_img * n_cap) AS align_keep
+        FROM s
+    """
+
+
+def _caption_dedup_best_oracle() -> str:
+    """DuckDB replay of q_caption_dedup_best: identical planted
+    caption groups and hash60 geometry, ROW_NUMBER over
+    (area DESC, doc_id ASC), rn = 1 survivors."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    return f"""
+        WITH p AS (
+          SELECT doc_id,
+                 'caption ' || CAST(doc_id % 37 AS VARCHAR) AS caption,
+                 CAST(256 + ({H('doc_id')}) % 1024 AS INT) AS w,
+                 CAST(256 + ({H('doc_id', 1)}) % 1024 AS INT) AS h
+          FROM documents
+        ), a AS (
+          SELECT *, CAST(w AS BIGINT) * h AS area FROM p
+        ), r AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY caption ORDER BY area DESC, doc_id ASC) AS rn
+          FROM a
+        )
+        SELECT doc_id, caption, w, h, area FROM r WHERE rn = 1
+    """
 
 
 def _substring_spans_oracle() -> str:

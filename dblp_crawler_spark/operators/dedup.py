@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
@@ -51,6 +51,35 @@ def drop_exact_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     w = F.md5(F.col(text_col)).alias("text_hash")
     reps = docs.select(w, F.col(id_col)).groupBy("text_hash").agg(F.min(id_col).alias(id_col))
     return docs.join(reps, id_col, "left_semi")
+
+
+def drop_dups_keep_best(docs: DataFrame, key_col: str, score_col: str,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Keep the BEST-scored representative per duplicate group — the
+    LAION caption-dedup rule: many images share one caption; keep the
+    highest-resolution image, not the min-id one. Deterministic total
+    order inside a group: (score DESC, id ASC), so ties are stable
+    and any engine derives the identical survivor set.
+
+    One shuffle keyed on `key_col`, window group-limit shape (rank
+    filters push as a TopK per group before the full sort
+    materializes). At 10^10 rows this is the same plan family as the
+    per-source quota cap: no collect, no all-pairs, skew bounded by
+    the largest duplicate group.
+
+    Reference parity: the reference's summarizer picks ONE selected
+    publication variant per title_hash group (summarizer/
+    __init__.py's dblp-key preference order); this generalizes that
+    pick-one-representative rule to an arbitrary quality score.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 # ---- shingles / minhash / lsh ---------------------------------------------

@@ -449,3 +449,47 @@ def scene_cuts(frames: DataFrame, max_hamming: int = 10,
         F.count(F.lit(1)).alias("n_scenes"),
         F.max("len").alias("longest_scene"),
     )
+
+
+def clip_alignment_gate(pairs: DataFrame, img_col: str = "img_emb",
+                        cap_col: str = "cap_emb", tau_pct: int = 30) -> DataFrame:
+    """CLIP-score style image/caption alignment gate (LAION-style
+    curation): keep a pair iff cosine(img_emb, cap_emb) >= tau_pct/100.
+
+    Embeddings are INTEGER vectors (array<long>, fixed-point
+    quantized — the same representation the fixed-point IVF path
+    uses), and the threshold test is cross-multiplied so no float
+    ever enters:
+
+        keep  <=>  dot > 0  AND  dot^2 * 10000 >= tau_pct^2 * |a|^2 * |b|^2
+
+    which makes the kept set exact and engine-portable (the driver
+    entry's DuckDB oracle derives the identical booleans). The dot >
+    0 guard also totalizes the zero-norm case without a divide.
+
+    Adds (dot, n_img, n_cap, align_keep) to the input. Pure
+    projection — JVM-side zip_with/aggregate folds, no UDF, no
+    shuffle; at a 10^10-pair corpus this is a map-only scan whose
+    cost is O(dim) per row. int64-safe for |component| <= 2^13 at
+    dim <= 2^11 (dot^2 * 10^4 < 2^63).
+
+    Reference parity: the reference gates which publication pages
+    reach the output via summarizer-side filters
+    (/root/reference/dblp_crawler/summarizer/__init__.py); this is
+    the multimodal-training analogue of that filter-at-output hook
+    (F2) applied to the image+caption table of BASELINE.json's
+    input_hint.
+    """
+    zero = F.lit(0).cast("long")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y), zero, lambda acc, v: acc + v
+    )
+    d = dot(img_col, cap_col)
+    na = dot(img_col, img_col)
+    nb = dot(cap_col, cap_col)
+    out = pairs.select("*", d.alias("dot"), na.alias("n_img"), nb.alias("n_cap"))
+    keep = (F.col("dot") > 0) & (
+        F.col("dot") * F.col("dot") * F.lit(10000).cast("long")
+        >= F.lit(int(tau_pct) ** 2).cast("long") * F.col("n_img") * F.col("n_cap")
+    )
+    return out.select("*", keep.alias("align_keep"))

@@ -629,3 +629,46 @@ def test_strip_common_lines_threshold_boundary(spark):
         F.col("n_removed") == 1
     ).count()
     assert got5 == 4
+
+
+def test_clip_alignment_gate_exact_boundary(spark):
+    """Keep set is exact integer arithmetic: aligned (cos=1) kept,
+    orthogonal (dot=0) and anti-aligned (dot<0) dropped, zero-norm
+    total (dropped, no divide), and a pair at EXACTLY cos=tau kept
+    by the >= (dot^2*10^4 == tau_pct^2*|a|^2*|b|^2)."""
+    from dblp_crawler_spark.operators.multimodal import clip_alignment_gate
+
+    rows = [
+        ("perfect", [1, 1, 0, 0], [1, 1, 0, 0]),
+        ("ortho", [1, 0, 0, 0], [0, 1, 0, 0]),
+        ("anti", [1, 1, 0, 0], [-1, -1, 0, 0]),
+        ("zero", [0, 0, 0, 0], [1, 2, 3, 4]),
+        # dot=2, |a|^2=4, |b|^2=4 -> cos = 2/(2*2) = 0.5 exactly
+        ("boundary", [1, 1, 1, 1], [2, 0, 0, 0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id string, img_emb array<long>, cap_emb array<long>"
+    )
+    out = {r.pair_id: r for r in clip_alignment_gate(df, tau_pct=50).collect()}
+    assert out["perfect"].align_keep and out["perfect"].dot == 2
+    assert not out["ortho"].align_keep and out["ortho"].dot == 0
+    assert not out["anti"].align_keep and out["anti"].dot == -2
+    assert not out["zero"].align_keep and out["zero"].n_img == 0
+    b = out["boundary"]
+    assert b.align_keep and b.dot * b.dot * 10000 == 2500 * b.n_img * b.n_cap
+    # one notch above tau=50 must drop it: strict > fails the boundary
+    out51 = {r.pair_id: r for r in clip_alignment_gate(df, tau_pct=51).collect()}
+    assert not out51["boundary"].align_keep and out51["perfect"].align_keep
+
+
+def test_drop_dups_keep_best(spark):
+    """Best-scored representative per group, (score DESC, id ASC)
+    tiebreak; singleton groups survive untouched."""
+    rows = [
+        (1, "cap_a", 100), (2, "cap_a", 300), (3, "cap_a", 300),  # tie -> id 2
+        (4, "cap_b", 50),                                          # singleton
+        (6, "cap_c", 10), (5, "cap_c", 10),                        # tie -> id 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, caption string, area long")
+    kept = {r.doc_id for r in D.drop_dups_keep_best(df, "caption", "area").collect()}
+    assert kept == {2, 4, 5}
