@@ -208,3 +208,36 @@ def test_hamming_near_dups_is_equi_join(spark):
     plan = plan_of(hamming_near_dups(df, "ph", "image_id", max_hamming=4, prefix_bits=8))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_clip_align_gate_is_map_only(spark):
+    """The alignment gate must stay a pure projection: no Exchange,
+    no Python eval — one codegen'd scan->project pipeline."""
+    from dblp_crawler_spark.operators.multimodal import clip_alignment_gate
+
+    df = spark.createDataFrame(
+        [(1, [1, 2], [3, 4])], "id long, img_emb array<long>, cap_emb array<long>"
+    )
+    p = plan_of(clip_alignment_gate(df))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_drop_dups_keep_best_single_shuffle(spark):
+    """Keep-best dedup is ONE hash-partitioned exchange on the group
+    key (plus the window sort inside partitions) — no global sort,
+    no second shuffle."""
+    from dblp_crawler_spark.operators.dedup import drop_dups_keep_best
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20)], "doc_id long, caption string, area long"
+    )
+    import re
+
+    p = plan_of(drop_dups_keep_best(df, "caption", "area"))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(caption" in p
+    assert "rangepartitioning" not in p  # a global Sort would plan this
+    # partial top-1 runs map-side BEFORE the exchange (WindowGroupLimit
+    # both below and above it) — the 'map-side combine' of keep-best
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", p)) == 2
