@@ -29,10 +29,11 @@ class CurateConfig:
     min_quality: float = 0.7
     max_rep: float = 0.6
     lang: str | None = "en"
-    dedup: str = "exact"          # exact | minhash | none
+    dedup: str = "exact"          # exact | minhash | keepbest | none
     minhash_threshold: float = 0.8
     text_col: str = "text"
     id_col: str = "doc_id"
+    key_col: str | None = None    # required for dedup="keepbest"
 
 
 def curate(docs: DataFrame, cfg: CurateConfig = CurateConfig()) -> tuple[DataFrame, DataFrame]:
@@ -73,10 +74,22 @@ def curate(docs: DataFrame, cfg: CurateConfig = CurateConfig()) -> tuple[DataFra
             .select(F.col("id").alias(cfg.id_col))
         )
         kept = gated.join(drop, cfg.id_col, "left_anti")
+    elif cfg.dedup == "keepbest":
+        # crawl-dup case: many fetches share one canonical key (url,
+        # title_hash, caption) — keep the highest-QUALITY one, not the
+        # min-id one. Quality was already computed for the gate; score
+        # on it again here so the survivor is the best doc, with the
+        # deterministic (quality DESC, id ASC) tiebreak.
+        if not cfg.key_col:
+            raise ValueError("dedup='keepbest' requires key_col (the duplicate group key)")
+        kept = D.drop_dups_keep_best(
+            gated.withColumn("__quality", T.quality_score(cfg.text_col)),
+            key_col=cfg.key_col, score_col="__quality", id_col=cfg.id_col,
+        ).drop("__quality")
     elif cfg.dedup == "none":
         kept = gated
     else:
-        raise ValueError(f"unknown dedup mode {cfg.dedup!r} (exact|minhash|none)")
+        raise ValueError(f"unknown dedup mode {cfg.dedup!r} (exact|minhash|keepbest|none)")
 
     report = (
         docs.select(F.count(F.lit(1)).alias("n_input"))

@@ -23,8 +23,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--min-quality", type=float, default=0.7)
     p.add_argument("--max-rep", type=float, default=0.6)
     p.add_argument("--lang", default="en", help="Required lang_id; pass '' to disable the gate.")
-    p.add_argument("--dedup", choices=["exact", "minhash", "none"], default="exact")
+    p.add_argument("--dedup", choices=["exact", "minhash", "keepbest", "none"], default="exact")
     p.add_argument("--minhash-threshold", type=float, default=0.8)
+    p.add_argument("--key-col", default=None,
+                   help="Duplicate group key for --dedup keepbest (e.g. url, caption); "
+                        "keeps the highest-quality doc per key.")
     p.add_argument("--report", default=None, help="Also write the JSON report to this path.")
     p.add_argument("--master", default=None, help="Spark master (default: env/local).")
     args = p.parse_args(argv)
@@ -38,7 +41,7 @@ def main(argv: list[str] | None = None) -> None:
         min_quality=args.min_quality, max_rep=args.max_rep,
         lang=args.lang or None, dedup=args.dedup,
         minhash_threshold=args.minhash_threshold,
-        text_col=args.text_col, id_col=args.id_col,
+        text_col=args.text_col, id_col=args.id_col, key_col=args.key_col,
     )
     docs = spark.read.parquet(args.input)
     kept, report = curate(docs, cfg)

@@ -175,3 +175,34 @@ def test_curate_cli_e2e(spark, tmp_path):
     assert kept_ids == {0, 5}, kept_ids          # dups 1,2 dropped; junk 3,4 gated
     assert {r.tag for r in kept} == {"keepme", "keeper-2"}  # original columns intact
     assert report["n_input"] == 6 and report["n_gated"] == 4 and report["n_kept"] == 2
+
+
+def test_curate_keepbest_mode(spark):
+    """dedup='keepbest': per key-column group the highest-quality doc
+    survives (not the min-id one); gates still run first; singleton
+    keys untouched; key_col is mandatory."""
+    import pytest as _pytest
+
+    from dblp_crawler_spark.curate import CurateConfig, curate
+
+    good = ("a completely different document about the history of "
+            "distributed dataflow systems and the engines behind them "
+            "written with plenty of ordinary connective prose")
+    noisy = good + " !!! ??? !!! ??? !!! ??? !!! ??? !!! ??? !!! ???"
+    rows = [
+        (0, noisy, "k1"),     # punct-heavy variant: loses the 0.3 punct band
+        (1, good, "k1"),      # clean variant -> survivor of k1 despite larger id
+        (2, "short", "k1"),   # gated out before dedup
+        (3, good, "k2"),      # singleton key survives
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    cfg = CurateConfig(min_quality=0.0, lang=None, dedup="keepbest", key_col="url")
+    kept, report = curate(docs, cfg)
+    got = {r.doc_id for r in kept.collect()}
+    assert got == {1, 3}, got
+    r = report.collect()[0]
+    assert (r.n_input, r.n_gated, r.n_kept) == (4, 3, 2)
+    assert "__quality" not in kept.columns
+
+    with _pytest.raises(ValueError, match="key_col"):
+        curate(docs, CurateConfig(dedup="keepbest"))

@@ -183,3 +183,35 @@ def test_mixture_flatten_property(spark, sizes):
         exp = n * (n_min / n) ** 0.5
         # 30-bit uniform, deterministic: band = ±(4·sqrt(exp) + 2)
         assert abs(by_src[f"s{s_i}"] - exp) <= 4 * exp ** 0.5 + 2
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.lists(st.integers(min_value=-9, max_value=9), min_size=6, max_size=6),
+            st.lists(st.integers(min_value=-9, max_value=9), min_size=6, max_size=6),
+        ),
+        min_size=1, max_size=12,
+    ),
+    tau_pct=st.integers(min_value=1, max_value=99),
+)
+def test_clip_gate_matches_exact_fraction_model(spark, vecs, tau_pct):
+    """The cross-multiplied integer gate must equal cos >= tau decided
+    in EXACT rational arithmetic (Fraction — no float round-off):
+    keep <=> dot > 0 and dot^2/( |a|^2 |b|^2 ) >= (tau_pct/100)^2."""
+    from fractions import Fraction
+
+    from dblp_crawler_spark.operators.multimodal import clip_alignment_gate
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, img_emb array<long>, cap_emb array<long>")
+    got = {r.id: bool(r.align_keep) for r in clip_alignment_gate(df, tau_pct=tau_pct).collect()}
+    for i, (a, b) in enumerate(vecs):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = sum(x * x for x in a), sum(y * y for y in b)
+        want = dot > 0 and na > 0 and nb > 0 and (
+            Fraction(dot * dot, na * nb) >= Fraction(tau_pct, 100) ** 2
+        )
+        assert got[i] == want, (i, a, b, tau_pct, dot, na, nb)
