@@ -870,6 +870,44 @@ def q_caption_dedup_best(spark, sf_dir):
     return D.drop_dups_keep_best(pairs, key_col="caption", score_col="area")
 
 
+def q_crossmodal_recall(spark, sf_dir):
+    """Cross-modal retrieval evaluation — recall@5 of image→caption
+    search, the quality gate a CLIP-style embedding space is judged
+    by. Caption embeddings (corpus) are planted per doc via hash60;
+    every 5th doc is a query whose IMAGE embedding is its caption
+    embedding nudged in one component, so its true caption should
+    rank near the top. Composes the already-oracled brute-force
+    top-k (broadcast queries, one dot per pair) with a hit test
+    (q_id == vec_id in the top-5) and one aggregate row:
+    (k, n_queries, n_hits, recall_at_k)."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
+    dim = 8
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def comp(s):
+        return (F.pmod(hash60("doc_id", s), F.lit(15)) - 7).cast("double")
+
+    cap = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[comp(s) for s in range(dim)]).alias("embedding"),
+    )
+    img = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.array(*[comp(s) + F.lit(1.0 if s == 0 else 0.0) for s in range(dim)]).alias("q_vec"),
+    )
+    topk = SIM.brute_force_topk(img, cap, k=5)
+    agg = topk.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.sum((F.col("q_id") == F.col("vec_id")).cast("int")).alias("n_hits"),
+        F.round(
+            F.sum((F.col("q_id") == F.col("vec_id")).cast("int"))
+            / F.countDistinct("q_id"), 4
+        ).alias("recall_at_k"),
+    )
+    return agg.select(F.lit(5).alias("k"), "*")
+
+
 def q_text_token_count(spark, sf_dir):
     """avg computed as SUM/COUNT (not AVG): token counts are exact
     integers, so one fp divide is bitwise identical on both the Spark
@@ -1296,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_aspect_bucket": q_image_aspect_bucket,
         "clip_align_gate": q_clip_align_gate,
         "caption_dedup_best": q_caption_dedup_best,
+        "crossmodal_recall": q_crossmodal_recall,
         "pipeline_image_caption": q_pipeline_image_caption,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
@@ -1516,6 +1555,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "image_aspect_bucket": _aspect_bucket_oracle(),
         "clip_align_gate": _clip_align_oracle(),
         "caption_dedup_best": _caption_dedup_best_oracle(),
+        "crossmodal_recall": _crossmodal_recall_oracle(),
         "image_phash_dedup": _phash_dedup_oracle(),
         "image_phash_components": _phash_components_oracle(),
         "image_batch_assembly": _batch_assembly_oracle(),
@@ -1580,6 +1620,43 @@ def _clip_align_oracle() -> str:
         SELECT doc_id, dot, n_img, n_cap,
                (dot > 0 AND dot * dot * 10000 >= 900 * n_img * n_cap) AS align_keep
         FROM s
+    """
+
+
+def _crossmodal_recall_oracle() -> str:
+    """DuckDB replay of q_crossmodal_recall: identical planted
+    caption/image embeddings (hash60 components as DOUBLE lists),
+    the same cross-join top-5 by cosine with the (cosine DESC,
+    vec_id ASC) tiebreak as the ann_cosine_topk oracle, then the
+    hit-count aggregate."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    dim = 8
+    cap = ", ".join(f"CAST(({H('doc_id', s)}) % 15 - 7 AS DOUBLE)" for s in range(dim))
+    img = ", ".join(
+        f"CAST(({H('doc_id', s)}) % 15 - 7 AS DOUBLE)" + (" + 1.0" if s == 0 else "")
+        for s in range(dim)
+    )
+    return f"""
+        WITH cap AS (
+          SELECT doc_id AS vec_id, [{cap}] AS embedding FROM documents
+        ), img AS (
+          SELECT doc_id AS q_id, [{img}] AS q_vec FROM documents WHERE doc_id % 5 = 0
+        ), topk AS (
+          SELECT q_id, vec_id FROM (
+            SELECT i.q_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY i.q_id
+                     ORDER BY list_cosine_similarity(i.q_vec, c.embedding) DESC,
+                              c.vec_id ASC) AS rank
+            FROM img i CROSS JOIN cap c
+          ) WHERE rank <= 5
+        )
+        SELECT 5 AS k,
+               COUNT(DISTINCT q_id) AS n_queries,
+               CAST(SUM(CASE WHEN q_id = vec_id THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               ROUND(SUM(CASE WHEN q_id = vec_id THEN 1 ELSE 0 END)::DOUBLE
+                     / COUNT(DISTINCT q_id), 4) AS recall_at_k
+        FROM topk
     """
 
 

@@ -11,7 +11,9 @@ runnable as one declarative pass over ANY parquet documents table
 
 Everything is native-expression Spark: the gates are one projection,
 exact dedup is one hash agg, minhash dedup is the banded LSH +
-connected-components drop-list. No eval, no Python row loops.
+connected-components drop-list, keepbest dedup (--dedup keepbest
+--key-col url) keeps the highest-quality doc per duplicate key via
+one window group-limit shuffle. No eval, no Python row loops.
 """
 
 from __future__ import annotations
