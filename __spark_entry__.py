@@ -874,9 +874,11 @@ def q_crossmodal_recall(spark, sf_dir):
     """Cross-modal retrieval evaluation — recall@5 of image→caption
     search, the quality gate a CLIP-style embedding space is judged
     by. Caption embeddings (corpus) are planted per doc via hash60;
-    every 5th doc is a query whose IMAGE embedding is its caption
+    every 50th doc is a query whose IMAGE embedding is its caption
     embedding nudged in one component, so its true caption should
-    rank near the top. Composes the already-oracled brute-force
+    rank near the top (a SAMPLED query set — the eval needs a
+    representative sample, not every doc; brute-force cost is
+    queries x corpus). Composes the already-oracled brute-force
     top-k (broadcast queries, one dot per pair) with a hit test
     (q_id == vec_id in the top-5) and one aggregate row:
     (k, n_queries, n_hits, recall_at_k)."""
@@ -892,7 +894,7 @@ def q_crossmodal_recall(spark, sf_dir):
         F.col("doc_id").alias("vec_id"),
         F.array(*[comp(s) for s in range(dim)]).alias("embedding"),
     )
-    img = docs.filter(F.col("doc_id") % 5 == 0).select(
+    img = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("q_id"),
         F.array(*[comp(s) + F.lit(1.0 if s == 0 else 0.0) for s in range(dim)]).alias("q_vec"),
     )
@@ -1641,7 +1643,7 @@ def _crossmodal_recall_oracle() -> str:
         WITH cap AS (
           SELECT doc_id AS vec_id, [{cap}] AS embedding FROM documents
         ), img AS (
-          SELECT doc_id AS q_id, [{img}] AS q_vec FROM documents WHERE doc_id % 5 = 0
+          SELECT doc_id AS q_id, [{img}] AS q_vec FROM documents WHERE doc_id % 50 = 0
         ), topk AS (
           SELECT q_id, vec_id FROM (
             SELECT i.q_id, c.vec_id,
