@@ -79,13 +79,13 @@ def curate(docs: DataFrame, cfg: CurateConfig = CurateConfig()) -> tuple[DataFra
     elif cfg.dedup == "keepbest":
         # crawl-dup case: many fetches share one canonical key (url,
         # title_hash, caption) — keep the highest-QUALITY one, not the
-        # min-id one. Quality was already computed for the gate; score
-        # on it again here so the survivor is the best doc, with the
-        # deterministic (quality DESC, id ASC) tiebreak.
+        # min-id one, with the deterministic (quality DESC, id ASC)
+        # tiebreak. Reuses the gate chain's already-computed __quality
+        # column (re-derived from `scored`, not recomputed per row).
         if not cfg.key_col:
             raise ValueError("dedup='keepbest' requires key_col (the duplicate group key)")
         kept = D.drop_dups_keep_best(
-            gated.withColumn("__quality", T.quality_score(cfg.text_col)),
+            scored.filter(gate).drop("__n_tok", "__rep", "__lang"),
             key_col=cfg.key_col, score_col="__quality", id_col=cfg.id_col,
         ).drop("__quality")
     elif cfg.dedup == "none":

@@ -76,9 +76,9 @@ def drop_dups_keep_best(docs: DataFrame, key_col: str, score_col: str,
         F.col(score_col).desc(), F.col(id_col).asc()
     )
     return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        docs.withColumn("__kb_rn", F.row_number().over(w))
+        .filter(F.col("__kb_rn") == 1)
+        .drop("__kb_rn")
     )
 
 

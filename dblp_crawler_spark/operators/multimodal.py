@@ -470,8 +470,15 @@ def clip_alignment_gate(pairs: DataFrame, img_col: str = "img_emb",
     Adds (dot, n_img, n_cap, align_keep) to the input. Pure
     projection — JVM-side zip_with/aggregate folds, no UDF, no
     shuffle; at a 10^10-pair corpus this is a map-only scan whose
-    cost is O(dim) per row. int64-safe for |component| <= 2^13 at
-    dim <= 2^11 (dot^2 * 10^4 < 2^63).
+    cost is O(dim) per row. int64-safe while
+    dim * max|component|^2 <= 3e7 (then dot^2 * 10^4 <= 9e18 < 2^63
+    and tau^2 * |a|^2 * |b|^2 is bounded the same way) — e.g.
+    |component| <= 1900 at dim 8, or <= 121 at dim 2048; quantize
+    coarser for wider embeddings.
+
+    tau_pct must be in [1, 100]: the dot > 0 guard makes tau = 0
+    unrepresentable and squaring would fold a negative tau onto its
+    absolute value, so both are rejected.
 
     Reference parity: the reference gates which publication pages
     reach the output via summarizer-side filters
@@ -480,6 +487,8 @@ def clip_alignment_gate(pairs: DataFrame, img_col: str = "img_emb",
     (F2) applied to the image+caption table of BASELINE.json's
     input_hint.
     """
+    if not 1 <= int(tau_pct) <= 100:
+        raise ValueError(f"tau_pct must be in [1, 100], got {tau_pct!r}")
     zero = F.lit(0).cast("long")
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(F.col(a), F.col(b), lambda x, y: x * y), zero, lambda acc, v: acc + v

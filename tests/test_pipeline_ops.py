@@ -672,3 +672,14 @@ def test_drop_dups_keep_best(spark):
     df = spark.createDataFrame(rows, "doc_id long, caption string, area long")
     kept = {r.doc_id for r in D.drop_dups_keep_best(df, "caption", "area").collect()}
     assert kept == {2, 4, 5}
+
+
+def test_clip_alignment_gate_rejects_degenerate_tau(spark):
+    """tau_pct outside [1, 100] is rejected: tau=0 is unrepresentable
+    under the dot>0 guard and negative tau would fold onto |tau|."""
+    from dblp_crawler_spark.operators.multimodal import clip_alignment_gate
+
+    df = spark.createDataFrame([(1, [1], [1])], "id long, img_emb array<long>, cap_emb array<long>")
+    for bad in (0, -30, 101):
+        with pytest.raises(ValueError, match="tau_pct"):
+            clip_alignment_gate(df, tau_pct=bad)

@@ -105,17 +105,20 @@ def run_pair_interleaved(n: int, workdir: str, masters: tuple[str, str], rounds:
         hi = spark_submit(masters[1], pyz, ["--measure", "--dir", indir, "--n", str(n), "--runs", "1"])
         lo_runs.append(lo["seconds"])
         hi_runs.append(hi["seconds"])
-        pairs.append(round((hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0, 3))
-    med = sorted(pairs)[len(pairs) // 2]
+        pairs.append((hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0)
+    # true even-length median (same as throughput_job.py) and gate on
+    # the UNROUNDED values — rounding is display-only, like run_pair
+    srt = sorted(pairs)
+    med = (srt[len(srt) // 2] + srt[(len(srt) - 1) // 2]) / 2
     return {
         "n_urls": n,
         "protocol": "interleaved",
         "masters": list(masters),
         "low_runs_s": lo_runs,
         "high_runs_s": hi_runs,
-        "per_round_efficiency": pairs,
-        "scaling_efficiency_best": max(pairs),
-        "scaling_efficiency_median": med,
+        "per_round_efficiency": [round(p, 3) for p in pairs],
+        "scaling_efficiency_best": round(max(pairs), 3),
+        "scaling_efficiency_median": round(med, 3),
         "passes_north_rule": max(pairs) >= 0.8,
         "passes_north_rule_median": med >= 0.8,
     }
