@@ -206,3 +206,40 @@ def test_curate_keepbest_mode(spark):
 
     with _pytest.raises(ValueError, match="key_col"):
         curate(docs, CurateConfig(dedup="keepbest"))
+
+
+def test_bench_scaling_interleaved_pairing_and_gate(tmp_path, monkeypatch):
+    """run_pair_interleaved pairs adjacent submits per round, computes
+    the true even-length median, and gates on UNROUNDED efficiencies
+    (no spark-submit: the submit layer is stubbed)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_scaling", str(REPO) + "/tools/bench_scaling.py")
+    bs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bs)
+
+    # 4 rounds: efficiencies 0.70, 0.78, 0.82, 0.90 -> median (0.78+0.82)/2 = 0.80
+    effs = [0.70, 0.78, 0.82, 0.90]
+    calls = {"i": 0}
+
+    def fake_submit(master, pyz, job_args):
+        if "--prepare" in job_args:
+            return {}
+        i = calls["i"]
+        calls["i"] += 1
+        rnd, is_high = divmod(i, 2)
+        secs = 100.0 if not is_high else 100.0 / (4 * effs[rnd])
+        return {"seconds": secs, "urls_per_sec": 800000 / secs}
+
+    monkeypatch.setattr(bs, "spark_submit", fake_submit)
+    res = bs.run_pair_interleaved(800000, str(tmp_path), ("local[4]", "local[16]"), 4)
+    assert res["per_round_efficiency"] == [0.7, 0.78, 0.82, 0.9]
+    assert res["scaling_efficiency_median"] == 0.8
+    assert res["passes_north_rule_median"]          # 0.80 >= 0.8 exactly
+    assert res["passes_north_rule"]                 # best 0.90
+    # one notch below the boundary must FAIL even though it ROUNDS to 0.8
+    effs[:] = [0.70, 0.78, 0.8199, 0.70]  # sorted -> median (0.70+0.78)/2 = 0.74
+    calls["i"] = 0
+    res2 = bs.run_pair_interleaved(800000, str(tmp_path), ("local[4]", "local[16]"), 4)
+    assert not res2["passes_north_rule_median"]
