@@ -522,3 +522,29 @@ def test_streaming_admission_matches_batch(spark, tmp_path):
     assert {r.seen_key for r in batch.collect()} == {
         r.seen_key for r in spark.read.parquet(out).collect()
     }
+
+
+def test_clip_gate_runs_under_streaming(spark, tmp_path):
+    """The alignment gate is a stateless projection, so the SAME
+    definition must run unchanged under Structured Streaming and
+    agree with the batch result (the batch≡stream contract every
+    stateless curation op in this repo keeps)."""
+    from dblp_crawler_spark.operators.multimodal import clip_alignment_gate
+
+    rows = [(i, [1 + (i % 3), 1, 0, 0], [1, 1 + (i % 5), 0, 0]) for i in range(40)]
+    src = str(tmp_path / "pairs")
+    df = spark.createDataFrame(rows, "id long, img_emb array<long>, cap_emb array<long>")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        clip_alignment_gate(stream, tau_pct=80)
+        .writeStream.format("memory").queryName("clip_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.id: (r.dot, r.align_keep) for r in spark.sql("SELECT * FROM clip_stream").collect()}
+    want = {r.id: (r.dot, r.align_keep) for r in clip_alignment_gate(df, tau_pct=80).collect()}
+    assert got == want and len(got) == 40
+    assert {v[1] for v in got.values()} == {True, False}  # the gate discriminates
