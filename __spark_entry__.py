@@ -951,6 +951,45 @@ def q_text_lang_id(spark, sf_dir):
     return docs.groupBy(T.lang_id("text").alias("lang_pred")).agg(F.count("*").alias("n"))
 
 
+# planted Gopher-rule violations (the driver's synthetic text is
+# uniformly clean): symbols onto every 7th doc, numeric word soup
+# onto every 3rd, bullet lines onto every 5th — same expression on
+# both engines, so the oracle pins the exact verdicts.
+_GOPHER_SYM = " #### ... ... ..."
+_GOPHER_SW = " and that would be fine to have with it"
+_GOPHER_NUM = " 11 22 33 44 55 66 77 88 99 00 12 34 56 78"
+_GOPHER_BUL = ("\n- aa bb\n- cc dd\n- ee ff\n- gg hh\n- ii jj"
+               "\n- kk ll\n- mm nn\n- oo pp\n- qq rr\n- ss tt")
+# the same literal as a DuckDB escape-string (generated from the
+# constant so the two engines can never drift)
+_GOPHER_BUL_SQL = "e'" + _GOPHER_BUL.replace("\n", "\\n") + "'"
+
+
+def q_gopher_quality_rules(spark, sf_dir):
+    """Gopher rule-set gate (Rae et al. 2021 §A1.1) over planted
+    violations: per-source pass counts for all seven rules plus the
+    composite keep. Every rule is an integer cross-multiplied
+    comparison (no float ratios), so verdicts are engine-portable;
+    pure per-row projection + one hash agg."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_GOPHER_SW)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_GOPHER_SYM)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_GOPHER_NUM)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_GOPHER_BUL)).otherwise(F.lit("")),
+    )
+    g = T.gopher_rules(planted)
+    d = docs.select("source", g.alias("g"))
+    rules = ["word_count", "mean_word_len", "symbol_ratio", "bullet_lines",
+             "ellipsis_lines", "alpha_words", "stopwords"]
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        *[F.sum(F.col(f"g.{r}").cast("long")).alias(f"pass_{r}") for r in rules],
+        F.sum(F.col("g.keep").cast("long")).alias("n_keep"),
+    )
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII scrub with a planted payload: the driver's synthetic text
     contains no PII, so every 7th doc gets a deterministic suffix
@@ -1303,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_source_cap": q_pipeline_source_cap,
         "pipeline_pack_shards": q_pipeline_pack_shards,
         "text_lang_id": q_text_lang_id,
+        "gopher_quality_rules": q_gopher_quality_rules,
         "pii_redaction": q_pii_redaction,
         "tfidf_top_terms": q_tfidf_top_terms,
         "hash_split": q_hash_split,
@@ -2684,6 +2724,57 @@ def oracle_sql() -> dict[str, str]:
                        + (CASE WHEN swr >= 0.01 THEN 0.3 ELSE 0.0 END), 6)), 4) AS avg_quality,
                    ROUND(AVG(punct), 4) AS avg_punct
             FROM s GROUP BY source
+        """,
+        "gopher_quality_rules": f"""
+            WITH p AS (
+              SELECT source,
+                text || CASE WHEN doc_id % 2 = 0 THEN '{_GOPHER_SW}' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN '{_GOPHER_SYM}' ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0 THEN '{_GOPHER_NUM}' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN {_GOPHER_BUL_SQL} ELSE '' END AS text
+              FROM documents),
+            s AS (
+              SELECT source,
+                {_TOK} AS toks,
+                str_split(text, chr(10)) AS lines,
+                (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+                (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+              FROM p),
+            r AS (
+              SELECT source,
+                len(toks)::BIGINT AS n,
+                COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)::BIGINT AS sum_len,
+                n_hash, n_ell,
+                len(lines)::BIGINT AS m,
+                len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+                    OR starts_with(ltrim(l), '* ')
+                    OR starts_with(ltrim(l), '•')))::BIGINT AS n_bullet,
+                len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::BIGINT AS n_ell_line,
+                len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::BIGINT AS n_alpha,
+                len(list_intersect(list_distinct(toks),
+                    ['and','be','have','of','that','the','to','with'])) AS n_sw
+              FROM s),
+            v AS (
+              SELECT source,
+                (n BETWEEN 50 AND 100000) AS r_words,
+                (3*n <= sum_len AND sum_len <= 10*n) AS r_wlen,
+                (10*(n_hash + n_ell) <= n) AS r_sym,
+                (10*n_bullet <= 9*m) AS r_bullet,
+                (10*n_ell_line <= 3*m) AS r_ell,
+                (5*n_alpha >= 4*n) AS r_alpha,
+                (n_sw >= 2) AS r_sw
+              FROM r)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(r_words::INT) AS BIGINT) AS pass_word_count,
+              CAST(SUM(r_wlen::INT) AS BIGINT) AS pass_mean_word_len,
+              CAST(SUM(r_sym::INT) AS BIGINT) AS pass_symbol_ratio,
+              CAST(SUM(r_bullet::INT) AS BIGINT) AS pass_bullet_lines,
+              CAST(SUM(r_ell::INT) AS BIGINT) AS pass_ellipsis_lines,
+              CAST(SUM(r_alpha::INT) AS BIGINT) AS pass_alpha_words,
+              CAST(SUM(r_sw::INT) AS BIGINT) AS pass_stopwords,
+              CAST(SUM((r_words AND r_wlen AND r_sym AND r_bullet
+                        AND r_ell AND r_alpha AND r_sw)::INT) AS BIGINT) AS n_keep
+            FROM v GROUP BY source
         """,
         "pipeline_source_cap": f"""
             WITH s AS (

@@ -558,3 +558,68 @@ def strip_common_lines(
             (F.col("__total") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+# Gopher rule set (Rae et al. 2021, §A1.1 "quality filtering") — the
+# standard pretraining-corpus document gates. Every rule below is an
+# INTEGER comparison (cross-multiplied thresholds, no float ratios),
+# so the per-doc verdicts are bit-identical in any engine — the same
+# portability discipline as the crawl's priority arithmetic.
+GOPHER_REQUIRED_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def gopher_rules(text: Column | str, min_words: int = 50,
+                 max_words: int = 100_000) -> Column:
+    """Per-document Gopher quality rules as a struct of booleans.
+
+    Fields (true = the doc PASSES that rule):
+      word_count      min_words <= #tokens <= max_words
+      mean_word_len   3 <= mean token length <= 10   (3n <= L <= 10n)
+      symbol_ratio    (#'#' + #'...') / #tokens <= 0.1  (10s <= n)
+      bullet_lines    <= 90% of lines start with a bullet (10b <= 9m)
+      ellipsis_lines  <= 30% of lines end with '...'      (10e <= 3m)
+      alpha_words     >= 80% of tokens contain a letter   (5a >= 4n)
+      stopwords       >= 2 distinct required stopwords present
+      keep            AND of all seven
+
+    Pure per-row projection — no shuffle, no UDF. '...' occurrences
+    are counted as non-overlapping leftmost matches (replace-and-
+    measure), identical semantics in Spark and ANSI SQL.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    toks = tokens_all(t)
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("long")
+    n_ell = F.floor((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3)
+    lines = F.split(t, "\n")
+    m = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.ltrim(ln).startswith("- ")
+            | F.ltrim(ln).startswith("* ")
+            | F.ltrim(ln).startswith("•"),
+        )
+    ).cast("long")
+    n_ell_line = F.size(F.filter(lines, lambda ln: F.rtrim(ln).endswith("..."))).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("long")
+    sw = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    n_sw = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    r_words = (n >= min_words) & (n <= max_words)
+    r_wlen = (F.lit(3) * n <= sum_len) & (sum_len <= F.lit(10) * n)
+    r_sym = F.lit(10) * (n_hash + n_ell) <= n
+    r_bullet = F.lit(10) * n_bullet <= F.lit(9) * m
+    r_ell = F.lit(10) * n_ell_line <= F.lit(3) * m
+    r_alpha = F.lit(5) * n_alpha >= F.lit(4) * n
+    r_sw = n_sw >= 2
+    return F.struct(
+        r_words.alias("word_count"),
+        r_wlen.alias("mean_word_len"),
+        r_sym.alias("symbol_ratio"),
+        r_bullet.alias("bullet_lines"),
+        r_ell.alias("ellipsis_lines"),
+        r_alpha.alias("alpha_words"),
+        r_sw.alias("stopwords"),
+        (r_words & r_wlen & r_sym & r_bullet & r_ell & r_alpha & r_sw).alias("keep"),
+    )

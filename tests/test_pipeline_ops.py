@@ -683,3 +683,37 @@ def test_clip_alignment_gate_rejects_degenerate_tau(spark):
     for bad in (0, -30, 101):
         with pytest.raises(ValueError, match="tau_pct"):
             clip_alignment_gate(df, tau_pct=bad)
+
+
+def test_gopher_rules_each_rule(spark):
+    """One hand-built doc per rule violation; every other rule must
+    still pass on it (isolating the verdicts), plus one clean doc
+    that passes everything. min_words lowered so short fixtures are
+    in-band."""
+    base = "the cat and the dog sat with all of them that day " * 3  # 33 toks, clean
+    rows = [
+        (0, base),                                      # clean -> keep
+        (1, "the of to"),                               # too few words
+        (2, ("a " * 40) + "the of and that"),           # mean word len < 3
+        (3, base + " ### ... ..."),                     # symbol ratio > 0.1
+        (4, base + ("\n- x y z w v u t s r q" * 10)),   # >90% bullet lines... see below
+        (5, base + ("\nwell then..." * 2)),             # >30% ellipsis-end lines
+        (6, base + " " + " ".join(str(i) for i in range(10, 20))),  # alpha < 80%
+        (7, "cat dog bird fish " * 8),                  # no required stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = df.select("doc_id", T.gopher_rules("text", min_words=5).alias("g")).orderBy("doc_id")
+    got = {r.doc_id: r.g.asDict() for r in g.collect()}
+    assert got[0]["keep"] is True
+    assert got[1]["word_count"] is False and got[1]["stopwords"] is True
+    assert got[2]["mean_word_len"] is False and got[2]["word_count"] is True
+    assert got[3]["symbol_ratio"] is False and got[3]["mean_word_len"] is True
+    # doc 4: 1 prose line + 10 bullet lines = 10/11 > 0.9 -> fail
+    assert got[4]["bullet_lines"] is False and got[4]["symbol_ratio"] is True
+    # doc 5: 2 of 3 lines end with '...' -> fail; symbols: two '...'
+    # against 39 tokens stays under 0.1 -> symbol rule still passes
+    assert got[5]["ellipsis_lines"] is False and got[5]["symbol_ratio"] is True
+    assert got[6]["alpha_words"] is False
+    assert got[7]["stopwords"] is False and got[7]["alpha_words"] is True
+    for d in (1, 2, 3, 4, 5, 6, 7):
+        assert got[d]["keep"] is False
