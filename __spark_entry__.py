@@ -990,6 +990,34 @@ def q_gopher_quality_rules(spark, sf_dir):
     )
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Adaptive recrawl queue: treat events as the fetch log (url
+    from user_id, content fingerprint from event_type), estimate each
+    url's change rate, and rank by expected staleness
+    n_changes * age / span — the measured-cadence generalization of
+    the reference's fixed per-class TTLs. One url-keyed shuffle
+    (window + agg share it), top-k as TakeOrderedAndProject; the only
+    float is the final single division of exact integer micros."""
+    from dblp_crawler_spark.operators import recrawl as RC
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("https://dblp.org/pid/p"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts"),
+        F.col("event_type").alias("fingerprint"),
+    )
+    pr = RC.recrawl_priorities(log)
+    return (
+        pr.filter(F.col("priority").isNotNull())
+        .select(
+            "url", "n_fetches", "n_changes",
+            F.unix_micros(F.col("last_ts").cast("timestamp")).alias("last_us"), "priority",
+        )
+        .orderBy(F.desc("priority"), "url")
+        .limit(50)
+    )
+
+
 def q_pii_redaction(spark, sf_dir):
     """PII scrub with a planted payload: the driver's synthetic text
     contains no PII, so every 7th doc gets a deterministic suffix
@@ -1343,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pack_shards": q_pipeline_pack_shards,
         "text_lang_id": q_text_lang_id,
         "gopher_quality_rules": q_gopher_quality_rules,
+        "recrawl_schedule": q_recrawl_schedule,
         "pii_redaction": q_pii_redaction,
         "tfidf_top_terms": q_tfidf_top_terms,
         "hash_split": q_hash_split,
@@ -2775,6 +2804,29 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM((r_words AND r_wlen AND r_sym AND r_bullet
                         AND r_ell AND r_alpha AND r_sw)::INT) AS BIGINT) AS n_keep
             FROM v GROUP BY source
+        """,
+        "recrawl_schedule": """
+            WITH f AS (
+              SELECT 'https://dblp.org/pid/p' || CAST(user_id AS VARCHAR) AS url,
+                     ts, event_type AS fp
+              FROM events),
+            m AS (
+              SELECT url, ts, fp,
+                CASE WHEN lag(fp) OVER (PARTITION BY url ORDER BY ts, fp) IS NOT NULL
+                      AND lag(fp) OVER (PARTITION BY url ORDER BY ts, fp) <> fp
+                     THEN 1 ELSE 0 END AS changed
+              FROM f),
+            a AS (
+              SELECT url, COUNT(*) AS n_fetches,
+                     CAST(SUM(changed) AS BIGINT) AS n_changes,
+                     MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+              FROM m GROUP BY url),
+            n AS (SELECT MAX(epoch_us(ts)) AS now_us FROM f)
+            SELECT url, n_fetches, n_changes, last_us,
+                   ROUND((n_changes * (now_us - last_us)) / (last_us - first_us), 6) AS priority
+            FROM a, n
+            WHERE last_us > first_us
+            ORDER BY priority DESC NULLS LAST, url LIMIT 50
         """,
         "pipeline_source_cap": f"""
             WITH s AS (

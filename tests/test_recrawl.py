@@ -1,0 +1,75 @@
+"""Adaptive recrawl scheduling (operators/recrawl.py): change
+detection over a per-url fetch log and the staleness priority
+n_changes * age / span. Hand-built fixture with known change counts;
+the DuckDB value parity for the driver entry runs via
+tools/check_oracle.py and the driver's own gate."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from dblp_crawler_spark.operators import recrawl as RC
+
+
+def _ts(day, hour=0):
+    return datetime(2024, 1, day, hour, 0, 0)
+
+
+def _log(spark):
+    # url A: fetched days 1,2,3,4 with content v1,v1,v2,v3 -> 2 changes,
+    #        span 3 d, last fetch day 4
+    # url B: fetched days 1,2,3,4,10 never changing -> 0 changes
+    # url C: fetched once (day 1) -> no observable rate
+    # url D: fetched days 1,10, changed -> 1 change, span 9 d, stale since day 10
+    rows = [
+        ("A", _ts(1), "v1"), ("A", _ts(2), "v1"), ("A", _ts(3), "v2"), ("A", _ts(4), "v3"),
+        ("B", _ts(1), "x"), ("B", _ts(2), "x"), ("B", _ts(3), "x"),
+        ("B", _ts(4), "x"), ("B", _ts(10), "x"),
+        ("C", _ts(1), "y"),
+        ("D", _ts(1), "p"), ("D", _ts(10), "q"),
+    ]
+    return spark.createDataFrame(rows, "url string, ts timestamp, fingerprint string")
+
+
+def test_change_history_marks_transitions(spark):
+    m = RC.change_history(_log(spark))
+    got = {(r.url, r.ts.day): r.changed for r in m.collect()}
+    # first fetch of every url is a discovery, not a change
+    assert got[("A", 1)] == 0 and got[("B", 1)] == 0 and got[("C", 1)] == 0
+    assert got[("A", 2)] == 0 and got[("A", 3)] == 1 and got[("A", 4)] == 1
+    assert all(got[("B", d)] == 0 for d in (2, 3, 4, 10))
+    assert got[("D", 10)] == 1
+
+
+def test_recrawl_priorities_staleness_ranking(spark):
+    pr = {r.url: r for r in RC.recrawl_priorities(_log(spark)).collect()}
+    day = 86400.0  # seconds; micros cancel in the ratio
+    # now = day 10 (global max ts)
+    # A: 2 changes / 3 d span, 6 d stale -> 2*6/3 = 4.0
+    assert pr["A"].n_fetches == 4 and pr["A"].n_changes == 2
+    assert abs(pr["A"].priority - 4.0) < 1e-9
+    # B: never changed -> 0 regardless of staleness
+    assert pr["B"].n_changes == 0 and pr["B"].priority == 0.0
+    # C: single fetch, span 0 -> no observable rate
+    assert pr["C"].n_fetches == 1 and pr["C"].priority is None
+    # D: 1 change / 9 d span, fetched at "now" -> age 0 -> 0.0
+    assert pr["D"].n_changes == 1 and pr["D"].priority == 0.0
+    # ranking: the frequently-changing stale page outranks everything
+    ranked = [
+        r.url
+        for r in RC.recrawl_priorities(_log(spark))
+        .filter(F.col("priority").isNotNull())
+        .orderBy(F.desc("priority"), "url")
+        .collect()
+    ]
+    assert ranked[0] == "A"
+
+
+def test_recrawl_single_url_shuffle(spark):
+    """Window and groupBy share the url partitioning: exactly one
+    url-keyed exchange feeds both (plus the 1-row broadcast for the
+    deterministic now)."""
+    plan = RC.recrawl_priorities(_log(spark))._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
