@@ -252,6 +252,30 @@ def q_frontier_pagerank(spark, sf_dir):
     return pr.select(F.col("id").alias("doc_id"), "rank_int")
 
 
+def q_anchor_text_agg(spark, sf_dir):
+    """Anchor-text aggregation (operators/anchors.py) over the same
+    planted 3-out-degree portable-hash link graph as
+    frontier_pagerank, with each link's anchor = the first 4 tokens
+    of the SOURCE doc's text. Per-target top-2 terms ranked by
+    (distinct linking pages, link count, term) — explode → one
+    (dst, term) hash agg → dst-keyed WindowGroupLimit."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.anchors import anchor_terms, anchor_text_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    links = None
+    for j in (1, 2, 3):
+        lj = docs.crossJoin(n).select(
+            F.col("doc_id").alias("src"),
+            (hash60("doc_id", j) % F.col("n")).alias("dst"),
+            F.col("text").alias("anchor"),
+        )
+        links = lj if links is None else links.union(lj)
+    terms = anchor_terms(links, max_terms=4)
+    return anchor_text_topk(terms, k=2)
+
+
 _ROBOTS_VARIANTS = [
     "# hi\nUser-agent: *\nDisallow: /private\nDisallow: /tmp\nCrawl-delay: 2",
     "User-agent: googlebot\nDisallow: /g\n\nUser-agent: *\nDisallow: /x",
@@ -1381,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "url_canonicalize": q_url_canonicalize,
         "frontier_pagerank": q_frontier_pagerank,
+        "anchor_text_agg": q_anchor_text_agg,
         "robots_parse": q_robots_parse,
         "line_dedup": q_line_dedup,
         "redirect_resolve": q_redirect_resolve,
@@ -1615,6 +1640,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "corpus_shuffle": _corpus_shuffle_oracle(),
         "url_canonicalize": _url_canonicalize_oracle(),
         "frontier_pagerank": _pagerank_oracle(),
+        "anchor_text_agg": _anchor_text_oracle(),
         "robots_parse": _robots_parse_oracle(),
         "line_dedup": _line_dedup_oracle(),
         "redirect_resolve": _redirect_oracle(),
@@ -1816,6 +1842,35 @@ def _url_canonicalize_oracle() -> str:
                COUNT(DISTINCT url) AS n_forms,
                {H('canonical_url')} AS seen_key
         FROM canon GROUP BY canonical_url
+    """
+
+
+def _anchor_text_oracle() -> str:
+    """DuckDB replay of q_anchor_text_agg: identical planted link
+    graph (hash60 dsts), anchor = first 4 tokens of the source doc,
+    exact (n_srcs, n_links) counts, top-2 per dst by the same
+    deterministic ordering."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    links_union = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id AS src, {H('doc_id', j)} % (SELECT n FROM nn) AS dst, "
+        f"unnest(list_slice({_TOK}, 1, 4)) AS term FROM documents"
+        for j in (1, 2, 3)
+    )
+    return f"""
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        l AS (
+            {links_union}
+        ),
+        a AS (
+          SELECT dst, term, COUNT(*) AS n_links, COUNT(DISTINCT src) AS n_srcs
+          FROM l GROUP BY dst, term)
+        SELECT dst, term, n_links, n_srcs, rk FROM (
+          SELECT dst, term, n_links, n_srcs,
+                 ROW_NUMBER() OVER (PARTITION BY dst
+                     ORDER BY n_srcs DESC, n_links DESC, term) AS rk
+          FROM a)
+        WHERE rk <= 2
     """
 
 
