@@ -1212,6 +1212,37 @@ def q_image_phash_components(spark, sf_dir):
     return cc.select(F.col("id").alias("image_id"), F.col("component").alias("cluster_rep"))
 
 
+def q_joint_dedup_clusters(spark, sf_dir):
+    """Cross-modal duplicate clusters: phash-near-dup OR exact-
+    caption edges, closed transitively (operators/multimodal.py
+    joint_near_dup_clusters). Planted geometry forces cross-modal
+    transitivity: every 8th image gets a phash twin with a FRESH
+    caption (image-only edge) and every 12th a caption copy with a
+    FAR phash (caption-only edge) — at doc_id % 24 the three rows
+    cluster only because both edge types union before components."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.multimodal import joint_near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    iid = F.format_string("img_%06d", "doc_id")
+    cap = F.concat(F.lit("cap "), F.col("doc_id").cast("string"))
+    base = docs.select(iid.alias("image_id"), hash60(iid).alias("phash"), cap.alias("caption"))
+    twin = docs.filter(F.col("doc_id") % 8 == 0).select(
+        F.concat(iid, F.lit("_twin")).alias("image_id"),
+        hash60(iid).bitwiseXOR(F.lit(3)).alias("phash"),
+        F.concat(F.lit("cap t"), F.col("doc_id").cast("string")).alias("caption"),
+    )
+    capcopy = docs.filter(F.col("doc_id") % 12 == 0).select(
+        F.concat(iid, F.lit("_cap")).alias("image_id"),
+        hash60(iid, 5).alias("phash"),
+        cap.alias("caption"),
+    )
+    cc = joint_near_dup_clusters(
+        base.unionByName(twin).unionByName(capcopy), max_hamming=4, prefix_bits=12
+    )
+    return cc.select(F.col("id").alias("image_id"), F.col("component").alias("cluster_rep"))
+
+
 def q_image_batch_assembly(spark, sf_dir):
     """Aspect-bucketed training-batch assembly (batch_size=8,
     drop_last): every batch holds 8 images of one resolution bucket,
@@ -1426,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "image_phash_dedup": q_image_phash_dedup,
         "image_phash_components": q_image_phash_components,
+        "joint_dedup_clusters": q_joint_dedup_clusters,
         "image_batch_assembly": q_image_batch_assembly,
         "image_aspect_bucket": q_image_aspect_bucket,
         "clip_align_gate": q_clip_align_gate,
@@ -1655,6 +1687,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "crossmodal_recall": _crossmodal_recall_oracle(),
         "image_phash_dedup": _phash_dedup_oracle(),
         "image_phash_components": _phash_components_oracle(),
+        "joint_dedup_clusters": _joint_dedup_oracle(),
         "image_batch_assembly": _batch_assembly_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "text_classifier_gate": _classifier_gate_oracle(),
@@ -2387,6 +2420,55 @@ def _phash_components_oracle() -> str:
           FROM blocked x JOIN blocked y ON x.block = y.block
           WHERE x.image_id < y.image_id
             AND bit_count(xor(x.phash, y.phash)) <= 4
+        ), sym AS (
+          SELECT a AS id, b AS nbr FROM pairs
+          UNION
+          SELECT b AS id, a AS nbr FROM pairs
+        ), reach(id, comp) AS (
+          SELECT id, id FROM sym
+          UNION
+          SELECT s.nbr, r.comp FROM reach r JOIN sym s ON s.id = r.id
+          WHERE r.comp < s.nbr
+        )
+        SELECT id AS image_id, MIN(comp) AS cluster_rep FROM reach GROUP BY id
+    """
+
+
+def _joint_dedup_oracle() -> str:
+    """DuckDB replay of q_joint_dedup_clusters: identical planted
+    rows (phash twin with fresh caption, caption copy with far
+    phash), blocked hamming pairs UNION caption star edges, then the
+    recursive min-reachable-id CTE."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    pid = "printf('img_%06d', doc_id)"
+    cap = "'cap ' || CAST(doc_id AS VARCHAR)"
+    return f"""
+        WITH RECURSIVE imgs AS (
+          SELECT {pid} AS image_id, {H(pid)} AS phash, {cap} AS caption FROM documents
+          UNION ALL
+          SELECT {pid} || '_twin', xor({H(pid)}, 3),
+                 'cap t' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 8 = 0
+          UNION ALL
+          SELECT {pid} || '_cap', {H(pid, 5)}, {cap}
+          FROM documents WHERE doc_id % 12 = 0
+        ), blocked AS (
+          SELECT image_id, phash, phash >> 52 AS block FROM imgs
+        ), ipairs AS (
+          SELECT x.image_id AS a, y.image_id AS b
+          FROM blocked x JOIN blocked y ON x.block = y.block
+          WHERE x.image_id < y.image_id
+            AND bit_count(xor(x.phash, y.phash)) <= 4
+        ), creps AS (
+          SELECT caption, MIN(image_id) AS a
+          FROM imgs GROUP BY caption HAVING COUNT(*) > 1
+        ), cpairs AS (
+          SELECT c.a, i.image_id AS b
+          FROM imgs i JOIN creps c USING (caption)
+          WHERE i.image_id <> c.a
+        ), pairs AS (
+          SELECT a, b FROM ipairs UNION SELECT a, b FROM cpairs
         ), sym AS (
           SELECT a AS id, b AS nbr FROM pairs
           UNION

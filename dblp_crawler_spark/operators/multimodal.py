@@ -502,3 +502,42 @@ def clip_alignment_gate(pairs: DataFrame, img_col: str = "img_emb",
         >= F.lit(int(tau_pct) ** 2).cast("long") * F.col("n_img") * F.col("n_cap")
     )
     return out.select("*", keep.alias("align_keep"))
+
+
+def joint_near_dup_clusters(images: DataFrame, caption_col: str = "caption",
+                            max_hamming: int = 4, prefix_bits: int = 12) -> DataFrame:
+    """Cross-modal duplicate clusters over an image+caption table
+    (input_hint shape): two images are duplicates if their phashes
+    are within `max_hamming` OR they carry the exact same caption,
+    and clusters close transitively across BOTH edge types — a
+    re-hosted figure (phash twin, new caption) and a re-captioned
+    copy (same caption, re-encoded pixels) of one image land in ONE
+    cluster even though the pair (figure-twin, caption-copy) matches
+    under neither signal directly. This is the LAION-style dedup a
+    crawl of image+caption pages needs before training.
+
+    Scale shape: phash pairs via the blocked hamming equi-join
+    (dedup.hamming_near_dups — no bytes, never all-pairs); caption
+    pairs as STAR edges (group min-id → one edge per extra member:
+    O(n) edges even for a million-way caption collision, where a
+    pairwise self-join would be quadratic); then the shared
+    connected-components loop over the union.
+
+    Returns (id, component) for every image in a cluster of >= 2.
+    """
+    from .dedup import connected_components
+
+    img_pairs = phash_near_dup_images(images, max_hamming, prefix_bits).select("a", "b")
+    cap = images.select("image_id", caption_col)
+    reps = (
+        cap.groupBy(caption_col)
+        .agg(F.min("image_id").alias("a"), F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .drop("__n")
+    )
+    cap_pairs = (
+        cap.join(reps, caption_col)
+        .filter(F.col("image_id") != F.col("a"))
+        .select("a", F.col("image_id").alias("b"))
+    )
+    return connected_components(img_pairs.unionByName(cap_pairs), src="a", dst="b")

@@ -303,3 +303,37 @@ def test_scene_cuts_segmentation(spark):
            for r in scene_cuts(df, max_hamming=10).collect()}
     assert got["v1"] == (8, 3, 3)
     assert got["v2"] == (1, 1, 1)
+
+
+def test_joint_near_dup_crossmodal_transitivity(spark):
+    """A phash twin (fresh caption) and a caption copy (far phash)
+    of one base image cluster together ONLY through the base — the
+    union of both edge types must close transitively."""
+    from dblp_crawler_spark.operators.multimodal import joint_near_dup_clusters
+
+    rows = [
+        # base A + phash twin (hamming 2, different caption)
+        ("A", 0b1100, "caption one"),
+        ("A_twin", 0b1111, "caption two"),
+        # caption copy of A with a phash > 4 hamming from everything
+        ("A_cap", 0b111110000, "caption one"),
+        # unrelated image: > 4 hamming from all, unique caption
+        ("Z", 0b101010101010101, "caption z"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long, caption string")
+    cc = joint_near_dup_clusters(df, max_hamming=4, prefix_bits=12)
+    got = {r.id: r.component for r in cc.collect()}
+    assert got == {"A": "A", "A_twin": "A", "A_cap": "A"}  # Z not in any cluster
+
+
+def test_joint_near_dup_caption_star_edges_linear(spark):
+    """A k-way caption collision contributes k-1 star edges, not
+    k*(k-1)/2 pairwise edges (the shape that survives a million-way
+    collision)."""
+    from dblp_crawler_spark.operators.multimodal import joint_near_dup_clusters
+
+    rows = [(f"img{i:02d}", (i + 1) << 30, "same caption") for i in range(6)]
+    df = spark.createDataFrame(rows, "image_id string, phash long, caption string")
+    cc = joint_near_dup_clusters(df)
+    got = {r.id: r.component for r in cc.collect()}
+    assert len(got) == 6 and set(got.values()) == {"img00"}
