@@ -252,6 +252,21 @@ def q_frontier_pagerank(spark, sf_dir):
     return pr.select(F.col("id").alias("doc_id"), "rank_int")
 
 
+def q_host_budget_alloc(spark, sf_dir):
+    """Largest-remainder apportionment of a 1000-slot wave budget
+    across hosts (source stands in for host; weight = total bytes
+    pending). Exact integer quotas — floor via `div`, leftover slots
+    to the largest remainders through the distributed two-pass rank
+    (no single-partition window). SUM(budget) == 1000 exactly."""
+    from dblp_crawler_spark.operators.budget import host_budget_alloc
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.groupBy(F.col("source").alias("host")).agg(
+        F.sum("n_chars").cast("long").alias("weight")
+    )
+    return host_budget_alloc(hosts, budget=1000)
+
+
 def q_anchor_text_agg(spark, sf_dir):
     """Anchor-text aggregation (operators/anchors.py) over the same
     planted 3-out-degree portable-hash link graph as
@@ -1437,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "frontier_pagerank": q_frontier_pagerank,
         "anchor_text_agg": q_anchor_text_agg,
+        "host_budget_alloc": q_host_budget_alloc,
         "robots_parse": q_robots_parse,
         "line_dedup": q_line_dedup,
         "redirect_resolve": q_redirect_resolve,
@@ -1673,6 +1689,26 @@ def _portable_hash_oracles() -> dict[str, str]:
         "url_canonicalize": _url_canonicalize_oracle(),
         "frontier_pagerank": _pagerank_oracle(),
         "anchor_text_agg": _anchor_text_oracle(),
+        "host_budget_alloc": """
+            WITH h AS (
+              SELECT source AS host, CAST(SUM(n_chars) AS BIGINT) AS weight
+              FROM documents GROUP BY source),
+            t AS (SELECT CAST(SUM(weight) AS BIGINT) AS w FROM h),
+            q AS (
+              SELECT host, weight,
+                     (1000 * weight) // w AS base,
+                     (1000 * weight) % w AS rem
+              FROM h, t),
+            k AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS k FROM q),
+            r AS (
+              SELECT host, weight, base,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk
+              FROM q)
+            SELECT host, weight,
+                   CAST(base + CASE WHEN rk <= (SELECT k FROM k) THEN 1 ELSE 0 END
+                        AS BIGINT) AS budget
+            FROM r
+        """,
         "robots_parse": _robots_parse_oracle(),
         "line_dedup": _line_dedup_oracle(),
         "redirect_resolve": _redirect_oracle(),

@@ -1,0 +1,78 @@
+"""Per-host crawl-budget apportionment — largest-remainder method.
+
+A wave has a global fetch budget B (fetch-slot capacity of the
+cluster) that must be split across hosts in proportion to a weight —
+pending frontier mass, PageRank mass, or host importance. The
+reference needs no such split (one host, one asyncio semaphore —
+/root/reference/dblp_crawler/downloader.py:25-27); a web-scale
+frontier does, and naive floor(B * w / W) under-allocates by up to
+#hosts slots, while rounding can over-allocate past B. The
+largest-remainder (Hamilton) method is the standard fix: floor
+quotas, then hand the B - sum(floors) leftover slots to the hosts
+with the largest remainders. The result is exactly B (when
+B <= total weight of nonzero hosts it never exceeds any host's
+need by more than 1), integer-exact, and engine-portable.
+
+Scale shape: one 1-row aggregate broadcast (total weight W), a
+map-side floor/remainder projection, then the leftover top-k via the
+same two-pass distributed rank as crawl-order sequencing
+(scheduler.global_sequence — range partition + per-partition
+row_number + broadcast prefix sum; NO single-partition global
+window, so it survives 10^8 hosts).
+
+Overflow contract: B * max(weight) must stay below 2^62 (int64).
+Scale weights down (they are ratios — apportionment is invariant to
+a common divisor) if the product could overflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_budget_alloc(hosts: DataFrame, budget: int, host_col: str = "host",
+                      weight_col: str = "weight") -> DataFrame:
+    """Apportion `budget` fetch slots across hosts proportionally to
+    `weight_col` (non-negative int64) by largest remainder.
+
+    Returns (host, weight, budget) with SUM(budget) == `budget`
+    exactly (when total weight > 0). Deterministic: remainder ties
+    break by host ascending.
+    """
+    from .scheduler import global_sequence
+
+    b = int(budget)
+    tot = hosts.agg(F.sum(F.col(weight_col)).cast("long").alias("__w"))
+    # exact integer floor quota and remainder (`div`/`%` on longs —
+    # float floor would silently lose precision past 2^53); zero
+    # total weight guarded for ANSI division semantics
+    based = (
+        hosts.select(F.col(host_col), F.col(weight_col).cast("long").alias(weight_col))
+        .join(F.broadcast(tot))
+        .withColumn("__num", F.lit(b) * F.col(weight_col))
+        .withColumn(
+            "__base",
+            F.when(F.col("__w") > 0, F.expr("__num div __w")).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "__rem",
+            F.when(F.col("__w") > 0, F.col("__num") % F.col("__w")).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    # leftover slots = B - sum(floor quotas): a second 1-row broadcast
+    leftover = based.agg(
+        F.when(F.max("__w") > 0, F.lit(b) - F.sum("__base")).otherwise(F.lit(0))
+        .cast("long").alias("__k")
+    )
+    ranked = global_sequence(
+        based.join(F.broadcast(leftover)),
+        start=1,
+        order_cols=[F.desc("__rem"), F.asc(host_col)],
+        out_type="long",
+    )
+    return ranked.select(
+        host_col,
+        weight_col,
+        (F.col("__base") + (F.col("seq") <= F.col("__k")).cast("long")).alias("budget"),
+    )
