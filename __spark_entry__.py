@@ -1258,6 +1258,48 @@ def q_joint_dedup_clusters(spark, sf_dir):
     return cc.select(F.col("id").alias("image_id"), F.col("component").alias("cluster_rep"))
 
 
+# Shared between q_image_linear_gate and its oracle so the weight
+# vector can never drift between the two engines.
+_GATE_BITS = 16
+_GATE_FMT_W = {"jpeg": -3, "png": 5, "webp": 1}
+_GATE_BIAS = 2
+
+
+def _gate_bit_weights() -> list[int]:
+    """Deterministic mixed-sign integer weights over phash bits
+    0..15 (LSB first): w_k = (7k mod 13) - 6 ∈ [-6, 6]."""
+    return [((k * 7) % 13) - 6 for k in range(_GATE_BITS)]
+
+
+def q_image_linear_gate(spark, sf_dir):
+    """Decode-free linear image gate (multimodal.image_linear_gate):
+    score = bias + Σ_k bit_k(phash)·w_k + fmt_weight(fmt), accept iff
+    score > 0 — the image-side twin of the fastText-style text gate
+    (a distilled NSFW/watermark/quality logistic head evaluated as a
+    flat integer expression, no decode, no UDF). Planted phashes are
+    portable hash60 values and fmt cycles jpeg/png/webp/gif (gif
+    exercises the default-0 fmt-weight path); report is per-fmt
+    accept counts + exact integer score stats."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.multimodal import image_linear_gate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    iid = F.format_string("img_%06d", "doc_id")
+    fmt = F.element_at(
+        F.array(F.lit("jpeg"), F.lit("png"), F.lit("webp"), F.lit("gif")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    imgs = docs.select(iid.alias("image_id"), hash60(iid).alias("phash"), fmt.alias("fmt"))
+    g = image_linear_gate(imgs, _gate_bit_weights(), _GATE_FMT_W, bias=_GATE_BIAS)
+    return g.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("accept").cast("int")).alias("n_accepted"),
+        F.sum("score").alias("total_score"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
 def q_image_batch_assembly(spark, sf_dir):
     """Aspect-bucketed training-batch assembly (batch_size=8,
     drop_last): every batch holds 8 images of one resolution bucket,
@@ -1474,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": q_image_phash_dedup,
         "image_phash_components": q_image_phash_components,
         "joint_dedup_clusters": q_joint_dedup_clusters,
+        "image_linear_gate": q_image_linear_gate,
         "image_batch_assembly": q_image_batch_assembly,
         "image_aspect_bucket": q_image_aspect_bucket,
         "clip_align_gate": q_clip_align_gate,
@@ -1724,6 +1767,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "image_phash_dedup": _phash_dedup_oracle(),
         "image_phash_components": _phash_components_oracle(),
         "joint_dedup_clusters": _joint_dedup_oracle(),
+        "image_linear_gate": _image_linear_gate_oracle(),
         "image_batch_assembly": _batch_assembly_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "text_classifier_gate": _classifier_gate_oracle(),
@@ -2569,6 +2613,41 @@ def _classifier_gate_oracle() -> str:
                CAST(SUM(score) AS BIGINT) AS total_score,
                ROUND(CAST(SUM(score) AS DOUBLE) / COUNT(*), 4) AS avg_score
         FROM s GROUP BY source
+    """
+
+
+def _image_linear_gate_oracle() -> str:
+    """DuckDB replay of q_image_linear_gate: identical planted
+    hash60 phashes and fmt cycle, the bit-weight sum written out
+    term-by-term from the SAME _gate_bit_weights() list (zero
+    weights elided exactly as the Spark operator elides them), and
+    integer SUMs cast to BIGINT."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    pid = "printf('img_%06d', doc_id)"
+    bits = " + ".join(
+        f"((phash >> {k}) & 1) * ({w})"
+        for k, w in enumerate(_gate_bit_weights())
+        if w != 0
+    )
+    fmtw = " ".join(f"WHEN '{f}' THEN {w}" for f, w in _GATE_FMT_W.items())
+    return f"""
+        WITH imgs AS (
+          SELECT {H(pid)} AS phash,
+                 CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                      WHEN 2 THEN 'webp' ELSE 'gif' END AS fmt
+          FROM documents
+        ), scored AS (
+          SELECT fmt,
+                 {_GATE_BIAS} + {bits} + CASE fmt {fmtw} ELSE 0 END AS score
+          FROM imgs
+        )
+        SELECT fmt, COUNT(*) AS n_images,
+               CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+               CAST(SUM(score) AS BIGINT) AS total_score,
+               CAST(MIN(score) AS BIGINT) AS min_score,
+               CAST(MAX(score) AS BIGINT) AS max_score
+        FROM scored GROUP BY fmt
     """
 
 

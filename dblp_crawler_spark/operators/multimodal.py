@@ -541,3 +541,29 @@ def joint_near_dup_clusters(images: DataFrame, caption_col: str = "caption",
         .select("a", F.col("image_id").alias("b"))
     )
     return connected_components(img_pairs.unionByName(cap_pairs), src="a", dst="b")
+
+
+def image_linear_gate(images: DataFrame, bit_weights: list, fmt_weights: dict,
+                      bias: int = 0) -> DataFrame:
+    """Linear image-safety/quality gate over decode-free features:
+    score = bias + sum_k bit_k(phash) * bit_weights[k]
+                 + fmt_weights.get(fmt, 0),
+    accept iff score > 0. The image-side twin of the fastText-style
+    text gate (textstats.hashed_linear_score): the model is a weight
+    VECTOR evaluated as a flat integer expression — no decode, no
+    bytes, no UDF, whole-stage codegen end to end. A real deployment
+    (NSFW / watermark / quality logistic head distilled to a linear
+    scorer over perceptual-hash bits and metadata) swaps the weights;
+    the plan shape is exactly this one.
+
+    bit_weights: one int per phash bit, index 0 = LSB (<= 64).
+    Integer arithmetic only — scores are engine-portable.
+    """
+    score = F.lit(int(bias)).cast("long")
+    for k, w in enumerate(bit_weights):
+        if int(w) == 0:
+            continue
+        score = score + F.shiftrightunsigned(F.col("phash"), k).bitwiseAND(F.lit(1)) * F.lit(int(w))
+    fmt_map = F.create_map(*[F.lit(x) for kv in fmt_weights.items() for x in kv])
+    score = score + F.coalesce(fmt_map[F.col("fmt")], F.lit(0)).cast("long")
+    return images.select("*", score.alias("score"), (score > 0).alias("accept"))

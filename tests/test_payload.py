@@ -326,6 +326,29 @@ def test_joint_near_dup_crossmodal_transitivity(spark):
     assert got == {"A": "A", "A_twin": "A", "A_cap": "A"}  # Z not in any cluster
 
 
+def test_image_linear_gate_hand_scores(spark):
+    """Hand-computed linear gate: score = bias + Σ bit_k·w_k +
+    fmt_weight, accept iff > 0; unknown fmt takes weight 0; a zero
+    bit-weight is elided from the expression but must not shift
+    indexing of later bits."""
+    from dblp_crawler_spark.operators.multimodal import image_linear_gate
+
+    # weights over bits 0..3: [2, 0, -5, 3]  (bit 1 weight 0 → elided)
+    rows = [
+        ("a", 0b0001, "jpeg"),   # 2*1              + (-4) bias... see below
+        ("b", 0b1101, "png"),    # 2 + (-5) + 3 = 0 plus fmt 5
+        ("c", 0b0100, "tiff"),   # -5, unknown fmt → 0
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long, fmt string")
+    out = image_linear_gate(df, [2, 0, -5, 3], {"jpeg": -1, "png": 5}, bias=1)
+    got = {r.image_id: (r.score, r.accept) for r in out.collect()}
+    assert got == {
+        "a": (1 + 2 - 1, True),        # bias + bit0*2 + jpeg(-1) = 2
+        "b": (1 + 2 - 5 + 3 + 5, True),  # = 6
+        "c": (1 - 5 + 0, False),       # = -4
+    }
+
+
 def test_joint_near_dup_caption_star_edges_linear(spark):
     """A k-way caption collision contributes k-1 star edges, not
     k*(k-1)/2 pairwise edges (the shape that survives a million-way
