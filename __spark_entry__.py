@@ -1100,6 +1100,30 @@ def q_tfidf_top_terms(spark, sf_dir):
     return T.tfidf_top_terms(docs, k=3)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Capped inverted index (operators/invindex.py): per term the
+    top-3 postings by (tf DESC, doc_id ASC) plus the EXACT pre-cap
+    document frequency, hapax-pruned at min_df=5 — two keyed hash
+    aggs + a term-keyed WindowGroupLimit. All-integer ranking keys →
+    engine-portable row selection."""
+    from dblp_crawler_spark.operators.invindex import build_inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_inverted_index(docs, k=3, min_df=5)
+
+
+def q_index_search_and(spark, sf_dir):
+    """Conjunctive boolean search over the postings: top-10 docs
+    containing ALL of {spark, join, window}, ranked by summed term
+    frequency then doc_id — broadcast query join prunes the postings
+    before any shuffle; global top-k plans as
+    TakeOrderedAndProject."""
+    from dblp_crawler_spark.operators.invindex import search_and
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_and(docs, ["spark", "join", "window"], k=10)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic 10% val split via the first 4 hex chars of
     md5(doc_id): membership depends only on the id, so growing the
@@ -1486,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "pii_redaction": q_pii_redaction,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "inverted_index": q_inverted_index,
+        "index_search_and": q_index_search_and,
         "hash_split": q_hash_split,
         "corpus_mix": q_corpus_mix,
         "doc_chunk_overlap": q_doc_chunk_overlap,
@@ -3148,6 +3174,29 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rk
               FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
             WHERE rk <= 3
+        """,
+        "inverted_index": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) >= 5)
+            SELECT term, df, rk, doc_id, tf
+            FROM (
+              SELECT tf.term, dfreq.df, tf.doc_id, tf.tf,
+                     ROW_NUMBER() OVER (PARTITION BY tf.term
+                         ORDER BY tf.tf DESC, tf.doc_id ASC) AS rk
+              FROM tf JOIN dfreq USING (term))
+            WHERE rk <= 3
+        """,
+        "index_search_and": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+            SELECT doc_id, COUNT(*) AS n_terms_hit,
+                   CAST(SUM(tf) AS BIGINT) AS score
+            FROM tf WHERE term IN ('spark', 'join', 'window')
+            GROUP BY doc_id HAVING COUNT(*) = 3
+            ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "hash_split": """
             SELECT doc_id,
