@@ -1100,6 +1100,54 @@ def q_tfidf_top_terms(spark, sf_dir):
     return T.tfidf_top_terms(docs, k=3)
 
 
+# Shared between q_content_sniff and its oracle: planted payload
+# classes and their magic-byte prefixes (hex). 'bin' has no known
+# magic → sniffs as octet-stream.
+_SNIFF_CLASSES = ["png", "jpeg", "gif", "webp", "wav", "mp4", "pdf", "bin"]
+_SNIFF_MAGICS = {
+    "png": "89504E470D0A1A0A",
+    "jpeg": "FFD8FFE0",
+    "gif": "474946383961",
+    "webp": "52494646AABBCCDD57454250",  # RIFF + size + 'WEBP'
+    "wav": "52494646AABBCCDD57415645",   # RIFF + size + 'WAVE'
+    "mp4": "0000001866747970",           # box size + 'ftyp'
+    "pdf": "25504446",
+    "bin": "00FF00FF",
+}
+
+
+def q_content_sniff(spark, sf_dir):
+    """Magic-byte content-type sniffing + declared-vs-actual audit
+    (operators/sniff.py): payloads are planted as real magic prefixes
+    (incl. the RIFF two-window webp/wav split and mp4's offset-4 ftyp
+    box) + md5-derived tails, with every 7th row's bytes SHIFTED one
+    class off its declared fmt — the spoofed-Content-Type case a
+    crawler must catch before decode. One hex projection of the first
+    16 bytes, a when-chain, zero UDFs; report is the
+    (declared, sniffed) confusion table."""
+    from dblp_crawler_spark.operators.sniff import content_type_mismatch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_cls = len(_SNIFF_CLASSES)
+    idx = F.col("doc_id") % n_cls
+    shifted = (idx + F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0)) % n_cls
+    declared = F.element_at(F.array(*[F.lit(c) for c in _SNIFF_CLASSES]),
+                            (idx + 1).cast("int"))
+    magic = F.element_at(
+        F.array(*[F.lit(_SNIFF_MAGICS[c]) for c in _SNIFF_CLASSES]),
+        (shifted + 1).cast("int"),
+    )
+    payload = F.unhex(F.concat(magic, F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12)))
+    imgs = docs.select(
+        F.col("doc_id"), declared.alias("fmt"), payload.alias("bytes")
+    )
+    audit = content_type_mismatch(imgs, declared_col="fmt", bytes_col="bytes")
+    return audit.groupBy(F.col("fmt").alias("declared"), "sniffed").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("mismatch").cast("int")).alias("n_mismatch"),
+    )
+
+
 def q_inverted_index(spark, sf_dir):
     """Capped inverted index (operators/invindex.py): per term the
     top-3 postings by (tf DESC, doc_id ASC) plus the EXACT pre-cap
@@ -1510,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "pii_redaction": q_pii_redaction,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "content_sniff": q_content_sniff,
         "inverted_index": q_inverted_index,
         "index_search_and": q_index_search_and,
         "hash_split": q_hash_split,
@@ -2642,6 +2691,43 @@ def _classifier_gate_oracle() -> str:
     """
 
 
+def _content_sniff_oracle() -> str:
+    """DuckDB replay of q_content_sniff: identical planted class
+    cycle, shift-by-one-on-doc_id%7 spoofing, magic||md5-tail blob
+    construction via from_hex, and the CASE chain GENERATED from the
+    same MAGIC_TABLE the Spark operator compiles its when-chain
+    from."""
+    from dblp_crawler_spark.operators.sniff import sniff_case_sql
+
+    n = len(_SNIFF_CLASSES)
+    decl = " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(_SNIFF_CLASSES)
+    )
+    mag = " ".join(
+        f"WHEN {i} THEN '{_SNIFF_MAGICS[c]}'" for i, c in enumerate(_SNIFF_CLASSES)
+    )
+    return f"""
+        WITH planted AS (
+          SELECT CASE doc_id % {n} {decl} END AS declared,
+                 from_hex(
+                   (CASE (doc_id % {n} + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) % {n}
+                         {mag} END)
+                   || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS bytes
+          FROM documents
+        ), hx AS (
+          -- DuckDB has no BLOB substring; hex-then-substr is the
+          -- same 16-byte window as Spark's hex(substring(b,1,16))
+          SELECT declared, substr(hex(bytes), 1, 32) AS h FROM planted
+        ), sn AS (
+          SELECT declared, {sniff_case_sql('h')} AS sniffed FROM hx
+        )
+        SELECT declared, sniffed, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN sniffed <> declared THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mismatch
+        FROM sn GROUP BY declared, sniffed
+    """
+
+
 def _image_linear_gate_oracle() -> str:
     """DuckDB replay of q_image_linear_gate: identical planted
     hash60 phashes and fmt cycle, the bit-weight sum written out
@@ -3175,6 +3261,7 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
             WHERE rk <= 3
         """,
+        "content_sniff": _content_sniff_oracle(),
         "inverted_index": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK}) AS term FROM documents),
