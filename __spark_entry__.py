@@ -1100,6 +1100,18 @@ def q_tfidf_top_terms(spark, sf_dir):
     return T.tfidf_top_terms(docs, k=3)
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-source doc-length quantiles (operators/quantiles.py):
+    rank-exact p50/p90/p99 of n_chars — value at sorted rank
+    ceil(q·n) with integer DIV rank arithmetic, so every engine that
+    can sort agrees bit-for-bit (no interpolation). One group-keyed
+    shuffle shared by both window specs + a same-key collapse agg."""
+    from dblp_crawler_spark.operators.quantiles import exact_group_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_group_quantiles(docs, "n_chars", "source")
+
+
 # Shared between q_content_sniff and its oracle: planted payload
 # classes and their magic-byte prefixes (hex). 'bin' has no known
 # magic → sniffs as octet-stream.
@@ -1559,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "tfidf_top_terms": q_tfidf_top_terms,
         "content_sniff": q_content_sniff,
+        "length_quantiles": q_length_quantiles,
         "inverted_index": q_inverted_index,
         "index_search_and": q_index_search_and,
         "hash_split": q_hash_split,
@@ -3262,6 +3275,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 3
         """,
         "content_sniff": _content_sniff_oracle(),
+        "length_quantiles": """
+            WITH r AS (
+              SELECT source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM documents)
+            SELECT source, MAX(n) AS n,
+                   MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars,
+                   MAX(CASE WHEN rn = (1 * n + 1) // 2 THEN n_chars END) AS p50,
+                   MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90,
+                   MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99
+            FROM r GROUP BY source
+        """,
         "inverted_index": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK}) AS term FROM documents),
