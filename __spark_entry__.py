@@ -1100,6 +1100,23 @@ def q_tfidf_top_terms(spark, sf_dir):
     return T.tfidf_top_terms(docs, k=3)
 
 
+def q_sketch_quantiles(spark, sf_dir):
+    """Mergeable log2-histogram quantile sketch (operators/sketch.py
+    hist_*): per-source p50/p90/p99 UPPER bounds with a guaranteed
+    factor-2 envelope. The entry exercises the CRDT contract the way
+    a real pipeline would: two sketches built on disjoint halves of
+    the corpus (doc_id parity) are hist_merge'd — bucket-wise count
+    addition — and must answer identically to a single-pass build.
+    Buckets via the exact binary-string-length log2 (no float log);
+    all-integer output."""
+    from dblp_crawler_spark.operators.sketch import hist_build, hist_merge, hist_quantile
+
+    docs = _t(spark, sf_dir, "documents")
+    even = hist_build(docs.filter(F.col("doc_id") % 2 == 0), "n_chars", ["source"])
+    odd = hist_build(docs.filter(F.col("doc_id") % 2 == 1), "n_chars", ["source"])
+    return hist_quantile(hist_merge(even, odd), ["source"])
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact per-source doc-length quantiles (operators/quantiles.py):
     rank-exact p50/p90/p99 of n_chars — value at sorted rank
@@ -1572,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "content_sniff": q_content_sniff,
         "length_quantiles": q_length_quantiles,
+        "sketch_quantiles": q_sketch_quantiles,
         "inverted_index": q_inverted_index,
         "index_search_and": q_index_search_and,
         "hash_split": q_hash_split,
@@ -3287,6 +3305,42 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90,
                    MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END) AS p99
             FROM r GROUP BY source
+        """,
+        "sketch_quantiles": """
+            WITH b AS (
+              SELECT source,
+                     CASE WHEN n_chars >= 1 THEN length(bin(n_chars)) - 1
+                          ELSE -1 END AS bucket,
+                     COUNT(*) AS cnt
+              FROM documents GROUP BY 1, 2),
+            c AS (
+              SELECT source, bucket,
+                     SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+                     SUM(cnt) OVER (PARTITION BY source) AS n
+              FROM b),
+            r AS (
+              SELECT source, bucket, cum, n,
+                     (1 * n + 1) // 2 AS r50,
+                     (9 * n + 9) // 10 AS r90,
+                     (99 * n + 99) // 100 AS r99
+              FROM c),
+            agg AS (
+              SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+                     MIN(CASE WHEN cum >= r50 THEN bucket END) AS p50_bucket,
+                     MIN(CASE WHEN cum >= r90 THEN bucket END) AS p90_bucket,
+                     MIN(CASE WHEN cum >= r99 THEN bucket END) AS p99_bucket
+              FROM r GROUP BY source)
+            SELECT source, n, p50_bucket, p90_bucket, p99_bucket,
+                   CASE WHEN p50_bucket >= 0
+                        THEN (CAST(1 AS BIGINT) << CAST(p50_bucket + 1 AS INT)) - 1
+                        ELSE 0 END AS p50_ub,
+                   CASE WHEN p90_bucket >= 0
+                        THEN (CAST(1 AS BIGINT) << CAST(p90_bucket + 1 AS INT)) - 1
+                        ELSE 0 END AS p90_ub,
+                   CASE WHEN p99_bucket >= 0
+                        THEN (CAST(1 AS BIGINT) << CAST(p99_bucket + 1 AS INT)) - 1
+                        ELSE 0 END AS p99_ub
+            FROM agg
         """,
         "inverted_index": f"""
             WITH toks AS (

@@ -193,3 +193,106 @@ def cms_query(sketch: DataFrame, keys: DataFrame, key_col: str, hash_fn=None) ->
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cnt_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable log2-histogram quantile sketch
+# ---------------------------------------------------------------------------
+#
+# The third classic mergeable sketch next to HLL (distinct) and CMS
+# (frequency): quantiles with bounded relative error and CRDT merge.
+# Values >= 1 land in bucket floor(log2 v) — computed with the same
+# binary-string-length trick HLL uses (length(bin(v)) - 1; no float
+# log, so bucket boundaries are exact at powers of two where
+# float log2 is not trustworthy). Values <= 0 take bucket -1. The
+# q-quantile estimate is the UPPER bound of the first bucket whose
+# cumulative count reaches rank ceil(q*n), so for v >= 1:
+#
+#   true_quantile <= estimate < 2 * true_quantile
+#
+# a guaranteed factor-2 envelope with 64 counters per group, merged
+# by plain addition — per-day/per-partition sketches sum into
+# per-month answers without rescanning raw data (the thing Spark's
+# interpolating `percentile_approx` state can't do across jobs).
+# Everything is integer expression work: build is one keyed shuffle
+# with map-side partial counts; quantile evaluation runs on <= 65
+# rows per group.
+
+
+def _log2_bucket(value_col: str) -> F.Column:
+    v = F.col(value_col)
+    return (
+        F.when(v >= 1, F.length(F.conv(v.cast("string"), 10, 2)).cast("long") - 1)
+        .otherwise(F.lit(-1).cast("long"))
+    )
+
+
+def hist_build(df: DataFrame, value_col: str,
+               group_cols: list[str] | None = None) -> DataFrame:
+    """(group..., bucket, cnt) log2-histogram sketch of `value_col`."""
+    gs = list(group_cols or [])
+    return (
+        df.groupBy(*gs, _log2_bucket(value_col).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge = bucket-wise count addition (associative, commutative —
+    a CRDT join, same contract as hll_merge/cms_merge)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    gs = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*gs).agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(sketch: DataFrame, group_cols: list[str],
+                  qs: list[tuple[str, int, int]] | None = None) -> DataFrame:
+    """Per-group quantile upper bounds from a log2-histogram sketch.
+
+    For each (label, num, den) fraction: rank = ceil(num*n/den) by
+    integer DIV, answer bucket = first bucket (ascending) whose
+    cumulative count reaches the rank, estimate = 2^(bucket+1) - 1
+    (0 for the <=0 bucket). Returns
+    (group..., n, <label>_bucket, <label>_ub ...) — all integers,
+    engine-portable.
+    """
+    from pyspark.sql import Window
+
+    qs = qs if qs is not None else [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    gs = list(group_cols)
+    w_cum = (
+        Window.partitionBy(*gs).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gs)
+    cum = sketch.select(
+        *gs,
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    ranks = cum.select(
+        "*",
+        *[
+            F.expr(f"({num} * n + {den - 1}) DIV {den}").alias(f"_r_{label}")
+            for label, num, den in qs
+        ],
+    )
+    aggs = [F.max("n").alias("n")]
+    for label, _num, _den in qs:
+        aggs.append(
+            F.min(F.when(F.col("cum") >= F.col(f"_r_{label}"), F.col("bucket")))
+            .alias(f"{label}_bucket")
+        )
+    out = ranks.groupBy(*gs).agg(*aggs)
+    for label, _num, _den in qs:
+        out = out.withColumn(
+            f"{label}_ub",
+            F.when(
+                F.col(f"{label}_bucket") >= 0,
+                F.expr(f"shiftleft(1L, CAST({label}_bucket AS INT) + 1) - 1"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    return out

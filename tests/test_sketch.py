@@ -110,3 +110,56 @@ def test_cms_params_travel_with_sketch(spark):
     mixed = cms_merge(sk_small, cms_build(df, "host", d=4, w=128))
     with pytest.raises(ValueError, match="parameter sets"):
         cms_query(mixed, df.select("host").distinct(), "host")
+
+
+# ---- log2-histogram quantile sketch --------------------------------------
+
+
+def test_hist_bucket_boundaries(spark):
+    """Power-of-two boundaries must be exact: the binary-length trick
+    cannot suffer float-log wobble (log2(2^k) - epsilon)."""
+    from dblp_crawler_spark.operators.sketch import hist_build
+
+    vals = [0, 1, 2, 3, 4, 7, 8, 1023, 1024, (1 << 40) - 1, 1 << 40]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    got = dict(
+        (r.bucket, r.cnt) for r in hist_build(df, "v", ["g"]).collect()
+    )
+    assert got == {-1: 1, 0: 1, 1: 2, 2: 2, 3: 1, 9: 1, 10: 1, 39: 1, 40: 1}
+
+
+def test_hist_merge_equals_single_build(spark):
+    from dblp_crawler_spark.operators.sketch import hist_build, hist_merge
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 17 % 4096 + 1).alias("v"),
+    )
+    single = hist_build(df, "v", ["g"])
+    merged = hist_merge(
+        hist_build(df.filter(F.col("id") % 2 == 0), "v", ["g"]),
+        hist_build(df.filter(F.col("id") % 2 == 1), "v", ["g"]),
+    )
+    a = sorted(map(tuple, single.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
+
+
+def test_hist_quantile_factor2_envelope(spark):
+    """Guarantee: true_q <= estimate < 2 * true_q for values >= 1,
+    checked against the rank-exact quantile operator."""
+    from dblp_crawler_spark.operators.quantiles import exact_group_quantiles
+    from dblp_crawler_spark.operators.sketch import hist_build, hist_quantile
+
+    df = spark.range(5000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * 2654435761 % 100000 + 1).alias("v"),
+    )
+    est = {r.g: (r.p50_ub, r.p90_ub, r.p99_ub)
+           for r in hist_quantile(hist_build(df, "v", ["g"]), ["g"]).collect()}
+    true = {r.g: (r.p50, r.p90, r.p99)
+            for r in exact_group_quantiles(df, "v", "g").collect()}
+    for g, (t50, t90, t99) in true.items():
+        e50, e90, e99 = est[g]
+        for t, e in ((t50, e50), (t90, e90), (t99, e99)):
+            assert t <= e < 2 * t, (g, t, e)
