@@ -1201,6 +1201,19 @@ def q_index_search_and(spark, sf_dir):
     return search_and(docs, ["spark", "join", "window"], k=10)
 
 
+def q_index_search_bm25(spark, sf_dir):
+    """Fixed-point BM25 ranked retrieval (OR semantics): top-10 docs
+    for {spark, join, window} scored by integer-exact BM25 —
+    bit_length IDF x scaled-rational tf-norm (k1=3/2, b=3/4,
+    avgdl = T div N), summed as int64 so ranking ties are
+    engine-portable. Query broadcast prunes tokens BEFORE the tf
+    aggregation; top-k plans as TakeOrderedAndProject."""
+    from dblp_crawler_spark.operators.invindex import search_bm25
+
+    docs = _t(spark, sf_dir, "documents")
+    return search_bm25(docs, ["spark", "join", "window"], k=10)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic 10% val split via the first 4 hex chars of
     md5(doc_id): membership depends only on the id, so growing the
@@ -1592,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": q_sketch_quantiles,
         "inverted_index": q_inverted_index,
         "index_search_and": q_index_search_and,
+        "index_search_bm25": q_index_search_bm25,
         "hash_split": q_hash_split,
         "corpus_mix": q_corpus_mix,
         "doc_chunk_overlap": q_doc_chunk_overlap,
@@ -3363,6 +3377,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(tf) AS BIGINT) AS score
             FROM tf WHERE term IN ('spark', 'join', 'window')
             GROUP BY doc_id HAVING COUNT(*) = 3
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "index_search_bm25": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS a
+                      FROM lens),
+            tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+                   WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+            dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                     CAST(length(bin(n // df)) AS BIGINT)
+                       * ((20000000 * tf.tf * a) // (8 * a * tf.tf + 3 * a + 9 * dl)) AS comp
+              FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+                   CAST(SUM(comp) AS BIGINT) AS score
+            FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "hash_split": """

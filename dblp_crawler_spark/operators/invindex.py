@@ -105,3 +105,88 @@ def search_and(docs: DataFrame, terms: list[str], k: int = 10,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(int(k))
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranked retrieval: fixed-point BM25
+# ---------------------------------------------------------------------------
+
+BM25_SCALE = 1_000_000  # 6 decimal digits of tf-norm resolution
+
+
+def search_bm25(docs: DataFrame, terms: list[str], k: int = 10,
+                min_hits: int = 1, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Disjunctive (OR) ranked retrieval: top-`k` documents scored by
+    a FIXED-POINT BM25 — every arithmetic step is 64-bit integer, so
+    scores (and therefore rankings and ties) are bit-identical in any
+    engine. Classic BM25 is sum_t IDF(t) * tf*(k1+1) / (tf + k1*(1-b
+    + b*dl/avgdl)); floats would make the per-doc sum depend on
+    partition order. Two quantizations make it exact:
+
+      * IDF is the integer log2 surrogate bit_length(N div df)
+        (= floor(log2(N/df̂)) + 1, the `length(bin(x))` trick shared
+        with lm_bits_score / the histogram sketch) — monotone in the
+        true IDF, quantized to whole bits;
+      * with k1 = 3/2 and b = 3/4 (the textbook defaults, chosen
+        rational) and avgdl quantized to A = T div N (corpus tokens
+        over docs — avgdl >> 1 so floor loses <1 part per avgdl),
+        the tf-norm becomes the exact rational
+            20*tf*A / (8*A*tf + 3*A + 9*dl)
+        emitted as the scaled integer (SCALE * num) div den.
+
+    Per-doc score = sum_t idf_bits(t) * tfnorm_scaled(t) — an integer
+    sum, engine-exact. `min_hits` filters to docs matching at least
+    that many query terms (len(terms) = AND semantics).
+
+    Scale shape: the query is broadcast into the EXPLODED tokens
+    (prune-before-aggregate — the (term,doc) tf agg only ever sees
+    query-term tokens); df comes from the pruned tf rows (exact: the
+    join keeps every posting of a matched term); N/T are one 2-column
+    broadcast; doc lengths join on doc_id, co-keyed with the final
+    per-doc agg. In a deployed index postings/doc_lens are built once
+    (build_inverted_index + a doc_lens table) and this becomes pure
+    probe work; computed from raw docs here so the entry is
+    self-contained. Global top-k plans as TakeOrderedAndProject.
+
+    Overflow contract: SCALE * 20 * tf * A must stay < 2^63 —
+    tf * avgdl < 4.6e11, satisfied by any real corpus (tf <= dl and
+    dl, avgdl < ~1e5); ANSI mode faults loudly rather than wrapping.
+
+    N counts docs with >= 1 token (empty docs have no postings and
+    no length; they cannot match anyway).
+    """
+    n_min = int(min_hits)
+    q = F.broadcast(
+        docs.sparkSession.createDataFrame([(t,) for t in terms], "term string")
+    )
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(tokens_all(text_col)).alias("term"))
+    doc_lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doc_lens.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("dl").cast("long").alias("__t"),
+    ).select("__n", F.expr("__t div __n").alias("__a"))
+    per = (
+        toks.join(q, "term")  # broadcast: prune BEFORE the tf aggregation
+        .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = per.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        per.join(F.broadcast(dfreq), "term")
+        .join(doc_lens, "doc_id")  # doc_id-keyed, shared with the final agg
+        .join(F.broadcast(stats))
+        .withColumn("__idf", F.length(F.bin(F.expr("__n div df"))).cast("long"))
+        .withColumn("__num", F.lit(20 * BM25_SCALE) * F.col("tf") * F.col("__a"))
+        .withColumn("__den",
+                    F.lit(8) * F.col("__a") * F.col("tf")
+                    + F.lit(3) * F.col("__a") + F.lit(9) * F.col("dl"))
+        .withColumn("__comp", F.col("__idf") * F.expr("__num div __den"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms_hit"), F.sum("__comp").alias("score"))
+        .filter(F.col("n_terms_hit") >= n_min)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )

@@ -66,3 +66,61 @@ def test_invindex_plan_shapes(spark):
     assert "TakeOrderedAndProject" in search_plan  # global top-k, no full sort
     assert "BroadcastHashJoin" in search_plan      # query terms broadcast
     assert "SortMergeJoin" not in search_plan
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point BM25 (search_bm25)
+# ---------------------------------------------------------------------------
+# Corpus stats for _DOCS: dl = 4,3,6,2,1 → N=5, T=16, A = 16 div 5 = 3.
+# comp(tf, dl) = (20e6·tf·A) div (8·A·tf + 3·A + 9·dl); idf_bits =
+# len(bin(N div df)). Query {spark,join,window}: df = 4,3,3 → N div df
+# = 1 → idf_bits = 1 for all three (quantized IDF: common terms flatten
+# to one bit — the rare-term test below exercises idf_bits > 1).
+
+
+def test_bm25_hand_scored_ranking(spark):
+    from dblp_crawler_spark.operators.invindex import search_bm25
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, text string")
+    got = [(r.doc_id, r.n_terms_hit, r.score)
+           for r in search_bm25(df, ["spark", "join", "window"], k=10).collect()]
+    # doc1: spark tf3 → 180e6 div (72+9+36=117) = 1538461; join tf1 →
+    #       60e6 div (24+9+36=69) = 869565            → 2408026, 2 hits
+    # doc2 (dl=3): three tf1 comps, den 24+9+27=60 → 1e6 each → 3000000
+    # doc3 (dl=6): spark 60e6 div 87 = 689655; join tf2 120e6 div 111 =
+    #       1081081; window tf3 180e6 div 135 = 1333333 → 3104069
+    # doc4 (dl=2): two tf1 comps, den 24+9+18=51 → 1176470·2 = 2352940
+    assert got == [
+        (3, 3, 3104069),   # tf saturation beats doc2's flat tf=1
+        (2, 3, 3000000),
+        (1, 2, 2408026),   # 3× spark but missing 'window' and longer
+        (4, 2, 2352940),
+    ]
+
+
+def test_bm25_rare_term_idf_bits(spark):
+    from dblp_crawler_spark.operators.invindex import search_bm25
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, text string")
+    got = [(r.doc_id, r.score) for r in search_bm25(df, ["zebra"], k=5).collect()]
+    # zebra df=1 → idf_bits = len(bin(5)) = 3; doc5 dl=1 tf=1 →
+    # comp = 60e6 div (24+9+9=42) = 1428571 → score 3·1428571
+    assert got == [(5, 3 * 1428571)]
+
+
+def test_bm25_min_hits_and_semantics(spark):
+    from dblp_crawler_spark.operators.invindex import search_bm25
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, text string")
+    got = [r.doc_id for r in
+           search_bm25(df, ["spark", "join", "window"], k=10, min_hits=3).collect()]
+    assert got == [3, 2]  # AND semantics: docs 1/4 miss a term
+
+
+def test_bm25_plan_shapes(spark):
+    from dblp_crawler_spark.operators.invindex import search_bm25
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, text string")
+    plan = _plan(search_bm25(df, ["spark", "join"], k=5))
+    assert "TakeOrderedAndProject" in plan  # global top-k, no full sort
+    assert "BroadcastHashJoin" in plan      # query broadcast into tokens
