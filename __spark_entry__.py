@@ -252,6 +252,30 @@ def q_frontier_pagerank(spark, sf_dir):
     return pr.select(F.col("id").alias("doc_id"), "rank_int")
 
 
+def q_link_hits(spark, sf_dir):
+    """Hub/authority frontier scoring: integer-exact HITS
+    (operators/hits.py) over the same planted 3-out-degree
+    portable-hash link graph as frontier_pagerank — hubs are the
+    pages to expand from, authorities the URLs to fetch first. Both
+    mutual-reinforcement sums are int64 with divide-first L-infinity
+    fixed-point normalization, so scores are bit-identical in any
+    engine; the oracle replays 3 iterations as chained CTEs."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.hits import hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    edges = None
+    for j in (1, 2, 3):
+        ej = docs.crossJoin(n).select(
+            F.col("doc_id").alias("src"),
+            (hash60("doc_id", j) % F.col("n")).alias("dst"),
+        )
+        edges = ej if edges is None else edges.union(ej)
+    hs = hits(edges, iters=3)
+    return hs.select(F.col("id").alias("doc_id"), "auth_int", "hub_int")
+
+
 def q_host_budget_alloc(spark, sf_dir):
     """Largest-remainder apportionment of a 1000-slot wave budget
     across hosts (source stands in for host; weight = total bytes
@@ -1613,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "url_canonicalize": q_url_canonicalize,
         "frontier_pagerank": q_frontier_pagerank,
+        "link_hits": q_link_hits,
         "anchor_text_agg": q_anchor_text_agg,
         "host_budget_alloc": q_host_budget_alloc,
         "robots_parse": q_robots_parse,
@@ -1851,6 +1876,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "corpus_shuffle": _corpus_shuffle_oracle(),
         "url_canonicalize": _url_canonicalize_oracle(),
         "frontier_pagerank": _pagerank_oracle(),
+        "link_hits": _hits_oracle(),
         "anchor_text_agg": _anchor_text_oracle(),
         "host_budget_alloc": """
             WITH h AS (
@@ -2139,6 +2165,50 @@ def _pagerank_oracle(iters: int = 4) -> str:
         )""")
     body = ",\n        ".join(ctes)
     return f"WITH {body}\n        SELECT id AS doc_id, r AS rank_int FROM pr{iters}"
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    """DuckDB replay of q_link_hits: the identical planted edge list
+    and `iters` unrolled integer HITS iterations — auth = SUM of hub
+    over in-edges, hub = SUM of NEW auth over out-edges, each
+    normalized divide-first by GREATEST(1, ceil(max/SCALE)) so every
+    intermediate stays int64 (SUMs cast back from HUGEINT)."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    s = 10**6
+    edges_union = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id AS src, {H('doc_id', j)} % (SELECT n FROM nn) AS dst FROM documents"
+        for j in (1, 2, 3)
+    )
+    ctes = [
+        "nn AS (SELECT COUNT(*) AS n FROM documents)",
+        f"e AS (\n            {edges_union}\n        )",
+        "nodes AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e))",
+        f"h0 AS (SELECT id, CAST({s} AS BIGINT) AS sc FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        for raw, cur, prev, on_e, on_p in (
+            (f"ar{i}", f"a{i}", f"h{i - 1}", "dst", "src"),
+            (f"hr{i}", f"h{i}", f"a{i}", "src", "dst"),
+        ):
+            ctes.append(
+                f"{raw} AS (SELECT e.{on_e} AS id, CAST(SUM(p.sc) AS BIGINT) AS m\n"
+                f"          FROM e JOIN {prev} p ON e.{on_p} = p.id GROUP BY e.{on_e})"
+            )
+            ctes.append(
+                f"{cur} AS (SELECT n.id,\n"
+                f"            CAST(COALESCE(r.m, 0) // GREATEST(\n"
+                f"              (SELECT (COALESCE(MAX(m), 0) + {s - 1}) // {s} FROM {raw}),\n"
+                f"              1) AS BIGINT) AS sc\n"
+                f"          FROM nodes n LEFT JOIN {raw} r ON n.id = r.id)"
+            )
+    body = ",\n        ".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"        SELECT n.id AS doc_id, a.sc AS auth_int, h.sc AS hub_int\n"
+        f"        FROM nodes n JOIN a{iters} a ON n.id = a.id JOIN h{iters} h ON n.id = h.id"
+    )
 
 
 def _url_trap_oracle() -> str:

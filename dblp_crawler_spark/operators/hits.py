@@ -1,0 +1,135 @@
+"""Integer-exact HITS (hubs & authorities) — the link-analysis
+complement to PageRank for crawl prioritization.
+
+PageRank scores global importance; HITS (Kleinberg 1999) separates
+HUB quality (pages whose out-links find good content — ideal frontier
+*seeds*) from AUTHORITY quality (pages many good hubs point at —
+ideal fetch *targets*). A crawl scheduler wants both: expand from
+high-hub pages, prioritize high-authority URLs. The reference's
+single-host crawl needs neither (its priority is venue rank/year —
+dblp_crawler/graph.py hooks); a web-scale frontier does.
+
+Engine-portable by the same discipline as ``pagerank``: all score
+mass is int64. The mutual-reinforcement update is
+
+    auth_raw(v) = sum over edges (u,v) of hub(u)
+    hub_raw(u)  = sum over edges (u,v) of auth(v)
+
+and the per-round normalization — which classic HITS does in L2,
+purely to stop the geometric blow-up; ANY norm yields the same
+ranking — is done here in L-infinity with DIVIDE-FIRST fixed-point
+quantization:
+
+    q = max(1, (max_raw + SCALE - 1) div SCALE)     # ceil(max/SCALE)
+    score = raw div q                               # in [0, SCALE]
+
+Dividing raw by ceil(max/SCALE) instead of computing
+(SCALE*raw) div max keeps every intermediate <= the raw sums
+themselves — no overflow for ANY in-degree (raw <= SCALE * indeg <
+2^63 for indeg < 9.2e12), where the multiply-first form would
+overflow past indeg ~ 9.2e6. Floor quantization to SCALE levels is
+deterministic and identical in every engine.
+
+Scale shape per half-iteration: ONE node-keyed equi-join of the edge
+table against current scores + ONE hash aggregation (map-side
+partials) + a 1-row max broadcast + ONE left join back to the node
+set. Nothing all-pairs; lineage truncated per round with
+localCheckpoint (cluster: reliable checkpoint dir), so the plan stays
+O(1) per round — the ``connected_components``/``pagerank``
+discipline. Multi-edges count with multiplicity (a page linking
+twice endorses twice), matching ``pagerank``; dedup upstream for
+simple-graph semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HITS_SCALE = 10**6
+
+
+def _half_round(e: DataFrame, prev: DataFrame, join_key: str, group_key: str,
+                scale: int) -> DataFrame:
+    """One HITS half-iteration: sum `prev` scores over edges into
+    `group_key` endpoints, then L-infinity fixed-point normalize
+    (sc = m div ceil(max(m)/scale), divide-first — module docstring).
+
+    ONE Spark job: the raw sums are eagerly checkpointed (lineage
+    truncation, the connected_components discipline) with the max
+    riding that same job as an Observation, so `q` folds back in as a
+    driver-side literal — no second scan, no broadcast-subquery job
+    per round. Only nodes that RECEIVED mass appear — absent rows are
+    implicit zeros, which contribute nothing to the next round's sums
+    (the final output left-joins the node set once)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    raw = (
+        e.join(prev.select(F.col("id").alias(join_key), "sc"), join_key)
+        .groupBy(F.col(group_key).alias("id"))
+        .agg(F.sum("sc").alias("m"))
+        .observe(obs, F.max("m").alias("mx"))
+        .localCheckpoint()  # eager: runs the job, fills the Observation
+    )
+    mx = obs.get["mx"] or 0
+    q = max(1, (mx + scale - 1) // scale)
+    return raw.select("id", F.expr(f"m div {q}").cast("long").alias("sc"))
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iters: int = 3, scale: int = HITS_SCALE) -> DataFrame:
+    """Fixed-iteration integer HITS over a directed edge list.
+
+    Returns (id, auth_int, hub_int) — one row per distinct endpoint,
+    scores in [0, `scale`], bit-identical in any engine. Iteration i
+    computes authorities from round-(i-1) hubs, then hubs from the
+    NEW authorities (the standard in-place ordering — authorities
+    converge one half-step ahead).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst")).localCheckpoint()
+    hub = nodes.select("id", F.lit(int(scale)).cast("long").alias("sc"))
+    auth = None
+    for _ in range(int(iters)):
+        auth = _half_round(e, hub, "esrc", "edst", scale)
+        hub = _half_round(e, auth, "edst", "esrc", scale)
+    return (
+        nodes
+        .join(auth.select("id", F.col("sc").alias("auth_int")), "id", "left")
+        .join(hub.select("id", F.col("sc").alias("hub_int")), "id", "left")
+        .select(
+            "id",
+            F.coalesce("auth_int", F.lit(0).cast("long")).alias("auth_int"),
+            F.coalesce("hub_int", F.lit(0).cast("long")).alias("hub_int"),
+        )
+    )
+
+
+def hits_py(edge_list, iters: int = 3, scale: int = HITS_SCALE):
+    """Pure-Python reference of :func:`hits` (identical integer
+    arithmetic), used by tests as ground truth."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+
+    def norm(raw):
+        mx = max(raw.values(), default=0)
+        q = max(1, (mx + scale - 1) // scale)
+        return {n: raw.get(n, 0) // q for n in nodes}
+
+    for _ in range(iters):
+        a_raw: dict = {}
+        for u, v in edge_list:
+            a_raw[v] = a_raw.get(v, 0) + hub[u]
+        auth = norm(a_raw)
+        h_raw: dict = {}
+        for u, v in edge_list:
+            h_raw[u] = h_raw.get(u, 0) + auth[v]
+        hub = norm(h_raw)
+    return {n: (auth[n], hub[n]) for n in nodes}
