@@ -603,6 +603,25 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, block_col="source", n=3, threshold=0.2)
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric shingle-containment excerpt detection
+    (operators/dedup.py:containment_pairs): for every 17th doc a
+    derived excerpt (front half of its text, shifted id) is unioned
+    in, and the operator must flag each excerpt→original pair with
+    cont_a ≈ 1 even where Jaccard sits near 0.5 — the direction-
+    sensitive signal symmetric near-dup passes can't give. Planted
+    excerpts are pure substring arithmetic, so the DuckDB oracle
+    replays the whole pipeline exactly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = docs.filter(F.col("doc_id") % 17 == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "source",
+        F.expr("substring(text, 1, length(text) div 2)").alias("text"),
+    )
+    return D.containment_pairs(
+        docs.unionByName(planted), block_col="source", n=3, threshold=0.6
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dups on the PORTABLE hash family
     (functions.hashing.hash60, md5-derived): the full pipeline —
@@ -1599,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": q_metrics_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_containment": q_dedup_containment,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3052,6 +3072,32 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        """,
+        "dedup_containment": f"""
+            WITH base AS (
+              SELECT doc_id, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, source, substring(text, 1, length(text) // 2)
+              FROM documents WHERE doc_id % 17 = 3
+            ), toks AS (
+              SELECT doc_id, source, {_TOK} AS tk FROM base
+            ), sh AS (
+              SELECT doc_id, source,
+                CASE WHEN len(tk) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                ELSE [array_to_string(tk, ' ')] END AS sh
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE AS ninter,
+                     len(a.sh) AS na, len(b.sh) AS nb
+              FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+            )
+            SELECT a, b, ROUND(ninter / na, 6) AS cont_a,
+                   ROUND(ninter / nb, 6) AS cont_b
+            FROM pairs
+            WHERE greatest(ninter / na, ninter / nb) >= 0.6
         """,
         "decontaminate": f"""
             WITH toks AS (

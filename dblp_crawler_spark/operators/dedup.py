@@ -249,10 +249,12 @@ def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 # ---- n-gram jaccard ----------------------------------------------------------
-def ngram_jaccard_pairs(docs: DataFrame, block_col: str, text_col: str = "text",
-                        id_col: str = "doc_id", n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Blocked pairwise Jaccard over word n-gram shingles.
-    |A∪B| via |A|+|B|−|A∩B| — one array op per pair, sizes pre-join."""
+def _blocked_shingle_pairs(docs: DataFrame, block_col: str, text_col: str,
+                           id_col: str, n: int) -> DataFrame:
+    """Shared candidate-pair frame for the pairwise shingle-overlap
+    verifiers (Jaccard / containment): blocked self-join of hashed
+    shingle sets with `a < b`, intersection size and both set sizes
+    attached — callers layer their own similarity + threshold."""
     sh = _spread(docs).select(
         F.col(id_col), F.col(block_col).alias("block"),
         F.transform(shingles(text_col, n), lambda t: F.xxhash64(t)).alias("sh"),
@@ -271,9 +273,48 @@ def ngram_jaccard_pairs(docs: DataFrame, block_col: str, text_col: str = "text",
         a.join(b, "block")
         .filter(F.col("a") < F.col("b"))
         .withColumn("ninter", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, block_col: str, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Blocked pairwise Jaccard over word n-gram shingles.
+    |A∪B| via |A|+|B|−|A∩B| — one array op per pair, sizes pre-join."""
+    return (
+        _blocked_shingle_pairs(docs, block_col, text_col, id_col, n)
         .withColumn("jaccard", F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def containment_pairs(docs: DataFrame, block_col: str, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """Blocked pairwise shingle CONTAINMENT — excerpt/quote detection.
+
+    Jaccard misses excerpts: a 50-shingle quote inside a 5000-shingle
+    page has J ≈ 0.01 yet containment C(A in B) = |A∩B|/|A| = 1.0 —
+    Broder's (1997) resemblance-vs-containment distinction. A training
+    corpus full of pages that QUOTE each other needs this direction-
+    sensitive signal; symmetric near-dup passes keep both copies.
+
+    One row per unordered candidate pair (a < b) whose LARGER
+    directional containment clears `threshold`, with BOTH directions
+    reported: cont_a = |A∩B|/|A| (how much of A lives inside B),
+    cont_b = |A∩B|/|B|. The dominant direction tells you which doc is
+    the excerpt (cont_a ≈ 1, na ≪ nb ⇒ A is quoted by B).
+
+    Same scale shape as :func:`ngram_jaccard_pairs` (shared candidate
+    frame): blocked equi-join, quadratic only within a block —
+    verifier-tier, not a corpus-wide primary pass.
+    """
+    return (
+        _blocked_shingle_pairs(docs, block_col, text_col, id_col, n)
+        .withColumn("cont_a", F.col("ninter") / F.col("na"))
+        .withColumn("cont_b", F.col("ninter") / F.col("nb"))
+        .filter(F.greatest("cont_a", "cont_b") >= threshold)
+        .select("a", "b", F.round("cont_a", 6).alias("cont_a"),
+                F.round("cont_b", 6).alias("cont_b"))
     )
 
 

@@ -39,6 +39,36 @@ def test_ngram_jaccard(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_containment_excerpt_detection(spark):
+    # doc 1 is a verbatim excerpt (first 8 words) of the long doc 0:
+    # containment flags it asymmetrically where Jaccard stays low.
+    long_text = ("alpha beta gamma delta epsilon zeta eta theta "
+                 "iota kappa lam mu nu xi omicron pi rho sigma tau "
+                 "upsilon phi chi psi omega one two three four five six")
+    excerpt = " ".join(long_text.split()[:8])
+    rows = [(0, long_text, "a"), (1, excerpt, "a"),
+            (2, "totally different words entirely here now", "a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.a, r.b): (r.cont_a, r.cont_b)
+           for r in D.containment_pairs(docs, "source", threshold=0.6).collect()}
+    # a < b ordering puts the long doc first: cont_b is the excerpt side
+    assert set(got) == {(0, 1)}
+    ca, cb = got[(0, 1)]
+    assert cb == 1.0          # every excerpt shingle lives in the long doc
+    assert ca == round(6 / 28, 6)  # 6 of the long doc's 28 shingles
+    # Jaccard on the same pair misses it at the same threshold
+    jac = D.ngram_jaccard_pairs(docs, "source", threshold=0.6).collect()
+    assert all((r.a, r.b) != (0, 1) for r in jac)
+
+
+def test_containment_symmetric_on_equal_docs(spark):
+    rows = [(0, "one two three four five", "a"),
+            (1, "one two three four five", "a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = D.containment_pairs(docs, "source", threshold=0.6).collect()
+    assert len(r) == 1 and r[0].cont_a == 1.0 and r[0].cont_b == 1.0
+
+
 def test_minhash_lsh_finds_dups(spark, docs):
     found = {(r.a, r.b) for r in D.minhash_near_dups(docs, num_hashes=32, bands=16, threshold=0.5).collect()}
     assert (0, 1) in found  # identical docs always collide
