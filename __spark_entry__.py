@@ -346,6 +346,54 @@ def q_robots_parse(spark, sf_dir):
     return parse_robots(pages)
 
 
+def q_sitemap_discover(spark, sf_dir):
+    """Sitemap-driven frontier discovery (sources/webparse.
+    sitemap_entries): per-host urlset XML is synthesized from the
+    documents table (raw-spelling <loc>s — uppercase scheme/host,
+    explicit :80, trailing slash, fragment — plus <lastmod> on 4 of
+    5 records), parsed back into (url, lastmod DATE|NULL) records,
+    and anti-joined against a planted canonical seen set — the bulk
+    discovery channel next to robots_parse, keyed on CANONICAL form
+    so re-spelled locs can never re-enter the frontier. The DuckDB
+    oracle replays the whole round trip (sitemap_entries_sql +
+    canonical_url_sql)."""
+    from dblp_crawler_spark.sources.webparse import sitemap_entries
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hh = (F.col("doc_id") % 40).cast("string")
+    did = F.col("doc_id").cast("string")
+    lm = F.concat(
+        F.lit("2024-"),
+        F.lpad(((F.col("doc_id") % 12) + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+    )
+    blk = F.concat(
+        F.lit("<url><loc>HTTP://H"), hh, F.lit(".ORG:80/page/"), did,
+        F.lit("/#frag</loc>"),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.concat(F.lit("<lastmod>"), lm, F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    pages = (
+        docs.select(F.concat(F.lit("h"), hh, F.lit(".org")).alias("host"), blk.alias("blk"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.sort_array(F.collect_list("blk")), ""),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("http://h"), hh, F.lit(".org/page/"), did).alias("url")
+    )
+    return sitemap_entries(pages).join(seen, "url", "left_anti")
+
+
 def q_html_text_extract(spark, sf_dir):
     """HTML boilerplate strip (sources/webparse.html_to_text): the
     fetch→curation hand-off — script/style/comments removed, tags
@@ -1661,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": q_anchor_text_agg,
         "host_budget_alloc": q_host_budget_alloc,
         "robots_parse": q_robots_parse,
+        "sitemap_discover": q_sitemap_discover,
         "line_dedup": q_line_dedup,
         "redirect_resolve": q_redirect_resolve,
         "url_trap_filter": q_url_trap_filter,
@@ -1919,6 +1968,7 @@ def _portable_hash_oracles() -> dict[str, str]:
             FROM r
         """,
         "robots_parse": _robots_parse_oracle(),
+        "sitemap_discover": _sitemap_discover_oracle(),
         "line_dedup": _line_dedup_oracle(),
         "redirect_resolve": _redirect_oracle(),
         "url_trap_filter": _url_trap_oracle(),
@@ -2430,6 +2480,40 @@ def _robots_parse_oracle() -> str:
                  CASE {' '.join(cases)} END AS robots_txt
           FROM documents WHERE doc_id < 24
         ), {body[len('WITH '):]}
+    """
+
+
+def _sitemap_discover_oracle() -> str:
+    """DuckDB replay of q_sitemap_discover: identical planted per-host
+    urlset XML (string_agg ORDER BY blk == Spark's sort_array concat),
+    webparse.sitemap_entries_sql for the parse, NOT IN for the
+    canonical seen-set anti-join."""
+    from dblp_crawler_spark.sources.webparse import sitemap_entries_sql
+
+    ent = sitemap_entries_sql("sitemap_pages").strip()
+    return f"""
+        WITH blks AS (
+          SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.org' AS host,
+                 '<url><loc>HTTP://H' || CAST(doc_id % 40 AS VARCHAR)
+                 || '.ORG:80/page/' || CAST(doc_id AS VARCHAR) || '/#frag</loc>'
+                 || CASE WHEN doc_id % 5 <> 0 THEN
+                      '<lastmod>2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                      || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod>'
+                    ELSE '' END
+                 || '</url>' AS blk
+          FROM documents
+        ), sitemap_pages AS (
+          SELECT host, '<urlset>' || string_agg(blk, '' ORDER BY blk) || '</urlset>' AS sitemap_xml
+          FROM blks GROUP BY host
+        ), ent AS (
+          {ent}
+        )
+        SELECT url, host, lastmod FROM ent
+        WHERE url NOT IN (
+          SELECT 'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.org/page/'
+                 || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 3 = 0
+        )
     """
 
 

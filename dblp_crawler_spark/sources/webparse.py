@@ -148,6 +148,63 @@ def sitemap_urls(pages: DataFrame, xml_col: str = "sitemap_xml", keep: list | No
     ).select(*cols, canonical_url("raw_loc").alias("url"))
 
 
+#: one <url>…</url> record of a urlset sitemap ((?s): records span lines)
+_SM_BLOCK_RE = r"(?s)<url>(.*?)</url>"
+_SM_LOC_RE = r"<loc>([^<]*)</loc>"
+_SM_LASTMOD_RE = r"<lastmod>([^<]*)</lastmod>"
+
+
+def sitemap_entries(pages: DataFrame, xml_col: str = "sitemap_xml",
+                    keep: list | None = None) -> DataFrame:
+    """Sitemap <url> records → (url canonicalized, lastmod DATE|NULL).
+
+    The lastmod-aware sibling of :func:`sitemap_urls`: recrawl
+    scheduling (operators/recrawl.py) and discovery anti-joins need
+    the per-URL modification date the protocol carries, so records
+    are parsed as paired fields — blocks first (one regexp_extract_all
+    per page), then per-block loc/lastmod extracts. Records without a
+    <loc> are dropped; a missing/empty <lastmod> is NULL (the spec
+    makes it optional). Pure expression chain, one explode; the
+    DuckDB replay is :func:`sitemap_entries_sql`.
+    """
+    from ..functions.urlnorm import canonical_url
+
+    cols = keep if keep is not None else [c for c in pages.columns if c != xml_col]
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(_SM_BLOCK_RE), 1)
+    return (
+        pages.select(*cols, F.explode(blocks).alias("blk"))
+        .withColumn("raw_loc", F.regexp_extract("blk", _SM_LOC_RE, 1))
+        .filter(F.col("raw_loc") != "")
+        .select(
+            *cols,
+            canonical_url("raw_loc").alias("url"),
+            F.to_date(
+                F.nullif(F.regexp_extract("blk", _SM_LASTMOD_RE, 1), F.lit(""))
+            ).alias("lastmod"),
+        )
+    )
+
+
+def sitemap_entries_sql(src: str = "sitemap_pages", keep: str = "host") -> str:
+    """DuckDB replay of :func:`sitemap_entries` over ``src`` (must
+    expose `keep` + sitemap_xml): same block regexps, same
+    canonicalization (canonical_url_sql), same NULL-lastmod rule."""
+    from ..functions.urlnorm import canonical_url_sql
+
+    return f"""
+        SELECT {keep}, {canonical_url_sql('raw_loc')} AS url,
+               CAST(nullif(regexp_extract(blk, '{_SM_LASTMOD_RE}', 1), '') AS DATE) AS lastmod
+        FROM (
+          SELECT {keep}, blk, regexp_extract(blk, '{_SM_LOC_RE}', 1) AS raw_loc
+          FROM (
+            SELECT {keep},
+                   unnest(regexp_extract_all(sitemap_xml, '{_SM_BLOCK_RE}', 1)) AS blk
+            FROM {src}
+          )
+        ) WHERE raw_loc <> ''
+    """
+
+
 # ---- HTML → text -----------------------------------------------------------
 # NOTE: no backreferences anywhere — the DuckDB side is RE2.
 _HTML_STEPS = [

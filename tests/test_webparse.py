@@ -112,6 +112,29 @@ def test_sitemap_urls_extract_and_canonicalize(spark):
     assert len(got) == 2
 
 
+def test_sitemap_entries_lastmod_and_drops(spark):
+    import datetime
+
+    from dblp_crawler_spark.sources.webparse import sitemap_entries
+
+    xml = (
+        "<urlset>\n"
+        "  <url>\n    <loc>HTTP://E.org:80/a/#f</loc>\n"
+        "    <lastmod>2024-03-07</lastmod>\n  </url>\n"
+        "  <url><loc>http://e.org/b</loc></url>\n"          # no lastmod -> NULL
+        "  <url><lastmod>2024-01-01</lastmod></url>\n"       # no loc -> dropped
+        "  <url><loc>http://e.org/c</loc><lastmod></lastmod></url>\n"  # empty -> NULL
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("s1", xml)], "sm_id string, sitemap_xml string")
+    got = {r["url"]: r["lastmod"] for r in sitemap_entries(df).collect()}
+    assert got == {
+        "http://e.org/a": datetime.date(2024, 3, 7),
+        "http://e.org/b": None,
+        "http://e.org/c": None,
+    }
+
+
 HTML_CASES = [
     (
         "<html><head><script>var x = '<b>';\nif (a<b) {}</script>"
