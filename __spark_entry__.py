@@ -252,6 +252,32 @@ def q_frontier_pagerank(spark, sf_dir):
     return pr.select(F.col("id").alias("doc_id"), "rank_int")
 
 
+def q_link_trustrank(spark, sf_dir):
+    """Seeded trust propagation (operators/pagerank.trustrank) over
+    the same planted portable-hash link graph as frontier_pagerank:
+    teleport mass lands only on the trusted seed set (every 13th
+    doc), so spam regions reachable solely from untrusted pages
+    score 0 where plain PageRank's uniform base would rank them —
+    the Gyöngyi et al. spam-demotion signal a frontier blends with
+    rank and HITS. Integer-exact; the oracle unrolls 4 seeded
+    iterations as chained CTEs."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.pagerank import trustrank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    edges = None
+    for j in (1, 2, 3):
+        ej = docs.crossJoin(n).select(
+            F.col("doc_id").alias("src"),
+            (hash60("doc_id", j) % F.col("n")).alias("dst"),
+        )
+        edges = ej if edges is None else edges.union(ej)
+    seeds = docs.filter(F.col("doc_id") % 13 == 0).select(F.col("doc_id").alias("id"))
+    tr = trustrank(edges, seeds, iters=4)
+    return tr.select(F.col("id").alias("doc_id"), "trust_int")
+
+
 def q_link_hits(spark, sf_dir):
     """Hub/authority frontier scoring: integer-exact HITS
     (operators/hits.py) over the same planted 3-out-degree
@@ -1706,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "frontier_pagerank": q_frontier_pagerank,
         "link_hits": q_link_hits,
+        "link_trustrank": q_link_trustrank,
         "anchor_text_agg": q_anchor_text_agg,
         "host_budget_alloc": q_host_budget_alloc,
         "robots_parse": q_robots_parse,
@@ -1946,6 +1973,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "url_canonicalize": _url_canonicalize_oracle(),
         "frontier_pagerank": _pagerank_oracle(),
         "link_hits": _hits_oracle(),
+        "link_trustrank": _trustrank_oracle(),
         "anchor_text_agg": _anchor_text_oracle(),
         "host_budget_alloc": """
             WITH h AS (
@@ -2235,6 +2263,41 @@ def _pagerank_oracle(iters: int = 4) -> str:
         )""")
     body = ",\n        ".join(ctes)
     return f"WITH {body}\n        SELECT id AS doc_id, r AS rank_int FROM pr{iters}"
+
+
+def _trustrank_oracle(iters: int = 4) -> str:
+    """DuckDB replay of q_link_trustrank: _pagerank_oracle's planted
+    edge list with the teleport base and initial mass gated on seed
+    membership (id % 13 = 0) — non-seeds start at 0 and receive only
+    propagated, damped mass. SUMs cast back from HUGEINT."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    r0 = 10**12
+    base = (r0 * 15) // 100
+    edges_union = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id AS src, {H('doc_id', j)} % (SELECT n FROM nn) AS dst FROM documents"
+        for j in (1, 2, 3)
+    )
+    ctes = [
+        "nn AS (SELECT COUNT(*) AS n FROM documents)",
+        f"e0 AS (\n            {edges_union}\n        )",
+        "od AS (SELECT src, COUNT(*) AS odeg FROM e0 GROUP BY src)",
+        "e AS (SELECT e0.src, e0.dst, od.odeg FROM e0 JOIN od USING (src))",
+        "nodes AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e0 UNION ALL SELECT dst AS id FROM e0))",
+        f"tr0 AS (SELECT id, CAST(CASE WHEN id % 13 = 0 THEN {r0} ELSE 0 END AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""tr{i} AS (
+          SELECT n.id, CAST(CASE WHEN n.id % 13 = 0 THEN {base} ELSE 0 END
+                            + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS id, CAST(SUM(rr.r // e.odeg) AS BIGINT) AS m
+            FROM e JOIN tr{i - 1} rr ON e.src = rr.id GROUP BY e.dst
+          ) s ON n.id = s.id
+        )""")
+    body = ",\n        ".join(ctes)
+    return f"WITH {body}\n        SELECT id AS doc_id, r AS trust_int FROM tr{iters}"
 
 
 def _hits_oracle(iters: int = 3) -> str:

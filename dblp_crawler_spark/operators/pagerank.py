@@ -109,3 +109,101 @@ def pagerank_py(edge_list, iters=5, r0=R0_DEFAULT, damp_num=85, damp_den=100):
             m[v] += rank[u] // odeg[u]
         rank = {n: base + (damp_num * m[n]) // damp_den for n in nodes}
     return rank
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+    iters: int = 4,
+    r0: int = R0_DEFAULT,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Integer-exact TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004):
+    PageRank whose teleport mass lands ONLY on a trusted seed set, so
+    trust flows outward along links and pages reachable only from
+    untrusted regions score 0 — the spam-demotion signal a frontier
+    combines with :func:`pagerank` (global importance) and HITS.
+
+    Same arithmetic discipline as :func:`pagerank` (int64 mass,
+    ``r div odeg`` contributions, exact rational damping, floor
+    remainders evaporate), so results are bit-identical in any
+    engine. Difference: the per-round additive base
+    ``(r0 * (1-d))`` and the initial mass ``r0`` are gated on seed
+    membership (non-seeds start at 0 and receive only propagated
+    mass). Seeds not present in the edge list are ignored — trust
+    can only flow along edges.
+
+    Scale shape per iteration is pagerank's: ONE node-keyed
+    equi-join + ONE hash agg + ONE left join back to the node set,
+    lineage truncated per round. The seed flag is computed once and
+    rides the checkpointed node table.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .join(
+            seeds.select(F.col(seed_col).alias("id"), F.lit(1).alias("is_seed")),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+        .localCheckpoint()
+    )
+    odeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("odeg"))
+    e = (
+        edges.join(odeg, src)
+        .select(F.col(src).alias("esrc"), F.col(dst).alias("edst"), "odeg")
+        .localCheckpoint()
+    )
+    base = (r0 * (damp_den - damp_num)) // damp_den
+    rank = nodes.select(
+        "id", "is_seed", (F.col("is_seed") * F.lit(r0)).cast("long").alias("r")
+    ).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            e.join(rank.select(F.col("id").alias("esrc"), "r"), "esrc")
+            .select(F.col("edst").alias("id"), F.expr("r div odeg").alias("share"))
+            .groupBy("id")
+            .agg(F.sum("share").alias("m"))
+        )
+        rank = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                "is_seed",
+                (
+                    (F.col("is_seed") * F.lit(base)).cast("long")
+                    + F.expr(f"({damp_num} * coalesce(m, CAST(0 AS BIGINT))) div {damp_den}")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return rank.select("id", F.col("r").alias("trust_int"))
+
+
+def trustrank_py(edge_list, seed_ids, iters=4, r0=R0_DEFAULT, damp_num=85, damp_den=100):
+    """Pure-Python reference of :func:`trustrank` (same integer
+    arithmetic), used by tests as the ground truth."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    seeds = {n for n in nodes if n in set(seed_ids)}
+    odeg: dict = {}
+    for u, _ in edge_list:
+        odeg[u] = odeg.get(u, 0) + 1
+    base = (r0 * (damp_den - damp_num)) // damp_den
+    rank = {n: (r0 if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        m = {n: 0 for n in nodes}
+        for u, v in edge_list:
+            m[v] += rank[u] // odeg[u]
+        rank = {
+            n: (base if n in seeds else 0) + (damp_num * m[n]) // damp_den
+            for n in nodes
+        }
+    return rank

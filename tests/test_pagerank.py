@@ -56,3 +56,52 @@ def test_pagerank_dangling_and_dst_only_nodes(spark):
     assert set(got) == {1, 2, 3}
     assert got[2] == got[3]
     assert got == pagerank_py(edges, iters=3)
+
+
+# ---- TrustRank -------------------------------------------------------------
+from dblp_crawler_spark.operators.pagerank import trustrank, trustrank_py
+
+
+def _run_tr(spark, edge_list, seed_ids, parts=4, **kw):
+    df = spark.createDataFrame(edge_list, "src long, dst long").repartition(parts)
+    sdf = spark.createDataFrame([(s,) for s in seed_ids], "id long")
+    got = trustrank(df, sdf, **kw).collect()
+    return {r["id"]: r["trust_int"] for r in got}
+
+
+def test_trustrank_matches_python_reference_random_graphs(spark):
+    rng = random.Random(31)
+    for trial in range(3):
+        n = 30 + 10 * trial
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(4 * n)]
+        seeds = [i for i in range(n) if i % 5 == 0]
+        assert _run_tr(spark, edges, seeds, iters=4) == trustrank_py(edges, seeds, iters=4)
+
+
+def test_trustrank_unreachable_spam_scores_zero(spark):
+    # trusted component 0->1->2 cycle; spam farm 10<->11 mutually
+    # linking but unreachable from any seed: zero trust, while plain
+    # pagerank would happily rank the farm via its teleport base.
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10)]
+    got = _run_tr(spark, edges, [0], iters=4)
+    assert got[10] == 0 and got[11] == 0
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    pr = pagerank(
+        spark.createDataFrame(edges, "src long, dst long"), iters=4
+    ).collect()
+    assert all(r["rank_int"] > 0 for r in pr)
+
+
+def test_trustrank_seed_not_in_graph_ignored(spark):
+    edges = [(0, 1)]
+    got = _run_tr(spark, edges, [0, 99], iters=3)
+    assert set(got) == {0, 1}
+    assert got == trustrank_py(edges, [0, 99], iters=3)
+
+
+def test_trustrank_trust_decays_with_distance(spark):
+    # chain from the sole seed: each hop can only receive damped,
+    # out-degree-split mass, so trust strictly decreases along it.
+    edges = [(0, 1), (1, 2), (2, 3)]
+    got = _run_tr(spark, edges, [0], iters=6)
+    assert got[0] > got[1] > got[2] > got[3] >= 0
