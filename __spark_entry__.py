@@ -872,6 +872,23 @@ def q_ann_cosine_topk(spark, sf_dir):
     return SIM.brute_force_topk(queries, emb, k=10)
 
 
+def q_contrastive_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (operators/
+    similarity.hard_negatives): per sampled anchor, the 5 most
+    cosine-similar vectors with a DIFFERENT label — near-miss
+    negatives InfoNCE/triplet losses need where random negatives are
+    trivially separable. Anchors = every 50th vec; label inequality
+    folds in before the rank-k cutoff so ranks count eligible
+    negatives only. DuckDB oracle replays the filtered ranked scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    return SIM.hard_negatives(anchors, emb, k=5)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN top-k. Signatures are fixed-point-quantized
     (lsh_signature_quantized) — bucket assignment is exact integer
@@ -1706,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": q_text_top_ngrams,
         "pipeline_curation": q_pipeline_curation,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "contrastive_hard_negatives": q_contrastive_hard_negatives,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_count": q_text_token_count,
@@ -3383,6 +3401,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tok AS n_tokens, quality, rep_ratio FROM kept
             WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY md5(text))
+        """,
+        "contrastive_hard_negatives": """
+            SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
+              SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                     list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                                c.vec_id ASC) AS rank
+              FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+              JOIN embeddings c ON q.label <> c.label
+            ) WHERE rank <= 5
         """,
         "ann_cosine_topk": """
             SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (

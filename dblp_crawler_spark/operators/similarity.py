@@ -514,3 +514,46 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, n_planes: int =
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   q_id: str = "q_id", c_id: str = "vec_id",
+                   q_vec: str = "q_vec", c_vec: str = "embedding",
+                   q_label: str = "q_label", c_label: str = "label") -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the k most
+    cosine-similar corpus vectors with a DIFFERENT label — the
+    near-miss negatives that make contrastive losses (InfoNCE/
+    triplet) learn, where random negatives are trivially separable.
+
+    Same scored shape as :func:`brute_force_topk` with a label
+    inequality folded in BEFORE ranking, so the rank-k cutoff is over
+    eligible negatives only. Anchors are the broadcast side (a
+    sampled/batched set by construction); corpus-scale mining should
+    feed candidate buckets from :func:`lsh_topk`/:func:`ivf_topk`
+    machinery instead of widening the anchor set — the exact verifier
+    shape is this function either way. NULL labels never match
+    anything (SQL inequality semantics): anchors with NULL labels
+    produce no rows, NULL-labeled corpus vectors are never negatives.
+    """
+    from .dedup import l2_norm
+
+    q = F.broadcast(
+        queries.select(F.col(q_id), F.col(q_label),
+                       F.col(q_vec).cast("array<double>").alias("__qv"))
+        .withColumn("__nq", l2_norm(F.col("__qv")))
+    )
+    c = corpus.select(F.col(c_id), F.col(c_label),
+                      F.col(c_vec).cast("array<double>").alias("__cv")).withColumn(
+        "__nc", l2_norm(F.col("__cv"))
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col(q_label) != F.col(c_label))
+        .withColumn("cosine", _cos_pre("__qv", "__cv", "__nq", "__nc"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, F.round("cosine", 6).alias("cosine"), "rank")
+    )

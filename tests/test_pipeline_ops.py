@@ -111,6 +111,30 @@ def test_embedding_near_dup_and_topk(spark):
     assert all(r1.cosine >= r2.cosine for r1, r2 in zip(topk, topk[1:]))
 
 
+def test_hard_negatives_excludes_same_label(spark):
+    # anchor 0 (label 1): nearest vector overall is 1 (same label,
+    # must be excluded); hardest NEGATIVE is 2 (label 2, nearly
+    # parallel), then 3 (orthogonal-ish). NULL-label vector 4 never
+    # appears; NULL-label anchor 9 yields no rows.
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),
+        (1, [0.99, 0.1, 0.0], 1),       # same label: excluded
+        (2, [0.95, 0.3, 0.0], 2),       # hardest negative
+        (3, [0.0, 1.0, 0.0], 2),        # easy negative
+        (4, [1.0, 0.01, 0.0], None),    # NULL label: never a negative
+        (9, [0.5, 0.5, 0.0], None),     # NULL-label anchor: no rows
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    anchors = emb.filter(F.col("vec_id").isin(0, 9)).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"))
+    got = SIM.hard_negatives(anchors, emb, k=2).collect()
+    assert {r.q_id for r in got} == {0}
+    ranked = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
+    assert ranked == [2, 3]
+    assert all(r.cosine <= 1.0 for r in got)
+
+
 def test_lsh_topk_recall(spark):
     """ANN recall vs the exact baseline on a real slice."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
