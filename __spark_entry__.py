@@ -420,6 +420,36 @@ def q_sitemap_discover(spark, sf_dir):
     return sitemap_entries(pages).join(seen, "url", "left_anti")
 
 
+def q_warc_parse(spark, sf_dir):
+    """Text-mode WARC/1.0 segment parsing (sources/webparse.
+    warc_records): per-host segments are synthesized from the
+    documents table (one response record per doc, every 9th record
+    declaring 5 bytes MORE than its payload — a torn write), parsed
+    back into (uri, rec_type, content_length, body, truncated)
+    records with the payload clipped to the declared length — the
+    Common Crawl-style ingestion tier plus the declared-vs-actual
+    audit a resumable fetcher runs before trusting a segment. DuckDB
+    replays the round trip via warc_records_sql."""
+    from dblp_crawler_spark.sources.webparse import warc_records
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hh = (F.col("doc_id") % 40).cast("string")
+    body = F.substring("text", 1, 64)
+    cl = F.length(body) + F.when(F.col("doc_id") % 9 == 0, F.lit(5)).otherwise(F.lit(0))
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://h"),
+        hh, F.lit(".org/page/"), F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "), cl.cast("string"),
+        F.lit("\r\n\r\n"), body, F.lit("\r\n\r\n"),
+    )
+    segs = (
+        docs.select(F.concat(F.lit("h"), hh, F.lit(".org")).alias("host"), rec.alias("rec"))
+        .groupBy("host")
+        .agg(F.array_join(F.sort_array(F.collect_list("rec")), "").alias("warc"))
+    )
+    return warc_records(segs)
+
+
 def q_html_text_extract(spark, sf_dir):
     """HTML boilerplate strip (sources/webparse.html_to_text): the
     fetch→curation hand-off — script/style/comments removed, tags
@@ -1755,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget_alloc": q_host_budget_alloc,
         "robots_parse": q_robots_parse,
         "sitemap_discover": q_sitemap_discover,
+        "warc_parse": q_warc_parse,
         "line_dedup": q_line_dedup,
         "redirect_resolve": q_redirect_resolve,
         "url_trap_filter": q_url_trap_filter,
@@ -2015,6 +2046,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         """,
         "robots_parse": _robots_parse_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
+        "warc_parse": _warc_parse_oracle(),
         "line_dedup": _line_dedup_oracle(),
         "redirect_resolve": _redirect_oracle(),
         "url_trap_filter": _url_trap_oracle(),
@@ -2595,6 +2627,36 @@ def _sitemap_discover_oracle() -> str:
                  || CAST(doc_id AS VARCHAR)
           FROM documents WHERE doc_id % 3 = 0
         )
+    """
+
+
+def _warc_parse_oracle() -> str:
+    """DuckDB replay of q_warc_parse: identical planted per-host WARC
+    segments (CRLFs via chr(13)||chr(10); string_agg ORDER BY rec ==
+    Spark's sort_array concat), then webparse.warc_records_sql."""
+    from dblp_crawler_spark.sources.webparse import warc_records_sql
+
+    crlf = "chr(13) || chr(10)"
+    return f"""
+        WITH f AS (
+          SELECT CAST(doc_id % 40 AS VARCHAR) AS hh, CAST(doc_id AS VARCHAR) AS did,
+                 substring(text, 1, 64) AS body,
+                 length(substring(text, 1, 64))
+                   + CASE WHEN doc_id % 9 = 0 THEN 5 ELSE 0 END AS cl
+          FROM documents
+        ), recs AS (
+          SELECT 'h' || hh || '.org' AS host,
+                 'WARC/1.0' || {crlf}
+                 || 'WARC-Type: response' || {crlf}
+                 || 'WARC-Target-URI: http://h' || hh || '.org/page/' || did || {crlf}
+                 || 'Content-Length: ' || CAST(cl AS VARCHAR) || {crlf}
+                 || {crlf} || body || {crlf} || {crlf} AS rec
+          FROM f
+        ), warc_segments AS (
+          SELECT host, string_agg(rec, '' ORDER BY rec) AS warc
+          FROM recs GROUP BY host
+        )
+        {warc_records_sql('warc_segments')}
     """
 
 

@@ -205,6 +205,101 @@ def sitemap_entries_sql(src: str = "sitemap_pages", keep: str = "host") -> str:
     """
 
 
+# ---- WARC records ----------------------------------------------------------
+#
+# Text-mode WARC/1.0 record parsing: the interchange format every
+# web-scale crawl reads and writes (ISO 28500; Common Crawl's storage
+# format). A segment is a concatenation of records
+#
+#   WARC/1.0\r\n<headers>\r\n\r\n<payload>\r\n\r\n
+#
+# and we recover (uri, type, declared length, actual payload) per
+# record with a split on the version line + per-record header
+# extracts — no lookahead (the DuckDB replay is RE2) and no Python.
+# Caveat, stated rather than hidden: REAL WARC payloads are binary
+# and length-delimited — a payload containing the record separator
+# byte-sequence needs offset-based reads (the bucketed-store /
+# content_sniff binary path), not regex. This text-mode parser is
+# for the (common) text-payload extraction tier, and it reports the
+# declared-vs-actual length mismatch as a `truncated` audit flag
+# instead of trusting either side.
+
+_WARC_SEP_RE = r"WARC/1\.0\r\n"
+_WARC_URI_RE = r"WARC-Target-URI: ([^\r\n]*)"
+_WARC_TYPE_RE = r"WARC-Type: ([^\r\n]*)"
+_WARC_CL_RE = r"Content-Length: ([0-9]+)"
+_WARC_BODY_RE = r"(?s)\r\n\r\n(.*)\r\n\r\n$"
+
+
+def warc_records(segments: DataFrame, content_col: str = "warc",
+                 keep: list | None = None) -> DataFrame:
+    """Parse concatenated text-mode WARC/1.0 records out of a segment
+    column → one row per record: (uri, rec_type, content_length,
+    body, truncated). `body` is the payload CLIPPED to the declared
+    Content-Length; `truncated` flags records whose actual payload is
+    shorter than declared (torn writes — the audit a resumable
+    fetcher runs before trusting a segment). Pure expression chain,
+    one explode."""
+    cols = keep if keep is not None else [c for c in segments.columns if c != content_col]
+    recs = F.filter(
+        F.split(F.col(content_col), _WARC_SEP_RE), lambda x: x != F.lit("")
+    )
+    # the regexp yields digits-or-empty, so the cast is ANSI-safe; a
+    # record with no Content-Length header has NULL declared length —
+    # nothing to clip, nothing to audit against (truncated = false)
+    cl = F.nullif(F.regexp_extract("rec", _WARC_CL_RE, 1), F.lit("")).cast("long")
+    payload = F.regexp_extract("rec", _WARC_BODY_RE, 1)
+    return (
+        segments.select(*cols, F.explode(recs).alias("rec"))
+        .select(
+            *cols,
+            F.regexp_extract("rec", _WARC_URI_RE, 1).alias("uri"),
+            F.regexp_extract("rec", _WARC_TYPE_RE, 1).alias("rec_type"),
+            cl.alias("content_length"),
+            payload.alias("__payload"),
+        )
+        .select(
+            *cols,
+            "uri",
+            "rec_type",
+            "content_length",
+            F.when(F.col("content_length").isNull(), F.col("__payload"))
+            .otherwise(
+                F.col("__payload").substr(F.lit(1), F.col("content_length").cast("int"))
+            )
+            .alias("body"),
+            F.coalesce(
+                F.length("__payload") < F.col("content_length"), F.lit(False)
+            ).alias("truncated"),
+        )
+    )
+
+
+def warc_records_sql(src: str = "warc_segments", keep: str = "host") -> str:
+    """DuckDB replay of :func:`warc_records` over ``src`` (must
+    expose `keep` + warc): string_split_regex for the record split,
+    same header/body regexps, substr clip + truncation flag."""
+    return f"""
+        SELECT {keep}, uri, rec_type, content_length,
+               CASE WHEN content_length IS NULL THEN payload
+                    ELSE substr(payload, 1, CAST(content_length AS INTEGER)) END AS body,
+               COALESCE(length(payload) < content_length, false) AS truncated
+        FROM (
+          SELECT {keep},
+                 regexp_extract(rec, '{_WARC_URI_RE}', 1) AS uri,
+                 regexp_extract(rec, '{_WARC_TYPE_RE}', 1) AS rec_type,
+                 CAST(nullif(regexp_extract(rec, '{_WARC_CL_RE}', 1), '') AS BIGINT)
+                   AS content_length,
+                 regexp_extract(rec, '{_WARC_BODY_RE}', 1) AS payload
+          FROM (
+            SELECT {keep}, unnest(list_filter(
+                     string_split_regex(warc, '{_WARC_SEP_RE}'), x -> x <> '')) AS rec
+            FROM {src}
+          )
+        )
+    """
+
+
 # ---- HTML → text -----------------------------------------------------------
 # NOTE: no backreferences anywhere — the DuckDB side is RE2.
 _HTML_STEPS = [

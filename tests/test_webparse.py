@@ -135,6 +135,33 @@ def test_sitemap_entries_lastmod_and_drops(spark):
     }
 
 
+def test_warc_records_roundtrip_and_audit(spark):
+    from dblp_crawler_spark.sources.webparse import warc_records
+
+    def rec(uri, typ, body, cl=None):
+        n = len(body) if cl is None else cl
+        return (f"WARC/1.0\r\nWARC-Type: {typ}\r\nWARC-Target-URI: {uri}"
+                f"\r\nContent-Length: {n}\r\n\r\n{body}\r\n\r\n")
+
+    seg = (rec("http://a.org/1", "response", "hello world")
+           + rec("http://a.org/2", "response", "short", cl=50)   # torn write
+           + rec("http://a.org/3", "response", "0123456789", cl=4)  # over-long payload clipped
+           + rec("http://a.org/4", "request", "GET /"))
+    df = spark.createDataFrame([("h1", seg)], "host string, warc string")
+    got = {r.uri: r for r in warc_records(df).collect()}
+    assert got["http://a.org/1"].body == "hello world" and not got["http://a.org/1"].truncated
+    assert got["http://a.org/2"].body == "short" and got["http://a.org/2"].truncated
+    assert got["http://a.org/3"].body == "0123" and not got["http://a.org/3"].truncated
+    assert got["http://a.org/4"].rec_type == "request"
+    # a record with no Content-Length header keeps its whole payload
+    # and is NOT flagged: there is no declared length to audit against
+    seg2 = "WARC/1.0\r\nWARC-Target-URI: http://b.org/x\r\n\r\nfull payload\r\n\r\n"
+    df2 = spark.createDataFrame([("h2", seg2)], "host string, warc string")
+    r2 = warc_records(df2).collect()[0]
+    assert r2.body == "full payload" and not r2.truncated
+    assert r2.content_length is None
+
+
 HTML_CASES = [
     (
         "<html><head><script>var x = '<b>';\nif (a<b) {}</script>"
