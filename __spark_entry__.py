@@ -1387,6 +1387,23 @@ def q_hash_split(spark, sf_dir):
     return docs.select("doc_id", T.hash_split(val_pct=10).alias("split"))
 
 
+def q_split_leakage_free(spark, sf_dir):
+    """Content-keyed train/val split (textstats.leakage_free_split):
+    the split key is md5 of NORMALIZED text (lower + whitespace
+    collapse + trim), not the id, so every copy of a text lands on
+    one side — planted reformatted duplicates (uppercase, doubled
+    spaces, shifted ids, every 11th doc) MUST co-locate with their
+    originals where id-keyed hash_split would scatter them across
+    the eval boundary. Pure projection, no shuffle; DuckDB replays
+    the normalization + fixed-width-hex threshold exactly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.replace(F.col("text"), F.lit(" "), F.lit("  "))).alias("text"),
+    )
+    return T.leakage_free_split(docs.unionByName(copies), val_pct=10)
+
+
 def q_corpus_mix(spark, sf_dir):
     """Corpus composition rollup per (source, predicted lang):
     doc count, token sum, mean quality — the report a curation run
@@ -1773,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_and": q_index_search_and,
         "index_search_bm25": q_index_search_bm25,
         "hash_split": q_hash_split,
+        "split_leakage_free": q_split_leakage_free,
         "corpus_mix": q_corpus_mix,
         "doc_chunk_overlap": q_doc_chunk_overlap,
         "mixture_sample": q_mixture_sample,
@@ -3758,6 +3776,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        "split_leakage_free": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, upper(replace(text, ' ', '  '))
+              FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT doc_id,
+                   CASE WHEN substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+                                    1, 4) < '1999'
+                        THEN 'val' ELSE 'train' END AS split
+            FROM base
         """,
         "corpus_mix": f"""
             WITH s AS (

@@ -623,3 +623,41 @@ def gopher_rules(text: Column | str, min_words: int = 50,
         r_sw.alias("stopwords"),
         (r_words & r_wlen & r_sym & r_bullet & r_ell & r_alpha & r_sw).alias("keep"),
     )
+
+
+def leakage_free_split(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", val_pct: int = 10,
+                       clusters: DataFrame | None = None) -> DataFrame:
+    """Train/val split that cannot leak duplicates across the
+    boundary: the split key is the document's CONTENT (normalized
+    text hash), not its id, so every copy of a text — whatever its
+    id — lands on the same side. An id-keyed :func:`hash_split`
+    scatters a duplicated document across train AND val, silently
+    inflating eval scores; content keying fixes the exact/trivially-
+    reformatted tier as a PURE PROJECTION (no join, no shuffle —
+    identical normalized texts hash identically by construction).
+
+    Normalization: lowercase + whitespace collapse + trim — the
+    same-bytes-after-cleanup tier. For NEAR-dup leakage pass
+    `clusters` (id_col, cluster_rep) from
+    ``dedup.connected_components`` over MinHash/SimHash pair edges:
+    the split then keys on each doc's cluster representative (one
+    broadcast-or-shuffle equi-join), putting whole near-dup clusters
+    on one side; unclustered docs fall back to the content key.
+
+    Returns (id_col, split) with the same fixed-width-hex threshold
+    rule as :func:`hash_split` — portable and bit-stable.
+    """
+    threshold = f"{(int(val_pct) * 0x10000) // 100:04x}"
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    key = F.md5(norm.cast("binary"))
+    if clusters is not None:
+        docs = docs.join(
+            clusters.select(F.col(id_col), F.col("cluster_rep")), id_col, "left"
+        )
+        key = F.coalesce(
+            F.md5(F.col("cluster_rep").cast("string").cast("binary")), key
+        )
+    h4 = F.substring(key, 1, 4)
+    split = F.when(h4 < F.lit(threshold), F.lit("val")).otherwise(F.lit("train"))
+    return docs.select(F.col(id_col), split.alias("split"))

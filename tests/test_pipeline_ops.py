@@ -394,6 +394,36 @@ def test_hash_split_deterministic_and_stable(spark):
         assert s1[i] == expect, i
 
 
+def test_leakage_free_split_colocates_duplicates(spark):
+    # 40 base docs + a reformatted copy of each (different id, upper-
+    # case, doubled spaces): every copy must land on its original's
+    # side; id-keyed hash_split must scatter at least one pair
+    # (proving the operator isn't vacuously equal to hash_split).
+    rows = [(i, f"document number {i} with some shared words") for i in range(40)]
+    rows += [(1000 + i, t.upper().replace(" ", "  ")) for i, t in rows]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.split for r in T.leakage_free_split(docs, val_pct=30).collect()}
+    assert all(got[i] == got[1000 + i] for i in range(40))
+    assert {"train", "val"} == set(got.values())  # threshold actually splits
+    by_id = {r.doc_id: r.split
+             for r in docs.select("doc_id", T.hash_split(val_pct=30).alias("split")).collect()}
+    assert any(by_id[i] != by_id[1000 + i] for i in range(40))
+
+
+def test_leakage_free_split_cluster_mode(spark):
+    # near-dup cluster {0,1} (different texts!) keyed via cluster_rep:
+    # both land on the rep's side; doc 2 unclustered falls back to
+    # its content key.
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma delta"), (2, "unrelated")],
+        "doc_id long, text string")
+    clusters = spark.createDataFrame([(0, 7), (1, 7)], "doc_id long, cluster_rep long")
+    got = {r.doc_id: r.split
+           for r in T.leakage_free_split(docs, val_pct=50, clusters=clusters).collect()}
+    assert got[0] == got[1]
+    assert set(got) == {0, 1, 2}
+
+
 def test_corpus_mix_report(spark):
     """Rollup counts docs and sums tokens per (source, lang)."""
     rows = [
