@@ -1404,6 +1404,34 @@ def q_split_leakage_free(spark, sf_dir):
     return T.leakage_free_split(docs.unionByName(copies), val_pct=10)
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl-snapshot delta (operators/recrawl.snapshot_diff): two
+    synthesized (url, md5-fingerprint) snapshots — every 19th doc
+    absent from OLD (added), every 13th absent from NEW (removed),
+    every 7th refingerprinted (changed), every 23rd NULL-fingerprinted
+    on both sides (failed fetches — null-safe compare keeps them
+    'unchanged') — classified in ONE full-outer key-partitioned
+    join. DuckDB replays with FULL OUTER JOIN + IS DISTINCT FROM."""
+    from dblp_crawler_spark.operators.recrawl import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    url = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".org/page/"), F.col("doc_id").cast("string"),
+    )
+    fp_old = F.when(F.col("doc_id") % 23 == 0, F.lit(None).cast("string")).otherwise(
+        F.md5(F.col("text").cast("binary"))
+    )
+    fp_new = (
+        F.when(F.col("doc_id") % 23 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 7 == 0, F.md5(F.concat(F.col("text"), F.lit("!")).cast("binary")))
+        .otherwise(F.md5(F.col("text").cast("binary")))
+    )
+    old = docs.filter(F.col("doc_id") % 19 != 0).select(url.alias("url"), fp_old.alias("fingerprint"))
+    new = docs.filter(F.col("doc_id") % 13 != 0).select(url.alias("url"), fp_new.alias("fingerprint"))
+    return snapshot_diff(old, new)
+
+
 def q_corpus_mix(spark, sf_dir):
     """Corpus composition rollup per (source, predicted lang):
     doc count, token sum, mean quality — the report a curation run
@@ -1781,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "gopher_quality_rules": q_gopher_quality_rules,
         "recrawl_schedule": q_recrawl_schedule,
+        "snapshot_diff": q_snapshot_diff,
         "pii_redaction": q_pii_redaction,
         "tfidf_top_terms": q_tfidf_top_terms,
         "content_sniff": q_content_sniff,
@@ -3776,6 +3805,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        "snapshot_diff": """
+            WITH o AS (
+              SELECT 'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.org/page/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 23 = 0 THEN NULL ELSE md5(text) END AS old_fp
+              FROM documents WHERE doc_id % 19 <> 0
+            ), n AS (
+              SELECT 'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.org/page/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 23 = 0 THEN NULL
+                          WHEN doc_id % 7 = 0 THEN md5(text || '!')
+                          ELSE md5(text) END AS new_fp
+              FROM documents WHERE doc_id % 13 <> 0
+            )
+            SELECT COALESCE(o.url, n.url) AS url, old_fp, new_fp,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN n.url IS NULL THEN 'removed'
+                        WHEN old_fp IS DISTINCT FROM new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM o FULL OUTER JOIN n ON o.url = n.url
         """,
         "split_leakage_free": """
             WITH base AS (

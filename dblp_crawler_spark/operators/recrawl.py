@@ -79,3 +79,37 @@ def recrawl_priorities(fetches: DataFrame, url_col: str = "url",
         per_url.join(F.broadcast(now))
         .select(url_col, "n_fetches", "n_changes", "last_ts", prio.alias("priority"))
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
+                  fp_col: str = "fingerprint") -> DataFrame:
+    """Crawl-snapshot delta: one full-outer equi-join of two
+    (url, content-fingerprint) snapshots → one row per url present in
+    either, classified added / removed / changed / unchanged — the
+    batch complement of :func:`recrawl_priorities` (that estimates
+    WHEN to refetch; this reports WHAT a refetch wave actually
+    changed, and its 'changed' rows are the fetch log entries the
+    change-rate estimator consumes next round).
+
+    Fingerprint comparison is null-safe: a NULL fingerprint on both
+    sides (fetch failed twice) is 'unchanged' — only a real
+    fingerprint transition counts as change. Scale shape: ONE
+    key-partitioned shuffle join, no skew risk beyond the key
+    distribution itself (urls are near-unique); at snapshot scale
+    both sides stream through hash partitions — nothing is
+    broadcast, nothing collected.
+    """
+    o = old.select(F.col(key_col).alias("url"), F.col(fp_col).alias("old_fp"))
+    n = new.select(F.col(key_col).alias("url"), F.col(fp_col).alias("new_fp"))
+    in_old = F.lit(True)
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.withColumn("__in_old", in_old)
+        .join(n.withColumn("__in_new", F.lit(True)), "url", "full_outer")
+        .select("url", "old_fp", "new_fp", status.alias("status"))
+    )

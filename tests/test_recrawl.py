@@ -73,3 +73,32 @@ def test_recrawl_single_url_shuffle(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_snapshot_diff_classification(spark):
+    from dblp_crawler_spark.operators.recrawl import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "a"), ("u2", "a"), ("u3", "a"), ("u4", None), ("u5", None)],
+        "url string, fingerprint string")
+    new = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u4", None), ("u5", "x"), ("u6", "c")],
+        "url string, fingerprint string")
+    got = {r.url: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "u1": "unchanged",
+        "u2": "changed",
+        "u3": "removed",
+        "u4": "unchanged",   # NULL fp both sides: no observed transition
+        "u5": "changed",     # NULL -> real fingerprint IS a transition
+        "u6": "added",
+    }
+
+
+def test_snapshot_diff_single_join_plan(spark):
+    from dblp_crawler_spark.operators.recrawl import snapshot_diff
+
+    old = spark.createDataFrame([("u1", "a")], "url string, fingerprint string")
+    new = spark.createDataFrame([("u1", "b")], "url string, fingerprint string")
+    plan = snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FullOuter") == 1 and plan.count("Exchange") == 2
