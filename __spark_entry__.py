@@ -1432,6 +1432,26 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new)
 
 
+def q_classifier_calibration(spark, sf_dir):
+    """Full precision/recall/F1 threshold sweep in one pass
+    (textstats.classifier_calibration): planted 0/1 labels (every
+    3rd doc) with a label-correlated portable-hash score — the
+    histogram-first shape where the corpus is binned once (map-side
+    partials, ≤20 rows shuffle) and the sweep is a window over the
+    tiny histogram, never a per-threshold rescan. Counts are exact
+    cumulative integers; only the final P/R/F1 divisions are floats.
+    DuckDB replays bins, cumulative window, and divisions exactly."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    lab = (F.col("doc_id") % 3 == 0).cast("int")
+    scored = docs.select(
+        (((hash60("doc_id", 7) % 1000) / F.lit(1000.0) + lab) / F.lit(2)).alias("score"),
+        lab.alias("label"),
+    )
+    return T.classifier_calibration(scored, n_bins=20)
+
+
 def q_corpus_mix(spark, sf_dir):
     """Corpus composition rollup per (source, predicted lang):
     doc count, token sum, mean quality — the report a curation run
@@ -1820,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_bm25": q_index_search_bm25,
         "hash_split": q_hash_split,
         "split_leakage_free": q_split_leakage_free,
+        "classifier_calibration": q_classifier_calibration,
         "corpus_mix": q_corpus_mix,
         "doc_chunk_overlap": q_doc_chunk_overlap,
         "mixture_sample": q_mixture_sample,
@@ -2070,6 +2091,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "frontier_pagerank": _pagerank_oracle(),
         "link_hits": _hits_oracle(),
         "link_trustrank": _trustrank_oracle(),
+        "classifier_calibration": _calibration_oracle(),
         "anchor_text_agg": _anchor_text_oracle(),
         "host_budget_alloc": """
             WITH h AS (
@@ -2360,6 +2382,43 @@ def _pagerank_oracle(iters: int = 4) -> str:
         )""")
     body = ",\n        ".join(ctes)
     return f"WITH {body}\n        SELECT id AS doc_id, r AS rank_int FROM pr{iters}"
+
+
+def _calibration_oracle(n_bins: int = 20) -> str:
+    """DuckDB replay of q_classifier_calibration: identical planted
+    label/score arithmetic (same IEEE operation order so floor-binning
+    agrees), histogram, descending cumulative window, and rounded
+    divisions. SUMs cast back from HUGEINT."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    return f"""
+        WITH s AS (
+          SELECT least(CAST(floor(score * {n_bins}) AS BIGINT), {n_bins - 1}) AS bin, lab
+          FROM (
+            SELECT (({H('doc_id', 7)} % 1000) / 1000.0 + lab) / 2 AS score, lab
+            FROM (
+              SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS lab
+              FROM documents
+            )
+          )
+        ), hist AS (
+          SELECT bin, CAST(SUM(lab) AS BIGINT) AS pos,
+                 CAST(SUM(1 - lab) AS BIGINT) AS neg
+          FROM s GROUP BY bin
+        ), c AS (
+          SELECT bin,
+            CAST(SUM(pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+            CAST(SUM(neg) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+            CAST(SUM(pos) OVER ()
+                 - SUM(pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fn
+          FROM hist
+        )
+        SELECT bin::DOUBLE / {n_bins} AS threshold, tp, fp, fn,
+               ROUND(tp::DOUBLE / (tp + fp), 6) AS precision,
+               ROUND(tp::DOUBLE / (tp + fn), 6) AS recall,
+               ROUND(2 * tp::DOUBLE / (2 * tp + fp + fn), 6) AS f1
+        FROM c
+    """
 
 
 def _trustrank_oracle(iters: int = 4) -> str:

@@ -661,3 +661,54 @@ def leakage_free_split(docs: DataFrame, text_col: str = "text",
     h4 = F.substring(key, 1, 4)
     split = F.when(h4 < F.lit(threshold), F.lit("val")).otherwise(F.lit("train"))
     return docs.select(F.col(id_col), split.alias("split"))
+
+
+def classifier_calibration(df: DataFrame, score_col: str = "score",
+                           label_col: str = "label", n_bins: int = 100) -> DataFrame:
+    """Precision/recall/F1 at EVERY threshold in one pass — the
+    calibration sweep that turns a quality/toxicity classifier score
+    into a defensible gate threshold.
+
+    Scale shape: scores are binned FIRST (one hash agg with map-side
+    partials → ≤ `n_bins` rows), then the whole sweep is a window
+    over the tiny histogram — never a per-threshold rescan of the
+    corpus and never a corpus-sized shuffle. At threshold t =
+    bin/n_bins the predicted-positive set is exactly the bins ≥ bin
+    (scores are floor-binned, so every score in bin b is ≥ b/n_bins),
+    making tp/fp exact cumulative integers; only the final
+    precision/recall/f1 divisions are floats (rounded, portable).
+
+    Returns one row per NON-EMPTY bin: (threshold, tp, fp, fn,
+    precision, recall, f1). `label_col` must be 0/1; `score_col` in
+    [0, 1] (scores == 1.0 clamp into the top bin).
+    """
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("long"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        F.col(label_col).cast("long").alias("lab"),
+    )
+    hist = b.groupBy("bin").agg(
+        F.sum("lab").alias("pos"), F.sum(F.lit(1) - F.col("lab")).alias("neg")
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        hist.select(
+            "bin",
+            F.sum("pos").over(w).alias("tp"),
+            F.sum("neg").over(w).alias("fp"),
+            (F.sum("pos").over(tot) - F.sum("pos").over(w)).alias("fn"),
+        )
+        .select(
+            (F.col("bin") / n_bins).alias("threshold"),
+            "tp", "fp", "fn",
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+            F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+            F.round(
+                2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+            ).alias("f1"),
+        )
+    )

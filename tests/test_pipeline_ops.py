@@ -424,6 +424,26 @@ def test_leakage_free_split_cluster_mode(spark):
     assert set(got) == {0, 1, 2}
 
 
+def test_classifier_calibration_hand_computed(spark):
+    rows = [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.2, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {round(r.threshold, 2): (r.tp, r.fp, r.fn, r.precision, r.recall, r.f1)
+           for r in T.classifier_calibration(df, n_bins=10).collect()}
+    assert got[0.9] == (1, 0, 2, 1.0, round(1 / 3, 6), 0.5)
+    assert got[0.8] == (2, 0, 1, 1.0, round(2 / 3, 6), 0.8)
+    assert got[0.7] == (2, 1, 1, round(2 / 3, 6), round(2 / 3, 6), round(4 / 6, 6))
+    assert got[0.6] == (3, 1, 0, 0.75, 1.0, round(6 / 7, 6))
+    assert got[0.2] == (3, 2, 0, 0.6, 1.0, 0.75)
+    assert set(got) == {0.9, 0.8, 0.7, 0.6, 0.2}  # only non-empty bins
+
+
+def test_classifier_calibration_top_bin_clamp(spark):
+    df = spark.createDataFrame([(1.0, 1), (0.95, 0)], "score double, label int")
+    got = T.classifier_calibration(df, n_bins=10).collect()
+    assert len(got) == 1 and got[0].tp == 1 and got[0].fp == 1
+    assert round(got[0].threshold, 2) == 0.9
+
+
 def test_corpus_mix_report(spark):
     """Rollup counts docs and sums tokens per (source, lang)."""
     rows = [
