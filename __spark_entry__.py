@@ -1452,6 +1452,20 @@ def q_classifier_calibration(spark, sf_dir):
     return T.classifier_calibration(scored, n_bins=20)
 
 
+def q_cdc_chunking(spark, sf_dir):
+    """Content-defined chunking (textstats.cdc_chunks) on the
+    portable hash family: boundaries where the local 2-gram hash60
+    ≡ 0 (mod 16), so an edit moves only the chunks it touches —
+    chunk-level dedup survives insertions that shift every window of
+    fixed-stride chunking. Flat per-doc expression work (pair-gram
+    zip, position filter, span zip, one explode); DuckDB replays
+    tokenization, boundary hash, and span slicing exactly."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    return T.cdc_chunks(docs, div=16, hash_fn=hash60)
+
+
 def q_corpus_mix(spark, sf_dir):
     """Corpus composition rollup per (source, predicted lang):
     doc count, token sum, mean quality — the report a curation run
@@ -1841,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "split_leakage_free": q_split_leakage_free,
         "classifier_calibration": q_classifier_calibration,
+        "cdc_chunking": q_cdc_chunking,
         "corpus_mix": q_corpus_mix,
         "doc_chunk_overlap": q_doc_chunk_overlap,
         "mixture_sample": q_mixture_sample,
@@ -2092,6 +2107,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "link_hits": _hits_oracle(),
         "link_trustrank": _trustrank_oracle(),
         "classifier_calibration": _calibration_oracle(),
+        "cdc_chunking": _cdc_oracle(),
         "anchor_text_agg": _anchor_text_oracle(),
         "host_budget_alloc": """
             WITH h AS (
@@ -2418,6 +2434,43 @@ def _calibration_oracle(n_bins: int = 20) -> str:
                ROUND(tp::DOUBLE / (tp + fn), 6) AS recall,
                ROUND(2 * tp::DOUBLE / (2 * tp + fp + fn), 6) AS f1
         FROM c
+    """
+
+
+def _cdc_oracle(div: int = 16) -> str:
+    """DuckDB replay of q_cdc_chunking: same tokenization (_TOK),
+    same 2-gram hash60 boundary rule, same [starts, ends) span
+    slicing (list_slice's inclusive end vs Spark slice's length —
+    ends[j]-1 == start + length - 1)."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    bh = H("tk[i-1] || ' ' || tk[i]")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_TOK} AS tk FROM documents
+        ), b AS (
+          SELECT doc_id, tk,
+                 CASE WHEN len(tk) >= 2 THEN
+                   list_filter(range(2, len(tk) + 1), i -> {bh} % {div} = 0)
+                 ELSE [] END AS mid
+          FROM t
+        ), s AS (
+          SELECT doc_id, tk,
+                 list_concat([1], mid) AS starts,
+                 list_concat(mid, [len(tk) + 1]) AS ends
+          FROM b
+        ), u AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(starts) + 1), j -> {{
+                   'idx': j - 1,
+                   'n': ends[j] - starts[j],
+                   'ch': array_to_string(list_slice(tk, starts[j], ends[j] - 1), ' ')
+                 }})) AS c
+          FROM s
+        )
+        SELECT doc_id, CAST(c.idx AS BIGINT) AS chunk_idx,
+               CAST(c.n AS BIGINT) AS n_tokens, c.ch AS chunk
+        FROM u WHERE c.n > 0
     """
 
 

@@ -712,3 +712,56 @@ def classifier_calibration(df: DataFrame, score_col: str = "score",
             ).alias("f1"),
         )
     )
+
+
+def cdc_chunks(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               div: int = 16, hash_fn=None) -> DataFrame:
+    """Content-defined chunking: boundaries where a local 2-gram hash
+    ≡ 0 (mod `div`), so an edit moves only the chunks it touches —
+    the property fixed-stride windows (``chunk_tokens``) lack, where
+    one inserted token shifts EVERY downstream chunk and defeats
+    chunk-level dedup. Expected chunk length ≈ `div` tokens.
+
+    The boundary decision at position i depends only on tokens
+    (i-1, i) — maximal locality, the token-level analog of
+    Rabin-fingerprint CDC in storage dedup (LBFS, Muthitacharoen
+    2001). Flat expression work: one pair-gram zip, one filter over
+    positions, one zip of boundary spans, one explode — O(tokens)
+    per doc, no UDF, no shuffle.
+
+    Returns (id, chunk_idx, n_tokens, chunk). `hash_fn(col)->Column`
+    defaults to the xxhash64 lane; pass ``functions.hashing.hash60``
+    for the cross-engine-replayable family (the driver entry does).
+    """
+    from ..functions.hashing import xx64
+
+    h = hash_fn or xx64
+    toks = tokens_all(text_col)
+    n = F.size(toks)
+    mid = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: h(F.concat(
+                F.element_at(toks, i - 1), F.lit(" "), F.element_at(toks, i)
+            )) % div == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), mid)
+    ends = F.concat(mid, F.array(n + 1))
+    spans = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), (e - s).alias("ln"))
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"), spans.alias("__spans"))
+        .select(id_col, "__toks", F.posexplode("__spans").alias("chunk_idx", "__sp"))
+        .filter(F.col("__sp.ln") > 0)
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("__sp.ln").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.slice("__toks", F.col("__sp.s"), F.col("__sp.ln")), " "
+            ).alias("chunk"),
+        )
+    )

@@ -424,6 +424,30 @@ def test_leakage_free_split_cluster_mode(spark):
     assert set(got) == {0, 1, 2}
 
 
+def test_cdc_chunks_reconstruction_and_robustness(spark):
+    from dblp_crawler_spark.functions.hashing import hash60
+
+    words = " ".join(f"w{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, words), (1, ""), (2, "solo")], "doc_id long, text string")
+    out = cdc = T.cdc_chunks(docs, div=8, hash_fn=hash60).collect()
+    # chunks concatenated in index order reconstruct the token stream
+    c0 = [r.chunk for r in sorted(out, key=lambda r: r.chunk_idx) if r.doc_id == 0]
+    assert " ".join(c0) == words
+    assert all(r.n_tokens == len(r.chunk.split()) for r in out)
+    assert len(c0) > 1  # div=8 over 80 tokens must cut somewhere
+    # empty doc: no chunks; single-token doc: one chunk
+    assert not [r for r in out if r.doc_id == 1]
+    assert [r.chunk for r in out if r.doc_id == 2] == ["solo"]
+    # insertion robustness: a 3-token insertion near the front leaves
+    # every chunk outside the edited one byte-identical
+    edited = " ".join(["w0 x1 x2 x3"] + [f"w{i}" for i in range(1, 80)])
+    docs2 = spark.createDataFrame([(0, edited)], "doc_id long, text string")
+    b = {r.chunk for r in T.cdc_chunks(docs2, div=8, hash_fn=hash60).collect()}
+    a = set(c0)
+    assert len(a & b) >= len(a) - 2
+
+
 def test_classifier_calibration_hand_computed(spark):
     rows = [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.2, 0)]
     df = spark.createDataFrame(rows, "score double, label int")
