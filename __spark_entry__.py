@@ -1466,6 +1466,23 @@ def q_cdc_chunking(spark, sf_dir):
     return T.cdc_chunks(docs, div=16, hash_fn=hash60)
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): 6
+    merge rounds over the corpus word-frequency table — the
+    vocabulary-building step before token counting/packing mean
+    anything. One corpus pass builds the word table; every round is
+    a pair-explode + hash agg over that SMALL table, a LIMIT-1
+    driver action, and an exact greedy left-to-right merge fold (no
+    UDF), lineage checkpointed per round. Deterministic (count DESC,
+    pair ASC) tie-break makes the learned merge table bit-identical
+    cross-engine; the oracle unrolls all 6 rounds with list_reduce
+    replaying the same greedy fold."""
+    from dblp_crawler_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=6)
+
+
 def q_corpus_mix(spark, sf_dir):
     """Corpus composition rollup per (source, predicted lang):
     doc count, token sum, mean quality — the report a curation run
@@ -1856,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_free": q_split_leakage_free,
         "classifier_calibration": q_classifier_calibration,
         "cdc_chunking": q_cdc_chunking,
+        "bpe_train": q_bpe_train,
         "corpus_mix": q_corpus_mix,
         "doc_chunk_overlap": q_doc_chunk_overlap,
         "mixture_sample": q_mixture_sample,
@@ -2108,6 +2126,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "link_trustrank": _trustrank_oracle(),
         "classifier_calibration": _calibration_oracle(),
         "cdc_chunking": _cdc_oracle(),
+        "bpe_train": _bpe_oracle(),
         "anchor_text_agg": _anchor_text_oracle(),
         "host_budget_alloc": """
             WITH h AS (
@@ -2435,6 +2454,47 @@ def _calibration_oracle(n_bins: int = 20) -> str:
                ROUND(2 * tp::DOUBLE / (2 * tp + fp + fn), 6) AS f1
         FROM c
     """
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    """DuckDB replay of q_bpe_train: same word-frequency table, then
+    `n_merges` unrolled rounds — pair counts via an index-range
+    unnest, top-1 with the identical (tot DESC, a, b) tie-break, and
+    the EXACT greedy merge fold via list_reduce over a '|'-delimited
+    accumulator (symbols are [0-9a-z_]+ concatenations, '|' cannot
+    occur). Assumes the corpus sustains n_merges rounds (true for
+    the documents tables); SUMs cast back from HUGEINT."""
+    ctes = [
+        f"""wf AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest({_TOK}) AS w FROM documents) GROUP BY w
+        )""",
+        "w0 AS (SELECT cnt, regexp_extract_all(w, '.') AS syms FROM wf)",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""p{r} AS (
+          SELECT pr.a AS a, pr.b AS b, CAST(SUM(cnt) AS BIGINT) AS tot FROM (
+            SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                     i -> {{'a': syms[i], 'b': syms[i+1]}})) AS pr
+            FROM w{r - 1}
+          ) GROUP BY pr.a, pr.b
+        )""")
+        ctes.append(f"t{r} AS (SELECT a, b, tot FROM p{r} ORDER BY tot DESC, a ASC, b ASC LIMIT 1)")
+        ctes.append(f"""w{r} AS (
+          SELECT cnt,
+            CASE WHEN len(syms) < 2 THEN syms
+                 ELSE string_split(list_reduce(syms, (acc, x) ->
+                    CASE WHEN regexp_extract(acc, '([^|]*)$', 1) = t.a AND x = t.b
+                         THEN regexp_replace(acc, '([^|]*)$', t.a || t.b)
+                         ELSE acc || '|' || x END), '|') END AS syms
+          FROM w{r - 1}, t{r} t
+        )""")
+    finals = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, a AS left_sym, b AS right_sym, tot AS pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    body = ",\n        ".join(ctes)
+    return f"WITH {body}\n        {finals}"
 
 
 def _cdc_oracle(div: int = 16) -> str:
