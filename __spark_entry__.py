@@ -1483,6 +1483,20 @@ def q_bpe_train(spark, sf_dir):
     return bpe_train(docs, n_merges=6)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Exact BPE token count per doc with the 6-merge table learned
+    by bpe_train (operators/bpe.bpe_encode_counts): each DISTINCT
+    word is encoded once via rank-ordered greedy folds, then per-doc
+    counts are one explode + broadcast join + sum — the real
+    tokenizer-budget number the regex approximation estimates. The
+    oracle re-derives the same merge chain in SQL and replays the
+    same folds over the word table."""
+    from dblp_crawler_spark.operators.bpe import bpe_encode_counts, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode_counts(docs, bpe_train(docs, n_merges=6))
+
+
 def q_corpus_mix(spark, sf_dir):
     """Corpus composition rollup per (source, predicted lang):
     doc count, token sum, mean quality — the report a curation run
@@ -1874,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration": q_classifier_calibration,
         "cdc_chunking": q_cdc_chunking,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "corpus_mix": q_corpus_mix,
         "doc_chunk_overlap": q_doc_chunk_overlap,
         "mixture_sample": q_mixture_sample,
@@ -2127,6 +2142,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "classifier_calibration": _calibration_oracle(),
         "cdc_chunking": _cdc_oracle(),
         "bpe_train": _bpe_oracle(),
+        "bpe_encode": _bpe_encode_oracle(),
         "anchor_text_agg": _anchor_text_oracle(),
         "host_budget_alloc": """
             WITH h AS (
@@ -2456,20 +2472,22 @@ def _calibration_oracle(n_bins: int = 20) -> str:
     """
 
 
-def _bpe_oracle(n_merges: int = 6) -> str:
-    """DuckDB replay of q_bpe_train: same word-frequency table, then
-    `n_merges` unrolled rounds — pair counts via an index-range
-    unnest, top-1 with the identical (tot DESC, a, b) tie-break, and
-    the EXACT greedy merge fold via list_reduce over a '|'-delimited
-    accumulator (symbols are [0-9a-z_]+ concatenations, '|' cannot
-    occur). Assumes the corpus sustains n_merges rounds (true for
-    the documents tables); SUMs cast back from HUGEINT."""
+def _bpe_cte_chain(n_merges: int) -> list[str]:
+    """Shared CTE chain replaying bpe_train's rounds in DuckDB: the
+    word-frequency table, then per round — pair counts via an
+    index-range unnest, top-1 with the identical (tot DESC, a, b)
+    tie-break, and the EXACT greedy merge fold via list_reduce over
+    a '|'-delimited accumulator (symbols are [0-9a-z_]+
+    concatenations, '|' cannot occur). The word string rides every
+    w{r} so the encode oracle can join back. Assumes the corpus
+    sustains n_merges rounds (true for the documents tables); SUMs
+    cast back from HUGEINT."""
     ctes = [
         f"""wf AS (
           SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
           FROM (SELECT unnest({_TOK}) AS w FROM documents) GROUP BY w
         )""",
-        "w0 AS (SELECT cnt, regexp_extract_all(w, '.') AS syms FROM wf)",
+        "w0 AS (SELECT w, cnt, regexp_extract_all(w, '.') AS syms FROM wf)",
     ]
     for r in range(1, n_merges + 1):
         ctes.append(f"""p{r} AS (
@@ -2481,7 +2499,7 @@ def _bpe_oracle(n_merges: int = 6) -> str:
         )""")
         ctes.append(f"t{r} AS (SELECT a, b, tot FROM p{r} ORDER BY tot DESC, a ASC, b ASC LIMIT 1)")
         ctes.append(f"""w{r} AS (
-          SELECT cnt,
+          SELECT w, cnt,
             CASE WHEN len(syms) < 2 THEN syms
                  ELSE string_split(list_reduce(syms, (acc, x) ->
                     CASE WHEN regexp_extract(acc, '([^|]*)$', 1) = t.a AND x = t.b
@@ -2489,12 +2507,29 @@ def _bpe_oracle(n_merges: int = 6) -> str:
                          ELSE acc || '|' || x END), '|') END AS syms
           FROM w{r - 1}, t{r} t
         )""")
+    return ctes
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    """DuckDB replay of q_bpe_train via _bpe_cte_chain."""
     finals = "\n        UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS rank, a AS left_sym, b AS right_sym, tot AS pair_count FROM t{r}"
         for r in range(1, n_merges + 1)
     )
-    body = ",\n        ".join(ctes)
+    body = ",\n        ".join(_bpe_cte_chain(n_merges))
     return f"WITH {body}\n        {finals}"
+
+
+def _bpe_encode_oracle(n_merges: int = 6) -> str:
+    """DuckDB replay of q_bpe_encode: the same merge chain
+    (_bpe_cte_chain), then per-doc counts = explode words, join each
+    word's final symbol count from w{n}, sum per doc."""
+    body = ",\n        ".join(_bpe_cte_chain(n_merges))
+    return f"""WITH {body}
+        SELECT doc_id, CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+        FROM (SELECT doc_id, unnest({_TOK}) AS w FROM documents) d
+        JOIN w{n_merges} v USING (w)
+        GROUP BY doc_id"""
 
 
 def _cdc_oracle(div: int = 16) -> str:

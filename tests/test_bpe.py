@@ -46,3 +46,39 @@ def test_bpe_stops_when_no_pairs_remain(spark):
     assert _run(spark, ["a b c", "b c a"], 4) == []
     # one word 'ab': merge 1 consumes it, then nothing remains
     assert _run(spark, ["ab"], 4) == [(1, "a", "b", 1)]
+
+
+def test_bpe_encode_counts_exact(spark):
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.operators.bpe import bpe_encode_counts
+
+    texts = ["the theme of the", "thesis these themes", "low lower lowest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=4)
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_encode_counts(docs, merges).collect()}
+    # python ground truth: re-train and re-encode with the reference
+    ref_merges = bpe_train_py(texts, 4)
+    import re
+
+    def enc(word):
+        syms = list(word)
+        for _, a, b, _ in ref_merges:
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    ref = {i: sum(enc(w) for w in re.findall(r"[0-9a-z_]+", t.lower()))
+           for i, t in enumerate(texts)}
+    assert got == ref
+    # merges shrink the count vs raw characters for every doc
+    chars = {i: sum(len(w) for w in re.findall(r"[0-9a-z_]+", t.lower()))
+             for i, t in enumerate(texts)}
+    assert all(got[i] < chars[i] for i in got)
