@@ -450,6 +450,48 @@ def q_warc_parse(spark, sf_dir):
     return warc_records(segs)
 
 
+def q_image_header_dims(spark, sf_dir):
+    """Header-only image dimensions (operators/sniff.image_dims): the
+    resolution prefilter that must run BEFORE bytes reach a decoder —
+    png IHDR (BE), gif logical screen (LE), bmp info header (LE), and
+    a bounded JPEG SOF segment walk (1 or 2 APP0 segments planted by
+    id parity, exercising multi-hop). Payloads are real-format headers
+    synthesized from doc_id via printf-hex (portable), parsed back as
+    pure expressions over ONE 64-byte hex projection — blobs never
+    shuffle, no UDF, no decode. DuckDB replays construction and parse
+    (image_dims_sql, generated from the same offsets)."""
+    from dblp_crawler_spark.operators.sniff import image_dims
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 900 + 100).cast("long")
+    h = ((F.col("doc_id") * 7) % 900 + 100).cast("long")
+
+    def be(c, n):
+        return F.format_string(f"%0{n}X", c)
+
+    def le(c, n_bytes):
+        parts = [((c / F.lit(256**i)).cast("long") % 256).cast("int") for i in range(n_bytes)]
+        return F.format_string("%02X" * n_bytes, *parts)
+
+    app0 = "FFE0" + "0010" + "4A46494600" + "00" * 9
+    sof = F.concat(F.lit("FFC0" + "0011" + "08"), be(h, 4), be(w, 4), F.lit("03" + "00" * 9))
+    hexstr = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("89504E470D0A1A0A" + "0000000D49484452"),
+                        be(w, 8), be(h, 8), F.lit("0806")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("474946383961"), le(w, 2), le(h, 2), F.lit("F70000")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("424D" + "00" * 16), le(w, 4), le(h, 4), F.lit("00" * 4)))
+        .otherwise(
+            F.concat(F.lit("FFD8"), F.lit(app0),
+                     F.when(F.col("doc_id") % 8 == 7, F.lit(app0)).otherwise(F.lit("")),
+                     sof))
+    )
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return image_dims(imgs).select("doc_id", "fmt", "width", "height")
+
+
 def q_html_text_extract(spark, sf_dir):
     """HTML boilerplate strip (sources/webparse.html_to_text): the
     fetch→curation hand-off — script/style/comments removed, tags
@@ -1902,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "sitemap_discover": q_sitemap_discover,
         "warc_parse": q_warc_parse,
+        "image_header_dims": q_image_header_dims,
         "line_dedup": q_line_dedup,
         "redirect_resolve": q_redirect_resolve,
         "url_trap_filter": q_url_trap_filter,
@@ -2167,6 +2210,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "robots_parse": _robots_parse_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "warc_parse": _warc_parse_oracle(),
+        "image_header_dims": _image_dims_oracle(),
         "line_dedup": _line_dedup_oracle(),
         "redirect_resolve": _redirect_oracle(),
         "url_trap_filter": _url_trap_oracle(),
@@ -2911,6 +2955,45 @@ def _warc_parse_oracle() -> str:
           FROM recs GROUP BY host
         )
         {warc_records_sql('warc_segments')}
+    """
+
+
+def _image_dims_oracle() -> str:
+    """DuckDB replay of q_image_header_dims: identical printf-hex
+    header construction (the hex string IS the 64-byte projection —
+    all planted headers are shorter than 64 bytes), then the
+    generated fmt/width/height expressions from sniff.image_dims_sql
+    over the same offsets."""
+    from dblp_crawler_spark.operators.sniff import image_dims_sql
+
+    fmt, w, h = image_dims_sql("h")
+    app0 = "FFE0" + "0010" + "4A46494600" + "00" * 9
+    le2 = "printf('%02X%02X', {v} % 256, ({v} // 256) % 256)"
+    le4 = ("printf('%02X%02X%02X%02X', {v} % 256, ({v} // 256) % 256, "
+           "({v} // 65536) % 256, ({v} // 16777216) % 256)")
+    return f"""
+        WITH d AS (
+          SELECT doc_id, doc_id % 900 + 100 AS w, (doc_id * 7) % 900 + 100 AS hh
+          FROM documents
+        ), p AS (
+          SELECT doc_id,
+            CASE
+              WHEN doc_id % 4 = 0 THEN
+                '89504E470D0A1A0A' || '0000000D49484452'
+                || printf('%08X', w) || printf('%08X', hh) || '0806'
+              WHEN doc_id % 4 = 1 THEN
+                '474946383961' || {le2.format(v='w')} || {le2.format(v='hh')} || 'F70000'
+              WHEN doc_id % 4 = 2 THEN
+                '424D' || repeat('00', 16) || {le4.format(v='w')} || {le4.format(v='hh')} || repeat('00', 4)
+              ELSE
+                'FFD8' || '{app0}'
+                || CASE WHEN doc_id % 8 = 7 THEN '{app0}' ELSE '' END
+                || 'FFC0' || '0011' || '08' || printf('%04X', hh) || printf('%04X', w)
+                || '03' || repeat('00', 9)
+            END AS h
+          FROM d
+        )
+        SELECT doc_id, {fmt} AS fmt, {w} AS width, {h} AS height FROM p
     """
 
 

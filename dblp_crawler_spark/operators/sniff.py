@@ -104,3 +104,151 @@ def content_type_mismatch(df: DataFrame, declared_col: str = "fmt",
         "mismatch",
         F.col("sniffed") != F.col(declared_col),
     )
+
+
+# ---- header-only image dimensions ------------------------------------------
+#
+# Dimensions WITHOUT decode: the resolution prefilter (drop icons,
+# drop decompression-bomb dimensions, bucket by aspect) has to run
+# BEFORE bytes reach a decoder, from header fields alone. PNG/GIF/BMP
+# store dimensions at fixed offsets; JPEG requires walking the
+# segment chain to the SOF marker. Everything below reads ONE hex
+# projection of the first 64 payload bytes — pure string/arith
+# expressions, no UDF, blobs never shuffle; the DuckDB replay is
+# generated from the same offsets (image_dims_sql).
+
+#: JPEG segment-walk depth: planted/normal headers reach SOF within
+#: a few segments; real-world EXIF-heavy files may need more hops —
+#: raise together with the hex window (64 bytes here).
+JPEG_MAX_HOPS = 6
+
+
+def _hex2long(hx: Column, pos: Column, n: int) -> Column:
+    return F.conv(hx.substr(pos, F.lit(n)), 16, 10).cast("long")
+
+
+def _le(hx: Column, pos: Column, n_bytes: int) -> Column:
+    """Little-endian integer from `n_bytes` bytes at hex-char `pos`."""
+    v = None
+    for i in range(n_bytes):
+        byte = _hex2long(hx, pos + F.lit(2 * i), 2)
+        term = byte * F.lit(256**i)
+        v = term if v is None else v + term
+    return v
+
+
+def image_dims(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, width, height) parsed from header bytes only:
+    png (IHDR, big-endian), gif (logical screen, little-endian),
+    bmp (BITMAPINFOHEADER, little-endian), jpeg (bounded SOF0/1/2
+    segment walk, big-endian). Unknown/NULL/truncated payloads get
+    NULL dims. Map-side projection; only 64 bytes of each blob feed
+    the expressions.
+
+    The JPEG walk is a single `aggregate` fold over hop indices with
+    a (pos, w, h) struct accumulator — each hop's position references
+    the ACCUMULATOR, not a re-substituted expression. (A naive
+    unrolled chain re-inlines the position ~4× per hop — 4^6 copies
+    blew Janino's 64 KB codegen method limit before this shape.)
+    The hex window and sniffed fmt are projected ONCE into named
+    columns; the dim expressions reference those attributes, which
+    CollapseProject won't duplicate (non-cheap exprs stay staged)."""
+    staged = df.withColumns(
+        {
+            "__hx": F.hex(F.substring(F.col(bytes_col), 1, 64)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__hx")
+
+    # JPEG: hop segments from hex-char 5 (after FFD8) until an SOF
+    # marker; each segment is marker(2B) + length(2B incl. itself) +
+    # payload. Height/width sit 3/5 bytes into the SOF payload. Once
+    # found, pos freezes and coalesce keeps the first match.
+    def hop(acc, _i):
+        pos = acc["pos"]
+        marker = hx.substr(pos, F.lit(4))
+        is_sof = marker.isin("FFC0", "FFC1", "FFC2")
+        found = acc["h"].isNotNull() | is_sof
+        nxt = F.when(found, pos).otherwise(
+            pos + F.lit(4) + F.lit(2) * _hex2long(hx, pos + F.lit(4), 4)
+        )
+        return F.struct(
+            nxt.alias("pos"),
+            F.coalesce(acc["w"], F.when(is_sof, _hex2long(hx, pos + F.lit(14), 4))).alias("w"),
+            F.coalesce(acc["h"], F.when(is_sof, _hex2long(hx, pos + F.lit(10), 4))).alias("h"),
+        )
+
+    acc0 = F.struct(
+        F.lit(5).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("w"),
+        F.lit(None).cast("long").alias("h"),
+    )
+    jpeg = F.aggregate(F.sequence(F.lit(1), F.lit(JPEG_MAX_HOPS)), acc0, hop)
+
+    width = (
+        F.when(F.col("fmt") == "png", _hex2long(hx, F.lit(33), 8))
+        .when(F.col("fmt") == "gif", _le(hx, F.lit(13), 2))
+        .when(F.col("fmt") == "bmp", _le(hx, F.lit(37), 4))
+        .when(F.col("fmt") == "jpeg", jpeg["w"])
+    )
+    height = (
+        F.when(F.col("fmt") == "png", _hex2long(hx, F.lit(41), 8))
+        .when(F.col("fmt") == "gif", _le(hx, F.lit(17), 2))
+        .when(F.col("fmt") == "bmp", _le(hx, F.lit(45), 4))
+        .when(F.col("fmt") == "jpeg", jpeg["h"])
+    )
+    return staged.withColumns({"width": width, "height": height}).drop("__hx")
+
+
+def _le_sql(h: str, pos: int, n_bytes: int) -> str:
+    terms = [
+        f"TRY_CAST(concat('0x', substring({h}, {pos + 2 * i}, 2)) AS BIGINT) * {256**i}"
+        for i in range(n_bytes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _be_sql(h: str, pos_expr: str, n: int) -> str:
+    return f"TRY_CAST(concat('0x', substring({h}, {pos_expr}, {n})) AS BIGINT)"
+
+
+def image_dims_sql(h_col: str = "h") -> tuple[str, str, str]:
+    """DuckDB replay of :func:`image_dims` over an already-projected
+    `hex(substring(bytes, 1, 64))` column: returns (fmt_sql,
+    width_sql, height_sql) generated from the SAME offsets. The JPEG
+    walk is unrolled positionally: pos{i+1} = pos{i} + 4 + 2*len —
+    expressed via nested CASE chains (TRY_CAST absorbs truncated
+    tails exactly like Spark's NULL-propagating conv)."""
+    fmt = sniff_case_sql(h_col)
+
+    # unrolled jpeg walk: build (pos expr, sof cond) per hop
+    pos_expr = "5"
+    jw_cases, jh_cases = [], []
+    for _ in range(JPEG_MAX_HOPS):
+        marker = f"substring({h_col}, {pos_expr}, 4)"
+        is_sof = f"{marker} IN ('FFC0', 'FFC1', 'FFC2')"
+        jh_cases.append(
+            f"WHEN {is_sof} THEN {_be_sql(h_col, f'({pos_expr}) + 10', 4)}"
+        )
+        jw_cases.append(
+            f"WHEN {is_sof} THEN {_be_sql(h_col, f'({pos_expr}) + 14', 4)}"
+        )
+        seg_len = f"TRY_CAST(concat('0x', substring({h_col}, ({pos_expr}) + 4, 4)) AS BIGINT)"
+        pos_expr = f"({pos_expr}) + 4 + 2 * {seg_len}"
+    jh = "CASE " + " ".join(jh_cases) + " ELSE NULL END"
+    jw = "CASE " + " ".join(jw_cases) + " ELSE NULL END"
+
+    width = f"""CASE ({fmt})
+        WHEN 'png' THEN {_be_sql(h_col, '33', 8)}
+        WHEN 'gif' THEN {_le_sql(h_col, 13, 2)}
+        WHEN 'bmp' THEN {_le_sql(h_col, 37, 4)}
+        WHEN 'jpeg' THEN ({jw})
+        ELSE NULL END"""
+    height = f"""CASE ({fmt})
+        WHEN 'png' THEN {_be_sql(h_col, '41', 8)}
+        WHEN 'gif' THEN {_le_sql(h_col, 17, 2)}
+        WHEN 'bmp' THEN {_le_sql(h_col, 45, 4)}
+        WHEN 'jpeg' THEN ({jh})
+        ELSE NULL END"""
+    return fmt, width, height

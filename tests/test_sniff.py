@@ -65,3 +65,72 @@ def test_sniff_is_projection_no_shuffle(spark):
     # no UDF: pure JVM expressions (createDataFrame's
     # applySchemaToPythonRDD is a local-fixture artifact, not an eval)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- header-only image dimensions ------------------------------------------
+import struct
+
+from dblp_crawler_spark.operators.sniff import image_dims, image_dims_sql
+
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06" + b"\x00" * 40)
+
+
+def _gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00" + b"\x00" * 40
+
+
+def _bmp(w, h):
+    return (b"BM" + struct.pack("<I", 100) + b"\x00" * 4 + struct.pack("<I", 54)
+            + struct.pack("<I", 40) + struct.pack("<ii", w, h) + b"\x00" * 30)
+
+
+def _jpeg(w, h, n_app=1):
+    b = b"\xff\xd8"
+    for i in range(n_app):
+        payload = b"JFIF\x00" + bytes(5 + i)
+        b += b"\xff\xe0" + struct.pack(">H", 2 + len(payload)) + payload
+    return (b + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 20)
+
+
+def test_image_dims_real_headers_and_duckdb_parity(spark):
+    import duckdb
+
+    rows = [(1, _png(640, 480)), (2, _gif(320, 200)), (3, _bmp(800, 600)),
+            (4, _jpeg(1024, 768)), (5, _jpeg(99, 77, n_app=3)),
+            (6, b"\x00\x01junk"), (7, None), (8, b"\xff\xd8\xff")]
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary")
+    got = [(r.doc_id, r.fmt, r.width, r.height)
+           for r in image_dims(df).select("doc_id", "fmt", "width", "height")
+           .orderBy("doc_id").collect()]
+    assert got[:5] == [(1, "png", 640, 480), (2, "gif", 320, 200),
+                       (3, "bmp", 800, 600), (4, "jpeg", 1024, 768),
+                       (5, "jpeg", 99, 77)]
+    # unknown / NULL / truncated-jpeg all yield NULL dims
+    assert [(g[2], g[3]) for g in got[5:]] == [(None, None)] * 3
+    assert got[5][1] == "octet-stream" and got[7][1] == "jpeg"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, bytes BLOB)")
+    for i, b in rows:
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, b])
+    fmt, w, h = image_dims_sql("h")
+    ducks = [tuple(x) for x in con.sql(
+        f"SELECT doc_id, {fmt} AS fmt, {w} AS width, {h} AS height "
+        f"FROM (SELECT doc_id, substr(hex(bytes),1,128) AS h FROM t) ORDER BY doc_id"
+    ).fetchall()]
+    assert ducks == got
+
+
+def test_image_dims_walk_depth_bound(spark):
+    # more APP segments than JPEG_MAX_HOPS-1: SOF is out of reach —
+    # NULL dims rather than garbage
+    from dblp_crawler_spark.operators.sniff import JPEG_MAX_HOPS
+
+    deep = _jpeg(50, 60, n_app=JPEG_MAX_HOPS)
+    df = spark.createDataFrame([(1, deep)], "doc_id long, bytes binary")
+    r = image_dims(df).collect()[0]
+    assert r.fmt == "jpeg" and r.width is None and r.height is None
