@@ -1446,6 +1446,27 @@ def q_split_leakage_free(spark, sf_dir):
     return T.leakage_free_split(docs.unionByName(copies), val_pct=10)
 
 
+def q_fetch_backoff(spark, sf_dir):
+    """Exponential-backoff retry schedule (operators/scheduler.
+    fetch_backoff) over the events fetch log (url from user_id,
+    ok = event_type != 'error'): per URL the trailing
+    consecutive-failure streak gates next_eligible = last_ts +
+    min(cap, base*2^(s-1)), integer micros end to end — what is
+    ALLOWED to be retried, next to recrawl_schedule's what is WORTH
+    refetching. One url-keyed exchange shared by window and agg;
+    DuckDB replays epoch_us, the streak window, and the shifted
+    power-of-two delay exactly."""
+    from dblp_crawler_spark.operators.scheduler import fetch_backoff
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("https://dblp.org/pid/p"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts"),
+        (F.col("event_type") != "error").alias("ok"),
+    )
+    return fetch_backoff(log)
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Crawl-snapshot delta (operators/recrawl.snapshot_diff): two
     synthesized (url, md5-fingerprint) snapshots — every 19th doc
@@ -1917,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_rules": q_gopher_quality_rules,
         "recrawl_schedule": q_recrawl_schedule,
         "snapshot_diff": q_snapshot_diff,
+        "fetch_backoff": q_fetch_backoff,
         "pii_redaction": q_pii_redaction,
         "tfidf_top_terms": q_tfidf_top_terms,
         "content_sniff": q_content_sniff,
@@ -4095,6 +4117,28 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        "fetch_backoff": """
+            WITH l AS (
+              SELECT 'https://dblp.org/pid/p' || CAST(user_id AS VARCHAR) AS url,
+                     epoch_us(ts) AS m, event_type <> 'error' AS ok
+              FROM events
+            ), w AS (
+              SELECT url, m,
+                     MAX(CASE WHEN ok THEN m END) OVER (PARTITION BY url) AS last_ok
+              FROM l
+            ), s AS (
+              SELECT url,
+                     CAST(SUM(CASE WHEN m > COALESCE(last_ok, -1) THEN 1 ELSE 0 END) AS BIGINT) AS n_fails,
+                     CAST(MAX(m) AS BIGINT) AS last_ts_us
+              FROM w GROUP BY url
+            )
+            SELECT url, n_fails, last_ts_us,
+                   last_ts_us + CASE WHEN n_fails = 0 THEN 0
+                     ELSE least(3600000000000, 1000000 *
+                          (CAST(1 AS BIGINT) << CAST(least(n_fails - 1, 22) AS INTEGER)))
+                   END AS next_eligible_us
+            FROM s
         """,
         "snapshot_diff": """
             WITH o AS (

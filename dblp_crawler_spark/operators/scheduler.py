@@ -147,3 +147,49 @@ def robots_status(df: DataFrame, robots: DataFrame) -> DataFrame:
         F.lit("disallowed"),
     ).otherwise(F.col("status"))
     return joined.withColumn("status", disallowed).drop("disallow_prefixes")
+
+
+def fetch_backoff(log: DataFrame, url_col: str = "url", ts_col: str = "ts",
+                  ok_col: str = "ok", base_ms: int = 1000,
+                  cap_ms: int = 3_600_000, max_exp: int = 22) -> DataFrame:
+    """Exponential-backoff retry schedule from the fetch log: per
+    URL, the trailing consecutive-failure streak `s` (fetches after
+    the last success) gates the earliest next attempt at
+    ``last_ts + min(cap, base * 2^(s-1))``; a URL whose latest fetch
+    succeeded is immediately eligible (delay 0). The schedule a
+    steady-state fetcher runs alongside ``recrawl_priorities`` —
+    that ranks what's WORTH refetching, this says what is ALLOWED to
+    be retried yet, without hammering a host that keeps failing.
+
+    Integer-exact end to end (epoch micros, shifted-power-of-two
+    delays with the exponent clamped at `max_exp` — base 1 s caps at
+    ~70 min of shift headroom long before int64 matters), so the
+    schedule is bit-identical in any engine. Scale shape: ONE
+    url-keyed exchange shared by the last-success window and the
+    collapse aggregation (the quantiles-operator discipline).
+    """
+    base_us, cap_us = base_ms * 1000, cap_ms * 1000
+    # NTZ-safe: cast first (the recrawl-operator convention — UTC
+    # session tz makes it match DuckDB's epoch_us on the same values)
+    m = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(url_col)
+    rows = log.select(
+        F.col(url_col).alias("url"), m.alias("__m"), F.col(ok_col).alias("__ok")
+    ).withColumn("__last_ok", F.max(F.when(F.col("__ok"), F.col("__m"))).over(w))
+    per_url = rows.groupBy("url").agg(
+        F.sum(
+            F.when(F.col("__m") > F.coalesce(F.col("__last_ok"), F.lit(-1)), 1).otherwise(0)
+        ).cast("long").alias("n_fails"),
+        F.max("__m").alias("last_ts_us"),
+    )
+    delay = F.when(F.col("n_fails") == 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(cap_us).cast("long"),
+            F.lit(base_us)
+            * F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(least(n_fails - 1, {max_exp}) AS INT))"),
+        )
+    )
+    return per_url.select(
+        "url", "n_fails", "last_ts_us",
+        (F.col("last_ts_us") + delay).alias("next_eligible_us"),
+    )

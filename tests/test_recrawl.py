@@ -102,3 +102,46 @@ def test_snapshot_diff_single_join_plan(spark):
     new = spark.createDataFrame([("u1", "b")], "url string, fingerprint string")
     plan = snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FullOuter") == 1 and plan.count("Exchange") == 2
+
+
+def test_fetch_backoff_schedule(spark):
+    import datetime
+
+    from dblp_crawler_spark.operators.scheduler import fetch_backoff
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # u1: ok, fail, fail -> streak 2 -> delay 1000ms * 2^1 = 2s
+        ("u1", t(0), True), ("u1", t(10), False), ("u1", t(20), False),
+        # u2: last fetch ok -> eligible immediately
+        ("u2", t(0), False), ("u2", t(5), True),
+        # u3: never ok, 3 fails -> delay 4s
+        ("u3", t(1), False), ("u3", t(2), False), ("u3", t(3), False),
+    ]
+    log = spark.createDataFrame(rows, "url string, ts timestamp, ok boolean")
+    got = {r.url: r for r in fetch_backoff(log, base_ms=1000).collect()}
+    us = lambda s: int(datetime.datetime(2024, 1, 1, 0, 0, s,
+                       tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    assert got["u1"].n_fails == 2 and got["u1"].next_eligible_us == us(20) + 2_000_000
+    assert got["u2"].n_fails == 0 and got["u2"].next_eligible_us == us(5)
+    assert got["u3"].n_fails == 3 and got["u3"].next_eligible_us == us(3) + 4_000_000
+
+
+def test_fetch_backoff_cap_and_single_exchange(spark):
+    import datetime
+
+    from dblp_crawler_spark.operators.scheduler import fetch_backoff
+
+    rows = [("u", datetime.datetime(2024, 1, 1, 0, 0, i), False) for i in range(30)]
+    log = spark.createDataFrame(rows, "url string, ts timestamp, ok boolean")
+    out = fetch_backoff(log, base_ms=1000, cap_ms=3_600_000)
+    # plan BEFORE collect: post-execution AQE toString dumps initial
+    # + final plans and double-counts exchanges
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    r = out.collect()[0]
+    # 30 failures would be 2^29 s uncapped; the cap clamps to 1 h
+    assert r.n_fails == 30
+    assert r.next_eligible_us - r.last_ts_us == 3_600_000 * 1000
