@@ -446,6 +446,10 @@ def test_cdc_chunks_reconstruction_and_robustness(spark):
     b = {r.chunk for r in T.cdc_chunks(docs2, div=8, hash_fn=hash60).collect()}
     a = set(c0)
     assert len(a & b) >= len(a) - 2
+    # window + regroup share ONE doc-keyed exchange (partitioning by
+    # a subset of the grouping keys satisfies the aggregation)
+    plan = T.cdc_chunks(docs, div=8, hash_fn=hash60)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_classifier_calibration_hand_computed(spark):
