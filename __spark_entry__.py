@@ -1395,6 +1395,25 @@ def q_inverted_index(spark, sf_dir):
     return build_inverted_index(docs, k=3, min_df=5)
 
 
+def q_index_delta_update(spark, sf_dir):
+    """Incremental index maintenance (invindex.update_inverted_index):
+    state = uncapped postings of the base corpus (every 17th doc held
+    out), one wave adds the held-out docs and removes every 13th —
+    the serving delta re-ranks ONLY touched terms, O(touched
+    postings) not O(index). The DuckDB oracle performs a FULL REBUILD
+    over the post-wave corpus restricted to the touched-term set —
+    incremental == rebuild IS the correctness statement."""
+    from dblp_crawler_spark.operators.invindex import postings, update_inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 17 != 0)
+    added = docs.filter(F.col("doc_id") % 17 == 0)
+    removed = base.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    state = postings(base)
+    _, delta = update_inverted_index(state, added, removed, k=3, min_df=5)
+    return delta
+
+
 def q_index_search_and(spark, sf_dir):
     """Conjunctive boolean search over the postings: top-10 docs
     containing ALL of {spark, join, window}, ranked by summed term
@@ -1945,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "sketch_quantiles": q_sketch_quantiles,
         "inverted_index": q_inverted_index,
+        "index_delta_update": q_index_delta_update,
         "index_search_and": q_index_search_and,
         "index_search_bm25": q_index_search_bm25,
         "hash_split": q_hash_split,
@@ -4068,6 +4088,28 @@ def oracle_sql() -> dict[str, str]:
                         THEN (CAST(1 AS BIGINT) << CAST(p99_bucket + 1 AS INT)) - 1
                         ELSE 0 END AS p99_ub
             FROM agg
+        """,
+        "index_delta_update": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ), touched AS (
+              SELECT DISTINCT term FROM toks
+              WHERE doc_id % 17 = 0 OR (doc_id % 17 <> 0 AND doc_id % 13 = 0)
+            ), tf AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM toks
+              WHERE (doc_id % 17 = 0 OR doc_id % 13 <> 0)
+                AND term IN (SELECT term FROM touched)
+              GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) >= 5
+            )
+            SELECT term, df, rk, doc_id, tf
+            FROM (
+              SELECT tf.term, dfreq.df, tf.doc_id, tf.tf,
+                     ROW_NUMBER() OVER (PARTITION BY tf.term
+                         ORDER BY tf.tf DESC, tf.doc_id ASC) AS rk
+              FROM tf JOIN dfreq USING (term))
+            WHERE rk <= 3
         """,
         "inverted_index": f"""
             WITH toks AS (

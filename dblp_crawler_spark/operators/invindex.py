@@ -49,6 +49,23 @@ def postings(docs: DataFrame, text_col: str = "text",
     return toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
 
 
+def cap_postings(per: DataFrame, k: int = 10, min_df: int = 1) -> DataFrame:
+    """(term, doc_id, tf) postings → the capped serving shape:
+    per-term top-`k` by (tf DESC, doc_id ASC) + EXACT pre-cap df,
+    hapax pruning below `min_df`. df join and rank window share the
+    term-keyed exchange."""
+    df_ = per.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        df_ = df_.filter(F.col("df") >= int(min_df))
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        per.join(df_, "term")  # same key as the window → one exchange
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .select("term", "df", F.col("rk").cast("long").alias("rk"), "doc_id", "tf")
+    )
+
+
 def build_inverted_index(docs: DataFrame, k: int = 10, min_df: int = 1,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
@@ -60,17 +77,49 @@ def build_inverted_index(docs: DataFrame, k: int = 10, min_df: int = 1,
 
     Returns (term, df, rk, doc_id, tf), rk = 1..k.
     """
-    per = postings(docs, text_col=text_col, id_col=id_col)
-    df_ = per.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    if min_df > 1:
-        df_ = df_.filter(F.col("df") >= int(min_df))
-    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
-    return (
-        per.join(df_, "term")  # same key as the window → one exchange
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= int(k))
-        .select("term", "df", F.col("rk").cast("long").alias("rk"), "doc_id", "tf")
+    return cap_postings(
+        postings(docs, text_col=text_col, id_col=id_col), k=k, min_df=min_df
     )
+
+
+def update_inverted_index(state: DataFrame, added_docs: DataFrame,
+                          removed_ids: DataFrame, k: int = 10, min_df: int = 1,
+                          text_col: str = "text", id_col: str = "doc_id"):
+    """Incremental index maintenance: given the UNCAPPED postings
+    state and a wave's (added docs, removed doc ids), produce
+    (new_state, serving_delta) where `serving_delta` is the capped
+    index REBUILT ONLY FOR TOUCHED TERMS — terms occurring in any
+    added or removed document. Untouched terms (the overwhelming
+    majority per wave) are never re-ranked, so refresh cost is
+    O(postings of touched terms), not O(index).
+
+    Exactness contract (what makes incremental trustworthy): the
+    delta equals a full rebuild restricted to the touched-term set —
+    the driver oracle literally checks incremental == rebuild. The
+    state must be the UNCAPPED postings (a capped index cannot be
+    maintained exactly: evicting a top-k doc needs the postings the
+    cap threw away). df is recomputed from the new state, so cap and
+    hapax pruning stay exact after every wave.
+
+    Serving-side MERGE contract: delete the touched terms, insert
+    the delta — a term whose df fell below `min_df` (or vanished)
+    simply has no delta rows and disappears with the delete. The
+    removal set broadcasts (per-wave deletes are small; swap for a
+    shuffle join if yours are not).
+    """
+    add_p = postings(added_docs, text_col=text_col, id_col=id_col)
+    rem = removed_ids.select(F.col(id_col).alias("doc_id")).distinct()
+    rem_p = state.join(F.broadcast(rem), "doc_id", "left_semi")
+    new_state = (
+        state.join(F.broadcast(rem), "doc_id", "left_anti")
+        .select("term", "doc_id", "tf")  # using-column join moved doc_id first
+        .unionByName(add_p)
+    )
+    touched = add_p.select("term").union(rem_p.select("term")).distinct()
+    delta = cap_postings(
+        new_state.join(touched, "term", "left_semi"), k=k, min_df=min_df
+    )
+    return new_state, delta
 
 
 def search_and(docs: DataFrame, terms: list[str], k: int = 10,

@@ -124,3 +124,54 @@ def test_bm25_plan_shapes(spark):
     plan = _plan(search_bm25(df, ["spark", "join"], k=5))
     assert "TakeOrderedAndProject" in plan  # global top-k, no full sort
     assert "BroadcastHashJoin" in plan      # query broadcast into tokens
+
+
+def test_index_delta_update_equals_rebuild(spark):
+    from dblp_crawler_spark.operators.invindex import (
+        postings,
+        update_inverted_index,
+    )
+
+    base_rows = [(i, f"common shared w{i % 3} text token{i}") for i in range(20)]
+    docs = spark.createDataFrame(base_rows, "doc_id long, text string")
+    added = spark.createDataFrame(
+        [(100, "common fresh text"), (101, "fresh token5 words")],
+        "doc_id long, text string")
+    removed = spark.createDataFrame([(3,), (7,)], "doc_id long")
+
+    state = postings(docs)
+    new_state, delta = update_inverted_index(state, added, removed, k=3, min_df=2)
+
+    # 1) new state == postings of the post-wave corpus
+    post = docs.filter(~F.col("doc_id").isin(3, 7)).unionByName(added)
+    want_state = {tuple(r) for r in postings(post).collect()}
+    assert {tuple(r) for r in new_state.collect()} == want_state
+
+    # 2) delta == full rebuild restricted to touched terms
+    touched = {r.term for r in postings(added).select("term").union(
+        state.join(removed.select(F.col("doc_id")), "doc_id", "left_semi")
+        .select("term")).distinct().collect()}
+    from dblp_crawler_spark.operators.invindex import build_inverted_index
+    full = build_inverted_index(post, k=3, min_df=2)
+    want_delta = {tuple(r) for r in full.collect() if r.term in touched}
+    assert {tuple(r) for r in delta.collect()} == want_delta
+
+    # 3) untouched terms never appear in the delta
+    assert all(r.term in touched for r in delta.collect())
+
+
+def test_index_delta_vanishing_term(spark):
+    from dblp_crawler_spark.operators.invindex import postings, update_inverted_index
+
+    # 'rare' appears only in docs 1,2; removing both drops it below
+    # min_df=2 -> no delta rows (serving MERGE deletes it)
+    docs = spark.createDataFrame(
+        [(1, "rare common"), (2, "rare common"), (3, "common common")],
+        "doc_id long, text string")
+    empty_add = spark.createDataFrame([], "doc_id long, text string")
+    removed = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    _, delta = update_inverted_index(postings(docs), empty_add, removed, k=3, min_df=2)
+    terms = {r.term for r in delta.collect()}
+    assert "rare" not in terms
+    assert "common" not in terms or True  # common df falls to 1 as well -> pruned
+    assert terms == set()  # both touched terms dropped below min_df
