@@ -278,6 +278,32 @@ def q_link_trustrank(spark, sf_dir):
     return tr.select(F.col("id").alias("doc_id"), "trust_int")
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Host-level weighted PageRank (operators/pagerank.
+    pagerank_weighted): the planted page link graph projected to
+    hosts (doc/dst mod 40) with parallel links collapsed into count
+    weights — the granularity a crawl actually prioritizes, at
+    ~1000x fewer edge rows per iteration than page-level rank, and
+    (slightly) MORE exact: one (r*w) div sw division per edge loses
+    nothing where the expanded multigraph evaporates r mod sw.
+    Oracle unrolls 4 weighted iterations as chained CTEs."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.pagerank import pagerank_weighted
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    edges = None
+    for j in (1, 2, 3):
+        ej = docs.crossJoin(n).select(
+            (F.col("doc_id") % 40).alias("src"),
+            ((hash60("doc_id", j) % F.col("n")) % 40).alias("dst"),
+        )
+        edges = ej if edges is None else edges.union(ej)
+    hosts = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    pr = pagerank_weighted(hosts, iters=4)
+    return pr.select(F.col("id").alias("host_id"), "rank_int")
+
+
 def q_link_hits(spark, sf_dir):
     """Hub/authority frontier scoring: integer-exact HITS
     (operators/hits.py) over the same planted 3-out-degree
@@ -1981,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_pagerank": q_frontier_pagerank,
         "link_hits": q_link_hits,
         "link_trustrank": q_link_trustrank,
+        "host_pagerank": q_host_pagerank,
         "anchor_text_agg": q_anchor_text_agg,
         "host_budget_alloc": q_host_budget_alloc,
         "robots_parse": q_robots_parse,
@@ -2225,6 +2252,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "link_hits": _hits_oracle(),
         "link_trustrank": _trustrank_oracle(),
         "classifier_calibration": _calibration_oracle(),
+        "host_pagerank": _host_pagerank_oracle(),
         "cdc_chunking": _cdc_oracle(),
         "bpe_train": _bpe_oracle(),
         "bpe_encode": _bpe_encode_oracle(),
@@ -2653,6 +2681,41 @@ def _cdc_oracle(div: int = 16) -> str:
                CAST(c.n AS BIGINT) AS n_tokens, c.ch AS chunk
         FROM u WHERE c.n > 0
     """
+
+
+def _host_pagerank_oracle(iters: int = 4) -> str:
+    """DuckDB replay of q_host_pagerank: host projection with count
+    weights, then `iters` unrolled weighted iterations — share =
+    (r * w) // sw, damped as (85*m)//100 + base, r0 = 10^9. SUMs
+    cast back from HUGEINT."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    r0 = 10**9
+    base = (r0 * 15) // 100
+    edges_union = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id % 40 AS src, ({H('doc_id', j)} % (SELECT n FROM nn)) % 40 AS dst FROM documents"
+        for j in (1, 2, 3)
+    )
+    ctes = [
+        "nn AS (SELECT COUNT(*) AS n FROM documents)",
+        f"e0 AS (\n            {edges_union}\n        )",
+        "he AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM e0 GROUP BY src, dst)",
+        "swt AS (SELECT src, CAST(SUM(w) AS BIGINT) AS sw FROM he GROUP BY src)",
+        "e AS (SELECT he.src, he.dst, he.w, swt.sw FROM he JOIN swt USING (src))",
+        "nodes AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM he UNION ALL SELECT dst AS id FROM he))",
+        f"pr0 AS (SELECT id, CAST({r0} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""pr{i} AS (
+          SELECT n.id, CAST({base} + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS id, CAST(SUM((rr.r * e.w) // e.sw) AS BIGINT) AS m
+            FROM e JOIN pr{i - 1} rr ON e.src = rr.id GROUP BY e.dst
+          ) s ON n.id = s.id
+        )""")
+    body = ",\n        ".join(ctes)
+    return f"WITH {body}\n        SELECT id AS host_id, r AS rank_int FROM pr{iters}"
 
 
 def _trustrank_oracle(iters: int = 4) -> str:

@@ -207,3 +207,88 @@ def trustrank_py(edge_list, seed_ids, iters=4, r0=R0_DEFAULT, damp_num=85, damp_
             for n in nodes
         }
     return rank
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 4,
+    r0: int = 10**9,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Integer-exact PageRank over a WEIGHTED edge list — the host-
+    graph form: a crawl prioritizes hosts, and projecting the page
+    graph to hosts collapses parallel links into one edge with a
+    count weight (10^10 page edges → ~10^7 host edges; running the
+    unweighted operator on the page graph would shuffle 1000× the
+    rows every iteration for the same answer).
+
+    Share arithmetic: node u sends ``(r * w) div sw`` along each
+    out-edge, sw = u's total out-weight — exact, order-independent,
+    bit-identical in any engine. Overflow bound: r * w must stay
+    below 2^63; with the default r0 = 10^9 the damped rank stays
+    ~O(r0 * N / 1), leaving headroom for weights up to ~10^9/N-ish —
+    shrink r0 (or pre-normalize weights) for heavier graphs; the
+    default is safe for host graphs up to ~10^5 hosts with
+    million-scale link counts.
+
+    Scale shape identical to :func:`pagerank`: per iteration one
+    equi-join + one hash agg + one left join, all node-keyed,
+    lineage checkpointed per round.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    sw = edges.groupBy(src).agg(F.sum(weight).alias("sw"))
+    e = (
+        edges.join(sw, src)
+        .select(F.col(src).alias("esrc"), F.col(dst).alias("edst"),
+                F.col(weight).alias("ew"), "sw")
+        .localCheckpoint()
+    )
+    base = (r0 * (damp_den - damp_num)) // damp_den
+    rank = nodes.select("id", F.lit(r0).cast("long").alias("r")).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            e.join(rank.select(F.col("id").alias("esrc"), "r"), "esrc")
+            .select(F.col("edst").alias("id"), F.expr("(r * ew) div sw").alias("share"))
+            .groupBy("id")
+            .agg(F.sum("share").alias("m"))
+        )
+        rank = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damp_num} * coalesce(m, CAST(0 AS BIGINT))) div {damp_den}")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return rank.select("id", F.col("r").alias("rank_int"))
+
+
+def pagerank_weighted_py(edge_list, iters=4, r0=10**9, damp_num=85, damp_den=100):
+    """Pure-Python reference of :func:`pagerank_weighted`
+    (edge_list: (src, dst, w) triples), used by tests."""
+    nodes = sorted({u for u, _, _ in edge_list} | {v for _, v, _ in edge_list})
+    sw: dict = {}
+    for u, _, w in edge_list:
+        sw[u] = sw.get(u, 0) + w
+    base = (r0 * (damp_den - damp_num)) // damp_den
+    rank = {n: r0 for n in nodes}
+    for _ in range(iters):
+        m = {n: 0 for n in nodes}
+        for u, v, w in edge_list:
+            m[v] += (rank[u] * w) // sw[u]
+        rank = {n: base + (damp_num * m[n]) // damp_den for n in nodes}
+    return rank

@@ -105,3 +105,47 @@ def test_trustrank_trust_decays_with_distance(spark):
     edges = [(0, 1), (1, 2), (2, 3)]
     got = _run_tr(spark, edges, [0], iters=6)
     assert got[0] > got[1] > got[2] > got[3] >= 0
+
+
+# ---- weighted (host-graph) PageRank ----------------------------------------
+from dblp_crawler_spark.operators.pagerank import pagerank_weighted, pagerank_weighted_py
+
+
+def _run_w(spark, triples, parts=4, **kw):
+    df = spark.createDataFrame(triples, "src long, dst long, w long").repartition(parts)
+    got = pagerank_weighted(df, **kw).collect()
+    return {r["id"]: r["rank_int"] for r in got}
+
+
+def test_weighted_pagerank_matches_python_reference(spark):
+    rng = random.Random(47)
+    for trial in range(3):
+        n = 20 + 10 * trial
+        triples = [(rng.randrange(n), rng.randrange(n), rng.randrange(1, 50))
+                   for _ in range(3 * n)]
+        assert _run_w(spark, triples, iters=4) == pagerank_weighted_py(triples, iters=4)
+
+
+def test_weighted_tighter_than_expanded_multigraph(spark):
+    # A weight-w edge vs w parallel unit edges: the weighted form
+    # computes (r*w) div sw in ONE division — exactly lossless here
+    # (single out-neighbor: (r*3) div 3 == r) — while the expanded
+    # multigraph sends w copies of r div sw and evaporates r mod sw.
+    # Host projection is therefore not just 1000× cheaper, it is
+    # (slightly) MORE exact; pin both facts.
+    triples = [(0, 1, 3), (1, 2, 5), (2, 0, 2)]
+    expanded = [(u, v) for u, v, w in triples for _ in range(w)]
+    got_w = _run_w(spark, triples, iters=4, r0=10**12)
+    assert got_w == pagerank_weighted_py(triples, iters=4, r0=10**12)
+    got_u = {r["id"]: r["rank_int"] for r in pagerank(
+        spark.createDataFrame(expanded, "src long, dst long"), iters=4).collect()}
+    assert all(got_w[n] >= got_u[n] for n in got_w)      # never lossier
+    assert got_w == {n: 10**12 for n in (0, 1, 2)}       # cycle: exact fixpoint
+    assert any(got_u[n] < 10**12 for n in got_u)         # expanded evaporates
+
+
+def test_weighted_pagerank_weight_dominance(spark):
+    # hub 0 links to 1 (weight 9) and 2 (weight 1): node 1 must
+    # outrank node 2
+    got = _run_w(spark, [(0, 1, 9), (0, 2, 1)], iters=3)
+    assert got[1] > got[2]
