@@ -1605,6 +1605,19 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode_counts(docs, bpe_train(docs, n_merges=6))
 
 
+def q_table_profile(spark, sf_dir):
+    """One-pass ANALYZE-style column profile (textstats.
+    profile_table) of the TPC-H orders table: per column — total
+    rows, nulls, exact distinct count — the null-rate-spike /
+    cardinality-collapse corruption tells a pipeline checks before
+    training on a table. ONE aggregation job (multi-distinct Expand;
+    approx_count_distinct is the documented 100 TB path). min/max
+    are computed but projected out here: float/timestamp string
+    rendering is engine-specific (pinned in unit tests instead)."""
+    orders = _t(spark, sf_dir, "orders")
+    return T.profile_table(orders).select("column", "n", "n_null", "n_distinct")
+
+
 def q_corpus_mix(spark, sf_dir):
     """Corpus composition rollup per (source, predicted lang):
     doc count, token sum, mean quality — the report a curation run
@@ -1984,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "snapshot_diff": q_snapshot_diff,
         "fetch_backoff": q_fetch_backoff,
+        "table_profile": q_table_profile,
         "pii_redaction": q_pii_redaction,
         "tfidf_top_terms": q_tfidf_top_terms,
         "content_sniff": q_content_sniff,
@@ -4223,6 +4237,13 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
         """,
+        "table_profile": "\n            UNION ALL ".join(
+            f"SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"
+            for c in ("o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_totalprice", "o_orderdate", "o_orderpriority")
+        ),
         "fetch_backoff": """
             WITH l AS (
               SELECT 'https://dblp.org/pid/p' || CAST(user_id AS VARCHAR) AS url,

@@ -770,3 +770,47 @@ def cdc_chunks(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         )
         .select(id_col, "chunk_idx", "n_tokens", "chunk")
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  exact_distinct: bool = True) -> DataFrame:
+    """One-pass ANALYZE-style column profile: per column —
+    (column, n total rows, n_null, n_distinct non-null, min_str,
+    max_str). The data-quality gate a pipeline runs before training
+    on (or publishing) a table: null-rate spikes and cardinality
+    collapses are the two cheapest corruption tells.
+
+    ONE aggregation job over the table. With `exact_distinct` the
+    plan uses Spark's multi-distinct Expand (rows replicated
+    ~#columns× pre-shuffle — exact, and what the DuckDB oracle can
+    replay); at 100 TB flip it off for approx_count_distinct (HLL,
+    no Expand, one ordinary partial agg) and accept ±2%.
+    min/max are emitted as strings so heterogeneous column types fit
+    one long-format result (floats render engine-specifically —
+    compare them numerically, not through this projection).
+    """
+    cols = columns or df.columns
+    cd = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__nn_{c}"),
+            cd(F.col(c)).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', __n - __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return one.select(
+        "__n",
+        F.expr(
+            f"stack({len(cols)}, {parts}) AS (column, n_null, n_distinct, min_str, max_str)"
+        ),
+    ).select(
+        "column", F.col("__n").cast("long").alias("n"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_str", "max_str",
+    )

@@ -452,6 +452,23 @@ def test_cdc_chunks_reconstruction_and_robustness(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_profile_table_stats_and_minmax(spark):
+    rows = [(1, "a", 2.5), (2, "b", None), (3, None, 0.5), (3, "b", 9.0)]
+    df = spark.createDataFrame(rows, "k long, s string, v double")
+    got = {r.column: r for r in T.profile_table(df).collect()}
+    assert set(got) == {"k", "s", "v"}
+    assert all(r.n == 4 for r in got.values())
+    assert (got["k"].n_null, got["k"].n_distinct) == (0, 3)
+    assert (got["s"].n_null, got["s"].n_distinct) == (1, 2)
+    assert (got["v"].n_null, got["v"].n_distinct) == (1, 3)
+    assert got["k"].min_str == "1" and got["k"].max_str == "3"
+    assert got["s"].min_str == "a" and got["s"].max_str == "b"
+    assert got["v"].min_str == "0.5" and got["v"].max_str == "9.0"
+    # single aggregation job: exactly one Expand-backed agg, no joins
+    plan = T.profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
 def test_classifier_calibration_hand_computed(spark):
     rows = [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.2, 0)]
     df = spark.createDataFrame(rows, "score double, label int")
