@@ -446,6 +446,64 @@ def q_sitemap_discover(spark, sf_dir):
     return sitemap_entries(pages).join(seen, "url", "left_anti")
 
 
+def q_sitemap_index_expand(spark, sf_dir):
+    """Two-level sitemap discovery (webparse.sitemap_index_urls +
+    sitemap_entries): each host shards its urlset into two child
+    sitemaps behind a sitemapindex (the 50k-URL protocol cap forces
+    this nesting on real sites); the pipeline extracts raw-spelled
+    child locs from the index, joins them CANONICALIZED against the
+    fetched page store, and parses the child bodies into page URLs —
+    proving the index tier round-trips through the same
+    canonical-join discipline as page discovery. Fully replayed by
+    DuckDB (sitemap_index_urls_sql + sitemap_entries_sql)."""
+    from dblp_crawler_spark.sources.webparse import sitemap_entries, sitemap_index_urls
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hh = (F.col("doc_id") % 40).cast("string")
+    did = F.col("doc_id").cast("string")
+    cc = (F.col("doc_id") % 2).cast("string")
+    urlblk = F.concat(
+        F.lit("<url><loc>HTTP://H"), hh, F.lit(".ORG:80/page/"), did,
+        F.lit("/#f</loc></url>"),
+    )
+    children = (
+        docs.select(
+            F.concat(F.lit("http://h"), hh, F.lit(".org/sitemap"), cc, F.lit(".xml")).alias("url"),
+            urlblk.alias("blk"),
+        )
+        .groupBy("url")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.sort_array(F.collect_list("blk")), ""),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    idxblk = F.concat(
+        F.lit("<sitemap><loc>HTTP://H"), hh, F.lit(".ORG:80/sitemap"), cc,
+        F.lit(".xml</loc></sitemap>"),
+    )
+    index = (
+        docs.select(F.concat(F.lit("h"), hh, F.lit(".org")).alias("host"), idxblk.alias("blk"))
+        .distinct()
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.array_join(F.sort_array(F.collect_list("blk")), ""),
+                F.lit("</sitemapindex>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    fetched = (
+        sitemap_index_urls(index)
+        .join(children, F.col("sitemap_url") == F.col("url"))
+        .select("host", F.col("xml").alias("sitemap_xml"))
+    )
+    return sitemap_entries(fetched).select("host", "url")
+
+
 def q_warc_parse(spark, sf_dir):
     """Text-mode WARC/1.0 segment parsing (sources/webparse.
     warc_records): per-host segments are synthesized from the
@@ -2026,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget_alloc": q_host_budget_alloc,
         "robots_parse": q_robots_parse,
         "sitemap_discover": q_sitemap_discover,
+        "sitemap_index_expand": q_sitemap_index_expand,
         "warc_parse": q_warc_parse,
         "image_header_dims": q_image_header_dims,
         "line_dedup": q_line_dedup,
@@ -2293,6 +2352,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         """,
         "robots_parse": _robots_parse_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
+        "sitemap_index_expand": _sitemap_index_oracle(),
         "warc_parse": _warc_parse_oracle(),
         "image_header_dims": _image_dims_oracle(),
         "line_dedup": _line_dedup_oracle(),
@@ -3044,6 +3104,50 @@ def _sitemap_discover_oracle() -> str:
                  || CAST(doc_id AS VARCHAR)
           FROM documents WHERE doc_id % 3 = 0
         )
+    """
+
+
+def _sitemap_index_oracle() -> str:
+    """DuckDB replay of q_sitemap_index_expand: identical planted
+    child urlsets + sitemapindex files, index parse via
+    sitemap_index_urls_sql, canonical join against the page store,
+    child parse via sitemap_entries_sql (lastmod projected out)."""
+    from dblp_crawler_spark.sources.webparse import (
+        sitemap_entries_sql,
+        sitemap_index_urls_sql,
+    )
+
+    idx = sitemap_index_urls_sql("index_pages").strip()
+    ent = sitemap_entries_sql("fetched").strip()
+    return f"""
+        WITH children AS (
+          SELECT 'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.org/sitemap'
+                   || CAST(doc_id % 2 AS VARCHAR) || '.xml' AS url,
+                 '<urlset>' || string_agg(
+                   '<url><loc>HTTP://H' || CAST(doc_id % 40 AS VARCHAR)
+                   || '.ORG:80/page/' || CAST(doc_id AS VARCHAR) || '/#f</loc></url>',
+                   '' ORDER BY '<url><loc>HTTP://H' || CAST(doc_id % 40 AS VARCHAR)
+                   || '.ORG:80/page/' || CAST(doc_id AS VARCHAR) || '/#f</loc></url>')
+                 || '</urlset>' AS xml
+          FROM documents GROUP BY 1
+        ), index_pages AS (
+          SELECT host, '<sitemapindex>' || string_agg(blk, '' ORDER BY blk) || '</sitemapindex>' AS sitemap_xml
+          FROM (
+            SELECT DISTINCT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.org' AS host,
+                   '<sitemap><loc>HTTP://H' || CAST(doc_id % 40 AS VARCHAR)
+                   || '.ORG:80/sitemap' || CAST(doc_id % 2 AS VARCHAR)
+                   || '.xml</loc></sitemap>' AS blk
+            FROM documents
+          ) GROUP BY host
+        ), idxu AS (
+          {idx}
+        ), fetched AS (
+          SELECT i.host, c.xml AS sitemap_xml
+          FROM idxu i JOIN children c ON i.sitemap_url = c.url
+        ), ent AS (
+          {ent}
+        )
+        SELECT host, url FROM ent
     """
 
 

@@ -205,6 +205,48 @@ def sitemap_entries_sql(src: str = "sitemap_pages", keep: str = "host") -> str:
     """
 
 
+#: one <sitemap>…</sitemap> record of a sitemapindex (nested tier)
+_SM_INDEX_BLOCK_RE = r"(?s)<sitemap>(.*?)</sitemap>"
+
+
+def sitemap_index_urls(pages: DataFrame, xml_col: str = "sitemap_xml",
+                       keep: list | None = None) -> DataFrame:
+    """Child-sitemap URLs from sitemapindex XML — the nested tier of
+    real-world discovery (large sites shard their urlsets behind one
+    index; the 50k-URL protocol cap forces it). One row per child
+    <sitemap><loc>, canonicalized; join the result against the
+    fetched page store and feed the bodies back through
+    :func:`sitemap_entries` for the full two-level expansion (the
+    driver entry does exactly that round trip)."""
+    from ..functions.urlnorm import canonical_url
+
+    cols = keep if keep is not None else [c for c in pages.columns if c != xml_col]
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(_SM_INDEX_BLOCK_RE), 1)
+    return (
+        pages.select(*cols, F.explode(blocks).alias("blk"))
+        .withColumn("raw_loc", F.regexp_extract("blk", _SM_LOC_RE, 1))
+        .filter(F.col("raw_loc") != "")
+        .select(*cols, canonical_url("raw_loc").alias("sitemap_url"))
+    )
+
+
+def sitemap_index_urls_sql(src: str = "index_pages", keep: str = "host") -> str:
+    """DuckDB replay of :func:`sitemap_index_urls` over ``src``."""
+    from ..functions.urlnorm import canonical_url_sql
+
+    return f"""
+        SELECT {keep}, {canonical_url_sql('raw_loc')} AS sitemap_url
+        FROM (
+          SELECT {keep}, regexp_extract(blk, '{_SM_LOC_RE}', 1) AS raw_loc
+          FROM (
+            SELECT {keep},
+                   unnest(regexp_extract_all(sitemap_xml, '{_SM_INDEX_BLOCK_RE}', 1)) AS blk
+            FROM {src}
+          )
+        ) WHERE raw_loc <> ''
+    """
+
+
 # ---- WARC records ----------------------------------------------------------
 #
 # Text-mode WARC/1.0 record parsing: the interchange format every

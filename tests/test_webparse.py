@@ -196,3 +196,26 @@ def test_html_to_text_is_pure_projection(spark):
     df = spark.range(10).select(F.format_string("<p>row %d</p>", "id").alias("html"))
     plan = df.select(html_to_text("html").alias("t"))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_sitemap_index_two_level_expansion(spark):
+    from dblp_crawler_spark.sources.webparse import sitemap_entries, sitemap_index_urls
+
+    index = ("<sitemapindex>"
+             "<sitemap><loc>HTTP://E.org:80/sm1.xml</loc></sitemap>"
+             "<sitemap><loc>http://e.org/sm2.xml</loc></sitemap>"
+             "<sitemap><lastmod>2024-01-01</lastmod></sitemap>"  # loc-less: dropped
+             "</sitemapindex>")
+    idx = spark.createDataFrame([("e.org", index)], "host string, sitemap_xml string")
+    kids = sitemap_index_urls(idx)
+    assert sorted(r.sitemap_url for r in kids.collect()) == [
+        "http://e.org/sm1.xml", "http://e.org/sm2.xml"]
+    store = spark.createDataFrame(
+        [("http://e.org/sm1.xml", "<urlset><url><loc>http://e.org/a</loc></url></urlset>"),
+         ("http://e.org/sm2.xml", "<urlset><url><loc>http://e.org/b</loc></url></urlset>")],
+        "url string, xml string")
+    from pyspark.sql import functions as F
+    fetched = kids.join(store, kids.sitemap_url == store.url).select(
+        "host", F.col("xml").alias("sitemap_xml"))
+    got = sorted(r.url for r in sitemap_entries(fetched).collect())
+    assert got == ["http://e.org/a", "http://e.org/b"]
