@@ -398,20 +398,10 @@ def q_robots_parse(spark, sf_dir):
     return parse_robots(pages)
 
 
-def q_sitemap_discover(spark, sf_dir):
-    """Sitemap-driven frontier discovery (sources/webparse.
-    sitemap_entries): per-host urlset XML is synthesized from the
-    documents table (raw-spelling <loc>s — uppercase scheme/host,
-    explicit :80, trailing slash, fragment — plus <lastmod> on 4 of
-    5 records), parsed back into (url, lastmod DATE|NULL) records,
-    and anti-joined against a planted canonical seen set — the bulk
-    discovery channel next to robots_parse, keyed on CANONICAL form
-    so re-spelled locs can never re-enter the frontier. The DuckDB
-    oracle replays the whole round trip (sitemap_entries_sql +
-    canonical_url_sql)."""
-    from dblp_crawler_spark.sources.webparse import sitemap_entries
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+def _planted_sitemap_pages(docs):
+    """Shared planted per-host urlset XML (raw-spelling locs,
+    lastmod on 4 of 5 records) used by q_sitemap_discover and
+    q_fetch_plan — kept in one place so their oracles stay aligned."""
     hh = (F.col("doc_id") % 40).cast("string")
     did = F.col("doc_id").cast("string")
     lm = F.concat(
@@ -429,7 +419,7 @@ def q_sitemap_discover(spark, sf_dir):
         ).otherwise(F.lit("")),
         F.lit("</url>"),
     )
-    pages = (
+    return (
         docs.select(F.concat(F.lit("h"), hh, F.lit(".org")).alias("host"), blk.alias("blk"))
         .groupBy("host")
         .agg(
@@ -440,10 +430,55 @@ def q_sitemap_discover(spark, sf_dir):
             ).alias("sitemap_xml")
         )
     )
-    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+
+
+def _planted_canonical_urls(docs, mod: int):
+    """Canonical spellings of every `mod`-th planted page URL."""
+    hh = (F.col("doc_id") % 40).cast("string")
+    did = F.col("doc_id").cast("string")
+    return docs.filter(F.col("doc_id") % mod == 0).select(
         F.concat(F.lit("http://h"), hh, F.lit(".org/page/"), did).alias("url")
     )
+
+
+def q_sitemap_discover(spark, sf_dir):
+    """Sitemap-driven frontier discovery (sources/webparse.
+    sitemap_entries): per-host urlset XML is synthesized from the
+    documents table (raw-spelling <loc>s — uppercase scheme/host,
+    explicit :80, trailing slash, fragment — plus <lastmod> on 4 of
+    5 records), parsed back into (url, lastmod DATE|NULL) records,
+    and anti-joined against a planted canonical seen set — the bulk
+    discovery channel next to robots_parse, keyed on CANONICAL form
+    so re-spelled locs can never re-enter the frontier. The DuckDB
+    oracle replays the whole round trip (sitemap_entries_sql +
+    canonical_url_sql)."""
+    from dblp_crawler_spark.sources.webparse import sitemap_entries
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = _planted_sitemap_pages(docs)
+    seen = _planted_canonical_urls(docs, 3)
     return sitemap_entries(pages).join(seen, "url", "left_anti")
+
+
+def q_fetch_plan(spark, sf_dir):
+    """Discovery-side freshness triage (operators/recrawl.
+    fetch_plan): the parsed sitemap entries (url, lastmod|NULL) join
+    the fetch state (every 3rd page fetched on 2024-06-15) and split
+    into fetch / revalidate / skip — never-fetched and
+    sitemap-says-changed URLs are fetched, fetched-but-lastmod-less
+    URLs get a conditional GET, and provably-fresh URLs cost zero
+    bytes BEFORE scheduling spends politeness budget on them. ONE
+    url-keyed left join; DuckDB replays parse, state, and the CASE
+    exactly."""
+    from dblp_crawler_spark.operators.recrawl import fetch_plan
+    from dblp_crawler_spark.sources.webparse import sitemap_entries
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ent = sitemap_entries(_planted_sitemap_pages(docs)).select("url", "lastmod")
+    state = _planted_canonical_urls(docs, 3).select(
+        "url", F.to_date(F.lit("2024-06-15")).alias("last_fetch")
+    )
+    return fetch_plan(ent, state)
 
 
 def q_sitemap_index_expand(spark, sf_dir):
@@ -2085,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
+        "fetch_plan": q_fetch_plan,
         "warc_parse": q_warc_parse,
         "image_header_dims": q_image_header_dims,
         "line_dedup": q_line_dedup,
@@ -2353,6 +2389,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "robots_parse": _robots_parse_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
+        "fetch_plan": _fetch_plan_oracle(),
         "warc_parse": _warc_parse_oracle(),
         "image_header_dims": _image_dims_oracle(),
         "line_dedup": _line_dedup_oracle(),
@@ -3104,6 +3141,44 @@ def _sitemap_discover_oracle() -> str:
                  || CAST(doc_id AS VARCHAR)
           FROM documents WHERE doc_id % 3 = 0
         )
+    """
+
+
+def _fetch_plan_oracle() -> str:
+    """DuckDB replay of q_fetch_plan: the shared planted urlsets
+    (same CTEs as the discover oracle), sitemap_entries_sql, then
+    the state left join and action CASE."""
+    from dblp_crawler_spark.sources.webparse import sitemap_entries_sql
+
+    ent = sitemap_entries_sql("sitemap_pages").strip()
+    return f"""
+        WITH blks AS (
+          SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.org' AS host,
+                 '<url><loc>HTTP://H' || CAST(doc_id % 40 AS VARCHAR)
+                 || '.ORG:80/page/' || CAST(doc_id AS VARCHAR) || '/#frag</loc>'
+                 || CASE WHEN doc_id % 5 <> 0 THEN
+                      '<lastmod>2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                      || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod>'
+                    ELSE '' END
+                 || '</url>' AS blk
+          FROM documents
+        ), sitemap_pages AS (
+          SELECT host, '<urlset>' || string_agg(blk, '' ORDER BY blk) || '</urlset>' AS sitemap_xml
+          FROM blks GROUP BY host
+        ), ent AS (
+          {ent}
+        ), state AS (
+          SELECT 'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.org/page/'
+                 || CAST(doc_id AS VARCHAR) AS url,
+                 CAST('2024-06-15' AS DATE) AS last_fetch
+          FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT e.url, e.lastmod, s.last_fetch,
+               CASE WHEN s.last_fetch IS NULL THEN 'fetch'
+                    WHEN e.lastmod IS NULL THEN 'revalidate'
+                    WHEN e.lastmod > s.last_fetch THEN 'fetch'
+                    ELSE 'skip' END AS action
+        FROM ent e LEFT JOIN state s ON e.url = s.url
     """
 
 

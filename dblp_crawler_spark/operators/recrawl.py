@@ -113,3 +113,40 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
         .join(n.withColumn("__in_new", F.lit(True)), "url", "full_outer")
         .select("url", "old_fp", "new_fp", status.alias("status"))
     )
+
+
+def fetch_plan(discovered: DataFrame, state: DataFrame,
+               url_col: str = "url", lastmod_col: str = "lastmod",
+               fetched_col: str = "last_fetch") -> DataFrame:
+    """Discovery-side freshness triage: join discovered URLs (e.g.
+    :func:`~dblp_crawler_spark.sources.webparse.sitemap_entries`
+    output, with its optional lastmod DATE) against the fetch state
+    (url, last_fetch DATE) and emit one action per URL:
+
+      * ``fetch``       — never fetched, or lastmod > last_fetch
+                          (the sitemap says it changed);
+      * ``revalidate``  — fetched before but the sitemap carries no
+                          lastmod: only a conditional GET
+                          (If-Modified-Since/ETag) can tell;
+      * ``skip``        — lastmod ≤ last_fetch: provably fresh,
+                          zero bytes spent.
+
+    The skip tier is the whole point: at web scale most sitemap
+    entries are unchanged since the last wave, and this prune
+    happens BEFORE scheduling — politeness budget is spent only on
+    `fetch` + `revalidate`. ONE url-keyed left join; no state is
+    mutated here (the fetch log updates state downstream).
+    """
+    s = state.select(
+        F.col(url_col).alias("url"), F.col(fetched_col).alias("__lf")
+    )
+    d = discovered.select(F.col(url_col).alias("url"), F.col(lastmod_col).alias("lastmod"))
+    action = (
+        F.when(F.col("__lf").isNull(), F.lit("fetch"))
+        .when(F.col("lastmod").isNull(), F.lit("revalidate"))
+        .when(F.col("lastmod") > F.col("__lf"), F.lit("fetch"))
+        .otherwise(F.lit("skip"))
+    )
+    return d.join(s, "url", "left").select(
+        "url", "lastmod", F.col("__lf").alias("last_fetch"), action.alias("action")
+    )

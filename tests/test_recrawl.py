@@ -145,3 +145,28 @@ def test_fetch_backoff_cap_and_single_exchange(spark):
     # 30 failures would be 2^29 s uncapped; the cap clamps to 1 h
     assert r.n_fails == 30
     assert r.next_eligible_us - r.last_ts_us == 3_600_000 * 1000
+
+
+def test_fetch_plan_triage(spark):
+    import datetime
+
+    from dblp_crawler_spark.operators.recrawl import fetch_plan
+
+    d = datetime.date
+    discovered = spark.createDataFrame(
+        [("u_new", d(2024, 7, 1)), ("u_changed", d(2024, 7, 1)),
+         ("u_fresh", d(2024, 5, 1)), ("u_same_day", d(2024, 6, 15)),
+         ("u_nolastmod", None)],
+        "url string, lastmod date")
+    state = spark.createDataFrame(
+        [("u_changed", d(2024, 6, 15)), ("u_fresh", d(2024, 6, 15)),
+         ("u_same_day", d(2024, 6, 15)), ("u_nolastmod", d(2024, 6, 15))],
+        "url string, last_fetch date")
+    got = {r.url: r.action for r in fetch_plan(discovered, state).collect()}
+    assert got == {
+        "u_new": "fetch",          # never fetched
+        "u_changed": "fetch",      # sitemap says newer
+        "u_fresh": "skip",         # provably fresh
+        "u_same_day": "skip",      # lastmod == last_fetch: not newer
+        "u_nolastmod": "revalidate",  # only a conditional GET can tell
+    }
