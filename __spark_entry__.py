@@ -1711,6 +1711,20 @@ def q_table_profile(spark, sf_dir):
     return T.profile_table(orders).select("column", "n", "n_null", "n_distinct")
 
 
+def q_corpus_drift(spark, sf_dir):
+    """Per-source token-distribution drift vs baseline src0
+    (textstats.corpus_drift): EXACT integer L1 — scaled by Na*Nb the
+    per-term differences are |ca*nb - cb*na|, and missing-term mass
+    folds into totals algebra so ONLY the shared-term join runs;
+    zero-overlap sources still report the maximum drift 2.0 via the
+    totals-anchored left join. One token agg + one term-keyed join
+    against broadcast baseline counts + one collapse; the single
+    division at the end is the only float. DuckDB replays the same
+    algebra (SUMs cast from HUGEINT)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.corpus_drift(docs, baseline="src0")
+
+
 def q_corpus_mix(spark, sf_dir):
     """Corpus composition rollup per (source, predicted lang):
     doc count, token sum, mean quality — the report a curation run
@@ -2091,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "fetch_backoff": q_fetch_backoff,
         "table_profile": q_table_profile,
+        "corpus_drift": q_corpus_drift,
         "pii_redaction": q_pii_redaction,
         "tfidf_top_terms": q_tfidf_top_terms,
         "content_sniff": q_content_sniff,
@@ -4415,6 +4430,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
                         THEN 'val' ELSE 'train' END AS split
             FROM documents
+        """,
+        "corpus_drift": f"""
+            WITH counts AS (
+              SELECT source AS grp, term, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT source, unnest({_TOK}) AS term FROM documents)
+              GROUP BY 1, 2
+            ), totals AS (
+              SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY grp
+            ), bc AS (
+              SELECT term, c AS cb FROM counts WHERE grp = 'src0'
+            ), bt AS (
+              SELECT n AS nb FROM totals WHERE grp = 'src0'
+            ), shared AS (
+              SELECT counts.grp,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+                     CAST(SUM(abs(counts.c * bt.nb - bc.cb * totals.n)) AS BIGINT) AS l1s,
+                     CAST(SUM(counts.c) AS BIGINT) AS sca,
+                     CAST(SUM(bc.cb) AS BIGINT) AS scb
+              FROM counts JOIN bc USING (term)
+                   JOIN totals ON counts.grp = totals.grp
+                   CROSS JOIN bt
+              GROUP BY counts.grp
+            )
+            SELECT t.grp AS source,
+                   COALESCE(s.n_shared_terms, 0) AS n_shared_terms,
+                   CAST(COALESCE(s.l1s, 0)
+                        + (t.n - COALESCE(s.sca, 0)) * bt.nb
+                        + (bt.nb - COALESCE(s.scb, 0)) * t.n AS BIGINT) AS l1_num,
+                   t.n AS n_tokens,
+                   ROUND((COALESCE(s.l1s, 0)
+                          + (t.n - COALESCE(s.sca, 0)) * bt.nb
+                          + (bt.nb - COALESCE(s.scb, 0)) * t.n)::DOUBLE
+                         / (t.n * bt.nb), 6) AS drift
+            FROM totals t CROSS JOIN bt LEFT JOIN shared s ON t.grp = s.grp
         """,
         "table_profile": "\n            UNION ALL ".join(
             f"SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n, "

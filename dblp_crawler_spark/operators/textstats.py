@@ -814,3 +814,87 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
         F.col("n_distinct").cast("long").alias("n_distinct"),
         "min_str", "max_str",
     )
+
+
+def corpus_drift(docs: DataFrame, baseline: str, group_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Per-group token-distribution drift vs a baseline group, as the
+    EXACT integer L1 (total-variation×2) distance — the corpus-mix
+    monitor that catches a source whose content shifted between
+    crawls (template change, language flip, spam flood) before it
+    poisons a training mix.
+
+    Math that keeps it engine-exact: with per-term counts c_a/c_b and
+    totals N_a/N_b, L1 = Σ_t |c_a(t)/N_a − c_b(t)/N_b| scaled by
+    N_a·N_b is Σ_t |c_a·N_b − c_b·N_a| — all integers. Terms
+    missing from one side contribute their full mass, and those sums
+    fold into totals algebra, so ONLY the shared-term join is
+    needed:
+
+      l1 = Σ_shared |c_a·N_b − c_b·N_a|
+           + (N_a − Σ_shared c_a)·N_b + (N_b − Σ_shared c_b)·N_a
+
+    One token-count aggregation, one term-keyed inner join against
+    the (broadcast) baseline counts, one per-group collapse. The
+    final drift = l1 / (N_a·N_b) ∈ [0, 2] is the only division
+    (rounded, portable). Overflow: c·N must stay < 2^63 — fine to
+    ~10^9 tokens per group; shard or subsample beyond.
+
+    Returns (group, n_shared_terms, l1_num, n_tokens, drift); the
+    baseline group itself reports drift 0.
+    """
+    counts = (
+        docs.select(F.col(group_col).alias("grp"),
+                    F.explode(tokens_all(text_col)).alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("grp").agg(F.sum("c").cast("long").alias("n"))
+    b_counts = F.broadcast(
+        counts.filter(F.col("grp") == baseline)
+        .select("term", F.col("c").alias("cb"))
+    )
+    b_total = F.broadcast(
+        totals.filter(F.col("grp") == baseline).select(F.col("n").alias("nb"))
+    )
+    # the |c_a*N_b - c_b*N_a| sum needs N_a/N_b inside the agg: attach
+    # totals (group-keyed join + 1-row broadcast), collapse per group,
+    # then LEFT-join back onto `totals` — a group sharing ZERO terms
+    # with the baseline must still report (drift = 2, the maximum),
+    # which an inner-join-only shape silently drops
+    shared = (
+        counts.join(b_counts, "term")
+        .join(totals, "grp")
+        .crossJoin(b_total)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum(F.abs(F.col("c") * F.col("nb") - F.col("cb") * F.col("n")))
+            .cast("long").alias("__l1s"),
+            F.sum("c").cast("long").alias("__sca"),
+            F.sum("cb").cast("long").alias("__scb"),
+        )
+    )
+    per = (
+        totals.crossJoin(b_total)
+        .join(shared, "grp", "left")
+        .select(
+            "grp", "n", "nb",
+            F.coalesce("n_shared_terms", F.lit(0).cast("long")).alias("n_shared_terms"),
+            F.coalesce("__l1s", F.lit(0).cast("long")).alias("__l1s"),
+            F.coalesce("__sca", F.lit(0).cast("long")).alias("__sca"),
+            F.coalesce("__scb", F.lit(0).cast("long")).alias("__scb"),
+        )
+    )
+    l1 = (
+        F.col("__l1s")
+        + (F.col("n") - F.col("__sca")) * F.col("nb")
+        + (F.col("nb") - F.col("__scb")) * F.col("n")
+    ).cast("long")
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n_shared_terms",
+        l1.alias("l1_num"),
+        F.col("n").alias("n_tokens"),
+        F.round(l1 / (F.col("n") * F.col("nb")), 6).alias("drift"),
+    )

@@ -452,6 +452,22 @@ def test_cdc_chunks_reconstruction_and_robustness(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_corpus_drift_hand_computed(spark):
+    rows = [(0, "a a b c", "s1"), (1, "a b b c", "s1"),
+            (2, "a a b c", "s2"), (3, "a b b c", "s2"),   # identical dist
+            (4, "x y z zz", "s3"), (5, "x y qq rr", "s3"),  # disjoint
+            (6, "a a a a b c d d", "s4")]                   # partial overlap
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in T.corpus_drift(docs, baseline="s1").collect()}
+    assert got["s1"].drift == 0.0 and got["s1"].l1_num == 0
+    assert got["s2"].drift == 0.0                 # same distribution, diff ids
+    assert got["s3"].drift == 2.0                 # zero overlap: maximum
+    assert got["s3"].n_shared_terms == 0
+    # s4: a4 b1 c1 d2 (N=8) vs baseline a3 b3 c2 (N=8):
+    # shared |4*8-3*8|+|1*8-3*8|+|1*8-2*8|=32, d-only 2*8=16 -> 48/64
+    assert got["s4"].l1_num == 48 and got["s4"].drift == 0.75
+
+
 def test_profile_table_stats_and_minmax(spark):
     rows = [(1, "a", 2.5), (2, "b", None), (3, None, 0.5), (3, "b", 9.0)]
     df = spark.createDataFrame(rows, "k long, s string, v double")
