@@ -1605,6 +1605,42 @@ def q_fetch_backoff(spark, sf_dir):
     return fetch_backoff(log)
 
 
+def q_alias_collapse(spark, sf_dir):
+    """Duplicate-content URL-alias collapse (operators/recrawl.
+    canonical_election): every 4th doc is planted to SERVE ANOTHER
+    DOC'S TEXT from a different host (the mirror case URL
+    canonicalization can't catch — only content fingerprints can);
+    pages group by fingerprint, the lexicographically smallest URL
+    is elected canonical, and the per-host alias-rate rollup is the
+    trap/mirror signal the scheduler penalizes. NULL fingerprints
+    (every 23rd fetch failed) are excluded — no content, no
+    election. DuckDB replays the self-join plant and both
+    aggregations exactly."""
+    from dblp_crawler_spark.operators.recrawl import canonical_election
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    eff = (
+        F.col("doc_id")
+        - F.when(F.col("doc_id") % 4 == 1, 1).otherwise(0)
+    ).alias("eff")
+    base = docs.select(F.col("doc_id").alias("eff_id"),
+                       F.md5(F.col("text").cast("binary")).alias("fp0"))
+    hh = (F.col("doc_id") % 40).cast("string")
+    fetches = (
+        docs.select("doc_id", eff)
+        .join(base, F.col("eff") == F.col("eff_id"))
+        .select(
+            F.concat(F.lit("http://h"), hh, F.lit(".org/page/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.when(F.col("doc_id") % 23 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("fp0")).alias("fingerprint"),
+            F.concat(F.lit("h"), hh, F.lit(".org")).alias("host"),
+        )
+    )
+    _, report = canonical_election(fetches)
+    return report
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Crawl-snapshot delta (operators/recrawl.snapshot_diff): two
     synthesized (url, md5-fingerprint) snapshots — every 19th doc
@@ -2106,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_backoff": q_fetch_backoff,
         "table_profile": q_table_profile,
         "corpus_drift": q_corpus_drift,
+        "alias_collapse": q_alias_collapse,
         "pii_redaction": q_pii_redaction,
         "tfidf_top_terms": q_tfidf_top_terms,
         "content_sniff": q_content_sniff,
@@ -4493,6 +4530,30 @@ def oracle_sql() -> dict[str, str]:
                           (CAST(1 AS BIGINT) << CAST(least(n_fails - 1, 22) AS INTEGER)))
                    END AS next_eligible_us
             FROM s
+        """,
+        "alias_collapse": """
+            WITH f AS (
+              SELECT 'http://h' || CAST(d.doc_id % 40 AS VARCHAR) || '.org/page/'
+                       || CAST(d.doc_id AS VARCHAR) AS url,
+                     CASE WHEN d.doc_id % 23 = 0 THEN NULL ELSE md5(b.text) END AS fp,
+                     'h' || CAST(d.doc_id % 40 AS VARCHAR) || '.org' AS host
+              FROM documents d JOIN documents b
+                ON b.doc_id = d.doc_id - (CASE WHEN d.doc_id % 4 = 1 THEN 1 ELSE 0 END)
+            ), nn AS (
+              SELECT * FROM f WHERE fp IS NOT NULL
+            ), el AS (
+              SELECT fp, MIN(url) AS canonical_url FROM nn GROUP BY fp
+            ), am AS (
+              SELECT nn.host FROM nn JOIN el USING (fp)
+              WHERE nn.url <> el.canonical_url
+            ), ph AS (
+              SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages FROM nn GROUP BY host
+            ), al AS (
+              SELECT host, CAST(COUNT(*) AS BIGINT) AS n_aliases FROM am GROUP BY host
+            )
+            SELECT ph.host, ph.n_pages, COALESCE(al.n_aliases, 0) AS n_aliases,
+                   ROUND(COALESCE(al.n_aliases, 0)::DOUBLE / ph.n_pages, 6) AS alias_rate
+            FROM ph LEFT JOIN al USING (host)
         """,
         "snapshot_diff": """
             WITH o AS (

@@ -150,3 +150,55 @@ def fetch_plan(discovered: DataFrame, state: DataFrame,
     return d.join(s, "url", "left").select(
         "url", "lastmod", F.col("__lf").alias("last_fetch"), action.alias("action")
     )
+
+
+def canonical_election(fetches: DataFrame, url_col: str = "url",
+                       fp_col: str = "fingerprint",
+                       host_col: str | None = "host") -> tuple:
+    """Duplicate-content URL-alias collapse: the same page served
+    under many URLs (tracking params the canonicalizer doesn't know,
+    mirrors, print views) wastes fetch budget and poisons dedup
+    stats. Group fetched pages by content fingerprint, ELECT the
+    lexicographically smallest URL as canonical, and emit:
+
+      * alias_map (url, canonical_url) for every non-canonical alias
+        — feed it to the frontier as extra seen-keys so aliases are
+        never refetched;
+      * host_report (host, n_pages, n_aliases, alias_rate) — a host
+        serving heavy duplicate content under distinct URLs is a
+        trap/mirror signal for the scheduler (rate is the only
+        float, rounded).
+
+    Two hash aggregations (fingerprint-keyed election with map-side
+    partials, then the host rollup); NULL fingerprints (failed
+    fetches) are excluded — no content, no election.
+    """
+    f = fetches.filter(F.col(fp_col).isNotNull())
+    elected = (
+        f.groupBy(F.col(fp_col).alias("fp"))
+        .agg(F.min(url_col).alias("canonical_url"),
+             F.count(F.lit(1)).alias("n_urls"))
+    )
+    alias_map = (
+        f.select(F.col(url_col).alias("url"), F.col(fp_col).alias("fp"),
+                 *([F.col(host_col).alias("host")] if host_col else []))
+        .join(elected, "fp")
+        .filter(F.col("url") != F.col("canonical_url"))
+    )
+    host_report = None
+    if host_col:
+        per_host = f.select(F.col(host_col).alias("host")).groupBy("host").agg(
+            F.count(F.lit(1)).alias("n_pages")
+        )
+        aliases = alias_map.groupBy("host").agg(F.count(F.lit(1)).alias("n_aliases"))
+        host_report = (
+            per_host.join(aliases, "host", "left")
+            .select(
+                "host", "n_pages",
+                F.coalesce("n_aliases", F.lit(0)).cast("long").alias("n_aliases"),
+                F.round(
+                    F.coalesce("n_aliases", F.lit(0)) / F.col("n_pages"), 6
+                ).alias("alias_rate"),
+            )
+        )
+    return alias_map.select("url", "canonical_url"), host_report

@@ -170,3 +170,23 @@ def test_fetch_plan_triage(spark):
         "u_same_day": "skip",      # lastmod == last_fetch: not newer
         "u_nolastmod": "revalidate",  # only a conditional GET can tell
     }
+
+
+def test_canonical_election_aliases_and_report(spark):
+    from dblp_crawler_spark.operators.recrawl import canonical_election
+
+    rows = [
+        ("http://a.org/1", "X", "a.org"),   # canonical (min url) of X
+        ("http://b.org/7", "X", "b.org"),   # mirror alias of X
+        ("http://b.org/2", "Y", "b.org"),   # unique content
+        ("http://b.org/9", None, "b.org"),  # failed fetch: excluded
+        ("http://a.org/0", "X", "a.org"),   # an even smaller url wins
+    ]
+    f = spark.createDataFrame(rows, "url string, fingerprint string, host string")
+    amap, report = canonical_election(f)
+    aliases = {(r.url, r.canonical_url) for r in amap.collect()}
+    assert aliases == {("http://a.org/1", "http://a.org/0"),
+                       ("http://b.org/7", "http://a.org/0")}
+    rep = {r.host: (r.n_pages, r.n_aliases, r.alias_rate) for r in report.collect()}
+    assert rep["a.org"] == (2, 1, 0.5)
+    assert rep["b.org"] == (2, 1, 0.5)  # the NULL-fp fetch never counts
