@@ -1641,6 +1641,22 @@ def q_alias_collapse(spark, sf_dir):
     return report
 
 
+def q_fairness_gini(spark, sf_dir):
+    """Allocation-fairness audit (operators/budget.allocation_gini):
+    exact rational Gini of per-host byte allocation (host = doc_id
+    mod 37 — a non-divisor so group sizes AND text lengths vary) —
+    (gini_num, gini_den) are exact int64, the rounded double is the
+    only float, and the global-rank window runs over the 37-row
+    per-host aggregate, never raw data. DuckDB replays ranks and the
+    rational exactly."""
+    from dblp_crawler_spark.operators.budget import allocation_gini
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 37).alias("host"), F.length("text").alias("n_bytes")
+    )
+    return allocation_gini(docs, "host", "n_bytes")
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Crawl-snapshot delta (operators/recrawl.snapshot_diff): two
     synthesized (url, md5-fingerprint) snapshots — every 19th doc
@@ -2143,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "corpus_drift": q_corpus_drift,
         "alias_collapse": q_alias_collapse,
+        "fairness_gini": q_fairness_gini,
         "pii_redaction": q_pii_redaction,
         "tfidf_top_terms": q_tfidf_top_terms,
         "content_sniff": q_content_sniff,
@@ -4530,6 +4547,22 @@ def oracle_sql() -> dict[str, str]:
                           (CAST(1 AS BIGINT) << CAST(least(n_fails - 1, 22) AS INTEGER)))
                    END AS next_eligible_us
             FROM s
+        """,
+        "fairness_gini": """
+            WITH per AS (
+              SELECT doc_id % 37 AS grp, CAST(SUM(length(text)) AS BIGINT) AS x
+              FROM documents GROUP BY 1
+            ), ranked AS (
+              SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, grp) AS BIGINT) AS i
+              FROM per
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(x) AS BIGINT) AS total,
+                   CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS BIGINT) AS gini_num,
+                   CAST(COUNT(*) * SUM(x) AS BIGINT) AS gini_den,
+                   ROUND((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x))::DOUBLE
+                         / (COUNT(*) * SUM(x)), 6) AS gini
+            FROM ranked
         """,
         "alias_collapse": """
             WITH f AS (

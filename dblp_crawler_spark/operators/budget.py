@@ -76,3 +76,42 @@ def host_budget_alloc(hosts: DataFrame, budget: int, host_col: str = "host",
         weight_col,
         (F.col("__base") + (F.col("seq") <= F.col("__k")).cast("long")).alias("budget"),
     )
+
+
+def allocation_gini(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Fairness of a per-group allocation as an EXACT rational Gini
+    coefficient — the audit for host budgets and corpus source mixes
+    (a crawl whose politeness budget drifts to Gini→1 is starving
+    most hosts to hammer a few; a training mix at Gini 0 is perfectly
+    uniform). For integer values x_1..x_n sorted ascending with
+    1-based rank i:
+
+        G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+
+    — emitted as (gini_num, gini_den) int64 exactly plus the one
+    rounded double, so verdicts are engine-portable. Ties in x are
+    rank-order-independent (equal values contribute the same Σ i·x_i
+    under any tie order), so the deterministic (x, group) ordering
+    is for plan stability, not correctness.
+
+    The global-order window runs over the PER-GROUP AGGREGATE —
+    #groups rows (hosts/sources), not raw data — the same
+    tiny-aggregate exception as the scheduler's prefix-sum offsets.
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(value_col).cast("long").alias("x")
+    )
+    w = Window.orderBy("x", "grp")
+    ranked = per.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("x").cast("long").alias("total"),
+        (2 * F.sum(F.col("i") * F.col("x"))
+         - (F.count(F.lit(1)) + 1) * F.sum("x")).cast("long").alias("gini_num"),
+        (F.count(F.lit(1)) * F.sum("x")).cast("long").alias("gini_den"),
+    ).select(
+        "n_groups", "total", "gini_num", "gini_den",
+        F.round(F.col("gini_num") / F.col("gini_den"), 6).alias("gini"),
+    )

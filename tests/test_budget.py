@@ -55,3 +55,38 @@ def test_no_single_partition_window_on_hosts(spark):
     plan = host_budget_alloc(df, 10)._jdf.queryExecution().executedPlan().toString()
     # per-partition ranking window is keyed by __pid
     assert "partitionBy=[__pid]" in plan.replace(" ", "") or "__pid" in plan
+
+
+def test_allocation_gini_hand_computed(spark):
+    from dblp_crawler_spark.operators.budget import allocation_gini
+
+    # x = [1, 2, 3, 4]: G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40
+    rows = [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+    df = spark.createDataFrame(rows, "host string, v long")
+    r = allocation_gini(df, "host", "v").collect()[0]
+    assert (r.n_groups, r.total, r.gini_num, r.gini_den) == (4, 10, 10, 40)
+    assert r.gini == 0.25
+
+
+def test_allocation_gini_uniform_and_extreme(spark):
+    from dblp_crawler_spark.operators.budget import allocation_gini
+
+    uni = spark.createDataFrame([(h, 5) for h in "abcd"], "host string, v long")
+    assert allocation_gini(uni, "host", "v").collect()[0].gini == 0.0
+    # one host gets everything: G = (n-1)/n = 0.75 for n=4
+    ext = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0), ("d", 100)], "host string, v long")
+    assert allocation_gini(ext, "host", "v").collect()[0].gini == 0.75
+
+
+def test_allocation_gini_pre_aggregates(spark):
+    from dblp_crawler_spark.operators.budget import allocation_gini
+
+    # raw rows per host sum before ranking: same result as pre-summed
+    raw = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("c", 3), ("d", 4)], "host string, v long")
+    pre = spark.createDataFrame(
+        [("a", 2), ("b", 2), ("c", 3), ("d", 4)], "host string, v long")
+    g1 = allocation_gini(raw, "host", "v").collect()[0]
+    g2 = allocation_gini(pre, "host", "v").collect()[0]
+    assert (g1.gini_num, g1.gini_den) == (g2.gini_num, g2.gini_den)
