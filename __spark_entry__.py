@@ -887,6 +887,26 @@ def q_dedup_containment(spark, sf_dir):
     )
 
 
+def q_dedup_editdist(spark, sf_dir):
+    """Character-level near-dup verification (operators/dedup.
+    edit_distance_pairs): every 29th doc gets a planted single-char
+    edit copy — invisible to word-shingle Jaccard (no whole token
+    changes) but at Levenshtein distance exactly 1, the OCR-noise/
+    typo tier. Prefix-bounded (80 chars) blocked-quadratic verifier;
+    levenshtein is the same textbook DP in Spark and DuckDB, so the
+    oracle replays distances exactly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    edited = docs.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "source",
+        F.concat(
+            F.substring("text", 1, 10), F.lit("#"), F.expr("substring(text, 12)")
+        ).alias("text"),
+    )
+    return D.edit_distance_pairs(
+        docs.unionByName(edited), block_col="source", prefix=80, max_dist=8
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dups on the PORTABLE hash family
     (functions.hashing.hash60, md5-derived): the full pipeline —
@@ -2130,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_containment": q_dedup_containment,
+        "dedup_editdist": q_dedup_editdist,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -4003,6 +4024,20 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+        """,
+        "dedup_editdist": """
+            WITH base AS (
+              SELECT doc_id, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, source,
+                     substring(text, 1, 10) || '#' || substring(text, 12)
+              FROM documents WHERE doc_id % 29 = 0
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(substring(a.text, 1, 80),
+                                    substring(b.text, 1, 80)) AS BIGINT) AS dist
+            FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) <= 8
         """,
         "dedup_containment": f"""
             WITH base AS (

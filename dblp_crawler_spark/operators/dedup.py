@@ -666,3 +666,36 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
         if not changed:
             return comp.select("id", F.col("comp").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def edit_distance_pairs(docs: DataFrame, block_col: str, text_col: str = "text",
+                        id_col: str = "doc_id", prefix: int = 80,
+                        max_dist: int = 8) -> DataFrame:
+    """Blocked pairwise edit-distance verification — the
+    character-level near-dup tier below shingles: OCR noise, single
+    typo edits, and template fills that shift no whole token are
+    invisible to word-shingle Jaccard but sit at tiny Levenshtein
+    distance. Distances are computed on a `prefix`-bounded slice
+    because Levenshtein is O(len²) PER PAIR — the full-text form is
+    for verifying candidates from MinHash/SimHash, not for long
+    documents wholesale (bound documented, not hidden).
+
+    Same blocked-quadratic verifier shape (and caveats) as
+    :func:`ngram_jaccard_pairs`; `levenshtein` is the textbook DP in
+    both Spark and DuckDB, so verdicts are engine-exact. Returns
+    (a, b, dist) for pairs with dist ≤ `max_dist`.
+    """
+    p = _spread(docs).select(
+        F.col(id_col), F.col(block_col).alias("block"),
+        F.substring(F.col(text_col), 1, prefix).alias("pfx"),
+    )
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    a = p.repartition(n_part, "block").withColumnsRenamed({id_col: "a", "pfx": "pa"})
+    b = p.withColumnsRenamed({id_col: "b", "pfx": "pb"})
+    return (
+        a.join(b, "block")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein("pa", "pb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("a", "b", F.col("dist").cast("long").alias("dist"))
+    )

@@ -61,6 +61,25 @@ def test_containment_excerpt_detection(spark):
     assert all((r.a, r.b) != (0, 1) for r in jac)
 
 
+def test_edit_distance_pairs_typo_tier(spark):
+    # one-char typo: dist 1, caught here but INVISIBLE to 3-gram
+    # Jaccard at any sane threshold (no whole token changed... the
+    # typo does change one token, but 'quick'->'qu1ck' only drops
+    # 3 of many shingles; here we pin the distances themselves)
+    rows = [(0, "the quick brown fox jumps over the lazy dog", "a"),
+            (1, "the qu1ck brown fox jumps over the lazy dog", "a"),  # 1 edit
+            (2, "completely different words in every position", "a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.a, r.b): r.dist
+           for r in D.edit_distance_pairs(docs, "source", max_dist=8).collect()}
+    assert got == {(0, 1): 1}
+    # prefix bound: edits beyond the prefix are not seen
+    far = [(0, "x" * 100 + "tail_one", "a"), (1, "x" * 100 + "tail_two", "a")]
+    d2 = spark.createDataFrame(far, "doc_id long, text string, source string")
+    got2 = D.edit_distance_pairs(d2, "source", prefix=80, max_dist=8).collect()
+    assert [(r.a, r.b, r.dist) for r in got2] == [(0, 1, 0)]
+
+
 def test_containment_symmetric_on_equal_docs(spark):
     rows = [(0, "one two three four five", "a"),
             (1, "one two three four five", "a")]
