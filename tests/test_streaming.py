@@ -548,3 +548,43 @@ def test_clip_gate_runs_under_streaming(spark, tmp_path):
     want = {r.id: (r.dot, r.align_keep) for r in clip_alignment_gate(df, tau_pct=80).collect()}
     assert got == want and len(got) == 40
     assert {v[1] for v in got.values()} == {True, False}  # the gate discriminates
+
+
+def test_fetch_plan_streaming_matches_batch(spark, tmp_path):
+    """fetch_plan runs unchanged over a DISCOVERY STREAM (stream-
+    static left join: the discovered sitemap entries stream in, the
+    fetch state is a static table) and is batch-equivalent — the
+    shape of continuous discovery feeding triage."""
+    import datetime
+
+    from dblp_crawler_spark.operators.recrawl import fetch_plan
+
+    d = datetime.date
+    disc_rows = [("u_new", d(2024, 7, 1)), ("u_changed", d(2024, 7, 1)),
+                 ("u_fresh", d(2024, 5, 1)), ("u_nolastmod", None)]
+    disc = spark.createDataFrame(disc_rows, "url string, lastmod date")
+    state = spark.createDataFrame(
+        [("u_changed", d(2024, 6, 15)), ("u_fresh", d(2024, 6, 15)),
+         ("u_nolastmod", d(2024, 6, 15))],
+        "url string, last_fetch date")
+    src = str(tmp_path / "disc")
+    disc.write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema(disc.schema).parquet(src)
+    q = (
+        fetch_plan(stream, state)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.url, r.action) for r in spark.read.parquet(out).collect()}
+    want = {(r.url, r.action) for r in fetch_plan(disc, state).collect()}
+    assert got == want == {
+        ("u_new", "fetch"), ("u_changed", "fetch"),
+        ("u_fresh", "skip"), ("u_nolastmod", "revalidate"),
+    }
