@@ -398,6 +398,36 @@ def q_robots_parse(spark, sf_dir):
     return parse_robots(pages)
 
 
+def q_robots_sitemap_lines(spark, sf_dir):
+    """`Sitemap:` declarations from robots.txt (webparse.
+    robots_sitemaps): RFC 9309 treats them as global lines valid
+    ANYWHERE in the file — planted variants put them before groups,
+    inside groups, doubled, case-shifted (SITEMAP:), colon-tight,
+    with comments and raw URL spellings; extraction is position-
+    independent and canonicalizing, closing the robots → sitemap →
+    fetch_plan discovery chain. DuckDB replays line split, extract,
+    and canonical_url_sql exactly."""
+    from dblp_crawler_spark.sources.webparse import robots_sitemaps
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 40)
+    hh = (F.col("doc_id") % 40).cast("string")
+    h = F.concat(F.lit("h"), hh, F.lit(".org"))
+    v0 = F.concat(F.lit("User-agent: *\nDisallow: /x\nSitemap: HTTP://H"), hh,
+                  F.lit(".ORG:80/sitemap0.xml\n"))
+    v1 = F.concat(F.lit("Sitemap: http://h"), hh, F.lit(".org/sm_a.xml\n"
+                  "User-agent: *\nsitemap: http://h"), hh, F.lit(".org/sm_b.xml#frag\n"))
+    v2 = F.lit("# no declarations here\nUser-agent: *\nDisallow: /\n")
+    v3 = F.concat(F.lit("SITEMAP:http://h"), hh, F.lit(".org/deep/sm.xml  \n"))
+    txt = (
+        F.when(F.col("doc_id") % 4 == 0, v0)
+        .when(F.col("doc_id") % 4 == 1, v1)
+        .when(F.col("doc_id") % 4 == 2, v2)
+        .otherwise(v3)
+    )
+    pages = docs.select(h.alias("host"), txt.alias("robots_txt"))
+    return robots_sitemaps(pages)
+
+
 def _planted_sitemap_pages(docs):
     """Shared planted per-host urlset XML (raw-spelling locs,
     lastmod on 4 of 5 records) used by q_sitemap_discover and
@@ -2211,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
+        "robots_sitemap_lines": q_robots_sitemap_lines,
         "warc_parse": q_warc_parse,
         "image_header_dims": q_image_header_dims,
         "line_dedup": q_line_dedup,
@@ -2480,6 +2511,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
+        "robots_sitemap_lines": _robots_sitemaps_oracle(),
         "warc_parse": _warc_parse_oracle(),
         "image_header_dims": _image_dims_oracle(),
         "line_dedup": _line_dedup_oracle(),
@@ -3231,6 +3263,36 @@ def _sitemap_discover_oracle() -> str:
                  || CAST(doc_id AS VARCHAR)
           FROM documents WHERE doc_id % 3 = 0
         )
+    """
+
+
+def _robots_sitemaps_oracle() -> str:
+    """DuckDB replay of q_robots_sitemap_lines: identical planted
+    robots.txt variants (newlines via chr(10)), then
+    webparse.robots_sitemaps_sql."""
+    from dblp_crawler_spark.sources.webparse import robots_sitemaps_sql
+
+    hh = "CAST(doc_id % 40 AS VARCHAR)"
+    nl = "chr(10)"
+    v0 = (f"'User-agent: *' || {nl} || 'Disallow: /x' || {nl} || "
+          f"'Sitemap: HTTP://H' || {hh} || '.ORG:80/sitemap0.xml' || {nl}")
+    v1 = (f"'Sitemap: http://h' || {hh} || '.org/sm_a.xml' || {nl} || "
+          f"'User-agent: *' || {nl} || "
+          f"'sitemap: http://h' || {hh} || '.org/sm_b.xml#frag' || {nl}")
+    v2 = (f"'# no declarations here' || {nl} || 'User-agent: *' || {nl} || "
+          f"'Disallow: /' || {nl}")
+    v3 = f"'SITEMAP:http://h' || {hh} || '.org/deep/sm.xml  ' || {nl}"
+    body = robots_sitemaps_sql("robots_pages").strip()
+    return f"""
+        WITH robots_pages AS (
+          SELECT 'h' || {hh} || '.org' AS host,
+                 CASE WHEN doc_id % 4 = 0 THEN {v0}
+                      WHEN doc_id % 4 = 1 THEN {v1}
+                      WHEN doc_id % 4 = 2 THEN {v2}
+                      ELSE {v3} END AS robots_txt
+          FROM documents WHERE doc_id < 40
+        )
+        {body}
     """
 
 

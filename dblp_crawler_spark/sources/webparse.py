@@ -384,3 +384,50 @@ def html_to_text_sql(expr: str) -> str:
         c = ch.replace("'", "''")
         x = f"replace({x}, '{ent}', '{c}')"
     return f"trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+
+
+_SITEMAP_LINE_RE = r"(?i)^sitemap\s*:\s*(\S+)\s*$"
+
+
+def robots_sitemaps(pages: DataFrame, host_col: str = "host",
+                    text_col: str = "robots_txt") -> DataFrame:
+    """`Sitemap:` declarations from robots.txt — the protocol's
+    actual discovery linkage (RFC 9309 treats them as global lines,
+    valid ANYWHERE in the file, outside any user-agent group): this
+    is how a crawler learns where a host's sitemaps live without
+    guessing /sitemap.xml. One row per declaration, canonicalized —
+    feed the result to the sitemap fetch tier and from there into
+    :func:`sitemap_entries` → ``fetch_plan``. Comments stripped like
+    the group parser; pure expressions, one explode."""
+    from ..functions.urlnorm import canonical_url
+
+    lines = pages.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    ).select(
+        "host", F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line")
+    )
+    loc = F.regexp_extract("line", _SITEMAP_LINE_RE, 1)
+    return (
+        lines.withColumn("__loc", loc)
+        .filter(F.col("__loc") != "")
+        .select("host", canonical_url("__loc").alias("sitemap_url"))
+    )
+
+
+def robots_sitemaps_sql(src: str = "robots_pages") -> str:
+    """DuckDB replay of :func:`robots_sitemaps` over ``src``."""
+    from ..functions.urlnorm import canonical_url_sql
+
+    return f"""
+        SELECT host, {canonical_url_sql('loc')} AS sitemap_url
+        FROM (
+          SELECT host,
+                 regexp_extract(trim(regexp_replace(raw, '#.*$', '')),
+                                '{_SITEMAP_LINE_RE}', 1) AS loc
+          FROM (
+            SELECT host, unnest(string_split(robots_txt, chr(10))) AS raw
+            FROM {src}
+          )
+        ) WHERE loc <> ''
+    """

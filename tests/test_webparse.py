@@ -219,3 +219,16 @@ def test_sitemap_index_two_level_expansion(spark):
         "host", F.col("xml").alias("sitemap_xml"))
     got = sorted(r.url for r in sitemap_entries(fetched).collect())
     assert got == ["http://e.org/a", "http://e.org/b"]
+
+
+def test_robots_sitemaps_declarations(spark):
+    from dblp_crawler_spark.sources.webparse import robots_sitemaps
+
+    txt = ("Sitemap: HTTP://E.org:80/a.xml\n"        # before any group, raw spelling
+           "User-agent: *\nDisallow: /x\n"
+           "sitemap:http://e.org/b.xml#f\n"           # inside a group, lower, tight colon
+           "# Sitemap: http://e.org/commented.xml\n"  # commented out: ignored
+           "SITEMAP: http://e.org/c.xml  \n")         # caps + trailing ws
+    df = spark.createDataFrame([("e.org", txt)], "host string, robots_txt string")
+    got = sorted(r.sitemap_url for r in robots_sitemaps(df).collect())
+    assert got == ["http://e.org/a.xml", "http://e.org/b.xml", "http://e.org/c.xml"]
