@@ -428,6 +428,68 @@ def q_robots_sitemap_lines(spark, sf_dir):
     return robots_sitemaps(pages)
 
 
+_ROBOTS_RULE_VARIANTS = [
+    # Allow override under a broader Disallow + '$'-anchored wildcard
+    # + an empty Disallow (matches nothing, dropped by the parser)
+    "User-agent: *\nDisallow: /private\nAllow: /private/pub*\n"
+    "Disallow: /tmp/*.pdf$\nDisallow:",
+    # '$' anchor vs longer prefix: /a matches both, Disallow is longer
+    "User-agent: *\nDisallow: /a$\nAllow: /a",
+    # equal-length tie -> Allow wins; pattern not starting with '/'
+    "User-agent: *\nAllow: /x\nDisallow: /x\nDisallow: *.json$",
+    # non-star group only: no applicable rules, everything allowed
+    "User-agent: otherbot\nDisallow: /",
+    # orphan directive ignored; the star group only Allows
+    "Disallow: /orphan\nUser-agent: *\nAllow: /only",
+    # no rules at all -> host never appears in the rules table
+    "# empty file",
+]
+
+_ROBOTS_RULE_PATHS = [
+    "/private/file",      # v0: Disallow /private
+    "/private/pub42",     # v0: longer Allow wins
+    "/tmp/x.pdf",         # v0: wildcard + $ anchor
+    "/tmp/x.pdfx",        # v0: $ anchor misses .pdfx
+    "/a",                 # v1: /a$ (3) beats /a (2)
+    "/ab",                # v1: only Allow /a matches
+    "/data/f.json",       # v2: *.json$ matches anywhere
+    "/",                  # bare root
+]
+
+
+def q_robots_decide(spark, sf_dir):
+    """RFC 9309 access decisions (scheduler.robots_decide over
+    webparse.parse_robots_rules): longest-match precedence with
+    Allow-wins-ties, '*' wildcards and the '$' end anchor — the
+    semantics the prefix-only robots_status cannot express (e.g.
+    `Allow: /private/pub*` overriding `Disallow: /private`). Planted:
+    6 hosts cycling adversarial robots.txt shapes × 8 path cases per
+    host; rules fan out host-keyed, the winner folds into one int64
+    MAX key (spec*2 + is_allow) — no window. The oracle replays group
+    parse, regex construction, and the precedence fold."""
+    from dblp_crawler_spark.operators.scheduler import robots_decide
+    from dblp_crawler_spark.sources.webparse import parse_robots_rules
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hosts = docs.filter(F.col("doc_id") < 6)
+    txt = F.lit(None).cast("string")
+    for i, v in enumerate(_ROBOTS_RULE_VARIANTS):
+        txt = F.when(F.col("doc_id") % 6 == i, F.lit(v)).otherwise(txt)
+    pages = hosts.select(
+        F.format_string("h%d.org", "doc_id").alias("host"), txt.alias("robots_txt")
+    )
+    cand = docs.filter(F.col("doc_id") < 48)
+    path = F.lit(None).cast("string")
+    for i, p in enumerate(_ROBOTS_RULE_PATHS):
+        path = F.when(F.expr("doc_id div 6") == i, F.lit(p)).otherwise(path)
+    urls = cand.select(
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 6).cast("string"), F.lit(".org"), path
+        ).alias("url")
+    )
+    return robots_decide(urls, parse_robots_rules(pages))
+
+
 def _planted_sitemap_pages(docs):
     """Shared planted per-host urlset XML (raw-spelling locs,
     lastmod on 4 of 5 records) used by q_sitemap_discover and
@@ -2238,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": q_anchor_text_agg,
         "host_budget_alloc": q_host_budget_alloc,
         "robots_parse": q_robots_parse,
+        "robots_decide": q_robots_decide,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -2508,6 +2571,7 @@ def _portable_hash_oracles() -> dict[str, str]:
             FROM r
         """,
         "robots_parse": _robots_parse_oracle(),
+        "robots_decide": _robots_decide_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3229,6 +3293,41 @@ def _robots_parse_oracle() -> str:
                  CASE {' '.join(cases)} END AS robots_txt
           FROM documents WHERE doc_id < 24
         ), {body[len('WITH '):]}
+    """
+
+
+def _robots_decide_oracle() -> str:
+    """DuckDB replay of q_robots_decide: identical planted robots
+    variants and path cases, then parse_robots_rules_sql (group
+    windows + rule regex) feeding robots_decide_sql (regex build +
+    MAX-key precedence fold)."""
+    from dblp_crawler_spark.operators.scheduler import robots_decide_sql
+    from dblp_crawler_spark.sources.webparse import parse_robots_rules_sql
+
+    cases = []
+    for i, v in enumerate(_ROBOTS_RULE_VARIANTS):
+        lit = " || chr(10) || ".join(
+            "'" + part.replace("'", "''") + "'" for part in v.split("\n")
+        )
+        cases.append(f"WHEN doc_id % 6 = {i} THEN {lit}")
+    pcases = " ".join(
+        f"WHEN doc_id // 6 = {i} THEN '{p}'"
+        for i, p in enumerate(_ROBOTS_RULE_PATHS)
+    )
+    rules = parse_robots_rules_sql("robots_pages").strip()
+    decide = robots_decide_sql("cand_urls", "robots_rules").strip()
+    assert decide.upper().startswith("WITH")
+    return f"""
+        WITH robots_pages AS (
+          SELECT 'h' || doc_id || '.org' AS host,
+                 CASE {' '.join(cases)} END AS robots_txt
+          FROM documents WHERE doc_id < 6
+        ), cand_urls AS (
+          SELECT 'http://h' || (doc_id % 6) || '.org' ||
+                 CASE {pcases} END AS url
+          FROM documents WHERE doc_id < 48
+        ), robots_rules AS ({rules}),
+        {decide[len('WITH '):]}
     """
 
 

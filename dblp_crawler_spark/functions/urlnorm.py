@@ -56,6 +56,27 @@ def url_host_sql(expr: str) -> str:
     return f"lower(regexp_extract({rest}, '^([^/?#]*)', 1))"
 
 
+def url_path(url: Column | str) -> Column:
+    """path[?query] of an absolute URL, '/' when the URL ends at the
+    authority — the string robots.txt Allow/Disallow rules match
+    against (RFC 9309 §2.2.2 matches path + optional query, never
+    scheme/host). Fragment kept out (it is never sent to servers)."""
+    u = F.col(url) if isinstance(url, str) else url
+    rest = F.regexp_replace(_strip_ws(u), _SCHEME_RE, "")
+    p = F.regexp_replace(
+        F.regexp_replace(rest, "^[^/?#]*", ""), "#.*$", ""
+    )
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def url_path_sql(expr: str) -> str:
+    """DuckDB fragment computing exactly ``url_path(expr)``."""
+    ws = f"regexp_replace(regexp_replace({expr}, '^\\s+', ''), '\\s+$', '')"
+    rest = f"regexp_replace({ws}, '{_SCHEME_RE}', '')"
+    p = f"regexp_replace(regexp_replace({rest}, '^[^/?#]*', ''), '#.*$', '')"
+    return f"CASE WHEN {p} = '' THEN '/' ELSE {p} END"
+
+
 def canonical_url(url: Column | str) -> Column:
     """Canonical spelling of an absolute URL (pure expressions).
 

@@ -149,6 +149,117 @@ def robots_status(df: DataFrame, robots: DataFrame) -> DataFrame:
     return joined.withColumn("status", disallowed).drop("disallow_prefixes")
 
 
+def _robots_rule_cols(rules: DataFrame) -> DataFrame:
+    """(host, rule, pattern) → + (is_allow, spec, lit_prefix, rx):
+    the per-rule derived columns robots_decide matches with. Computed
+    ONCE on the rules side (dozens of rows per host) so the per-URL
+    work is a prefix guard plus one regex test.
+
+    Pattern → regex (RFC 9309 §2.2.2/2.2.3): '*' matches any char
+    sequence, a trailing '$' anchors the end, everything else is
+    literal; the match is anchored at the start of the path. A '$'
+    anywhere but the end is literal (escaped with the other regex
+    metachars)."""
+    pat = F.col("pattern")
+    ends = F.substring(pat, -1, 1) == "$"
+    body = F.when(ends, F.substring(pat, F.lit(1), F.length(pat) - 1)).otherwise(pat)
+    # escape every Java-regex metachar except '*' (replacement \\$1 =
+    # literal backslash + group), then '*' -> '.*'
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit("*"), F.lit(".*")),
+        F.when(ends, F.lit("$")).otherwise(F.lit("")),
+    )
+    return rules.select(
+        "host",
+        "pattern",
+        (F.col("rule") == "allow").cast("int").alias("is_allow"),
+        F.length(pat).alias("spec"),
+        # literal prefix before the first '*': a cheap JVM startswith
+        # guard implied by the regex, so most non-matching rules never
+        # reach the per-row regex engine
+        F.substring_index(body, "*", 1).alias("lit_prefix"),
+        rx.alias("rx"),
+    )
+
+
+def robots_decide(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFrame:
+    """RFC 9309 §2.2.2 access decision per distinct URL: among all of
+    the host's Allow/Disallow rules that match the URL's path, the
+    MOST SPECIFIC (longest pattern) wins; an Allow and a Disallow of
+    equal length tie in favor of Allow; a URL no rule matches — or
+    whose host has no rules — is allowed. Wildcards '*' and the '$'
+    end anchor are honored (what `robots_status`'s prefix list cannot
+    express: Allow overrides like ``Allow: /private/pub*`` under
+    ``Disallow: /private``).
+
+    Returns (url, allowed boolean). Plan shape: one host-keyed join
+    of urls × per-host rules (rules fan-out is bounded by robots.txt
+    size), one hash agg back to URL grain. The winner is folded into
+    a single int64 key ``spec*2 + is_allow`` so MAX() alone resolves
+    longest-match-then-allow precedence — no window, engine-portable.
+
+    Reference has no robots handling at all (downloader.py fetches
+    unconditionally); this is the north_rule's robots semantics.
+    """
+    from dblp_crawler_spark.functions.urlnorm import url_host, url_path
+
+    r = _robots_rule_cols(rules)
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        url_host(url_col).alias("host"),
+        url_path(url_col).alias("path"),
+    )
+    j = u.join(r, "host", "left")
+    matched = (
+        F.col("rx").isNotNull()
+        & F.col("path").startswith(F.col("lit_prefix"))
+        & F.expr("path rlike rx")
+    )
+    key = F.when(matched, F.col("spec") * 2 + F.col("is_allow"))
+    return j.groupBy("url").agg(
+        (F.max(key).isNull() | (F.max(key) % 2 == 1)).alias("allowed")
+    )
+
+
+def robots_decide_sql(urls: str = "cand_urls", rules: str = "robots_rules") -> str:
+    """DuckDB replay of :func:`robots_decide` over relations
+    ``urls(url)`` and ``rules(host, rule, pattern)`` — same regex
+    construction (RE2 '\\\\1' backref + 'g' flag where Java uses
+    '$1'-with-global-default), same MAX-key precedence fold."""
+    from dblp_crawler_spark.functions.urlnorm import url_host_sql, url_path_sql
+
+    host = url_host_sql("url")
+    path = url_path_sql("url")
+    return f"""
+        WITH rd_rules AS (
+          SELECT host, pattern,
+                 CASE WHEN rule = 'allow' THEN 1 ELSE 0 END AS is_allow,
+                 length(pattern) AS spec,
+                 CASE WHEN pattern LIKE '%$'
+                      THEN substr(pattern, 1, length(pattern) - 1)
+                      ELSE pattern END AS body
+          FROM {rules}
+        ), rd_rx AS (
+          SELECT host, is_allow, spec,
+                 '^' || replace(regexp_replace(body,
+                        '([.^$+?(){{}}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*')
+                     || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rx
+          FROM rd_rules
+        ), rd_urls AS (
+          SELECT url, {host} AS host, {path} AS path FROM {urls}
+        )
+        SELECT url,
+               (MAX(CASE WHEN regexp_matches(path, rx)
+                         THEN spec * 2 + is_allow END) IS NULL
+                OR MAX(CASE WHEN regexp_matches(path, rx)
+                            THEN spec * 2 + is_allow END) % 2 = 1) AS allowed
+        FROM rd_urls u LEFT JOIN rd_rx r USING (host)
+        GROUP BY url
+    """
+
+
 def fetch_backoff(log: DataFrame, url_col: str = "url", ts_col: str = "ts",
                   ok_col: str = "ok", base_ms: int = 1000,
                   cap_ms: int = 3_600_000, max_exp: int = 22) -> DataFrame:

@@ -134,6 +134,108 @@ def parse_robots_sql(src: str = "robots_pages") -> str:
     """
 
 
+# RFC 9309 §2.2.2 rule lines: Allow AND Disallow, raw pattern kept
+# (wildcard '*' and end-anchor '$' are evaluated at decision time by
+# scheduler.robots_decide, not here). An empty value ("Disallow:")
+# matches nothing per the spec and is dropped by the \S+ requirement.
+_RULE_RE = r"(?i)^(allow|disallow)\s*:\s*(\S+)\s*$"
+
+
+def parse_robots_rules(
+    pages: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) → (host, rule, pattern): every Allow /
+    Disallow line of the applicable wildcard ('*') groups, with the
+    raw pattern preserved — the input `scheduler.robots_decide`
+    needs for longest-match precedence, which `parse_robots`'s
+    prefix-only Disallow list cannot express (no Allow overrides, no
+    '*' / '$' wildcards). Same RFC 9309 group semantics as
+    parse_robots: stacked User-agent lines form one group, orphan
+    directives before any UA line are ignored, multiple '*' groups
+    union their rules.
+    """
+    lines = pages.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    ua = F.nullif(F.regexp_extract("line", _UA_RE, 1), F.lit(""))
+    tagged = lines.select("host", "pos", "line", ua.alias("ua"))
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = tagged.select(
+        "host",
+        "pos",
+        "line",
+        "ua",
+        F.sum(
+            (
+                F.col("ua").isNotNull()
+                & ~F.coalesce(F.lag(F.col("ua").isNotNull()).over(w), F.lit(False))
+            ).cast("int")
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    ).filter(F.col("grp") > 0)
+    star = F.max((F.col("ua") == "*").cast("int")).over(
+        Window.partitionBy("host", "grp")
+    )
+    rtype = F.nullif(F.lower(F.regexp_extract("line", _RULE_RE, 1)), F.lit(""))
+    pat = F.nullif(F.regexp_extract("line", _RULE_RE, 2), F.lit(""))
+    return (
+        grouped.withColumn("star", star)
+        .filter(F.col("star") == 1)
+        .select("host", rtype.alias("rule"), pat.alias("pattern"))
+        .filter(F.col("rule").isNotNull() & F.col("pattern").isNotNull())
+        .distinct()
+    )
+
+
+def parse_robots_rules_sql(src: str = "robots_pages") -> str:
+    """DuckDB replay of :func:`parse_robots_rules` over a relation
+    ``src(host, robots_txt)`` — same group windows, same rule regex."""
+    return f"""
+        WITH rr_lines AS (
+          SELECT host, CAST(pos AS BIGINT) AS pos,
+                 trim(regexp_replace(raw, '#.*$', '')) AS line
+          FROM (
+            SELECT host, unnest(string_split(robots_txt, chr(10))) AS raw,
+                   generate_subscripts(string_split(robots_txt, chr(10)), 1) AS pos
+            FROM {src}
+          )
+        ), rr_tagged AS (
+          SELECT host, pos, line,
+                 nullif(regexp_extract(line, '(?i)^user-agent\\s*:\\s*(.*\\S)\\s*$', 1), '') AS ua
+          FROM rr_lines
+        ), rr_bnd AS (
+          SELECT host, pos, line, ua,
+                 CASE WHEN ua IS NOT NULL AND NOT
+                      coalesce(lag(ua IS NOT NULL) OVER (PARTITION BY host ORDER BY pos), FALSE)
+                 THEN 1 ELSE 0 END AS b
+          FROM rr_tagged
+        ), rr_grouped AS (
+          SELECT host, pos, line, ua,
+                 SUM(b) OVER (PARTITION BY host ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM rr_bnd
+        ), rr_star AS (
+          SELECT host, line, grp,
+                 MAX(CASE WHEN ua = '*' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host, grp) AS star
+          FROM rr_grouped WHERE grp > 0
+        )
+        SELECT DISTINCT host,
+               lower(regexp_extract(line, '(?i)^(allow|disallow)\\s*:\\s*(\\S+)\\s*$', 1)) AS rule,
+               regexp_extract(line, '(?i)^(allow|disallow)\\s*:\\s*(\\S+)\\s*$', 2) AS pattern
+        FROM rr_star
+        WHERE star = 1
+          AND nullif(lower(regexp_extract(line, '(?i)^(allow|disallow)\\s*:\\s*(\\S+)\\s*$', 1)), '') IS NOT NULL
+          AND nullif(regexp_extract(line, '(?i)^(allow|disallow)\\s*:\\s*(\\S+)\\s*$', 2), '') IS NOT NULL
+    """
+
+
 # ---- sitemap.xml -----------------------------------------------------------
 def sitemap_urls(pages: DataFrame, xml_col: str = "sitemap_xml", keep: list | None = None) -> DataFrame:
     """Extract <loc> URLs from sitemap / sitemap-index XML and emit
