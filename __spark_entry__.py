@@ -2174,6 +2174,41 @@ def q_image_phash_dedup(spark, sf_dir):
     )
 
 
+_PIGEON_HI = (1 << 50) | (1 << 55) | (1 << 58)  # 3 flips inside the top block
+_PIGEON_LO = (1 << 5) | (1 << 20) | (1 << 35)   # 3 flips across 3 low blocks
+
+
+def q_dedup_hamming_pigeonhole(spark, sf_dir):
+    """Guaranteed-recall hamming near-dup (dedup.
+    hamming_near_dups_exact): pigeonhole multi-block candidates —
+    60 bits split into 4 blocks of 15; any pair at hamming ≤ 3
+    agrees exactly on ≥ 1 block, so recall is 1.0 where the single
+    prefix block provably misses pairs whose flips land in the
+    prefix. Planted: every 8th image a twin XOR-flipped in 3 TOP
+    bits (invisible to the prefix-block kernel — pinned in tests),
+    every 16th a twin flipped across 3 LOW blocks (found via the
+    agreeing top block). The oracle replays block spans, per-block
+    equi-join, and the pair dedup."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.dedup import hamming_near_dups_exact
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    iid = F.format_string("img_%06d", "doc_id")
+    base = docs.select(iid.alias("image_id"), hash60(iid).alias("phash"))
+    t_hi = docs.filter(F.col("doc_id") % 8 == 0).select(
+        F.concat(iid, F.lit("_hi")).alias("image_id"),
+        hash60(iid).bitwiseXOR(F.lit(_PIGEON_HI)).alias("phash"),
+    )
+    t_lo = docs.filter(F.col("doc_id") % 16 == 0).select(
+        F.concat(iid, F.lit("_lo")).alias("image_id"),
+        hash60(iid).bitwiseXOR(F.lit(_PIGEON_LO)).alias("phash"),
+    )
+    return hamming_near_dups_exact(
+        base.unionByName(t_hi).unionByName(t_lo),
+        "phash", "image_id", max_hamming=3, width=60,
+    )
+
+
 def q_video_frame_sample(spark, sf_dir):
     """Video frame sampling: 1 row → every-Nth-frame rows with
     timestamps + per-frame phash (deterministic synthetic container;
@@ -2325,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "multimodal_features": q_multimodal_features,
         "image_phash_dedup": q_image_phash_dedup,
+        "dedup_hamming_pigeonhole": q_dedup_hamming_pigeonhole,
         "image_phash_components": q_image_phash_components,
         "joint_dedup_clusters": q_joint_dedup_clusters,
         "image_linear_gate": q_image_linear_gate,
@@ -2590,6 +2626,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "caption_dedup_best": _caption_dedup_best_oracle(),
         "crossmodal_recall": _crossmodal_recall_oracle(),
         "image_phash_dedup": _phash_dedup_oracle(),
+        "dedup_hamming_pigeonhole": _hamming_pigeonhole_oracle(),
         "image_phash_components": _phash_components_oracle(),
         "joint_dedup_clusters": _joint_dedup_oracle(),
         "image_linear_gate": _image_linear_gate_oracle(),
@@ -3798,6 +3835,30 @@ def _phash_dedup_oracle() -> str:
         FROM blocked x JOIN blocked y ON x.block = y.block
         WHERE x.image_id < y.image_id
           AND bit_count(xor(x.phash, y.phash)) <= 4
+    """
+
+
+def _hamming_pigeonhole_oracle() -> str:
+    """DuckDB replay of q_dedup_hamming_pigeonhole: identical
+    planted phashes (hash60 base + top-block and spread twins),
+    identical block spans via hamming_block_spans, identical
+    per-block equi-join + DISTINCT pair dedup."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.operators.dedup import hamming_near_dups_exact_sql
+
+    pid = "printf('img_%06d', doc_id)"
+    body = hamming_near_dups_exact_sql(
+        "ph_all", "phash", "image_id", max_hamming=3, width=60
+    ).strip()
+    assert body.upper().startswith("WITH")
+    return f"""
+        WITH ph_all AS (
+          SELECT {pid} AS image_id, {H(pid)} AS phash FROM documents
+          UNION ALL
+          SELECT {pid} || '_hi', xor({H(pid)}, {_PIGEON_HI}) FROM documents WHERE doc_id % 8 = 0
+          UNION ALL
+          SELECT {pid} || '_lo', xor({H(pid)}, {_PIGEON_LO}) FROM documents WHERE doc_id % 16 = 0
+        ), {body[len('WITH '):]}
     """
 
 

@@ -239,6 +239,88 @@ def hamming_near_dups(hashed: DataFrame, hash_col: str, id_col: str,
     )
 
 
+def hamming_block_spans(width: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, bits) spans splitting `width` bits into
+    ``max_hamming + 1`` contiguous blocks (LSB-first; the first
+    ``width % blocks`` blocks take the extra bit). Shared by the
+    Spark kernel and the SQL oracle so the two can never disagree on
+    block geometry."""
+    nb = max_hamming + 1
+    base, extra = divmod(width, nb)
+    spans, off = [], 0
+    for i in range(nb):
+        ln = base + (1 if i < extra else 0)
+        spans.append((off, ln))
+        off += ln
+    return spans
+
+
+def hamming_near_dups_exact(hashed: DataFrame, hash_col: str, id_col: str,
+                            max_hamming: int = 3, width: int = 64) -> DataFrame:
+    """Pigeonhole multi-block hamming near-dup with GUARANTEED
+    recall (Manku/Jain/Das Sarma, WWW'07 §3): split the `width` bits
+    into ``max_hamming + 1`` contiguous blocks — a pair differing in
+    ≤ max_hamming bits has at least one block with ZERO differing
+    bits, so it agrees exactly there and the per-block equi-join
+    finds it. Recall is 1.0 by construction, where the single
+    prefix block of :func:`hamming_near_dups` misses any pair whose
+    flipped bits land in the prefix (recall < 1 by design).
+
+    Cost: (max_hamming + 1)× the join fan-in — each row enters every
+    block's bucket — and a final pair dedup (a pair close on several
+    blocks is found several times). Candidate blowup stays the
+    equi-join shape (never all-pairs); at 100 TB each block bucket
+    is ~2^bits_per_block-way partitioned exactly like LSH bands.
+    """
+    spans = hamming_block_spans(width, max_hamming)
+    blocked = hashed.select(F.col(id_col), F.col(hash_col).alias("sh"))
+    parts = [
+        F.struct(
+            F.lit(i).alias("bi"),
+            F.shiftrightunsigned("sh", off).bitwiseAND(F.lit((1 << ln) - 1)).alias("bv"),
+        )
+        for i, (off, ln) in enumerate(spans)
+    ]
+    ex = blocked.select(
+        id_col, "sh", F.explode(F.array(*parts)).alias("blk")
+    ).select(id_col, "sh", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
+    a = ex.withColumnsRenamed({id_col: "a", "sh": "sh_a"})
+    b = ex.withColumnsRenamed({id_col: "b", "sh": "sh_b"})
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def hamming_near_dups_exact_sql(src: str, hash_col: str, id_col: str,
+                                max_hamming: int = 3, width: int = 64) -> str:
+    """DuckDB replay of :func:`hamming_near_dups_exact` over
+    ``src(id_col, hash_col)`` (hash values must be non-negative so
+    arithmetic ``>>`` equals Spark's shiftrightunsigned) — same
+    block spans via hamming_block_spans, same dedup."""
+    spans = hamming_block_spans(width, max_hamming)
+    blocks = "\n          UNION ALL\n".join(
+        f"          SELECT {id_col} AS id, {hash_col} AS sh, {i} AS bi,"
+        f" ({hash_col} >> {off}) & {(1 << ln) - 1} AS bv FROM {src}"
+        for i, (off, ln) in enumerate(spans)
+    )
+    return f"""
+        WITH hx_blocks AS (
+{blocks}
+        )
+        SELECT DISTINCT x.id AS a, y.id AS b,
+               CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+        FROM hx_blocks x JOIN hx_blocks y ON x.bi = y.bi AND x.bv = y.bv
+        WHERE x.id < y.id AND bit_count(xor(x.sh, y.sh)) <= {max_hamming}
+    """
+
+
 def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3, prefix_bits: int = 16,
                       hash_fn=None, bits: int = 64) -> DataFrame:
