@@ -457,6 +457,25 @@ _ROBOTS_RULE_PATHS = [
 ]
 
 
+def q_host_shard_assign(spark, sf_dir):
+    """Rendezvous (HRW) host → shard placement (scheduler.
+    host_shards): shard = argmax over s of hash60(host, s), folded
+    into one int64 MAX key — when the cluster resizes n→m shards,
+    only hosts whose NEW shard wins move (expected n/m stay), where
+    hash-mod placement reshuffles all but 1/m of the politeness
+    state, bloom-bank buckets, and delay budgets that live with a
+    host's shard. 97 planted hosts → 8 shards; the movement bound
+    itself is pinned in tests/test_host_shards.py. The oracle
+    replays the rendezvous key and the MAX fold."""
+    from dblp_crawler_spark.operators.scheduler import host_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hosts = docs.select(
+        F.format_string("h%d.example.org", F.pmod("doc_id", F.lit(97))).alias("host")
+    )
+    return host_shards(hosts, 8)
+
+
 def q_robots_decide(spark, sf_dir):
     """RFC 9309 access decisions (scheduler.robots_decide over
     webparse.parse_robots_rules): longest-match precedence with
@@ -2336,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budget_alloc": q_host_budget_alloc,
         "robots_parse": q_robots_parse,
         "robots_decide": q_robots_decide,
+        "host_shard_assign": q_host_shard_assign,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -2608,6 +2628,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         """,
         "robots_parse": _robots_parse_oracle(),
         "robots_decide": _robots_decide_oracle(),
+        "host_shard_assign": _host_shard_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3330,6 +3351,21 @@ def _robots_parse_oracle() -> str:
                  CASE {' '.join(cases)} END AS robots_txt
           FROM documents WHERE doc_id < 24
         ), {body[len('WITH '):]}
+    """
+
+
+def _host_shard_oracle() -> str:
+    """DuckDB replay of q_host_shard_assign: identical planted host
+    list, identical hash60 rendezvous key and MAX fold
+    (host_shards_sql)."""
+    from dblp_crawler_spark.operators.scheduler import host_shards_sql
+
+    body = host_shards_sql("shard_hosts", 8).strip()
+    return f"""
+        WITH shard_hosts AS (
+          SELECT 'h' || (doc_id % 97) || '.example.org' AS host FROM documents
+        )
+        {body}
     """
 
 

@@ -149,6 +149,63 @@ def robots_status(df: DataFrame, robots: DataFrame) -> DataFrame:
     return joined.withColumn("status", disallowed).drop("disallow_prefixes")
 
 
+#: slot modulus for host_shards: slot * n_shards + s must stay < 2^63,
+#: so slots take 45 bits and n_shards may go to 2^17.
+_HRW_SLOT_MOD = 1 << 45
+
+
+def host_shards(hosts: DataFrame, n_shards: int, host_col: str = "host",
+                seed: int = 0) -> DataFrame:
+    """Rendezvous (highest-random-weight) host → shard assignment:
+    shard = argmax over s ∈ [0, n_shards) of hash(host, s). The
+    property hash-mod placement lacks: when the shard count grows
+    n → m, a host moves ONLY if some NEW shard s ≥ n wins its
+    rendezvous — expected fraction n/m of hosts keep their shard
+    (hash-mod reshuffles all but 1/m). That is exactly what a
+    politeness-partitioned frontier wants at a cluster resize: a
+    host's fetch state, bloom-bank bucket, and delay budget live
+    with its shard, and N→4N executors should relocate ~3/4 of
+    hosts, not ~15/16.
+
+    Engine-portable argmax without a window: per (host, s) the key
+    ``(hash60 % 2^45) * n_shards + s`` folds slot-then-s precedence
+    into one int64, so MAX(key) picks the winning slot with larger
+    s breaking exact slot ties deterministically; shard = key % n.
+    Plan: explode s (n_shards rows per host, map-side), one hash agg
+    back to host grain — partial aggregation collapses the fan-out
+    before the shuffle.
+    """
+    if not 0 < n_shards <= (1 << 17):
+        raise ValueError("n_shards must be in (0, 2^17]")
+    from dblp_crawler_spark.functions.hashing import hash60
+
+    s = F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("s")
+    ex = hosts.select(F.col(host_col).alias("host")).distinct().select("host", s)
+    h = hash60(
+        F.concat(F.col("host"), F.lit(":"), F.col("s").cast("string")), seed
+    )
+    key = F.pmod(h, F.lit(_HRW_SLOT_MOD)) * n_shards + F.col("s")
+    return ex.groupBy("host").agg(
+        F.pmod(F.max(key), F.lit(n_shards)).cast("int").alias("shard")
+    )
+
+
+def host_shards_sql(src: str, n_shards: int, host_col: str = "host",
+                    seed: int = 0) -> str:
+    """DuckDB replay of :func:`host_shards` over ``src(host)`` —
+    same hash60 rendezvous key, same MAX fold."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql
+
+    h = hash60_sql(f"{host_col} || ':' || CAST(s AS VARCHAR)", seed)
+    return f"""
+        SELECT host, CAST(MAX(({h}) % {_HRW_SLOT_MOD} * {n_shards} + s)
+                          % {n_shards} AS INT) AS shard
+        FROM (SELECT DISTINCT {host_col} AS host FROM {src})
+             CROSS JOIN range({n_shards}) t(s)
+        GROUP BY host
+    """
+
+
 def _robots_rule_cols(rules: DataFrame) -> DataFrame:
     """(host, rule, pattern) → + (is_allow, spec, lit_prefix, rx):
     the per-rule derived columns robots_decide matches with. Computed
