@@ -457,6 +457,53 @@ _ROBOTS_RULE_PATHS = [
 ]
 
 
+_META_HTML_VARIANTS = [
+    # both directives + raw-spelling canonical needing canonicalization
+    '<html><head><meta name="robots" content="noindex, nofollow">'
+    '<link rel="canonical" href="HTTP://H{i}.ORG:80/real#f"></head><body>x</body>',
+    # content-first attr order, single quotes, caps token
+    "<meta content='NOINDEX' name='robots'><p>body</p>",
+    # unquoted name, the 'none' alias (= noindex + nofollow)
+    '<meta name=robots content="none">',
+    # decoy meta; no directives
+    '<meta name="viewport" content="width=device-width"><p>plain</p>',
+    # nofollow only + href-first canonical with a relative target
+    '<meta name="robots" content="nofollow"><link href="/rel/p{i}" rel=canonical>',
+    # token-boundary trap: noindexING must NOT match
+    '<meta name="robots" content="noindexing">',
+]
+
+
+def q_html_meta_directives(spark, sf_dir):
+    """In-page crawl-control directives (webparse.
+    html_meta_directives): meta-robots noindex / nofollow (incl. the
+    'none' alias) and rel=canonical, matched across attribute orders
+    and quote styles with RE2-safe patterns so the oracle replays
+    them exactly; canonical hrefs come back in canonical URL form so
+    they join frontier keys directly. nofollow is the link-expansion
+    gate, canonical the page-side alias signal complementing
+    alias_collapse. Planted: 36 pages cycling six adversarial HTML
+    shapes incl. a token-boundary trap (noindexing)."""
+    from dblp_crawler_spark.sources.webparse import html_meta_directives
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 36)
+    hh = (F.col("doc_id") % 6).cast("string")
+    html = F.lit(None).cast("string")
+    for i, v in enumerate(_META_HTML_VARIANTS):
+        parts = v.split("{i}")
+        expr = F.lit(parts[0])
+        for p in parts[1:]:
+            expr = F.concat(expr, hh, F.lit(p))
+        html = F.when(F.col("doc_id") % 6 == i, expr).otherwise(html)
+    pages = docs.select(
+        F.concat(
+            F.lit("http://h"), hh, F.lit(".org/page/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return html_meta_directives(pages)
+
+
 def q_host_shard_assign(spark, sf_dir):
     """Rendezvous (HRW) host → shard placement (scheduler.
     host_shards): shard = argmax over s of hash60(host, s), folded
@@ -2356,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "robots_decide": q_robots_decide,
         "host_shard_assign": q_host_shard_assign,
+        "html_meta_directives": q_html_meta_directives,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -2629,6 +2677,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "robots_parse": _robots_parse_oracle(),
         "robots_decide": _robots_decide_oracle(),
         "host_shard_assign": _host_shard_oracle(),
+        "html_meta_directives": _html_meta_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3351,6 +3400,29 @@ def _robots_parse_oracle() -> str:
                  CASE {' '.join(cases)} END AS robots_txt
           FROM documents WHERE doc_id < 24
         ), {body[len('WITH '):]}
+    """
+
+
+def _html_meta_oracle() -> str:
+    """DuckDB replay of q_html_meta_directives: identical planted
+    HTML variants, then html_meta_directives_sql (same RE2 patterns,
+    token tests, canonicalization)."""
+    from dblp_crawler_spark.sources.webparse import html_meta_directives_sql
+
+    cases = []
+    for i, v in enumerate(_META_HTML_VARIANTS):
+        lit = " || (doc_id % 6) || ".join(
+            "'" + part.replace("'", "''") + "'" for part in v.split("{i}")
+        )
+        cases.append(f"WHEN doc_id % 6 = {i} THEN {lit}")
+    body = html_meta_directives_sql("html_pages").strip()
+    return f"""
+        WITH html_pages AS (
+          SELECT 'http://h' || (doc_id % 6) || '.org/page/' || doc_id AS url,
+                 CASE {' '.join(cases)} END AS html
+          FROM documents WHERE doc_id < 36
+        )
+        {body}
     """
 
 

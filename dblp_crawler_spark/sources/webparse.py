@@ -491,6 +491,101 @@ def html_to_text_sql(expr: str) -> str:
 _SITEMAP_LINE_RE = r"(?i)^sitemap\s*:\s*(\S+)\s*$"
 
 
+# ---- in-page crawl-control directives ---------------------------------------
+#
+# RE2-compatible on purpose (no backreferences / lookahead) so the
+# DuckDB oracle replays the exact patterns: quotes matched with a
+# ["'] class instead of a \1 backref, attribute order covered by one
+# regex per order. Values stop at ["'>] — an unquoted attr value
+# ends at '>' or whitespace anyway for the attrs we extract.
+_META_ROBOTS_NF = (
+    r"""(?i)<meta\s[^>]*name\s*=\s*["']?robots["']?[^>]*content\s*=\s*["']([^"'>]*)["']"""
+)
+_META_ROBOTS_CF = (
+    r"""(?i)<meta\s[^>]*content\s*=\s*["']([^"'>]*)["'][^>]*name\s*=\s*["']?robots["']?"""
+)
+_LINK_CANON_RF = (
+    r"""(?i)<link\s[^>]*rel\s*=\s*["']?canonical["']?[^>]*href\s*=\s*["']([^"'>]*)["']"""
+)
+_LINK_CANON_HF = (
+    r"""(?i)<link\s[^>]*href\s*=\s*["']([^"'>]*)["'][^>]*rel\s*=\s*["']?canonical["']?"""
+)
+
+
+def html_meta_directives(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """Per-page crawl-control directives a polite indexer must honor
+    BEFORE content or links are used: ``<meta name=robots>``'s
+    noindex (drop the payload from the index) and nofollow (don't
+    expand this page's links into the frontier), and
+    ``<link rel=canonical>``'s self-declared duplicate-of URL — the
+    page-side alias signal that complements content-fingerprint
+    `alias_collapse` (the canonical target may not be fetched yet,
+    so no fingerprint exists to group on).
+
+    Both attribute orders and either quote style are matched;
+    directive tokens are comma/space-delimited and case-insensitive
+    per the robots-meta spec. The canonical href is emitted in
+    canonical URL form so it joins the seen set / frontier keys
+    directly. Pure projection — no shuffle, no UDF.
+
+    Returns (url, noindex boolean, nofollow boolean,
+    canonical string|NULL).
+    """
+    from ..functions.urlnorm import canonical_url
+
+    content = F.coalesce(
+        F.nullif(F.regexp_extract(html_col, _META_ROBOTS_NF, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html_col, _META_ROBOTS_CF, 1), F.lit("")),
+    )
+    tok = lambda t: F.coalesce(  # noqa: E731
+        content.rlike(r"(?i)(^|[,\s])" + t + r"([,\s]|$)"), F.lit(False)
+    )
+    href = F.coalesce(
+        F.nullif(F.regexp_extract(html_col, _LINK_CANON_RF, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html_col, _LINK_CANON_HF, 1), F.lit("")),
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        (tok("noindex") | tok("none")).alias("noindex"),
+        (tok("nofollow") | tok("none")).alias("nofollow"),
+        canonical_url(href).alias("canonical"),
+    )
+
+
+def html_meta_directives_sql(src: str = "html_pages") -> str:
+    """DuckDB replay of :func:`html_meta_directives` over
+    ``src(url, html)`` — same RE2-safe patterns, same token tests,
+    same canonicalization."""
+    from ..functions.urlnorm import canonical_url_sql
+
+    nf = _META_ROBOTS_NF.replace("'", "''")
+    cf = _META_ROBOTS_CF.replace("'", "''")
+    rf = _LINK_CANON_RF.replace("'", "''")
+    hf = _LINK_CANON_HF.replace("'", "''")
+    content = (
+        f"coalesce(nullif(regexp_extract(html, '{nf}', 1), ''),"
+        f" nullif(regexp_extract(html, '{cf}', 1), ''))"
+    )
+
+    def tok(t):
+        return (
+            f"coalesce(regexp_matches({content}, '(?i)(^|[,\\s]){t}([,\\s]|$)'), FALSE)"
+        )
+
+    href = (
+        f"coalesce(nullif(regexp_extract(html, '{rf}', 1), ''),"
+        f" nullif(regexp_extract(html, '{hf}', 1), ''))"
+    )
+    return f"""
+        SELECT url,
+               ({tok('noindex')} OR {tok('none')}) AS noindex,
+               ({tok('nofollow')} OR {tok('none')}) AS nofollow,
+               {canonical_url_sql(href)} AS canonical
+        FROM {src}
+    """
+
+
 def robots_sitemaps(pages: DataFrame, host_col: str = "host",
                     text_col: str = "robots_txt") -> DataFrame:
     """`Sitemap:` declarations from robots.txt — the protocol's
