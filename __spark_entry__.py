@@ -457,6 +457,48 @@ _ROBOTS_RULE_PATHS = [
 ]
 
 
+_CACHE_HEADER_VARIANTS = [
+    "HTTP/1.1 200 OK\r\nDate: Tue, 19 Aug 2026 03:00:00 GMT\r\n"
+    "Cache-Control: public, max-age=3600\r\nContent-Type: text/html\r\n",
+    "Cache-Control: public, max-age=60, s-maxage=600\r\n",   # shared-cache wins
+    "Cache-Control: no-store, max-age=900\r\n",              # no-store forces 0
+    "cache-control: NO-CACHE, max-age=120\r\n",              # revalidate + ttl
+    "Date: Tue, 19 Aug 2026 03:00:00 GMT\r\n"
+    "Expires: Tue, 19 Aug 2026 05:00:00 GMT\r\n",            # fallback 7200
+    "Date: Tue, 19 Aug 2026 03:00:00 GMT\r\n"
+    "Expires: Mon, 18 Aug 2026 03:00:00 GMT\r\n",            # past -> clamp 0
+    "Expires: Tue, 19 Aug 2026 05:00:00 GMT\r\n",            # no Date -> NULL
+    "Content-Type: image/png\r\nServer: x\r\n",              # no info -> NULL
+    "Date: yesterday-ish\r\nExpires: Tue, 19 Aug 2026 05:00:00 GMT\r\n",
+    "Cache-Control: no-storefront, s-maxage=50\r\n",         # boundary traps
+]
+
+
+def q_cache_policy(spark, sf_dir):
+    """RFC 9111 freshness from raw response headers (freshness.
+    cache_policy): no-store / no-cache gates and the ttl budget with
+    shared-cache precedence (s-maxage > max-age > Expires−Date,
+    difference-only so timezone handling cancels cross-engine;
+    malformed dates absorb to NULL via try_to_timestamp). This is
+    where fetch_plan's revalidate/skip tiers get their budget from
+    the ORIGIN instead of the reference's hardcoded per-class TTLs
+    (downloader.py:34-49). Planted: 40 responses cycling ten header
+    shapes incl. token-boundary traps (no-storefront, s-maxage vs
+    max-age)."""
+    from dblp_crawler_spark.operators.freshness import cache_policy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 40)
+    hdr = F.lit(None).cast("string")
+    for i, v in enumerate(_CACHE_HEADER_VARIANTS):
+        hdr = F.when(F.col("doc_id") % 10 == i, F.lit(v)).otherwise(hdr)
+    resp = docs.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 10).cast("string"),
+                 F.lit(".org/p/"), F.col("doc_id").cast("string")).alias("url"),
+        hdr.alias("headers"),
+    )
+    return cache_policy(resp)
+
+
 _META_HTML_VARIANTS = [
     # both directives + raw-spelling canonical needing canonicalization
     '<html><head><meta name="robots" content="noindex, nofollow">'
@@ -2404,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_decide": q_robots_decide,
         "host_shard_assign": q_host_shard_assign,
         "html_meta_directives": q_html_meta_directives,
+        "cache_policy": q_cache_policy,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -2678,6 +2721,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "robots_decide": _robots_decide_oracle(),
         "host_shard_assign": _host_shard_oracle(),
         "html_meta_directives": _html_meta_oracle(),
+        "cache_policy": _cache_policy_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3400,6 +3444,29 @@ def _robots_parse_oracle() -> str:
                  CASE {' '.join(cases)} END AS robots_txt
           FROM documents WHERE doc_id < 24
         ), {body[len('WITH '):]}
+    """
+
+
+def _cache_policy_oracle() -> str:
+    """DuckDB replay of q_cache_policy: identical planted header
+    blocks (CRLF via chr(13)||chr(10)), then cache_policy_sql (same
+    regexes, precedence, and difference-only date arithmetic)."""
+    from dblp_crawler_spark.operators.freshness import cache_policy_sql
+
+    cases = []
+    for i, v in enumerate(_CACHE_HEADER_VARIANTS):
+        lit = " || chr(13) || chr(10) || ".join(
+            "'" + part.replace("'", "''") + "'" for part in v.split("\r\n")
+        )
+        cases.append(f"WHEN doc_id % 10 = {i} THEN {lit}")
+    body = cache_policy_sql("responses").strip()
+    return f"""
+        WITH responses AS (
+          SELECT 'http://h' || (doc_id % 10) || '.org/p/' || doc_id AS url,
+                 CASE {' '.join(cases)} END AS headers
+          FROM documents WHERE doc_id < 40
+        )
+        {body}
     """
 
 

@@ -46,6 +46,107 @@ def stale_urls(pages: DataFrame, now: datetime, ttl_days: dict[str, int] | None 
     return pages.select("url", "kind").join(fresh, "url", "left_anti")
 
 
+# ---- HTTP response cache policy ---------------------------------------------
+#
+# RFC 9111 freshness from raw response headers. The reference's TTLs
+# are hardcoded per URL class (downloader.py:34-49); a web-scale
+# crawler gets its revalidation budget FROM the origin: max-age /
+# s-maxage (a crawler is a shared cache, so s-maxage wins when both
+# are present), the Expires-minus-Date fallback, and the no-store /
+# no-cache gates. Only the Expires-Date DIFFERENCE is used — never an
+# absolute epoch — so session-timezone handling cancels and the
+# engine and the SQL oracle agree bit-for-bit.
+
+_H_CC = r"(?im)^cache-control\s*:\s*([^\r\n]*)"
+_H_EXPIRES = r"(?im)^expires\s*:\s*([^\r\n]*)"
+_H_DATE = r"(?im)^date\s*:\s*([^\r\n]*)"
+_D_MAXAGE = r"(?i)(^|[,\s])max-age\s*=\s*([0-9]+)"
+_D_SMAXAGE = r"(?i)(^|[,\s])s-maxage\s*=\s*([0-9]+)"
+# Spark 4's datetime parser rejects day-name fields ('EEE') on the
+# parse side, and the weekday is redundant in RFC 1123 anyway — both
+# engines strip a leading 'Www, ' before parsing the rest.
+_DOW_PREFIX = r"^[A-Za-z]{3},\s*"
+_RFC1123_SPARK = "dd MMM yyyy HH:mm:ss 'GMT'"
+_RFC1123_DUCK = "%d %b %Y %H:%M:%S GMT"
+
+
+def cache_policy(responses: DataFrame, url_col: str = "url",
+                 headers_col: str = "headers") -> DataFrame:
+    """(url, raw header block) → (url, no_store, no_cache, ttl_s):
+    the per-URL freshness budget that feeds `fetch_plan`'s
+    fetch / revalidate / skip triage and `recrawl_priorities`.
+
+    - ``no_store``: response must not enter the page store at all.
+    - ``no_cache``: storable, but every reuse needs revalidation
+      (a conditional GET) regardless of age.
+    - ``ttl_s``: seconds the stored copy stays fresh — s-maxage if
+      present (a crawler is a shared cache), else max-age, else
+      max(0, Expires - Date) when both headers parse, else NULL
+      (no freshness info; heuristic recrawl applies). no-store
+      forces 0.
+
+    Pure projection (regex extracts + one timestamp-difference);
+    malformed dates parse to NULL via try_to_timestamp, so a bad
+    origin can never fail the wave.
+    """
+    h = F.col(headers_col)
+    cc = F.nullif(F.trim(F.regexp_extract(h, _H_CC, 1)), F.lit(""))
+    no_store = F.coalesce(cc.rlike(r"(?i)(^|[,\s])no-store([,\s]|$)"), F.lit(False))
+    no_cache = F.coalesce(cc.rlike(r"(?i)(^|[,\s])no-cache([,\s]|$)"), F.lit(False))
+    smax = F.nullif(F.regexp_extract(cc, _D_SMAXAGE, 2), F.lit("")).cast("long")
+    mage = F.nullif(F.regexp_extract(cc, _D_MAXAGE, 2), F.lit("")).cast("long")
+
+    def ts(pat):
+        raw = F.nullif(F.trim(F.regexp_extract(h, pat, 1)), F.lit(""))
+        raw = F.regexp_replace(raw, _DOW_PREFIX, "")
+        return F.unix_timestamp(F.try_to_timestamp(raw, F.lit(_RFC1123_SPARK)))
+
+    # greatest() IGNORES nulls in Spark (greatest(NULL,0)=0), so gate
+    # the clamp on the difference existing: missing Date/Expires must
+    # yield NULL (no freshness info), not 0 (expired)
+    diff = ts(_H_EXPIRES) - ts(_H_DATE)
+    exp_ttl = F.when(diff.isNotNull(), F.greatest(diff, F.lit(0).cast("long")))
+    ttl = F.when(no_store, F.lit(0).cast("long")).otherwise(
+        F.coalesce(smax, mage, exp_ttl)
+    )
+    return responses.select(
+        F.col(url_col).alias("url"),
+        no_store.alias("no_store"),
+        no_cache.alias("no_cache"),
+        ttl.alias("ttl_s"),
+    )
+
+
+def cache_policy_sql(src: str = "responses") -> str:
+    """DuckDB replay of :func:`cache_policy` over
+    ``src(url, headers)`` — same header regexes, same precedence,
+    same difference-only date arithmetic (try_strptime absorbs
+    malformed dates like Spark's try_to_timestamp)."""
+    cc = f"nullif(trim(regexp_extract(headers, '{_H_CC}', 1)), '')"
+
+    def tok(t):
+        return f"coalesce(regexp_matches({cc}, '(?i)(^|[,\\s]){t}([,\\s]|$)'), FALSE)"
+
+    smax = f"CAST(nullif(regexp_extract({cc}, '{_D_SMAXAGE}', 2), '') AS BIGINT)"
+    mage = f"CAST(nullif(regexp_extract({cc}, '{_D_MAXAGE}', 2), '') AS BIGINT)"
+
+    def ts(pat):
+        raw = f"nullif(trim(regexp_extract(headers, '{pat}', 1)), '')"
+        raw = f"regexp_replace({raw}, '{_DOW_PREFIX}', '')"
+        return f"epoch(try_strptime({raw}, '{_RFC1123_DUCK}'))"
+
+    diff = f"CAST({ts(_H_EXPIRES)} - {ts(_H_DATE)} AS BIGINT)"
+    exp_ttl = f"CASE WHEN ({diff}) IS NOT NULL THEN greatest({diff}, 0) END"
+    return f"""
+        SELECT url,
+               {tok('no-store')} AS no_store,
+               {tok('no-cache')} AS no_cache,
+               CASE WHEN {tok('no-store')} THEN 0
+                    ELSE coalesce({smax}, {mage}, {exp_ttl}) END AS ttl_s
+        FROM {src}
+    """
+
+
 def refresh_pages(lake, new_rows: DataFrame) -> int:
     """Write-through refresh: MERGE the re-fetched rows over the
     stale ones, keyed on url (downloader.py:78-80 analog)."""
