@@ -1313,6 +1313,28 @@ def q_ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(queries, emb, k=10, n_planes=6, n_tables=8, seed=42, dim=64)
 
 
+def q_ann_pq_adc(spark, sf_dir):
+    """Product-quantization ADC top-k (similarity.pq_train /
+    pq_encode / pq_adc_topk): the vector-COMPRESSION tier of the ANN
+    family — 64-dim vectors become m=4 sub-codes (one int64 distance
+    table lookup each at query time; raw vectors never read when
+    scoring), the property that lets a 100 TB embedding corpus's
+    codes live in hot storage. Every code decision is exact integer
+    work over fixed-point unit vectors (portable seeded init, one
+    integer-L2 Lloyd round, floor-of-mean sub-centroids), so codes,
+    ADC sums, ranks, and ties replay bit-identically in the oracle.
+    Recall is re-rank's job (pq_topk_reranked, gated in
+    tests/test_pq.py); this entry pins the deterministic ADC
+    pipeline itself."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = SIM.pq_train(emb, dim=64, m=4, n_codes=8, iters=1, seed=99)
+    codes = SIM.pq_encode(emb, cb, dim=64, m=4, n_codes=8)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return SIM.pq_adc_topk(queries, codes, cb, dim=64, m=4, k=10)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN top-k, production shape: the index is built
     ONCE per corpus (fixed-point quantizer — portable seeded init,
@@ -2402,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_hard_negatives": q_contrastive_hard_negatives,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_adc": q_ann_pq_adc,
         "text_token_count": q_text_token_count,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_quality": q_text_quality,
@@ -2684,6 +2707,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "sketch_heavy_hitters": cms_sql,
         "ann_lsh_topk": lsh_ann_sql,
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "ann_pq_adc": _ann_pq_oracle(),
         "dedup_substring_spans": _substring_spans_oracle(),
         "lm_bits_score": _lm_bits_oracle(),
         "corpus_shuffle": _corpus_shuffle_oracle(),
@@ -3885,6 +3909,85 @@ def _ivf_assign_ctes(src: str, n_cells: int, seed: int, dim: int) -> str:
             FROM base b CROSS JOIN cents1 c
           ) WHERE rr = 1
         )"""
+
+
+def _ann_pq_oracle() -> str:
+    """DuckDB replay of q_ann_pq_adc's ENTIRE PQ pipeline: the
+    shared fixed-point base quantization, subvector split, seeded
+    codebook init, one Lloyd round (argmin = ORDER BY dist, c —
+    exactly the int64 MIN-key fold), floor-of-mean update, encode,
+    per-query distance tables, ADC sum, deterministic ranking.
+    All-double arithmetic replays Spark's int64 exactly (every value
+    < 2^53)."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.operators.similarity import LSH_QUANT_SCALE
+
+    m, n_codes, seed, k, d_sub = 4, 8, 99, 10, 16
+
+    def dist(a, b):
+        return (
+            f"list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b})"
+        )
+
+    return f"""
+        WITH raw AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(embedding::DOUBLE[], x -> x * x)),
+                                  (a, b) -> a + b)) AS nrm
+          FROM embeddings
+        ), base AS (
+          SELECT vec_id,
+                 list_transform(e, x -> floor(x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)
+                                              * {float(LSH_QUANT_SCALE)!r})) AS qv
+          FROM raw
+        ), subs AS (
+          SELECT vec_id, j, list_slice(qv, j * {d_sub} + 1, j * {d_sub} + {d_sub}) AS sv
+          FROM base CROSS JOIN range({m}) t(j)
+        ), seeded AS (
+          SELECT vec_id, qv,
+                 ROW_NUMBER() OVER (ORDER BY {H('vec_id', seed)} ASC, vec_id ASC) AS rn
+          FROM base
+        ), cb0 AS (
+          SELECT j, rn - 1 AS c,
+                 list_slice(qv, j * {d_sub} + 1, j * {d_sub} + {d_sub}) AS qcent
+          FROM seeded CROSS JOIN range({m}) t(j) WHERE rn <= {n_codes}
+        ), a1 AS (
+          SELECT vec_id, j, c AS code, sv FROM (
+            SELECT s.vec_id, s.j, c.c, s.sv,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                     ORDER BY {dist('s.sv', 'c.qcent')} ASC, c.c ASC) AS rr
+            FROM subs s JOIN cb0 c ON s.j = c.j
+          ) WHERE rr = 1
+        ), cb1 AS (
+          SELECT j, c, list(mv ORDER BY i) AS qcent FROM (
+            SELECT j, code AS c, i, floor(AVG(sv[i])) AS mv
+            FROM a1 CROSS JOIN range(1, {d_sub + 1}) r(i)
+            GROUP BY j, code, i
+          ) GROUP BY j, c
+        ), a2 AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT s.vec_id, s.j, c.c,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                     ORDER BY {dist('s.sv', 'c.qcent')} ASC, c.c ASC) AS rr
+            FROM subs s JOIN cb1 c ON s.j = c.j
+          ) WHERE rr = 1
+        ), dt AS (
+          SELECT q.vec_id AS q_id, q.j, c.c AS code,
+                 {dist('q.sv', 'c.qcent')} AS d
+          FROM subs q JOIN cb1 c ON q.j = c.j
+          WHERE q.vec_id < 4
+        ), scored AS (
+          SELECT dt.q_id, a2.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc
+          FROM a2 JOIN dt ON a2.j = dt.j AND a2.code = dt.code
+          GROUP BY dt.q_id, a2.vec_id
+        )
+        SELECT q_id, vec_id, adc, CAST(rank AS INT) AS rank FROM (
+          SELECT q_id, vec_id, adc,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
 
 
 def _ann_ivf_oracle() -> str:

@@ -557,3 +557,188 @@ def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+# ---- product quantization (PQ / ADC) -----------------------------------------
+#
+# The compression tier of the ANN family: IVF shrinks the SEARCH
+# (scan only probed cells), PQ shrinks the VECTORS — m sub-codes of
+# log2(n_codes) bits replace dim floats (64-dim f32 → 4 bytes at
+# m=4, n_codes=256: 64×), so a 100 TB embedding corpus's codes fit
+# hot storage and candidate scoring never touches raw vectors.
+# Like ivf_index_quantized, EVERY step that decides a code is exact
+# integer work over fixed-point unit vectors, so codes, ADC scores,
+# ranks, and ties replay bit-identically in any engine (Jégou/
+# Douze/Schmid, TPAMI'11 — the IVFADC construction, re-expressed as
+# joins + hash aggregations).
+
+
+def _pq_qbase(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, qv): fixed-point unit vector per row (quantize_unit) —
+    the shared input grain for PQ training, encoding, and queries."""
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv"))
+        .withColumn("__nrm", l2_norm(F.col("__cv")))
+        .select(id_col, quantize_unit(F.col("__cv"), F.col("__nrm")).alias("qv"))
+    )
+
+
+def _pq_subvectors(qdf: DataFrame, m: int, dim: int, id_col: str) -> DataFrame:
+    """(id, j, sv): the m contiguous d/m-dim subvectors of qv,
+    exploded map-side (no shuffle)."""
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    d_sub = dim // m
+    parts = [
+        F.struct(
+            F.lit(j).alias("j"), F.slice("qv", j * d_sub + 1, d_sub).alias("sv")
+        )
+        for j in range(m)
+    ]
+    return qdf.select(id_col, F.explode(F.array(*parts)).alias("p")).select(
+        id_col, F.col("p.j").alias("j"), F.col("p.sv").alias("sv")
+    )
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame, n_codes: int,
+               id_col: str) -> DataFrame:
+    """Nearest sub-centroid per (id, j): exact integer squared L2,
+    tie → smaller code, folded into one int64 MIN key (d * n_codes
+    + c, the scheduler's argmax trick mirrored) — broadcast join on
+    j + one hash agg, no window. d ≤ 2^49 for 16-dim fixed-point
+    subvectors, so the key stays < 2^58 at n_codes ≤ 256."""
+    cb = F.broadcast(codebook.select("j", "c", "qcent"))
+    key = _l2q(F.col("sv"), F.col("qcent")) * n_codes + F.col("c")
+    return (
+        subs.join(cb, "j")
+        .groupBy(id_col, "j")
+        .agg(F.min(key).alias("__k"))
+        .select(
+            id_col, "j", F.pmod("__k", F.lit(n_codes)).cast("int").alias("code")
+        )
+    )
+
+
+def pq_train(corpus: DataFrame, dim: int, m: int = 4, n_codes: int = 8,
+             iters: int = 1, seed: int = 42, c_id: str = "vec_id",
+             c_vec: str = "embedding") -> DataFrame:
+    """Train the PQ codebook: per subspace j an independent k-means
+    over the corpus's j-th subvectors. Deterministic portable init —
+    the n_codes rows with the smallest (hash60(id, seed), id) seed
+    ALL subspaces (one distributed top-k, no per-subspace sampling
+    pass); each Lloyd round is one broadcast assign + one
+    floor-of-mean update (exact: fixed-point ints sum exactly in
+    double), localCheckpoint'ed so lineage stays O(1) in iters —
+    the ivf_index_quantized discipline. A code left empty by a round
+    drops out of the codebook (standard empty-cluster shrink) and
+    replays identically in the oracle.
+
+    Returns codebook(j, c, qcent array<long>)."""
+    from ..functions.hashing import hash60
+
+    base = _pq_qbase(corpus, c_id, c_vec)
+    subs = _pq_subvectors(base, m, dim, c_id)
+    init = (
+        base.select(c_id, "qv", hash60(F.col(c_id), seed).alias("__sk"))
+        .orderBy("__sk", c_id)
+        .limit(n_codes)
+    )
+    w0 = Window.orderBy("__sk", F.col(c_id))
+    seeds = init.withColumn("c", F.row_number().over(w0) - 1).select("c", "qv")
+    codebook = (
+        _pq_subvectors(seeds, m, dim, "c")
+        .select("j", "c", F.col("sv").alias("qcent"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        a = _pq_assign(subs, codebook, n_codes, c_id)
+        codebook = (
+            subs.join(a, [c_id, "j"])
+            .select("j", F.col("code").alias("c"), F.posexplode("sv").alias("pos", "val"))
+            .groupBy("j", "c", "pos")
+            .agg(F.floor(F.avg("val")).cast("long").alias("m"))
+            .groupBy("j", "c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("qcent")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return codebook
+
+
+def pq_encode(corpus: DataFrame, codebook: DataFrame, dim: int, m: int = 4,
+              n_codes: int = 8, c_id: str = "vec_id",
+              c_vec: str = "embedding") -> DataFrame:
+    """Encode the corpus against a trained codebook:
+    (id, j, code int) — m rows per vector, the join-ready long form
+    (pack with :func:`pq_pack` for storage)."""
+    base = _pq_qbase(corpus, c_id, c_vec)
+    return _pq_assign(_pq_subvectors(base, m, dim, c_id), codebook, n_codes, c_id)
+
+
+def pq_pack(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, codes array<int>) — the storage form: m small ints per
+    vector instead of dim floats."""
+    return codes.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+                dim: int, m: int = 4, k: int = 10, q_id: str = "q_id",
+                q_vec: str = "q_vec", c_id: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query, a tiny distance
+    table — exact integer L2 from each query subvector to every
+    sub-centroid (m·n_codes entries, broadcast) — then every corpus
+    vector scores as the SUM of m table lookups joined on (j, code):
+    no raw corpus vectors are read at query time, the property that
+    makes PQ the 100 TB scan tier. Deterministic (adc, id) ranking;
+    production recall comes from re-ranking the ADC shortlist with
+    exact cosine (:func:`pq_topk_reranked`)."""
+    qb = _pq_qbase(queries, q_id, q_vec)
+    qsubs = _pq_subvectors(qb, m, dim, q_id)
+    dt = qsubs.join(F.broadcast(codebook), "j").select(
+        q_id, "j", F.col("c").alias("code"),
+        _l2q(F.col("sv"), F.col("qcent")).alias("d"),
+    )
+    scored = (
+        codes.join(dt, ["j", "code"])
+        .groupBy(q_id, c_id)
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("adc").asc(), F.col(c_id).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_topk_reranked(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+                     corpus: DataFrame, dim: int, m: int = 4, k: int = 10,
+                     shortlist: int = 50, q_id: str = "q_id",
+                     q_vec: str = "q_vec", c_id: str = "vec_id",
+                     c_vec: str = "embedding") -> DataFrame:
+    """IVFADC-style serving shape: ADC shortlist (cheap, code-only)
+    → exact float-cosine re-rank of the shortlist against raw
+    vectors (reads `shortlist` rows per query, not the corpus)."""
+    short = pq_adc_topk(queries, codes, codebook, dim, m, shortlist,
+                        q_id, q_vec, c_id).select(q_id, c_id)
+    qn = queries.select(
+        F.col(q_id), F.col(q_vec).cast("array<double>").alias("__qv")
+    ).withColumn("__nq", l2_norm(F.col("__qv")))
+    cn = corpus.select(
+        F.col(c_id), F.col(c_vec).cast("array<double>").alias("__rv")
+    ).withColumn("__nc", l2_norm(F.col("__rv")))
+    scored = (
+        short.join(qn, q_id).join(cn, c_id)
+        .select(
+            q_id, c_id,
+            _cos_pre(F.col("__qv"), F.col("__rv"), "__nq", "__nc").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
