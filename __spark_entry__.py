@@ -1847,6 +1847,31 @@ def q_fetch_backoff(spark, sf_dir):
     return fetch_backoff(log)
 
 
+def q_adaptive_crawl_delay(spark, sf_dir):
+    """AIMD per-host politeness from observed behavior (scheduler.
+    adaptive_crawl_delay): delay = clamp(max(base, 2·p95-latency)
+    << min(fail_streak, 6)) — a slow host is throttled proportional
+    to its rank-exact p95 service time (never interpolated, so any
+    engine agrees), a failing host backs off multiplicatively on the
+    trailing consecutive-failure streak (order-free count after the
+    last success). The adaptive tier above robots crawl-delay, which
+    most hosts don't set; output plugs into politeness_pop's
+    host_budgets. Hosts from the events log (user_id % 25), latency
+    = floor(value·100) — deterministic in IEEE double on both
+    engines. ONE host-keyed exchange shared by rank window, host
+    windows, and the collapse agg."""
+    from dblp_crawler_spark.operators.scheduler import adaptive_crawl_delay
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.format_string("h%d.org", F.pmod("user_id", F.lit(25))).alias("host"),
+        F.floor(F.col("value") * 100).cast("long").alias("latency_ms"),
+        (F.col("event_type") != "error").alias("ok"),
+        F.col("ts"),
+    )
+    return adaptive_crawl_delay(log)
+
+
 def q_alias_collapse(spark, sf_dir):
     """Duplicate-content URL-alias collapse (operators/recrawl.
     canonical_election): every 4th doc is planted to SERVE ANOTHER
@@ -2470,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_shard_assign": q_host_shard_assign,
         "html_meta_directives": q_html_meta_directives,
         "cache_policy": q_cache_policy,
+        "adaptive_crawl_delay": q_adaptive_crawl_delay,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -2746,6 +2772,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "host_shard_assign": _host_shard_oracle(),
         "html_meta_directives": _html_meta_oracle(),
         "cache_policy": _cache_policy_oracle(),
+        "adaptive_crawl_delay": _adaptive_delay_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3467,6 +3494,25 @@ def _robots_parse_oracle() -> str:
           SELECT 'h' || doc_id || '.org' AS host,
                  CASE {' '.join(cases)} END AS robots_txt
           FROM documents WHERE doc_id < 24
+        ), {body[len('WITH '):]}
+    """
+
+
+def _adaptive_delay_oracle() -> str:
+    """DuckDB replay of q_adaptive_crawl_delay: identical planted
+    log projection, then adaptive_crawl_delay_sql (rank-exact p95,
+    order-free streak, shift/clamp arithmetic)."""
+    from dblp_crawler_spark.operators.scheduler import adaptive_crawl_delay_sql
+
+    body = adaptive_crawl_delay_sql("fetch_log").strip()
+    assert body.upper().startswith("WITH")
+    return f"""
+        WITH fetch_log AS (
+          SELECT 'h' || (user_id % 25) || '.org' AS host,
+                 CAST(floor(value * 100) AS BIGINT) AS latency_ms,
+                 event_type <> 'error' AS ok,
+                 ts
+          FROM events
         ), {body[len('WITH '):]}
     """
 

@@ -361,3 +361,93 @@ def fetch_backoff(log: DataFrame, url_col: str = "url", ts_col: str = "ts",
         "url", "n_fails", "last_ts_us",
         (F.col("last_ts_us") + delay).alias("next_eligible_us"),
     )
+
+
+def adaptive_crawl_delay(log: DataFrame, host_col: str = "host",
+                         lat_col: str = "latency_ms", ok_col: str = "ok",
+                         ts_col: str = "ts", base_ms: int = 500,
+                         min_ms: int = 250, max_ms: int = 600_000,
+                         streak_cap: int = 6) -> DataFrame:
+    """AIMD-style per-host politeness from OBSERVED behavior — the
+    adaptive tier above robots crawl-delay (which most hosts don't
+    set): a slow host gets a delay proportional to its service time
+    (Heritrix's delay-factor rule: never occupy more than ~half a
+    host's capacity → 2 × p95 latency), and a failing host backs
+    off multiplicatively (2^streak on the trailing consecutive-
+    failure streak, the congestion signal).
+
+        delay_ms = clamp(min_ms, max_ms,
+                         max(base_ms, 2 * p95_latency) << min(streak, cap))
+
+    Everything is exact integer work: the p95 is the rank-exact
+    value at ceil(19n/20) (the quantiles-operator arithmetic — no
+    interpolation, engine-portable), the streak is an order-free
+    count of fetches with ts strictly after the last success, and
+    the shift/clamps are int64. ONE host-keyed exchange shared by
+    the rank window, the host-wide windows, and the collapse agg.
+
+    Output (host, n, p95_ms, fail_streak, delay_ms) plugs into
+    `politeness_pop(host_budgets=...)` as budget ≈ wave_ms / delay.
+    """
+    w = Window.partitionBy(host_col)
+    wo = Window.partitionBy(host_col).orderBy(F.asc(lat_col))
+    m = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    rows = log.select(
+        F.col(host_col).alias("host"),
+        F.col(lat_col).cast("long").alias("__lat"),
+        F.col(ok_col).alias("__ok"),
+        m.alias("__m"),
+    ).select(
+        "host", "__lat", "__ok", "__m",
+        F.row_number().over(wo.partitionBy("host").orderBy(F.asc("__lat"))).alias("__rn"),
+        F.count(F.lit(1)).over(w.partitionBy("host")).alias("__n"),
+        F.max(F.when(F.col("__ok"), F.col("__m"))).over(w.partitionBy("host")).alias("__last_ok"),
+    )
+    per_host = rows.groupBy("host").agg(
+        F.max("__n").alias("n"),
+        F.max(
+            F.when(F.col("__rn") == F.expr("(19 * __n + 19) DIV 20"), F.col("__lat"))
+        ).alias("p95_ms"),
+        F.sum(
+            F.when(F.col("__m") > F.coalesce(F.col("__last_ok"), F.lit(-1)), 1).otherwise(0)
+        ).cast("long").alias("fail_streak"),
+    )
+    svc = F.greatest(F.lit(base_ms).cast("long"), 2 * F.col("p95_ms"))
+    shifted = svc * F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(least(fail_streak, {streak_cap}) AS INT))"
+    )
+    delay = F.least(
+        F.lit(max_ms).cast("long"), F.greatest(F.lit(min_ms).cast("long"), shifted)
+    )
+    return per_host.select("host", "n", "p95_ms", "fail_streak", delay.alias("delay_ms"))
+
+
+def adaptive_crawl_delay_sql(src: str = "fetch_log", base_ms: int = 500,
+                             min_ms: int = 250, max_ms: int = 600_000,
+                             streak_cap: int = 6) -> str:
+    """DuckDB replay of :func:`adaptive_crawl_delay` over
+    ``src(host, latency_ms, ok, ts)`` — same rank-exact p95, same
+    order-free streak, same shift/clamp arithmetic."""
+    return f"""
+        WITH acd_rows AS (
+          SELECT host, CAST(latency_ms AS BIGINT) AS lat, ok,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS m,
+                 ROW_NUMBER() OVER (PARTITION BY host ORDER BY latency_ms ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY host) AS n,
+                 MAX(CASE WHEN ok THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+                   OVER (PARTITION BY host) AS last_ok
+          FROM {src}
+        ), acd_host AS (
+          SELECT host, MAX(n) AS n,
+                 MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN lat END) AS p95_ms,
+                 CAST(SUM(CASE WHEN m > coalesce(last_ok, -1) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fail_streak
+          FROM acd_rows GROUP BY host
+        )
+        SELECT host, n, p95_ms, fail_streak,
+               least(CAST({max_ms} AS BIGINT), greatest(CAST({min_ms} AS BIGINT),
+                 greatest(CAST({base_ms} AS BIGINT), 2 * p95_ms)
+                 * (CAST(1 AS BIGINT) << CAST(least(fail_streak, {streak_cap}) AS INT))
+               )) AS delay_ms
+        FROM acd_host
+    """
