@@ -1847,6 +1847,22 @@ def q_fetch_backoff(spark, sf_dir):
     return fetch_backoff(log)
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR data-selection importance weights (textstats.
+    dsir_importance, Xie et al. NeurIPS'23): per raw doc, how much
+    more likely its hashed bigrams are under a TARGET slice than
+    under the raw corpus — the resampling weight that tilts a 100 TB
+    crawl toward a domain. Integer-exact log-ratio surrogate
+    (bits(c+1) via length(bin()), totals-normalized), hashed into
+    2^14 buckets so both count tables are bounded broadcast dims at
+    any corpus size. Target planted as the doc_id % 13 slice (a real
+    run feeds a benchmark/curated table — same plan). The oracle
+    replays gram extraction, buckets, counts, and the bits algebra."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 13 == 0)
+    return T.dsir_importance(docs, target, n=2, n_buckets=1 << 14, seed=11)
+
+
 def q_adaptive_crawl_delay(spark, sf_dir):
     """AIMD per-host politeness from observed behavior (scheduler.
     adaptive_crawl_delay): delay = clamp(max(base, 2·p95-latency)
@@ -2496,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta_directives": q_html_meta_directives,
         "cache_policy": q_cache_policy,
         "adaptive_crawl_delay": q_adaptive_crawl_delay,
+        "dsir_importance": q_dsir_importance,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -2773,6 +2790,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "html_meta_directives": _html_meta_oracle(),
         "cache_policy": _cache_policy_oracle(),
         "adaptive_crawl_delay": _adaptive_delay_oracle(),
+        "dsir_importance": _dsir_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3495,6 +3513,32 @@ def _robots_parse_oracle() -> str:
                  CASE {' '.join(cases)} END AS robots_txt
           FROM documents WHERE doc_id < 24
         ), {body[len('WITH '):]}
+    """
+
+
+def _dsir_oracle() -> str:
+    """DuckDB replay of q_dsir_importance: the lm_bits gram replay
+    (word_ngrams incl. short-text fallback) bucketed with
+    hash60 % 2^14, target = the doc_id % 13 slice of the SAME gram
+    frame, then dsir_importance_sql's count/bits algebra."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.operators.textstats import dsir_importance_sql
+
+    nb, seed = 1 << 14, 11
+    body = dsir_importance_sql("", "", n_buckets=nb, seed=seed).strip()
+    return f"""
+        WITH g0 AS (
+          SELECT doc_id,
+            CASE WHEN len(tk) >= 2 THEN
+              list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+            ELSE [array_to_string(tk, ' ')] END AS grams
+          FROM (SELECT doc_id, {_TOK} AS tk FROM documents)
+        ), dsir_rg AS (
+          SELECT doc_id, {H('gram', seed)} % {nb} AS b
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM g0)
+        ), dsir_tg AS (
+          SELECT b FROM dsir_rg WHERE doc_id % 13 = 0
+        ), {body}
     """
 
 

@@ -898,3 +898,106 @@ def corpus_drift(docs: DataFrame, baseline: str, group_col: str = "source",
         F.col("n").alias("n_tokens"),
         F.round(l1 / (F.col("n") * F.col("nb")), 6).alias("drift"),
     )
+
+
+def dsir_importance(raw_docs: DataFrame, target_docs: DataFrame, n: int = 2,
+                    n_buckets: int = 1 << 14, seed: int = 11,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hashed n-gram importance weights for data selection (DSIR,
+    Xie et al. NeurIPS'23): score each raw document by how much more
+    likely its n-grams are under a small TARGET distribution (the
+    domain you want more of — a benchmark slice, curated wiki) than
+    under the raw-corpus distribution, with n-grams hashed into
+    `n_buckets` so both count tables are bounded dims regardless of
+    corpus size.
+
+    Integer-exact variant of the log-likelihood ratio: with
+    add-one-smoothed bucket counts, log2 p ≈ bits(c+1) − bits(total
+    + B) where bits(x) = length(bin(x)) (the lm_bits_score trick —
+    never a float log), so
+
+        dsir_bits = Σ_g [bits(c_t+1) − bits(c_r+1)]
+                    + n_grams · [bits(R_tot + B) − bits(T_tot + B)]
+
+    is int64 end-to-end and replays bit-identically in any engine.
+    Resample by ranking on dsir_bits (ties → id).
+
+    Scale shape: one gram explode per side, two ≤ n_buckets-row
+    count dims broadcast back onto the raw grams, one per-doc agg.
+    The target side is small by construction; the raw side's counts
+    are B-bounded — at 100 TB this is the decontaminate plan family
+    with dims that can never outgrow the broadcast threshold.
+    """
+    from ..functions.hashing import hash60
+
+    def grams(df, keep_id):
+        cols = [F.col(id_col)] if keep_id else []
+        return df.select(
+            *cols, F.explode(word_ngrams(text_col, n)).alias("__gram")
+        ).select(
+            *([F.col(id_col)] if keep_id else []),
+            F.pmod(hash60(F.col("__gram"), seed), F.lit(n_buckets)).alias("__b"),
+        )
+
+    rg = grams(raw_docs, True)
+    tg = grams(target_docs, False)
+    r_counts = rg.groupBy("__b").agg(F.count("*").alias("__cr"))
+    t_counts = tg.groupBy("__b").agg(F.count("*").alias("__ct"))
+    r_tot = r_counts.agg(F.sum("__cr").alias("__rt"))
+    t_tot = t_counts.agg(F.sum("__ct").alias("__tt"))
+    bits = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+    scored = (
+        rg.join(F.broadcast(t_counts), "__b", "left")
+        .join(F.broadcast(r_counts), "__b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(bits(F.coalesce(F.col("__ct"), F.lit(0)) + 1)).cast("long").alias("sum_t_bits"),
+            F.sum(bits(F.coalesce(F.col("__cr"), F.lit(0)) + 1)).cast("long").alias("sum_r_bits"),
+        )
+    )
+    norm = bits(F.col("__rt") + n_buckets) - bits(F.col("__tt") + n_buckets)
+    return (
+        scored.crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .select(
+            id_col, "n_grams", "sum_t_bits", "sum_r_bits",
+            (
+                F.col("sum_t_bits") - F.col("sum_r_bits") + F.col("n_grams") * norm
+            ).alias("dsir_bits"),
+        )
+    )
+
+
+def dsir_importance_sql(raw: str, target: str, n: int = 2,
+                        n_buckets: int = 1 << 14, seed: int = 11) -> str:
+    """DuckDB replay of :func:`dsir_importance` over relations
+    ``raw(doc_id, text)`` and ``target(doc_id, text)`` — same hash60
+    buckets, same bits arithmetic. Requires a `grams` replay of
+    word_ngrams: callers inline word_ngrams_sql-compatible CTEs
+    ``dsir_rg(doc_id, b)`` and ``dsir_tg(b)`` instead (gram
+    extraction differs per planted input), so this fragment starts
+    at the count tables."""
+    return f"""
+        dsir_rc AS (
+          SELECT b, COUNT(*) AS cr FROM dsir_rg GROUP BY b
+        ), dsir_tc AS (
+          SELECT b, COUNT(*) AS ct FROM dsir_tg GROUP BY b
+        ), dsir_tot AS (
+          SELECT (SELECT SUM(cr) FROM dsir_rc) AS rt,
+                 (SELECT coalesce(SUM(ct), 0) FROM dsir_tc) AS tt
+        ), dsir_doc AS (
+          SELECT g.doc_id, COUNT(*) AS n_grams,
+                 CAST(SUM(length(bin(coalesce(t.ct, 0) + 1))) AS BIGINT) AS sum_t_bits,
+                 CAST(SUM(length(bin(coalesce(r.cr, 0) + 1))) AS BIGINT) AS sum_r_bits
+          FROM dsir_rg g
+          LEFT JOIN dsir_tc t ON g.b = t.b
+          LEFT JOIN dsir_rc r ON g.b = r.b
+          GROUP BY g.doc_id
+        )
+        SELECT doc_id, n_grams, sum_t_bits, sum_r_bits,
+               sum_t_bits - sum_r_bits + n_grams *
+                 (CAST(length(bin(rt + {n_buckets})) AS BIGINT)
+                  - CAST(length(bin(tt + {n_buckets})) AS BIGINT)) AS dsir_bits
+        FROM dsir_doc CROSS JOIN dsir_tot
+    """
