@@ -2118,6 +2118,20 @@ def q_corpus_shuffle(spark, sf_dir):
     return T.seeded_shuffle(docs, seed=17)
 
 
+def q_mixture_interleave(spark, sf_dir):
+    """Weighted-fair mixture training order (textstats.
+    mixture_interleave): virtual-time fair queueing over per-source
+    seeded-shuffle ranks — every PREFIX of the epoch carries each
+    source in proportion to its weight (within one quantum), the
+    property mixture training needs that a plain weighted shuffle
+    only gives in expectation. All-int64 (k·2^20 DIV w), re-runs and
+    other engines derive the identical order; src0 weighted 4×,
+    src1 2×, rest 1. The oracle replays within-source rank, virtual
+    finish, and the (f, source, k) total order."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return T.mixture_interleave(docs, {"src0": 4, "src1": 2}, seed=17)
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2513,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_policy": q_cache_policy,
         "adaptive_crawl_delay": q_adaptive_crawl_delay,
         "dsir_importance": q_dsir_importance,
+        "mixture_interleave": q_mixture_interleave,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -2791,6 +2806,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "cache_policy": _cache_policy_oracle(),
         "adaptive_crawl_delay": _adaptive_delay_oracle(),
         "dsir_importance": _dsir_oracle(),
+        "mixture_interleave": _mixture_interleave_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3514,6 +3530,14 @@ def _robots_parse_oracle() -> str:
           FROM documents WHERE doc_id < 24
         ), {body[len('WITH '):]}
     """
+
+
+def _mixture_interleave_oracle() -> str:
+    """DuckDB replay of q_mixture_interleave
+    (mixture_interleave_sql over the documents table)."""
+    from dblp_crawler_spark.operators.textstats import mixture_interleave_sql
+
+    return mixture_interleave_sql("documents", {"src0": 4, "src1": 2}, seed=17)
 
 
 def _dsir_oracle() -> str:

@@ -7,7 +7,7 @@ tokenization regex.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
@@ -1000,4 +1000,90 @@ def dsir_importance_sql(raw: str, target: str, n: int = 2,
                  (CAST(length(bin(rt + {n_buckets})) AS BIGINT)
                   - CAST(length(bin(tt + {n_buckets})) AS BIGINT)) AS dsir_bits
         FROM dsir_doc CROSS JOIN dsir_tot
+    """
+
+
+def mixture_interleave(docs: DataFrame, weights: dict[str, int],
+                       source_col: str = "source", id_col: str = "doc_id",
+                       seed: int = 17, quantum: int = 1 << 20,
+                       default_weight: int = 1) -> DataFrame:
+    """Deterministic weighted-fair training-order interleave (WFQ /
+    smooth weighted round-robin): every PREFIX of the emitted order
+    contains each source in proportion to its weight (within one
+    quantum), which is what mixture training actually needs — a
+    weight-2 source appearing twice as often *throughout* the epoch,
+    not merely twice as often in total (a plain shuffle gives the
+    total; early/late drift is unbounded).
+
+    Construction: within each source, docs take the seeded-shuffle
+    order k = rank by (hash60(id, seed), id); item k gets the
+    virtual finish time ``f = (k+1) * quantum DIV w_s`` and the
+    global order is rank by (f, source, k) — the classic
+    virtual-time fair-queueing schedule, all-int64 (k < 2^43 at
+    quantum 2^20 before overflow, i.e. trillions of docs/source).
+    Sources absent from `weights` get `default_weight`. Re-runs and
+    other engines derive the identical epoch order; a new seed
+    reshuffles within sources while preserving the mixture ratio.
+
+    Scale shape: per-source rank is a source-partitioned window
+    (one hash exchange; a pathologically hot source can reuse
+    global_sequence per source instead), the final rank reuses the
+    crawl's two-pass distributed prefix sum — no single-partition
+    window, rank emitted as long.
+
+    Returns (id, source, k, vfinish, train_rank)."""
+    from ..functions.hashing import hash60
+    from .scheduler import global_sequence
+
+    pairs = [p for kv in sorted(weights.items()) for p in (F.lit(kv[0]), F.lit(kv[1]))]
+    wmap = F.create_map(*pairs) if pairs else F.create_map()
+    w = F.coalesce(
+        F.try_element_at(wmap, F.col(source_col)), F.lit(default_weight)
+    ).cast("long")
+    wk = Window.partitionBy(source_col).orderBy(
+        hash60(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    d = docs.select(
+        F.col(id_col), F.col(source_col),
+        (F.row_number().over(wk) - 1).cast("long").alias("k"),
+        w.alias("__w"),
+    ).select(
+        id_col, source_col, "k",
+        F.expr(f"CAST((k + 1) * {quantum} DIV __w AS BIGINT)").alias("vfinish"),
+    )
+    return (
+        global_sequence(d, start=0, order_cols=["vfinish", source_col, "k"], out_type="long")
+        .select(id_col, source_col, "k", "vfinish", F.col("seq").alias("train_rank"))
+    )
+
+
+def mixture_interleave_sql(src: str, weights: dict[str, int], seed: int = 17,
+                           quantum: int = 1 << 20, default_weight: int = 1,
+                           source_col: str = "source",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB replay of :func:`mixture_interleave` over
+    ``src(doc_id, source)`` — same hash60 within-source order, same
+    virtual-finish arithmetic, same (f, source, k) total order."""
+    from ..functions.hashing import hash60_sql
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(weights.items())
+    )
+    wexpr = f"CASE {source_col} {cases} ELSE {default_weight} END" if weights else str(default_weight)
+    return f"""
+        WITH mi_k AS (
+          SELECT {id_col}, {source_col},
+                 CAST(ROW_NUMBER() OVER (PARTITION BY {source_col}
+                   ORDER BY {hash60_sql(id_col, seed)} ASC, {id_col} ASC) - 1 AS BIGINT) AS k,
+                 CAST({wexpr} AS BIGINT) AS w
+          FROM {src}
+        ), mi_f AS (
+          SELECT {id_col}, {source_col}, k,
+                 CAST((k + 1) * {quantum} // w AS BIGINT) AS vfinish
+          FROM mi_k
+        )
+        SELECT {id_col}, {source_col}, k, vfinish,
+               CAST(ROW_NUMBER() OVER (ORDER BY vfinish ASC, {source_col} ASC, k ASC) - 1
+                    AS BIGINT) AS train_rank
+        FROM mi_f
     """
