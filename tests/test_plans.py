@@ -241,3 +241,76 @@ def test_drop_dups_keep_best_single_shuffle(spark):
     # partial top-1 runs map-side BEFORE the exchange (WindowGroupLimit
     # both below and above it) — the 'map-side combine' of keep-best
     assert len(re.findall(r"\(\d+\) WindowGroupLimit", p)) == 2
+
+
+def test_pigeonhole_hamming_is_equi_join(spark):
+    """The guaranteed-recall multi-block kernel must also plan as an
+    equi-join (on block index + value) — the (k+1)x fan-in must not
+    degrade into a cartesian."""
+    from dblp_crawler_spark.operators.dedup import hamming_near_dups_exact
+
+    df = spark.range(100).select(
+        F.concat(F.lit("im"), F.col("id")).alias("image_id"),
+        F.pmod(F.xxhash64("id"), F.lit(1 << 60)).alias("ph"),
+    )
+    plan = plan_of(hamming_near_dups_exact(df, "ph", "image_id", max_hamming=3, width=60))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_robots_decide_is_host_equi_join(spark):
+    """Rule evaluation joins urls to per-host rules on host — a
+    bounded fan-out equi-join, never a cartesian over urls x rules."""
+    from dblp_crawler_spark.operators.scheduler import robots_decide
+
+    urls = spark.range(200).select(
+        F.concat(F.lit("http://h"), F.col("id") % 10, F.lit(".org/p/"), F.col("id")).alias("url")
+    )
+    rules = spark.createDataFrame(
+        [(f"h{i}.org", "disallow", "/private*") for i in range(10)],
+        "host string, rule string, pattern string",
+    )
+    plan = plan_of(robots_decide(urls, rules))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_adaptive_delay_single_host_exchange(spark):
+    """The rank window, the host-wide windows, and the collapse agg
+    must share ONE host-keyed exchange (the quantiles/fetch_backoff
+    discipline)."""
+    import re
+
+    from dblp_crawler_spark.operators.scheduler import adaptive_crawl_delay
+
+    log = spark.range(300).select(
+        F.concat(F.lit("h"), F.col("id") % 7).alias("host"),
+        (F.col("id") % 50 * 10).alias("latency_ms"),
+        (F.col("id") % 3 != 0).alias("ok"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+    )
+    p = plan_of(adaptive_crawl_delay(log))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_pq_codebook_joins_broadcast(spark):
+    """PQ assignment and the ADC distance table must broadcast the
+    codebook (m x n_codes rows) — corpus subvectors never shuffle on
+    the join key."""
+    from dblp_crawler_spark.operators.similarity import pq_adc_topk, pq_encode, pq_train
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    corpus = spark.createDataFrame(
+        [(i, rng.normal(size=16).tolist()) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_train(corpus, dim=16, m=4, n_codes=4, iters=1, seed=2)
+    codes = pq_encode(corpus, cb, dim=16, m=4, n_codes=4)
+    queries = corpus.limit(2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    p_enc = plan_of(codes)
+    p_adc = plan_of(pq_adc_topk(queries, codes, cb, dim=16, m=4, k=5))
+    assert "BroadcastHashJoin" in p_enc
+    assert "BroadcastHashJoin" in p_adc
