@@ -2132,6 +2132,36 @@ def q_mixture_interleave(spark, sf_dir):
     return T.mixture_interleave(docs, {"src0": 4, "src1": 2}, seed=17)
 
 
+def q_warc_cdx_layout(spark, sf_dir):
+    """Web-archive writer layout (operators/archive.py): SURT keys,
+    deterministic WARC shard placement at shard = byte-prefix DIV
+    target (the parallel, engine-portable form of a rolling writer),
+    per-shard byte offsets, and the CDX rows — all computed BEFORE a
+    byte is written, from exact serialized record lengths, via the
+    crawl's two-pass distributed prefix sum (no single-partition
+    window). Synthetic fetch records derive from documents with
+    port/query URL variety; 64 KiB shards keep the fixture
+    multi-shard. The oracle replays SURT, the rendered record bytes,
+    the exclusive prefix, and the DIV placement."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators import archive as AR
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = docs.select(
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".example.org"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(":8443")).otherwise(F.lit("")),
+            F.lit("/docs/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("?a=2&b=1")).otherwise(F.lit("")),
+        ).alias("url"),
+        (F.lit(1700000000).cast("long") + F.col("doc_id") * 37).alias("ts"),
+        F.lit("text/plain").alias("mime"),
+        hash60("text").alias("digest"),
+        F.col("text").alias("payload"),
+    )
+    return AR.warc_layout(recs, target_bytes=1 << 16)
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2528,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_crawl_delay": q_adaptive_crawl_delay,
         "dsir_importance": q_dsir_importance,
         "mixture_interleave": q_mixture_interleave,
+        "warc_cdx_layout": q_warc_cdx_layout,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -2807,6 +2838,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "adaptive_crawl_delay": _adaptive_delay_oracle(),
         "dsir_importance": _dsir_oracle(),
         "mixture_interleave": _mixture_interleave_oracle(),
+        "warc_cdx_layout": _warc_layout_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3538,6 +3570,28 @@ def _mixture_interleave_oracle() -> str:
     from dblp_crawler_spark.operators.textstats import mixture_interleave_sql
 
     return mixture_interleave_sql("documents", {"src0": 4, "src1": 2}, seed=17)
+
+
+def _warc_layout_oracle() -> str:
+    """DuckDB replay of q_warc_cdx_layout: the same synthetic fetch
+    records (port/query variety, hash60 digest) through
+    warc_layout_sql — SURT, exact record bytes, exclusive prefix,
+    DIV placement."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.operators.archive import warc_layout_sql
+
+    src = f"""(
+        SELECT 'https://www.' || source || '.example.org'
+                 || CASE WHEN doc_id % 11 = 0 THEN ':8443' ELSE '' END
+                 || '/docs/' || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN doc_id % 7 = 0 THEN '?a=2&b=1' ELSE '' END AS url,
+               CAST(1700000000 + doc_id * 37 AS BIGINT) AS ts,
+               'text/plain' AS mime,
+               {H('text')} AS digest,
+               text AS payload
+        FROM documents
+    )"""
+    return warc_layout_sql(src, target_bytes=1 << 16)
 
 
 def _dsir_oracle() -> str:
