@@ -2162,6 +2162,42 @@ def q_warc_cdx_layout(spark, sf_dir):
     return AR.warc_layout(recs, target_bytes=1 << 16)
 
 
+def q_warc_revisit_dedup(spark, sf_dir):
+    """Digest-deduplicated archive placement (archive.
+    warc_revisit_layout): per content digest the earliest capture
+    (min (ts, url)) stays a full response record, later captures
+    become zero-payload revisit stubs pointing at it — the WARC 1.1
+    identical-payload-digest profile that keeps recrawl-heavy
+    archives from storing unchanged pages twice. Duplicates planted
+    by serving every group of 4 docs the group leader's text (a
+    self-join the oracle replays); one digest-keyed window elects
+    originals, then the same DIV-target placement as
+    warc_cdx_layout."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators import archive as AR
+
+    docs = _t(spark, sf_dir, "documents")
+    leaders = docs.select(F.col("doc_id").alias("gid"), F.col("text").alias("payload"))
+    recs = (
+        docs.select(
+            "doc_id", "source",
+            (F.col("doc_id") - F.col("doc_id") % 4).alias("gid"),
+        )
+        .join(leaders, "gid")
+        .select(
+            F.concat(
+                F.lit("https://www."), F.col("source"), F.lit(".example.org/docs/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            (F.lit(1700000000).cast("long") + F.col("doc_id") * 37).alias("ts"),
+            F.lit("text/plain").alias("mime"),
+            hash60("payload").alias("digest"),
+            "payload",
+        )
+    )
+    return AR.warc_revisit_layout(recs, target_bytes=1 << 16)
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2559,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": q_dsir_importance,
         "mixture_interleave": q_mixture_interleave,
         "warc_cdx_layout": q_warc_cdx_layout,
+        "warc_revisit_dedup": q_warc_revisit_dedup,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -2839,6 +2876,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "dsir_importance": _dsir_oracle(),
         "mixture_interleave": _mixture_interleave_oracle(),
         "warc_cdx_layout": _warc_layout_oracle(),
+        "warc_revisit_dedup": _warc_revisit_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3592,6 +3630,26 @@ def _warc_layout_oracle() -> str:
         FROM documents
     )"""
     return warc_layout_sql(src, target_bytes=1 << 16)
+
+
+def _warc_revisit_oracle() -> str:
+    """DuckDB replay of q_warc_revisit_dedup: the same planted
+    leader-text duplicates (self-join on the group of 4) through
+    warc_revisit_layout_sql — same election, stubs, placement."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.operators.archive import warc_revisit_layout_sql
+
+    src = f"""(
+        SELECT 'https://www.' || d.source || '.example.org/docs/'
+                 || CAST(d.doc_id AS VARCHAR) AS url,
+               CAST(1700000000 + d.doc_id * 37 AS BIGINT) AS ts,
+               'text/plain' AS mime,
+               {H('l.text')} AS digest,
+               l.text AS payload
+        FROM documents d
+        JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 4
+    )"""
+    return warc_revisit_layout_sql(src, target_bytes=1 << 16)
 
 
 def _dsir_oracle() -> str:

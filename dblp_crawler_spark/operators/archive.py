@@ -210,22 +210,33 @@ def warc_layout(records: DataFrame, target_bytes: int = DEFAULT_TARGET_BYTES,
         F.col(mime_col).alias("mime"),
         F.col(digest_col).alias("digest"),
         rec.alias("rec"),
-    ).withColumn("rec_len", F.octet_length("rec").cast("long"))
+    )
+    return _place(base, target_bytes, keep_record,
+                  extra_cols=["mime", "digest"])
+
+
+def _place(base: DataFrame, target_bytes: int, keep_record: bool,
+           extra_cols: list) -> DataFrame:
+    """Shared placement core: given rendered records ``(surt, url,
+    ts, rec, *extra_cols)``, compute exact byte lengths, the
+    exclusive prefix under the CDX total order, and the DIV-target
+    shard + per-shard offset (broadcast join against the tiny shard
+    dimension)."""
+    sized = base.withColumn("rec_len", F.octet_length("rec").cast("long"))
     placed = _exclusive_byte_prefix(
-        base, order_cols=["surt", "ts", "url"], len_col="rec_len"
+        sized, order_cols=["surt", "ts", "url"], len_col="rec_len"
     ).withColumn("shard", F.expr(f"CAST(prefix DIV {target_bytes} AS INT)"))
     starts = placed.groupBy("shard").agg(F.min("prefix").alias("__start"))
-    out = (
+    return (
         placed.join(F.broadcast(starts), "shard")
         .select(
-            "surt", "url", "ts", "mime", "digest", "shard",
+            "surt", "url", "ts", *extra_cols, "shard",
             F.format_string("warc-%05d.warc", F.col("shard")).alias("shard_name"),
             (F.col("prefix") - F.col("__start")).alias("rec_offset"),
             "rec_len",
             *(["rec"] if keep_record else []),
         )
     )
-    return out
 
 
 def warc_layout_sql(src: str, target_bytes: int = DEFAULT_TARGET_BYTES,
@@ -284,3 +295,148 @@ def warc_shard_render(layout: DataFrame) -> DataFrame:
             F.array_join(F.transform("__parts", lambda x: x["rec"]), "").alias("shard_text"),
         )
     )
+
+
+# ---- digest-based archive dedup (revisit records) -----------------------------
+
+def warc_revisit_record_text(url: Column, ts: Column, orig_url: Column,
+                             orig_ts: Column, digest: Column) -> Column:
+    """Serialized WARC revisit record: a zero-payload stub recording
+    that this capture's content is byte-identical to an earlier
+    capture (WARC 1.1 identical-payload-digest profile — the
+    Internet Archive / Common Crawl convention that keeps a
+    recrawl-heavy archive from storing every unchanged page again).
+    Same epoch-seconds date convention as the response renderer."""
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: "), ts.cast("string"),
+        F.lit("\r\nWARC-Refers-To-Target-URI: "), orig_url,
+        F.lit("\r\nWARC-Refers-To-Date: "), orig_ts.cast("string"),
+        F.lit("\r\nWARC-Payload-Digest: "), digest.cast("string"),
+        F.lit("\r\nContent-Length: 0\r\n\r\n\r\n\r\n"),
+    )
+
+
+def warc_revisit_record_sql(url: str, ts: str, orig_url: str, orig_ts: str,
+                            digest: str) -> str:
+    """DuckDB fragment computing exactly ``warc_revisit_record_text``."""
+    crlf = "chr(13) || chr(10)"
+    return (
+        f"'WARC/1.0' || {crlf} || 'WARC-Type: revisit' || {crlf}"
+        f" || 'WARC-Target-URI: ' || {url} || {crlf}"
+        f" || 'WARC-Date: ' || CAST({ts} AS VARCHAR) || {crlf}"
+        f" || 'WARC-Refers-To-Target-URI: ' || {orig_url} || {crlf}"
+        f" || 'WARC-Refers-To-Date: ' || CAST({orig_ts} AS VARCHAR) || {crlf}"
+        f" || 'WARC-Payload-Digest: ' || CAST({digest} AS VARCHAR) || {crlf}"
+        f" || 'Content-Length: 0' || {crlf} || {crlf} || {crlf} || {crlf}"
+    )
+
+
+def warc_revisit_layout(records: DataFrame,
+                        target_bytes: int = DEFAULT_TARGET_BYTES,
+                        url_col: str = "url", ts_col: str = "ts",
+                        payload_col: str = "payload", mime_col: str = "mime",
+                        digest_col: str = "digest",
+                        keep_record: bool = False) -> DataFrame:
+    """Digest-deduplicated WARC placement: per content digest the
+    EARLIEST capture (min (ts, url) — deterministic, engine-portable)
+    serializes as a full response record; every later capture
+    serializes as a zero-payload revisit stub pointing at it.  Then
+    the mixed record set flows through the same deterministic
+    placement as :func:`warc_layout`.
+
+    This is the archive-side counterpart of the corpus dedup family:
+    at recrawl-heavy web scale most captures are byte-identical to a
+    prior capture, so payload bytes collapse to one copy per digest
+    while the CDX keeps one row per CAPTURE (replay still resolves
+    every (url, ts) — through WARC-Refers-To for revisits).
+
+    Plan: one digest-keyed window (rank + first-capture url/ts share
+    the single exchange), then the placement's range partition —
+    payloads never shuffle beyond those two exchanges.  Returns CDX
+    rows + ``rec_type`` ('response'|'revisit') +
+    ``refers_to_url``/``refers_to_ts`` (NULL on responses)."""
+    order = [F.col(ts_col).asc(), F.col(url_col).asc()]
+    w = Window.partitionBy(digest_col).orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cls = records.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(mime_col).alias("mime"),
+        F.col(digest_col).alias("digest"),
+        F.col(payload_col).alias("__payload"),
+        F.row_number().over(w).alias("__rn"),
+        F.first(url_col).over(wf).alias("__o_url"),
+        F.first(F.col(ts_col).cast("long")).over(wf).alias("__o_ts"),
+    )
+    is_first = F.col("__rn") == 1
+    rec = F.when(
+        is_first,
+        warc_record_text(F.col("url"), F.col("ts"), F.col("__payload")),
+    ).otherwise(
+        warc_revisit_record_text(
+            F.col("url"), F.col("ts"),
+            F.col("__o_url"), F.col("__o_ts"), F.col("digest"),
+        )
+    )
+    base = cls.select(
+        surt_key(F.col("url")).alias("surt"),
+        "url", "ts", "mime", "digest",
+        F.when(is_first, F.lit("response")).otherwise(F.lit("revisit")).alias("rec_type"),
+        F.when(is_first, F.lit(None).cast("string")).otherwise(F.col("__o_url")).alias("refers_to_url"),
+        F.when(is_first, F.lit(None).cast("long")).otherwise(F.col("__o_ts")).alias("refers_to_ts"),
+        rec.alias("rec"),
+    )
+    return _place(
+        base, target_bytes, keep_record,
+        extra_cols=["mime", "digest", "rec_type", "refers_to_url", "refers_to_ts"],
+    )
+
+
+def warc_revisit_layout_sql(src: str,
+                            target_bytes: int = DEFAULT_TARGET_BYTES,
+                            url_col: str = "url", ts_col: str = "ts",
+                            payload_col: str = "payload",
+                            mime_col: str = "mime",
+                            digest_col: str = "digest") -> str:
+    """DuckDB replay of :func:`warc_revisit_layout` — same earliest-
+    capture election, same stub/response rendering, same placement."""
+    surt = surt_key_sql("url")
+    resp = warc_record_sql("url", "ts", "payload")
+    rev = warc_revisit_record_sql("url", "ts", "o_url", "o_ts", "digest")
+    return f"""
+        WITH wr_cls AS (
+          SELECT {url_col} AS url, CAST({ts_col} AS BIGINT) AS ts,
+                 {mime_col} AS mime, {digest_col} AS digest,
+                 {payload_col} AS payload,
+                 ROW_NUMBER() OVER (PARTITION BY {digest_col}
+                   ORDER BY CAST({ts_col} AS BIGINT), {url_col}) AS rn,
+                 FIRST_VALUE({url_col}) OVER (PARTITION BY {digest_col}
+                   ORDER BY CAST({ts_col} AS BIGINT), {url_col}) AS o_url,
+                 FIRST_VALUE(CAST({ts_col} AS BIGINT)) OVER (PARTITION BY {digest_col}
+                   ORDER BY CAST({ts_col} AS BIGINT), {url_col}) AS o_ts
+          FROM {src}
+        ), wr_rec AS (
+          SELECT {surt} AS surt, url, ts, mime, digest,
+                 CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS rec_type,
+                 CASE WHEN rn = 1 THEN NULL ELSE o_url END AS refers_to_url,
+                 CASE WHEN rn = 1 THEN NULL ELSE o_ts END AS refers_to_ts,
+                 CASE WHEN rn = 1 THEN {resp} ELSE {rev} END AS rec
+          FROM wr_cls
+        ), wr_len AS (
+          SELECT *, CAST(strlen(rec) AS BIGINT) AS rec_len FROM wr_rec
+        ), wr_pre AS (
+          SELECT *, COALESCE(SUM(rec_len) OVER (ORDER BY surt, ts, url
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+          FROM wr_len
+        ), wr_sh AS (
+          SELECT *, CAST(prefix // {target_bytes} AS INT) AS shard FROM wr_pre
+        )
+        SELECT surt, url, ts, mime, digest, rec_type, refers_to_url,
+               refers_to_ts, shard,
+               printf('warc-%05d.warc', shard) AS shard_name,
+               CAST(prefix - MIN(prefix) OVER (PARTITION BY shard) AS BIGINT) AS rec_offset,
+               rec_len
+        FROM wr_sh
+    """

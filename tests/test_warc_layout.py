@@ -166,3 +166,97 @@ def test_plan_broadcasts_shard_starts(spark):
     plan = warc_layout(df, target_bytes=TARGET)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---- revisit dedup -----------------------------------------------------------
+
+def _dup_records(spark):
+    """Three digests; digest B's LATER capture has the smaller url
+    (election must be by (ts, url), never url alone)."""
+    rows = [
+        ("https://a.org/1", 100, "text/html", 11, "payload-A"),
+        ("https://a.org/2", 200, "text/html", 11, "payload-A"),   # revisit of /1
+        ("https://z.org/9", 150, "text/html", 22, "payload-B"),
+        ("https://b.org/0", 300, "text/html", 22, "payload-B"),   # later ts, smaller url
+        ("https://c.org/u", 400, "text/html", 33, "payload-C"),   # unique
+        ("https://a.org/3", 100, "text/html", 11, "payload-A"),   # ts tie → url breaks
+    ]
+    return rows, spark.createDataFrame(
+        rows, "url string, ts long, mime string, digest long, payload string"
+    )
+
+
+def test_revisit_election_and_refers(spark):
+    from dblp_crawler_spark.operators.archive import warc_revisit_layout
+
+    _, df = _dup_records(spark)
+    out = {r.url: r for r in warc_revisit_layout(df, target_bytes=TARGET).collect()}
+    assert out["https://a.org/1"].rec_type == "response"   # ts tie, smaller url
+    assert out["https://a.org/3"].rec_type == "revisit"
+    assert out["https://a.org/2"].rec_type == "revisit"
+    assert out["https://a.org/2"].refers_to_url == "https://a.org/1"
+    assert out["https://a.org/2"].refers_to_ts == 100
+    assert out["https://z.org/9"].rec_type == "response"   # earliest ts wins
+    assert out["https://b.org/0"].rec_type == "revisit"
+    assert out["https://b.org/0"].refers_to_url == "https://z.org/9"
+    assert out["https://c.org/u"].rec_type == "response"
+    assert out["https://c.org/u"].refers_to_url is None
+    # exactly one response per digest
+    assert sum(1 for r in out.values() if r.rec_type == "response") == 3
+
+
+def test_revisit_render_and_savings(spark):
+    from dblp_crawler_spark.operators.archive import (
+        warc_layout,
+        warc_revisit_layout,
+        warc_shard_render,
+    )
+
+    rows, df = _records(spark)
+    # plant duplicates: every 3rd record reuses record i-(i%3)'s payload
+    dup = spark.createDataFrame(
+        [(u, t, m, hash(rows[i - i % 3][4]) % (1 << 40), rows[i - i % 3][4])
+         for i, (u, t, m, d, p) in enumerate(rows)],
+        "url string, ts long, mime string, digest long, payload string",
+    )
+    plain = warc_layout(dup, target_bytes=TARGET)
+    dedup = warc_revisit_layout(dup, target_bytes=TARGET, keep_record=True)
+    n_plain = plain.agg(F.sum("rec_len")).first()[0]
+    n_dedup = dedup.agg(F.sum("rec_len")).first()[0]
+    assert dedup.count() == plain.count()          # one CDX row per capture
+    assert n_dedup < n_plain * 0.6                 # stubs collapse 2/3 of payloads
+    # mixed-record shards still render byte-exactly at the CDX offsets
+    cdx = dedup.select("shard", "rec_offset", "rec_len", "rec", "rec_type").collect()
+    shards = {r.shard: r.shard_text.encode()
+              for r in warc_shard_render(dedup).collect()}
+    for r in cdx:
+        blob = shards[r.shard][r.rec_offset:r.rec_offset + r.rec_len]
+        assert blob == r.rec.encode()
+        if r.rec_type == "revisit":
+            assert b"WARC-Type: revisit" in blob and b"Content-Length: 0" in blob
+        else:
+            assert b"WARC-Type: response" in blob
+
+
+def test_revisit_duckdb_replay_identical(spark):
+    from dblp_crawler_spark.operators.archive import (
+        warc_revisit_layout,
+        warc_revisit_layout_sql,
+    )
+
+    rows, df = _dup_records(spark)
+    spark_pdf = (
+        warc_revisit_layout(df, target_bytes=TARGET).toPandas()
+        .sort_values(["surt", "ts", "url"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("recs", pd.DataFrame(
+        rows, columns=["url", "ts", "mime", "digest", "payload"]
+    ))
+    duck_pdf = (
+        con.sql(warc_revisit_layout_sql("recs", target_bytes=TARGET)).df()
+        .sort_values(["surt", "ts", "url"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
