@@ -2198,6 +2198,21 @@ def q_warc_revisit_dedup(spark, sf_dir):
     return AR.warc_revisit_layout(recs, target_bytes=1 << 16)
 
 
+def q_dataset_fingerprint(spark, sf_dir):
+    """Order-invariant multiset content fingerprint (operators/
+    audit.py): per source — n_rows, bit-XOR of 60-bit row hashes,
+    and three 20-bit-nibble additive sums (multiplicity-sensitive
+    where XOR cancels on even duplicates; int64-exact to ~8.8e12
+    rows). One map-side-partial aggregation; fingerprints of shards
+    merge by (+, ^, +), so replica audits compare O(1) summaries
+    instead of shuffling 100 TB. The oracle runs the SAME audit in
+    DuckDB — the cross-engine comparison this operator exists for."""
+    from dblp_crawler_spark.operators.audit import table_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return table_fingerprint(docs, group_cols=["source"])
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2596,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_interleave": q_mixture_interleave,
         "warc_cdx_layout": q_warc_cdx_layout,
         "warc_revisit_dedup": q_warc_revisit_dedup,
+        "dataset_fingerprint": q_dataset_fingerprint,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -2877,6 +2893,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "mixture_interleave": _mixture_interleave_oracle(),
         "warc_cdx_layout": _warc_layout_oracle(),
         "warc_revisit_dedup": _warc_revisit_oracle(),
+        "dataset_fingerprint": _fingerprint_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3650,6 +3667,18 @@ def _warc_revisit_oracle() -> str:
         JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 4
     )"""
     return warc_revisit_layout_sql(src, target_bytes=1 << 16)
+
+
+def _fingerprint_oracle() -> str:
+    """DuckDB replay of q_dataset_fingerprint — the identical audit
+    over the documents table's value columns."""
+    from dblp_crawler_spark.operators.audit import table_fingerprint_sql
+
+    return table_fingerprint_sql(
+        "documents",
+        columns=["doc_id", "text", "lang", "n_chars"],
+        group_cols=["source"],
+    )
 
 
 def _dsir_oracle() -> str:
