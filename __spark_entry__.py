@@ -2213,6 +2213,57 @@ def q_dataset_fingerprint(spark, sf_dir):
     return table_fingerprint(docs, group_cols=["source"])
 
 
+# shared EXIF fixture hex (entry + oracle build the SAME payloads):
+# JPEG = SOI + APP0(JFIF) + APP1(Exif, little-endian TIFF: IFD0 at 8,
+# 2 entries — Make(0x010F) first, then Orientation(0x0112) SHORT);
+# TIFF = standalone big-endian with the same two entries.
+_EXIF_APP0 = "FFE00010" + "4A46494600" + "00" * 9
+_EXIF_JPEG_PREFIX = (
+    "FFD8" + _EXIF_APP0 + "FFE1002E" + "457869660000"
+    + "49492A00" + "08000000" + "0200"
+    + "0F010200" + "04000000" + "41424300"
+    + "12010300" + "01000000"
+)
+_EXIF_TIFF_PREFIX = (
+    "4D4D002A" + "00000008" + "0002"
+    + "010F0002" + "00000004" + "41424300"
+    + "01120003" + "00000001"
+)
+_EXIF_SUFFIX = "0000" + "00000000"  # value pad + next-IFD offset
+_EXIF_PNG = "89504E470D0A1A0A" + "0000000D49484452" + "0000004000000040" + "0806"
+
+
+def q_exif_orientation(spark, sf_dir):
+    """Decode-free EXIF orientation (operators/sniff.
+    exif_orientation): the header field resize/phash stages must read
+    before touching pixels — orientations 5-8 transpose the image.
+    JPEG APP1 segment walk to the Exif signature then the TIFF IFD
+    walk (byte-order mark, IFD offset, 12-byte entries, tag 0x0112),
+    endianness-aware, all staged pure expressions over ONE 256-byte
+    hex projection — no UDF, blobs never shuffle. Payloads planted
+    by id: JPEG/Exif-II, standalone TIFF-MM (orientation behind a
+    Make entry in both — the walk must skip entries), and PNG (no
+    EXIF → NULL). The oracle replays construction and parse from the
+    same hex constants and staged reads."""
+    from dblp_crawler_spark.operators.sniff import exif_orientation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    o = (F.col("doc_id") % 8 + 1).cast("int")
+    hexstr = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(_EXIF_JPEG_PREFIX),
+                        F.format_string("%02X00", o), F.lit(_EXIF_SUFFIX)))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit(_EXIF_TIFF_PREFIX),
+                       F.format_string("00%02X", o), F.lit(_EXIF_SUFFIX)))
+        .otherwise(F.lit(_EXIF_PNG))
+    )
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return exif_orientation(imgs).select(
+        "doc_id", "fmt", "orientation", "swap_dims"
+    )
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2612,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx_layout": q_warc_cdx_layout,
         "warc_revisit_dedup": q_warc_revisit_dedup,
         "dataset_fingerprint": q_dataset_fingerprint,
+        "exif_orientation": q_exif_orientation,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -2894,6 +2946,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "warc_cdx_layout": _warc_layout_oracle(),
         "warc_revisit_dedup": _warc_revisit_oracle(),
         "dataset_fingerprint": _fingerprint_oracle(),
+        "exif_orientation": _exif_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3679,6 +3732,29 @@ def _fingerprint_oracle() -> str:
         columns=["doc_id", "text", "lang", "n_chars"],
         group_cols=["source"],
     )
+
+
+def _exif_oracle() -> str:
+    """DuckDB replay of q_exif_orientation: the same planted payload
+    hex (shared constants) through exif_orientation_sql's staged
+    walk + IFD reads; fmt re-derived from the shared MAGIC_TABLE."""
+    from dblp_crawler_spark.operators.sniff import (
+        exif_orientation_sql,
+        sniff_case_sql,
+    )
+
+    o = "(doc_id % 8 + 1)"
+    src = f"""(
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '{_EXIF_JPEG_PREFIX}' || printf('%02X00', {o}) || '{_EXIF_SUFFIX}'
+                    WHEN doc_id % 3 = 1
+                    THEN '{_EXIF_TIFF_PREFIX}' || printf('00%02X', {o}) || '{_EXIF_SUFFIX}'
+                    ELSE '{_EXIF_PNG}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} eo_src)"
+    return exif_orientation_sql(staged)
 
 
 def _dsir_oracle() -> str:

@@ -42,6 +42,8 @@ MAGIC_TABLE: list[tuple[str, list[tuple[int, str]]]] = [
     ("zip", [(1, "504B0304")]),
     ("mp3", [(1, "494433")]),                  # ID3 tag
     ("mp4", [(9, "66747970")]),                # 'ftyp' at byte 4
+    ("tiff", [(1, "49492A00")]),               # II*\0 (little-endian)
+    ("tiff", [(1, "4D4D002A")]),               # MM\0* (big-endian)
     ("bmp", [(1, "424D")]),
 ]
 
@@ -252,3 +254,187 @@ def image_dims_sql(h_col: str = "h") -> tuple[str, str, str]:
         WHEN 'jpeg' THEN ({jh})
         ELSE NULL END"""
     return fmt, width, height
+
+
+# ---- EXIF orientation (decode-free TIFF IFD walk) ---------------------------
+#
+# Orientation is the header field resize/phash/thumbnail stages MUST
+# read before touching pixels: orientations 5-8 transpose the image,
+# so header width/height are swapped relative to display and a phash
+# computed on the raw decode won't match the visually-identical
+# rotated copy. Cameras write it in the EXIF APP1 segment (JPEG) or
+# IFD0 directly (TIFF) — both are public formats (TIFF 6.0 / EXIF
+# 2.x): a byte-order mark ('II' little / 'MM' big endian), an IFD
+# offset, then 12-byte tag entries; orientation is tag 0x0112, a
+# SHORT stored in the first two bytes of the entry's value field.
+#
+# Same discipline as image_dims: ONE hex projection (256 bytes — the
+# APP1 header + first IFD entries sit well inside it), pure
+# expressions, every intermediate staged as a NAMED column so the
+# endian-conditional reads never re-inline the segment walk (the
+# Janino 64 KB lesson from the SOF walk applies 8× harder here).
+
+#: APP1 segment-walk depth (JPEG) and IFD entries scanned; raise
+#: together with EXIF_WINDOW_BYTES for EXIF blocks that bury
+#: orientation deep (conventionally it is within the first few).
+EXIF_MAX_HOPS = 6
+IFD_MAX_ENTRIES = 8
+EXIF_WINDOW_BYTES = 256
+
+#: hex of 'Exif\0\0' — the APP1 payload signature
+_EXIF_SIG = "457869660000"
+_ORIENT_TAG = 0x0112
+
+
+def exif_orientation(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, orientation, swap_dims) parsed from header bytes
+    only: JPEG (bounded APP1 segment walk to the Exif signature,
+    then the TIFF walk) and standalone TIFF (walk starts at byte 0).
+    orientation is 1-8 or NULL (no EXIF / malformed / out-of-range);
+    swap_dims is true for orientations 5-8 (the transposing ones) and
+    false otherwise — the flag a resize or aspect-bucket stage keys
+    on. Map-side projection; blobs never shuffle."""
+    staged = df.withColumns(
+        {
+            "__ex": F.hex(F.substring(F.col(bytes_col), 1, EXIF_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__ex")
+
+    # JPEG: hop segments until APP1 with the Exif signature; TIFF
+    # header starts 10 bytes into the segment (marker 2 + len 2 +
+    # signature 6) → hex pos + 20.
+    def hop(acc, _i):
+        pos = acc["t_pos"]
+        found = acc["t"].isNotNull()
+        marker = hx.substr(pos, F.lit(4))
+        is_app1 = (marker == "FFE1") & (
+            hx.substr(pos + F.lit(8), F.lit(12)) == _EXIF_SIG
+        )
+        nxt = F.when(found | is_app1, pos).otherwise(
+            pos + F.lit(4) + F.lit(2) * _hex2long(hx, pos + F.lit(4), 4)
+        )
+        return F.struct(
+            nxt.alias("t_pos"),
+            F.coalesce(acc["t"], F.when(is_app1, pos + F.lit(20))).alias("t"),
+        )
+
+    acc0 = F.struct(
+        F.lit(5).cast("long").alias("t_pos"),
+        F.lit(None).cast("long").alias("t"),
+    )
+    app1_t = F.aggregate(F.sequence(F.lit(1), F.lit(EXIF_MAX_HOPS)), acc0, hop)["t"]
+
+    s1 = staged.withColumn(
+        "__t",
+        F.when(F.col("fmt") == "jpeg", app1_t)
+        .when(F.col("fmt") == "tiff", F.lit(1).cast("long")),
+    )
+    bo = hx.substr(F.col("__t"), F.lit(4))
+    s2 = s1.withColumn(
+        "__le",  # NULL byte-order mark → NULL propagates to the reads
+        F.when(bo == "4949", F.lit(True)).when(bo == "4D4D", F.lit(False)),
+    )
+
+    def rd(pos, n_bytes):
+        """Endian-aware n-byte read at hex position `pos`."""
+        return F.when(F.col("__le"), _le(hx, pos, n_bytes)).otherwise(
+            _hex2long(hx, pos, 2 * n_bytes)
+        )
+
+    s3 = s2.withColumn("__ifd", rd(F.col("__t") + F.lit(8), 4))
+    s4 = s3.withColumns(
+        {
+            "__n": rd(F.col("__t") + F.lit(2) * F.col("__ifd"), 2),
+            "__e": F.col("__t") + F.lit(2) * F.col("__ifd") + F.lit(4),
+        }
+    )
+    branches = []
+    for i in range(IFD_MAX_ENTRIES):
+        epos = F.col("__e") + F.lit(24 * i)
+        branches.append(
+            F.when(
+                (F.lit(i) < F.col("__n")) & (rd(epos, 2) == _ORIENT_TAG),
+                rd(epos + F.lit(16), 2),
+            )
+        )
+    orient = F.coalesce(*branches)
+    return (
+        s4.withColumn(
+            "orientation",
+            F.when(orient.between(1, 8), orient).cast("int"),
+        )
+        .withColumn(
+            "swap_dims",
+            F.coalesce(F.col("orientation") >= 5, F.lit(False)),
+        )
+        .drop("__ex", "__t", "__le", "__ifd", "__n", "__e")
+    )
+
+
+def _le_sql_var(h: str, pos_expr: str, n_bytes: int) -> str:
+    """Little-endian read at a VARIABLE hex position expression."""
+    terms = [
+        f"TRY_CAST(concat('0x', substring({h}, ({pos_expr}) + {2 * i}, 2)) AS BIGINT) * {256 ** i}"
+        for i in range(n_bytes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _rd_sql(h: str, le: str, pos_expr: str, n_bytes: int) -> str:
+    be = f"TRY_CAST(concat('0x', substring({h}, {pos_expr}, {2 * n_bytes})) AS BIGINT)"
+    return f"CASE WHEN {le} THEN {_le_sql_var(h, pos_expr, n_bytes)} ELSE {be} END"
+
+
+def exif_orientation_sql(src: str, keep: str = "doc_id",
+                         h_col: str = "h", fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`exif_orientation` over ``src`` (must
+    expose `keep`, a projected ``hex(substring(bytes,1,256))`` column
+    and the sniffed `fmt`): the APP1 walk unrolled positionally, then
+    the SAME staged reads as CTE columns — mirroring the Spark
+    staging keeps each expression small instead of re-inlining the
+    walk into every endian-conditional read."""
+    # unrolled APP1 walk
+    pos_expr = "5"
+    t_cases = []
+    for _ in range(EXIF_MAX_HOPS):
+        is_app1 = (
+            f"substring({h_col}, {pos_expr}, 4) = 'FFE1' AND "
+            f"substring({h_col}, ({pos_expr}) + 8, 12) = '{_EXIF_SIG}'"
+        )
+        t_cases.append(f"WHEN {is_app1} THEN ({pos_expr}) + 20")
+        seg_len = f"TRY_CAST(concat('0x', substring({h_col}, ({pos_expr}) + 4, 4)) AS BIGINT)"
+        pos_expr = f"({pos_expr}) + 4 + 2 * {seg_len}"
+    walk = "CASE " + " ".join(t_cases) + " ELSE NULL END"
+    t = (
+        f"CASE WHEN {fmt_col} = 'jpeg' THEN ({walk}) "
+        f"WHEN {fmt_col} = 'tiff' THEN 1 ELSE NULL END"
+    )
+    orient_branches = ", ".join(
+        f"CASE WHEN {i} < n AND ({_rd_sql('h', 'le', f'e + {24 * i}', 2)}) = {_ORIENT_TAG} "
+        f"THEN ({_rd_sql('h', 'le', f'e + {24 * i} + 16', 2)}) END"
+        for i in range(IFD_MAX_ENTRIES)
+    )
+    return f"""
+        WITH eo_t AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h, CAST({t} AS BIGINT) AS t
+          FROM {src}
+        ), eo_le AS (
+          SELECT *, CASE substring(h, t, 4) WHEN '4949' THEN true
+                    WHEN '4D4D' THEN false ELSE NULL END AS le
+          FROM eo_t
+        ), eo_ifd AS (
+          SELECT *, {_rd_sql('h', 'le', 't + 8', 4)} AS ifd FROM eo_le
+        ), eo_en AS (
+          SELECT *, {_rd_sql('h', 'le', 't + 2 * ifd', 2)} AS n,
+                 t + 2 * ifd + 4 AS e
+          FROM eo_ifd
+        ), eo_o AS (
+          SELECT {keep}, fmt, COALESCE({orient_branches}) AS o FROM eo_en
+        )
+        SELECT {keep}, fmt,
+               CAST(CASE WHEN o BETWEEN 1 AND 8 THEN o END AS INT) AS orientation,
+               COALESCE(CASE WHEN o BETWEEN 1 AND 8 THEN o END >= 5, false) AS swap_dims
+        FROM eo_o
+    """

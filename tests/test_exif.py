@@ -1,0 +1,120 @@
+"""EXIF orientation walk: hand-computed pins for II/MM layouts
+(orientation behind other entries, count limits, malformed byte
+order, truncation, out-of-range values), swap semantics, and the
+DuckDB staged replay."""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dblp_crawler_spark.operators.sniff import (
+    IFD_MAX_ENTRIES,
+    exif_orientation,
+    exif_orientation_sql,
+    sniff_case_sql,
+)
+
+APP0 = "FFE00010" + "4A46494600" + "00" * 9
+
+
+def _entry_le(tag, typ, cnt, val8):
+    return f"{tag & 255:02X}{tag >> 8:02X}" + f"{typ:02X}00" + f"{cnt:02X}000000" + val8
+
+
+def _entry_be(tag, typ, cnt, val8):
+    return f"{tag:04X}" + f"00{typ:02X}" + f"{cnt:08X}" + val8
+
+
+def _jpeg_ii(orientation, lead_entries=1):
+    """JPEG + APP1/Exif little-endian; orientation after
+    `lead_entries` Make entries."""
+    n = lead_entries + 1
+    entries = _entry_le(0x010F, 2, 4, "41424300") * lead_entries
+    entries += _entry_le(0x0112, 3, 1, f"{orientation:02X}000000")
+    tiff = "49492A00" + "08000000" + f"{n:02X}00" + entries + "00000000"
+    seg_len = 2 + 6 + len(tiff) // 2
+    return "FFD8" + APP0 + "FFE1" + f"{seg_len:04X}" + "457869660000" + tiff
+
+
+def _tiff_mm(orientation, lead_entries=1):
+    n = lead_entries + 1
+    entries = _entry_be(0x010F, 2, 4, "41424300") * lead_entries
+    entries += _entry_be(0x0112, 3, 1, f"00{orientation:02X}0000")
+    return "4D4D002A" + "00000008" + f"{n:04X}" + entries + "00000000"
+
+
+def _run(spark, cases):
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    out = exif_orientation(df.select("name", F.unhex("hx").alias("bytes")))
+    return {r.name: r for r in out.collect()}
+
+
+def test_orientation_pins(spark):
+    cases = {
+        "jpeg_o6": _jpeg_ii(6),
+        "jpeg_o1": _jpeg_ii(1),
+        "tiff_o8": _tiff_mm(8),
+        "tiff_o3": _tiff_mm(3),
+        "jpeg_deep": _jpeg_ii(5, lead_entries=IFD_MAX_ENTRIES - 1),
+        "jpeg_too_deep": _jpeg_ii(5, lead_entries=IFD_MAX_ENTRIES),  # beyond scan
+        "jpeg_bad_range": _jpeg_ii(9),            # 9 is not a valid orientation
+        "png": "89504E470D0A1A0A0000000D49484452",
+        "jpeg_no_exif": "FFD8" + APP0 + "FFC000110840004000400300" + "00" * 8,
+        "truncated": "FFD8" + APP0 + "FFE1002E4578",
+    }
+    got = _run(spark, cases)
+    assert (got["jpeg_o6"].orientation, got["jpeg_o6"].swap_dims) == (6, True)
+    assert (got["jpeg_o1"].orientation, got["jpeg_o1"].swap_dims) == (1, False)
+    assert (got["tiff_o8"].orientation, got["tiff_o8"].swap_dims) == (8, True)
+    assert (got["tiff_o3"].orientation, got["tiff_o3"].swap_dims) == (3, False)
+    assert got["jpeg_deep"].orientation == 5
+    for name in ("jpeg_too_deep", "jpeg_bad_range", "png", "jpeg_no_exif", "truncated"):
+        assert got[name].orientation is None, name
+        assert got[name].swap_dims is False, name
+    assert got["tiff_o8"].fmt == "tiff" and got["jpeg_o6"].fmt == "jpeg"
+
+
+def test_count_limits_scan(spark):
+    """IFD count says 1 entry → the orientation entry sitting at
+    slot 1 must NOT be read even though its bytes are present."""
+    entries = (
+        _entry_le(0x010F, 2, 4, "41424300")
+        + _entry_le(0x0112, 3, 1, "06000000")
+    )
+    tiff = "49492A00" + "08000000" + "0100" + entries + "00000000"
+    seg_len = 2 + 6 + len(tiff) // 2
+    hx = "FFD8" + APP0 + "FFE1" + f"{seg_len:04X}" + "457869660000" + tiff
+    got = _run(spark, {"short_count": hx})
+    assert got["short_count"].orientation is None
+
+
+def test_duckdb_replay_identical(spark):
+    cases = {
+        "jpeg_o6": _jpeg_ii(6),
+        "tiff_o7": _tiff_mm(7),
+        "jpeg_o2": _jpeg_ii(2, lead_entries=3),
+        "png": "89504E470D0A1A0A0000000D49484452",
+        "jpeg_bad_range": _jpeg_ii(0),
+        "truncated": "FFD8" + APP0 + "FFE1002E4578",
+    }
+    spark_pdf = (
+        _run_df(spark, cases).toPandas()
+        .sort_values("name").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases.items(), columns=["name", "h"]))
+    staged = f"(SELECT name, h, {sniff_case_sql('h')} AS fmt FROM cases)"
+    duck_pdf = (
+        con.sql(exif_orientation_sql(staged, keep="name")).df()
+        .sort_values("name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
+
+
+def _run_df(spark, cases):
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    return exif_orientation(
+        df.select("name", F.unhex("hx").alias("bytes"))
+    ).select("name", "fmt", "orientation", "swap_dims")
