@@ -2264,6 +2264,32 @@ def q_exif_orientation(spark, sf_dir):
     )
 
 
+def q_frontier_aging(spark, sf_dir):
+    """Starvation-free aged pop order (operators/scheduler.
+    aging_order): eff = priority + min(age, cap)·2^46 — the CCF
+    class is 2^48 per level, so a bottom-class URL starved ~13 waves
+    outranks a fresh top-class one; a static queue under sustained
+    high-class pressure never schedules the tail. Rank via the
+    two-pass distributed prefix sum (no single-partition window);
+    all int64, ties on url, so any engine replays the exact order."""
+    from dblp_crawler_spark.functions.priority import priority_col
+    from dblp_crawler_spark.operators.scheduler import aging_order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ccf = F.element_at(
+        F.array(F.lit("A"), F.lit("B"), F.lit("C"), F.lit("N")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    frontier = docs.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 13).cast("string"),
+                 F.lit(".org/p/"), F.col("doc_id").cast("string")).alias("url"),
+        priority_col(ccf, F.lit(1990) + F.col("doc_id") % 30,
+                     F.col("doc_id") % 5),
+        (F.col("doc_id") % 17).alias("enqueue_wave"),
+    )
+    return aging_order(frontier, current_wave=20)
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2664,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_revisit_dedup": q_warc_revisit_dedup,
         "dataset_fingerprint": q_dataset_fingerprint,
         "exif_orientation": q_exif_orientation,
+        "frontier_aging": q_frontier_aging,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -2947,6 +2974,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "warc_revisit_dedup": _warc_revisit_oracle(),
         "dataset_fingerprint": _fingerprint_oracle(),
         "exif_orientation": _exif_oracle(),
+        "frontier_aging": _frontier_aging_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3755,6 +3783,25 @@ def _exif_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} eo_src)"
     return exif_orientation_sql(staged)
+
+
+def _frontier_aging_oracle() -> str:
+    """DuckDB replay of q_frontier_aging: the same synthetic frontier
+    (priority_col arithmetic inlined: ccf_weight<<48 + year<<32 +
+    (2^16 - depth)) through aging_order_sql."""
+    from dblp_crawler_spark.operators.scheduler import aging_order_sql
+
+    w = "CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END"
+    src = f"""(
+        SELECT 'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.org/p/'
+                 || CAST(doc_id AS VARCHAR) AS url,
+               CAST({w} AS BIGINT) * {1 << 48}
+                 + CAST(1990 + doc_id % 30 AS BIGINT) * {1 << 32}
+                 + CAST({1 << 16} - doc_id % 5 AS BIGINT) AS priority,
+               doc_id % 17 AS enqueue_wave
+        FROM documents
+    )"""
+    return aging_order_sql(src, current_wave=20)
 
 
 def _dsir_oracle() -> str:

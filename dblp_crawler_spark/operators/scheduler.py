@@ -451,3 +451,80 @@ def adaptive_crawl_delay_sql(src: str = "fetch_log", base_ms: int = 500,
                )) AS delay_ms
         FROM acd_host
     """
+
+
+# ---- starvation-free priority aging -----------------------------------------
+
+#: default aging step: 2^46 per wave of queue age. The CCF class
+#: occupies bits 48+ (functions/priority.py), so one class level =
+#: 2^48 = 4 aging steps — a bottom-class URL starved ~13 waves
+#: outranks a fresh top-class one (3*2^48 + year/depth bits < 13*2^46
+#: + its own year bits). Rate and cap are per-deployment knobs; the
+#: cap bounds the term at cap*rate so int64 never overflows
+#: (64 * 2^46 = 2^52, far under the 2^63 ceiling even stacked on a
+#: max priority of ~2^50).
+AGING_RATE = 1 << 46
+AGING_CAP = 64
+
+
+def aged_priority(priority: Column | str, enqueue_wave: Column | str,
+                  current_wave: int, rate: int = AGING_RATE,
+                  age_cap: int = AGING_CAP) -> Column:
+    """Effective pop priority with linear queue-age boost — the
+    starvation guard a pure static priority lacks: under sustained
+    pressure from high-class hosts, a static queue never schedules
+    the tail (the reference crawls one site and cannot starve; a
+    10^10-URL frontier with per-host budgets starves whole TLDs).
+    eff = priority + min(age, cap)*rate guarantees any URL's rank
+    deficit closes at `rate` per wave, so every URL is scheduled
+    within O(cap + backlog/capacity) waves. Pure int64 expressions."""
+    p = F.col(priority) if isinstance(priority, str) else priority
+    w = F.col(enqueue_wave) if isinstance(enqueue_wave, str) else enqueue_wave
+    age = F.greatest(F.lit(0).cast("long"),
+                     F.lit(current_wave).cast("long") - w.cast("long"))
+    return p.cast("long") + F.least(age, F.lit(age_cap).cast("long")) * F.lit(rate).cast("long")
+
+
+def aging_order(frontier: DataFrame, current_wave: int,
+                rate: int = AGING_RATE, age_cap: int = AGING_CAP) -> DataFrame:
+    """Deterministic aged pop order for a frontier batch
+    ``(url, priority, enqueue_wave, ...)`` → adds ``age``,
+    ``eff_priority`` and the contiguous ``pop_rank`` (0 = first).
+    Rank uses the two-pass distributed prefix sum (global_sequence),
+    never a single-partition window; ties break on url so re-runs
+    and other engines derive the identical order."""
+    eff = aged_priority("priority", "enqueue_wave", current_wave, rate, age_cap)
+    d = frontier.withColumns(
+        {
+            "age": F.greatest(
+                F.lit(0).cast("long"),
+                F.lit(current_wave).cast("long") - F.col("enqueue_wave").cast("long"),
+            ),
+            "eff_priority": eff,
+        }
+    )
+    ranked = global_sequence(
+        d, start=0,
+        order_cols=[F.col("eff_priority").desc(), F.col("url").asc()],
+        out_type="long",
+    )
+    return ranked.withColumnRenamed("seq", "pop_rank")
+
+
+def aging_order_sql(src: str, current_wave: int, rate: int = AGING_RATE,
+                    age_cap: int = AGING_CAP) -> str:
+    """DuckDB replay of :func:`aging_order` over ``src`` exposing
+    (url, priority, enqueue_wave)."""
+    return f"""
+        WITH ag AS (
+          SELECT *,
+                 GREATEST(0, {current_wave} - CAST(enqueue_wave AS BIGINT)) AS age,
+                 CAST(priority AS BIGINT)
+                   + LEAST(GREATEST(0, {current_wave} - CAST(enqueue_wave AS BIGINT)),
+                           {age_cap}) * CAST({rate} AS BIGINT) AS eff_priority
+          FROM {src}
+        )
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY eff_priority DESC, url ASC) - 1
+                       AS BIGINT) AS pop_rank
+        FROM ag
+    """
