@@ -2290,6 +2290,53 @@ def q_frontier_aging(spark, sf_dir):
     return aging_order(frontier, current_wave=20)
 
 
+def q_jpeg_quality(spark, sf_dir):
+    """Decode-free JPEG quality estimate (operators/sniff.
+    jpeg_quality): invert libjpeg's quality→DQT mapping from the
+    first quantization table — scale = 100·sum(table) DIV sum(base),
+    Q = 5000 DIV scale (scale≥100) else (200−scale) DIV 2 — the
+    recompression-junk signal curation thresholds on, readable
+    without a decoder. Payloads planted from the EXACT libjpeg
+    formula at Q = 5 + (doc_id%19)·5 (built as an expression fold
+    over the Annex-K base table), with 16-bit-precision tables and
+    PNGs mixed in (both → NULL). Walks and folds are staged pure
+    expressions; the oracle replays construction (list_reduce concat)
+    and parse (null-propagating list_reduce sum) bit-identically."""
+    from dblp_crawler_spark.operators.sniff import DQT_BASE, jpeg_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    q = (F.col("doc_id") % 19 * 5 + 5).cast("long")
+    s = F.when(q < 50, F.expr("CAST(5000 DIV (doc_id % 19 * 5 + 5) AS BIGINT)")) \
+         .otherwise(F.lit(200) - 2 * q)
+    base_arr = F.array(*[F.lit(v) for v in DQT_BASE])
+    tbl_hex = F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(""),
+        lambda acc, i: F.concat(
+            acc,
+            F.format_string(
+                "%02X",
+                F.least(
+                    F.lit(255).cast("long"),
+                    F.greatest(
+                        F.lit(1).cast("long"),
+                        ((F.element_at(base_arr, (i + 1).cast("int")).cast("long") * s
+                          + F.lit(50)) / F.lit(100)).cast("long"),
+                    ),
+                ).cast("int"),
+            ),
+        ),
+    )
+    pq = F.when(F.col("doc_id") % 7 == 0, F.lit("10")).otherwise(F.lit("00"))
+    hexstr = F.when(
+        F.col("doc_id") % 5 == 4, F.lit(_EXIF_PNG)
+    ).otherwise(
+        F.concat(F.lit("FFD8" + _EXIF_APP0 + "FFDB0043"), pq, tbl_hex)
+    )
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return jpeg_quality(imgs).select("doc_id", "fmt", "dqt_sum", "approx_quality")
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2691,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_fingerprint": q_dataset_fingerprint,
         "exif_orientation": q_exif_orientation,
         "frontier_aging": q_frontier_aging,
+        "jpeg_quality_estimate": q_jpeg_quality,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -2975,6 +3023,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "dataset_fingerprint": _fingerprint_oracle(),
         "exif_orientation": _exif_oracle(),
         "frontier_aging": _frontier_aging_oracle(),
+        "jpeg_quality_estimate": _jpeg_quality_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3802,6 +3851,35 @@ def _frontier_aging_oracle() -> str:
         FROM documents
     )"""
     return aging_order_sql(src, current_wave=20)
+
+
+def _jpeg_quality_oracle() -> str:
+    """DuckDB replay of q_jpeg_quality: the same libjpeg-formula
+    tables (list_reduce hex concat over the shared base table), same
+    walk + estimator via jpeg_quality_sql."""
+    from dblp_crawler_spark.operators.sniff import (
+        DQT_BASE,
+        jpeg_quality_sql,
+        sniff_case_sql,
+    )
+
+    base_list = "[" + ",".join(map(str, DQT_BASE)) + "]"
+    q = "(doc_id % 19 * 5 + 5)"
+    s = f"CASE WHEN {q} < 50 THEN 5000 // {q} ELSE 200 - 2 * {q} END"
+    tbl = (
+        f"list_reduce(list_transform(range(0, 64), i -> printf('%02X', "
+        f"LEAST(255, GREATEST(1, ({base_list}[i + 1] * ({s}) + 50) // 100)))), "
+        "(a, b) -> a || b)"
+    )
+    pq = "CASE WHEN doc_id % 7 = 0 THEN '10' ELSE '00' END"
+    src = f"""(
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 4 THEN '{_EXIF_PNG}'
+                    ELSE 'FFD8{_EXIF_APP0}FFDB0043' || {pq} || {tbl} END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} jq_src)"
+    return jpeg_quality_sql(staged)
 
 
 def _dsir_oracle() -> str:

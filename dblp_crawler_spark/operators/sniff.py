@@ -438,3 +438,142 @@ def exif_orientation_sql(src: str, keep: str = "doc_id",
                COALESCE(CASE WHEN o BETWEEN 1 AND 8 THEN o END >= 5, false) AS swap_dims
         FROM eo_o
     """
+
+
+# ---- JPEG quality estimate (DQT inversion, decode-free) ---------------------
+#
+# Heavily recompressed JPEGs are a curation signal (training sets
+# drop them; CDNs mint them) that is invisible to resolution checks:
+# the quantization table IS the quality knob, and it sits in the DQT
+# segment readable without decode. libjpeg (public source) derives
+# the table from quality Q as table[i] = clamp((base[i]*S + 50)/100)
+# with S = 5000/Q for Q<50 else 200-2Q, over the Annex-K luminance
+# base table — so the inverse, S ≈ 100*sum(table)/sum(base), recovers
+# an estimate of Q from header bytes alone.  Integer-exact estimator
+# (engine-portable, replayed by the oracle):
+#
+#   scale_pct = (100 * dqt_sum) DIV base_sum
+#   quality   = 5000 DIV scale_pct         if scale_pct >= 100
+#             = (200 - scale_pct) DIV 2    otherwise
+#
+# Accurate to ±2 for Q in ~[25, 97] (tested against tables generated
+# by the exact libjpeg formula); below Q≈20 the 255-clamp saturates
+# coefficients and the estimate reads high (monotonically — still a
+# valid threshold signal), and Q=100's all-1 table estimates 99.
+# That is exactly enough to threshold "recompressed below Q≈60".
+
+#: JPEG Annex K luminance base table (zigzag order irrelevant: only
+#: the sum enters the estimator).
+DQT_BASE = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+DQT_BASE_SUM = sum(DQT_BASE)
+DQT_MAX_HOPS = 6
+DQT_WINDOW_BYTES = 256
+
+
+def jpeg_quality(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, dqt_sum, approx_quality) from the first 8-bit DQT
+    table — NULL for non-JPEG payloads, walks that never reach a DQT
+    within the window/hop bounds, and 16-bit-precision tables
+    (Pq != 0: high-end encoders; rare on the web).  Same staging
+    discipline as the SOF/EXIF walks: one 256-byte hex projection,
+    the segment walk as an aggregate fold, the 64-coefficient sum as
+    a second fold over the staged table position — pure expressions,
+    no UDF, blobs never shuffle."""
+    staged = df.withColumns(
+        {
+            "__qx": F.hex(F.substring(F.col(bytes_col), 1, DQT_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__qx")
+
+    def hop(acc, _i):
+        pos = acc["q_pos"]
+        found = acc["q"].isNotNull()
+        is_dqt = hx.substr(pos, F.lit(4)) == "FFDB"
+        nxt = F.when(found | is_dqt, pos).otherwise(
+            pos + F.lit(4) + F.lit(2) * _hex2long(hx, pos + F.lit(4), 4)
+        )
+        return F.struct(
+            nxt.alias("q_pos"),
+            # table bytes start after marker(2B) + len(2B) + Pq/Tq(1B)
+            F.coalesce(acc["q"], F.when(is_dqt, pos + F.lit(10))).alias("q"),
+        )
+
+    acc0 = F.struct(
+        F.lit(5).cast("long").alias("q_pos"),
+        F.lit(None).cast("long").alias("q"),
+    )
+    walk = F.aggregate(F.sequence(F.lit(1), F.lit(DQT_MAX_HOPS)), acc0, hop)["q"]
+    s1 = staged.withColumn(
+        "__q", F.when(F.col("fmt") == "jpeg", walk)
+    )
+    # 8-bit precision only: the Pq/Tq byte precedes the table
+    pq_ok = _hex2long(hx, F.col("__q") - F.lit(2), 2) < 16
+    s2 = s1.withColumn("__q8", F.when(pq_ok, F.col("__q")))
+    coeff_sum = F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + _hex2long(hx, F.col("__q8") + F.lit(2) * i, 2),
+    )
+    s3 = s2.withColumn("dqt_sum", coeff_sum)
+    scale = F.expr(f"CAST(100 * dqt_sum DIV {DQT_BASE_SUM} AS BIGINT)")
+    quality = F.when(
+        scale >= 100, F.expr("CAST(5000 DIV (100 * dqt_sum DIV "
+                             f"{DQT_BASE_SUM}) AS BIGINT)")
+    ).otherwise((F.lit(200) - scale) / F.lit(2)).cast("long")
+    return (
+        s3.withColumn(
+            "approx_quality",
+            F.when(F.col("dqt_sum").isNotNull() & (F.col("dqt_sum") > 0), quality).cast("int"),
+        )
+        .drop("__qx", "__q", "__q8")
+    )
+
+
+def jpeg_quality_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                     fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`jpeg_quality` over ``src`` exposing
+    `keep`, the 256-byte hex projection and the sniffed fmt — walk
+    unrolled positionally, coefficient sum via list_sum over the
+    staged table position, same integer estimator."""
+    pos_expr = "5"
+    q_cases = []
+    for _ in range(DQT_MAX_HOPS):
+        is_dqt = f"substring({h_col}, {pos_expr}, 4) = 'FFDB'"
+        q_cases.append(f"WHEN {is_dqt} THEN ({pos_expr}) + 10")
+        seg_len = f"TRY_CAST(concat('0x', substring({h_col}, ({pos_expr}) + 4, 4)) AS BIGINT)"
+        pos_expr = f"({pos_expr}) + 4 + 2 * {seg_len}"
+    walk = "CASE " + " ".join(q_cases) + " ELSE NULL END"
+    return f"""
+        WITH jq_q AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CASE WHEN {fmt_col} = 'jpeg' THEN CAST(({walk}) AS BIGINT) END AS q
+          FROM {src}
+        ), jq_q8 AS (
+          SELECT *, CASE WHEN TRY_CAST(concat('0x', substring(h, q - 2, 2)) AS BIGINT) < 16
+                         THEN q END AS q8
+          FROM jq_q
+        ), jq_sum AS (
+          -- list_reduce, not list_sum: a truncated table must yield
+          -- NULL exactly like Spark's NULL-propagating fold (list_sum
+          -- skips NULL elements and would return a partial sum)
+          SELECT {keep}, fmt,
+                 list_reduce(list_transform(range(0, 64),
+                   i -> TRY_CAST(concat('0x', substring(h, q8 + 2 * i, 2)) AS BIGINT)),
+                   (a, b) -> a + b) AS dqt_sum
+          FROM jq_q8
+        )
+        SELECT {keep}, fmt, CAST(dqt_sum AS BIGINT) AS dqt_sum,
+               CAST(CASE WHEN dqt_sum > 0 THEN
+                 CASE WHEN 100 * dqt_sum // {DQT_BASE_SUM} >= 100
+                      THEN 5000 // (100 * dqt_sum // {DQT_BASE_SUM})
+                      ELSE (200 - 100 * dqt_sum // {DQT_BASE_SUM}) // 2 END
+               END AS INT) AS approx_quality
+        FROM jq_sum
+    """
