@@ -2337,6 +2337,41 @@ def q_jpeg_quality(spark, sf_dir):
     return jpeg_quality(imgs).select("doc_id", "fmt", "dqt_sum", "approx_quality")
 
 
+def q_url_template_cap(spark, sf_dir):
+    """Per-template URL fan-out budget (frontier.template_cap over
+    urlnorm.url_template): collapse URLs to their generative
+    template (digit runs → {N}, 8+-hex runs → {H}, query values
+    dropped) and admit at most 20 per template by deterministic
+    hash rank — the aggregate trap defense per-URL heuristics can't
+    see (a calendar endpoint mints unbounded individually-innocent
+    URLs from ONE template). The hot template is the skew case, so
+    ranking is the politeness pop's salted two-level top-k; the
+    oracle replays the provably-equivalent single window. Planted:
+    an explosive calendar template (~250 URLs, capped), small
+    per-host page templates (under cap), and hex-id + query-param
+    variants."""
+    from dblp_crawler_spark.operators.frontier import template_cap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("https://cal.example.org/archive/"),
+                     (F.lit(2000) + F.col("doc_id") % 20).cast("string"),
+                     F.lit("/"), (F.col("doc_id") % 12 + 1).cast("string")),
+        ).when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("https://img.example.org/obj/"),
+                     F.md5(F.col("doc_id").cast("string")),
+                     F.lit("?size=big&v="), F.col("doc_id").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".org/page/"), F.col("doc_id").cast("string")),
+        ).alias("url")
+    ).distinct()
+    return template_cap(urls, max_per_template=20)
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2739,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_orientation": q_exif_orientation,
         "frontier_aging": q_frontier_aging,
         "jpeg_quality_estimate": q_jpeg_quality,
+        "url_template_cap": q_url_template_cap,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3024,6 +3060,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "exif_orientation": _exif_oracle(),
         "frontier_aging": _frontier_aging_oracle(),
         "jpeg_quality_estimate": _jpeg_quality_oracle(),
+        "url_template_cap": _template_cap_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3880,6 +3917,29 @@ def _jpeg_quality_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} jq_src)"
     return jpeg_quality_sql(staged)
+
+
+def _template_cap_oracle() -> str:
+    """DuckDB replay of q_url_template_cap: the same synthetic URL
+    mix through template_cap_sql's single-window form (provably
+    equivalent to the engine's salted two-level rank)."""
+    from dblp_crawler_spark.operators.frontier import template_cap_sql
+
+    src = """(
+        SELECT DISTINCT
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'https://cal.example.org/archive/'
+                         || CAST(2000 + doc_id % 20 AS VARCHAR)
+                         || '/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+                    WHEN doc_id % 5 = 1
+                    THEN 'https://img.example.org/obj/'
+                         || md5(CAST(doc_id AS VARCHAR))
+                         || '?size=big&v=' || CAST(doc_id AS VARCHAR)
+                    ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                         || '.org/page/' || CAST(doc_id AS VARCHAR) END AS url
+        FROM documents
+    )"""
+    return template_cap_sql(src, max_per_template=20)
 
 
 def _dsir_oracle() -> str:

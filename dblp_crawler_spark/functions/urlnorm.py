@@ -211,3 +211,74 @@ def url_trap_flags_sql(expr: str, max_depth: int = 8) -> dict[str, str]:
         "calendar_loop": calendar,
         "is_trap": f"({deep} OR {repeated} OR {session} OR {calendar})",
     }
+
+
+# ---- URL template mining -----------------------------------------------------
+
+def url_template(url: Column | str) -> Column:
+    """Collapse a URL to its generative TEMPLATE: host + path with
+    digit runs → ``{N}`` and 8+-char hex runs → ``{H}``, query
+    VALUES dropped (param names kept, sorted).  Faceted navigation,
+    calendar archives, and id-enumerating endpoints each mint
+    unbounded URLs from ONE template — the per-URL trap heuristics
+    (url_trap_flags) can't see that; only the template aggregate
+    can.  Pure projection; feed :func:`~dblp_crawler_spark.operators.
+    frontier.template_cap` to bound fan-out per template.
+
+    Hex collapses before digits (a hex run may be all-digits); the
+    8-char floor keeps ordinary words like 'deadbeef'-free paths
+    intact while catching uuids/hashes."""
+    u = F.col(url) if isinstance(url, str) else url
+    rest = F.regexp_replace(_strip_ws(u), _SCHEME_RE, "")
+    host = F.lower(F.regexp_extract(rest, "^([^/?#]*)", 1))
+    pathq = F.regexp_replace(F.regexp_replace(rest, "^[^/?#]*", ""), "#.*$", "")
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    path = F.regexp_replace(path, "[0-9a-fA-F]{8,}", "{H}")
+    path = F.regexp_replace(path, "[0-9]+", "{N}")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        pathq.contains("?"), F.regexp_replace(pathq, "^[^?]*\\?", "")
+    ).otherwise(F.lit(""))
+    pnames = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.transform(
+                    F.split(query, "&"),
+                    lambda kv: F.regexp_extract(kv, "^([^=]*)", 1),
+                ),
+                lambda x: x != F.lit(""),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        host, path,
+        F.when(pnames == "", F.lit("")).otherwise(F.concat(F.lit("?"), pnames)),
+    )
+
+
+def url_template_sql(expr: str) -> str:
+    """DuckDB fragment computing exactly ``url_template(expr)``."""
+    ws = f"regexp_replace(regexp_replace({expr}, '^\\s+', ''), '\\s+$', '')"
+    rest = f"regexp_replace({ws}, '{_SCHEME_RE}', '')"
+    host = f"lower(regexp_extract({rest}, '^([^/?#]*)', 1))"
+    pathq = f"regexp_replace(regexp_replace({rest}, '^[^/?#]*', ''), '#.*$', '')"
+    path0 = f"regexp_extract({pathq}, '^([^?]*)', 1)"
+    # 'g' flag: Spark regexp_replace is replace-ALL; DuckDB defaults
+    # to first-match only
+    path1 = f"regexp_replace({path0}, '[0-9a-fA-F]{{8,}}', '{{H}}', 'g')"
+    path2 = f"regexp_replace({path1}, '[0-9]+', '{{N}}', 'g')"
+    path = f"CASE WHEN {path2} = '' THEN '/' ELSE {path2} END"
+    query = (
+        f"CASE WHEN contains({pathq}, '?')"
+        f" THEN regexp_replace({pathq}, '^[^?]*\\?', '') ELSE '' END"
+    )
+    pnames = (
+        "coalesce(array_to_string(list_sort(list_filter(list_transform("
+        f"string_split({query}, '&'), kv -> regexp_extract(kv, '^([^=]*)', 1)),"
+        " x -> x <> '')), '&'), '')"
+    )
+    return (
+        f"{host} || {path} || "
+        f"CASE WHEN {pnames} = '' THEN '' ELSE '?' || {pnames} END"
+    )

@@ -151,3 +151,81 @@ def admit_candidates(
     if seen_keys is not None:
         batch = batch.join(seen_keys.select("seen_key"), "seen_key", "left_anti")
     return batch.select("url", url_host("url").alias("host"), "seen_key")
+
+
+def template_cap(urls: DataFrame, max_per_template: int,
+                 url_col: str = "url", n_salts: int = 16) -> DataFrame:
+    """Per-template URL fan-out budget: admit at most
+    ``max_per_template`` URLs per generative template
+    (:func:`~dblp_crawler_spark.functions.urlnorm.url_template`) —
+    the aggregate-level trap defense per-URL heuristics can't
+    provide: a faceted-navigation or calendar endpoint mints
+    unbounded DISTINCT urls from one template, each individually
+    innocent.  Selection within a template is rank by
+    (hash60(url), url): a deterministic uniform sample, so every
+    engine/re-run admits the same subset.
+
+    Returns every input row + (template, tmpl_rank, admitted):
+    tmpl_rank is the within-template rank for ADMITTED rows (NULL
+    beyond the cap — the salted evaluation leaves ranks past the cap
+    undefined), admitted = rank <= cap.
+
+    Scale shape: a hot template IS the skew case (10^8 calendar
+    URLs landing in one window partition), so the rank runs as the
+    politeness pop's salted two-level top-k: rank within (template,
+    salt) keeps <= cap per salt — any row in the true top-cap has
+    salt-local rank <= cap, so level 1 never drops a survivor — then
+    the exact rank over the <= n_salts*cap level-1 survivors
+    (bounded partitions).  The admitted flag joins back on url
+    (equi-join; the survivor side is <= cap rows per template)."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash60
+    from ..functions.urlnorm import url_template
+
+    u = F.col(url_col)
+    t = urls.withColumn("template", url_template(u))
+    order = [hash60(u).asc(), u.asc()]
+    salted = t.withColumn("__salt", F.pmod(F.xxhash64(u), F.lit(n_salts)))
+    w1 = Window.partitionBy("template", "__salt").orderBy(*order)
+    lvl1 = (
+        salted.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= max_per_template)
+    )
+    w2 = Window.partitionBy("template").orderBy(*order)
+    ranked = (
+        lvl1.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= max_per_template)
+        .select(u.alias("__u"), F.col("__rn").alias("tmpl_rank"))
+    )
+    return (
+        t.join(ranked, u == F.col("__u"), "left")
+        .select(
+            *urls.columns, "template",
+            F.col("tmpl_rank").cast("int").alias("tmpl_rank"),
+            F.col("tmpl_rank").isNotNull().alias("admitted"),
+        )
+    )
+
+
+def template_cap_sql(src: str, max_per_template: int,
+                     url_col: str = "url") -> str:
+    """DuckDB replay of :func:`template_cap` — the single-window
+    form the salted plan is provably equivalent to (politeness-pop
+    lemma: the top-cap set and its ranks survive level 1 intact)."""
+    from ..functions.hashing import hash60_sql
+    from ..functions.urlnorm import url_template_sql
+
+    h = hash60_sql(url_col)
+    return f"""
+        WITH tc AS (
+          SELECT *, {url_template_sql(url_col)} AS template,
+                 ROW_NUMBER() OVER (PARTITION BY {url_template_sql(url_col)}
+                   ORDER BY {h} ASC, {url_col} ASC) AS rnk
+          FROM {src}
+        )
+        SELECT * EXCLUDE (rnk),
+               CAST(CASE WHEN rnk <= {max_per_template} THEN rnk END AS INT) AS tmpl_rank,
+               rnk <= {max_per_template} AS admitted
+        FROM tc
+    """
