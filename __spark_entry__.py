@@ -2372,6 +2372,47 @@ def q_url_template_cap(spark, sf_dir):
     return template_cap(urls, max_per_template=20)
 
 
+def q_minhash_delta_dedup(spark, sf_dir):
+    """Incremental against-corpus near-dup (dedup.minhash_delta):
+    dedup a NEW wave against an already-indexed corpus in O(wave) —
+    the corpus is touched only through its persisted index (16-lane
+    hash60 signatures + 8 band rows per doc; texts never re-read).
+    Candidates from the wave-bands ⨝ state-bands equi-join; verify
+    by signature lane agreement (≥12/16 ≈ Jaccard 0.75). Planted:
+    every 8th doc is NEW and carries the text of the OLD doc id+1 —
+    an exact dup the delta must find with 16/16 lanes. Fully
+    oracled: DuckDB replays shingling, all 16 min-lanes, banding,
+    the new×old probe, and the lane count."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.dedup import (
+        minhash_bands,
+        minhash_delta,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    leaders = docs.select(F.col("doc_id").alias("lid"), F.col("text").alias("ltext"))
+    rec = (
+        docs.join(leaders, F.col("lid") == F.col("doc_id") + 1, "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 8 == 0) & F.col("ltext").isNotNull(),
+                F.col("ltext"),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    old = rec.filter(F.col("doc_id") % 4 != 0)
+    new = rec.filter(F.col("doc_id") % 4 == 0)
+    sigs = minhash_signature(old, num_hashes=16, hash_fn=hash60)
+    band_state = minhash_bands(sigs, bands=8, hash_fn=hash60)
+    matches, _, _ = minhash_delta(
+        new, sigs, band_state, num_hashes=16, bands=8,
+        min_agree_lanes=12, hash_fn=hash60,
+    )
+    return matches
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2775,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_aging": q_frontier_aging,
         "jpeg_quality_estimate": q_jpeg_quality,
         "url_template_cap": q_url_template_cap,
+        "minhash_delta_dedup": q_minhash_delta_dedup,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3061,6 +3103,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "frontier_aging": _frontier_aging_oracle(),
         "jpeg_quality_estimate": _jpeg_quality_oracle(),
         "url_template_cap": _template_cap_oracle(),
+        "minhash_delta_dedup": _minhash_delta_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -3940,6 +3983,65 @@ def _template_cap_oracle() -> str:
         FROM documents
     )"""
     return template_cap_sql(src, max_per_template=20)
+
+
+def _minhash_delta_oracle() -> str:
+    """DuckDB replay of q_minhash_delta_dedup: planted leader texts,
+    shingles (3-gram, short-text fallback, distinct), 16 hash60
+    min-lanes, 8-band hashes over lane pairs, the new×old band
+    probe, and the ≥12/16 lane-agreement verify."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+
+    k, bands = 16, 8
+    lanes = ", ".join(f"MIN({H('sh', i)}) AS h{i}" for i in range(k))
+    r = k // bands
+    band_hash = "CASE band " + " ".join(
+        "WHEN {b} THEN {h}".format(
+            b=b,
+            h=H("(" + " || ',' || ".join(
+                f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)
+            ) + ")"),
+        )
+        for b in range(bands)
+    ) + " END"
+    agree = " + ".join(
+        f"(CASE WHEN a.h{i} = o.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+        WITH md_rec AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 8 = 0 AND l.text IS NOT NULL
+                      THEN l.text ELSE d.text END AS text
+          FROM documents d LEFT JOIN documents l ON l.doc_id = d.doc_id + 1
+        ), md_tk AS (
+          SELECT doc_id, {_TOK} AS tk FROM md_rec
+        ), md_sh0 AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(tk) >= 3 THEN
+              list_transform(range(1, len(tk) - 1),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+            ELSE [array_to_string(tk, ' ')] END) AS shs
+          FROM md_tk
+        ), md_sig AS (
+          SELECT doc_id, {lanes}
+          FROM (SELECT doc_id, unnest(shs) AS sh FROM md_sh0)
+          GROUP BY doc_id
+        ), md_band AS (
+          SELECT doc_id, band, {band_hash} AS band_hash
+          FROM md_sig, (SELECT unnest(range(0, {bands})) AS band) bs
+        ), md_cand AS (
+          SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+          FROM md_band n JOIN md_band o
+            ON n.band = o.band AND n.band_hash = o.band_hash
+          WHERE n.doc_id % 4 = 0 AND o.doc_id % 4 <> 0
+        )
+        SELECT c.nid AS doc_id, c.oid AS dup_of,
+               CAST({agree} AS INT) AS agree_lanes
+        FROM md_cand c
+        JOIN md_sig a ON a.doc_id = c.nid
+        JOIN md_sig o ON o.doc_id = c.oid
+        WHERE {agree} >= 12
+    """
 
 
 def _dsir_oracle() -> str:

@@ -116,16 +116,18 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "do
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8,
-                        hash_fn=None) -> DataFrame:
-    """Band the signature, hash each band, equi-join on
-    (band, band_hash) → candidate pairs (a < b). This is the
-    O(n²)→O(n) LSH step; verify candidates with jaccard after."""
+def minhash_bands(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8,
+                  hash_fn=None) -> DataFrame:
+    """(id, band, band_hash): the LSH band rows — both the join key
+    of :func:`lsh_candidate_pairs` and the PERSISTED index rows of
+    :func:`minhash_delta` (a corpus's band table is what makes
+    against-corpus dedup O(wave): new docs probe it by equi-join
+    instead of recomputing the corpus)."""
     from ..functions.hashing import xx64
 
     hash_fn = hash_fn or xx64
     k = bands
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -142,6 +144,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8,
             )
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8,
+                        hash_fn=None) -> DataFrame:
+    """Band the signature, hash each band, equi-join on
+    (band, band_hash) → candidate pairs (a < b). This is the
+    O(n²)→O(n) LSH step; verify candidates with jaccard after."""
+    banded = minhash_bands(sigs, id_col, bands, hash_fn=hash_fn)
     a = banded.withColumnsRenamed({id_col: "a"})
     b = banded.withColumnsRenamed({id_col: "b"})
     return (
@@ -781,3 +791,67 @@ def edit_distance_pairs(docs: DataFrame, block_col: str, text_col: str = "text",
         .filter(F.col("dist") <= max_dist)
         .select("a", "b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+# ---- incremental against-corpus dedup (delta maintenance) -------------------
+
+def minhash_delta(new_docs: DataFrame, state_sigs: DataFrame,
+                  state_bands: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", num_hashes: int = 16,
+                  bands: int = 8, shingle_n: int = 3,
+                  min_agree_lanes: int = 12, hash_fn=None):
+    """Dedup a NEW wave against an already-indexed corpus in
+    O(wave), never O(corpus) — the per-wave form every continuous
+    crawl needs (the batch operators re-shingle everything; at
+    100 TB the corpus side must be touched only through its INDEX).
+
+    State = the corpus's persisted ``(id, sig)`` signatures and
+    ``(id, band, band_hash)`` band rows (:func:`minhash_signature` /
+    :func:`minhash_bands` — k longs + bands rows per doc; the texts
+    are never read again).  The wave's docs are shingled once;
+    candidates come from the equi-join of the wave's band rows
+    against the state band table; verification is SIGNATURE
+    agreement (matching lanes out of k — the unbiased Jaccard
+    estimator), which needs only state sigs.  ``min_agree_lanes``
+    of 12/16 ≈ Jaccard 0.75.
+
+    New and state ids must be disjoint (the state MERGE guarantees
+    it in the engine's lakehouse flow).  Returns (matches,
+    new_sigs, new_bands): matches = (id, dup_of, agree_lanes) with
+    one row per (new, old) candidate pair that verified; new_sigs /
+    new_bands are the state DELTA the caller appends (MERGE), so
+    next wave's index is ready — the same exactness contract as
+    index_delta_update: state-after == rebuild-from-scratch."""
+    from ..functions.hashing import xx64
+
+    hash_fn = hash_fn or xx64
+    new_sigs = minhash_signature(new_docs, text_col, id_col, num_hashes,
+                                 shingle_n, hash_fn=hash_fn)
+    new_bands = minhash_bands(new_sigs, id_col, bands, hash_fn=hash_fn)
+    cands = (
+        new_bands.withColumnsRenamed({id_col: "__new"})
+        .join(state_bands.withColumnsRenamed({id_col: "__old"}),
+              ["band", "band_hash"])
+        .select("__new", "__old")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("__sa", "__sb", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    matches = (
+        cands.join(new_sigs.select(F.col(id_col).alias("__new"),
+                                   F.col("sig").alias("__sa")), "__new")
+        .join(state_sigs.select(F.col(id_col).alias("__old"),
+                                F.col("sig").alias("__sb")), "__old")
+        .withColumn("agree_lanes", agree)
+        .filter(F.col("agree_lanes") >= min_agree_lanes)
+        .select(
+            F.col("__new").alias(id_col),
+            F.col("__old").alias("dup_of"),
+            F.col("agree_lanes").cast("int").alias("agree_lanes"),
+        )
+    )
+    return matches, new_sigs, new_bands
