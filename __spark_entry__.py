@@ -2413,6 +2413,39 @@ def q_minhash_delta_dedup(spark, sf_dir):
     return matches
 
 
+def q_charset_detect(spark, sf_dir):
+    """Charset resolution before decode (operators/sniff.
+    charset_decl): BOM > in-document declaration > default — the
+    WHATWG sniffing order, with the UTF-32LE/UTF-16LE prefix trap
+    (FFFE0000 must test before FFFE) handled by BOM_TABLE ordering.
+    Planted: all five BOMs' representatives, <meta charset> in both
+    quote styles, http-equiv content-type, XML declarations, a
+    BOM+meta conflict (BOM must win), and undeclared docs (default).
+    Pure projection; oracle replays the same table-generated CASE
+    and RE2-safe regexes."""
+    from dblp_crawler_spark.operators.sniff import charset_decl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 6
+    bom_hex = (
+        F.when(m == 0, F.lit("EFBBBF48"))
+        .when(m == 1, F.lit("FFFE0000"))
+        .when(m == 2, F.lit("FFFE4800"))
+        .otherwise(F.lit("48544D4C"))
+    )
+    html = (
+        F.when(m == 0, F.concat(F.lit('<meta charset="KOI8-R">'), F.col("text")))
+        .when(m == 3, F.concat(F.lit('<html><head><meta charset=ISO-8859-1></head>'), F.col("text")))
+        .when(m == 4, F.concat(
+            F.lit("<meta http-equiv='Content-Type' content='text/html; charset=Windows-1251'>"),
+            F.col("text")))
+        .when(m == 5, F.concat(F.lit("<?xml version='1.0' encoding='UTF-8'?><root>"), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    df = docs.select("doc_id", F.unhex(bom_hex).alias("bytes"), html.alias("html"))
+    return charset_decl(df).select("doc_id", "bom", "meta", "charset")
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2817,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_quality_estimate": q_jpeg_quality,
         "url_template_cap": q_url_template_cap,
         "minhash_delta_dedup": q_minhash_delta_dedup,
+        "charset_detect": q_charset_detect,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3104,6 +3138,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "jpeg_quality_estimate": _jpeg_quality_oracle(),
         "url_template_cap": _template_cap_oracle(),
         "minhash_delta_dedup": _minhash_delta_oracle(),
+        "charset_detect": _charset_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4041,6 +4076,40 @@ def _minhash_delta_oracle() -> str:
         JOIN md_sig a ON a.doc_id = c.nid
         JOIN md_sig o ON o.doc_id = c.oid
         WHERE {agree} >= 12
+    """
+
+
+def _charset_oracle() -> str:
+    """DuckDB replay of q_charset_detect: the same planted BOM hex /
+    markup through the BOM_TABLE CASE and the shared regexes."""
+    from dblp_crawler_spark.operators.sniff import (
+        bom_charset_sql,
+        meta_charset_sql,
+    )
+
+    src = """(
+        SELECT doc_id,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'EFBBBF48'
+                 WHEN 1 THEN 'FFFE0000'
+                 WHEN 2 THEN 'FFFE4800'
+                 ELSE '48544D4C' END AS bh,
+               CASE doc_id % 6
+                 WHEN 0 THEN '<meta charset="KOI8-R">' || text
+                 WHEN 3 THEN '<html><head><meta charset=ISO-8859-1></head>' || text
+                 WHEN 4 THEN '<meta http-equiv=''Content-Type'' content=''text/html; charset=Windows-1251''>' || text
+                 WHEN 5 THEN '<?xml version=''1.0'' encoding=''UTF-8''?><root>' || text
+                 ELSE text END AS html
+        FROM documents
+    )"""
+    return f"""
+        WITH cs0 AS (
+          SELECT doc_id, {bom_charset_sql('bh')} AS bom,
+                 {meta_charset_sql('html')} AS meta
+          FROM {src} cs_src
+        )
+        SELECT doc_id, bom, meta, COALESCE(bom, meta, 'utf-8') AS charset
+        FROM cs0
     """
 
 

@@ -577,3 +577,89 @@ def jpeg_quality_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                END AS INT) AS approx_quality
         FROM jq_sum
     """
+
+
+# ---- charset declaration detection -------------------------------------------
+#
+# The decode step needs a charset BEFORE parsing, and at web scale the
+# HTTP header lies or is absent; the standard resolution order (WHATWG
+# encoding sniffing, public) is BOM > transport header > in-document
+# declaration > default. This implements the BOM tier (byte-exact,
+# authoritative) and the in-document tier (<meta charset>, http-equiv
+# content-type, XML declaration — a documented regex heuristic: a
+# literal 'charset=' inside unrelated attribute text can false-
+# positive, which the WHATWG prescan accepts too).
+
+#: order matters: UTF-32 BOMs contain the UTF-16 BOMs as prefixes.
+BOM_TABLE: list[tuple[str, str]] = [
+    ("utf-32le", "FFFE0000"),
+    ("utf-32be", "0000FEFF"),
+    ("utf-8", "EFBBBF"),
+    ("utf-16le", "FFFE"),
+    ("utf-16be", "FEFF"),
+]
+
+_CHARSET_VAL = "[a-zA-Z0-9._-]+"
+_META_CHARSET_RE = rf"(?i)<meta[^>]*\scharset\s*=\s*[\"']?({_CHARSET_VAL})"
+_HTTP_EQUIV_RE = rf"(?i)<meta[^>]+content\s*=\s*[\"'][^\"']*charset=({_CHARSET_VAL})"
+_XML_DECL_RE = rf"(?i)<\?xml[^>]*encoding\s*=\s*[\"']({_CHARSET_VAL})"
+
+
+def bom_charset(bytes_col: Column | str) -> Column:
+    """Charset from the byte-order mark (authoritative tier) — NULL
+    when no BOM. One 4-byte hex window; longest BOM wins."""
+    b = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    h = F.hex(F.substring(b, 1, 4))
+    expr = F.lit(None).cast("string")
+    for label, bom in reversed(BOM_TABLE):
+        expr = F.when(F.substring(h, 1, len(bom)) == bom, label).otherwise(expr)
+    return expr
+
+
+def bom_charset_sql(h_col: str) -> str:
+    """DuckDB replay over a projected ``hex(substring(bytes,1,4))``
+    column — generated from the same BOM_TABLE."""
+    whens = " ".join(
+        f"WHEN substring({h_col}, 1, {len(bom)}) = '{bom}' THEN '{label}'"
+        for label, bom in BOM_TABLE
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
+def meta_charset(html_col: Column | str) -> Column:
+    """Charset from in-document declarations, in WHATWG prescan
+    precedence: <meta charset=...> / http-equiv content charset /
+    <?xml encoding=...?>. Lowercased; NULL when none declared."""
+    s = F.col(html_col) if isinstance(html_col, str) else html_col
+    picks = [
+        F.nullif(F.regexp_extract(s, p, 1), F.lit(""))
+        for p in (_META_CHARSET_RE, _HTTP_EQUIV_RE, _XML_DECL_RE)
+    ]
+    return F.lower(F.coalesce(*picks))
+
+
+def meta_charset_sql(expr: str) -> str:
+    """DuckDB fragment computing exactly ``meta_charset(expr)`` —
+    same RE2-compatible patterns, same precedence."""
+    picks = ", ".join(
+        "nullif(regexp_extract({e}, '{p}', 1), '')".format(
+            e=expr, p=p.replace("'", "''")  # SQL-escape the quote class
+        )
+        for p in (_META_CHARSET_RE, _HTTP_EQUIV_RE, _XML_DECL_RE)
+    )
+    return f"lower(coalesce({picks}))"
+
+
+def charset_decl(df: DataFrame, bytes_col: str = "bytes",
+                 html_col: str = "html",
+                 default: str = "utf-8") -> DataFrame:
+    """Add (bom, meta, charset): the resolved decode charset =
+    BOM > in-document declaration > default. Pure projection —
+    4 bytes of the blob and one regex pass over the (already
+    transport-decoded) markup; no shuffle, no UDF."""
+    return df.withColumns(
+        {
+            "bom": bom_charset(bytes_col),
+            "meta": meta_charset(html_col),
+        }
+    ).withColumn("charset", F.coalesce("bom", "meta", F.lit(default)))

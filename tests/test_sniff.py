@@ -134,3 +134,86 @@ def test_image_dims_walk_depth_bound(spark):
     df = spark.createDataFrame([(1, deep)], "doc_id long, bytes binary")
     r = image_dims(df).collect()[0]
     assert r.fmt == "jpeg" and r.width is None and r.height is None
+
+
+# ---- charset declaration ------------------------------------------------------
+
+def test_bom_charset_ordering_and_values(spark):
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.operators.sniff import bom_charset
+
+    cases = {
+        "utf8": ("EFBBBF3C68746D6C3E", "utf-8"),
+        "utf16le": ("FFFE3C00", "utf-16le"),
+        "utf16be": ("FEFF003C", "utf-16be"),
+        "utf32le_trap": ("FFFE00003C000000", "utf-32le"),  # prefix of utf-16le!
+        "utf32be": ("0000FEFF0000003C", "utf-32be"),
+        "none": ("3C68746D6C3E", None),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "name string, hx string"
+    )
+    got = {
+        r.name: r.bom
+        for r in df.select(
+            "name", bom_charset(F.unhex("hx")).alias("bom")
+        ).collect()
+    }
+    assert got == {k: v[1] for k, v in cases.items()}
+
+
+def test_meta_charset_precedence_and_shapes(spark):
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.operators.sniff import meta_charset
+
+    cases = {
+        '<meta charset="UTF-8">': "utf-8",
+        "<meta charset='iso-8859-1'>": "iso-8859-1",
+        "<meta charset=WINDOWS-1252 >": "windows-1252",
+        '<meta http-equiv="Content-Type" content="text/html; charset=Big5">': "big5",
+        "<?xml version='1.0' encoding='Shift_JIS'?>": "shift_jis",
+        # meta beats xml decl when both present
+        "<?xml encoding='a'?><meta charset=b>": "b",
+        "<html>no declaration</html>": None,
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "html string")
+    got = {r.html: r.m for r in df.select("html", meta_charset("html").alias("m")).collect()}
+    assert got == cases
+
+
+def test_charset_decl_duckdb_replay(spark):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.operators.sniff import (
+        bom_charset_sql,
+        charset_decl,
+        meta_charset_sql,
+    )
+
+    rows = [
+        ("bom_and_meta", "EFBBBF48", '<meta charset="KOI8-R">x'),  # BOM wins
+        ("meta_only", "48544D4C", "<meta charset=latin1>y"),
+        ("neither", "48544D4C", "plain"),
+        ("trap", "FFFE0000", "z"),
+    ]
+    df = spark.createDataFrame(rows, "name string, hx string, html string")
+    spark_pdf = (
+        charset_decl(df.select("name", F.unhex("hx").alias("bytes"), "html"))
+        .select("name", "bom", "meta", "charset")
+        .toPandas().sort_values("name").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cs", pd.DataFrame(rows, columns=["name", "bh", "html"]))
+    duck_pdf = (
+        con.sql(f"""
+            SELECT name, {bom_charset_sql('bh')} AS bom,
+                   {meta_charset_sql('html')} AS meta,
+                   COALESCE({bom_charset_sql('bh')}, {meta_charset_sql('html')}, 'utf-8') AS charset
+            FROM cs
+        """).df().sort_values("name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
