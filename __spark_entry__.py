@@ -2446,6 +2446,29 @@ def q_charset_detect(spark, sf_dir):
     return charset_decl(df).select("doc_id", "bom", "meta", "charset")
 
 
+def q_politeness_timeline(spark, sf_dir):
+    """Exact fetch start/finish times for a scheduled wave under
+    per-host politeness delays (scheduler.politeness_timeline): the
+    sequential recurrence start_i = max(ready_i, start_{i-1}+delay)
+    — what naive simulators run as a driver loop — solved in ONE
+    host-keyed window via the prefix-max closed form
+    start_i = delay·k + runmax(ready_j − delay·k_j). All int64
+    micros; rank and running max share a single exchange
+    (plan-tested). The wave-planning answer (per-host drain time,
+    wave tail) before a byte is fetched."""
+    from dblp_crawler_spark.operators.scheduler import politeness_timeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    batch = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 9).cast("string")).alias("host"),
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 9).cast("string"),
+                 F.lit(".org/p/"), F.col("doc_id").cast("string")).alias("url"),
+        (F.lit(1700000000000000).cast("long")
+         + (F.col("doc_id") * 37 % 50) * 1000000).alias("ready_us"),
+    )
+    return politeness_timeline(batch, delay_us=2500000)
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2851,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_template_cap": q_url_template_cap,
         "minhash_delta_dedup": q_minhash_delta_dedup,
         "charset_detect": q_charset_detect,
+        "politeness_timeline": q_politeness_timeline,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3139,6 +3163,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "url_template_cap": _template_cap_oracle(),
         "minhash_delta_dedup": _minhash_delta_oracle(),
         "charset_detect": _charset_oracle(),
+        "politeness_timeline": _politeness_timeline_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4111,6 +4136,21 @@ def _charset_oracle() -> str:
         SELECT doc_id, bom, meta, COALESCE(bom, meta, 'utf-8') AS charset
         FROM cs0
     """
+
+
+def _politeness_timeline_oracle() -> str:
+    """DuckDB replay of q_politeness_timeline: same synthetic wave,
+    same rank + prefix-max closed form."""
+    from dblp_crawler_spark.operators.scheduler import politeness_timeline_sql
+
+    src = """(
+        SELECT 'h' || CAST(doc_id % 9 AS VARCHAR) AS host,
+               'https://h' || CAST(doc_id % 9 AS VARCHAR) || '.org/p/'
+                 || CAST(doc_id AS VARCHAR) AS url,
+               CAST(1700000000000000 + (doc_id * 37 % 50) * 1000000 AS BIGINT) AS ready_us
+        FROM documents
+    )"""
+    return politeness_timeline_sql(src, delay_us=2500000)
 
 
 def _dsir_oracle() -> str:

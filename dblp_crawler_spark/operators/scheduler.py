@@ -528,3 +528,72 @@ def aging_order_sql(src: str, current_wave: int, rate: int = AGING_RATE,
                        AS BIGINT) AS pop_rank
         FROM ag
     """
+
+
+# ---- politeness fetch timeline -----------------------------------------------
+
+def politeness_timeline(batch: DataFrame, delay_us: int | None = None,
+                        host_col: str = "host", url_col: str = "url",
+                        ready_col: str = "ready_us",
+                        delay_col: str = "delay_us") -> DataFrame:
+    """Exact fetch start/finish times for a scheduled wave under
+    per-host politeness delays — the wave-planning question ("when
+    does host X's queue drain, how long does the wave tail run")
+    answered BEFORE fetching.
+
+    Semantics: per host, fetches run in the deterministic pop order
+    (rank by ready, then url); fetch i starts at
+    ``start_i = max(ready_i, start_{i-1} + delay)`` — a sequential
+    recurrence, which is exactly why naive simulators are
+    driver-side loops.  The closed form makes it ONE window:
+    ``start_i = delay·k_i + running_max_{j≤i}(ready_j − delay·k_j)``
+    (k = 0-based rank; subtracting the per-slot delay converts the
+    recurrence into a prefix maximum).  All int64 microseconds —
+    bit-identical in any engine.
+
+    ``delay_us`` is the constant per-host gap, or pass rows with a
+    per-host ``delay_col`` (e.g. adaptive_crawl_delay's output
+    joined in) and leave ``delay_us=None``.
+
+    Plan: one host-keyed exchange shared by the rank and the
+    running-max window.  Returns (host, url, k, start_us,
+    finish_us); a per-host drain report is ``groupBy(host).
+    agg(max(finish_us))``."""
+    d = F.lit(delay_us).cast("long") if delay_us is not None else F.col(delay_col).cast("long")
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(ready_col).asc(), F.col(url_col).asc()
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        batch.withColumn("k", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("__adj", F.col(ready_col).cast("long") - d * F.col("k"))
+        .withColumn("start_us", d * F.col("k") + F.max("__adj").over(wrun))
+        .withColumn("finish_us", F.col("start_us") + d)
+        .drop("__adj")
+    )
+    return out
+
+
+def politeness_timeline_sql(src: str, delay_us: int | None = None,
+                            host_col: str = "host", url_col: str = "url",
+                            ready_col: str = "ready_us",
+                            delay_col: str = "delay_us") -> str:
+    """DuckDB replay of :func:`politeness_timeline` — same rank,
+    same prefix-max closed form."""
+    d = str(delay_us) if delay_us is not None else f"CAST({delay_col} AS BIGINT)"
+    return f"""
+        WITH pt AS (
+          SELECT *,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY {host_col}
+                   ORDER BY {ready_col} ASC, {url_col} ASC) - 1 AS BIGINT) AS k
+          FROM {src}
+        ), pt2 AS (
+          SELECT *,
+                 {d} * k + MAX(CAST({ready_col} AS BIGINT) - {d} * k) OVER (
+                   PARTITION BY {host_col}
+                   ORDER BY {ready_col} ASC, {url_col} ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS start_us
+          FROM pt
+        )
+        SELECT *, start_us + {d} AS finish_us FROM pt2
+    """
