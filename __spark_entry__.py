@@ -2469,6 +2469,27 @@ def q_politeness_timeline(spark, sf_dir):
     return politeness_timeline(batch, delay_us=2500000)
 
 
+def q_script_profile(spark, sf_dir):
+    """Per-doc Unicode script mix (textstats.script_profile): the
+    multilingual-curation signal lang-ID alone misses — mixed-script
+    confusable spam, wrong-script content, script-based corpus
+    routing. Codepoint counts per script via length-difference
+    regexes (Java \\p{IsX} == RE2 \\p{X}, verified count-identical),
+    n_other for Common-script chars, dominant by max count with
+    SCRIPT_TABLE tie-break. Planted: Cyrillic/Han/Arabic/Greek
+    suffixes and pure-Arabic rows over the Latin corpus."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 5
+    t = (
+        F.when(m == 1, F.concat(F.col("text"), F.lit(" Привет мир")))
+        .when(m == 2, F.concat(F.col("text"), F.lit(" 汉字文本与 данные")))
+        .when(m == 3, F.lit("مرحبا بالعالم"))
+        .when(m == 4, F.concat(F.lit("Ελληνικά "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return T.script_profile(docs.select("doc_id", t.alias("text")))
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2875,6 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_delta_dedup": q_minhash_delta_dedup,
         "charset_detect": q_charset_detect,
         "politeness_timeline": q_politeness_timeline,
+        "script_profile": q_script_profile,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3164,6 +3186,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "minhash_delta_dedup": _minhash_delta_oracle(),
         "charset_detect": _charset_oracle(),
         "politeness_timeline": _politeness_timeline_oracle(),
+        "script_profile": _script_profile_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4151,6 +4174,25 @@ def _politeness_timeline_oracle() -> str:
         FROM documents
     )"""
     return politeness_timeline_sql(src, delay_us=2500000)
+
+
+def _script_profile_oracle() -> str:
+    """DuckDB replay of q_script_profile: the same planted
+    multilingual texts through script_profile_sql (RE2 spellings,
+    'g' flag, same tie-break)."""
+    from dblp_crawler_spark.operators.textstats import script_profile_sql
+
+    src = """(
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 1 THEN text || ' Привет мир'
+                 WHEN 2 THEN text || ' 汉字文本与 данные'
+                 WHEN 3 THEN 'مرحبا بالعالم'
+                 WHEN 4 THEN 'Ελληνικά ' || text
+                 ELSE text END AS text
+        FROM documents
+    )"""
+    return script_profile_sql(src)
 
 
 def _dsir_oracle() -> str:

@@ -1087,3 +1087,83 @@ def mixture_interleave_sql(src: str, weights: dict[str, int], seed: int = 17,
                     AS BIGINT) AS train_rank
         FROM mi_f
     """
+
+
+# ---- Unicode script profile --------------------------------------------------
+
+#: (label, script name) — Java spells it \p{IsX}, RE2 \p{X}; both
+#: match the same Unicode Script property, verified count-identical.
+#: Order = dominance tie-break order.
+SCRIPT_TABLE: list[tuple[str, str]] = [
+    ("latin", "Latin"),
+    ("cyrillic", "Cyrillic"),
+    ("han", "Han"),
+    ("arabic", "Arabic"),
+    ("greek", "Greek"),
+    ("hangul", "Hangul"),
+    ("devanagari", "Devanagari"),
+]
+
+
+def script_profile(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-doc Unicode-script mix: codepoint counts per script
+    (n_latin, n_cyrillic, …), n_other (digits/punct/space are script
+    Common — always 'other'), n_chars, and the dominant script
+    (most codepoints; ties break in SCRIPT_TABLE order; 'other' only
+    when no listed script appears, 'none' for empty text).
+
+    The multilingual-curation signal lang-ID alone misses: mixed-
+    script spam (Cyrillic confusables inside Latin text), wrong-
+    script content for a claimed language, and script-based corpus
+    routing all key on the MIX, not the single label.  Counting is
+    length(text) − length(regexp_replace(text, '\\p{IsX}', '')) —
+    pure projection, codepoint-exact in both engines, no UDF."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    counts = {
+        f"n_{label}": n_chars - F.length(
+            F.regexp_replace(t, rf"\p{{Is{script}}}", "")
+        )
+        for label, script in SCRIPT_TABLE
+    }
+    d = docs.select(F.col(id_col), n_chars.alias("n_chars"),
+                    *[c.alias(k) for k, c in counts.items()])
+    listed = [F.col(f"n_{label}") for label, _ in SCRIPT_TABLE]
+    other = F.col("n_chars") - sum(listed[1:], listed[0])
+    m = F.greatest(*listed)
+    dom = F.lit("other")
+    for label, _ in reversed(SCRIPT_TABLE):
+        dom = F.when(F.col(f"n_{label}") == m, label).otherwise(dom)
+    dom = F.when(m == 0, F.when(F.col("n_chars") == 0, "none").otherwise("other")).otherwise(dom)
+    return d.withColumns({"n_other": other.cast("long"), "dominant": dom})
+
+
+def script_profile_sql(src: str, text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB replay of :func:`script_profile` — RE2 ``\\p{X}``
+    spellings with the explicit 'g' flag (Spark replaces all by
+    default), same counts, same tie-break CASE."""
+    t = text_col
+    cnt = {
+        label: (f"length({t}) - length(regexp_replace({t}, "
+                f"'\\p{{{script}}}', '', 'g'))")
+        for label, script in SCRIPT_TABLE
+    }
+    sel = ", ".join(f"CAST({e} AS BIGINT) AS n_{label}" for label, e in cnt.items())
+    listed = " + ".join(f"n_{label}" for label, _ in SCRIPT_TABLE)
+    m = "GREATEST(" + ", ".join(f"n_{label}" for label, _ in SCRIPT_TABLE) + ")"
+    dom_whens = " ".join(
+        f"WHEN n_{label} = {m} THEN '{label}'" for label, _ in SCRIPT_TABLE
+    )
+    return f"""
+        WITH sp AS (
+          SELECT {id_col}, CAST(length({t}) AS BIGINT) AS n_chars, {sel}
+          FROM {src}
+        )
+        SELECT *, CAST(n_chars - ({listed}) AS BIGINT) AS n_other,
+               CASE WHEN {m} = 0 THEN
+                 CASE WHEN n_chars = 0 THEN 'none' ELSE 'other' END
+               {dom_whens} ELSE 'other' END AS dominant
+        FROM sp
+    """
