@@ -2490,6 +2490,37 @@ def q_script_profile(spark, sf_dir):
     return T.script_profile(docs.select("doc_id", t.alias("text")))
 
 
+def q_robots_availability(spark, sf_dir):
+    """Per-host robots.txt ACCESS policy (scheduler.
+    robots_availability), RFC 9309 §2.3.1 — the status tier above
+    rule evaluation: 2xx → use_rules, 4xx (file absent) → allow_all,
+    5xx/unreachable → disallow_all, relaxing to allow_all once the
+    trailing unreachable streak exceeds 30 days. Getting 4xx-vs-5xx
+    backwards is the classic crawler bug this tri-state prevents.
+    Synthetic per-host fetch logs (3-day attempt cadence) plant all
+    five behaviors incl. the stale-streak relaxation; one host-keyed
+    exchange; the oracle replays windows and CASE."""
+    from dblp_crawler_spark.operators.scheduler import robots_availability
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    cls = F.col("doc_id") % 30 % 5
+    k = F.expr("doc_id DIV 30")
+    status = (
+        F.when(cls == 0, F.lit(200))
+        .when(cls == 1, F.when(k < 8, 200).otherwise(404))
+        .when(cls == 2, F.when(k < 14, 200).otherwise(503))
+        .when(cls == 3, F.lit(503))
+        .otherwise(F.when(k % 2 == 0, 200).otherwise(500))
+    )
+    log = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 30).cast("string")).alias("host"),
+        (F.lit(1700000000000000).cast("long")
+         + k * F.lit(3 * 86400 * 1000000).cast("long")).alias("ts_us"),
+        status.cast("int").alias("status"),
+    )
+    return robots_availability(log)
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2897,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_detect": q_charset_detect,
         "politeness_timeline": q_politeness_timeline,
         "script_profile": q_script_profile,
+        "robots_availability": q_robots_availability,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3187,6 +3219,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "charset_detect": _charset_oracle(),
         "politeness_timeline": _politeness_timeline_oracle(),
         "script_profile": _script_profile_oracle(),
+        "robots_availability": _robots_availability_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4193,6 +4226,26 @@ def _script_profile_oracle() -> str:
         FROM documents
     )"""
     return script_profile_sql(src)
+
+
+def _robots_availability_oracle() -> str:
+    """DuckDB replay of q_robots_availability: the same synthetic
+    per-host fetch log through robots_availability_sql."""
+    from dblp_crawler_spark.operators.scheduler import robots_availability_sql
+
+    src = """(
+        SELECT 'h' || CAST(doc_id % 30 AS VARCHAR) AS host,
+               CAST(1700000000000000 + (doc_id // 30) * 259200000000 AS BIGINT) AS ts_us,
+               CAST(CASE doc_id % 30 % 5
+                 WHEN 0 THEN 200
+                 WHEN 1 THEN CASE WHEN doc_id // 30 < 8 THEN 200 ELSE 404 END
+                 WHEN 2 THEN CASE WHEN doc_id // 30 < 14 THEN 200 ELSE 503 END
+                 WHEN 3 THEN 503
+                 ELSE CASE WHEN (doc_id // 30) % 2 = 0 THEN 200 ELSE 500 END
+               END AS INT) AS status
+        FROM documents
+    )"""
+    return robots_availability_sql(src)
 
 
 def _dsir_oracle() -> str:

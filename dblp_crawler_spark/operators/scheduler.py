@@ -597,3 +597,102 @@ def politeness_timeline_sql(src: str, delay_us: int | None = None,
         )
         SELECT *, start_us + {d} AS finish_us FROM pt2
     """
+
+
+# ---- robots availability policy (RFC 9309 §2.3.1) ----------------------------
+
+#: RFC 9309 §2.3.1.4: a crawler MAY treat robots.txt as unavailable
+#: (allow-all) once it has been unreachable for more than 30 days.
+ROBOTS_STALE_US = 30 * 86400 * 1_000_000
+
+
+def robots_availability(fetch_log: DataFrame, host_col: str = "host",
+                        ts_col: str = "ts_us", status_col: str = "status",
+                        stale_us: int = ROBOTS_STALE_US) -> DataFrame:
+    """Per-host robots.txt ACCESS policy from the robots fetch log —
+    the status tier ABOVE rule evaluation (robots_decide), per
+    RFC 9309 §2.3.1: a 2xx body yields rules (``use_rules``); 4xx
+    means the file does not exist → crawl unrestricted
+    (``allow_all``); 5xx/network-unreachable means the server cannot
+    say → assume COMPLETE DISALLOW (``disallow_all``), except that a
+    host unreachable for more than 30 days MAY be treated as
+    unavailable again (``allow_all``).  Getting 4xx-vs-5xx backwards
+    either ignores every robots.txt behind a flaky server or
+    blacklists every host without one — the two classic crawler
+    bugs this tri-state exists to prevent.
+
+    Input: one row per robots.txt fetch attempt (host, ts_us,
+    status; status NULL or 0 = network error, treated as 5xx).  The
+    verdict uses the LATEST attempt; the 30-day clock runs from the
+    start of the trailing unreachable streak (the fetch_backoff
+    trailing-streak shape: attempts after the last non-5xx — an
+    order-free count, no sort dependence).  One host-keyed exchange
+    shared by both windows and the collapse.  Returns (host,
+    last_status, streak_start_us, mode)."""
+    s = F.coalesce(F.col(status_col), F.lit(0))
+    is_5xx = (s >= 500) | (s == 0)
+    d = fetch_log.select(
+        F.col(host_col).alias("host"),
+        F.col(ts_col).cast("long").alias("__ts"),
+        s.cast("int").alias("__status"),
+        is_5xx.alias("__u"),
+    )
+    w = Window.partitionBy("host")
+    # start of the trailing unreachable streak: min ts among attempts
+    # AFTER the last non-5xx attempt (all-5xx hosts: the first attempt)
+    last_ok_ts = F.max(F.when(~F.col("__u"), F.col("__ts"))).over(w)
+    streak_min = F.min(
+        F.when(F.col("__u") & (F.col("__ts") > F.coalesce(last_ok_ts, F.lit(-(1 << 62)))),
+               F.col("__ts"))
+    ).over(w)
+    latest = F.max(F.col("__ts")).over(w)
+    enriched = d.withColumns(
+        {
+            "__streak0": streak_min,
+            "__latest": latest,
+        }
+    ).filter(F.col("__ts") == F.col("__latest"))
+    mode = (
+        F.when(~F.col("__u") & (F.col("__status") >= 200) & (F.col("__status") < 300), "use_rules")
+        .when(~F.col("__u"), "allow_all")  # 3xx/4xx latest: unavailable
+        .when(F.col("__ts") - F.col("__streak0") > stale_us, "allow_all")
+        .otherwise("disallow_all")
+    )
+    return enriched.select(
+        "host",
+        F.col("__status").alias("last_status"),
+        F.col("__streak0").alias("streak_start_us"),
+        mode.alias("mode"),
+    )
+
+
+def robots_availability_sql(src: str, host_col: str = "host",
+                            ts_col: str = "ts_us", status_col: str = "status",
+                            stale_us: int = ROBOTS_STALE_US) -> str:
+    """DuckDB replay of :func:`robots_availability` — same windows,
+    same tri-state CASE, same 30-day streak clock."""
+    return f"""
+        WITH ra0 AS (
+          SELECT {host_col} AS host, CAST({ts_col} AS BIGINT) AS ts,
+                 CAST(COALESCE({status_col}, 0) AS INT) AS status,
+                 (COALESCE({status_col}, 0) >= 500 OR COALESCE({status_col}, 0) = 0) AS u
+          FROM {src}
+        ), ra1 AS (
+          SELECT *,
+                 MAX(CASE WHEN NOT u THEN ts END) OVER (PARTITION BY host) AS last_ok,
+                 MAX(ts) OVER (PARTITION BY host) AS latest
+          FROM ra0
+        ), ra2 AS (
+          SELECT *,
+                 MIN(CASE WHEN u AND ts > COALESCE(last_ok, {-(1 << 62)})
+                          THEN ts END) OVER (PARTITION BY host) AS streak0
+          FROM ra1
+        )
+        SELECT host, status AS last_status, streak0 AS streak_start_us,
+               CASE WHEN NOT u AND status >= 200 AND status < 300 THEN 'use_rules'
+                    WHEN NOT u THEN 'allow_all'
+                    WHEN ts - streak0 > {stale_us} THEN 'allow_all'
+                    ELSE 'disallow_all' END AS mode
+        FROM ra2
+        WHERE ts = latest
+    """
