@@ -2521,6 +2521,32 @@ def q_robots_availability(spark, sf_dir):
     return robots_availability(log)
 
 
+def q_registrable_domain(spark, sf_dir):
+    """Registrable-domain extraction under a public-suffix dim
+    (frontier.registrable_domain): the SITE-level politeness key —
+    per-host budgets give a wildcard-subdomain spam farm unlimited
+    budget, naive last-2-labels merges every *.co.uk site into one.
+    Longest-suffix match: explode each host's last 1..4 proper
+    suffixes, broadcast-join the PSL dim, collapse by max matched
+    length, fall back to the implicit last-2 rule; a host that IS a
+    public suffix returns itself. Planted: co.uk/com.au/ac.uk
+    multi-label sites, plain .org fallbacks, and single-label
+    hosts."""
+    from dblp_crawler_spark.operators.frontier import registrable_domain
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    d = F.col("doc_id").cast("string")
+    host = (
+        F.when(m == 0, F.concat(F.lit("www.site"), d, F.lit(".co.uk")))
+        .when(m == 1, F.concat(F.lit("a.b.site"), d, F.lit(".com.au")))
+        .when(m == 2, F.concat(F.lit("site"), d, F.lit(".example.org")))
+        .when(m == 3, F.concat(F.lit("deep.x.site"), d, F.lit(".ac.uk")))
+        .otherwise(F.concat(F.lit("host"), d))
+    )
+    return registrable_domain(docs.select(host.alias("host")))
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2929,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_timeline": q_politeness_timeline,
         "script_profile": q_script_profile,
         "robots_availability": q_robots_availability,
+        "registrable_domain": q_registrable_domain,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3220,6 +3247,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "politeness_timeline": _politeness_timeline_oracle(),
         "script_profile": _script_profile_oracle(),
         "robots_availability": _robots_availability_oracle(),
+        "registrable_domain": _registrable_domain_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4246,6 +4274,29 @@ def _robots_availability_oracle() -> str:
         FROM documents
     )"""
     return robots_availability_sql(src)
+
+
+def _registrable_domain_oracle() -> str:
+    """DuckDB replay of q_registrable_domain: the same planted hosts
+    and the default suffix dim through registrable_domain_sql."""
+    from dblp_crawler_spark.operators.frontier import (
+        DEFAULT_PUBLIC_SUFFIXES,
+        registrable_domain_sql,
+    )
+
+    psl = "(SELECT unnest([" + ", ".join(
+        f"'{s}'" for s in DEFAULT_PUBLIC_SUFFIXES
+    ) + "]) AS suffix)"
+    src = """(
+        SELECT CASE doc_id % 5
+                 WHEN 0 THEN 'www.site' || CAST(doc_id AS VARCHAR) || '.co.uk'
+                 WHEN 1 THEN 'a.b.site' || CAST(doc_id AS VARCHAR) || '.com.au'
+                 WHEN 2 THEN 'site' || CAST(doc_id AS VARCHAR) || '.example.org'
+                 WHEN 3 THEN 'deep.x.site' || CAST(doc_id AS VARCHAR) || '.ac.uk'
+                 ELSE 'host' || CAST(doc_id AS VARCHAR) END AS host
+        FROM documents
+    )"""
+    return registrable_domain_sql(src, psl)
 
 
 def _dsir_oracle() -> str:

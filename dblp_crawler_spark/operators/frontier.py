@@ -229,3 +229,125 @@ def template_cap_sql(src: str, max_per_template: int,
                rnk <= {max_per_template} AS admitted
         FROM tc
     """
+
+
+# ---- registrable domain (public-suffix longest match) -------------------------
+
+#: starter suffix dim — the handful of multi-label public suffixes
+#: every crawler hits constantly. Production ingests the full Public
+#: Suffix List into the same (suffix) dim table (publicsuffix.org;
+#: the LIST is data the operator takes as input, like the CCF dim —
+#: none of it ships here beyond these well-known entries).
+DEFAULT_PUBLIC_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "co.nz", "com.sg", "com.tr", "co.za",
+]
+
+
+def registrable_domain(hosts: DataFrame, psl: DataFrame | None = None,
+                       host_col: str = "host",
+                       max_suffix_labels: int = 4) -> DataFrame:
+    """(host, suffix, registrable): the registrable domain under a
+    public-suffix list — the SITE-level politeness/budget key.
+    Per-host politeness treats every subdomain of one site as a
+    separate host (a wildcard-subdomain spam farm gets unlimited
+    budget); keying on the naive last-2-labels merges every
+    ``*.co.uk`` site into one (the whole UK shares one budget).
+    Correct grouping needs longest-suffix match against the PSL:
+    ``a.b.example.co.uk`` → suffix ``co.uk`` → registrable
+    ``example.co.uk``.
+
+    ``psl`` is a (suffix string) dim — broadcast side of the join
+    (the full Public Suffix List is ~10⁴ rows); defaults to the
+    well-known starter set.  Candidates are each host's last
+    1..max_suffix_labels PROPER suffixes (explode ≤4 rows per host,
+    collapse by max matched length); hosts with no PSL match fall
+    back to the standard implicit rule (suffix = last label,
+    registrable = last two).  A host that IS a public suffix has no
+    registrable domain → returns the host itself (PSL semantics).
+    Ports are stripped.  Input should be the DISTINCT host dim, not
+    the URL table — compute once, join back on host."""
+    if psl is None:
+        spark = hosts.sparkSession
+        psl = spark.createDataFrame(
+            [(s,) for s in DEFAULT_PUBLIC_SUFFIXES], "suffix string"
+        )
+    bare = F.regexp_extract(F.col(host_col), "^([^:]*)", 1)
+    labels = F.split(bare, r"\.")
+    base = hosts.select(
+        F.col(host_col).alias("host"),
+        labels.alias("__l"),
+        F.size(labels).alias("__n"),
+    )
+    cand = base.select(
+        "host", "__l", "__n",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(max_suffix_labels)),
+                    lambda k: F.when(
+                        F.col("__n") > k,
+                        F.struct(
+                            k.alias("k"),
+                            F.array_join(
+                                F.slice(F.col("__l"), F.col("__n") - k + 1, k), "."
+                            ).alias("sfx"),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("__c"),
+    )
+    matched = (
+        cand.join(F.broadcast(psl), cand["__c"]["sfx"] == psl["suffix"], "inner")
+        .groupBy("host")
+        .agg(F.max(F.col("__c")["k"]).alias("__kbest"))
+    )
+    out = (
+        base.join(matched, "host", "left")
+        .withColumn(
+            "__k", F.coalesce(F.col("__kbest"), F.lit(1))
+        )
+        .select(
+            "host",
+            F.array_join(
+                F.slice(F.col("__l"), F.greatest(F.lit(1), F.col("__n") - F.col("__k") + 1),
+                        F.least(F.col("__n"), F.col("__k"))), "."
+            ).alias("suffix"),
+            F.array_join(
+                F.slice(F.col("__l"), F.greatest(F.lit(1), F.col("__n") - F.col("__k")),
+                        F.least(F.col("__n"), F.col("__k") + 1)), "."
+            ).alias("registrable"),
+        )
+    )
+    return out
+
+
+def registrable_domain_sql(src: str, psl: str, host_col: str = "host",
+                           max_suffix_labels: int = 4) -> str:
+    """DuckDB replay of :func:`registrable_domain` over ``src`` (the
+    host dim) and ``psl`` (suffix dim) — same candidate explode,
+    same longest-match collapse, same fallback/clamp arithmetic."""
+    return f"""
+        WITH rd_base AS (
+          SELECT {host_col} AS host,
+                 string_split(regexp_extract({host_col}, '^([^:]*)', 1), '.') AS l,
+                 len(string_split(regexp_extract({host_col}, '^([^:]*)', 1), '.')) AS n
+          FROM {src}
+        ), rd_cand AS (
+          SELECT host, n, k,
+                 array_to_string(l[n - k + 1 : n], '.') AS sfx
+          FROM rd_base, (SELECT unnest(range(1, {max_suffix_labels + 1})) AS k) ks
+          WHERE n > k
+        ), rd_match AS (
+          SELECT c.host, MAX(c.k) AS kbest
+          FROM rd_cand c JOIN {psl} p ON c.sfx = p.suffix
+          GROUP BY c.host
+        )
+        SELECT b.host,
+               array_to_string(l[GREATEST(1, n - COALESCE(kbest, 1) + 1) : n], '.') AS suffix,
+               array_to_string(l[GREATEST(1, n - COALESCE(kbest, 1)) : n], '.') AS registrable
+        FROM rd_base b LEFT JOIN rd_match m ON b.host = m.host
+    """
