@@ -2547,6 +2547,20 @@ def q_registrable_domain(spark, sf_dir):
     return registrable_domain(docs.select(host.alias("host")))
 
 
+def q_index_search_phrase(spark, sf_dir):
+    """Exact consecutive-phrase retrieval (invindex.search_phrase):
+    the positional tier above conjunctive AND — query term i voting
+    for anchor pos−i turns a phrase occurrence into a (doc, anchor)
+    group of size |q|, ONE aggregation instead of a |q|-way
+    positional self-join; duplicate phrase words need no special
+    case. Broadcast query dim, exact counts, TakeOrderedAndProject
+    top-k, doc-id ties."""
+    from dblp_crawler_spark.operators.invindex import search_phrase
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return search_phrase(docs, ["key", "order"], k=20)
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2956,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "robots_availability": q_robots_availability,
         "registrable_domain": q_registrable_domain,
+        "index_search_phrase": q_index_search_phrase,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3248,6 +3263,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "script_profile": _script_profile_oracle(),
         "robots_availability": _robots_availability_oracle(),
         "registrable_domain": _registrable_domain_oracle(),
+        "index_search_phrase": _search_phrase_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4297,6 +4313,14 @@ def _registrable_domain_oracle() -> str:
         FROM documents
     )"""
     return registrable_domain_sql(src, psl)
+
+
+def _search_phrase_oracle() -> str:
+    """DuckDB replay of q_index_search_phrase — zipped unnest
+    positions, same anchor aggregation and top-k."""
+    from dblp_crawler_spark.operators.invindex import search_phrase_sql
+
+    return search_phrase_sql("documents", ["key", "order"], k=20)
 
 
 def _dsir_oracle() -> str:

@@ -239,3 +239,84 @@ def search_bm25(docs: DataFrame, terms: list[str], k: int = 10,
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(int(k))
     )
+
+
+# ---- positional phrase search -------------------------------------------------
+
+def positional_postings(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc, pos, term): the positional forward index — one
+    posexplode, map-side."""
+    return docs.select(
+        F.col(id_col), F.posexplode(tokens_all(text_col)).alias("pos", "term")
+    )
+
+
+def search_phrase(docs: DataFrame, phrase: list[str], k: int = 10,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact consecutive-phrase search — the positional tier above
+    conjunctive AND (which happily returns "order sort key" for the
+    query "key order sort").  The classic IR construction: query
+    term i matching a token at position p votes for the ANCHOR
+    p − i; a document position where ALL |q| terms align produces
+    |q| votes at one anchor, so a phrase occurrence is exactly a
+    (doc, anchor) group of size |q| — ONE aggregation, never a
+    |q|-way positional self-join.  Duplicate words in the phrase
+    need no special case: for a fixed anchor, each query index i
+    checks one token (anchor+i), so each i votes at most once.
+
+    Scale shape: the query dim is broadcast into the exploded token
+    stream (only matching-term tokens leave the scan), one hash agg
+    on (doc, anchor), one on doc, global top-k as
+    TakeOrderedAndProject.  Exact integer counts; ties break on doc
+    id — engine-portable.  Returns (doc, occurrences) top-k by
+    (occurrences DESC, doc ASC)."""
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(phrase)], "idx int, term string"
+    )
+    hits = (
+        positional_postings(docs, text_col, id_col)
+        .join(F.broadcast(qdf), "term")
+        .select(F.col(id_col), (F.col("pos") - F.col("idx")).alias("anchor"))
+    )
+    occ = (
+        hits.groupBy(id_col, "anchor")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") == len(phrase))
+    )
+    return (
+        occ.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def search_phrase_sql(src: str, phrase: list[str], k: int = 10,
+                      tok_expr: str | None = None,
+                      id_col: str = "doc_id") -> str:
+    """DuckDB replay of :func:`search_phrase` over ``src`` — parallel
+    unnest zips (term, pos), then the same anchor aggregation.
+    ``tok_expr`` defaults to the shared tokenizer replay over a
+    ``text`` column."""
+    toks = tok_expr or "regexp_extract_all(lower(text), '[0-9a-z_]+')"
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(phrase))
+    return f"""
+        WITH ph_t AS (
+          SELECT {id_col}, unnest({toks}) AS term,
+                 unnest(range(0, len({toks}))) AS pos
+          FROM {src}
+        ), ph_q(idx, term) AS (VALUES {qvals}),
+        ph_hit AS (
+          SELECT t.{id_col}, t.pos - q.idx AS anchor
+          FROM ph_t t JOIN ph_q q ON t.term = q.term
+        ), ph_occ AS (
+          SELECT {id_col}, anchor FROM ph_hit
+          GROUP BY {id_col}, anchor HAVING COUNT(*) = {len(phrase)}
+        )
+        SELECT {id_col}, COUNT(*) AS occurrences
+        FROM ph_occ GROUP BY {id_col}
+        ORDER BY occurrences DESC, {id_col} ASC
+        LIMIT {k}
+    """

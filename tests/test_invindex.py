@@ -175,3 +175,64 @@ def test_index_delta_vanishing_term(spark):
     assert "rare" not in terms
     assert "common" not in terms or True  # common df falls to 1 as well -> pruned
     assert terms == set()  # both touched terms dropped below min_df
+
+
+# ---- phrase search -------------------------------------------------------------
+
+def test_phrase_order_sensitivity_and_overlaps(spark):
+    from dblp_crawler_spark.operators.invindex import search_phrase
+
+    docs = spark.createDataFrame(
+        [
+            (1, "key order sort key order"),   # 2 occurrences
+            (2, "order key sort"),             # AND would match; phrase must not
+            (3, "a b a b a"),                  # overlapping phrase sites
+            (4, "the cat the cat"),            # duplicate-word phrase target
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.occurrences
+           for r in search_phrase(docs, ["key", "order"]).collect()}
+    assert got == {1: 2}
+    got = {r.doc_id: r.occurrences
+           for r in search_phrase(docs, ["a", "b", "a"]).collect()}
+    assert got == {3: 2}                        # overlaps both count
+    got = {r.doc_id: r.occurrences
+           for r in search_phrase(docs, ["the", "cat", "the"]).collect()}
+    assert got == {4: 1}
+
+
+def test_phrase_duckdb_replay(spark):
+    import duckdb
+    import pandas as pd
+
+    from dblp_crawler_spark.operators.invindex import (
+        search_phrase,
+        search_phrase_sql,
+    )
+
+    rows = [(i, f"w{i % 3} key order w{(i * 7) % 5} key order key") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_pdf = (
+        search_phrase(docs, ["key", "order"], k=15).toPandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck_pdf = (
+        con.sql(search_phrase_sql("documents", ["key", "order"], k=15)).df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
+
+
+def test_phrase_plan_broadcasts_query(spark):
+    from dblp_crawler_spark.operators.invindex import search_phrase
+
+    docs = spark.createDataFrame([(1, "key order")], "doc_id long, text string")
+    plan = (
+        search_phrase(docs, ["key", "order"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
