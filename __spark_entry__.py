@@ -2561,6 +2561,43 @@ def q_index_search_phrase(spark, sf_dir):
     return search_phrase(docs, ["key", "order"], k=20)
 
 
+def q_jpeg_structure(spark, sf_dir):
+    """Decode-free JPEG structure (sniff.jpeg_structure): the SOF
+    marker type (FFC2 = progressive — breaks streaming decoders and
+    some loaders) and the first component's sampling byte (0x22 →
+    4:2:0, 0x21 → 4:2:2, 0x11 → 4:4:4 — the quality tier CDNs
+    silently downgrade), plus component count (1 = grayscale). Same
+    bounded-fold walk family as dims/EXIF/DQT, one 256-byte hex
+    window. Planted: baseline 4:2:0, progressive 4:4:4, multi-hop
+    4:2:2, progressive grayscale, and PNGs (NULLs)."""
+    from dblp_crawler_spark.operators.sniff import jpeg_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    h4 = F.format_string("%04X", (F.col("doc_id") % 900 + 100).cast("int"))
+    w4 = F.format_string("%04X", ((F.col("doc_id") * 7) % 900 + 100).cast("int"))
+
+    def sof3(marker, hv):
+        return F.concat(F.lit(marker + "0011" + "08"), h4, w4,
+                        F.lit("03" + "01" + hv + "00" + "021101" + "031101"))
+
+    def sofg(marker):
+        return F.concat(F.lit(marker + "000B" + "08"), h4, w4,
+                        F.lit("01" + "011100"))
+
+    hexstr = (
+        F.when(m == 0, F.concat(F.lit("FFD8" + _EXIF_APP0), sof3("FFC0", "22")))
+        .when(m == 1, F.concat(F.lit("FFD8" + _EXIF_APP0), sof3("FFC2", "11")))
+        .when(m == 2, F.concat(F.lit("FFD8" + _EXIF_APP0 + _EXIF_APP0), sof3("FFC0", "21")))
+        .when(m == 3, F.concat(F.lit("FFD8" + _EXIF_APP0), sofg("FFC2")))
+        .otherwise(F.lit(_EXIF_PNG))
+    )
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return jpeg_structure(imgs).select(
+        "doc_id", "fmt", "progressive", "n_components", "subsampling"
+    )
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -2971,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_availability": q_robots_availability,
         "registrable_domain": q_registrable_domain,
         "index_search_phrase": q_index_search_phrase,
+        "jpeg_structure": q_jpeg_structure,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3264,6 +3302,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "robots_availability": _robots_availability_oracle(),
         "registrable_domain": _registrable_domain_oracle(),
         "index_search_phrase": _search_phrase_oracle(),
+        "jpeg_structure": _jpeg_structure_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4321,6 +4360,38 @@ def _search_phrase_oracle() -> str:
     from dblp_crawler_spark.operators.invindex import search_phrase_sql
 
     return search_phrase_sql("documents", ["key", "order"], k=20)
+
+
+def _jpeg_structure_oracle() -> str:
+    """DuckDB replay of q_jpeg_structure: the same planted SOF
+    variants through jpeg_structure_sql."""
+    from dblp_crawler_spark.operators.sniff import (
+        jpeg_structure_sql,
+        sniff_case_sql,
+    )
+
+    h4 = "printf('%04X', doc_id % 900 + 100)"
+    w4 = "printf('%04X', (doc_id * 7) % 900 + 100)"
+
+    def sof3(marker, hv):
+        return (f"'{marker}001108' || {h4} || {w4} || "
+                f"'0301{hv}00021101031101'")
+
+    def sofg(marker):
+        return f"'{marker}000B08' || {h4} || {w4} || '01011100'"
+
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'FFD8{_EXIF_APP0}' || {sof3('FFC0', '22')}
+                 WHEN 1 THEN 'FFD8{_EXIF_APP0}' || {sof3('FFC2', '11')}
+                 WHEN 2 THEN 'FFD8{_EXIF_APP0}{_EXIF_APP0}' || {sof3('FFC0', '21')}
+                 WHEN 3 THEN 'FFD8{_EXIF_APP0}' || {sofg('FFC2')}
+                 ELSE '{_EXIF_PNG}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} js_src)"
+    return jpeg_structure_sql(staged)
 
 
 def _dsir_oracle() -> str:

@@ -663,3 +663,114 @@ def charset_decl(df: DataFrame, bytes_col: str = "bytes",
             "meta": meta_charset(html_col),
         }
     ).withColumn("charset", F.coalesce("bom", "meta", F.lit(default)))
+
+
+# ---- JPEG structure: progressive flag + chroma subsampling --------------------
+#
+# Two more decode-free curation signals from the SOF header: the
+# marker itself says baseline (FFC0/FFC1) vs progressive (FFC2 —
+# breaks streaming decoders and some training loaders), and the
+# first component's sampling-factor byte says the chroma subsampling
+# (0x22 → 4:2:0, 0x21 → 4:2:2, 0x11 → 4:4:4 for the standard
+# YCbCr layout) — the quality tier CDNs silently downgrade.
+
+SOF_MARKERS = ("FFC0", "FFC1", "FFC2")
+SUBSAMPLING = {0x22: "4:2:0", 0x21: "4:2:2", 0x11: "4:4:4", 0x12: "4:4:0"}
+
+
+def jpeg_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, progressive, n_components, subsampling) from the
+    SOF segment — NULL for non-JPEG / walks that never reach an SOF
+    in the window; subsampling is 'gray' for single-component scans,
+    'other' for nonstandard factor bytes.  Same bounded fold + staged
+    reads as the dims/EXIF/DQT walks; one 256-byte hex projection."""
+    staged = df.withColumns(
+        {
+            "__sx": F.hex(F.substring(F.col(bytes_col), 1, DQT_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__sx")
+
+    def hop(acc, _i):
+        pos = acc["s_pos"]
+        found = acc["s"].isNotNull()
+        marker = hx.substr(pos, F.lit(4))
+        is_sof = marker.isin(*SOF_MARKERS)
+        nxt = F.when(found | is_sof, pos).otherwise(
+            pos + F.lit(4) + F.lit(2) * _hex2long(hx, pos + F.lit(4), 4)
+        )
+        return F.struct(
+            nxt.alias("s_pos"),
+            F.coalesce(acc["s"], F.when(is_sof, pos)).alias("s"),
+        )
+
+    acc0 = F.struct(
+        F.lit(5).cast("long").alias("s_pos"),
+        F.lit(None).cast("long").alias("s"),
+    )
+    walk = F.aggregate(F.sequence(F.lit(1), F.lit(DQT_MAX_HOPS)), acc0, hop)["s"]
+    s1 = staged.withColumn("__s", F.when(F.col("fmt") == "jpeg", walk))
+    s2 = s1.withColumns(
+        {
+            "__marker": hx.substr(F.col("__s"), F.lit(4)),
+            "__ncomp": _hex2long(hx, F.col("__s") + F.lit(18), 2),
+            "__hv": _hex2long(hx, F.col("__s") + F.lit(22), 2),
+        }
+    )
+    sub = F.lit("other")
+    for hv, label in SUBSAMPLING.items():
+        sub = F.when(F.col("__hv") == hv, label).otherwise(sub)
+    sub = F.when(F.col("__ncomp") == 1, "gray").otherwise(sub)
+    return (
+        s2.withColumns(
+            {
+                "progressive": F.when(
+                    F.col("__marker").isNotNull() & F.col("__ncomp").isNotNull(),
+                    F.col("__marker") == "FFC2",
+                ),
+                "n_components": F.col("__ncomp").cast("int"),
+                "subsampling": F.when(F.col("__ncomp").isNotNull(), sub),
+            }
+        )
+        .drop("__sx", "__s", "__marker", "__ncomp", "__hv")
+    )
+
+
+def jpeg_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                       fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`jpeg_structure` — unrolled walk,
+    staged reads, same CASE tables."""
+    pos_expr = "5"
+    s_cases = []
+    markers = ", ".join(f"'{m}'" for m in SOF_MARKERS)
+    for _ in range(DQT_MAX_HOPS):
+        is_sof = f"substring({h_col}, {pos_expr}, 4) IN ({markers})"
+        s_cases.append(f"WHEN {is_sof} THEN ({pos_expr})")
+        seg_len = f"TRY_CAST(concat('0x', substring({h_col}, ({pos_expr}) + 4, 4)) AS BIGINT)"
+        pos_expr = f"({pos_expr}) + 4 + 2 * {seg_len}"
+    walk = "CASE " + " ".join(s_cases) + " ELSE NULL END"
+    sub_whens = " ".join(
+        f"WHEN {hv} THEN '{label}'" for hv, label in SUBSAMPLING.items()
+    )
+    return f"""
+        WITH js0 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CASE WHEN {fmt_col} = 'jpeg' THEN CAST(({walk}) AS BIGINT) END AS s
+          FROM {src}
+        ), js1 AS (
+          SELECT *, substring(h, s, 4) AS marker,
+                 TRY_CAST(concat('0x', substring(h, s + 18, 2)) AS BIGINT) AS ncomp,
+                 TRY_CAST(concat('0x', substring(h, s + 22, 2)) AS BIGINT) AS hv
+          FROM js0
+        )
+        SELECT {keep}, fmt,
+               CASE WHEN s IS NOT NULL AND ncomp IS NOT NULL
+                    THEN marker = 'FFC2' END AS progressive,
+               CAST(ncomp AS INT) AS n_components,
+               CASE WHEN ncomp = 1 THEN 'gray'
+                    WHEN ncomp IS NOT NULL THEN
+                      CASE hv {sub_whens} ELSE 'other' END
+               END AS subsampling
+        FROM js1
+    """
