@@ -2598,6 +2598,40 @@ def q_jpeg_structure(spark, sf_dir):
     )
 
 
+def q_image_bomb_gate(spark, sf_dir):
+    """Decompression-bomb gate (sniff.image_bomb_gate): compare
+    header-declared dimensions against payload size BEFORE any
+    decoder runs — a tiny payload claiming enormous pixels is the
+    bomb signature, and this comparison is the only zero-decode
+    defense. Integer cross-multiplied ratio (never a float divide);
+    unknown dims are NOT safe. Planted: honest small PNGs, a
+    67MP+ oversized bomb, a ratio-only bomb (9 MP in 33 bytes —
+    under the pixel cap, over the ratio), and unparseable bytes."""
+    from dblp_crawler_spark.operators.sniff import image_bomb_gate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 4
+
+    def png(w_expr, h_expr):
+        return F.concat(
+            F.lit("89504E470D0A1A0A" + "0000000D49484452"),
+            w_expr, h_expr, F.lit("0806000000"),
+        )
+
+    w_small = F.format_string("%08X", (F.col("doc_id") % 60 + 20).cast("int"))
+    hexstr = (
+        F.when(m == 0, png(w_small, F.lit("00000032")))
+        .when(m == 1, png(F.lit("00007530"), F.lit("00007530")))   # 30000²
+        .when(m == 2, png(F.lit("00000BB8"), F.lit("00000BB8")))   # 3000²
+        .otherwise(F.lit("DEADBEEF00112233"))
+    )
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return image_bomb_gate(imgs).select(
+        "doc_id", "fmt", "width", "height", "pixels", "payload_bytes",
+        "oversized", "bomb_ratio", "safe",
+    )
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -3009,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domain": q_registrable_domain,
         "index_search_phrase": q_index_search_phrase,
         "jpeg_structure": q_jpeg_structure,
+        "image_bomb_gate": q_image_bomb_gate,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3303,6 +3338,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "registrable_domain": _registrable_domain_oracle(),
         "index_search_phrase": _search_phrase_oracle(),
         "jpeg_structure": _jpeg_structure_oracle(),
+        "image_bomb_gate": _bomb_gate_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4392,6 +4428,25 @@ def _jpeg_structure_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} js_src)"
     return jpeg_structure_sql(staged)
+
+
+def _bomb_gate_oracle() -> str:
+    """DuckDB replay of q_image_bomb_gate: same planted PNG hex,
+    same dims parse and integer cross-multiplied gates."""
+    from dblp_crawler_spark.operators.sniff import image_bomb_gate_sql
+
+    png_pre = "89504E470D0A1A0A0000000D49484452"
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN '{png_pre}' || printf('%08X', doc_id % 60 + 20)
+                             || '00000032' || '0806000000'
+                 WHEN 1 THEN '{png_pre}' || '0000753000007530' || '0806000000'
+                 WHEN 2 THEN '{png_pre}' || '00000BB800000BB8' || '0806000000'
+                 ELSE 'DEADBEEF00112233' END AS h
+        FROM documents
+    )"""
+    return image_bomb_gate_sql(src)
 
 
 def _dsir_oracle() -> str:

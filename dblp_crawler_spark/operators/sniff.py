@@ -774,3 +774,65 @@ def jpeg_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                END AS subsampling
         FROM js1
     """
+
+
+# ---- decompression-bomb gate ---------------------------------------------------
+
+#: default safety thresholds: 2^26 pixels (~67 MP — beyond any
+#: legitimate web image) and 200 claimed pixels per payload byte
+#: (honest compressed images run ~0.5–50 px/byte; a 50 KB file
+#: claiming 100 MP is the bomb signature).
+BOMB_MAX_PIXELS = 1 << 26
+BOMB_MAX_PX_PER_BYTE = 200
+
+
+def image_bomb_gate(df: DataFrame, bytes_col: str = "bytes",
+                    max_pixels: int = BOMB_MAX_PIXELS,
+                    max_px_per_byte: int = BOMB_MAX_PX_PER_BYTE) -> DataFrame:
+    """Add (pixels, payload_bytes, oversized, bomb_ratio, safe): the
+    header-vs-payload sanity gate that must run BEFORE bytes reach a
+    decoder — a decompression bomb is a tiny payload whose header
+    declares enormous dimensions, and the only defense that costs
+    zero decode work is comparing the two numbers.  ``safe`` is
+    true only for payloads with KNOWN dims passing both checks
+    (unknown/unparseable dims are not safe — the decoder can't be
+    told what to expect).  Ratio check is integer cross-multiplied
+    (pixels > bytes · max_px_per_byte), never a float divide."""
+    d = image_dims(df, bytes_col=bytes_col)
+    pixels = (F.col("width") * F.col("height")).cast("long")
+    nbytes = F.octet_length(F.col(bytes_col)).cast("long")
+    d = d.withColumns({"pixels": pixels, "payload_bytes": nbytes})
+    oversized = F.col("pixels") > max_pixels
+    bomb = F.col("pixels") > F.col("payload_bytes") * max_px_per_byte
+    return d.withColumns(
+        {
+            "oversized": F.coalesce(oversized, F.lit(False)),
+            "bomb_ratio": F.coalesce(bomb, F.lit(False)),
+            "safe": F.coalesce(~oversized & ~bomb, F.lit(False)),
+        }
+    )
+
+
+def image_bomb_gate_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                        max_pixels: int = BOMB_MAX_PIXELS,
+                        max_px_per_byte: int = BOMB_MAX_PX_PER_BYTE) -> str:
+    """DuckDB replay over ``src`` exposing `keep` + the 64-byte hex
+    window (payloads must fit the window so strlen(h)/2 is the true
+    payload size — entry fixtures guarantee it)."""
+    fmt, width, height = image_dims_sql(h_col)
+    return f"""
+        WITH bg0 AS (
+          SELECT {keep}, {fmt} AS fmt, CAST({width} AS BIGINT) AS width,
+                 CAST({height} AS BIGINT) AS height,
+                 CAST(strlen({h_col}) // 2 AS BIGINT) AS payload_bytes
+          FROM {src}
+        ), bg1 AS (
+          SELECT *, width * height AS pixels FROM bg0
+        )
+        SELECT {keep}, fmt, width, height, pixels, payload_bytes,
+               COALESCE(pixels > {max_pixels}, false) AS oversized,
+               COALESCE(pixels > payload_bytes * {max_px_per_byte}, false) AS bomb_ratio,
+               COALESCE(pixels <= {max_pixels}
+                        AND pixels <= payload_bytes * {max_px_per_byte}, false) AS safe
+        FROM bg1
+    """

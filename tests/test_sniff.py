@@ -217,3 +217,64 @@ def test_charset_decl_duckdb_replay(spark):
         """).df().sort_values("name").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
+
+
+# ---- decompression-bomb gate ---------------------------------------------------
+
+def test_bomb_gate_pins(spark):
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.operators.sniff import image_bomb_gate
+
+    png_pre = "89504E470D0A1A0A0000000D49484452"
+    cases = {
+        "honest": png_pre + "0000002800000032" + "0806000000",      # 40×50
+        "oversized": png_pre + "0000753000007530" + "0806000000",   # 30000²
+        "ratio_bomb": png_pre + "00000BB800000BB8" + "0806000000",  # 3000² in 33 B
+        "garbage": "DEADBEEF00112233",
+    }
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    got = {
+        r.name: (r.oversized, r.bomb_ratio, r.safe)
+        for r in image_bomb_gate(
+            df.select("name", F.unhex("hx").alias("bytes"))
+        ).collect()
+    }
+    assert got["honest"] == (False, False, True)
+    assert got["oversized"] == (True, True, False)       # 9e8 px: both gates
+    assert got["ratio_bomb"] == (False, True, False)     # under cap, over ratio
+    assert got["garbage"] == (False, False, False)       # unknown dims ≠ safe
+
+
+def test_bomb_gate_duckdb_replay(spark):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.operators.sniff import (
+        image_bomb_gate,
+        image_bomb_gate_sql,
+    )
+
+    png_pre = "89504E470D0A1A0A0000000D49484452"
+    cases = {
+        "a": png_pre + "0000002800000032" + "0806000000",
+        "b": png_pre + "0000753000007530" + "0806000000",
+        "c": "DEADBEEF00112233",
+    }
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    spark_pdf = (
+        image_bomb_gate(df.select("name", F.unhex("hx").alias("bytes")))
+        .select("name", "fmt", "width", "height", "pixels", "payload_bytes",
+                "oversized", "bomb_ratio", "safe")
+        .toPandas().sort_values("name").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases.items(), columns=["name", "h"]))
+    duck_pdf = (
+        con.sql(image_bomb_gate_sql("cases", keep="name")).df()
+        .sort_values("name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
