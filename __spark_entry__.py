@@ -2632,6 +2632,48 @@ def q_image_bomb_gate(spark, sf_dir):
     )
 
 
+def q_sitemap_scheduling_hints(spark, sf_dir):
+    """Sitemap scheduling hints (webparse.sitemap_entries_full):
+    changefreq + priority — the publisher-declared recrawl priors
+    that seed scheduling before any observed change history exists.
+    changefreq validated against the spec enum (junk → NULL),
+    priority try-cast + range-clamped with the spec's 0.5 default,
+    and the integer nominal interval mapping ('never' → NULL: fall
+    back to observed change rates). Planted XML cycles valid/invalid
+    enums and in/out-of-range/junk/missing priorities."""
+    from dblp_crawler_spark.sources.webparse import sitemap_entries_full
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    cf = F.try_element_at(
+        F.array(*[F.lit(x) for x in
+                  ("daily", "weekly", "SOMETIMES", "monthly", "never", "")]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    pr = F.try_element_at(
+        F.array(*[F.lit(x) for x in ("0.8", "1.0", "2.5", "", "0.1", "abc")]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    d = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://h"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".org/p/"), d, F.lit("</loc>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("<lastmod>2024-05-0"),
+                        (F.col("doc_id") % 9 + 1).cast("string"),
+                        F.lit("</lastmod>"))).otherwise(F.lit("")),
+        F.when(cf != "", F.concat(F.lit("<changefreq>"), cf,
+                                  F.lit("</changefreq>"))).otherwise(F.lit("")),
+        F.when(pr != "", F.concat(F.lit("<priority>"), pr,
+                                  F.lit("</priority>"))).otherwise(F.lit("")),
+        F.lit("</url></urlset>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string")).alias("host"),
+        xml.alias("sitemap_xml"),
+    )
+    return sitemap_entries_full(pages, keep=["host"])
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -3044,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_search_phrase": q_index_search_phrase,
         "jpeg_structure": q_jpeg_structure,
         "image_bomb_gate": q_image_bomb_gate,
+        "sitemap_scheduling_hints": q_sitemap_scheduling_hints,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3339,6 +3382,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "index_search_phrase": _search_phrase_oracle(),
         "jpeg_structure": _jpeg_structure_oracle(),
         "image_bomb_gate": _bomb_gate_oracle(),
+        "sitemap_scheduling_hints": _sitemap_hints_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4447,6 +4491,30 @@ def _bomb_gate_oracle() -> str:
         FROM documents
     )"""
     return image_bomb_gate_sql(src)
+
+
+def _sitemap_hints_oracle() -> str:
+    """DuckDB replay of q_sitemap_scheduling_hints: same planted
+    XML, same validation/clamp/default/mapping."""
+    from dblp_crawler_spark.sources.webparse import sitemap_entries_full_sql
+
+    cf = "['daily', 'weekly', 'SOMETIMES', 'monthly', 'never', ''][doc_id % 6 + 1]"
+    pr = "['0.8', '1.0', '2.5', '', '0.1', 'abc'][doc_id % 6 + 1]"
+    src = f"""(
+        SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+               '<urlset><url><loc>https://h' || CAST(doc_id % 10 AS VARCHAR)
+                 || '.org/p/' || CAST(doc_id AS VARCHAR) || '</loc>'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '<lastmod>2024-05-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                              || '</lastmod>' ELSE '' END
+                 || CASE WHEN {cf} <> ''
+                         THEN '<changefreq>' || {cf} || '</changefreq>' ELSE '' END
+                 || CASE WHEN {pr} <> ''
+                         THEN '<priority>' || {pr} || '</priority>' ELSE '' END
+                 || '</url></urlset>' AS sitemap_xml
+        FROM documents
+    )"""
+    return sitemap_entries_full_sql(src)
 
 
 def _dsir_oracle() -> str:

@@ -628,3 +628,95 @@ def robots_sitemaps_sql(src: str = "robots_pages") -> str:
           )
         ) WHERE loc <> ''
     """
+
+
+# ---- sitemap priority / changefreq (the scheduling hints) ---------------------
+
+_SM_CHANGEFREQ_RE = r"<changefreq>([^<]*)</changefreq>"
+_SM_PRIORITY_RE = r"<priority>([^<]*)</priority>"
+
+#: spec changefreq values → nominal recrawl interval seconds ('always'
+#: = 0, 'never' = none — the scheduler treats NULL as content-driven).
+CHANGEFREQ_SECONDS = {
+    "always": 0, "hourly": 3600, "daily": 86400, "weekly": 604800,
+    "monthly": 2592000, "yearly": 31536000,
+}
+
+
+def sitemap_entries_full(pages: DataFrame, xml_col: str = "sitemap_xml",
+                         keep: list | None = None) -> DataFrame:
+    """Sitemap <url> records with the SCHEDULING hints:
+    (url, lastmod, changefreq, priority, changefreq_s) — the
+    publisher-declared recrawl priors that seed recrawl scheduling
+    before any observed change history exists (the sitemaps.org
+    protocol; priority defaults to 0.5 when absent, per spec).
+
+    changefreq is validated against the spec enum (lowercased;
+    anything else → NULL — publishers emit junk); priority is
+    try-cast to double and range-clamped to [0,1] (out-of-range →
+    NULL, then the 0.5 default); changefreq_s is the integer nominal
+    interval from CHANGEFREQ_SECONDS ('never' → NULL: the scheduler
+    falls back to observed change rates).  Same one-explode pure
+    expression chain as sitemap_entries."""
+    from ..functions.urlnorm import canonical_url
+
+    cols = keep if keep is not None else [c for c in pages.columns if c != xml_col]
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(_SM_BLOCK_RE), 1)
+    cf_raw = F.lower(F.nullif(F.regexp_extract("blk", _SM_CHANGEFREQ_RE, 1), F.lit("")))
+    cf = F.when(cf_raw.isin(*CHANGEFREQ_SECONDS, "never"), cf_raw)
+    pr_raw = F.nullif(
+        F.regexp_extract("blk", _SM_PRIORITY_RE, 1), F.lit("")
+    ).try_cast("double")
+    pr = F.coalesce(
+        F.when((pr_raw >= 0.0) & (pr_raw <= 1.0), pr_raw), F.lit(0.5)
+    )
+    cf_s = F.lit(None).cast("long")
+    for name, secs in CHANGEFREQ_SECONDS.items():
+        cf_s = F.when(cf == name, F.lit(secs).cast("long")).otherwise(cf_s)
+    return (
+        pages.select(*cols, F.explode(blocks).alias("blk"))
+        .withColumn("raw_loc", F.regexp_extract("blk", _SM_LOC_RE, 1))
+        .filter(F.col("raw_loc") != "")
+        .select(
+            *cols,
+            canonical_url("raw_loc").alias("url"),
+            F.to_date(
+                F.nullif(F.regexp_extract("blk", _SM_LASTMOD_RE, 1), F.lit(""))
+            ).alias("lastmod"),
+            cf.alias("changefreq"),
+            pr.alias("priority"),
+            cf_s.alias("changefreq_s"),
+        )
+    )
+
+
+def sitemap_entries_full_sql(src: str = "sitemap_pages",
+                             keep: str = "host") -> str:
+    """DuckDB replay of :func:`sitemap_entries_full` — same regexes,
+    validation, clamp, default, and interval mapping."""
+    from ..functions.urlnorm import canonical_url_sql
+
+    enum = ", ".join(f"'{v}'" for v in list(CHANGEFREQ_SECONDS) + ["never"])
+    cf_raw = f"lower(nullif(regexp_extract(blk, '{_SM_CHANGEFREQ_RE}', 1), ''))"
+    cf = f"CASE WHEN {cf_raw} IN ({enum}) THEN {cf_raw} END"
+    pr_raw = f"TRY_CAST(nullif(regexp_extract(blk, '{_SM_PRIORITY_RE}', 1), '') AS DOUBLE)"
+    pr = (f"COALESCE(CASE WHEN {pr_raw} >= 0.0 AND {pr_raw} <= 1.0"
+          f" THEN {pr_raw} END, 0.5)")
+    cf_whens = " ".join(
+        f"WHEN '{name}' THEN {secs}" for name, secs in CHANGEFREQ_SECONDS.items()
+    )
+    return f"""
+        SELECT {keep}, {canonical_url_sql('raw_loc')} AS url,
+               CAST(nullif(regexp_extract(blk, '{_SM_LASTMOD_RE}', 1), '') AS DATE) AS lastmod,
+               {cf} AS changefreq,
+               {pr} AS priority,
+               CAST(CASE ({cf}) {cf_whens} ELSE NULL END AS BIGINT) AS changefreq_s
+        FROM (
+          SELECT {keep}, blk, regexp_extract(blk, '{_SM_LOC_RE}', 1) AS raw_loc
+          FROM (
+            SELECT {keep},
+                   unnest(regexp_extract_all(sitemap_xml, '{_SM_BLOCK_RE}', 1)) AS blk
+            FROM {src}
+          )
+        ) WHERE raw_loc <> ''
+    """

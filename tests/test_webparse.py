@@ -232,3 +232,77 @@ def test_robots_sitemaps_declarations(spark):
     df = spark.createDataFrame([("e.org", txt)], "host string, robots_txt string")
     got = sorted(r.sitemap_url for r in robots_sitemaps(df).collect())
     assert got == ["http://e.org/a.xml", "http://e.org/b.xml", "http://e.org/c.xml"]
+
+
+# ---- sitemap scheduling hints ---------------------------------------------------
+
+def test_sitemap_hints_validation_and_defaults(spark):
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.sources.webparse import sitemap_entries_full
+
+    def url_block(loc, cf=None, pr=None):
+        b = f"<loc>{loc}</loc>"
+        if cf is not None:
+            b += f"<changefreq>{cf}</changefreq>"
+        if pr is not None:
+            b += f"<priority>{pr}</priority>"
+        return f"<url>{b}</url>"
+
+    xml = "<urlset>" + "".join([
+        url_block("https://a.org/1", "daily", "0.8"),
+        url_block("https://a.org/2", "ALWAYS"),          # case-folds, valid
+        url_block("https://a.org/3", "sometimes", "0.3"),  # junk enum
+        url_block("https://a.org/4", "never", "2.5"),    # out-of-range prio
+        url_block("https://a.org/5", None, "abc"),       # junk prio
+        url_block("https://a.org/6"),                    # nothing declared
+    ]) + "</urlset>"
+    pages = spark.createDataFrame([("a", xml)], "host string, sitemap_xml string")
+    got = {r.url: r for r in sitemap_entries_full(pages).collect()}
+    assert (got["https://a.org/1"].changefreq, got["https://a.org/1"].priority,
+            got["https://a.org/1"].changefreq_s) == ("daily", 0.8, 86400)
+    assert (got["https://a.org/2"].changefreq, got["https://a.org/2"].changefreq_s) == ("always", 0)
+    assert got["https://a.org/3"].changefreq is None
+    assert got["https://a.org/3"].priority == 0.3
+    assert (got["https://a.org/4"].changefreq, got["https://a.org/4"].changefreq_s,
+            got["https://a.org/4"].priority) == ("never", None, 0.5)
+    assert got["https://a.org/5"].priority == 0.5
+    assert (got["https://a.org/6"].changefreq, got["https://a.org/6"].priority) == (None, 0.5)
+
+
+def test_sitemap_hints_duckdb_replay(spark):
+    import duckdb
+    import pandas as pd
+
+    from dblp_crawler_spark.sources.webparse import (
+        sitemap_entries_full,
+        sitemap_entries_full_sql,
+    )
+
+    xml = ("<urlset>"
+           "<url><loc>https://a.org/1</loc><changefreq>weekly</changefreq>"
+           "<priority>0.9</priority></url>"
+           "<url><loc>https://a.org/2</loc><lastmod>2024-03-04</lastmod></url>"
+           "<url><loc>https://a.org/3</loc><priority>7</priority></url>"
+           "</urlset>")
+    pages = spark.createDataFrame([("a", xml)], "host string, sitemap_xml string")
+    spark_pdf = (
+        sitemap_entries_full(pages).toPandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("sitemap_pages", pd.DataFrame(
+        [("a", xml)], columns=["host", "sitemap_xml"]))
+    duck_pdf = (
+        con.sql(sitemap_entries_full_sql()).df()
+        .sort_values("url").reset_index(drop=True)
+    )
+    # pandas renders DATE as date objects (Spark) vs datetime64
+    # (DuckDB) — same values; compare as strings
+    for pdf in (spark_pdf, duck_pdf):
+        pdf["lastmod"] = pdf["lastmod"].map(
+            lambda v: None if pd.isna(v) else str(v)[:10]
+        )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
