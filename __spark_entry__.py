@@ -2674,6 +2674,21 @@ def q_sitemap_scheduling_hints(spark, sf_dir):
     return sitemap_entries_full(pages, keep=["host"])
 
 
+def q_ann_binary_hamming(spark, sf_dir):
+    """Binary sign-quantized ANN (similarity.binary_hamming_topk):
+    the memory-minimum retrieval tier next to PQ — 64-dim float32
+    vectors (256 B) collapse to 8 B sign codes (bit i = v[i] > 0,
+    packed 32 bits/word), hamming on codes is the Charikar angular
+    surrogate, and the brute scan reads 32× fewer bytes. Exact
+    integer distances, deterministic ties, self-matches excluded;
+    the oracle replays packing, the xor/bit_count fold, and the
+    per-query rank."""
+    from dblp_crawler_spark.operators.similarity import binary_hamming_topk
+
+    vecs = _t(spark, sf_dir, "embeddings")
+    return binary_hamming_topk(vecs, F.col("vec_id") % 50 == 0, k=10)
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -3087,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_structure": q_jpeg_structure,
         "image_bomb_gate": q_image_bomb_gate,
         "sitemap_scheduling_hints": q_sitemap_scheduling_hints,
+        "ann_binary_hamming": q_ann_binary_hamming,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3383,6 +3399,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "jpeg_structure": _jpeg_structure_oracle(),
         "image_bomb_gate": _bomb_gate_oracle(),
         "sitemap_scheduling_hints": _sitemap_hints_oracle(),
+        "ann_binary_hamming": _binary_hamming_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4515,6 +4532,13 @@ def _sitemap_hints_oracle() -> str:
         FROM documents
     )"""
     return sitemap_entries_full_sql(src)
+
+
+def _binary_hamming_oracle() -> str:
+    """DuckDB replay of q_ann_binary_hamming."""
+    from dblp_crawler_spark.operators.similarity import binary_hamming_topk_sql
+
+    return binary_hamming_topk_sql("embeddings", "vec_id % 50 = 0", k=10)
 
 
 def _dsir_oracle() -> str:

@@ -742,3 +742,105 @@ def pq_topk_reranked(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---- binary (sign) quantization + hamming ANN ---------------------------------
+
+#: 32 set-bit positions per packed word: always-positive int64s, the
+#: same portability discipline as hash60 (no sign-bit games in either
+#: engine's shift/xor path).
+BQ_WORD_BITS = 32
+
+
+def binary_quantize(vecs: DataFrame, dim: int, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, words array<long>): 1-bit sign quantization — bit i set
+    iff v[i] > 0, packed into 32-bit words.  The memory-minimum
+    retrieval tier next to PQ: 64-dim float32 vectors (256 B)
+    collapse to 8 B of code, so a 100 TB embedding corpus's codes
+    fit hot memory and the scan reads 32× fewer bytes; hamming
+    distance on sign codes is the standard angular-distance
+    surrogate (Charikar hyperplane LSH with axis-aligned planes).
+    Pure expressions; exact and engine-portable (float sign compares
+    identically everywhere)."""
+    words = []
+    for w in range(0, dim, BQ_WORD_BITS):
+        # unrolled constant-shift terms (shiftleft needs a literal
+        # shift; 32 flat when-terms per word stay trivially in codegen)
+        terms = [
+            F.when(
+                F.try_element_at(vec_col, F.lit(i + 1)) > 0,
+                F.lit(1 << (i - w)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(w, min(w + BQ_WORD_BITS, dim))
+        ]
+        words.append(sum(terms[1:], terms[0]))
+    return vecs.select(F.col(id_col), F.array(*words).alias("words"))
+
+
+def binary_hamming_topk(vecs: DataFrame, query_pred, k: int = 10,
+                        dim: int = 64, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Brute-force hamming top-k over sign codes: queries (rows
+    matching ``query_pred``) against the whole corpus —
+    (query_id, vec_id, hamming, rank).  The brute scan IS the
+    point at this tier (codes are 32× lighter than floats); for
+    radius-bounded lookups pair the codes with the pigeonhole
+    blocking kernel (dedup.hamming_near_dups_exact) instead.
+    Deterministic ties (hamming ASC, id ASC); self-matches excluded.
+    Plan: broadcast query codes × corpus codes, one query-keyed
+    window group-limit."""
+    codes = binary_quantize(vecs, dim, id_col, vec_col)
+    q = codes.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col("words").alias("qw")
+    )
+    dist = F.aggregate(
+        F.zip_with("qw", "words", lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    return (
+        codes.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn("hamming", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "hamming", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def binary_hamming_topk_sql(src: str, query_pred_sql: str, k: int = 10,
+                            dim: int = 64, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> str:
+    """DuckDB replay of :func:`binary_hamming_topk` — same sign
+    packing, same xor/bit_count fold, same rank and ties."""
+    words = ", ".join(
+        "CAST(list_sum(list_transform(range({lo}, {hi}), "
+        "i -> CASE WHEN {v}[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - {lo})) "
+        "ELSE 0 END)) AS BIGINT) AS w{j}".format(
+            lo=w, hi=min(w + BQ_WORD_BITS, dim), v=vec_col, j=w // BQ_WORD_BITS
+        )
+        for w in range(0, dim, BQ_WORD_BITS)
+    )
+    n_words = (dim + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+    dist = " + ".join(
+        f"bit_count(xor(q.w{j}, c.w{j}))" for j in range(n_words)
+    )
+    return f"""
+        WITH bq AS (
+          SELECT {id_col}, {words} FROM {src}
+        ), bq_q AS (
+          SELECT * FROM bq WHERE {query_pred_sql}
+        ), bq_d AS (
+          SELECT q.{id_col} AS query_id, c.{id_col} AS {id_col},
+                 CAST({dist} AS BIGINT) AS hamming
+          FROM bq_q q JOIN bq c ON c.{id_col} <> q.{id_col}
+        )
+        SELECT query_id, {id_col}, hamming, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY hamming ASC, {id_col} ASC) AS INT) AS rank
+          FROM bq_d
+        ) WHERE rank <= {k}
+    """

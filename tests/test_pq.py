@@ -86,3 +86,80 @@ def test_empty_code_shrinks_codebook(spark):
     cb = pq_train(df, dim=DIM, m=M, n_codes=4, iters=1, seed=1)
     per_j = cb.groupBy("j").count().collect()
     assert all(r["count"] <= 3 for r in per_j)
+
+
+# ---- binary sign quantization + hamming ANN ------------------------------------
+
+def _bq_ref(vecs):
+    """From-spec Python packing + hamming."""
+    codes = {}
+    for vid, v in vecs:
+        words = []
+        for base in range(0, len(v), 32):
+            w = 0
+            for i, x in enumerate(v[base:base + 32]):
+                if x > 0:
+                    w |= 1 << i
+            words.append(w)
+        codes[vid] = words
+    return codes
+
+
+def test_binary_quantize_matches_reference(spark):
+    from dblp_crawler_spark.operators.similarity import binary_quantize
+
+    vecs = [
+        (i, [((i * 31 + j * 7) % 13 - 6) / 10.0 for j in range(64)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r.vec_id: list(r.words)
+           for r in binary_quantize(df, dim=64).collect()}
+    want = _bq_ref([(i, v) for i, v in vecs])
+    assert got == want
+
+
+def test_binary_hamming_topk_exact_and_replay(spark):
+    import duckdb
+    import pandas as pd
+
+    from dblp_crawler_spark.operators.similarity import (
+        binary_hamming_topk,
+        binary_hamming_topk_sql,
+    )
+
+    vecs = [
+        (i, [((i * 31 + j * 7) % 13 - 6) / 10.0 for j in range(64)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = binary_hamming_topk(df, F.col("vec_id") % 20 == 0, k=5)
+    rows = out.collect()
+    # python reference distances
+    codes = _bq_ref(vecs)
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(codes[a], codes[b]))
+
+    by_q = {}
+    for r in rows:
+        assert r.vec_id != r.query_id
+        assert r.hamming == ham(r.query_id, r.vec_id)
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) == 5
+        want = sorted(
+            ((ham(qid, v), v) for v, _ in vecs if v != qid)
+        )[:5]
+        got = sorted((r.hamming, r.vec_id) for r in rs)
+        assert got == want
+    # replay
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        [(i, v) for i, v in vecs], columns=["vec_id", "embedding"]))
+    duck = (
+        con.sql(binary_hamming_topk_sql("embeddings", "vec_id % 20 = 0", k=5)).df()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    spark_pdf = out.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(spark_pdf, duck[spark_pdf.columns], check_dtype=False)
