@@ -2689,6 +2689,31 @@ def q_ann_binary_hamming(spark, sf_dir):
     return binary_hamming_topk(vecs, F.col("vec_id") % 50 == 0, k=10)
 
 
+def q_png_structure(spark, sf_dir):
+    """PNG structure from fixed IHDR offsets (sniff.png_structure):
+    bit depth (16-bit masters vs web 8-bit), color type (palette
+    images route through a PLTE decode path; 4/6 carry alpha), and
+    Adam7 interlacing — the PNG sibling of jpeg_structure. Planted:
+    rgba-8, palette-8, gray-16 interlaced, rgb-8, and JPEG rows
+    (NULLs)."""
+    from dblp_crawler_spark.operators.sniff import png_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pre = "89504E470D0A1A0A" + "0000000D49484452" + "0000004000000040"
+    m = F.col("doc_id") % 5
+    hexstr = (
+        F.when(m == 0, F.lit(pre + "0806" + "0000" + "00"))   # rgba 8
+        .when(m == 1, F.lit(pre + "0803" + "0000" + "00"))    # palette 8
+        .when(m == 2, F.lit(pre + "1000" + "0000" + "01"))    # gray 16, Adam7
+        .when(m == 3, F.lit(pre + "0802" + "0000" + "00"))    # rgb 8
+        .otherwise(F.lit("FFD8" + _EXIF_APP0))                # jpeg → NULLs
+    )
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return png_structure(imgs).select(
+        "doc_id", "fmt", "bit_depth", "color_type", "interlaced", "has_alpha"
+    )
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -3103,6 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_bomb_gate": q_image_bomb_gate,
         "sitemap_scheduling_hints": q_sitemap_scheduling_hints,
         "ann_binary_hamming": q_ann_binary_hamming,
+        "png_structure": q_png_structure,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3400,6 +3426,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "image_bomb_gate": _bomb_gate_oracle(),
         "sitemap_scheduling_hints": _sitemap_hints_oracle(),
         "ann_binary_hamming": _binary_hamming_oracle(),
+        "png_structure": _png_structure_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4539,6 +4566,28 @@ def _binary_hamming_oracle() -> str:
     from dblp_crawler_spark.operators.similarity import binary_hamming_topk_sql
 
     return binary_hamming_topk_sql("embeddings", "vec_id % 50 = 0", k=10)
+
+
+def _png_structure_oracle() -> str:
+    """DuckDB replay of q_png_structure."""
+    from dblp_crawler_spark.operators.sniff import (
+        png_structure_sql,
+        sniff_case_sql,
+    )
+
+    pre = "89504E470D0A1A0A" + "0000000D49484452" + "0000004000000040"
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN '{pre}080600000000'
+                 WHEN 1 THEN '{pre}080300000000'
+                 WHEN 2 THEN '{pre}100000000001'
+                 WHEN 3 THEN '{pre}080200000000'
+                 ELSE 'FFD8{_EXIF_APP0}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} ps_src)"
+    return png_structure_sql(staged)
 
 
 def _dsir_oracle() -> str:

@@ -836,3 +836,72 @@ def image_bomb_gate_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                         AND pixels <= payload_bytes * {max_px_per_byte}, false) AS safe
         FROM bg1
     """
+
+
+# ---- PNG structure: bit depth / color type / interlace ------------------------
+#
+# The PNG sibling of jpeg_structure, all at FIXED IHDR offsets (PNG
+# spec): bit depth (16-bit masters vs 8-bit web), color type
+# (palette images decode through a PLTE lookup — a different code
+# path worth routing; types 4/6 carry alpha), and Adam7 interlacing
+# (the progressive analogue). Bytes 24/25/28 of the file.
+
+PNG_COLOR_TYPES = {0: "gray", 2: "rgb", 3: "palette", 4: "gray-alpha", 6: "rgba"}
+
+
+def png_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, bit_depth, color_type, interlaced, has_alpha) from
+    the IHDR — NULL for non-PNG or truncated headers; unknown color
+    codes → 'other'. Fixed-offset reads over the same 64-byte hex
+    window as image_dims; pure projection."""
+    staged = df.withColumns(
+        {
+            "__px": F.hex(F.substring(F.col(bytes_col), 1, 64)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__px")
+    is_png = F.col("fmt") == "png"
+    depth = F.when(is_png, _hex2long(hx, F.lit(49), 2))
+    ctype = F.when(is_png, _hex2long(hx, F.lit(51), 2))
+    inter = F.when(is_png, _hex2long(hx, F.lit(57), 2))
+    label = F.lit("other")
+    for code, name in PNG_COLOR_TYPES.items():
+        label = F.when(ctype == code, name).otherwise(label)
+    return (
+        staged.withColumns(
+            {
+                "bit_depth": depth.cast("int"),
+                "color_type": F.when(ctype.isNotNull(), label),
+                "interlaced": F.when(inter.isNotNull(), inter == 1),
+                "has_alpha": F.when(ctype.isNotNull(), ctype.isin(4, 6)),
+            }
+        )
+        .drop("__px")
+    )
+
+
+def png_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                      fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`png_structure` — same offsets and
+    CASE tables."""
+    def rd(pos):
+        return (f"CASE WHEN {fmt_col} = 'png' THEN "
+                f"TRY_CAST(concat('0x', substring({h_col}, {pos}, 2)) AS BIGINT) END")
+
+    ct_whens = " ".join(
+        f"WHEN {code} THEN '{name}'" for code, name in PNG_COLOR_TYPES.items()
+    )
+    return f"""
+        WITH ps AS (
+          SELECT {keep}, {fmt_col} AS fmt, {rd(49)} AS depth,
+                 {rd(51)} AS ctype, {rd(57)} AS inter
+          FROM {src}
+        )
+        SELECT {keep}, fmt, CAST(depth AS INT) AS bit_depth,
+               CASE WHEN ctype IS NOT NULL THEN
+                 CASE ctype {ct_whens} ELSE 'other' END END AS color_type,
+               CASE WHEN inter IS NOT NULL THEN inter = 1 END AS interlaced,
+               CASE WHEN ctype IS NOT NULL THEN ctype IN (4, 6) END AS has_alpha
+        FROM ps
+    """

@@ -278,3 +278,60 @@ def test_bomb_gate_duckdb_replay(spark):
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
     )
+
+
+# ---- png structure --------------------------------------------------------------
+
+def test_png_structure_pins_and_replay(spark):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.operators.sniff import (
+        png_structure,
+        png_structure_sql,
+        sniff_case_sql,
+    )
+
+    pre = "89504E470D0A1A0A" + "0000000D49484452" + "0000004000000040"
+    cases = {
+        "rgba8": pre + "0806" + "0000" + "00",
+        "palette8": pre + "0803" + "0000" + "00",
+        "gray16_adam7": pre + "1000" + "0000" + "01",
+        "rgb8": pre + "0802" + "0000" + "00",
+        "gray_alpha": pre + "0804" + "0000" + "00",
+        "weird_ctype": pre + "0805" + "0000" + "00",
+        "jpeg": "FFD8FFE000104A464946",
+        "truncated": "89504E470D0A1A0A0000000D494844",
+    }
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    got = {
+        r.name: (r.bit_depth, r.color_type, r.interlaced, r.has_alpha)
+        for r in png_structure(
+            df.select("name", F.unhex("hx").alias("bytes"))
+        ).collect()
+    }
+    assert got["rgba8"] == (8, "rgba", False, True)
+    assert got["palette8"] == (8, "palette", False, False)
+    assert got["gray16_adam7"] == (16, "gray", True, False)
+    assert got["rgb8"] == (8, "rgb", False, False)
+    assert got["gray_alpha"] == (8, "gray-alpha", False, True)
+    assert got["weird_ctype"][1] == "other"
+    assert got["jpeg"] == (None, None, None, None)
+    assert got["truncated"] == (None, None, None, None)  # IHDR cut short
+    # replay
+    spark_pdf = (
+        png_structure(df.select("name", F.unhex("hx").alias("bytes")))
+        .select("name", "fmt", "bit_depth", "color_type", "interlaced", "has_alpha")
+        .toPandas().sort_values("name").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases.items(), columns=["name", "h"]))
+    staged = f"(SELECT name, h, {sniff_case_sql('h')} AS fmt FROM cases)"
+    duck_pdf = (
+        con.sql(png_structure_sql(staged, keep="name")).df()
+        .sort_values("name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
