@@ -4579,10 +4579,10 @@ def _png_structure_oracle() -> str:
     src = f"""(
         SELECT doc_id,
                CASE doc_id % 5
-                 WHEN 0 THEN '{pre}080600000000'
-                 WHEN 1 THEN '{pre}080300000000'
-                 WHEN 2 THEN '{pre}100000000001'
-                 WHEN 3 THEN '{pre}080200000000'
+                 WHEN 0 THEN '{pre}0806000000'
+                 WHEN 1 THEN '{pre}0803000000'
+                 WHEN 2 THEN '{pre}1000000001'
+                 WHEN 3 THEN '{pre}0802000000'
                  ELSE 'FFD8{_EXIF_APP0}' END AS h
         FROM documents
     )"""
