@@ -2714,6 +2714,37 @@ def q_png_structure(spark, sf_dir):
     )
 
 
+def q_url_locale_hint(spark, sf_dir):
+    """URL locale hints (urlnorm.url_locale_hint): ccTLD (country,
+    kept separate from language), leading /xx/ or /xx-yy/ path
+    locale, and lang=/locale=/hl= query params — the routing signal
+    a multilingual crawl uses before fetching a byte. lang_hint
+    precedence: path (the publisher's routing decision) beats query
+    (often user state) — planted on a URL carrying both. Pure
+    projection; RE2-safe patterns shared with the replay."""
+    from dblp_crawler_spark.functions.urlnorm import url_locale_hint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    d = F.col("doc_id").cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://shop.example.de/de/p/"), d))
+        .when(m == 1, F.concat(F.lit("https://example.com/pt-BR/x"), d))
+        .when(m == 2, F.concat(F.lit("https://example.org/page"), d, F.lit("?hl=fr")))
+        .when(m == 3, F.concat(F.lit("https://news.example.fr/en/a"), d, F.lit("?lang=es")))
+        .otherwise(F.concat(F.lit("https://example.com/p/"), d))
+    )
+    h = url_locale_hint(url)
+    return docs.select(
+        "doc_id",
+        h["cc_tld"].alias("cc_tld"),
+        h["path_lang"].alias("path_lang"),
+        h["path_region"].alias("path_region"),
+        h["query_lang"].alias("query_lang"),
+        h["lang_hint"].alias("lang_hint"),
+    )
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -3129,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_scheduling_hints": q_sitemap_scheduling_hints,
         "ann_binary_hamming": q_ann_binary_hamming,
         "png_structure": q_png_structure,
+        "url_locale_hint": q_url_locale_hint,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3427,6 +3459,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "sitemap_scheduling_hints": _sitemap_hints_oracle(),
         "ann_binary_hamming": _binary_hamming_oracle(),
         "png_structure": _png_structure_oracle(),
+        "url_locale_hint": _url_locale_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4588,6 +4621,27 @@ def _png_structure_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} ps_src)"
     return png_structure_sql(staged)
+
+
+def _url_locale_oracle() -> str:
+    """DuckDB replay of q_url_locale_hint."""
+    from dblp_crawler_spark.functions.urlnorm import url_locale_hint_sql
+
+    frags = url_locale_hint_sql("url")
+    sel = ", ".join(f"{e} AS {name}" for name, e in frags.items())
+    return f"""
+        WITH ul AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'https://shop.example.de/de/p/' || CAST(doc_id AS VARCHAR)
+                   WHEN 1 THEN 'https://example.com/pt-BR/x' || CAST(doc_id AS VARCHAR)
+                   WHEN 2 THEN 'https://example.org/page' || CAST(doc_id AS VARCHAR) || '?hl=fr'
+                   WHEN 3 THEN 'https://news.example.fr/en/a' || CAST(doc_id AS VARCHAR) || '?lang=es'
+                   ELSE 'https://example.com/p/' || CAST(doc_id AS VARCHAR) END AS url
+          FROM documents
+        )
+        SELECT doc_id, {sel} FROM ul
+    """
 
 
 def _dsir_oracle() -> str:

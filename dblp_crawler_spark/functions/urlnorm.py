@@ -282,3 +282,62 @@ def url_template_sql(expr: str) -> str:
         f"{host} || {path} || "
         f"CASE WHEN {pnames} = '' THEN '' ELSE '?' || {pnames} END"
     )
+
+
+# ---- URL locale hints ----------------------------------------------------------
+
+#: first path segment shaped like a locale: 'en', 'pt-br', 'zh-TW'
+_PATH_LOCALE_RE = r"(?i)^/([a-z]{2})(?:-([a-z]{2}))?(?:/|$)"
+#: query params that carry a UI language
+_QUERY_LANG_RE = r"(?i)[?&](?:lang|locale|hl)=([a-zA-Z-]{2,8})"
+
+
+def url_locale_hint(url: Column | str) -> Column:
+    """Locale hints readable from the URL alone → struct(cc_tld,
+    path_lang, path_region, query_lang, lang_hint) — the routing
+    signal a multilingual crawl uses BEFORE fetching a byte: which
+    language pipeline a URL likely feeds, which eval slice it
+    belongs to, whether a host's /en/ and /de/ trees should map to
+    different corpus sources.  cc_tld is the 2-letter country-code
+    TLD (generic TLDs → NULL; a ccTLD is a COUNTRY hint, not a
+    language — kept separate); path_lang/path_region parse the
+    leading /xx/ or /xx-yy/ segment; query_lang reads lang=/locale=/
+    hl= params.  lang_hint = path beats query beats nothing (the
+    path is the publisher's routing decision; params are often user
+    state).  All lowercase; pure projection."""
+    u = F.col(url) if isinstance(url, str) else url
+    rest = F.regexp_replace(_strip_ws(u), _SCHEME_RE, "")
+    host = F.lower(F.regexp_extract(rest, "^([^/?#:]*)", 1))
+    tld = F.regexp_extract(host, r"\.([a-z]{2})$", 1)
+    cc = F.nullif(tld, F.lit(""))
+    pathq = F.regexp_replace(rest, "^[^/?#]*", "")
+    plang = F.lower(F.nullif(F.regexp_extract(pathq, _PATH_LOCALE_RE, 1), F.lit("")))
+    pregion = F.lower(F.nullif(F.regexp_extract(pathq, _PATH_LOCALE_RE, 2), F.lit("")))
+    qlang = F.lower(F.nullif(F.regexp_extract(pathq, _QUERY_LANG_RE, 1), F.lit("")))
+    return F.struct(
+        cc.alias("cc_tld"),
+        plang.alias("path_lang"),
+        pregion.alias("path_region"),
+        qlang.alias("query_lang"),
+        F.coalesce(plang, qlang).alias("lang_hint"),
+    )
+
+
+def url_locale_hint_sql(expr: str) -> dict[str, str]:
+    """DuckDB fragments computing exactly the fields of
+    :func:`url_locale_hint` (RE2-safe patterns, same precedence)."""
+    ws = f"regexp_replace(regexp_replace({expr}, '^\\s+', ''), '\\s+$', '')"
+    rest = f"regexp_replace({ws}, '{_SCHEME_RE}', '')"
+    host = f"lower(regexp_extract({rest}, '^([^/?#:]*)', 1))"
+    cc = f"nullif(regexp_extract({host}, '\\.([a-z]{{2}})$', 1), '')"
+    pathq = f"regexp_replace({rest}, '^[^/?#]*', '')"
+    plang = f"lower(nullif(regexp_extract({pathq}, '{_PATH_LOCALE_RE}', 1), ''))"
+    pregion = f"lower(nullif(regexp_extract({pathq}, '{_PATH_LOCALE_RE}', 2), ''))"
+    qlang = f"lower(nullif(regexp_extract({pathq}, '{_QUERY_LANG_RE}', 1), ''))"
+    return {
+        "cc_tld": cc,
+        "path_lang": plang,
+        "path_region": pregion,
+        "query_lang": qlang,
+        "lang_hint": f"coalesce({plang}, {qlang})",
+    }

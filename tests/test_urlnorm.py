@@ -250,3 +250,43 @@ def test_admit_candidates_composition(spark):
         "http://a.org/x?a=1&b=2": "a.org",
         "http://a.org/y": "a.org",
     }
+
+
+# ---- locale hints ----------------------------------------------------------------
+
+def test_url_locale_hint_pins(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.functions.urlnorm import (
+        url_locale_hint,
+        url_locale_hint_sql,
+    )
+
+    cases = {
+        "https://shop.example.de/de/p/1": ("de", "de", None, None, "de"),
+        "https://example.com/pt-BR/x": (None, "pt", "br", None, "pt"),
+        "https://example.org/page?hl=fr": (None, None, None, "fr", "fr"),
+        # path beats query; ccTLD is country, separate from language
+        "https://news.example.fr/en/a?lang=es": ("fr", "en", None, "es", "en"),
+        "https://example.com/p/9": (None, None, None, None, None),
+        # /enigma/ must NOT parse as /en/ (segment boundary)
+        "https://a.org/enigma/x": (None, None, None, None, None),
+        # bare /en at path end counts
+        "https://a.org/en": (None, "en", None, None, "en"),
+        "https://a.de:8443/x?locale=pt-br": ("de", None, None, "pt-br", "pt-br"),
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    h = url_locale_hint("url")
+    got = {
+        r.url: (r.h.cc_tld, r.h.path_lang, r.h.path_region, r.h.query_lang, r.h.lang_hint)
+        for r in df.select("url", h.alias("h")).collect()
+    }
+    assert got == cases
+    con = duckdb.connect()
+    frags = url_locale_hint_sql("u")
+    for u, want in cases.items():
+        row = con.sql(
+            "SELECT " + ", ".join(frags.values()) + f" FROM (SELECT '{u}' AS u)"
+        ).fetchone()
+        assert row == want, u
