@@ -448,3 +448,49 @@ class Lakehouse:
         with os.fdopen(fd, "w") as f:
             f.write(str(snapshot))
         os.replace(tmp, self._head_path(table))
+
+    def expire_snapshots(self, table: str, retain_last: int = 2) -> dict:
+        """Iceberg `expire_snapshots` semantics: drop all but the
+        newest `retain_last` snapshot manifests (the HEAD snapshot is
+        always retained, even after a rollback re-forked history),
+        then delete the layer directories referenced by NO retained
+        manifest.  The reference-counting is the whole point: fast-
+        append and MoR commits SHARE layer dirs across snapshots, so
+        per-manifest deletion would corrupt newer snapshots — a dir
+        dies only when every manifest naming it is expired.
+
+        This is the storage-reclaim half of the maintenance cadence
+        (compact/merge_small_layers bound READ amplification but old
+        snapshots pin every superseded layer forever; at 10^10-URL
+        scale the time-travel tail IS the storage bill).  Returns
+        {'expired': [...], 'deleted_dirs': [...], 'retained': [...]}.
+        Expired snapshots are no longer time-travelable — exactly
+        Iceberg's contract."""
+        import shutil
+
+        snaps = self.snapshots(table)
+        head = self.current_snapshot(table)
+        if head is None:
+            return {"expired": [], "deleted_dirs": [], "retained": []}
+        retained = set(snaps[-retain_last:]) | {head}
+        expired = [s for s in snaps if s not in retained]
+        live_dirs = set()
+        for s in retained:
+            live_dirs.update(l["dir"] for l in self.manifest(table, snapshot=s)["layers"])
+        doomed = set()
+        for s in expired:
+            doomed.update(l["dir"] for l in self.manifest(table, snapshot=s)["layers"])
+        doomed -= live_dirs
+        tdir = self._tdir(table)
+        for d in sorted(doomed):
+            shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        for s in expired:
+            try:
+                os.remove(os.path.join(tdir, f"snap-{s:06d}.json"))
+            except FileNotFoundError:
+                pass
+        return {
+            "expired": expired,
+            "deleted_dirs": sorted(doomed),
+            "retained": sorted(retained),
+        }

@@ -248,3 +248,55 @@ def test_merge_small_layers_keyed_delegates_to_compact(spark, lake):
     assert lake.n_layers("t") == 1
     got = {r.key: r.wave for r in lake.read("t").collect()}
     assert got["a"] == 5 and got["x1"] == 1
+
+
+def test_expire_snapshots_refcounts_shared_layers(spark, lake):
+    """GC must be reference-counted: fast-append shares layer dirs
+    across snapshots, so a dir dies only when EVERY manifest naming
+    it is expired; retained snapshots stay byte-identical."""
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("x", LongType())])
+    df = lambda vals: spark.createDataFrame([(v,) for v in vals], schema)
+    lake.append("t", df([1]), schema)          # snap 0, layer A
+    lake.append("t", df([2]), schema)          # snap 1 = A + B
+    lake.append("t", df([3]), schema)          # snap 2 = A + B + C
+    lake.append("t", df([4]), schema)          # snap 3 = A + B + C + D
+    before = sorted(r.x for r in lake.read("t").collect())
+    rep = lake.expire_snapshots("t", retain_last=2)
+    assert rep["expired"] == [0, 1]
+    # layers A/B are still referenced by snaps 2 and 3 → nothing dies
+    assert rep["deleted_dirs"] == []
+    assert sorted(r.x for r in lake.read("t").collect()) == before
+    assert lake.snapshots("t") == [2, 3]
+    # time travel to an expired snapshot is gone (Iceberg contract)
+    try:
+        lake.read("t", snapshot=0)
+        assert False, "expired snapshot still readable"
+    except FileNotFoundError:
+        pass
+
+
+def test_expire_snapshots_deletes_orphaned_compaction_layers(spark, lake):
+    """After compaction the OLD layers are referenced only by old
+    snapshots; expiring those snapshots must reclaim the dirs."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType()), StructField("v", StringType())])
+    df = lambda rows: spark.createDataFrame(rows, schema)
+    lake.overwrite("kt", df([(1, "a"), (2, "b")]), merge_keys=["k"])
+    lake.merge_upsert("kt", df([(2, "b2"), (3, "c")]), keys=["k"], schema=schema)
+    lake.compact("kt")
+    tdir = lake._tdir("kt")
+    dirs_before = {d for d in os.listdir(tdir) if d.startswith("data-")}
+    rep = lake.expire_snapshots("kt", retain_last=1)
+    assert rep["deleted_dirs"]                   # pre-compaction layers die
+    dirs_after = {d for d in os.listdir(tdir) if d.startswith("data-")}
+    assert dirs_after == dirs_before - set(rep["deleted_dirs"])
+    # surviving read is the compacted state, untouched
+    got = sorted((r.k, r.v) for r in lake.read("kt").collect())
+    assert got == [(1, "a"), (2, "b2"), (3, "c")]
