@@ -215,3 +215,101 @@ def test_clip_gate_matches_exact_fraction_model(spark, vecs, tau_pct):
             Fraction(dot * dot, na * nb) >= Fraction(tau_pct, 100) ** 2
         )
         assert got[i] == want, (i, a, b, tau_pct, dot, na, nb)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    target=st.sampled_from([512, 2048, 16384]),
+    n=st.integers(min_value=5, max_value=60),
+)
+def test_warc_layout_matches_reference_on_random_records(spark, seed, target, n):
+    """Random record sets at random shard targets: the distributed
+    placement must equal the sequential from-spec reference exactly
+    (the property warc_layout exists for)."""
+    import random
+
+    from tests.test_warc_layout import _py_layout
+
+    from dblp_crawler_spark.operators.archive import warc_layout
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        host = f"h{rng.randrange(4)}.org"
+        url = f"https://{host}/p/{rng.randrange(10_000)}-{i}"
+        payload = "x" * rng.randrange(1, 900)
+        rows.append((url, rng.randrange(10**6), "text/html", i, payload))
+    df = spark.createDataFrame(
+        rows, "url string, ts long, mime string, digest long, payload string"
+    )
+    got = sorted(
+        tuple(r) for r in warc_layout(df, target_bytes=target)
+        .select("surt", "url", "ts", "mime", "digest", "shard", "rec_offset", "rec_len")
+        .collect()
+    )
+    assert got == sorted(_py_layout(rows, target))
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    cap=st.integers(min_value=1, max_value=12),
+)
+def test_template_cap_invariants_on_random_urls(spark, seed, cap):
+    """Any input, any cap: exactly min(cap, template size) admitted
+    per template, admitted ranks are 1..m, non-admitted ranks NULL."""
+    import collections
+    import random
+
+    from dblp_crawler_spark.operators.frontier import template_cap
+
+    rng = random.Random(seed)
+    rows = [
+        (f"https://h{rng.randrange(3)}.org/{rng.choice(['a', 'b'])}/{rng.randrange(10_000)}",)
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "url string").distinct()
+    out = template_cap(df, max_per_template=cap).collect()
+    by_t = collections.defaultdict(list)
+    for r in out:
+        by_t[r.template].append(r)
+    for t, rs in by_t.items():
+        admitted = [r for r in rs if r.admitted]
+        assert len(admitted) == min(cap, len(rs)), t
+        assert sorted(r.tmpl_rank for r in admitted) == list(range(1, len(admitted) + 1))
+        assert all(r.tmpl_rank is None for r in rs if not r.admitted)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    delay=st.integers(min_value=1, max_value=50),
+)
+def test_politeness_timeline_matches_simulator_on_random_waves(spark, seed, delay):
+    import random
+
+    from tests.test_politeness_timeline import _simulate
+
+    from dblp_crawler_spark.operators.scheduler import politeness_timeline
+
+    rng = random.Random(seed)
+    rows = [
+        (f"h{rng.randrange(4)}", f"u{i}", rng.randrange(300)) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, ready_us long")
+    got = {r.url: (r.k, r.start_us, r.finish_us)
+           for r in politeness_timeline(df, delay_us=delay).collect()}
+    assert got == _simulate(rows, delay)
