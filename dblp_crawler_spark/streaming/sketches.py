@@ -43,3 +43,19 @@ def cms_stream(events: DataFrame, key_col: str, d: int = 4, w: int = 1 << 12,
     from ..operators.sketch import cms_build
 
     return cms_build(events, key_col, d, w, weight_col=weight_col, hash_fn=hash_fn)
+
+
+def fingerprint_stream(docs: DataFrame, group_cols: list[str] | None = None,
+                       columns: list[str] | None = None) -> DataFrame:
+    """Streaming dataset-fingerprint maintenance: count / bit-XOR /
+    additive nibble sums are all commutative streaming aggregates,
+    so the replica-audit fingerprint (operators/audit.py) stays
+    CURRENT as data lands — an ingest pipeline publishes its own
+    multiset hash continuously, and the receiving side compares the
+    tiny state tables instead of ever rescanning either copy. State
+    size = one row per group. The state at any trigger equals
+    table_fingerprint over all rows ingested so far (the CRDT merge
+    claim, live)."""
+    from ..operators.audit import table_fingerprint
+
+    return table_fingerprint(docs, group_cols=group_cols, columns=columns)

@@ -588,3 +588,51 @@ def test_fetch_plan_streaming_matches_batch(spark, tmp_path):
         ("u_new", "fetch"), ("u_changed", "fetch"),
         ("u_fresh", "skip"), ("u_nolastmod", "revalidate"),
     }
+
+
+def test_streaming_fingerprint_matches_batch(spark, tmp_path_factory, tmp_path):
+    """The replica-audit fingerprint maintained as a streaming
+    aggregation equals the batch fingerprint over everything
+    ingested — across TWO availableNow runs on a growing directory
+    (the continuous-ingest shape)."""
+    from dblp_crawler_spark.operators.audit import table_fingerprint
+    from dblp_crawler_spark.streaming.sketches import fingerprint_stream
+
+    src = str(tmp_path_factory.mktemp("fp_src"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    half1.write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            fingerprint_stream(stream, group_cols=["source"])
+            .writeStream.format("memory")
+            .queryName("fp_state")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "fp_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return {
+            r.source: (r.n_rows, r.xor60, r.sum_lo, r.sum_mid, r.sum_hi)
+            for r in spark.sql("SELECT * FROM fp_state").collect()
+        }
+
+    got1 = run()
+    want1 = {
+        r.source: (r.n_rows, r.xor60, r.sum_lo, r.sum_mid, r.sum_hi)
+        for r in table_fingerprint(half1, group_cols=["source"]).collect()
+    }
+    assert got1 == want1
+    # second batch of files lands; the resumed stream's state must
+    # equal the batch fingerprint of the UNION
+    half2.write.mode("append").parquet(src)
+    got2 = run()
+    want2 = {
+        r.source: (r.n_rows, r.xor60, r.sum_lo, r.sum_mid, r.sum_hi)
+        for r in table_fingerprint(docs, group_cols=["source"]).collect()
+    }
+    assert got2 == want2 and got2 != got1
