@@ -2745,6 +2745,34 @@ def q_url_locale_hint(spark, sf_dir):
     )
 
 
+def q_embedding_quality(spark, sf_dir):
+    """Embedding validation gate (similarity.embedding_quality): the
+    corrupt-vector detector that must run BEFORE any ANN/cluster op —
+    a NaN poisons every distance it touches, a zero vector makes
+    cosine undefined, wrong-length or exploded-magnitude vectors are
+    upstream bugs that silently skew neighborhoods. Planted: NaN
+    injections, zero vectors, 32-dim truncations, 10^6-scaled
+    blowups, and clean rows. One pure-expression pass."""
+    from dblp_crawler_spark.operators.similarity import embedding_quality
+
+    vecs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    m = F.col("vec_id") % 6
+    emb = (
+        F.when(m == 1, F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 3, F.lit(float("nan"))).otherwise(x)))
+        .when(m == 2, F.transform("embedding", lambda x: F.lit(0.0)))
+        .when(m == 3, F.slice("embedding", 1, 32))
+        .when(m == 4, F.transform("embedding", lambda x: x * 1000000.0))
+        .otherwise(F.col("embedding"))
+    )
+    return embedding_quality(
+        vecs.select("vec_id", emb.alias("embedding")), dim=64
+    )
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -3161,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_binary_hamming": q_ann_binary_hamming,
         "png_structure": q_png_structure,
         "url_locale_hint": q_url_locale_hint,
+        "embedding_quality": q_embedding_quality,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3460,6 +3489,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "ann_binary_hamming": _binary_hamming_oracle(),
         "png_structure": _png_structure_oracle(),
         "url_locale_hint": _url_locale_oracle(),
+        "embedding_quality": _embedding_quality_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4642,6 +4672,26 @@ def _url_locale_oracle() -> str:
         )
         SELECT doc_id, {sel} FROM ul
     """
+
+
+def _embedding_quality_oracle() -> str:
+    """DuckDB replay of q_embedding_quality — same planted
+    corruptions (DuckDB lambdas index 1-based where Spark's are
+    0-based: i=4 plants the same element as Spark's i==3)."""
+    from dblp_crawler_spark.operators.similarity import embedding_quality_sql
+
+    src = """(
+        SELECT vec_id,
+               CASE vec_id % 6
+                 WHEN 1 THEN list_transform(e, (x, i) ->
+                   CASE WHEN i = 4 THEN 'NaN'::DOUBLE ELSE x END)
+                 WHEN 2 THEN list_transform(e, x -> 0.0::DOUBLE)
+                 WHEN 3 THEN e[1:32]
+                 WHEN 4 THEN list_transform(e, x -> x * 1000000)
+                 ELSE e END AS embedding
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    )"""
+    return embedding_quality_sql(src, dim=64)
 
 
 def _dsir_oracle() -> str:

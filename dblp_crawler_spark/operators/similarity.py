@@ -844,3 +844,60 @@ def binary_hamming_topk_sql(src: str, query_pred_sql: str, k: int = 10,
           FROM bq_d
         ) WHERE rank <= {k}
     """
+
+
+# ---- embedding validation gate -------------------------------------------------
+
+def embedding_quality(vecs: DataFrame, dim: int, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      max_abs: float = 100.0) -> DataFrame:
+    """(id, n_dims, has_nan, zero_norm, max_abs_val, ok): the
+    validation gate embeddings must pass BEFORE any ANN/cluster op —
+    a NaN poisons every distance it touches (and sorts
+    unpredictably), a zero vector makes cosine undefined, a
+    wrong-length or exploded-magnitude vector is an upstream bug
+    that silently skews neighborhoods. One pure-expression pass:
+    dimension check, NaN scan (exists), zero-norm via max(|v_i|)=0
+    (no sum that could overflow on garbage), magnitude bound."""
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    has_nan = F.exists(v, lambda x: F.isnan(x))
+    d = vecs.select(
+        F.col(id_col),
+        F.size(v).alias("n_dims"),
+        F.coalesce(has_nan, F.lit(True)).alias("has_nan"),
+        F.coalesce(absmax == 0.0, F.lit(True)).alias("zero_norm"),
+        absmax.cast("double").alias("max_abs_val"),
+    )
+    ok = (
+        (F.col("n_dims") == dim)
+        & ~F.col("has_nan")
+        & ~F.col("zero_norm")
+        & (F.col("max_abs_val") <= max_abs)
+    )
+    return d.withColumn("ok", F.coalesce(ok, F.lit(False)))
+
+
+def embedding_quality_sql(src: str, dim: int, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          max_abs: float = 100.0) -> str:
+    """DuckDB replay of :func:`embedding_quality`."""
+    absmax = f"list_max(list_transform({vec_col}, x -> abs(x)))"
+    return f"""
+        WITH eq AS (
+          SELECT {id_col},
+                 CAST(len({vec_col}) AS INT) AS n_dims,
+                 -- empty list: Spark's exists() is false, DuckDB's
+                 -- list_bool_or is NULL — split NULL-input (true)
+                 -- from empty (false) explicitly
+                 CASE WHEN {vec_col} IS NULL THEN true
+                      ELSE COALESCE(list_bool_or(list_transform({vec_col}, x -> isnan(x))), false)
+                 END AS has_nan,
+                 COALESCE({absmax} = 0.0, true) AS zero_norm,
+                 CAST({absmax} AS DOUBLE) AS max_abs_val
+          FROM {src}
+        )
+        SELECT *, COALESCE(n_dims = {dim} AND NOT has_nan AND NOT zero_norm
+                           AND max_abs_val <= {max_abs}, false) AS ok
+        FROM eq
+    """

@@ -163,3 +163,26 @@ def test_binary_hamming_topk_exact_and_replay(spark):
     )
     spark_pdf = out.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(spark_pdf, duck[spark_pdf.columns], check_dtype=False)
+
+
+def test_embedding_quality_gate(spark):
+    from dblp_crawler_spark.operators.similarity import embedding_quality
+
+    rows = [
+        (1, [0.1] * 64),
+        (2, [0.1] * 63 + [float("nan")]),
+        (3, [0.0] * 64),
+        (4, [0.1] * 32),
+        (5, [1e6] + [0.1] * 63),
+        (6, []),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.has_nan, r.zero_norm, r.ok)
+           for r in embedding_quality(df, dim=64).collect()}
+    assert got[1] == (False, False, True)
+    assert got[2] == (True, False, False)
+    assert got[3] == (False, True, False)
+    assert got[4] == (False, False, False)     # wrong dims
+    assert got[5] == (False, False, False)     # exploded magnitude
+    assert got[6][2] is False and got[7][2] is False
