@@ -2773,6 +2773,60 @@ def q_embedding_quality(spark, sf_dir):
     )
 
 
+def q_pipeline_warc_to_corpus(spark, sf_dir):
+    """The composed archive→corpus pipeline, end to end in one plan:
+    WARC segments (synthesized with torn writes and cross-page
+    duplicate bodies) → warc_records parse with the truncation audit
+    → drop torn records → html_to_text boilerplate strip → length
+    gate → exact content dedup keeping the min-uri representative.
+    Every stage is an existing oracled operator; this entry proves
+    they COMPOSE — the DuckDB replay chains the same five SQL
+    fragments, so the whole pipeline is verified as one unit, not
+    just piecewise."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.sources.webparse import html_to_text, warc_records
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    leaders = docs.select(F.col("doc_id").alias("lid"), F.col("text").alias("ltext"))
+    d = docs.select("doc_id").join(
+        leaders, F.col("lid") == F.col("doc_id") - F.col("doc_id") % 4
+    )
+    raw = (
+        F.when(F.col("doc_id") % 7 == 3, F.substring("ltext", 1, 10))
+        .otherwise(F.substring("ltext", 1, 120))
+    )
+    html = F.concat(
+        F.lit("<html><head><script>var x = 1;</script></head>"
+              "<body><h1>Corpus &amp; page</h1><!-- b --><p>"),
+        raw, F.lit("&nbsp;&lt;end&gt;</p></body></html>"),
+    )
+    hh = (F.col("doc_id") % 40).cast("string")
+    cl = F.length(html) + F.when(F.col("doc_id") % 9 == 0, F.lit(5)).otherwise(F.lit(0))
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://h"),
+        hh, F.lit(".org/page/"), F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "), cl.cast("string"),
+        F.lit("\r\n\r\n"), html, F.lit("\r\n\r\n"),
+    )
+    segs = (
+        d.select(F.concat(F.lit("h"), hh, F.lit(".org")).alias("host"), rec.alias("rec"))
+        .groupBy("host")
+        .agg(F.array_join(F.sort_array(F.collect_list("rec")), "").alias("warc"))
+    )
+    txt = (
+        warc_records(segs)
+        .filter((~F.col("truncated")) & (F.col("rec_type") == "response"))
+        .select("uri", html_to_text("body").alias("text"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .filter(F.col("n_chars") >= 40)
+    )
+    return (
+        txt.groupBy("text")
+        .agg(F.min("uri").alias("uri"), F.min("n_chars").alias("n_chars"))
+        .select("uri", hash60("text").alias("text_hash"), "n_chars")
+    )
+
+
 def q_lm_bits_score(spark, sf_dir):
     """Count-based bigram LM quality score (perplexity-filter
     surrogate): per-doc mean bit-length of its bigrams' corpus
@@ -3190,6 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_structure": q_png_structure,
         "url_locale_hint": q_url_locale_hint,
         "embedding_quality": q_embedding_quality,
+        "pipeline_warc_to_corpus": q_pipeline_warc_to_corpus,
         "sitemap_discover": q_sitemap_discover,
         "sitemap_index_expand": q_sitemap_index_expand,
         "fetch_plan": q_fetch_plan,
@@ -3490,6 +3545,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "png_structure": _png_structure_oracle(),
         "url_locale_hint": _url_locale_oracle(),
         "embedding_quality": _embedding_quality_oracle(),
+        "pipeline_warc_to_corpus": _warc_corpus_oracle(),
         "sitemap_discover": _sitemap_discover_oracle(),
         "sitemap_index_expand": _sitemap_index_oracle(),
         "fetch_plan": _fetch_plan_oracle(),
@@ -4692,6 +4748,56 @@ def _embedding_quality_oracle() -> str:
         FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
     )"""
     return embedding_quality_sql(src, dim=64)
+
+
+def _warc_corpus_oracle() -> str:
+    """DuckDB replay of q_pipeline_warc_to_corpus: the same planted
+    segments, then the chained warc_records_sql → html_to_text_sql →
+    gate → dedup — the composed-pipeline verification."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.sources.webparse import (
+        html_to_text_sql,
+        warc_records_sql,
+    )
+
+    crlf = "chr(13) || chr(10)"
+    html = (
+        "'<html><head><script>var x = 1;</script></head>"
+        "<body><h1>Corpus &amp; page</h1><!-- b --><p>' || raw"
+        " || '&nbsp;&lt;end&gt;</p></body></html>'"
+    )
+    return f"""
+        WITH f AS (
+          SELECT d.doc_id, CAST(d.doc_id % 40 AS VARCHAR) AS hh,
+                 CAST(d.doc_id AS VARCHAR) AS did,
+                 CASE WHEN d.doc_id % 7 = 3 THEN substring(l.text, 1, 10)
+                      ELSE substring(l.text, 1, 120) END AS raw
+          FROM documents d JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 4
+        ), pages AS (
+          SELECT doc_id, hh, did, {html} AS html FROM f
+        ), recs AS (
+          SELECT 'h' || hh || '.org' AS host,
+                 'WARC/1.0' || {crlf} || 'WARC-Type: response' || {crlf}
+                 || 'WARC-Target-URI: http://h' || hh || '.org/page/' || did || {crlf}
+                 || 'Content-Length: ' || CAST(length(html)
+                      + CASE WHEN doc_id % 9 = 0 THEN 5 ELSE 0 END AS VARCHAR)
+                 || {crlf} || {crlf} || html || {crlf} || {crlf} AS rec
+          FROM pages
+        ), warc_segments AS (
+          SELECT host, string_agg(rec, '' ORDER BY rec) AS warc
+          FROM recs GROUP BY host
+        ), parsed AS (
+          {warc_records_sql()}
+        ), txt AS (
+          SELECT uri, {html_to_text_sql('body')} AS text
+          FROM parsed WHERE NOT truncated AND rec_type = 'response'
+        ), gated AS (
+          SELECT uri, text, CAST(length(text) AS BIGINT) AS n_chars
+          FROM txt WHERE length(text) >= 40
+        )
+        SELECT MIN(uri) AS uri, {H('text')} AS text_hash, MIN(n_chars) AS n_chars
+        FROM gated GROUP BY text
+    """
 
 
 def _dsir_oracle() -> str:
