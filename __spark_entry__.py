@@ -3137,6 +3137,106 @@ def q_audio_features(spark, sf_dir):
     return audio_features(auds)
 
 
+def q_ip_politeness(spark, sf_dir):
+    """IP-level politeness collapse (scheduler.ip_politeness_pop):
+    hosts sharing a server IP share ONE budget — per-host windows
+    alone would hit a 10^4-vhost shared server with 10^4× the budget.
+    50 synthetic hosts; the first 40 resolve onto 12 IPs (planted
+    many-to-one), the last 10 are unresolved and degrade to private
+    per-host keys. Broadcast dns stamp + the salted two-level top-k."""
+    from dblp_crawler_spark.operators.scheduler import ip_politeness_pop
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    pending = docs.select(
+        F.concat(F.lit("http://h"), (d % 50).cast("string"),
+                 F.lit("/p"), d.cast("string")).alias("url"),
+        F.concat(F.lit("h"), (d % 50).cast("string")).alias("host"),
+        (d % 97).cast("long").alias("priority"),
+    )
+    dns = spark.range(40).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.concat(F.lit("ip"), (F.col("id") % 12).cast("string")).alias("ip"),
+    )
+    return ip_politeness_pop(pending, dns, budget=8)
+
+
+def q_caption_quality(spark, sf_dir):
+    """Alt-text junk gate (multimodal.caption_quality): camera
+    filenames, pasted URLs, stock boilerplate, filler-only and
+    keyword-stuffed captions are EXIF-speak, not descriptions — the
+    cheapest of the three image+caption admission layers (before
+    embedding_quality and clip_align_gate). One caption per junk
+    class planted across the corpus; pure projection."""
+    from dblp_crawler_spark.operators.multimodal import caption_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 8
+    d = F.col("doc_id").cast("string")
+    cap = (
+        F.when(m == 0, F.concat(F.lit("IMG_"), d))
+        .when(m == 1, F.concat(F.lit("see https://ex.org/g"), d, F.lit(" for more")))
+        .when(m == 2, F.lit("mountain lake shutterstock stock photo"))
+        .when(m == 3, F.lit("image of a photo"))
+        .when(m == 4, F.lit("dog dog dog dog puppy dog"))
+        .when(m == 5, F.lit("ok"))
+        .otherwise(F.substring("text", 1, 80))
+    )
+    pairs = docs.select(
+        F.concat(F.lit("img_"), d).alias("image_id"), cap.alias("caption")
+    )
+    return caption_quality(pairs)
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Corpus collocation mining (textstats.pmi_collocations): top-k
+    adjacent bigrams by PMI lift — the phrase detector (Church &
+    Hanks; word2vec's phrase pass). A planted glued pair ("spark
+    shuffle exchange" prefix on every 11th doc) must outrank the
+    corpus's frequent-but-predictable function-word bigrams. Two
+    hash aggs + broadcast vocabulary joins; top-k is
+    TakeOrderedAndProject."""
+    from dblp_crawler_spark.operators.textstats import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.when(
+        F.col("doc_id") % 11 == 3,
+        F.concat(F.lit("quantum entanglement beats noise. "), F.col("text")),
+    ).otherwise(F.col("text"))
+    return pmi_collocations(docs.select(t.alias("text")), k=15, min_count=4)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic k-per-stratum sample (textstats.
+    stratified_sample): the eval-set draw — exact counts per lang,
+    reproducible across engines because the order is the portable
+    hash60(id, seed) family, not rand(). Salted two-level top-k per
+    stratum (the politeness-pop shape) so the hot stratum never
+    sorts in one task."""
+    from dblp_crawler_spark.operators.textstats import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, k=7, stratum_col="lang", seed=3)
+
+
+def q_code_detect(spark, sf_dir):
+    """Code-vs-prose gate (textstats.code_prose_detect): symbol
+    density + distinct code-keyword hits through a transparent
+    linear score — the split that must precede tokenizer training.
+    Every 6th doc gets planted source code appended; prose quoting
+    a single keyword stays prose. Map-only projection."""
+    from dblp_crawler_spark.operators.textstats import code_prose_detect
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id").cast("string")
+    t = F.when(
+        F.col("doc_id") % 6 == 2,
+        F.concat(F.lit("def f_"), d,
+                 F.lit("(x): return [i*i for i in range(x) if i % 2 == 0];")),
+    ).otherwise(F.col("text"))
+    return code_prose_detect(docs.select("doc_id", t.alias("text")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -3281,6 +3381,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_image_caption": q_pipeline_image_caption,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
+        "ip_politeness": q_ip_politeness,
+        "caption_quality": q_caption_quality,
+        "pmi_collocations": q_pmi_collocations,
+        "stratified_sample": q_stratified_sample,
+        "code_detect": q_code_detect,
     }
 
 
@@ -6610,4 +6715,91 @@ def oracle_sql() -> dict[str, str]:
             FROM agg GROUP BY user_id
         """,
         **_portable_hash_oracles(),
+        "ip_politeness": _ip_politeness_oracle(),
+        "caption_quality": _caption_quality_oracle(),
+        "pmi_collocations": _pmi_collocations_oracle(),
+        "stratified_sample": _stratified_sample_oracle(),
+        "code_detect": _code_detect_oracle(),
     }
+
+
+def _ip_politeness_oracle() -> str:
+    """DuckDB replay of q_ip_politeness: the same synthetic
+    pending/dns through ip_politeness_sql's single-window form
+    (equivalent to the engine's salted two-level pop)."""
+    from dblp_crawler_spark.operators.scheduler import ip_politeness_sql
+
+    pending = """(
+        SELECT 'http://h' || CAST(doc_id % 50 AS VARCHAR)
+               || '/p' || CAST(doc_id AS VARCHAR) AS url,
+               'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
+               CAST(doc_id % 97 AS BIGINT) AS priority
+        FROM documents
+    )"""
+    dns = """(
+        SELECT 'h' || CAST(r AS VARCHAR) AS host,
+               'ip' || CAST(r % 12 AS VARCHAR) AS ip
+        FROM range(40) t(r)
+    )"""
+    return ip_politeness_sql(pending, dns, budget=8)
+
+
+def _caption_quality_oracle() -> str:
+    """DuckDB replay of q_caption_quality: same planted junk classes
+    through caption_quality_sql."""
+    from dblp_crawler_spark.operators.multimodal import caption_quality_sql
+
+    src = """(
+        SELECT 'img_' || CAST(doc_id AS VARCHAR) AS image_id,
+               CASE CAST(doc_id % 8 AS INT)
+                 WHEN 0 THEN 'IMG_' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN 'see https://ex.org/g' || CAST(doc_id AS VARCHAR)
+                             || ' for more'
+                 WHEN 2 THEN 'mountain lake shutterstock stock photo'
+                 WHEN 3 THEN 'image of a photo'
+                 WHEN 4 THEN 'dog dog dog dog puppy dog'
+                 WHEN 5 THEN 'ok'
+                 ELSE substr(text, 1, 80) END AS caption
+        FROM documents
+    )"""
+    return caption_quality_sql(src)
+
+
+def _pmi_collocations_oracle() -> str:
+    """DuckDB replay of q_pmi_collocations: same planted glued
+    phrase, same tokenizer/arithmetic/cut."""
+    from dblp_crawler_spark.operators.textstats import pmi_collocations_sql
+
+    src = """(
+        SELECT CASE WHEN doc_id % 11 = 3
+                    THEN 'quantum entanglement beats noise. ' || text
+                    ELSE text END AS text
+        FROM documents
+    )"""
+    return pmi_collocations_sql(src, k=15, min_count=4)
+
+
+def _stratified_sample_oracle() -> str:
+    """DuckDB replay of q_stratified_sample: portable hash order,
+    single-window form."""
+    from dblp_crawler_spark.operators.textstats import stratified_sample_sql
+
+    return stratified_sample_sql(
+        "(SELECT doc_id, lang FROM documents)", k=7, stratum_col="lang", seed=3
+    )
+
+
+def _code_detect_oracle() -> str:
+    """DuckDB replay of q_code_detect: same planted code rows, same
+    linear score."""
+    from dblp_crawler_spark.operators.textstats import code_prose_detect_sql
+
+    src = """(
+        SELECT doc_id,
+               CASE WHEN doc_id % 6 = 2
+                    THEN 'def f_' || CAST(doc_id AS VARCHAR)
+                         || '(x): return [i*i for i in range(x) if i % 2 == 0];'
+                    ELSE text END AS text
+        FROM documents
+    )"""
+    return code_prose_detect_sql(src)

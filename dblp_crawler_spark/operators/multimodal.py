@@ -567,3 +567,104 @@ def image_linear_gate(images: DataFrame, bit_weights: list, fmt_weights: dict,
     fmt_map = F.create_map(*[F.lit(x) for kv in fmt_weights.items() for x in kv])
     score = score + F.coalesce(fmt_map[F.col("fmt")], F.lit(0)).cast("long")
     return images.select("*", score.alias("score"), (score > 0).alias("accept"))
+
+
+# caption-junk vocabulary shared with the SQL replay — keep sorted
+CAPTION_GENERIC_TOKENS = sorted(
+    "a an and the of img image photo photograph picture pic logo icon "
+    "thumbnail thumb banner graphic screenshot".split()
+)
+CAPTION_FILENAME_RE = r"^(img|dsc|dcim|image|photo|pic|screenshot)[-_ ]?[0-9]+"
+CAPTION_EXT_RE = r"\.(jpe?g|png|gif|webp|bmp|tiff?)$"
+CAPTION_URL_RE = r"(https?://|www\.)"
+CAPTION_STOCK_RE = (
+    r"(shutterstock|getty images|istockphoto|alamy|dreamstime|123rf"
+    r"|stock photo|royalty free|watermark)"
+)
+
+
+def caption_quality(pairs: DataFrame, caption_col: str = "caption",
+                    id_col: str = "image_id", min_tokens: int = 3) -> DataFrame:
+    """Alt-text junk gate for image+caption training pairs.
+
+    Web alt text is mostly NOT a caption: camera filenames
+    (``IMG_2041.jpg``), the word "image", stock-agency boilerplate,
+    pasted URLs, and keyword-stuffed repetition all describe the
+    *file*, not the *picture* — training a contrastive model on them
+    teaches the text tower to read EXIF-speak. This is the text-side
+    admission gate that runs BEFORE any embedding is computed (cf.
+    the embedding-side gate ``similarity.embedding_quality`` and the
+    post-hoc ``clip_alignment_gate`` — three layers, cheapest first).
+
+    Flags (each independently reported so curation can tune the
+    combination; ``ok`` = none fired):
+
+      * ``too_short``      — fewer than `min_tokens` tokens;
+      * ``filename_like``  — camera-roll prefix or image-file suffix;
+      * ``has_url``        — scheme or www. present;
+      * ``stock_boilerplate`` — agency / watermark phrases;
+      * ``generic_only``   — every token is filler vocabulary;
+      * ``low_diversity``  — ≥ 4 tokens but < 50% distinct
+        (keyword-stuffing: "dog dog dog dog puppy dog").
+
+    Pure projection over the shared ``[0-9a-z_]+`` tokenizer — no
+    UDF, no shuffle, column-pruned scan; the same RE2-safe patterns
+    drive :func:`caption_quality_sql`. At 100 TB this is a map-only
+    pass the optimizer fuses into whatever scan feeds it.
+    """
+    low = F.lower(F.col(caption_col))
+    toks = F.filter(F.split(low, r"[^0-9a-z_]+"), lambda w: w != "")
+    n = F.size(toks)
+    generic = F.array(*[F.lit(w) for w in CAPTION_GENERIC_TOKENS])
+    too_short = n < min_tokens
+    filename_like = low.rlike(CAPTION_FILENAME_RE) | low.rlike(CAPTION_EXT_RE)
+    has_url = low.rlike(CAPTION_URL_RE)
+    stock = low.rlike(CAPTION_STOCK_RE)
+    generic_only = (n > 0) & F.forall(toks, lambda w: F.array_contains(generic, w))
+    low_div = (n >= 4) & (
+        F.size(F.array_distinct(toks)) * F.lit(2) < n
+    )
+    bad = too_short | filename_like | has_url | stock | generic_only | low_div
+    return pairs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        too_short.alias("too_short"),
+        filename_like.alias("filename_like"),
+        has_url.alias("has_url"),
+        stock.alias("stock_boilerplate"),
+        generic_only.alias("generic_only"),
+        low_div.alias("low_diversity"),
+        (~bad).alias("ok"),
+    )
+
+
+def caption_quality_sql(src: str, caption_col: str = "caption",
+                        id_col: str = "image_id", min_tokens: int = 3) -> str:
+    """DuckDB replay of :func:`caption_quality` — same tokenizer,
+    same RE2 patterns, same flag algebra."""
+    gen = ", ".join(f"'{w}'" for w in CAPTION_GENERIC_TOKENS)
+    return f"""
+        WITH cq0 AS (
+          SELECT {id_col},
+                 lower({caption_col}) AS cap,
+                 list_filter(regexp_split_to_array(lower({caption_col}),
+                             '[^0-9a-z_]+'), w -> w <> '') AS toks
+          FROM {src}
+        ), cq1 AS (
+          SELECT {id_col}, cap, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 len(toks) < {min_tokens} AS too_short,
+                 (regexp_matches(cap, '{CAPTION_FILENAME_RE}')
+                  OR regexp_matches(cap, '{CAPTION_EXT_RE}')) AS filename_like,
+                 regexp_matches(cap, '{CAPTION_URL_RE}') AS has_url,
+                 regexp_matches(cap, '{CAPTION_STOCK_RE}') AS stock_boilerplate,
+                 (len(toks) > 0 AND list_has_all([{gen}], toks)) AS generic_only,
+                 (len(toks) >= 4 AND len(list_distinct(toks)) * 2 < len(toks))
+                   AS low_diversity
+          FROM cq0
+        )
+        SELECT {id_col}, n_tokens, too_short, filename_like, has_url,
+               stock_boilerplate, generic_only, low_diversity,
+               NOT (too_short OR filename_like OR has_url OR stock_boilerplate
+                    OR generic_only OR low_diversity) AS ok
+        FROM cq1
+    """

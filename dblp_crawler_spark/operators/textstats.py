@@ -1167,3 +1167,240 @@ def script_profile_sql(src: str, text_col: str = "text",
                {dom_whens} ELSE 'other' END AS dominant
         FROM sp
     """
+
+
+def pmi_collocations(docs: DataFrame, k: int = 20, min_count: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-level collocation mining: top-k adjacent-word bigrams by
+    PMI lift — how much more often the pair co-occurs than its parts
+    predict. The classic phrase detector (Church & Hanks 1990;
+    word2vec's phrase pass): "new york" scores high because p(new,
+    york) >> p(new)·p(york); "of the" scores ~1 despite a huge raw
+    count. `min_count` suppresses the PMI pathology (a hapax pair of
+    two hapax words has infinite lift).
+
+    Output (bigram, n_pair, lift) where
+      lift = (c_xy / N2) / ((c_x / N1) · (c_y / N1)),
+    N1 = total tokens, N2 = total bigrams, rounded to 4 — identical
+    double-op order in :func:`pmi_collocations_sql` so the values
+    hash-match cross-engine.
+
+    Plan shape: one explode + two hash aggs (map-side partials), the
+    unigram side joined back TWICE (x then y) as broadcast-able
+    aggregates of the vocabulary (vocab << corpus at scale — Heaps'
+    law), totals are single-row aggregates crossed in; top-k compiles
+    to TakeOrderedAndProject (local top-k per partition, no global
+    sort). Nothing here is quadratic in the corpus.
+    """
+    toks = tokens_all(text_col)
+    tk = docs.select(toks.alias("t")).filter(F.size("t") >= 1)
+    uni = tk.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    n1 = uni.agg(F.count("*").alias("n1"))
+    m = F.size("t") - 1
+    bg = (
+        tk.filter(F.size("t") >= 2)
+        .select(F.explode(
+            F.zip_with(F.slice("t", 1, m), F.slice("t", 2, m),
+                       lambda x, y: F.struct(x.alias("x"), y.alias("y")))
+        ).alias("b"))
+        .select("b.x", "b.y")
+    )
+    bc = bg.groupBy("x", "y").agg(F.count("*").alias("cb"))
+    n2 = bg.agg(F.count("*").alias("n2"))
+    lift = F.round(
+        (F.col("cb") * 1.0 / F.col("n2"))
+        / ((F.col("cx") * 1.0 / F.col("n1")) * (F.col("cy") * 1.0 / F.col("n1"))),
+        4,
+    )
+    return (
+        bc.filter(F.col("cb") >= min_count)
+        .join(F.broadcast(uc.select(F.col("w").alias("x"), F.col("c").alias("cx"))), "x")
+        .join(F.broadcast(uc.select(F.col("w").alias("y"), F.col("c").alias("cy"))), "y")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            F.col("cb").alias("n_pair"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+def pmi_collocations_sql(src: str, k: int = 20, min_count: int = 5,
+                         text_col: str = "text") -> str:
+    """DuckDB replay of :func:`pmi_collocations` — same tokenizer,
+    same double-op order, same (lift DESC, bigram) cut."""
+    return f"""
+        WITH pm_tk AS (
+          SELECT regexp_extract_all(lower({text_col}), '[0-9a-z_]+') AS t
+          FROM {src}
+        ), pm_uni AS (
+          SELECT unnest(t) AS w FROM pm_tk
+        ), pm_uc AS (
+          SELECT w, COUNT(*) AS c FROM pm_uni GROUP BY w
+        ), pm_n1 AS (
+          SELECT COUNT(*) AS n1 FROM pm_uni
+        ), pm_bg AS (
+          SELECT t[g] AS x, t[g+1] AS y
+          FROM pm_tk, UNNEST(generate_series(1, len(t)-1)) AS u(g)
+          WHERE len(t) >= 2
+        ), pm_bc AS (
+          SELECT x, y, COUNT(*) AS cb FROM pm_bg GROUP BY x, y
+        ), pm_n2 AS (
+          SELECT COUNT(*) AS n2 FROM pm_bg
+        )
+        SELECT x || ' ' || y AS bigram, cb AS n_pair,
+               ROUND((cb * 1.0 / n2)
+                     / ((ux.c * 1.0 / n1) * (uy.c * 1.0 / n1)), 4) AS lift
+        FROM pm_bc
+        JOIN pm_uc ux ON ux.w = x
+        JOIN pm_uc uy ON uy.w = y
+        CROSS JOIN pm_n1 CROSS JOIN pm_n2
+        WHERE cb >= {min_count}
+        ORDER BY lift DESC, bigram ASC
+        LIMIT {k}
+    """
+
+
+def stratified_sample(docs: DataFrame, k: int, stratum_col: str = "lang",
+                      id_col: str = "doc_id", seed: int = 0,
+                      n_salts: int = 16) -> DataFrame:
+    """Exact k-per-stratum deterministic sample — the eval-set /
+    human-review draw: "give me 1,000 docs per language", reproducible
+    across runs AND engines because the pseudo-random order is the
+    portable hash60(id, seed) family, not rand().
+
+    A naive `sample(fraction)` gives binomial counts (±√n) and
+    nothing for rare strata; a single `Window.partitionBy(stratum)`
+    sorts the BIGGEST stratum in one task. This uses the same salted
+    two-level top-k as the politeness pop: per-(stratum, salt) local
+    top-k (bounded sorts, parallel), then a re-rank of the ≤
+    n_salts·k survivors — exact (a global top-k row ranks ≤ k within
+    its own salt), and the second window's input is O(k), not O(n).
+
+    Output: the sampled rows with their 1-based `rk` within the
+    stratum (rk ≤ k). Strata smaller than k are returned whole.
+    """
+    from ..functions.hashing import hash60
+
+    key = hash60(F.col(id_col).cast("string"), seed)
+    order = [F.asc("__skey"), F.asc(id_col)]
+    salted = docs.withColumn("__skey", key).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(stratum_col, "__salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .drop("__skey", "__salt", "__rn1")
+    )
+
+
+def stratified_sample_sql(src: str, k: int, stratum_col: str = "lang",
+                          id_col: str = "doc_id", seed: int = 0) -> str:
+    """DuckDB replay of :func:`stratified_sample` — single window
+    over the portable hash order (the salted two-level form is plan
+    shape; equivalence is the politeness-pop contract)."""
+    from ..functions.hashing import hash60_sql
+
+    h = hash60_sql(id_col, seed)
+    return f"""
+        WITH ss AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY {stratum_col}
+                   ORDER BY {h} ASC, {id_col} ASC) AS rk
+          FROM {src}
+        )
+        SELECT * FROM ss WHERE rk <= {k}
+    """
+
+
+# code-keyword vocabulary shared with the SQL replay — keep sorted
+CODE_KEYWORDS = sorted(
+    "def return import function var let const class void int float "
+    "public static print printf println null nullptr true false if "
+    "else for while elif lambda struct enum typedef include namespace".split()
+)
+CODE_SYMBOL_RE = r"[\[\]{}();=<>#$]"
+
+
+def code_prose_detect(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", sym_weight: float = 1.0,
+                      kw_weight: float = 0.02,
+                      threshold: float = 0.06) -> DataFrame:
+    """Code-vs-prose gate: source code in a text corpus is either a
+    prize (code-model pretraining) or a contaminant (a chat-tuned
+    text mix) — both need the split BEFORE tokenizer training, since
+    code flips the whitespace/symbol distribution a BPE fits to.
+
+    Two O(len) signals, no UDF:
+      * ``sym_ratio`` — density of code punctuation
+        (``[]{}();=<>#$``) among characters;
+      * ``kw_hits``  — distinct code keywords present (token-set
+        intersect with a fixed vocabulary — distinct, so prose
+        quoting the word "return" once is one hit, not a signal).
+
+    score = sym_weight·sym_ratio + kw_weight·kw_hits;
+    is_code = score ≥ threshold. The deliberately transparent linear
+    form matches the engine's other distilled gates
+    (hashed_linear_score, phash_linear_gate): swap weights, keep the
+    plan — a map-only projection the scan absorbs at any scale.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_sym = n_chars - F.length(F.regexp_replace(t, CODE_SYMBOL_RE, ""))
+    toks = F.array_distinct(tokens_all(text_col))
+    kw = F.array(*[F.lit(w) for w in CODE_KEYWORDS])
+    kw_hits = F.size(F.array_intersect(toks, kw))
+    sym_ratio = F.when(n_chars > 0, F.round(n_sym * 1.0 / n_chars, 4)).otherwise(F.lit(0.0))
+    score = F.round(sym_ratio * sym_weight + kw_hits * kw_weight, 4)
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_sym.cast("long").alias("n_sym"),
+        sym_ratio.alias("sym_ratio"),
+        kw_hits.cast("long").alias("kw_hits"),
+        score.alias("code_score"),
+        (score >= threshold).alias("is_code"),
+    )
+
+
+def code_prose_detect_sql(src: str, text_col: str = "text",
+                          id_col: str = "doc_id", sym_weight: float = 1.0,
+                          kw_weight: float = 0.02,
+                          threshold: float = 0.06) -> str:
+    """DuckDB replay of :func:`code_prose_detect` — same regex, same
+    distinct-token intersect, same rounded linear score."""
+    kws = ", ".join(f"'{w}'" for w in CODE_KEYWORDS)
+    return f"""
+        WITH cp0 AS (
+          SELECT {id_col},
+                 CAST(length({text_col}) AS BIGINT) AS n_chars,
+                 CAST(length({text_col}) - length(regexp_replace(
+                      {text_col}, '{CODE_SYMBOL_RE}', '', 'g')) AS BIGINT) AS n_sym,
+                 CAST(len(list_filter(
+                      list_distinct(regexp_extract_all(lower({text_col}),
+                                                       '[0-9a-z_]+')),
+                      w -> list_contains([{kws}], w))) AS BIGINT) AS kw_hits
+          FROM {src}
+        ), cp1 AS (
+          SELECT *, CASE WHEN n_chars > 0
+                         THEN ROUND(n_sym * 1.0 / n_chars, 4)
+                         ELSE 0.0 END AS sym_ratio
+          FROM cp0
+        )
+        SELECT {id_col}, n_chars, n_sym, sym_ratio, kw_hits,
+               ROUND(sym_ratio * {sym_weight} + kw_hits * {kw_weight}, 4)
+                 AS code_score,
+               ROUND(sym_ratio * {sym_weight} + kw_hits * {kw_weight}, 4)
+                 >= {threshold} AS is_code
+        FROM cp1
+    """
