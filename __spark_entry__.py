@@ -3237,6 +3237,128 @@ def q_code_detect(spark, sf_dir):
     return code_prose_detect(docs.select("doc_id", t.alias("text")))
 
 
+# EXIF GPS fixture payloads (hex, shared with the oracle): a JPEG and
+# a TIFF carrying the GPSInfo IFD pointer (tag 0x8825) as the second
+# IFD entry behind a Make entry, a GPS-free JPEG, and a PNG.
+_GPS_JPEG = (
+    "FFD8" + "FFE000104A46494600010100000100010000"  # APP0
+    + "FFE1002E" + "457869660000"
+    + "49492A00" + "08000000" + "0200"
+    + "0F010200" + "04000000" + "41424300"
+    + "25880400" + "01000000" + "1A000000"
+    + "00000000"
+)
+_GPS_TIFF = (
+    "4D4D002A" + "00000008" + "0002"
+    + "010F0002" + "00000004" + "41424300"
+    + "88250004" + "00000001" + "0000001A"
+    + "00000000"
+)
+
+
+def q_exif_gps(spark, sf_dir):
+    """Decode-free EXIF GPS privacy flag (operators/sniff.
+    exif_gps_flag): phone cameras geotag by default, so a scraped
+    image corpus leaks shooting locations — the gate detects the
+    GPSInfo IFD pointer (tag 0x8825) WITHOUT reading the coordinates
+    it points to. Same staged walk as exif_orientation (JPEG APP1
+    hop + endian-aware IFD scan). Planted: geotagged JPEG (Exif-II),
+    geotagged TIFF (MM), GPS-free JPEG with EXIF, PNG (no EXIF)."""
+    from dblp_crawler_spark.operators.sniff import exif_gps_flag
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 4
+    hexstr = (
+        F.when(m == 0, F.lit(_GPS_JPEG))
+        .when(m == 1, F.lit(_GPS_TIFF))
+        .when(m == 2, F.concat(F.lit(_EXIF_JPEG_PREFIX), F.lit("0100"),
+                               F.lit(_EXIF_SUFFIX)))
+        .otherwise(F.lit(_EXIF_PNG))
+    )
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return exif_gps_flag(imgs).select("doc_id", "fmt", "has_gps")
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (streaming/events.funnel): per
+    stage, users reaching view→click→purchase IN ORDER within 72h of
+    their first view — the Amplitude/Mixpanel primitive. The per-user
+    chain is stacked running-min windows over ONE (user, ts,
+    event_id) sort; no self-joins, no per-user collect."""
+    from dblp_crawler_spark.streaming.events import funnel
+
+    return funnel(_t(spark, sf_dir, "events"))
+
+
+def q_events_retention(spark, sf_dir):
+    """Weekly retention cohorts (streaming/events.retention_cohorts):
+    cohort = first-event date, retention at week k = active fraction
+    k weeks later — day-exact arithmetic so no week-boundary
+    convention can diverge cross-engine. One min-agg + one
+    co-partitioned join + one distinct-count."""
+    from dblp_crawler_spark.streaming.events import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+def q_link_reciprocity(spark, sf_dir):
+    """Reciprocal-link ratio (operators/hits.link_reciprocity): the
+    link-farm signal — mutual-admiration rings trade links both ways,
+    organic graphs don't. Synthetic host graph with planted
+    reciprocal edges on every 4th row; one swapped self-equi-join
+    over the distinct edge set."""
+    from dblp_crawler_spark.operators.hits import link_reciprocity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 3) % 23).cast("string")).alias("dst"),
+    )
+    planted = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select(
+            F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 3) % 23).cast("string")).alias("src"),
+            F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("dst"),
+        )
+    )
+    return link_reciprocity(base.unionByName(planted))
+
+
+def q_sitemap_coverage(spark, sf_dir):
+    """Per-host crawl-completeness audit (sources/webparse.
+    sitemap_coverage): of the URLs a site declares in its sitemaps,
+    how many were fetched (coverage) and how much fetch went to
+    undeclared URL space (trap/duplicate burn). Declared and fetched
+    sets planted with partial overlap plus undeclared extras; one
+    full-outer equi-join + per-host conditional counts."""
+    from dblp_crawler_spark.sources.webparse import sitemap_coverage
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"),
+                   F.col("doc_id").cast("string"))
+    declared = docs.filter(F.col("doc_id") % 3 != 2).select(
+        host.alias("host"), url.alias("url"))
+    fetched_core = docs.filter((F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 7 == 1)) \
+                       .select(host.alias("host"), url.alias("url"))
+    extras = docs.filter(F.col("doc_id") % 9 == 0).select(
+        host.alias("host"),
+        F.concat(url, F.lit("?session=1")).alias("url"))
+    return sitemap_coverage(declared, fetched_core.unionByName(extras))
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency slope per source (textstats.zipf_slope):
+    regress ln(freq) on ln(rank) over the top-100 terms — natural
+    text sits near −1, template spam flattens. Exact-decimal
+    regression sums (aggregation order cannot move the result); the
+    rank window runs over the Heaps-law vocabulary aggregate, not
+    the corpus."""
+    from dblp_crawler_spark.operators.textstats import zipf_slope
+
+    return zipf_slope(_t(spark, sf_dir, "documents").select("source", "text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -3386,6 +3508,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "stratified_sample": q_stratified_sample,
         "code_detect": q_code_detect,
+        "exif_gps": q_exif_gps,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "link_reciprocity": q_link_reciprocity,
+        "sitemap_coverage": q_sitemap_coverage,
+        "zipf_slope": q_zipf_slope,
     }
 
 
@@ -6720,7 +6848,95 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": _pmi_collocations_oracle(),
         "stratified_sample": _stratified_sample_oracle(),
         "code_detect": _code_detect_oracle(),
+        "exif_gps": _exif_gps_oracle(),
+        "events_funnel": _events_funnel_oracle(),
+        "events_retention": _events_retention_oracle(),
+        "link_reciprocity": _link_reciprocity_oracle(),
+        "sitemap_coverage": _sitemap_coverage_oracle(),
+        "zipf_slope": _zipf_slope_oracle(),
     }
+
+
+def _exif_gps_oracle() -> str:
+    """DuckDB replay of q_exif_gps: same planted payload hex (shared
+    constants) through exif_gps_flag_sql's staged walk; fmt
+    re-derived from the shared MAGIC_TABLE."""
+    from dblp_crawler_spark.operators.sniff import (
+        exif_gps_flag_sql,
+        sniff_case_sql,
+    )
+
+    src = f"""(
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                 WHEN 0 THEN '{_GPS_JPEG}'
+                 WHEN 1 THEN '{_GPS_TIFF}'
+                 WHEN 2 THEN '{_EXIF_JPEG_PREFIX}' || '0100' || '{_EXIF_SUFFIX}'
+                 ELSE '{_EXIF_PNG}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} eg_src)"
+    return exif_gps_flag_sql(staged)
+
+
+def _events_funnel_oracle() -> str:
+    from dblp_crawler_spark.streaming.events import funnel_sql
+
+    return funnel_sql("events")
+
+
+def _events_retention_oracle() -> str:
+    from dblp_crawler_spark.streaming.events import retention_cohorts_sql
+
+    return retention_cohorts_sql("events")
+
+
+def _link_reciprocity_oracle() -> str:
+    """DuckDB replay of q_link_reciprocity: same synthetic graph
+    (base + every-4th reversed plant), same swapped self-join."""
+    from dblp_crawler_spark.operators.hits import link_reciprocity_sql
+
+    edges = """(
+        SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+               'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS src,
+               'h' || CAST(doc_id % 23 AS VARCHAR) AS dst
+        FROM documents WHERE doc_id % 4 = 0
+    )"""
+    return link_reciprocity_sql(edges)
+
+
+def _sitemap_coverage_oracle() -> str:
+    """DuckDB replay of q_sitemap_coverage: same planted declared/
+    fetched sets (partial overlap + undeclared extras)."""
+    from dblp_crawler_spark.sources.webparse import sitemap_coverage_sql
+
+    declared = """(
+        SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+               'https://h' || CAST(doc_id % 10 AS VARCHAR)
+               || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents WHERE doc_id % 3 <> 2
+    )"""
+    fetched = """(
+        SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+               'https://h' || CAST(doc_id % 10 AS VARCHAR)
+               || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents WHERE doc_id % 2 = 0 OR doc_id % 7 = 1
+        UNION ALL
+        SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+               'https://h' || CAST(doc_id % 10 AS VARCHAR)
+               || '/p/' || CAST(doc_id AS VARCHAR) || '?session=1' AS url
+        FROM documents WHERE doc_id % 9 = 0
+    )"""
+    return sitemap_coverage_sql(declared, fetched)
+
+
+def _zipf_slope_oracle() -> str:
+    from dblp_crawler_spark.operators.textstats import zipf_slope_sql
+
+    return zipf_slope_sql("documents")
 
 
 def _ip_politeness_oracle() -> str:

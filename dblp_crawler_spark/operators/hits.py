@@ -133,3 +133,56 @@ def hits_py(edge_list, iters: int = 3, scale: int = HITS_SCALE):
             h_raw[u] = h_raw.get(u, 0) + auth[v]
         hub = norm(h_raw)
     return {n: (auth[n], hub[n]) for n in nodes}
+
+
+def link_reciprocity(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Per-source reciprocal-link ratio — the classic link-farm
+    signal (mutual-admiration rings trade links both ways; organic
+    citation graphs are overwhelmingly one-directional). For each
+    source node over the DISTINCT directed edge set: how many of its
+    out-links are returned by an opposite edge.
+
+    Plan shape: dedup the edge set, then ONE self-equi-join on the
+    swapped key pair (dst,src)=(src,dst) — hash-partitioned both
+    sides, no broadcast assumption (the edge set is the big table) —
+    and a per-source count aggregate. recip_pct is exact-integer
+    division rounded to 2.
+
+    Output: (src, n_out, n_recip, recip_pct).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
+             .filter(F.col("s") != F.col("d")).distinct()
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    marked = e.join(rev.withColumn("__r", F.lit(1)), ["s", "d"], "left")
+    return (
+        marked.groupBy(F.col("s").alias("src"))
+        .agg(
+            F.count("*").alias("n_out"),
+            F.sum(F.coalesce(F.col("__r"), F.lit(0))).alias("n_recip"),
+        )
+        .select(
+            "src",
+            F.col("n_out").cast("long").alias("n_out"),
+            F.col("n_recip").cast("long").alias("n_recip"),
+            F.round(F.col("n_recip") * 100.0 / F.col("n_out"), 2).alias("recip_pct"),
+        )
+    )
+
+
+def link_reciprocity_sql(edges: str, src: str = "src", dst: str = "dst") -> str:
+    """DuckDB replay of :func:`link_reciprocity` — same distinct
+    edge set, same swapped self-join."""
+    return f"""
+        WITH lr_e AS (
+          SELECT DISTINCT {src} AS s, {dst} AS d FROM {edges} WHERE {src} <> {dst}
+        ), lr_m AS (
+          SELECT e.s, e.d,
+                 CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END AS rec
+          FROM lr_e e LEFT JOIN lr_e r ON r.s = e.d AND r.d = e.s
+        )
+        SELECT s AS src, CAST(COUNT(*) AS BIGINT) AS n_out,
+               CAST(SUM(rec) AS BIGINT) AS n_recip,
+               ROUND(SUM(rec) * 100.0 / COUNT(*), 2) AS recip_pct
+        FROM lr_m GROUP BY s
+    """

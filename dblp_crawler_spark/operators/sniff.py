@@ -286,14 +286,12 @@ _EXIF_SIG = "457869660000"
 _ORIENT_TAG = 0x0112
 
 
-def exif_orientation(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
-    """Add (fmt, orientation, swap_dims) parsed from header bytes
-    only: JPEG (bounded APP1 segment walk to the Exif signature,
-    then the TIFF walk) and standalone TIFF (walk starts at byte 0).
-    orientation is 1-8 or NULL (no EXIF / malformed / out-of-range);
-    swap_dims is true for orientations 5-8 (the transposing ones) and
-    false otherwise — the flag a resize or aspect-bucket stage keys
-    on. Map-side projection; blobs never shuffle."""
+def _exif_stage(df: DataFrame, bytes_col: str) -> DataFrame:
+    """Shared EXIF staging: hex window + fmt sniff + APP1 walk to the
+    TIFF header (__t), byte order (__le), IFD offset/entry count/
+    entry base (__ifd/__n/__e) — every tag scanner (orientation,
+    GPS) starts from this frame. Split out so each op stays one
+    bounded expression on top of ONE staging pass."""
     staged = df.withColumns(
         {
             "__ex": F.hex(F.substring(F.col(bytes_col), 1, EXIF_WINDOW_BYTES)),
@@ -344,24 +342,48 @@ def exif_orientation(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         )
 
     s3 = s2.withColumn("__ifd", rd(F.col("__t") + F.lit(8), 4))
-    s4 = s3.withColumns(
+    return s3.withColumns(
         {
             "__n": rd(F.col("__t") + F.lit(2) * F.col("__ifd"), 2),
             "__e": F.col("__t") + F.lit(2) * F.col("__ifd") + F.lit(4),
         }
     )
+
+
+def _ifd_tag_value(tag: int):
+    """Coalesced scan of the staged IFD entries for `tag`: the SHORT
+    stored in the entry's value field, NULL when absent. Operates on
+    the columns :func:`_exif_stage` produces."""
+    hx = F.col("__ex")
+
+    def rd(pos, n_bytes):
+        return F.when(F.col("__le"), _le(hx, pos, n_bytes)).otherwise(
+            _hex2long(hx, pos, 2 * n_bytes)
+        )
+
     branches = []
     for i in range(IFD_MAX_ENTRIES):
         epos = F.col("__e") + F.lit(24 * i)
         branches.append(
             F.when(
-                (F.lit(i) < F.col("__n")) & (rd(epos, 2) == _ORIENT_TAG),
+                (F.lit(i) < F.col("__n")) & (rd(epos, 2) == tag),
                 rd(epos + F.lit(16), 2),
             )
         )
-    orient = F.coalesce(*branches)
+    return F.coalesce(*branches)
+
+
+def exif_orientation(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, orientation, swap_dims) parsed from header bytes
+    only: JPEG (bounded APP1 segment walk to the Exif signature,
+    then the TIFF walk) and standalone TIFF (walk starts at byte 0).
+    orientation is 1-8 or NULL (no EXIF / malformed / out-of-range);
+    swap_dims is true for orientations 5-8 (the transposing ones) and
+    false otherwise — the flag a resize or aspect-bucket stage keys
+    on. Map-side projection; blobs never shuffle."""
+    orient = _ifd_tag_value(_ORIENT_TAG)
     return (
-        s4.withColumn(
+        _exif_stage(df, bytes_col).withColumn(
             "orientation",
             F.when(orient.between(1, 8), orient).cast("int"),
         )
@@ -387,15 +409,13 @@ def _rd_sql(h: str, le: str, pos_expr: str, n_bytes: int) -> str:
     return f"CASE WHEN {le} THEN {_le_sql_var(h, pos_expr, n_bytes)} ELSE {be} END"
 
 
-def exif_orientation_sql(src: str, keep: str = "doc_id",
-                         h_col: str = "h", fmt_col: str = "fmt") -> str:
-    """DuckDB replay of :func:`exif_orientation` over ``src`` (must
-    expose `keep`, a projected ``hex(substring(bytes,1,256))`` column
-    and the sniffed `fmt`): the APP1 walk unrolled positionally, then
-    the SAME staged reads as CTE columns — mirroring the Spark
-    staging keeps each expression small instead of re-inlining the
-    walk into every endian-conditional read."""
-    # unrolled APP1 walk
+def _exif_stage_sql(src: str, keep: str, h_col: str, fmt_col: str) -> str:
+    """The shared DuckDB staging CTE chain (mirrors
+    :func:`_exif_stage`): APP1 walk unrolled positionally, then the
+    SAME staged reads as CTE columns — mirroring the Spark staging
+    keeps each expression small instead of re-inlining the walk into
+    every endian-conditional read. Exposes `eo_en(keep, fmt, h, t,
+    le, ifd, n, e)`; callers append their tag scan."""
     pos_expr = "5"
     t_cases = []
     for _ in range(EXIF_MAX_HOPS):
@@ -411,13 +431,7 @@ def exif_orientation_sql(src: str, keep: str = "doc_id",
         f"CASE WHEN {fmt_col} = 'jpeg' THEN ({walk}) "
         f"WHEN {fmt_col} = 'tiff' THEN 1 ELSE NULL END"
     )
-    orient_branches = ", ".join(
-        f"CASE WHEN {i} < n AND ({_rd_sql('h', 'le', f'e + {24 * i}', 2)}) = {_ORIENT_TAG} "
-        f"THEN ({_rd_sql('h', 'le', f'e + {24 * i} + 16', 2)}) END"
-        for i in range(IFD_MAX_ENTRIES)
-    )
-    return f"""
-        WITH eo_t AS (
+    return f"""eo_t AS (
           SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h, CAST({t} AS BIGINT) AS t
           FROM {src}
         ), eo_le AS (
@@ -430,13 +444,82 @@ def exif_orientation_sql(src: str, keep: str = "doc_id",
           SELECT *, {_rd_sql('h', 'le', 't + 2 * ifd', 2)} AS n,
                  t + 2 * ifd + 4 AS e
           FROM eo_ifd
-        ), eo_o AS (
+        )"""
+
+
+def exif_orientation_sql(src: str, keep: str = "doc_id",
+                         h_col: str = "h", fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`exif_orientation` over ``src`` (must
+    expose `keep`, a projected ``hex(substring(bytes,1,256))`` column
+    and the sniffed `fmt`)."""
+    orient_branches = ", ".join(
+        f"CASE WHEN {i} < n AND ({_rd_sql('h', 'le', f'e + {24 * i}', 2)}) = {_ORIENT_TAG} "
+        f"THEN ({_rd_sql('h', 'le', f'e + {24 * i} + 16', 2)}) END"
+        for i in range(IFD_MAX_ENTRIES)
+    )
+    return f"""
+        WITH {_exif_stage_sql(src, keep, h_col, fmt_col)}, eo_o AS (
           SELECT {keep}, fmt, COALESCE({orient_branches}) AS o FROM eo_en
         )
         SELECT {keep}, fmt,
                CAST(CASE WHEN o BETWEEN 1 AND 8 THEN o END AS INT) AS orientation,
                COALESCE(CASE WHEN o BETWEEN 1 AND 8 THEN o END >= 5, false) AS swap_dims
         FROM eo_o
+    """
+
+
+#: EXIF GPSInfo IFD pointer tag (EXIF 2.x / TIFF 6.0 public spec)
+_GPS_TAG = 0x8825
+
+
+def exif_gps_flag(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Privacy gate: does the image header carry an EXIF GPSInfo IFD
+    (tag 0x8825)? Phone cameras geotag by default, so a web-scraped
+    image corpus leaks shooting locations — training sets strip or
+    drop geotagged rows, and the DETECTION must be decode-free (the
+    whole point is not to propagate the bytes further). Presence of
+    the pointer tag is the signal; the pointed-to IFD (the actual
+    coordinates) is deliberately NOT read.
+
+    Same staging as :func:`exif_orientation` — one hex projection,
+    bounded IFD scan, map-side only; blobs never shuffle. Output:
+    (input minus bytes internals, fmt, has_gps). `has_gps` is false
+    for non-EXIF/malformed headers (no evidence = no flag; pair with
+    a format allowlist if absence must be proven).
+    """
+    hx = F.col("__ex")
+
+    def rd(pos, n_bytes):
+        return F.when(F.col("__le"), _le(hx, pos, n_bytes)).otherwise(
+            _hex2long(hx, pos, 2 * n_bytes)
+        )
+
+    present = []
+    for i in range(IFD_MAX_ENTRIES):
+        epos = F.col("__e") + F.lit(24 * i)
+        present.append(
+            F.when((F.lit(i) < F.col("__n")) & (rd(epos, 2) == _GPS_TAG), F.lit(1))
+        )
+    return (
+        _exif_stage(df, bytes_col)
+        .withColumn("has_gps", F.coalesce(*present, F.lit(0)) == 1)
+        .drop("__ex", "__t", "__le", "__ifd", "__n", "__e")
+    )
+
+
+def exif_gps_flag_sql(src: str, keep: str = "doc_id",
+                      h_col: str = "h", fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`exif_gps_flag` — same staging chain,
+    presence scan for the GPSInfo pointer tag."""
+    present = ", ".join(
+        f"CASE WHEN {i} < n AND ({_rd_sql('h', 'le', f'e + {24 * i}', 2)}) = {_GPS_TAG} "
+        f"THEN 1 END"
+        for i in range(IFD_MAX_ENTRIES)
+    )
+    return f"""
+        WITH {_exif_stage_sql(src, keep, h_col, fmt_col)}
+        SELECT {keep}, fmt, COALESCE({present}, 0) = 1 AS has_gps
+        FROM eo_en
     """
 
 

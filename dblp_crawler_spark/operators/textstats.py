@@ -1404,3 +1404,92 @@ def code_prose_detect_sql(src: str, text_col: str = "text",
                  >= {threshold} AS is_code
         FROM cp1
     """
+
+
+def zipf_slope(docs: DataFrame, k: int = 100, text_col: str = "text",
+               group_col: str = "source") -> DataFrame:
+    """Zipf rank-frequency slope per corpus slice: regress ln(freq)
+    on ln(rank) over the top-k terms. Natural language sits near
+    slope −1; template/boilerplate-heavy slices flatten (the head is
+    machine-repeated), gibberish steepens — a one-number corpus-
+    health signal that catches generator spam a per-doc gate misses
+    because every individual page looks fine.
+
+    Cross-engine float discipline: each ln() is rounded to 6 decimals
+    and CAST TO DECIMAL, and all four regression sums run in decimal
+    — exact and associative, so partial-aggregation order (which
+    differs between engines and between runs) cannot move the result.
+    Only the final closed-form slope
+        (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)
+    is evaluated in double, in the same op order as
+    :func:`zipf_slope_sql`, then rounded to 4.
+
+    Plan shape: explode + per-(slice, word) count (map-side
+    partials); the rank window runs over the VOCABULARY aggregate
+    (Heaps-law small, not the corpus) per slice; one final agg row
+    per slice. Output: (group, n_terms, zipf_slope).
+    """
+    toks = tokens_all(text_col)
+    wc = (
+        docs.select(F.col(group_col).alias("g"), F.explode(toks).alias("w"))
+        .groupBy("g", "w").agg(F.count("*").alias("c"))
+    )
+    w_rank = Window.partitionBy("g").orderBy(F.desc("c"), F.asc("w"))
+    top = wc.withColumn("r", F.row_number().over(w_rank)).filter(F.col("r") <= k)
+    dec = "decimal(18,6)"
+    x = F.round(F.log(F.col("r").cast("double")), 6).cast(dec)
+    y = F.round(F.log(F.col("c").cast("double")), 6).cast(dec)
+    staged = top.select("g", x.alias("x"), y.alias("y"))
+    agg = staged.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_terms"),
+        slope.alias("zipf_slope"),
+    )
+
+
+def zipf_slope_sql(src: str, k: int = 100, text_col: str = "text",
+                   group_col: str = "source") -> str:
+    """DuckDB replay of :func:`zipf_slope` — same rounded-decimal
+    staging, same exact sums, same double op order."""
+    return f"""
+        WITH zs_wc AS (
+          SELECT {group_col} AS g, w, COUNT(*) AS c
+          FROM (SELECT {group_col}, unnest(regexp_extract_all(
+                       lower({text_col}), '[0-9a-z_]+')) AS w FROM {src})
+          GROUP BY g, w
+        ), zs_top AS (
+          SELECT g, c, row_number() OVER (
+                   PARTITION BY g ORDER BY c DESC, w ASC) AS r
+          FROM zs_wc QUALIFY r <= {k}
+        ), zs_xy AS (
+          SELECT g,
+                 CAST(ROUND(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+                 CAST(ROUND(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+          FROM zs_top
+        ), zs_agg AS (
+          SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+                 SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+          FROM zs_xy GROUP BY g
+        )
+        SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_terms,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+                 AS zipf_slope
+        FROM zs_agg
+    """

@@ -720,3 +720,77 @@ def sitemap_entries_full_sql(src: str = "sitemap_pages",
           )
         ) WHERE raw_loc <> ''
     """
+
+
+def sitemap_coverage(declared: DataFrame, fetched: DataFrame,
+                     host_col: str = "host", url_col: str = "url") -> DataFrame:
+    """Per-host crawl-completeness audit: of the URLs a site DECLARES
+    in its sitemaps, how many did the crawl actually fetch — and how
+    much of the fetch went to URLs the site never declared. The two
+    gaps mean different things operationally: low coverage_pct =
+    the scheduler starves that host (budget/priority bug); high
+    n_undeclared = the crawl burns budget on trap/duplicate URL
+    space the site itself doesn't vouch for.
+
+    Plan shape: both inputs deduped, one full-outer equi-join on
+    (host, url) — co-partitioned hash join, no broadcast assumption
+    since either side can be the big one — then a per-host
+    conditional-count aggregate. coverage_pct rounds the only float.
+
+    Output: (host, n_declared, n_fetched_declared, n_undeclared,
+    coverage_pct).
+    """
+    d = declared.select(F.col(host_col).alias("host"),
+                        F.col(url_col).alias("url")).distinct() \
+                .withColumn("__d", F.lit(1))
+    f = fetched.select(F.col(host_col).alias("host"),
+                       F.col(url_col).alias("url")).distinct() \
+               .withColumn("__f", F.lit(1))
+    j = d.join(f, ["host", "url"], "full_outer")
+    return (
+        j.groupBy("host")
+        .agg(
+            F.sum(F.coalesce("__d", F.lit(0))).alias("n_declared"),
+            F.sum(F.when(F.col("__d").isNotNull() & F.col("__f").isNotNull(), 1)
+                  .otherwise(0)).alias("n_fetched_declared"),
+            F.sum(F.when(F.col("__d").isNull(), 1).otherwise(0)).alias("n_undeclared"),
+        )
+        .select(
+            "host",
+            F.col("n_declared").cast("long").alias("n_declared"),
+            F.col("n_fetched_declared").cast("long").alias("n_fetched_declared"),
+            F.col("n_undeclared").cast("long").alias("n_undeclared"),
+            F.when(F.col("n_declared") > 0,
+                   F.round(F.col("n_fetched_declared") * 100.0 / F.col("n_declared"), 2))
+             .alias("coverage_pct"),
+        )
+    )
+
+
+def sitemap_coverage_sql(declared: str, fetched: str,
+                         host_col: str = "host", url_col: str = "url") -> str:
+    """DuckDB replay of :func:`sitemap_coverage` — same dedup, same
+    full-outer join, same conditional counts."""
+    return f"""
+        WITH sc_d AS (
+          SELECT DISTINCT {host_col} AS host, {url_col} AS url FROM {declared}
+        ), sc_f AS (
+          SELECT DISTINCT {host_col} AS host, {url_col} AS url FROM {fetched}
+        ), sc_j AS (
+          SELECT COALESCE(d.host, f.host) AS host,
+                 d.url IS NOT NULL AS in_d, f.url IS NOT NULL AS in_f
+          FROM sc_d d FULL OUTER JOIN sc_f f
+            ON d.host = f.host AND d.url = f.url
+        )
+        SELECT host,
+               CAST(SUM(CASE WHEN in_d THEN 1 ELSE 0 END) AS BIGINT) AS n_declared,
+               CAST(SUM(CASE WHEN in_d AND in_f THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fetched_declared,
+               CAST(SUM(CASE WHEN NOT in_d THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_undeclared,
+               CASE WHEN SUM(CASE WHEN in_d THEN 1 ELSE 0 END) > 0 THEN
+                 ROUND(SUM(CASE WHEN in_d AND in_f THEN 1 ELSE 0 END) * 100.0
+                       / SUM(CASE WHEN in_d THEN 1 ELSE 0 END), 2) END
+                 AS coverage_pct
+        FROM sc_j GROUP BY host
+    """

@@ -327,3 +327,170 @@ def hypertable_rollup(events: DataFrame) -> DataFrame:
         )
     )
     return day
+
+
+def funnel(events: DataFrame, stages: list[str] | None = None,
+           horizon_hours: int = 72) -> DataFrame:
+    """Ordered conversion funnel: per stage, how many users reached
+    it IN ORDER within `horizon_hours` of their first stage-1 event —
+    the product-analytics primitive (Amplitude/Mixpanel's core
+    query). "Reached stage k" means: an event of stage-k type whose
+    (ts, event_id) order position is strictly after the user's
+    qualifying stage-(k-1) event, with every stage inside the horizon
+    anchored at the user's FIRST stage-1 event. A purchase before any
+    view does not count; one view→click→purchase chain per user.
+
+    Plan shape: the per-user chain is k-1 running-min windows over
+    the SAME (user_id / ts, event_id) sort — Spark plans one
+    exchange + one sort and stacks the Window operators on it — then
+    one distinct-count aggregate per stage. No self-joins, no
+    per-user collect; state per row is O(stages).
+
+    Output: (stage, event_type, n_users), stage 1-based.
+    """
+    stages = stages or ["view", "click", "purchase"]
+    horizon_us = horizon_hours * 3600 * 1_000_000
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("__us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col("ts").cast("timestamp")
+    d = events.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(t).alias("__us"),
+    )
+    # qualifying timestamp per stage, built stage-by-stage: a stage-k
+    # event qualifies if a qualifying stage-(k-1) event precedes it
+    # and it lands within the horizon of the stage-1 anchor
+    qual_cols = []
+    for k, st in enumerate(stages):
+        if k == 0:
+            q = F.when(F.col("event_type") == st, F.col("__us"))
+        else:
+            prev_min = F.min(f"__q{k - 1}").over(w_prev)
+            anchor = F.min("__q0").over(w_prev)
+            q = F.when(
+                (F.col("event_type") == st)
+                & prev_min.isNotNull()
+                & (F.col("__us") <= anchor + F.lit(horizon_us)),
+                F.col("__us"),
+            )
+        d = d.withColumn(f"__q{k}", q)
+        qual_cols.append(f"__q{k}")
+    agg = d.agg(*[
+        F.count_distinct(F.when(F.col(c).isNotNull(), F.col("user_id"))).alias(f"n{k}")
+        for k, c in enumerate(qual_cols)
+    ])
+    rows = None
+    for k, st in enumerate(stages):
+        r = agg.select(
+            F.lit(k + 1).alias("stage"),
+            F.lit(st).alias("event_type"),
+            F.col(f"n{k}").cast("long").alias("n_users"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def funnel_sql(src: str = "events", stages: list[str] | None = None,
+               horizon_hours: int = 72) -> str:
+    """DuckDB replay of :func:`funnel` — same running-min windows
+    over the same (ts, event_id) order, same horizon anchor."""
+    stages = stages or ["view", "click", "purchase"]
+    horizon_us = horizon_hours * 3600 * 1_000_000
+    w = "OVER (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    ctes = [f"""fu0 AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+                 CASE WHEN event_type = '{stages[0]}' THEN
+                      CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) END AS q0
+          FROM {src}
+        )"""]
+    for k in range(1, len(stages)):
+        ctes.append(f"""fu{k} AS (
+          SELECT *, CASE WHEN event_type = '{stages[k]}'
+                          AND MIN(q{k - 1}) {w} IS NOT NULL
+                          AND us <= MIN(q0) {w} + {horizon_us}
+                         THEN us END AS q{k}
+          FROM fu{k - 1}
+        )""")
+    last = f"fu{len(stages) - 1}"
+    sel = " UNION ALL ".join(
+        f"SELECT {k + 1} AS stage, '{st}' AS event_type, "
+        f"CAST(COUNT(DISTINCT CASE WHEN q{k} IS NOT NULL THEN user_id END) AS BIGINT)"
+        f" AS n_users FROM {last}"
+        for k, st in enumerate(stages)
+    )
+    return "WITH " + ", ".join(ctes) + " " + sel
+
+
+def retention_cohorts(events: DataFrame, max_weeks: int = 8) -> DataFrame:
+    """Weekly retention cohorts: users grouped by FIRST-event date,
+    retention at week k = the fraction of the cohort active k weeks
+    later — the growth-analytics table every engagement dashboard
+    draws. Cohort key is the first event's DATE and k = floor(days
+    since / 7): day-exact arithmetic, no week-boundary convention to
+    disagree on cross-engine.
+
+    Plan shape: one min-agg per user (map-side partials), an
+    equi-join of events back to their user's cohort row (user-keyed
+    shuffle both sides — co-partitioned, no broadcast needed at any
+    scale), then a distinct-count per (cohort, k). retention_pct is
+    exact-integer 10000ths rounded to 2, so the division is the only
+    float op.
+
+    Output: (cohort_date, week_k, n_cohort, n_active, retention_pct).
+    """
+    t = F.col("ts").cast("timestamp")
+    ev = events.select("user_id", t.cast("date").alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_date"))
+    sizes = first.groupBy("cohort_date").agg(
+        F.count_distinct("user_id").alias("n_cohort")
+    )
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id", "cohort_date",
+            F.floor(F.datediff("day", "cohort_date") / 7).cast("int").alias("week_k"),
+        )
+        .filter(F.col("week_k") <= max_weeks)
+        .groupBy("cohort_date", "week_k")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return (
+        act.join(sizes, "cohort_date")
+        .select(
+            "cohort_date", "week_k",
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(F.col("n_active") * 100.0 / F.col("n_cohort"), 2).alias("retention_pct"),
+        )
+    )
+
+
+def retention_cohorts_sql(src: str = "events", max_weeks: int = 8) -> str:
+    """DuckDB replay of :func:`retention_cohorts` — same day-exact
+    cohort arithmetic."""
+    return f"""
+        WITH rc_ev AS (
+          SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM {src}
+        ), rc_first AS (
+          SELECT user_id, MIN(day) AS cohort_date FROM rc_ev GROUP BY user_id
+        ), rc_sizes AS (
+          SELECT cohort_date, COUNT(DISTINCT user_id) AS n_cohort
+          FROM rc_first GROUP BY cohort_date
+        ), rc_act AS (
+          SELECT f.cohort_date,
+                 CAST((e.day - f.cohort_date) // 7 AS INT) AS week_k,
+                 COUNT(DISTINCT e.user_id) AS n_active
+          FROM rc_ev e JOIN rc_first f USING (user_id)
+          WHERE (e.day - f.cohort_date) // 7 <= {max_weeks}
+          GROUP BY 1, 2
+        )
+        SELECT cohort_date, week_k,
+               CAST(n_cohort AS BIGINT) AS n_cohort,
+               CAST(n_active AS BIGINT) AS n_active,
+               ROUND(n_active * 100.0 / n_cohort, 2) AS retention_pct
+        FROM rc_act JOIN rc_sizes USING (cohort_date)
+    """

@@ -118,3 +118,64 @@ def _run_df(spark, cases):
     return exif_orientation(
         df.select("name", F.unhex("hx").alias("bytes"))
     ).select("name", "fmt", "orientation", "swap_dims")
+
+
+# ---- GPS privacy flag -------------------------------------------------------
+
+def _gps_payloads():
+    from dblp_crawler_spark.operators.sniff import exif_gps_flag  # noqa: F401
+
+    jpeg_gps = (
+        "FFD8" + APP0 + "FFE1002E" + "457869660000"
+        + "49492A00" + "08000000" + "0200"
+        + _entry_le(0x010F, 2, 4, "41424300")
+        + _entry_le(0x8825, 4, 1, "1A000000")
+        + "00000000"
+    )
+    tiff_gps = (
+        "4D4D002A" + "00000008" + "0002"
+        + _entry_be(0x010F, 2, 4, "41424300")
+        + _entry_be(0x8825, 4, 1, "0000001A")
+        + "00000000"
+    )
+    jpeg_no_gps = (
+        "FFD8" + APP0 + "FFE1002E" + "457869660000"
+        + "49492A00" + "08000000" + "0100"
+        + _entry_le(0x0112, 3, 1, "01000000")
+        + "00000000"
+    )
+    png = "89504E470D0A1A0A" + "0000000D49484452"
+    return [(0, jpeg_gps), (1, tiff_gps), (2, jpeg_no_gps), (3, png)]
+
+
+def test_gps_flag_pins(spark):
+    from dblp_crawler_spark.operators.sniff import exif_gps_flag
+
+    rows = _gps_payloads()
+    df = spark.createDataFrame(rows, "doc_id long, h string").select(
+        "doc_id", F.unhex("h").alias("bytes")
+    )
+    got = {r.doc_id: r for r in exif_gps_flag(df).collect()}
+    assert got[0].has_gps and got[0].fmt == "jpeg"     # LE JPEG, geotagged
+    assert got[1].has_gps and got[1].fmt == "tiff"     # BE TIFF, geotagged
+    assert not got[2].has_gps                           # EXIF but no GPS tag
+    assert not got[3].has_gps                           # PNG: no EXIF at all
+
+
+def test_gps_flag_duckdb_replay(spark):
+    from dblp_crawler_spark.operators.sniff import exif_gps_flag, exif_gps_flag_sql
+
+    rows = _gps_payloads()
+    df = spark.createDataFrame(rows, "doc_id long, h string").select(
+        "doc_id", F.unhex("h").alias("bytes")
+    )
+    got = exif_gps_flag(df).select("doc_id", "fmt", "has_gps") \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["doc_id", "h"]))
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM t)"
+    want = (
+        con.sql(exif_gps_flag_sql(staged)).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
