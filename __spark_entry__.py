@@ -2714,6 +2714,137 @@ def q_png_structure(spark, sf_dir):
     )
 
 
+_WEBP_RIFF = "52494646" + "24000000" + "57454250"
+_WEBP_CASES = [
+    # lossy 320x240 with the 2 scaling bits set (mask test)
+    _WEBP_RIFF + "56503820" + "10000000" + "000000" + "9D012A" + "4041F000",
+    # lossless 100x50 + alpha bit (bits = 99 | 49<<14 | 1<<28)
+    _WEBP_RIFF + "5650384C" + "0D000000" + "2F" + "63400C10",
+    # extended animated + alpha, canvas 1024x768
+    _WEBP_RIFF + "56503858" + "0A000000" + "12" + "000000" + "FF0300FF0200",
+    # extended still, no alpha, 64x32
+    _WEBP_RIFF + "56503858" + "0A000000" + "00" + "000000" + "3F00001F0000",
+    # truncated before the flags byte → NULL structure
+    _WEBP_RIFF + "56503858" + "0A000000",
+]
+
+
+def q_webp_structure(spark, sf_dir):
+    """WebP container structure (sniff.webp_structure): variant
+    routing (lossy 'VP8 ' / lossless 'VP8L' / extended 'VP8X'), dims
+    (14-bit masked lossy, LE32 bit-packed lossless, LE24 canvas
+    extended), alpha and animation flags — the decode-free header
+    tier for the dominant modern web image format, sibling of
+    jpeg_structure/png_structure. Planted: all three variants incl.
+    a scaled lossy and an animated VP8X, a truncated VP8X, and a PNG
+    row (NULLs)."""
+    from dblp_crawler_spark.operators.sniff import webp_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    hexstr = F.lit("89504E470D0A1A0A" + "0000000D49484452")
+    for i, hx in enumerate(_WEBP_CASES):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return webp_structure(imgs).select(
+        "doc_id", "fmt", "variant", "width", "height", "has_alpha",
+        "is_animated"
+    )
+
+
+_GIF_HDR89 = "474946383961" + "0A000A00" + "A1" + "02" + "00"
+_GIF_GCT4 = "FF0000" + "00FF00" + "0000FF" + "FFFFFF"
+_GIF_SIG = "21FF0B" + "4E45545343415045322E30"
+_GIF_CASES = [
+    _GIF_HDR89 + _GIF_GCT4 + "2C00000000" + "3B",            # static 89a
+    _GIF_HDR89 + _GIF_GCT4 + _GIF_SIG + "030100000000" + "3B",  # animated
+    "474946383761" + "05000500" + "00" + "00" + "00",        # 87a no GCT
+    # misaligned NETSCAPE bytes inside a 16-entry GCT (hint stays F)
+    "474946383961" + "0A000A00" + "83" + "05" + "00"
+    + "4" + _GIF_SIG + "0" + "00" * 33,
+    "474946383961",                                          # truncated
+]
+
+
+def q_gif_structure(spark, sf_dir):
+    """GIF header structure (sniff.gif_structure): version, global
+    color table flag + 2^(N+1) palette size, background index, and a
+    byte-aligned NETSCAPE2.0 animation hint (looping animated GIFs
+    carry the application extension before the first frame; the
+    aligned-containment regex refuses palette bytes that spell the
+    signature across a byte boundary — planted). Sibling of the
+    jpeg/png/webp structure tiers."""
+    from dblp_crawler_spark.operators.sniff import gif_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    hexstr = F.lit("89504E470D0A1A0A" + "0000000D49484452")
+    for i, hx in enumerate(_GIF_CASES):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return gif_structure(imgs).select(
+        "doc_id", "fmt", "version", "has_gct", "palette_size", "bg_index",
+        "is_animated_hint"
+    )
+
+
+def _dto_fixture_hex(dt: str, le: bool = True) -> str:
+    """JPEG + APP1/Exif carrying DateTimeOriginal `dt` behind the
+    IFD0 → Exif-sub-IFD pointer chain (both endiannesses)."""
+    def ent(tag, typ, cnt, val8):
+        if le:
+            return (f"{tag & 255:02X}{tag >> 8:02X}" + f"{typ:02X}00"
+                    + f"{cnt:02X}000000" + val8)
+        return f"{tag:04X}" + f"00{typ:02X}" + f"{cnt:08X}" + val8
+
+    def val4(v):
+        if le:
+            return f"{v & 255:02X}{(v >> 8) & 255:02X}{(v >> 16) & 255:02X}00"
+        return f"{v:08X}"
+
+    sub_off = 8 + 2 + 2 * 12 + 4
+    str_off = sub_off + 2 + 12 + 4
+    ifd0 = (("0200" if le else "0002")
+            + ent(0x0112, 3, 1, "01000000" if le else "00010000")
+            + ent(0x8769, 4, 1, val4(sub_off)) + "00000000")
+    sub = (("0100" if le else "0001")
+           + ent(0x9003, 2, 20, val4(str_off)) + "00000000")
+    payload = (dt.encode() + b"\x00").hex().upper()
+    tiff = (("49492A00" + "08000000") if le else ("4D4D002A" + "00000008")) \
+        + ifd0 + sub + payload
+    seg_len = 2 + 6 + len(tiff) // 2
+    app0 = "FFE00010" + "4A46494600" + "00" * 9
+    return "FFD8" + app0 + "FFE1" + f"{seg_len:04X}" + "457869660000" + tiff
+
+
+_DTO_CASES = [
+    _dto_fixture_hex("2019:03:02 08:15:00"),
+    _dto_fixture_hex("2024:11:30 23:59:59", le=False),
+    _dto_fixture_hex("2021:06:15 12:00:0X"),   # corrupt → NULL
+    "89504E470D0A1A0A" + "0000000D49484452",   # png → NULL
+]
+
+
+def q_exif_datetime(spark, sf_dir):
+    """EXIF DateTimeOriginal (sniff.exif_datetime): the capture-time
+    provenance signal, read through the two-level IFD0 → Exif-sub-IFD
+    walk (tag 0x8769 pointer, then tag 0x9003's offset-addressed
+    20-byte ASCII value), hex-signature-validated before decode so
+    corrupt offsets NULL out. Planted: both endiannesses, a corrupt
+    timestamp, and a PNG row."""
+    from dblp_crawler_spark.operators.sniff import exif_datetime
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 4
+    hexstr = F.lit(_DTO_CASES[-1])
+    for i, hx in enumerate(_DTO_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return exif_datetime(imgs).select(
+        "doc_id", "fmt", "datetime_original", "capture_year"
+    )
+
+
 def q_url_locale_hint(spark, sf_dir):
     """URL locale hints (urlnorm.url_locale_hint): ccTLD (country,
     kept separate from language), leading /xx/ or /xx-yy/ path
@@ -3464,6 +3595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_scheduling_hints": q_sitemap_scheduling_hints,
         "ann_binary_hamming": q_ann_binary_hamming,
         "png_structure": q_png_structure,
+        "webp_structure": q_webp_structure,
+        "gif_structure": q_gif_structure,
+        "exif_datetime": q_exif_datetime,
         "url_locale_hint": q_url_locale_hint,
         "embedding_quality": q_embedding_quality,
         "pipeline_warc_to_corpus": q_pipeline_warc_to_corpus,
@@ -3776,6 +3910,9 @@ def _portable_hash_oracles() -> dict[str, str]:
         "sitemap_scheduling_hints": _sitemap_hints_oracle(),
         "ann_binary_hamming": _binary_hamming_oracle(),
         "png_structure": _png_structure_oracle(),
+        "webp_structure": _webp_structure_oracle(),
+        "gif_structure": _gif_structure_oracle(),
+        "exif_datetime": _exif_datetime_oracle(),
         "url_locale_hint": _url_locale_oracle(),
         "embedding_quality": _embedding_quality_oracle(),
         "pipeline_warc_to_corpus": _warc_corpus_oracle(),
@@ -4940,6 +5077,65 @@ def _png_structure_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} ps_src)"
     return png_structure_sql(staged)
+
+
+def _webp_structure_oracle() -> str:
+    """DuckDB replay of q_webp_structure."""
+    from dblp_crawler_spark.operators.sniff import (
+        sniff_case_sql,
+        webp_structure_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_WEBP_CASES)
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 6{whens}
+                 ELSE '89504E470D0A1A0A0000000D49484452' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} ws_src)"
+    return webp_structure_sql(staged)
+
+
+def _gif_structure_oracle() -> str:
+    """DuckDB replay of q_gif_structure."""
+    from dblp_crawler_spark.operators.sniff import (
+        gif_structure_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_GIF_CASES)
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 6{whens}
+                 ELSE '89504E470D0A1A0A0000000D49484452' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} gs_src)"
+    return gif_structure_sql(staged)
+
+
+def _exif_datetime_oracle() -> str:
+    """DuckDB replay of q_exif_datetime."""
+    from dblp_crawler_spark.operators.sniff import (
+        exif_datetime_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_DTO_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 4{whens} ELSE '{_DTO_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} ed_src)"
+    return exif_datetime_sql(staged)
 
 
 def _url_locale_oracle() -> str:

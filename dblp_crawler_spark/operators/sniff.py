@@ -286,7 +286,8 @@ _EXIF_SIG = "457869660000"
 _ORIENT_TAG = 0x0112
 
 
-def _exif_stage(df: DataFrame, bytes_col: str) -> DataFrame:
+def _exif_stage(df: DataFrame, bytes_col: str,
+                window_bytes: int = EXIF_WINDOW_BYTES) -> DataFrame:
     """Shared EXIF staging: hex window + fmt sniff + APP1 walk to the
     TIFF header (__t), byte order (__le), IFD offset/entry count/
     entry base (__ifd/__n/__e) — every tag scanner (orientation,
@@ -294,7 +295,7 @@ def _exif_stage(df: DataFrame, bytes_col: str) -> DataFrame:
     bounded expression on top of ONE staging pass."""
     staged = df.withColumns(
         {
-            "__ex": F.hex(F.substring(F.col(bytes_col), 1, EXIF_WINDOW_BYTES)),
+            "__ex": F.hex(F.substring(F.col(bytes_col), 1, window_bytes)),
             "fmt": sniffed_type(F.col(bytes_col)),
         }
     )
@@ -987,4 +988,358 @@ def png_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                CASE WHEN inter IS NOT NULL THEN inter = 1 END AS interlaced,
                CASE WHEN ctype IS NOT NULL THEN ctype IN (4, 6) END AS has_alpha
         FROM ps
+    """
+
+
+# byte-12 chunk fourcc (hex chars 25..32) → container variant
+WEBP_VARIANTS = {"56503820": "lossy",      # 'VP8 '
+                 "5650384C": "lossless",   # 'VP8L'
+                 "56503858": "extended"}   # 'VP8X'
+
+
+def webp_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, variant, width, height, has_alpha, is_animated)
+    parsed from the WebP container header — decode-free, like
+    :func:`jpeg_structure`/:func:`png_structure`, over the same
+    64-byte hex window. WebP is the dominant modern web image format
+    and splits into three on-disk variants a pipeline must route
+    differently: 'VP8 ' lossy (no alpha, never animated), 'VP8L'
+    lossless (alpha bit packed into the 5-byte signature block),
+    'VP8X' extended (the only animated form; alpha/animation flags
+    plus a 24-bit canvas size).
+
+    Field layout is the public container spec (RIFC fourcc at byte
+    12, chunk payload at byte 20): lossy requires the 9D012A frame
+    sync then 14-bit LE dims (upper 2 bits are the scaling hint —
+    masked); lossless packs width-1 / height-1 / alpha into an LE32
+    read LSB-first after the 0x2F signature byte; extended carries a
+    flags byte (0x10 alpha, 0x02 animation) and width-1 / height-1
+    as LE24. Truncated headers NULL-absorb via conv('') → NULL;
+    non-webp rows get all-NULL structure; an unknown or truncated
+    fourcc yields a NULL variant (and NULL everything else)."""
+    staged = df.withColumns(
+        {
+            "__wx": F.hex(F.substring(F.col(bytes_col), 1, 64)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__wx")
+    fcc = F.when(F.col("fmt") == "webp", hx.substr(F.lit(25), F.lit(8)))
+    staged = staged.withColumn("__fcc", fcc)
+    fcc = F.col("__fcc")
+
+    variant = F.lit(None).cast("string")
+    for code, name in WEBP_VARIANTS.items():
+        variant = F.when(fcc == code, name).otherwise(variant)
+
+    # lossy: frame sync 9D012A at bytes 23..25, dims LE16 & 0x3FFF
+    sync_ok = hx.substr(F.lit(47), F.lit(6)) == "9D012A"
+    lossy_w = F.when(sync_ok, _le(hx, F.lit(53), 2).bitwiseAND(F.lit(16383)))
+    lossy_h = F.when(sync_ok, _le(hx, F.lit(57), 2).bitwiseAND(F.lit(16383)))
+
+    # lossless: 0x2F signature at byte 20, then LE32 bit-pack
+    sig_ok = hx.substr(F.lit(41), F.lit(2)) == "2F"
+    bits = _le(hx, F.lit(43), 4)
+    ll_w = F.when(sig_ok, bits.bitwiseAND(F.lit(16383)) + 1)
+    ll_h = F.when(sig_ok, F.shiftright(bits, 14).bitwiseAND(F.lit(16383)) + 1)
+    ll_alpha = F.when(sig_ok, F.shiftright(bits, 28).bitwiseAND(F.lit(1)) == 1)
+
+    # extended: flags byte 20, canvas dims LE24 (stored minus one)
+    flags = _hex2long(hx, F.lit(41), 2)
+    ex_w = _le(hx, F.lit(49), 3) + 1
+    ex_h = _le(hx, F.lit(55), 3) + 1
+    ex_alpha = flags.bitwiseAND(F.lit(16)) == 16
+    ex_anim = flags.bitwiseAND(F.lit(2)) == 2
+
+    width = (
+        F.when(fcc == "56503820", lossy_w)
+        .when(fcc == "5650384C", ll_w)
+        .when(fcc == "56503858", ex_w)
+    )
+    height = (
+        F.when(fcc == "56503820", lossy_h)
+        .when(fcc == "5650384C", ll_h)
+        .when(fcc == "56503858", ex_h)
+    )
+    has_alpha = (
+        F.when(fcc == "56503820", F.lit(False))
+        .when(fcc == "5650384C", ll_alpha)
+        .when(fcc == "56503858", ex_alpha)
+    )
+    is_anim = (
+        F.when(fcc.isin("56503820", "5650384C"), F.lit(False))
+        .when(fcc == "56503858", ex_anim)
+    )
+    return (
+        staged.withColumns(
+            {
+                "variant": variant,
+                "width": width.cast("int"),
+                "height": height.cast("int"),
+                "has_alpha": has_alpha,
+                "is_animated": is_anim,
+            }
+        )
+        .drop("__wx", "__fcc")
+    )
+
+
+def webp_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                       fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`webp_structure` — same offsets, same
+    NULL absorption (TRY_CAST mirrors conv); bit masks/shifts spelled
+    as non-negative integer div/mod so both engines agree exactly."""
+    var_whens = " ".join(
+        f"WHEN '{code}' THEN '{name}'" for code, name in WEBP_VARIANTS.items()
+    )
+    bits = _le_sql(h_col, 43, 4)
+    flags = f"TRY_CAST(concat('0x', substring({h_col}, 41, 2)) AS BIGINT)"
+    return f"""
+        WITH ws AS (
+          SELECT {keep}, {fmt_col} AS fmt,
+                 CASE WHEN {fmt_col} = 'webp'
+                      THEN substring({h_col}, 25, 8) END AS fcc,
+                 substring({h_col}, 47, 6) = '9D012A' AS sync_ok,
+                 {_le_sql(h_col, 53, 2)} AS lw_raw,
+                 {_le_sql(h_col, 57, 2)} AS lh_raw,
+                 substring({h_col}, 41, 2) = '2F' AS sig_ok,
+                 {bits} AS bits,
+                 {flags} AS flags,
+                 {_le_sql(h_col, 49, 3)} AS exw_raw,
+                 {_le_sql(h_col, 55, 3)} AS exh_raw
+          FROM {src}
+        )
+        SELECT {keep}, fmt,
+               CASE fcc {var_whens} END AS variant,
+               CAST(CASE fcc
+                 WHEN '56503820' THEN CASE WHEN sync_ok THEN lw_raw % 16384 END
+                 WHEN '5650384C' THEN CASE WHEN sig_ok THEN bits % 16384 + 1 END
+                 WHEN '56503858' THEN exw_raw + 1 END AS INT) AS width,
+               CAST(CASE fcc
+                 WHEN '56503820' THEN CASE WHEN sync_ok THEN lh_raw % 16384 END
+                 WHEN '5650384C' THEN CASE WHEN sig_ok THEN (bits // 16384) % 16384 + 1 END
+                 WHEN '56503858' THEN exh_raw + 1 END AS INT) AS height,
+               CASE fcc
+                 WHEN '56503820' THEN FALSE
+                 WHEN '5650384C' THEN CASE WHEN sig_ok
+                      THEN (bits // 268435456) % 2 = 1 END
+                 WHEN '56503858' THEN (flags // 16) % 2 = 1 END AS has_alpha,
+               CASE WHEN fcc IN ('56503820', '5650384C') THEN FALSE
+                    WHEN fcc = '56503858' THEN (flags // 2) % 2 = 1
+               END AS is_animated
+        FROM ws
+    """
+
+
+GIF_WINDOW_BYTES = 1024
+# 0x21 0xFF 0x0B 'NETSCAPE2.0' — the application-extension signature
+# every looping animated GIF carries (before the first image
+# descriptor by convention, i.e. within header + GCT + a few bytes).
+NETSCAPE_SIG_HEX = "21FF0B" + "4E45545343415045322E30"
+# byte-aligned containment: the signature must start at an odd
+# (1-based) hex position, i.e. after a whole number of bytes — a
+# bare `contains` would false-positive on palette bytes that spell
+# the signature straddling a byte boundary.
+_NETSCAPE_ALIGNED_RE = "^(?:[0-9A-F]{2})*" + NETSCAPE_SIG_HEX
+
+
+def gif_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, version, has_gct, palette_size, bg_index,
+    is_animated_hint) from the GIF header — the decode-free tier for
+    the legacy-web image format, sibling of jpeg/png/webp_structure.
+
+    Fixed-offset fields are exact: version ('87a'/'89a' from the
+    magic), global-color-table flag + 2^(N+1) palette size and the
+    background index from the packed byte at offset 10. Animation is
+    a HINT: the NETSCAPE2.0 looping application extension is located
+    byte-aligned inside the first 1 KiB (header 13 B + GCT ≤ 768 B +
+    extension block always fit) — a GIF with the signature bytes at
+    an aligned offset inside palette data would false-positive
+    (same documented caveat as the WHATWG meta-charset prescan), and
+    a non-looping multi-frame GIF carries no NETSCAPE block and
+    reads false. Exactness would need an unbounded sub-block walk;
+    the hint is the admission-gate trade every curation pipeline
+    makes. Non-GIF rows get all-NULL structure."""
+    staged = df.withColumns(
+        {
+            "__gx": F.hex(F.substring(F.col(bytes_col), 1, GIF_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__gx")
+    is_gif = F.col("fmt") == "gif"
+    version = F.when(is_gif & (hx.substr(F.lit(9), F.lit(2)) == "37"), "87a") \
+               .when(is_gif & (hx.substr(F.lit(9), F.lit(2)) == "39"), "89a")
+    packed = F.when(is_gif, _hex2long(hx, F.lit(21), 2))
+    has_gct = F.when(packed.isNotNull(), packed >= 128)
+    size_bits = packed.bitwiseAND(F.lit(7))
+    palette = F.lit(0).cast("long")
+    for b in range(8):
+        palette = F.when(size_bits == b, F.lit(2 ** (b + 1))).otherwise(palette)
+    palette = F.when(has_gct.isNotNull(),
+                     F.when(has_gct, palette).otherwise(F.lit(0)))
+    bg = F.when(packed.isNotNull(), _hex2long(hx, F.lit(23), 2))
+    anim = F.when(is_gif, hx.rlike(_NETSCAPE_ALIGNED_RE))
+    return (
+        staged.withColumns(
+            {
+                "version": version,
+                "has_gct": has_gct,
+                "palette_size": palette.cast("int"),
+                "bg_index": bg.cast("int"),
+                "is_animated_hint": anim,
+            }
+        )
+        .drop("__gx")
+    )
+
+
+def gif_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                      fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`gif_structure` — same offsets, same
+    aligned-containment regex (RE2-compatible), bit ops as integer
+    div/mod."""
+    packed = (f"CASE WHEN {fmt_col} = 'gif' THEN "
+              f"TRY_CAST(concat('0x', substring({h_col}, 21, 2)) AS BIGINT) END")
+    bg = f"TRY_CAST(concat('0x', substring({h_col}, 23, 2)) AS BIGINT)"
+    pal_whens = " ".join(f"WHEN {b} THEN {2 ** (b + 1)}" for b in range(8))
+    return f"""
+        WITH gs AS (
+          SELECT {keep}, {fmt_col} AS fmt,
+                 CASE WHEN {fmt_col} = 'gif' THEN substring({h_col}, 9, 2) END AS vb,
+                 {packed} AS packed,
+                 CASE WHEN {fmt_col} = 'gif' THEN {bg} END AS bg,
+                 CASE WHEN {fmt_col} = 'gif'
+                      THEN regexp_matches({h_col}, '{_NETSCAPE_ALIGNED_RE}') END AS anim
+          FROM {src}
+        )
+        SELECT {keep}, fmt,
+               CASE vb WHEN '37' THEN '87a' WHEN '39' THEN '89a' END AS version,
+               CASE WHEN packed IS NOT NULL THEN packed >= 128 END AS has_gct,
+               CAST(CASE WHEN packed IS NOT NULL THEN
+                 CASE WHEN packed >= 128
+                      THEN CASE packed % 8 {pal_whens} END
+                      ELSE 0 END END AS INT) AS palette_size,
+               CAST(CASE WHEN packed IS NOT NULL THEN bg END AS INT) AS bg_index,
+               anim AS is_animated_hint
+        FROM gs
+    """
+
+
+#: EXIF sub-IFD pointer (IFD0 tag 0x8769) and DateTimeOriginal
+#: (Exif-IFD tag 0x9003) — EXIF 2.x public spec.
+_EXIF_IFD_TAG = 0x8769
+_DTO_TAG = 0x9003
+EXIF_DT_WINDOW_BYTES = 1024
+# hex of a well-formed 'YYYY:MM:DD HH:MM:SS' — digits 0x30-0x39,
+# ':' 0x3A, ' ' 0x20; validating the HEX makes the later decode safe
+# (garbage offsets land on arbitrary bytes, never valid UTF-8 here).
+_DT_HEX_RE = ("^(?:3[0-9]){4}3A(?:3[0-9]){2}3A(?:3[0-9]){2}20"
+              "(?:3[0-9]){2}3A(?:3[0-9]){2}3A(?:3[0-9]){2}$")
+
+
+def exif_datetime(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, datetime_original, capture_year) from EXIF
+    DateTimeOriginal — the provenance/recency signal an image corpus
+    dedups and stratifies on (a 2009 phone photo and its 2024
+    re-upload share pixels but not capture time), decode-free like
+    the rest of the header family.
+
+    Two-level TIFF walk on top of the shared staging: IFD0 scan for
+    the Exif sub-IFD pointer (tag 0x8769, LONG value = byte offset
+    from the TIFF header), then a second bounded entry scan inside
+    the sub-IFD for tag 0x9003, whose 20-byte ASCII value always
+    lives behind an offset (count 20 > 4). Every hop (pointer,
+    sub-IFD count/base, string offset, string hex) is staged as a
+    named column — the anti-Janino discipline — and the 19-char
+    'YYYY:MM:DD HH:MM:SS' is validated against its hex signature
+    before decoding, so corrupt offsets NULL out instead of decoding
+    garbage. Window 1 KiB (EXIF blocks sit at the file head; deeper
+    metadata NULL-absorbs)."""
+    hx = F.col("__ex")
+
+    def rd(pos, n_bytes):
+        return F.when(F.col("__le"), _le(hx, pos, n_bytes)).otherwise(
+            _hex2long(hx, pos, 2 * n_bytes)
+        )
+
+    s = _exif_stage(df, bytes_col, window_bytes=EXIF_DT_WINDOW_BYTES)
+
+    xoff_branches = []
+    for i in range(IFD_MAX_ENTRIES):
+        epos = F.col("__e") + F.lit(24 * i)
+        xoff_branches.append(
+            F.when(
+                (F.lit(i) < F.col("__n")) & (rd(epos, 2) == _EXIF_IFD_TAG),
+                rd(epos + F.lit(16), 4),
+            )
+        )
+    s = s.withColumn("__xoff", F.coalesce(*xoff_branches))
+    s = s.withColumns(
+        {
+            "__sn": rd(F.col("__t") + F.lit(2) * F.col("__xoff"), 2),
+            "__se": F.col("__t") + F.lit(2) * F.col("__xoff") + F.lit(4),
+        }
+    )
+    soff_branches = []
+    for i in range(IFD_MAX_ENTRIES):
+        epos = F.col("__se") + F.lit(24 * i)
+        soff_branches.append(
+            F.when(
+                (F.lit(i) < F.col("__sn")) & (rd(epos, 2) == _DTO_TAG),
+                rd(epos + F.lit(16), 4),
+            )
+        )
+    s = s.withColumn("__soff", F.coalesce(*soff_branches))
+    s = s.withColumn(
+        "__dth", hx.substr(F.col("__t") + F.lit(2) * F.col("__soff"), F.lit(38))
+    )
+    dt = F.when(F.col("__dth").rlike(_DT_HEX_RE),
+                F.decode(F.unhex(F.col("__dth")), "UTF-8"))
+    return (
+        s.withColumn("datetime_original", dt)
+        .withColumn(
+            "capture_year",
+            F.substring(F.col("datetime_original"), 1, 4).cast("int"),
+        )
+        .drop("__ex", "__t", "__le", "__ifd", "__n", "__e",
+              "__xoff", "__sn", "__se", "__soff", "__dth")
+    )
+
+
+def exif_datetime_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                      fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`exif_datetime` — the shared staging
+    chain plus the two-level scan as CTEs mirroring the Spark
+    staging columns."""
+    xoff = ", ".join(
+        f"CASE WHEN {i} < n AND ({_rd_sql('h', 'le', f'e + {24 * i}', 2)}) = {_EXIF_IFD_TAG} "
+        f"THEN ({_rd_sql('h', 'le', f'e + {24 * i} + 16', 4)}) END"
+        for i in range(IFD_MAX_ENTRIES)
+    )
+    soff = ", ".join(
+        f"CASE WHEN {i} < sn AND ({_rd_sql('h', 'le', f'se + {24 * i}', 2)}) = {_DTO_TAG} "
+        f"THEN ({_rd_sql('h', 'le', f'se + {24 * i} + 16', 4)}) END"
+        for i in range(IFD_MAX_ENTRIES)
+    )
+    return f"""
+        WITH {_exif_stage_sql(src, keep, h_col, fmt_col)}, ed_x AS (
+          SELECT *, COALESCE({xoff}) AS xoff FROM eo_en
+        ), ed_s AS (
+          SELECT *, {_rd_sql('h', 'le', 't + 2 * xoff', 2)} AS sn,
+                 t + 2 * xoff + 4 AS se
+          FROM ed_x
+        ), ed_o AS (
+          SELECT *, COALESCE({soff}) AS soff FROM ed_s
+        ), ed_d AS (
+          SELECT *, substring(h, CAST(t + 2 * soff AS BIGINT), 38) AS dth
+          FROM ed_o
+        ), ed_f AS (
+          SELECT *, CASE WHEN regexp_matches(dth, '{_DT_HEX_RE}')
+                         THEN decode(unhex(dth)) END AS datetime_original
+          FROM ed_d
+        )
+        SELECT {keep}, fmt, datetime_original,
+               TRY_CAST(substring(datetime_original, 1, 4) AS INT) AS capture_year
+        FROM ed_f
     """

@@ -179,3 +179,67 @@ def test_gps_flag_duckdb_replay(spark):
         .sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def _dto_hex(dt="2023:07:14 12:34:56", le=True, sub_lead=0):
+    """JPEG + APP1/Exif with IFD0 {orientation, ExifIFD pointer} and
+    a sub-IFD holding DateTimeOriginal behind `sub_lead` filler
+    entries; the 20-byte ASCII value sits right after the sub-IFD."""
+    ent = _entry_le if le else _entry_be
+    val4 = (lambda v: f"{v & 255:02X}{(v >> 8) & 255:02X}{(v >> 16) & 255:02X}00") if le \
+        else (lambda v: f"{v:08X}")
+    sub_off = 8 + (2 + 2 * 12 + 4)                      # after a 2-entry IFD0
+    n_sub = sub_lead + 1
+    str_off = sub_off + 2 + n_sub * 12 + 4
+    ifd0 = ("0200" if le else "0002") \
+        + ent(0x0112, 3, 1, "01000000" if le else "00010000") \
+        + ent(0x8769, 4, 1, val4(sub_off)) + "00000000"
+    sub = (f"{n_sub & 255:02X}{n_sub >> 8:02X}" if le else f"{n_sub:04X}") \
+        + ent(0x829A, 5, 1, val4(0)) * sub_lead \
+        + ent(0x9003, 2, 20, val4(str_off)) + "00000000"
+    payload = (dt.encode() + b"\x00").hex().upper()
+    tiff = ("49492A00" + "08000000" if le else "4D4D002A" + "00000008") \
+        + ifd0 + sub + payload
+    seg_len = 2 + 6 + len(tiff) // 2
+    return "FFD8" + APP0 + "FFE1" + f"{seg_len:04X}" + "457869660000" + tiff
+
+
+def test_exif_datetime_pins_and_replay(spark):
+    from dblp_crawler_spark.operators.sniff import (
+        exif_datetime,
+        exif_datetime_sql,
+    )
+
+    cases = {
+        "ii": _dto_hex(),
+        "mm": _dto_hex(le=False),
+        "ii_deep": _dto_hex(sub_lead=IFD_MAX_ENTRIES - 1),
+        "ii_too_deep": _dto_hex(sub_lead=IFD_MAX_ENTRIES),
+        "no_pointer": _jpeg_ii(1),               # orientation only
+        "garbage_str": _dto_hex(dt="2023:07:14 12:34:5X"),
+        "short_str": _dto_hex(dt="2023:07:14"),
+        "png": "89504E470D0A1A0A0000000D49484452",
+    }
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    out = exif_datetime(df.select("name", F.unhex("hx").alias("bytes")))
+    got = {r.name: (r.datetime_original, r.capture_year) for r in out.collect()}
+    assert got["ii"] == ("2023:07:14 12:34:56", 2023)
+    assert got["mm"] == ("2023:07:14 12:34:56", 2023)
+    assert got["ii_deep"] == ("2023:07:14 12:34:56", 2023)
+    for name in ("ii_too_deep", "no_pointer", "garbage_str", "short_str", "png"):
+        assert got[name] == (None, None), name
+    # replay
+    spark_pdf = (
+        out.select("name", "fmt", "datetime_original", "capture_year")
+        .toPandas().sort_values("name").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases.items(), columns=["name", "h"]))
+    staged = f"(SELECT name, h, {sniff_case_sql('h')} AS fmt FROM cases)"
+    duck_pdf = (
+        con.sql(exif_datetime_sql(staged, keep="name")).df()
+        .sort_values("name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )

@@ -335,3 +335,141 @@ def test_png_structure_pins_and_replay(spark):
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
     )
+
+
+def test_webp_structure_pins_and_replay(spark):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.operators.sniff import (
+        sniff_case_sql,
+        webp_structure,
+        webp_structure_sql,
+    )
+
+    R = "52494646" + "24000000" + "57454250"
+    cases = {
+        # lossy 320x240 with scaling bits set in the upper 2 bits
+        # (0x4140 → masked 320) — the & 0x3FFF must strip them
+        "lossy_scaled": R + "56503820" + "10000000" + "000000"
+                        + "9D012A" + "4041" + "F000",
+        # lossy with a corrupt frame sync → variant known, dims NULL
+        "lossy_badsync": R + "56503820" + "10000000" + "000000"
+                         + "9D012B" + "4001" + "F000",
+        # lossless 100x50 with the alpha bit (bits = 99 | 49<<14 | 1<<28)
+        "lossless_alpha": R + "5650384C" + "0D000000" + "2F" + "63400C10",
+        # lossless 16x1, no alpha (bits = 15)
+        "lossless_tiny": R + "5650384C" + "0D000000" + "2F" + "0F000000",
+        # extended, animated + alpha (flags 0x12), canvas 1024x768
+        "vp8x_anim": R + "56503858" + "0A000000" + "12" + "000000"
+                     + "FF0300" + "FF0200",
+        # extended still, no alpha, 64x32
+        "vp8x_still": R + "56503858" + "0A000000" + "00" + "000000"
+                      + "3F0000" + "1F0000",
+        # extended truncated before the flags byte → NULL structure
+        "vp8x_cut": R + "56503858" + "0A000000",
+        # RIFF/WEBP but the first chunk is not a VP8 form → NULL variant
+        "alph_first": R + "414C5048" + "04000000" + "00000000",
+        # bare RIFF/WEBP header only
+        "riff_only": R,
+        # non-webp
+        "png": "89504E470D0A1A0A" + "0000000D49484452",
+    }
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    got = {
+        r.name: (r.variant, r.width, r.height, r.has_alpha, r.is_animated)
+        for r in webp_structure(
+            df.select("name", F.unhex("hx").alias("bytes"))
+        ).collect()
+    }
+    assert got["lossy_scaled"] == ("lossy", 320, 240, False, False)
+    assert got["lossy_badsync"] == ("lossy", None, None, False, False)
+    assert got["lossless_alpha"] == ("lossless", 100, 50, True, False)
+    assert got["lossless_tiny"] == ("lossless", 16, 1, False, False)
+    assert got["vp8x_anim"] == ("extended", 1024, 768, True, True)
+    assert got["vp8x_still"] == ("extended", 64, 32, False, False)
+    assert got["vp8x_cut"] == ("extended", None, None, None, None)
+    assert got["alph_first"] == (None, None, None, None, None)
+    assert got["riff_only"] == (None, None, None, None, None)
+    assert got["png"] == (None, None, None, None, None)
+    # replay
+    spark_pdf = (
+        webp_structure(df.select("name", F.unhex("hx").alias("bytes")))
+        .select("name", "fmt", "variant", "width", "height",
+                "has_alpha", "is_animated")
+        .toPandas().sort_values("name").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases.items(), columns=["name", "h"]))
+    staged = f"(SELECT name, h, {sniff_case_sql('h')} AS fmt FROM cases)"
+    duck_pdf = (
+        con.sql(webp_structure_sql(staged, keep="name")).df()
+        .sort_values("name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
+
+
+def test_gif_structure_pins_and_replay(spark):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.operators.sniff import (
+        NETSCAPE_SIG_HEX,
+        gif_structure,
+        gif_structure_sql,
+        sniff_case_sql,
+    )
+
+    gct4 = "FF0000" + "00FF00" + "0000FF" + "FFFFFF"
+    hdr89 = "474946383961" + "0A00" + "0A00" + "A1" + "02" + "00"
+    # 15 bytes whose hex spells the NETSCAPE signature starting at an
+    # EVEN (misaligned) hex offset — a bare `contains` false-positives
+    trap = "4" + NETSCAPE_SIG_HEX + "0"
+    assert len(trap) % 2 == 0
+    cases = {
+        "static89": hdr89 + gct4 + "2C00000000" + "3B",
+        "anim89": hdr89 + gct4 + NETSCAPE_SIG_HEX + "030100000000" + "3B",
+        "gif87_nogct": "474946383761" + "0500" + "0500" + "00" + "00" + "00",
+        # GCT=16 entries (packed 0x83), trap bytes inside the palette
+        "misaligned": "474946383961" + "0A000A00" + "83" + "05" + "00"
+                      + trap + "00" * 33,
+        "truncated": "474946383961",
+        "png": "89504E470D0A1A0A" + "0000000D49484452",
+    }
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    got = {
+        r.name: (r.version, r.has_gct, r.palette_size, r.bg_index,
+                 r.is_animated_hint)
+        for r in gif_structure(
+            df.select("name", F.unhex("hx").alias("bytes"))
+        ).collect()
+    }
+    assert got["static89"] == ("89a", True, 4, 2, False)
+    assert got["anim89"] == ("89a", True, 4, 2, True)
+    assert got["gif87_nogct"] == ("87a", False, 0, 0, False)
+    assert got["misaligned"] == ("89a", True, 16, 5, False)
+    assert got["truncated"] == ("89a", None, None, None, False)
+    assert got["png"] == (None, None, None, None, None)
+    # the trap WOULD fool a bare containment check
+    assert NETSCAPE_SIG_HEX in cases["misaligned"]
+    # replay
+    spark_pdf = (
+        gif_structure(df.select("name", F.unhex("hx").alias("bytes")))
+        .select("name", "fmt", "version", "has_gct", "palette_size",
+                "bg_index", "is_animated_hint")
+        .toPandas().sort_values("name").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases.items(), columns=["name", "h"]))
+    staged = f"(SELECT name, h, {sniff_case_sql('h')} AS fmt FROM cases)"
+    duck_pdf = (
+        con.sql(gif_structure_sql(staged, keep="name")).df()
+        .sort_values("name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
