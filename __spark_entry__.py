@@ -2845,6 +2845,98 @@ def q_exif_datetime(spark, sf_dir):
     )
 
 
+def q_soft404_detect(spark, sf_dir):
+    """Soft-404 template detection (hostdup.soft404_detect): hosts
+    answering missing URLs with HTTP 200 and one shared error page
+    are invisible to per-URL checks — the signal is a content hash
+    dominating the host's pages (share ≥ 40%, support ≥ 5). Planted:
+    hosts 3 and 7 serve a template on half their pages (flagged);
+    every other host is all-unique (clean). Exact integer
+    cross-product threshold, one (host, hash) rollup."""
+    from dblp_crawler_spark.operators.hostdup import soft404_detect
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+    tpl = F.col("doc_id") % 10
+    hsh = F.when(
+        tpl.isin(3, 7) & ((F.col("doc_id") % 20) < 10),
+        F.concat(F.lit("tpl"), tpl.cast("string")),
+    ).otherwise(F.concat(F.lit("c"), F.col("doc_id").cast("string")))
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        host.alias("host"), hsh.alias("content_hash"),
+    )
+    return soft404_detect(pages).select(
+        "url", "host", "content_hash", "template_n", "host_n", "is_soft404"
+    )
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (hostdup.mirror_host_pairs): two hosts
+    serving the same content set waste one host's whole fetch budget
+    — found from seen-set data via a content-hash-blocked host-pair
+    join (never all-pairs; hashes on >16 hosts are boilerplate and
+    dropped before the join). Planted: hosts h1/h11 share one 7-hash
+    cycle (containment 1.0), everything else unique."""
+    from dblp_crawler_spark.operators.hostdup import mirror_host_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+    hsh = F.when(
+        (F.col("doc_id") % 20).isin(1, 11),
+        F.concat(F.lit("m"), (F.col("doc_id") % 7).cast("string")),
+    ).otherwise(F.concat(F.lit("c"), F.col("doc_id").cast("string")))
+    pages = docs.select(host.alias("host"), hsh.alias("content_hash"))
+    return mirror_host_pairs(pages)
+
+
+def q_isobmff_structure(spark, sf_dir):
+    """ISO-BMFF container structure (sniff.isobmff_structure): the
+    major brand routes a payload the magic sniff can only call 'mp4'
+    to an image (avif/heic) vs video pipeline; AVIF/HEIC dims come
+    from the aligned 'ispe' box, video duration from the
+    version-aware 'mvhd' box (exact integer duration div timescale).
+    Planted: avif + heic stills, v0 and v1 movie headers, a
+    zero-timescale guard, and a PNG row."""
+    from dblp_crawler_spark.operators.sniff import isobmff_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    hexstr = F.lit("89504E470D0A1A0A" + "0000000D49484452")
+    for i, hx in enumerate(_ISOBMFF_CASES):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return isobmff_structure(imgs).select(
+        "doc_id", "fmt", "brand", "width", "height", "duration_sec"
+    )
+
+
+def _bmff_box(fourcc_hex: str, payload_hex: str) -> str:
+    size = 8 + len(payload_hex) // 2
+    return f"{size:08X}" + fourcc_hex + payload_hex
+
+
+def _bmff_ftyp(brand_hex: str) -> str:
+    return _bmff_box("66747970", brand_hex + "00000000" + brand_hex)
+
+
+_ISPE_640 = _bmff_box("69737065", "00000000" + "00000280" + "000001E0")
+_ISOBMFF_CASES = [
+    _bmff_ftyp("61766966") + _ISPE_640,                        # avif 640x480
+    _bmff_ftyp("68656963") + _ISPE_640,                        # heic
+    _bmff_ftyp("6D703432") + _bmff_box(                        # mp4 v0, 30 s
+        "6D766864", "00000000" + "00000000" + "00000000"
+        + "000003E8" + "00007530"),
+    _bmff_ftyp("69736F6D") + _bmff_box(                        # mp4 v1, 12 s
+        "6D766864", "01000000" + "00" * 16
+        + "000003E8" + "0000000000002EE0"),
+    _bmff_ftyp("6D703431") + _bmff_box(                        # ts=0 guard
+        "6D766864", "00000000" + "00000000" + "00000000"
+        + "00000000" + "00007530"),
+]
+
+
 def q_url_locale_hint(spark, sf_dir):
     """URL locale hints (urlnorm.url_locale_hint): ccTLD (country,
     kept separate from language), leading /xx/ or /xx-yy/ path
@@ -3598,6 +3690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_structure": q_webp_structure,
         "gif_structure": q_gif_structure,
         "exif_datetime": q_exif_datetime,
+        "soft404_detect": q_soft404_detect,
+        "mirror_hosts": q_mirror_hosts,
+        "isobmff_structure": q_isobmff_structure,
         "url_locale_hint": q_url_locale_hint,
         "embedding_quality": q_embedding_quality,
         "pipeline_warc_to_corpus": q_pipeline_warc_to_corpus,
@@ -3913,6 +4008,9 @@ def _portable_hash_oracles() -> dict[str, str]:
         "webp_structure": _webp_structure_oracle(),
         "gif_structure": _gif_structure_oracle(),
         "exif_datetime": _exif_datetime_oracle(),
+        "soft404_detect": _soft404_oracle(),
+        "mirror_hosts": _mirror_hosts_oracle(),
+        "isobmff_structure": _isobmff_oracle(),
         "url_locale_hint": _url_locale_oracle(),
         "embedding_quality": _embedding_quality_oracle(),
         "pipeline_warc_to_corpus": _warc_corpus_oracle(),
@@ -5136,6 +5234,56 @@ def _exif_datetime_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} ed_src)"
     return exif_datetime_sql(staged)
+
+
+def _soft404_oracle() -> str:
+    """DuckDB replay of q_soft404_detect."""
+    from dblp_crawler_spark.operators.hostdup import soft404_detect_sql
+
+    src = """(
+        SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '/p/'
+                 || CAST(doc_id AS VARCHAR) AS url,
+               'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+               CASE WHEN doc_id % 10 IN (3, 7) AND doc_id % 20 < 10
+                    THEN 'tpl' || CAST(doc_id % 10 AS VARCHAR)
+                    ELSE 'c' || CAST(doc_id AS VARCHAR) END AS content_hash
+        FROM documents
+    )"""
+    return soft404_detect_sql(src)
+
+
+def _mirror_hosts_oracle() -> str:
+    """DuckDB replay of q_mirror_hosts."""
+    from dblp_crawler_spark.operators.hostdup import mirror_host_pairs_sql
+
+    src = """(
+        SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+               CASE WHEN doc_id % 20 IN (1, 11)
+                    THEN 'm' || CAST(doc_id % 7 AS VARCHAR)
+                    ELSE 'c' || CAST(doc_id AS VARCHAR) END AS content_hash
+        FROM documents
+    ) mh_src"""
+    return mirror_host_pairs_sql(src)
+
+
+def _isobmff_oracle() -> str:
+    """DuckDB replay of q_isobmff_structure."""
+    from dblp_crawler_spark.operators.sniff import (
+        isobmff_structure_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_ISOBMFF_CASES)
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 6{whens}
+                 ELSE '89504E470D0A1A0A0000000D49484452' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} ib_src)"
+    return isobmff_structure_sql(staged)
 
 
 def _url_locale_oracle() -> str:

@@ -1,0 +1,160 @@
+"""Host-level content pathologies: soft-404 templates and mirror
+hosts.
+
+Two crawl-efficiency signals the reference never needs (it crawls
+one well-behaved site — ``/root/reference/dblp_crawler/crawler.py``
+trusts every 200 response) but a web-scale frontier cannot live
+without:
+
+* **Soft 404s** — hosts that answer missing URLs with HTTP 200 and a
+  shared "not found" page. Per-URL heuristics can't see them; the
+  signal is STRUCTURAL: one content hash dominating a host's 200
+  responses. Every page carrying the host's dominant hash (share ≥
+  τ, support ≥ min_n) is flagged, so the frontier stops expanding
+  links found on error pages and the corpus drops the junk rows.
+
+* **Mirror hosts** — two hosts serving (nearly) the same content
+  set. Crawling both wastes the whole budget of one; dedup-at-doc
+  level removes the rows but not the fetches. Host-pair containment
+  over content hashes (shared / min(|A|, |B|)) finds them from data
+  already in the seen-set, BEFORE more fetches are scheduled.
+
+Spark shape: pure aggregations and equi-joins — one (host, hash)
+rollup reused by both; the pair join is blocked on content_hash with
+a hot-hash cap (a hash served by 10⁴ hosts — empty pages, CDN
+boilerplate — would mint 10⁸ pairs; such hashes carry no mirror
+evidence and are dropped, the same hapax/hot-key suppression the
+minhash band join applies). Share thresholds compare as exact
+integer cross-products (count·1000 ≥ τ‰·total) — never a float
+divide on the decision path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def soft404_detect(pages: DataFrame, host_col: str = "host",
+                   url_col: str = "url", hash_col: str = "content_hash",
+                   tau_milli: int = 400, min_n: int = 5) -> DataFrame:
+    """Flag pages carrying their host's dominant content hash.
+
+    A hash is the host's soft-404 template when it covers ≥
+    ``tau_milli``/1000 of the host's pages AND appears on ≥ ``min_n``
+    pages (small hosts can't produce evidence; a 3-page brochure
+    site legitimately repeats itself). Returns the input columns
+    plus (template_n, host_n, is_soft404); pages of hosts with no
+    qualifying template get template_n NULL and is_soft404 false.
+    """
+    hist = pages.groupBy(host_col, hash_col).agg(F.count("*").alias("template_n"))
+    totals = hist.groupBy(host_col).agg(F.sum("template_n").alias("host_n"))
+    templates = (
+        hist.join(totals, host_col)
+        .where((F.col("template_n") >= min_n)
+               & (F.col("template_n") * 1000 >= F.lit(tau_milli) * F.col("host_n")))
+    )
+    out = pages.join(templates, [host_col, hash_col], "left")
+    return out.withColumn("is_soft404", F.col("template_n").isNotNull())
+
+
+def soft404_detect_sql(src: str, host_col: str = "host",
+                       url_col: str = "url", hash_col: str = "content_hash",
+                       tau_milli: int = 400, min_n: int = 5) -> str:
+    """DuckDB replay of :func:`soft404_detect`."""
+    return f"""
+        WITH s4_hist AS (
+          SELECT {host_col}, {hash_col}, COUNT(*) AS template_n
+          FROM {src} GROUP BY {host_col}, {hash_col}
+        ), s4_tot AS (
+          SELECT {host_col}, SUM(template_n) AS host_n
+          FROM s4_hist GROUP BY {host_col}
+        ), s4_tpl AS (
+          SELECT h.{host_col}, h.{hash_col}, h.template_n, t.host_n
+          FROM s4_hist h JOIN s4_tot t USING ({host_col})
+          WHERE h.template_n >= {min_n}
+            AND h.template_n * 1000 >= {tau_milli} * t.host_n
+        )
+        SELECT p.*, s.template_n, s.host_n,
+               s.template_n IS NOT NULL AS is_soft404
+        FROM {src} p LEFT JOIN s4_tpl s
+          ON p.{host_col} = s.{host_col} AND p.{hash_col} = s.{hash_col}
+    """
+
+
+def mirror_host_pairs(pages: DataFrame, host_col: str = "host",
+                      hash_col: str = "content_hash",
+                      tau_milli: int = 800, min_shared: int = 3,
+                      max_hosts_per_hash: int = 16) -> DataFrame:
+    """Host pairs whose content-hash sets overlap enough to be
+    mirrors: containment = shared / min(|A|, |B|) ≥ ``tau_milli``/1000
+    with at least ``min_shared`` shared hashes.
+
+    Candidate pairs come from a self-equi-join of the DISTINCT
+    (host, hash) set on hash — the blocked-join shape, never
+    all-pairs-of-hosts. Hashes present on more than
+    ``max_hosts_per_hash`` hosts are dropped BEFORE the join (they
+    are boilerplate, not mirror evidence, and they alone create the
+    quadratic blow-up). Output: (host_a, host_b, shared, n_a, n_b,
+    containment, jaccard) with host_a < host_b, containment/jaccard
+    rounded to 4 — ordering-free and engine-portable.
+    """
+    hh = pages.select(host_col, hash_col).distinct()
+    sizes = hh.groupBy(host_col).agg(F.count("*").alias("n"))
+    spread = hh.groupBy(hash_col).agg(F.count("*").alias("n_hosts"))
+    narrow = hh.join(
+        spread.where(F.col("n_hosts") <= max_hosts_per_hash), hash_col
+    ).select(host_col, hash_col)
+    a = narrow.select(F.col(host_col).alias("host_a"), F.col(hash_col).alias("__h"))
+    b = narrow.select(F.col(host_col).alias("host_b"), F.col(hash_col).alias("__h"))
+    shared = (
+        a.join(b, "__h")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.select(F.col(host_col).alias("host_a"),
+                                 F.col("n").alias("n_a")), "host_a")
+        .join(sizes.select(F.col(host_col).alias("host_b"),
+                           F.col("n").alias("n_b")), "host_b")
+        .where((F.col("shared") >= min_shared)
+               & (F.col("shared") * 1000
+                  >= F.lit(tau_milli) * F.least("n_a", "n_b")))
+    )
+    return out.select(
+        "host_a", "host_b", "shared", "n_a", "n_b",
+        F.round(F.col("shared") / F.least("n_a", "n_b"), 4).alias("containment"),
+        F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                4).alias("jaccard"),
+    )
+
+
+def mirror_host_pairs_sql(src: str, host_col: str = "host",
+                          hash_col: str = "content_hash",
+                          tau_milli: int = 800, min_shared: int = 3,
+                          max_hosts_per_hash: int = 16) -> str:
+    """DuckDB replay of :func:`mirror_host_pairs`."""
+    return f"""
+        WITH mh_hh AS (
+          SELECT DISTINCT {host_col} AS host, {hash_col} AS h FROM {src}
+        ), mh_sizes AS (
+          SELECT host, COUNT(*) AS n FROM mh_hh GROUP BY host
+        ), mh_narrow AS (
+          SELECT host, h FROM mh_hh
+          WHERE h IN (SELECT h FROM mh_hh GROUP BY h
+                      HAVING COUNT(*) <= {max_hosts_per_hash})
+        ), mh_shared AS (
+          SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+          FROM mh_narrow a JOIN mh_narrow b ON a.h = b.h AND a.host < b.host
+          GROUP BY a.host, b.host
+        )
+        SELECT s.host_a, s.host_b, s.shared, sa.n AS n_a, sb.n AS n_b,
+               ROUND(s.shared / LEAST(sa.n, sb.n), 4) AS containment,
+               ROUND(s.shared / (sa.n + sb.n - s.shared), 4) AS jaccard
+        FROM mh_shared s
+        JOIN mh_sizes sa ON sa.host = s.host_a
+        JOIN mh_sizes sb ON sb.host = s.host_b
+        WHERE s.shared >= {min_shared}
+          AND s.shared * 1000 >= {tau_milli} * LEAST(sa.n, sb.n)
+    """

@@ -1343,3 +1343,139 @@ def exif_datetime_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                TRY_CAST(substring(datetime_original, 1, 4) AS INT) AS capture_year
         FROM ed_f
     """
+
+
+# ---- ISO-BMFF (MP4 / AVIF / HEIC) structure ---------------------------------
+
+ISOBMFF_WINDOW_BYTES = 1024
+#: major-brand fourcc (bytes 8-11 of the ftyp box) → label
+ISOBMFF_BRANDS = {
+    "61766966": "avif", "68656963": "heic", "68656978": "heix",
+    "6D696631": "mif1", "69736F6D": "isom", "6D703431": "mp41",
+    "6D703432": "mp42", "71742020": "qt", "4D344120": "m4a",
+    "64617368": "dash",
+}
+_ISPE_HEX = "69737065"   # 'ispe' — image spatial extents property
+_MVHD_HEX = "6D766864"   # 'mvhd' — movie header (timescale + duration)
+
+
+def _aligned_box_pos(hx: Column, fourcc_hex: str) -> Column:
+    """1-based hex position of the first BYTE-ALIGNED occurrence of a
+    box fourcc, NULL when absent — the shortest even-length prefix
+    before the fourcc (non-greedy), same alignment discipline as the
+    GIF NETSCAPE hint."""
+    pat = "^((?:[0-9A-F]{2})*?)" + fourcc_hex
+    return F.when(
+        hx.rlike(pat),
+        F.length(F.regexp_extract(hx, pat, 1)) + 1,
+    )
+
+
+def isobmff_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, brand, width, height, duration_sec) from the
+    ISO-BMFF box layer — the shared container of MP4 video and the
+    AVIF/HEIC image formats (which a magic sniff can only call
+    'mp4'; the MAJOR BRAND at bytes 8-11 of the ftyp box is what
+    routes a payload to an image vs a video pipeline).
+
+    Dims come from the first byte-aligned 'ispe' box (image spatial
+    extents — the property AVIF/HEIC carry; plain video has none and
+    reads NULL: track dims live in tkhd's 16.16 fixed-point, out of
+    scope). Duration comes from the first aligned 'mvhd' box —
+    version-aware (v0 32-bit / v1 64-bit times) with an exact
+    integer `duration div timescale`, NULL on a zero timescale.
+    Both locates share the GIF-hint caveats: byte-aligned
+    containment within the first 1 KiB, so a tail-moov (non-faststart)
+    MP4 reads NULL duration, and fourcc bytes inside unrelated data
+    at an aligned offset would false-positive. Non-ISO-BMFF rows get
+    all-NULL structure. Pure map-side projection."""
+    staged = df.withColumns(
+        {
+            "__bx": F.hex(F.substring(F.col(bytes_col), 1, ISOBMFF_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__bx")
+    is_box = F.col("fmt") == "mp4"
+    brand_cc = F.when(is_box, hx.substr(F.lit(17), F.lit(8)))
+    staged = staged.withColumns(
+        {
+            "__brand_cc": brand_cc,
+            "__ispe": F.when(is_box, _aligned_box_pos(hx, _ISPE_HEX)),
+            "__mvhd": F.when(is_box, _aligned_box_pos(hx, _MVHD_HEX)),
+        }
+    )
+    brand = F.lit(None).cast("string")
+    for code, name in ISOBMFF_BRANDS.items():
+        brand = F.when(F.col("__brand_cc") == code, name).otherwise(brand)
+    brand = F.when(F.col("__brand_cc").isNotNull(),
+                   F.coalesce(brand, F.lit("other")))
+    # guard: a truncated window yields a partial fourcc → NULL brand
+    brand = F.when(F.length(F.col("__brand_cc")) == 8, brand)
+
+    p = F.col("__ispe")
+    width = _hex2long(hx, p + F.lit(16), 8)
+    height = _hex2long(hx, p + F.lit(24), 8)
+
+    m = F.col("__mvhd")
+    ver = _hex2long(hx, m + F.lit(8), 2)
+    ts = F.when(ver == 0, _hex2long(hx, m + F.lit(32), 8)) \
+          .when(ver == 1, _hex2long(hx, m + F.lit(48), 8))
+    dur = F.when(ver == 0, _hex2long(hx, m + F.lit(40), 8)) \
+           .when(ver == 1, _hex2long(hx, m + F.lit(56), 16))
+    staged = staged.withColumns({"__ts": ts, "__dur": dur})
+    return (
+        staged.withColumns(
+            {
+                "brand": brand,
+                "width": width.cast("int"),
+                "height": height.cast("int"),
+                "duration_sec": F.when(
+                    F.col("__ts") > 0, F.expr("__dur div __ts")
+                ),
+            }
+        )
+        .drop("__bx", "__brand_cc", "__ispe", "__mvhd", "__ts", "__dur")
+    )
+
+
+def isobmff_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                          fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`isobmff_structure` — same aligned
+    locates (regexp prefix length), brand table, and version-aware
+    integer division."""
+    brand_whens = " ".join(
+        f"WHEN '{code}' THEN '{name}'" for code, name in ISOBMFF_BRANDS.items()
+    )
+
+    def pos(fourcc):
+        pat = "^((?:[0-9A-F]{2})*?)" + fourcc
+        return (f"CASE WHEN regexp_matches({h_col}, '{pat}') THEN "
+                f"length(regexp_extract({h_col}, '{pat}', 1)) + 1 END")
+
+    return f"""
+        WITH ib_s AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CASE WHEN {fmt_col} = 'mp4'
+                      THEN substring({h_col}, 17, 8) END AS brand_cc,
+                 CASE WHEN {fmt_col} = 'mp4' THEN {pos(_ISPE_HEX)} END AS ip,
+                 CASE WHEN {fmt_col} = 'mp4' THEN {pos(_MVHD_HEX)} END AS mp
+          FROM {src}
+        ), ib_v AS (
+          SELECT *, {_be_sql('h', 'mp + 8', 2)} AS ver FROM ib_s
+        ), ib_d AS (
+          SELECT *,
+                 CASE ver WHEN 0 THEN {_be_sql('h', 'mp + 32', 8)}
+                          WHEN 1 THEN {_be_sql('h', 'mp + 48', 8)} END AS ts,
+                 CASE ver WHEN 0 THEN {_be_sql('h', 'mp + 40', 8)}
+                          WHEN 1 THEN {_be_sql('h', 'mp + 56', 16)} END AS dur
+          FROM ib_v
+        )
+        SELECT {keep}, fmt,
+               CASE WHEN length(brand_cc) = 8 THEN
+                 CASE brand_cc {brand_whens} ELSE 'other' END END AS brand,
+               CAST({_be_sql('h', 'ip + 16', 8)} AS INT) AS width,
+               CAST({_be_sql('h', 'ip + 24', 8)} AS INT) AS height,
+               CASE WHEN ts > 0 THEN dur // ts END AS duration_sec
+        FROM ib_d
+    """

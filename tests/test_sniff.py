@@ -473,3 +473,73 @@ def test_gif_structure_pins_and_replay(spark):
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
     )
+
+
+def _box(fourcc_hex, payload_hex):
+    size = 8 + len(payload_hex) // 2
+    return f"{size:08X}" + fourcc_hex + payload_hex
+
+
+def test_isobmff_structure_pins_and_replay(spark):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.operators.sniff import (
+        isobmff_structure,
+        isobmff_structure_sql,
+        sniff_case_sql,
+    )
+
+    def ftyp(brand_hex):
+        return _box("66747970", brand_hex + "00000000" + brand_hex)
+
+    ispe = _box("69737065", "00000000" + "00000280" + "000001E0")  # 640x480
+    mvhd_v0 = _box("6D766864",
+                   "00000000" + "00000000" + "00000000"
+                   + "000003E8" + "00007530")                      # 30 s
+    mvhd_v1 = _box("6D766864",
+                   "01000000" + "00" * 8 + "00" * 8
+                   + "000003E8" + "0000000000002EE0")              # 12 s
+    mvhd_ts0 = _box("6D766864",
+                    "00000000" + "00000000" + "00000000"
+                    + "00000000" + "00007530")                     # ts = 0
+    cases = {
+        "avif": ftyp("61766966") + ispe,
+        "heic": ftyp("68656963") + ispe,
+        "mp4_v0": ftyp("6D703432") + mvhd_v0,
+        "mp4_v1": ftyp("69736F6D") + mvhd_v1,
+        "mp4_ts0": ftyp("6D703431") + mvhd_ts0,
+        "unknown_brand": ftyp("58595A30"),
+        # 'ispe' spelled at a misaligned offset inside opaque data
+        "misaligned": ftyp("61766966") + _box(
+            "6D646174", "4" + "69737065" + "0" + "00" * 11),
+        "png": "89504E470D0A1A0A" + "0000000D49484452",
+    }
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    out = isobmff_structure(df.select("name", F.unhex("hx").alias("bytes")))
+    got = {r.name: (r.brand, r.width, r.height, r.duration_sec)
+           for r in out.collect()}
+    assert got["avif"] == ("avif", 640, 480, None)
+    assert got["heic"] == ("heic", 640, 480, None)
+    assert got["mp4_v0"] == ("mp42", None, None, 30)
+    assert got["mp4_v1"] == ("isom", None, None, 12)
+    assert got["mp4_ts0"] == ("mp41", None, None, None)
+    assert got["unknown_brand"] == ("other", None, None, None)
+    assert got["misaligned"] == ("avif", None, None, None)
+    assert got["png"] == (None, None, None, None)
+    # replay
+    spark_pdf = (
+        out.select("name", "fmt", "brand", "width", "height", "duration_sec")
+        .toPandas().sort_values("name").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases.items(), columns=["name", "h"]))
+    staged = f"(SELECT name, h, {sniff_case_sql('h')} AS fmt FROM cases)"
+    duck_pdf = (
+        con.sql(isobmff_structure_sql(staged, keep="name")).df()
+        .sort_values("name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
