@@ -2937,6 +2937,90 @@ _ISOBMFF_CASES = [
 ]
 
 
+def q_url_resolve(spark, sf_dir):
+    """Relative-href resolution (urlnorm.resolve_url): the parse-time
+    step canonical_url defers to — absolute pass-through, scheme
+    filtering (javascript:/mailto: → NULL), protocol-/root-relative,
+    query-only, and RFC 3986 dot-segment removal with above-root
+    clamping, query part untouched. Cycled over nine href shapes per
+    doc."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".org/a/b/page"), sid, F.lit(".html"))
+    m = F.col("doc_id") % 9
+    href = (
+        F.when(m == 0, F.concat(F.lit("x"), sid, F.lit(".html")))
+        .when(m == 1, F.concat(F.lit("../up"), sid, F.lit(".html")))
+        .when(m == 2, F.concat(F.lit("../../../root"), sid, F.lit(".html")))
+        .when(m == 3, F.concat(F.lit("/abs/"), sid))
+        .when(m == 4, F.concat(F.lit("//cdn.org/i"), sid, F.lit(".png")))
+        .when(m == 5, F.concat(F.lit("?q="), sid))
+        .when(m == 6, F.lit("javascript:void(0)"))
+        .when(m == 7, F.concat(F.lit("a/./b/../c"), sid, F.lit(".html#f")))
+        .otherwise(F.lit("#frag"))
+    )
+    return docs.select(
+        "doc_id", base.alias("base"), href.alias("href"),
+        resolve_url(base, href).alias("resolved"),
+    )
+
+
+_OUTLINK_HTML_SPARK = None  # built inline below; oracle mirrors it
+
+
+def q_extract_outlinks(spark, sf_dir):
+    """HTML outlink extraction (webparse.extract_outlinks): the
+    generic-HTML frontier expansion source — every <a href> (quoted
+    or bare) resolved against the page URL, non-fetchable schemes
+    and self-fragments dropped, edges deduped. The reference expands
+    only through dblp's XML API; anchors are how a web-scale
+    frontier grows."""
+    from dblp_crawler_spark.sources.webparse import extract_outlinks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".org/dir/p"), sid, F.lit(".html"))
+    html = F.concat(
+        F.lit('<a href="n'), sid, F.lit('.html">a</a>'),
+        F.lit("<a href='/abs/"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("'>b</a>"),
+        F.lit("<a href=../up"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(">c</a>"),
+        F.lit('<a href="javascript:void(0)">d</a>'),
+        F.lit('<a href="#x">e</a>'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return extract_outlinks(pages)
+
+
+def q_extract_images(spark, sf_dir):
+    """<img>/srcset extraction (webparse.extract_images): the
+    image+caption PAIR source of this graft cell — alt text is the
+    caption the curation gates consume; srcset's widest candidate
+    (highest w, then x, then first) wins over src; data: URIs drop."""
+    from dblp_crawler_spark.sources.webparse import extract_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".org/g/p"), sid, F.lit(".html"))
+    html = F.concat(
+        F.lit('<img srcset="s'), sid, F.lit(".jpg 320w, l"), sid,
+        F.lit('.jpg 1280w" src="f'), sid, F.lit('.jpg" alt="cap '),
+        (F.col("doc_id") % 5).cast("string"), F.lit('">'),
+        F.lit('<img src="/i/'), sid, F.lit('.png">'),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit('<img srcset="lo.png 1x, hi.png 2x" alt=bare>'))
+        .otherwise(F.lit("")),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return extract_images(pages)
+
+
 def q_url_locale_hint(spark, sf_dir):
     """URL locale hints (urlnorm.url_locale_hint): ccTLD (country,
     kept separate from language), leading /xx/ or /xx-yy/ path
@@ -3693,6 +3777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404_detect": q_soft404_detect,
         "mirror_hosts": q_mirror_hosts,
         "isobmff_structure": q_isobmff_structure,
+        "url_resolve": q_url_resolve,
+        "extract_outlinks": q_extract_outlinks,
+        "extract_images": q_extract_images,
         "url_locale_hint": q_url_locale_hint,
         "embedding_quality": q_embedding_quality,
         "pipeline_warc_to_corpus": q_pipeline_warc_to_corpus,
@@ -4011,6 +4098,9 @@ def _portable_hash_oracles() -> dict[str, str]:
         "soft404_detect": _soft404_oracle(),
         "mirror_hosts": _mirror_hosts_oracle(),
         "isobmff_structure": _isobmff_oracle(),
+        "url_resolve": _url_resolve_oracle(),
+        "extract_outlinks": _outlinks_oracle(),
+        "extract_images": _images_oracle(),
         "url_locale_hint": _url_locale_oracle(),
         "embedding_quality": _embedding_quality_oracle(),
         "pipeline_warc_to_corpus": _warc_corpus_oracle(),
@@ -5284,6 +5374,77 @@ def _isobmff_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} ib_src)"
     return isobmff_structure_sql(staged)
+
+
+def _url_resolve_oracle() -> str:
+    """DuckDB replay of q_url_resolve."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    base = (f"'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org/a/b/page' "
+            f"|| {sid} || '.html'")
+    href = f"""CASE doc_id % 9
+        WHEN 0 THEN 'x' || {sid} || '.html'
+        WHEN 1 THEN '../up' || {sid} || '.html'
+        WHEN 2 THEN '../../../root' || {sid} || '.html'
+        WHEN 3 THEN '/abs/' || {sid}
+        WHEN 4 THEN '//cdn.org/i' || {sid} || '.png'
+        WHEN 5 THEN '?q=' || {sid}
+        WHEN 6 THEN 'javascript:void(0)'
+        WHEN 7 THEN 'a/./b/../c' || {sid} || '.html#f'
+        ELSE '#frag' END"""
+    return f"""
+        WITH ur_src AS (
+          SELECT doc_id, {base} AS base, {href} AS href FROM documents
+        )
+        SELECT doc_id, base, href,
+               {resolve_url_sql('base', 'href')} AS resolved
+        FROM ur_src
+    """
+
+
+def _outlinks_oracle() -> str:
+    """DuckDB replay of q_extract_outlinks."""
+    from dblp_crawler_spark.sources.webparse import extract_outlinks_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    html = (
+        f"'<a href=\"n' || {sid} || '.html\">a</a>'"
+        f" || '<a href=''/abs/' || CAST(doc_id % 7 AS VARCHAR) || '''>b</a>'"
+        f" || '<a href=../up' || CAST(doc_id % 5 AS VARCHAR) || '>c</a>'"
+        f" || '<a href=\"javascript:void(0)\">d</a>'"
+        f" || '<a href=\"#x\">e</a>'"
+    )
+    src = f"""(
+        SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org/dir/p'
+                 || {sid} || '.html' AS url,
+               {html} AS html
+        FROM documents
+    ) ol_src"""
+    return extract_outlinks_sql(src)
+
+
+def _images_oracle() -> str:
+    """DuckDB replay of q_extract_images."""
+    from dblp_crawler_spark.sources.webparse import extract_images_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    html = (
+        f"'<img srcset=\"s' || {sid} || '.jpg 320w, l' || {sid}"
+        f" || '.jpg 1280w\" src=\"f' || {sid} || '.jpg\" alt=\"cap '"
+        f" || CAST(doc_id % 5 AS VARCHAR) || '\">'"
+        f" || '<img src=\"/i/' || {sid} || '.png\">'"
+        f" || CASE WHEN doc_id % 3 = 0"
+        f" THEN '<img srcset=\"lo.png 1x, hi.png 2x\" alt=bare>'"
+        f" ELSE '' END"
+    )
+    src = f"""(
+        SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org/g/p'
+                 || {sid} || '.html' AS url,
+               {html} AS html
+        FROM documents
+    ) ei_src"""
+    return extract_images_sql(src)
 
 
 def _url_locale_oracle() -> str:

@@ -341,3 +341,128 @@ def url_locale_hint_sql(expr: str) -> dict[str, str]:
         "query_lang": qlang,
         "lang_hint": f"coalesce({plang}, {qlang})",
     }
+
+
+# ---- relative-href resolution -----------------------------------------------
+
+#: bounded '../' collapse depth — deeper chains clamp to the root
+#: (RFC 3986 clamps above-root dot-segments to '/' anyway).
+RESOLVE_MAX_UPLEVELS = 4
+_ABS_SCHEME_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*:"
+# a path segment that is NOT '.' or '..' (RE2-safe — no lookaround,
+# shared verbatim by Spark and the DuckDB replay)
+_SEG = "([^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
+
+
+def _dot_normalize(path: Column) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal, bounded: './' runs and up
+    to RESOLVE_MAX_UPLEVELS of '../' (deeper clamps to root)."""
+    out = path
+    for _ in range(2):
+        out = F.regexp_replace(out, "(^|/)\\./", "$1")
+    out = F.regexp_replace(out, "/\\.$", "/")
+    for _ in range(RESOLVE_MAX_UPLEVELS):
+        out = F.regexp_replace(out, "(^|/)" + _SEG + "/\\.\\./", "$1")
+    out = F.regexp_replace(out, "(^|/)" + _SEG + "/\\.\\.$", "$1")
+    out = F.regexp_replace(out, "(/\\.\\.)+/", "/")
+    return F.regexp_replace(out, "(/\\.\\.)+$", "/")
+
+
+def _dot_normalize_sql(expr: str) -> str:
+    out = expr
+    for _ in range(2):
+        out = f"regexp_replace({out}, '(^|/)\\./', '\\1', 'g')"
+    out = f"regexp_replace({out}, '/\\.$', '/')"
+    for _ in range(RESOLVE_MAX_UPLEVELS):
+        out = f"regexp_replace({out}, '(^|/){_SEG}/\\.\\./', '\\1', 'g')"
+    out = f"regexp_replace({out}, '(^|/){_SEG}/\\.\\.$', '\\1')"
+    out = f"regexp_replace({out}, '(/\\.\\.)+/', '/', 'g')"
+    return f"regexp_replace({out}, '(/\\.\\.)+$', '/')"
+
+
+def resolve_url(base: Column | str, href: Column | str) -> Column:
+    """Resolve an href found in a page against the page's absolute
+    URL — the parse-time step :func:`canonical_url` defers to (its
+    docstring: "relative hrefs are resolved upstream, at parse time,
+    where the base URL is known").
+
+    Covers the cases a link extractor meets: absolute http(s)
+    (passed through), other schemes (javascript:, mailto:, data:,
+    tel: — NULL, not fetchable), protocol-relative ``//host/p``
+    (base scheme), root-relative ``/p``, query-only ``?q``, and
+    path-relative (joined to the base directory, then RFC 3986
+    §5.2.4 dot-segment removal: './' dropped, '../' collapsed up to
+    RESOLVE_MAX_UPLEVELS deep, above-root clamped to '/'). Fragments
+    are stripped first; an empty or fragment-only href is NULL (a
+    self-reference, not an outlink). Dot normalization runs on the
+    path part only — the query is split off first and reattached, so
+    a query containing literal dot-segments is never rewritten.
+    Pure expressions, RE2-safe patterns shared verbatim with the
+    DuckDB twin."""
+    b = _strip_ws(F.col(base) if isinstance(base, str) else base)
+    h = _strip_ws(F.col(href) if isinstance(href, str) else href)
+    h = F.regexp_replace(h, "#.*$", "")
+
+    scheme = F.lower(F.regexp_extract(b, "^([a-z][a-z0-9+.-]*)://", 1))
+    origin = F.regexp_extract(b, "^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+    bp = F.regexp_extract(b, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    bdir0 = F.regexp_replace(bp, "[^/]*$", "")
+    bdir = F.when(bdir0 == "", F.lit("/")).otherwise(bdir0)
+    bfile = F.when(bp == "", F.lit("/")).otherwise(bp)
+
+    joined = (
+        F.when(h.rlike("^(?i)https?://"), h)
+        .when(h.rlike(_ABS_SCHEME_RE), F.lit(None).cast("string"))
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .when(h.startswith("?"), F.concat(origin, bfile, h))
+        .when(h == "", F.lit(None).cast("string"))
+        .otherwise(F.concat(origin, bdir, h))
+    )
+    # dot-normalize the path only: the origin is split off first so
+    # above-root '../' chains clamp at '/' instead of eating the
+    # authority, and the query is reattached untouched
+    jorigin = F.regexp_extract(joined, "(?i)^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+    jrest = F.regexp_replace(joined, "(?i)^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    ppart = F.regexp_extract(jrest, "^([^?]*)", 1)
+    qpart = F.when(
+        jrest.contains("?"),
+        F.concat(F.lit("?"), F.regexp_replace(jrest, "^[^?]*\\?", "")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        joined.isNotNull(), F.concat(jorigin, _dot_normalize(ppart), qpart)
+    )
+
+
+def resolve_url_sql(base_expr: str, href_expr: str) -> str:
+    """DuckDB fragment computing exactly ``resolve_url(base, href)``
+    — same RE2-safe patterns, DuckDB's 'g' flag supplying the global
+    semantics Spark's regexp_replace has by default."""
+    b = (f"regexp_replace(regexp_replace({base_expr}, '^\\s+', ''), "
+         f"'\\s+$', '')")
+    h0 = (f"regexp_replace(regexp_replace({href_expr}, '^\\s+', ''), "
+          f"'\\s+$', '')")
+    h = f"regexp_replace({h0}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({b}, '^([a-z][a-z0-9+.-]*)://', 1))"
+    origin = f"regexp_extract({b}, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1)"
+    bp = f"regexp_extract({b}, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    bdir0 = f"regexp_replace({bp}, '[^/]*$', '')"
+    bdir = f"CASE WHEN {bdir0} = '' THEN '/' ELSE {bdir0} END"
+    bfile = f"CASE WHEN {bp} = '' THEN '/' ELSE {bp} END"
+    joined = f"""CASE
+        WHEN regexp_matches({h}, '^(?i)https?://') THEN {h}
+        WHEN regexp_matches({h}, '{_ABS_SCHEME_RE}') THEN NULL
+        WHEN starts_with({h}, '//') THEN {scheme} || ':' || {h}
+        WHEN starts_with({h}, '/') THEN {origin} || {h}
+        WHEN starts_with({h}, '?') THEN {origin} || {bfile} || {h}
+        WHEN {h} = '' THEN NULL
+        ELSE {origin} || {bdir} || {h} END"""
+    jorigin = (f"regexp_extract(({joined}), "
+               f"'(?i)^([a-z][a-z0-9+.-]*://[^/?#]*)', 1)")
+    jrest = (f"regexp_replace(({joined}), "
+             f"'(?i)^[a-z][a-z0-9+.-]*://[^/?#]*', '')")
+    ppart = f"regexp_extract(({jrest}), '^([^?]*)', 1)"
+    qpart = (f"CASE WHEN contains(({jrest}), '?') THEN '?' || "
+             f"regexp_replace(({jrest}), '^[^?]*\\?', '') ELSE '' END")
+    return (f"CASE WHEN ({joined}) IS NOT NULL THEN "
+            f"{jorigin} || {_dot_normalize_sql(ppart)} || {qpart} END")

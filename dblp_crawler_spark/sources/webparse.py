@@ -794,3 +794,195 @@ def sitemap_coverage_sql(declared: str, fetched: str,
                  AS coverage_pct
         FROM sc_j GROUP BY host
     """
+
+
+# ---- HTML link + image extraction -------------------------------------------
+
+# covers quoted AND bare attribute values; a quoted value stops at
+# its quote (excluded from the class). Documented limitation: a
+# quoted href containing literal whitespace truncates at the space —
+# such URLs are invalid unencoded anyway.
+_HREF_RE = r"""(?i)<a\s[^>]*?href\s*=\s*["']?([^"'\s>]+)"""
+_IMG_TAG_RE = r"(?i)<img\s[^>]*>"
+# attribute preceded by whitespace/quote so data-src/data-srcset
+# never match, and srcset= never matches the src pattern
+_SRC_RE = r"""(?i)[\s"']src\s*=\s*["']?([^"'\s>]+)"""
+_SRCSET_DQ_RE = r"""(?i)[\s"']srcset\s*=\s*"([^"]*)\""""
+_SRCSET_SQ_RE = r"""(?i)[\s"']srcset\s*=\s*'([^']*)'"""
+_ALT_DQ_RE = r"""(?i)[\s"']alt\s*=\s*"([^"]*)\""""
+_ALT_SQ_RE = r"""(?i)[\s"']alt\s*=\s*'([^']*)'"""
+
+
+def extract_outlinks(pages: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """(page url, out_url) for every <a href> in the page, resolved
+    against the page URL — the generic-HTML frontier expansion source
+    (the reference expands through dblp's XML API only,
+    `/root/reference/dblp_crawler/crawler.py`; a web-scale frontier
+    grows from anchors). Non-fetchable schemes and fragment-only
+    hrefs drop (resolve_url → NULL); duplicates collapse so the
+    frontier sees each edge once. Pure regexp_extract_all + explode —
+    map-side until the final distinct."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url
+
+    hrefs = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1))
+        ).alias("__href"),
+    )
+    out = hrefs.select(
+        "url", resolve_url("url", "__href").alias("out_url")
+    ).where(F.col("out_url").isNotNull())
+    return out.distinct()
+
+
+def extract_outlinks_sql(src: str, url_col: str = "url",
+                         html_col: str = "html") -> str:
+    """DuckDB replay of :func:`extract_outlinks`."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+
+    esc = _HREF_RE.replace("'", "''")
+    return f"""
+        WITH ol_h AS (
+          SELECT {url_col} AS url,
+                 unnest(regexp_extract_all({html_col}, '{esc}', 1)) AS __href
+          FROM {src}
+        )
+        SELECT DISTINCT url, out_url FROM (
+          SELECT url, {resolve_url_sql('url', '__href')} AS out_url FROM ol_h
+        ) WHERE out_url IS NOT NULL
+    """
+
+
+def extract_images(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """One row per <img> tag: (url, tag_idx, img_url, alt,
+    width_hint) — the image+caption PAIR source of this graft cell
+    (alt text is the caption a curation pipeline gates and aligns).
+
+    srcset is honored: candidates split on ',', each parsed for its
+    'Nw' width or 'Nx' density descriptor, and the WIDEST candidate
+    wins (highest w, then highest x, then first listed — the
+    largest-asset rule an image harvester wants); a tag with no
+    srcset falls back to src. Candidate URLs resolve against the
+    page URL; tags whose winner is unresolvable (data:, javascript:)
+    drop. Shapes: regexp over the page (map-side), posexplode per
+    candidate, ONE (url, tag_idx)-keyed window to pick the winner —
+    no shuffle touches the page HTML itself, only the slim candidate
+    rows."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url
+
+    tags = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_IMG_TAG_RE), F.lit(0))
+        ).alias("tag_idx", "__tag"),
+    )
+    t = F.col("__tag")
+    srcset = F.coalesce(
+        F.nullif(F.regexp_extract(t, _SRCSET_DQ_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(t, _SRCSET_SQ_RE, 1), F.lit("")),
+    )
+    attrs = tags.withColumns(
+        {
+            "__src": F.nullif(F.regexp_extract(t, _SRC_RE, 1), F.lit("")),
+            "__srcset": srcset,
+            "alt": F.coalesce(
+                F.nullif(F.regexp_extract(t, _ALT_DQ_RE, 1), F.lit("")),
+                F.nullif(F.regexp_extract(t, _ALT_SQ_RE, 1), F.lit("")),
+            ),
+        }
+    )
+    cands = attrs.select(
+        "url", "tag_idx", "alt",
+        F.posexplode(
+            F.when(F.col("__srcset").isNotNull(),
+                   F.split(F.col("__srcset"), ","))
+            .otherwise(F.array(F.coalesce(F.col("__src"), F.lit("")))),
+        ).alias("pos", "__cand"),
+    ).withColumn("__cand", F.trim(F.col("__cand")))
+    c = F.col("__cand")
+    parsed = cands.withColumns(
+        {
+            "__curl": F.regexp_extract(c, r"^(\S+)", 1),
+            "__w": F.nullif(F.regexp_extract(c, r"\s(\d+)w$", 1),
+                            F.lit("")).cast("long"),
+            "__x": F.nullif(F.regexp_extract(c, r"\s(\d+(?:\.\d+)?)x$", 1),
+                            F.lit("")).cast("double"),
+        }
+    )
+    w = Window.partitionBy("url", "tag_idx").orderBy(
+        F.desc_nulls_last("__w"), F.desc_nulls_last("__x"), F.asc("pos")
+    )
+    best = (
+        parsed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    out = best.select(
+        "url", "tag_idx",
+        resolve_url("url", "__curl").alias("img_url"),
+        "alt",
+        F.col("__w").cast("int").alias("width_hint"),
+    )
+    return out.where(F.col("img_url").isNotNull())
+
+
+def extract_images_sql(src: str, url_col: str = "url",
+                       html_col: str = "html") -> str:
+    """DuckDB replay of :func:`extract_images` — same regexes, same
+    widest-candidate window."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+
+    def esc(p):
+        return p.replace("'", "''")
+
+    return f"""
+        WITH ei_t AS (
+          SELECT {url_col} AS url, CAST(t.tag_idx - 1 AS INT) AS tag_idx, t.tag
+          FROM {src},
+               LATERAL (SELECT unnest(regexp_extract_all({html_col},
+                          '{esc(_IMG_TAG_RE)}', 0)) AS tag,
+                        generate_subscripts(regexp_extract_all({html_col},
+                          '{esc(_IMG_TAG_RE)}', 0), 1) AS tag_idx) t
+        ), ei_a AS (
+          SELECT url, tag_idx,
+                 NULLIF(regexp_extract(tag, '{esc(_SRC_RE)}', 1), '') AS s,
+                 COALESCE(
+                   NULLIF(regexp_extract(tag, '{esc(_SRCSET_DQ_RE)}', 1), ''),
+                   NULLIF(regexp_extract(tag, '{esc(_SRCSET_SQ_RE)}', 1), '')
+                 ) AS ss,
+                 COALESCE(
+                   NULLIF(regexp_extract(tag, '{esc(_ALT_DQ_RE)}', 1), ''),
+                   NULLIF(regexp_extract(tag, '{esc(_ALT_SQ_RE)}', 1), '')
+                 ) AS alt
+          FROM ei_t
+        ), ei_c AS (
+          SELECT url, tag_idx, alt, c.pos - 1 AS pos, trim(c.cand) AS cand
+          FROM ei_a,
+               LATERAL (SELECT unnest(CASE WHEN ss IS NOT NULL
+                            THEN string_split(ss, ',')
+                            ELSE [COALESCE(s, '')] END) AS cand,
+                        generate_subscripts(CASE WHEN ss IS NOT NULL
+                            THEN string_split(ss, ',')
+                            ELSE [COALESCE(s, '')] END, 1) AS pos) c
+        ), ei_p AS (
+          SELECT url, tag_idx, alt, pos,
+                 regexp_extract(cand, '^(\\S+)', 1) AS curl,
+                 TRY_CAST(NULLIF(regexp_extract(cand, '\\s(\\d+)w$', 1), '')
+                          AS BIGINT) AS w,
+                 TRY_CAST(NULLIF(regexp_extract(cand,
+                          '\\s(\\d+(?:\\.\\d+)?)x$', 1), '')
+                          AS DOUBLE) AS x
+          FROM ei_c
+        ), ei_r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY url, tag_idx
+                 ORDER BY w DESC NULLS LAST, x DESC NULLS LAST, pos) AS rn
+          FROM ei_p
+        )
+        SELECT url, tag_idx,
+               {resolve_url_sql('url', 'curl')} AS img_url, alt,
+               CAST(w AS INT) AS width_hint
+        FROM ei_r WHERE rn = 1
+          AND ({resolve_url_sql('url', 'curl')}) IS NOT NULL
+    """
