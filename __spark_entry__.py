@@ -3021,6 +3021,148 @@ def q_extract_images(spark, sf_dir):
     return extract_images(pages)
 
 
+_PNG_DIM_HDR = "89504E470D0A1A0A" + "0000000D49484452"
+_ROLE_HEADERS = [
+    _PNG_DIM_HDR + "00000400" + "00000300" + "0802000000",  # 1024x768 content
+    _PNG_DIM_HDR + "000002D8" + "0000005A" + "0802000000",  # 728x90 banner
+    _PNG_DIM_HDR + "00000040" + "00000040" + "0802000000",  # 64x64 icon
+    _PNG_DIM_HDR + "000000A0" + "00000078" + "0802000000",  # 160x120 thumb
+]
+_PIXEL_HDR = _PNG_DIM_HDR + "00000001" + "00000001" + "0802000000"
+
+
+def q_image_role(spark, sf_dir):
+    """Image role routing (sniff.image_role_classify over
+    sniff.image_dims): tracking pixels, icons, banners, and
+    thumbnails pollute CLIP-style pairs yet sail through byte gates
+    — pure integer geometry over header dims (cross-multiplied
+    aspect tests), NULL dims routed to NULL, never silently
+    'content'. Planted: all five roles plus a junk payload."""
+    from dblp_crawler_spark.operators.sniff import (
+        image_dims,
+        image_role_classify,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    hexstr = F.lit("FFD8FF")                     # truncated jpeg → NULL dims
+    for i, hx in enumerate(_ROLE_HEADERS):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    hexstr = F.when(m == 4, F.lit(_PIXEL_HDR)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return image_role_classify(image_dims(imgs)).select(
+        "doc_id", "fmt", "width", "height", "role"
+    )
+
+
+def q_pdf_structure(spark, sf_dir):
+    """PDF routing tier (sniff.pdf_structure): version from the
+    fixed '%PDF-M.N' header, byte-aligned /Linearized and /Encrypt
+    dictionary hints (the linearization dict must sit in the first
+    1 KiB per spec; the encrypt ref normally lives in the trailer —
+    a documented hint, not an oracle of encryption)."""
+    from dblp_crawler_spark.operators.sniff import pdf_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    v17 = "255044462D312E370A"
+    lin = v17.replace("312E37", "312E34") + \
+        "3C3C202F4C696E6561726973"  # '<< /Linearis' — NOT the key
+    lin_real = v17.replace("312E37", "312E34") + "3C3C202F4C696E6561726" \
+        "97A65642031203E3E"
+    enc = v17.replace("312E37", "312E36") + "2F456E63727970742035"
+    m = F.col("doc_id") % 5
+    hexstr = (
+        F.when(m == 0, F.lit(v17))
+        .when(m == 1, F.lit(lin_real))
+        .when(m == 2, F.lit(enc))
+        .when(m == 3, F.lit(lin))
+        .otherwise(F.lit("89504E470D0A1A0A" + "0000000D49484452"))
+    )
+    pdfs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return pdf_structure(pdfs).select(
+        "doc_id", "fmt", "pdf_version", "linearized_hint", "encrypted_hint"
+    )
+
+
+def q_gzip_structure(spark, sf_dir):
+    """gzip member header (sniff.gzip_structure): MTIME provenance
+    (0 = no timestamp → NULL per RFC 1952), FNAME extracted only
+    when declared AND no variable-length FEXTRA shifts the offset,
+    printable-validated before decode."""
+    from dblp_crawler_spark.operators.sniff import gzip_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    named = ("1F8B0808" + "00CA9A65" + "0003"
+             + "64756D702E7761726300" + "AB")    # 'dump.warc\0'
+    unnamed = "1F8B0800" + "0094358D" + "0003" + "AB"
+    zero_mt = "1F8B0808" + "00000000" + "0003" + "612E74787400"
+    fextra = "1F8B080C" + "00A30959" + "0003" + "0200XXXX".replace("X", "0")
+    m = F.col("doc_id") % 5
+    hexstr = (
+        F.when(m == 0, F.lit(named))
+        .when(m == 1, F.lit(unnamed))
+        .when(m == 2, F.lit(zero_mt))
+        .when(m == 3, F.lit(fextra))
+        .otherwise(F.lit("89504E470D0A1A0A"))
+    )
+    blobs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return gzip_structure(blobs).select(
+        "doc_id", "fmt", "mtime", "has_fname", "fname"
+    )
+
+
+def q_pipeline_image_harvest(spark, sf_dir):
+    """Composed image+caption harvest in ONE plan — the integration
+    statement for this graft cell's axis B: HTML pages →
+    extract_images (srcset widest-candidate election, alt = caption)
+    → equi-join the fetched-bytes store on img_url → image_dims
+    (decode-free) → image_role_classify → admit only role='content'
+    WITH a caption. Every stage is an existing oracled operator; the
+    DuckDB replay chains the same fragments, so the pipeline is
+    verified as one unit. Page HTML and image blobs never shuffle
+    together — only the slim (url, img_url, alt) rows meet the
+    store."""
+    from dblp_crawler_spark.operators.sniff import (
+        image_dims,
+        image_role_classify,
+    )
+    from dblp_crawler_spark.sources.webparse import extract_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".org"))
+    url = F.concat(host, F.lit("/g/p"), sid, F.lit(".html"))
+    html = F.concat(
+        F.lit('<img srcset="s'), sid, F.lit(".jpg 320w, l"), sid,
+        F.lit('.jpg 1280w" src="f'), sid, F.lit('.jpg" alt="cap '),
+        (F.col("doc_id") % 5).cast("string"), F.lit('">'),
+        F.lit('<img src="/i/'), sid, F.lit('.png">'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    harvested = extract_images(pages)
+
+    m = F.col("doc_id") % 4
+    hero_hex = F.lit(_ROLE_HEADERS[0])
+    for i, hx in enumerate(_ROLE_HEADERS[1:], start=1):
+        hero_hex = F.when(m == i, F.lit(hx)).otherwise(hero_hex)
+    store = docs.select(
+        F.concat(host, F.lit("/g/l"), sid, F.lit(".jpg")).alias("img_url"),
+        F.unhex(hero_hex).alias("bytes"),
+    ).unionAll(
+        docs.select(
+            F.concat(host, F.lit("/i/"), sid, F.lit(".png")).alias("img_url"),
+            F.unhex(F.lit(_PIXEL_HDR)).alias("bytes"),
+        )
+    )
+    fetched = harvested.join(store, "img_url")
+    sized = image_role_classify(image_dims(fetched))
+    return (
+        sized.where((F.col("role") == "content") & F.col("alt").isNotNull())
+        .select("url", "img_url", "alt", "width", "height", "role")
+    )
+
+
 def q_url_locale_hint(spark, sf_dir):
     """URL locale hints (urlnorm.url_locale_hint): ccTLD (country,
     kept separate from language), leading /xx/ or /xx-yy/ path
@@ -3780,6 +3922,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_resolve": q_url_resolve,
         "extract_outlinks": q_extract_outlinks,
         "extract_images": q_extract_images,
+        "image_role": q_image_role,
+        "pdf_structure": q_pdf_structure,
+        "gzip_structure": q_gzip_structure,
+        "pipeline_image_harvest": q_pipeline_image_harvest,
         "url_locale_hint": q_url_locale_hint,
         "embedding_quality": q_embedding_quality,
         "pipeline_warc_to_corpus": q_pipeline_warc_to_corpus,
@@ -4101,6 +4247,10 @@ def _portable_hash_oracles() -> dict[str, str]:
         "url_resolve": _url_resolve_oracle(),
         "extract_outlinks": _outlinks_oracle(),
         "extract_images": _images_oracle(),
+        "image_role": _image_role_oracle(),
+        "pdf_structure": _pdf_structure_oracle(),
+        "gzip_structure": _gzip_structure_oracle(),
+        "pipeline_image_harvest": _image_harvest_oracle(),
         "url_locale_hint": _url_locale_oracle(),
         "embedding_quality": _embedding_quality_oracle(),
         "pipeline_warc_to_corpus": _warc_corpus_oracle(),
@@ -5374,6 +5524,126 @@ def _isobmff_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} ib_src)"
     return isobmff_structure_sql(staged)
+
+
+def _image_role_oracle() -> str:
+    """DuckDB replay of q_image_role."""
+    from dblp_crawler_spark.operators.sniff import (
+        image_dims_sql,
+        image_role_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_ROLE_HEADERS)
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 6{whens} WHEN 4 THEN '{_PIXEL_HDR}'
+                 ELSE 'FFD8FF' END AS h
+        FROM documents
+    )"""
+    fmt, w, h = image_dims_sql("h")
+    staged = (f"(SELECT doc_id, {fmt} AS fmt, CAST({w} AS INT) AS width, "
+              f"CAST({h} AS INT) AS height FROM {src} ir_src)")
+    return (f"SELECT doc_id, fmt, width, height, "
+            f"{image_role_sql()} AS role FROM {staged} ir_d")
+
+
+def _pdf_structure_oracle() -> str:
+    """DuckDB replay of q_pdf_structure."""
+    from dblp_crawler_spark.operators.sniff import (
+        pdf_structure_sql,
+        sniff_case_sql,
+    )
+
+    v17 = "255044462D312E370A"
+    lin = v17.replace("312E37", "312E34") + "3C3C202F4C696E6561726973"
+    lin_real = (v17.replace("312E37", "312E34")
+                + "3C3C202F4C696E656172697A65642031203E3E")
+    enc = v17.replace("312E37", "312E36") + "2F456E63727970742035"
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN '{v17}' WHEN 1 THEN '{lin_real}'
+                 WHEN 2 THEN '{enc}' WHEN 3 THEN '{lin}'
+                 ELSE '89504E470D0A1A0A0000000D49484452' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} pd_src)"
+    return pdf_structure_sql(staged)
+
+
+def _gzip_structure_oracle() -> str:
+    """DuckDB replay of q_gzip_structure."""
+    from dblp_crawler_spark.operators.sniff import (
+        gzip_structure_sql,
+        sniff_case_sql,
+    )
+
+    named = "1F8B0808" + "00CA9A65" + "0003" + "64756D702E7761726300" + "AB"
+    unnamed = "1F8B0800" + "0094358D" + "0003" + "AB"
+    zero_mt = "1F8B0808" + "00000000" + "0003" + "612E74787400"
+    fextra = "1F8B080C" + "00A30959" + "0003" + "02000000"
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN '{named}' WHEN 1 THEN '{unnamed}'
+                 WHEN 2 THEN '{zero_mt}' WHEN 3 THEN '{fextra}'
+                 ELSE '89504E470D0A1A0A' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} gz_src)"
+    return gzip_structure_sql(staged)
+
+
+def _image_harvest_oracle() -> str:
+    """DuckDB replay of q_pipeline_image_harvest — chains the same
+    fragments: extract_images_sql → store join → image_dims_sql →
+    image_role_sql → admission filter."""
+    from dblp_crawler_spark.operators.sniff import (
+        image_dims_sql,
+        image_role_sql,
+    )
+    from dblp_crawler_spark.sources.webparse import extract_images_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    host = "'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org'"
+    html = (
+        f"'<img srcset=\"s' || {sid} || '.jpg 320w, l' || {sid}"
+        f" || '.jpg 1280w\" src=\"f' || {sid} || '.jpg\" alt=\"cap '"
+        f" || CAST(doc_id % 5 AS VARCHAR) || '\">'"
+        f" || '<img src=\"/i/' || {sid} || '.png\">'"
+    )
+    pages = (f"(SELECT {host} || '/g/p' || {sid} || '.html' AS url, "
+             f"{html} AS html FROM documents) ih_pages")
+    hero_whens = "".join(
+        f" WHEN {i} THEN '{hx}'"
+        for i, hx in enumerate(_ROLE_HEADERS[1:], start=1)
+    )
+    store = f"""(
+        SELECT {host} || '/g/l' || {sid} || '.jpg' AS img_url,
+               CASE doc_id % 4{hero_whens}
+                 ELSE '{_ROLE_HEADERS[0]}' END AS h
+        FROM documents
+        UNION ALL
+        SELECT {host} || '/i/' || {sid} || '.png' AS img_url,
+               '{_PIXEL_HDR}' AS h
+        FROM documents
+    )"""
+    fmt, w, h = image_dims_sql("h")
+    return f"""
+        WITH ih_x AS ({extract_images_sql(pages)}),
+        ih_j AS (
+          SELECT x.url, x.img_url, x.alt, s.h
+          FROM ih_x x JOIN {store} s ON x.img_url = s.img_url
+        ), ih_d AS (
+          SELECT url, img_url, alt, {fmt} AS fmt,
+                 CAST({w} AS INT) AS width, CAST({h} AS INT) AS height
+          FROM ih_j
+        )
+        SELECT url, img_url, alt, width, height,
+               {image_role_sql()} AS role
+        FROM ih_d
+        WHERE ({image_role_sql()}) = 'content' AND alt IS NOT NULL
+    """
 
 
 def _url_resolve_oracle() -> str:

@@ -1479,3 +1479,192 @@ def isobmff_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                CASE WHEN ts > 0 THEN dur // ts END AS duration_sec
         FROM ib_d
     """
+
+
+# ---- image role classification ----------------------------------------------
+
+#: (role, rule) in priority order — first match wins. Pure integer
+#: geometry (cross-multiplied aspect tests, never a float divide).
+IMAGE_ROLE_ORDER = ["tracking_pixel", "icon", "banner", "thumbnail", "content"]
+
+
+def image_role_classify(df: DataFrame, width_col: str = "width",
+                        height_col: str = "height") -> DataFrame:
+    """Add `role` from header dims: the admission ROUTER an
+    image+caption pipeline needs before any decode — 1×1 tracking
+    pixels, chrome icons, and ad banners pollute CLIP-style training
+    sets yet sail through byte-level gates. Rules (first match):
+    tracking_pixel (both dims ≤ 2), icon (≤ 64×64 and aspect within
+    2:1 either way), banner (aspect ≥ 4:1 either way), thumbnail
+    (longest side ≤ 160), content otherwise; NULL dims → NULL role
+    (route to the unknown queue, never silently 'content'). Pure
+    projection over columns :func:`image_dims` already produced."""
+    w, h = F.col(width_col), F.col(height_col)
+    role = (
+        F.when(w.isNull() | h.isNull(), F.lit(None).cast("string"))
+        .when((w <= 2) & (h <= 2), "tracking_pixel")
+        .when((w <= 64) & (h <= 64) & (w <= 2 * h) & (h <= 2 * w), "icon")
+        .when((w >= 4 * h) | (h >= 4 * w), "banner")
+        .when(F.greatest(w, h) <= 160, "thumbnail")
+        .otherwise("content")
+    )
+    return df.withColumn("role", role)
+
+
+def image_role_sql(w: str = "width", h: str = "height") -> str:
+    """DuckDB fragment computing exactly ``image_role_classify``'s
+    role column."""
+    return f"""CASE
+        WHEN {w} IS NULL OR {h} IS NULL THEN NULL
+        WHEN {w} <= 2 AND {h} <= 2 THEN 'tracking_pixel'
+        WHEN {w} <= 64 AND {h} <= 64 AND {w} <= 2 * {h} AND {h} <= 2 * {w}
+          THEN 'icon'
+        WHEN {w} >= 4 * {h} OR {h} >= 4 * {w} THEN 'banner'
+        WHEN GREATEST({w}, {h}) <= 160 THEN 'thumbnail'
+        ELSE 'content' END"""
+
+
+# ---- PDF structure (decode-free) --------------------------------------------
+
+PDF_WINDOW_BYTES = 2048
+_PDF_LINEARIZED_HEX = "2F4C696E656172697A6564"   # '/Linearized'
+_PDF_ENCRYPT_HEX = "2F456E6372797074"            # '/Encrypt'
+
+
+def pdf_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, pdf_version, linearized_hint, encrypted_hint) from
+    the first 2 KiB — the routing tier for the web's most common
+    non-HTML document format: version gates parser choice,
+    linearized ('fast web view') files stream-parse, and encrypted
+    files go to a credentials queue instead of crashing a text
+    extractor. Version from the fixed '%PDF-M.N' header; the two
+    dictionary keys are byte-aligned containment HINTS (the
+    /Encrypt reference normally lives in the TRAILER at EOF — a
+    false negative here only means a later gate catches it; the
+    linearization dict, per spec, must sit in the first 1024 bytes,
+    so that hint is near-exact). Same caveat family as the GIF
+    NETSCAPE hint, documented."""
+    staged = df.withColumns(
+        {
+            "__px": F.hex(F.substring(F.col(bytes_col), 1, PDF_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__px")
+    is_pdf = F.col("fmt") == "pdf"
+    # '%PDF-' + digit '.' digit → hex 255044462D 3M 2E 3N
+    ver = F.when(
+        is_pdf & hx.rlike("^255044462D3[0-9]2E3[0-9]"),
+        F.concat(hx.substr(F.lit(12), F.lit(1)), F.lit("."),
+                 hx.substr(F.lit(16), F.lit(1))),
+    )
+    aligned = "^(?:[0-9A-F]{2})*"
+    return (
+        staged.withColumns(
+            {
+                "pdf_version": ver,
+                "linearized_hint": F.when(
+                    is_pdf, hx.rlike(aligned + _PDF_LINEARIZED_HEX)),
+                "encrypted_hint": F.when(
+                    is_pdf, hx.rlike(aligned + _PDF_ENCRYPT_HEX)),
+            }
+        )
+        .drop("__px")
+    )
+
+
+def pdf_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                      fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`pdf_structure`."""
+    aligned = "^(?:[0-9A-F]{2})*"
+    return f"""
+        SELECT {keep}, {fmt_col} AS fmt,
+               CASE WHEN {fmt_col} = 'pdf'
+                     AND regexp_matches({h_col}, '^255044462D3[0-9]2E3[0-9]')
+                    THEN substring({h_col}, 12, 1) || '.'
+                         || substring({h_col}, 16, 1) END AS pdf_version,
+               CASE WHEN {fmt_col} = 'pdf' THEN
+                 regexp_matches({h_col}, '{aligned}{_PDF_LINEARIZED_HEX}')
+               END AS linearized_hint,
+               CASE WHEN {fmt_col} = 'pdf' THEN
+                 regexp_matches({h_col}, '{aligned}{_PDF_ENCRYPT_HEX}')
+               END AS encrypted_hint
+        FROM {src}
+    """
+
+
+# ---- gzip member header ------------------------------------------------------
+
+GZIP_WINDOW_BYTES = 512
+# printable-ASCII hex pairs (0x20-0x7E) — the gate that makes the
+# fname decode safe
+_PRINTABLE_HEX_RE = "^(?:[2-6][0-9A-F]|7[0-9A-E])*$"
+
+
+def gzip_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, mtime, has_fname, fname) from the gzip member
+    header (RFC 1952) — provenance for the .gz members a WARC/dump
+    pipeline meets constantly: MTIME is the original file's epoch
+    seconds (0 = 'no timestamp' per spec → NULL), FNAME the original
+    file name. The name is extracted only when FLG declares it AND
+    no FEXTRA field precedes it (variable-length, would shift the
+    offset); the zero-terminated latin-1 run is found with the
+    aligned non-greedy prefix trick and validated printable-ASCII
+    before decoding. Truncated headers NULL-absorb."""
+    staged = df.withColumns(
+        {
+            "__gz": F.hex(F.substring(F.col(bytes_col), 1, GZIP_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__gz")
+    is_gz = F.col("fmt") == "gzip"
+    flg = F.when(is_gz, _hex2long(hx, F.lit(7), 2))
+    staged = staged.withColumn("__flg", flg)
+    flg = F.col("__flg")
+    mtime_raw = _le(hx, F.lit(9), 4)
+    mtime = F.when(mtime_raw > 0, mtime_raw)
+    has_fname = F.when(flg.isNotNull(), flg.bitwiseAND(F.lit(8)) == 8)
+    no_extra = flg.bitwiseAND(F.lit(4)) == 0
+    name_hex = F.regexp_extract(
+        hx, "^(?:[0-9A-F]{2}){10}((?:[0-9A-F]{2})*?)00", 1)
+    fname = F.when(
+        has_fname & no_extra & (name_hex != "")
+        & name_hex.rlike(_PRINTABLE_HEX_RE),
+        F.decode(F.unhex(name_hex), "UTF-8"),
+    )
+    return (
+        staged.withColumns(
+            {
+                "mtime": F.when(flg.isNotNull(), mtime).cast("long"),
+                "has_fname": has_fname,
+                "fname": fname,
+            }
+        )
+        .drop("__gz", "__flg")
+    )
+
+
+def gzip_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                       fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`gzip_structure`."""
+    flg = (f"CASE WHEN {fmt_col} = 'gzip' THEN "
+           f"TRY_CAST(concat('0x', substring({h_col}, 7, 2)) AS BIGINT) END")
+    name_hex = (f"regexp_extract({h_col}, "
+                f"'^(?:[0-9A-F]{{2}}){{10}}((?:[0-9A-F]{{2}})*?)00', 1)")
+    return f"""
+        WITH gz_s AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h, {flg} AS flg,
+                 {_le_sql(h_col, 9, 4)} AS mtime_raw, {name_hex} AS name_hex
+          FROM {src}
+        )
+        SELECT {keep}, fmt,
+               CAST(CASE WHEN flg IS NOT NULL AND mtime_raw > 0
+                    THEN mtime_raw END AS BIGINT) AS mtime,
+               CASE WHEN flg IS NOT NULL THEN (flg // 8) % 2 = 1 END AS has_fname,
+               CASE WHEN (flg // 8) % 2 = 1 AND (flg // 4) % 2 = 0
+                     AND name_hex <> ''
+                     AND regexp_matches(name_hex, '{_PRINTABLE_HEX_RE}')
+                    THEN decode(unhex(name_hex)) END AS fname
+        FROM gz_s
+    """

@@ -543,3 +543,141 @@ def test_isobmff_structure_pins_and_replay(spark):
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
     )
+
+
+def test_image_role_pins_and_replay(spark):
+    import duckdb
+    import pandas as pd
+
+    from dblp_crawler_spark.operators.sniff import (
+        image_role_classify,
+        image_role_sql,
+    )
+
+    cases = [
+        ("pix", 1, 1, "tracking_pixel"),
+        ("pix2", 2, 2, "tracking_pixel"),
+        ("icon", 32, 32, "icon"),
+        ("icon_rect", 64, 40, "icon"),
+        ("small_strip", 64, 10, "banner"),       # 64x10: icon aspect fails
+        ("banner", 728, 90, "banner"),
+        ("skyscraper", 120, 600, "banner"),
+        ("thumb", 160, 120, "thumbnail"),
+        ("photo", 1024, 768, "content"),
+        ("tallish", 200, 390, "content"),        # < 4:1, > 160
+        ("unknown", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(n, w, h) for n, w, h, _ in cases],
+        "name string, width int, height int")
+    got = {r.name: r.role for r in image_role_classify(df).collect()}
+    for n, _, _, want in cases:
+        assert got[n] == want, (n, got[n], want)
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(
+        [(n, w, h) for n, w, h, _ in cases],
+        columns=["name", "width", "height"]))
+    duck = {r[0]: r[1] for r in con.sql(
+        f"SELECT name, {image_role_sql()} FROM c").fetchall()}
+    assert duck == got
+
+
+def test_pdf_structure_pins_and_replay(spark):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.operators.sniff import (
+        pdf_structure,
+        pdf_structure_sql,
+        sniff_case_sql,
+    )
+
+    def pdf(ver, body=b""):
+        return (b"%PDF-" + ver.encode() + b"\n" + body).hex().upper()
+
+    cases = {
+        "v17": pdf("1.7"),
+        "v14_lin": pdf("1.4", b"1 0 obj\n<< /Linearized 1 >>"),
+        "v16_enc": pdf("1.6", b"trailer << /Encrypt 5 0 R >>"),
+        "junk_ver": (b"%PDF-x.y\n").hex().upper(),
+        "png": "89504E470D0A1A0A" + "0000000D49484452",
+        # '/Linearized' bytes at a misaligned offset must not hint
+        "misaligned": pdf("1.5") + "4" + "2F4C696E656172697A6564" + "0",
+    }
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    out = pdf_structure(df.select("name", F.unhex("hx").alias("bytes")))
+    got = {r.name: (r.pdf_version, r.linearized_hint, r.encrypted_hint)
+           for r in out.collect()}
+    assert got["v17"] == ("1.7", False, False)
+    assert got["v14_lin"] == ("1.4", True, False)
+    assert got["v16_enc"] == ("1.6", False, True)
+    assert got["junk_ver"] == (None, False, False)
+    assert got["png"] == (None, None, None)
+    assert got["misaligned"] == ("1.5", False, False)
+    spark_pdf = (
+        out.select("name", "fmt", "pdf_version", "linearized_hint",
+                   "encrypted_hint")
+        .toPandas().sort_values("name").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases.items(), columns=["name", "h"]))
+    staged = f"(SELECT name, h, {sniff_case_sql('h')} AS fmt FROM cases)"
+    duck_pdf = (
+        con.sql(pdf_structure_sql(staged, keep="name")).df()
+        .sort_values("name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
+
+
+def test_gzip_structure_pins_and_replay(spark):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dblp_crawler_spark.operators.sniff import (
+        gzip_structure,
+        gzip_structure_sql,
+        sniff_case_sql,
+    )
+
+    def gz(flg, mtime, tail=b""):
+        return ("1F8B08" + f"{flg:02X}"
+                + mtime.to_bytes(4, "little").hex().upper()
+                + "0003" + tail.hex().upper())
+
+    cases = {
+        "named": gz(0x08, 1700000000, b"dump.warc\x00payload"),
+        "unnamed": gz(0x00, 1600000000, b"payload"),
+        "zero_mtime": gz(0x08, 0, b"a.txt\x00x"),
+        "fextra_blocks_name": gz(0x0C, 1500000000, b"\x02\x00XXa.txt\x00"),
+        "unprintable_name": gz(0x08, 1500000000, b"\x01\x02\x00x"),
+        "truncated": "1F8B08",
+        "png": "89504E470D0A1A0A" + "0000000D49484452",
+    }
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    out = gzip_structure(df.select("name", F.unhex("hx").alias("bytes")))
+    got = {r.name: (r.mtime, r.has_fname, r.fname) for r in out.collect()}
+    assert got["named"] == (1700000000, True, "dump.warc")
+    assert got["unnamed"] == (1600000000, False, None)
+    assert got["zero_mtime"] == (None, True, "a.txt")
+    assert got["fextra_blocks_name"] == (1500000000, True, None)
+    assert got["unprintable_name"] == (1500000000, True, None)
+    assert got["truncated"] == (None, None, None)
+    assert got["png"] == (None, None, None)
+    spark_pdf = (
+        out.select("name", "fmt", "mtime", "has_fname", "fname")
+        .toPandas().sort_values("name").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases.items(), columns=["name", "h"]))
+    staged = f"(SELECT name, h, {sniff_case_sql('h')} AS fmt FROM cases)"
+    duck_pdf = (
+        con.sql(gzip_structure_sql(staged, keep="name")).df()
+        .sort_values("name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
