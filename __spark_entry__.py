@@ -3163,6 +3163,52 @@ def q_pipeline_image_harvest(spark, sf_dir):
     )
 
 
+def q_host_language_profile(spark, sf_dir):
+    """Per-host language mix (hostdup.host_language_profile over the
+    oracled lang_id classifier): dominant language + share and
+    Shannon entropy per host — a host mixing many languages across
+    thin pages is the scraped-content-farm shape, and a
+    claimed-locale host dominated by another language routes to the
+    wrong corpus. One (host, lang) rollup; deterministic dominance
+    tie-break (count desc, lang asc)."""
+    from dblp_crawler_spark.operators.hostdup import host_language_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string")).alias("host"),
+        T.lang_id("text").alias("lang"),
+    )
+    return host_language_profile(pages)
+
+
+def q_hreflang_alternates(spark, sf_dir):
+    """Publisher-declared translation graph
+    (webparse.hreflang_alternates): <link hreflang> pairs, attribute
+    order free, values quoted or bare, hreflang lowercased,
+    x-default kept literal, hrefs resolved against the page.
+    Multilingual curation keys on it twice: translations must NOT
+    near-dedup into one row, and alternates of admitted pages are
+    free frontier candidates for the other language pipelines."""
+    from dblp_crawler_spark.sources.webparse import hreflang_alternates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".org/en/p"), sid, F.lit(".html"))
+    html = F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="/en/p'), sid,
+        F.lit('.html">'),
+        F.lit("<link href='/de/p"), sid,
+        F.lit(".html' hreflang='DE' rel='alternate'>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("<link hreflang=fr href=../fr/p"), sid,
+                        F.lit(".html>"))).otherwise(F.lit("")),
+        F.lit('<link rel="stylesheet" href="/css/m.css">'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return hreflang_alternates(pages)
+
+
 def q_url_locale_hint(spark, sf_dir):
     """URL locale hints (urlnorm.url_locale_hint): ccTLD (country,
     kept separate from language), leading /xx/ or /xx-yy/ path
@@ -3926,6 +3972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_structure": q_pdf_structure,
         "gzip_structure": q_gzip_structure,
         "pipeline_image_harvest": q_pipeline_image_harvest,
+        "host_language_profile": q_host_language_profile,
+        "hreflang_alternates": q_hreflang_alternates,
         "url_locale_hint": q_url_locale_hint,
         "embedding_quality": q_embedding_quality,
         "pipeline_warc_to_corpus": q_pipeline_warc_to_corpus,
@@ -4251,6 +4299,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "pdf_structure": _pdf_structure_oracle(),
         "gzip_structure": _gzip_structure_oracle(),
         "pipeline_image_harvest": _image_harvest_oracle(),
+        "host_language_profile": _host_lang_profile_oracle(),
+        "hreflang_alternates": _hreflang_oracle(),
         "url_locale_hint": _url_locale_oracle(),
         "embedding_quality": _embedding_quality_oracle(),
         "pipeline_warc_to_corpus": _warc_corpus_oracle(),
@@ -5644,6 +5694,46 @@ def _image_harvest_oracle() -> str:
         FROM ih_d
         WHERE ({image_role_sql()}) = 'content' AND alt IS NOT NULL
     """
+
+
+def _host_lang_profile_oracle() -> str:
+    """DuckDB replay of q_host_language_profile — chains the
+    text_lang_id classifier fragment into host_language_profile_sql."""
+    from dblp_crawler_spark.operators.hostdup import host_language_profile_sql
+
+    lang_case = f"""CASE
+        WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
+        WHEN len({_TOK}) > 0 AND
+             len(list_filter({_TOK}, t -> list_contains(['{SW_LIST}'], t)))::DOUBLE
+             / len({_TOK}) >= 0.05 THEN 'en'
+        ELSE 'unk' END"""
+    src = (f"(SELECT 'h' || CAST(doc_id % 8 AS VARCHAR) AS host, "
+           f"{lang_case} AS lang FROM documents)")
+    return host_language_profile_sql(src)
+
+
+def _hreflang_oracle() -> str:
+    """DuckDB replay of q_hreflang_alternates."""
+    from dblp_crawler_spark.sources.webparse import hreflang_alternates_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    html = (
+        f"'<link rel=\"alternate\" hreflang=\"en\" href=\"/en/p' || {sid}"
+        f" || '.html\">'"
+        f" || '<link href=''/de/p' || {sid}"
+        f" || '.html'' hreflang=''DE'' rel=''alternate''>'"
+        f" || CASE WHEN doc_id % 3 = 0 THEN"
+        f" '<link hreflang=fr href=../fr/p' || {sid} || '.html>'"
+        f" ELSE '' END"
+        f" || '<link rel=\"stylesheet\" href=\"/css/m.css\">'"
+    )
+    src = f"""(
+        SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org/en/p'
+                 || {sid} || '.html' AS url,
+               {html} AS html
+        FROM documents
+    ) ha_src"""
+    return hreflang_alternates_sql(src)
 
 
 def _url_resolve_oracle() -> str:

@@ -158,3 +158,63 @@ def mirror_host_pairs_sql(src: str, host_col: str = "host",
         WHERE s.shared >= {min_shared}
           AND s.shared * 1000 >= {tau_milli} * LEAST(sa.n, sb.n)
     """
+
+
+def host_language_profile(pages: DataFrame, host_col: str = "host",
+                          lang_col: str = "lang") -> DataFrame:
+    """Per-host language mix: (host, n_pages, n_langs, dominant_lang,
+    dominant_share, lang_entropy) — the multilingual spam signal a
+    per-doc language ID misses. A legitimate site is monolingual or
+    cleanly split; a host mixing many languages across thin pages is
+    the classic keyword-stuffing / scraped-content farm shape, and a
+    claimed-locale host dominated by another language routes to the
+    wrong corpus.
+
+    One (host, lang) rollup feeds everything; the dominant language
+    is elected with a deterministic tie-break (highest count, then
+    lexicographically first) via a host-keyed window sharing the
+    rollup's exchange; entropy is Shannon bits over the language
+    distribution, rounded to 4 (both engines compute the identical
+    double expression)."""
+    from pyspark.sql import Window
+
+    hist = pages.groupBy(host_col, lang_col).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(host_col).orderBy(F.desc("n"), F.asc(lang_col))
+    tot = Window.partitionBy(host_col)
+    enriched = (
+        hist.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__total", F.sum("n").over(tot))
+    )
+    p = F.col("n") / F.col("__total")
+    return (
+        enriched.groupBy(host_col)
+        .agg(
+            F.max("__total").alias("n_pages"),
+            F.count("*").alias("n_langs"),
+            F.max(F.when(F.col("__rn") == 1, F.col(lang_col))).alias("dominant_lang"),
+            F.round(F.max(F.when(F.col("__rn") == 1, p)), 4).alias("dominant_share"),
+            F.round(F.sum(-p * F.log2(p)), 4).alias("lang_entropy"),
+        )
+    )
+
+
+def host_language_profile_sql(src: str, host_col: str = "host",
+                              lang_col: str = "lang") -> str:
+    """DuckDB replay of :func:`host_language_profile`."""
+    return f"""
+        WITH hl_hist AS (
+          SELECT {host_col} AS host, {lang_col} AS lang, COUNT(*) AS n
+          FROM {src} GROUP BY 1, 2
+        ), hl_e AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                   ORDER BY n DESC, lang) AS rn,
+                 SUM(n) OVER (PARTITION BY host) AS total
+          FROM hl_hist
+        )
+        SELECT host, MAX(total) AS n_pages, COUNT(*) AS n_langs,
+               MAX(CASE WHEN rn = 1 THEN lang END) AS dominant_lang,
+               ROUND(MAX(CASE WHEN rn = 1 THEN n / total END), 4)
+                 AS dominant_share,
+               ROUND(SUM(-(n / total) * log2(n / total)), 4) AS lang_entropy
+        FROM hl_e GROUP BY host
+    """

@@ -986,3 +986,73 @@ def extract_images_sql(src: str, url_col: str = "url",
         FROM ei_r WHERE rn = 1
           AND ({resolve_url_sql('url', 'curl')}) IS NOT NULL
     """
+
+
+_LINK_TAG_RE = r"(?i)<link\s[^>]*>"
+_HREFLANG_RE = r"""(?i)[\s"']hreflang\s*=\s*["']?([^"'\s>]+)"""
+_LINK_HREF_RE = r"""(?i)[\s"']href\s*=\s*["']?([^"'\s>]+)"""
+
+
+def hreflang_alternates(pages: DataFrame, url_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """(url, hreflang, alt_url) for every <link hreflang=...> —
+    the publisher-declared translation graph. Multilingual curation
+    keys on it twice: near-dedup must NOT collapse translations of
+    one page (they are distinct corpus rows for different language
+    pipelines), and the alternates of an admitted page are free
+    high-precision frontier candidates for the other language
+    pipelines. Attribute order free (hreflang before or after href),
+    quoted or bare values, hreflang lowercased ('x-default' kept
+    literal), hrefs resolved against the page URL, unresolvable
+    targets dropped. Same map-side regexp + explode shape as the
+    outlink extractor."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url
+
+    tags = pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_LINK_TAG_RE), F.lit(0))
+        ).alias("__tag"),
+    )
+    t = F.col("__tag")
+    parsed = tags.select(
+        "url",
+        F.lower(F.nullif(F.regexp_extract(t, _HREFLANG_RE, 1),
+                         F.lit(""))).alias("hreflang"),
+        F.nullif(F.regexp_extract(t, _LINK_HREF_RE, 1), F.lit("")).alias("__href"),
+    ).where(F.col("hreflang").isNotNull() & F.col("__href").isNotNull())
+    out = parsed.select(
+        "url", "hreflang", resolve_url("url", "__href").alias("alt_url")
+    )
+    return out.where(F.col("alt_url").isNotNull()).distinct()
+
+
+def hreflang_alternates_sql(src: str, url_col: str = "url",
+                            html_col: str = "html") -> str:
+    """DuckDB replay of :func:`hreflang_alternates`."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+
+    def esc(p):
+        return p.replace("'", "''")
+
+    return f"""
+        WITH ha_t AS (
+          SELECT {url_col} AS url,
+                 unnest(regexp_extract_all({html_col},
+                   '{esc(_LINK_TAG_RE)}', 0)) AS tag
+          FROM {src}
+        ), ha_p AS (
+          SELECT url,
+                 lower(NULLIF(regexp_extract(tag, '{esc(_HREFLANG_RE)}', 1),
+                              '')) AS hreflang,
+                 NULLIF(regexp_extract(tag, '{esc(_LINK_HREF_RE)}', 1), '')
+                   AS __href
+          FROM ha_t
+        )
+        SELECT DISTINCT url, hreflang, alt_url FROM (
+          SELECT url, hreflang,
+                 {resolve_url_sql('url', '__href')} AS alt_url
+          FROM ha_p
+          WHERE hreflang IS NOT NULL AND __href IS NOT NULL
+        ) WHERE alt_url IS NOT NULL
+    """

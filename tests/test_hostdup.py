@@ -126,3 +126,40 @@ def test_mirror_no_cartesian_plan(spark):
     plan = mirror_host_pairs(sdf)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_host_language_profile_pins_and_replay(spark):
+    import math
+
+    from dblp_crawler_spark.operators.hostdup import (
+        host_language_profile,
+        host_language_profile_sql,
+    )
+
+    rows = (
+        [("a", "en")] * 8 + [("a", "de")] * 2        # clean: en dominant
+        + [("b", "en")] * 3 + [("b", "de")] * 3      # tie → 'de' (lex first)
+        + [("c", "en"), ("c", "de"), ("c", "fr"), ("c", "zh")]  # farm shape
+    )
+    df = spark.createDataFrame(rows, "host string, lang string")
+    got = {r.host: r for r in host_language_profile(df).collect()}
+    assert (got["a"].n_pages, got["a"].n_langs) == (10, 2)
+    assert got["a"].dominant_lang == "en" and got["a"].dominant_share == 0.8
+    ent_a = -(0.8 * math.log2(0.8) + 0.2 * math.log2(0.2))
+    assert got["a"].lang_entropy == round(ent_a, 4)
+    assert got["b"].dominant_lang == "de" and got["b"].dominant_share == 0.5
+    assert got["b"].lang_entropy == 1.0
+    assert got["c"].n_langs == 4 and got["c"].lang_entropy == 2.0
+    # replay
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("pages", pd.DataFrame(rows, columns=["host", "lang"]))
+    spark_pdf = (host_language_profile(df).toPandas()
+                 .sort_values("host").reset_index(drop=True))
+    duck_pdf = (con.sql(host_language_profile_sql("pages")).df()
+                .sort_values("host").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )

@@ -113,3 +113,41 @@ def test_extract_replays(spark):
     dki = (con.sql(extract_images_sql("pages")).df()
            .sort_values(["url", "tag_idx"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(spi, dki[spi.columns], check_dtype=False)
+
+
+def test_hreflang_alternates_pins_and_replay(spark):
+    from dblp_crawler_spark.sources.webparse import (
+        hreflang_alternates,
+        hreflang_alternates_sql,
+    )
+
+    html = (
+        '<link rel="alternate" hreflang="en" href="https://a.org/en/p">'
+        "<link href='/de/p' hreflang='DE' rel='alternate'>"   # order + case
+        '<link hreflang=fr href=fr/p>'                        # bare values
+        '<link rel="alternate" hreflang="x-default" href="/p">'
+        '<link rel="stylesheet" href="/css/m.css">'           # no hreflang
+        '<link hreflang="es" href="javascript:x">'            # unresolvable
+    )
+    df = spark.createDataFrame(
+        [("https://a.org/de/page.html", html)], "url string, html string")
+    got = {(r.hreflang, r.alt_url) for r in hreflang_alternates(df).collect()}
+    assert got == {
+        ("en", "https://a.org/en/p"),
+        ("de", "https://a.org/de/p"),
+        ("fr", "https://a.org/de/fr/p"),
+        ("x-default", "https://a.org/p"),
+    }
+    import duckdb
+    import pandas as pd
+
+    pages = [(f"https://h{i % 3}.org/x/p{i}.html", html if i % 2 else "<p>n</p>")
+             for i in range(8)]
+    dfm = spark.createDataFrame(pages, "url string, html string")
+    con = duckdb.connect()
+    con.register("pages", pd.DataFrame(pages, columns=["url", "html"]))
+    sp = (hreflang_alternates(dfm).toPandas()
+          .sort_values(["url", "hreflang", "alt_url"]).reset_index(drop=True))
+    dk = (con.sql(hreflang_alternates_sql("pages")).df()
+          .sort_values(["url", "hreflang", "alt_url"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(sp, dk[sp.columns], check_dtype=False)
