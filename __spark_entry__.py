@@ -3209,6 +3209,95 @@ def q_hreflang_alternates(spark, sf_dir):
     return hreflang_alternates(pages)
 
 
+def q_pipeline_frontier_plan(spark, sf_dir):
+    """Composed crawl-side admission-to-schedule pipeline in ONE plan
+    — the axis-A integration statement mirroring
+    pipeline_image_harvest: candidate URLs → RFC 9309 robots_decide
+    (longest-match precedence incl. an Allow override UNDER a
+    Disallow prefix — planted) → spider-trap admission gate → exact
+    per-host politeness_timeline (the prefix-max closed form of the
+    sequential fetch recurrence). Every stage is an existing oracled
+    operator; the replay chains the same fragments, verifying the
+    composition as one unit. Output: the wave's exact fetch
+    schedule."""
+    from dblp_crawler_spark.functions.urlnorm import url_trap_flags
+    from dblp_crawler_spark.operators.scheduler import (
+        politeness_timeline,
+        robots_decide,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".org"))
+    m = F.col("doc_id") % 4
+    path = (
+        F.when(m == 0, F.concat(F.lit("/p/"), sid))
+        .when(m == 1, F.concat(F.lit("/private/sec"), sid))
+        .when(m == 2, F.concat(F.lit("/private/pub"), sid))
+        .otherwise(F.concat(F.lit("/a/b/a/b/a/b/"), sid))
+    )
+    cand = docs.select(
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        host.alias("host"),
+        ((F.col("doc_id") % 5) * 100000).cast("long").alias("ready_us"),
+    )
+    hosts = cand.select("host").distinct()
+    rules = hosts.select(
+        "host", F.lit("disallow").alias("rule"), F.lit("/private").alias("pattern")
+    ).unionAll(
+        hosts.select("host", F.lit("allow").alias("rule"),
+                     F.lit("/private/pub").alias("pattern"))
+    )
+    dec = robots_decide(cand.select("url"), rules)
+    adm = (
+        cand.join(dec, "url")
+        .where(F.col("allowed") & ~url_trap_flags("url")["is_trap"])
+        .select("host", "url", "ready_us")
+    )
+    return politeness_timeline(adm, delay_us=250000).select(
+        "host", "url", "k", "start_us", "finish_us"
+    )
+
+
+def q_caption_locale_gate(spark, sf_dir):
+    """Crossmodal locale-consistency gate: the URL's declared locale
+    (url_locale_hint — the publisher's routing decision) against the
+    caption's detected language (lang_id) — a /de/ page whose
+    captions read as another language is a mistranslated or scraped
+    pair a per-signal gate cannot see. Composes two oracled
+    classifiers; mismatch only when BOTH signals are confident
+    (hint present, detection not 'unk')."""
+    docs = _t(spark, sf_dir, "documents")
+    from dblp_crawler_spark.functions.urlnorm import url_locale_hint
+
+    m = F.col("doc_id") % 3
+    lang_seg = (
+        F.when(m == 0, F.lit("/en")).when(m == 1, F.lit("/de"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".org"), lang_seg, F.lit("/img/"),
+                   F.col("doc_id").cast("string"), F.lit(".html"))
+    caption = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("图片说明 "), F.col("text").substr(1, 40)),
+    ).otherwise(F.col("text").substr(1, 120))
+    staged = docs.select(
+        "doc_id", url.alias("page_url"), caption.alias("caption"),
+    ).withColumns(
+        {
+            "lang_hint": url_locale_hint("page_url")["lang_hint"],
+            "caption_lang": T.lang_id("caption"),
+        }
+    )
+    return staged.withColumn(
+        "locale_mismatch",
+        F.col("lang_hint").isNotNull() & (F.col("caption_lang") != "unk")
+        & (F.col("lang_hint") != F.col("caption_lang")),
+    ).select("doc_id", "lang_hint", "caption_lang", "locale_mismatch")
+
+
 def q_url_locale_hint(spark, sf_dir):
     """URL locale hints (urlnorm.url_locale_hint): ccTLD (country,
     kept separate from language), leading /xx/ or /xx-yy/ path
@@ -3974,6 +4063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_image_harvest": q_pipeline_image_harvest,
         "host_language_profile": q_host_language_profile,
         "hreflang_alternates": q_hreflang_alternates,
+        "pipeline_frontier_plan": q_pipeline_frontier_plan,
+        "caption_locale_gate": q_caption_locale_gate,
         "url_locale_hint": q_url_locale_hint,
         "embedding_quality": q_embedding_quality,
         "pipeline_warc_to_corpus": q_pipeline_warc_to_corpus,
@@ -4301,6 +4392,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "pipeline_image_harvest": _image_harvest_oracle(),
         "host_language_profile": _host_lang_profile_oracle(),
         "hreflang_alternates": _hreflang_oracle(),
+        "pipeline_frontier_plan": _frontier_plan_oracle(),
+        "caption_locale_gate": _caption_locale_oracle(),
         "url_locale_hint": _url_locale_oracle(),
         "embedding_quality": _embedding_quality_oracle(),
         "pipeline_warc_to_corpus": _warc_corpus_oracle(),
@@ -5734,6 +5827,82 @@ def _hreflang_oracle() -> str:
         FROM documents
     ) ha_src"""
     return hreflang_alternates_sql(src)
+
+
+def _frontier_plan_oracle() -> str:
+    """DuckDB replay of q_pipeline_frontier_plan — chains
+    robots_decide_sql, the trap-flag fragment, and
+    politeness_timeline_sql."""
+    from dblp_crawler_spark.functions.urlnorm import url_trap_flags_sql
+    from dblp_crawler_spark.operators.scheduler import (
+        politeness_timeline_sql,
+        robots_decide_sql,
+    )
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    host = "'h' || CAST(doc_id % 10 AS VARCHAR) || '.org'"
+    path = f"""CASE doc_id % 4
+        WHEN 0 THEN '/p/' || {sid}
+        WHEN 1 THEN '/private/sec' || {sid}
+        WHEN 2 THEN '/private/pub' || {sid}
+        ELSE '/a/b/a/b/a/b/' || {sid} END"""
+    trap = url_trap_flags_sql("c.url")["is_trap"]
+    timeline = politeness_timeline_sql("fp_adm", delay_us=250000)
+    return f"""
+        WITH fp_cand AS (
+          SELECT 'https://' || {host} || {path} AS url, {host} AS host,
+                 CAST(doc_id % 5 * 100000 AS BIGINT) AS ready_us
+          FROM documents
+        ), fp_hosts AS (
+          SELECT DISTINCT host FROM fp_cand
+        ), fp_rules AS (
+          SELECT host, 'disallow' AS rule, '/private' AS pattern FROM fp_hosts
+          UNION ALL
+          SELECT host, 'allow' AS rule, '/private/pub' AS pattern FROM fp_hosts
+        ), fp_dec AS (
+          {robots_decide_sql('(SELECT url FROM fp_cand)', 'fp_rules')}
+        ), fp_adm AS (
+          SELECT c.host, c.url, c.ready_us
+          FROM fp_cand c JOIN fp_dec d ON c.url = d.url
+          WHERE d.allowed AND NOT ({trap})
+        )
+        SELECT host, url, k, start_us, finish_us FROM ({timeline}) fp_tl
+    """
+
+
+def _caption_locale_oracle() -> str:
+    """DuckDB replay of q_caption_locale_gate — chains the
+    url_locale_hint and lang_id fragments over the caption."""
+    from dblp_crawler_spark.functions.urlnorm import url_locale_hint_sql
+
+    tokc = "regexp_extract_all(lower(caption), '[0-9a-z_]+')"
+    lang_case = f"""CASE
+        WHEN length(regexp_replace(caption, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
+        WHEN len({tokc}) > 0 AND
+             len(list_filter({tokc}, t -> list_contains(['{SW_LIST}'], t)))::DOUBLE
+             / len({tokc}) >= 0.05 THEN 'en'
+        ELSE 'unk' END"""
+    hint = url_locale_hint_sql("page_url")["lang_hint"]
+    return f"""
+        WITH cl_src AS (
+          SELECT doc_id,
+                 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org'
+                   || CASE doc_id % 3 WHEN 0 THEN '/en' WHEN 1 THEN '/de'
+                      ELSE '' END
+                   || '/img/' || CAST(doc_id AS VARCHAR) || '.html' AS page_url,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN '图片说明 ' || substring(text, 1, 40)
+                      ELSE substring(text, 1, 120) END AS caption
+          FROM documents
+        ), cl_s AS (
+          SELECT doc_id, {hint} AS lang_hint, {lang_case} AS caption_lang
+          FROM cl_src
+        )
+        SELECT doc_id, lang_hint, caption_lang,
+               lang_hint IS NOT NULL AND caption_lang <> 'unk'
+                 AND lang_hint <> caption_lang AS locale_mismatch
+        FROM cl_s
+    """
 
 
 def _url_resolve_oracle() -> str:
