@@ -2469,6 +2469,30 @@ def q_politeness_timeline(spark, sf_dir):
     return politeness_timeline(batch, delay_us=2500000)
 
 
+def q_politeness_timeline_parallel(spark, sf_dir):
+    """politeness_timeline generalized to 2 parallel connections per
+    host (scheduler.politeness_timeline_parallel) — the HTTP/1.1
+    polite-crawler regime. Deterministic round-robin lanes (fetch k
+    → lane k mod 2), each lane enforcing the per-connection delay
+    via the same prefix-max closed form keyed by (host, lane);
+    nconn=1 degenerates to the serial operator (pinned in tests).
+    Same planted wave as politeness_timeline so the two schedules
+    are directly comparable."""
+    from dblp_crawler_spark.operators.scheduler import (
+        politeness_timeline_parallel,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    batch = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 9).cast("string")).alias("host"),
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 9).cast("string"),
+                 F.lit(".org/p/"), F.col("doc_id").cast("string")).alias("url"),
+        (F.lit(1700000000000000).cast("long")
+         + (F.col("doc_id") * 37 % 50) * 1000000).alias("ready_us"),
+    )
+    return politeness_timeline_parallel(batch, nconn=2, delay_us=2500000)
+
+
 def q_script_profile(spark, sf_dir):
     """Per-doc Unicode script mix (textstats.script_profile): the
     multilingual-curation signal lang-ID alone misses — mixed-script
@@ -4039,6 +4063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_delta_dedup": q_minhash_delta_dedup,
         "charset_detect": q_charset_detect,
         "politeness_timeline": q_politeness_timeline,
+        "politeness_timeline_parallel": q_politeness_timeline_parallel,
         "script_profile": q_script_profile,
         "robots_availability": q_robots_availability,
         "registrable_domain": q_registrable_domain,
@@ -4368,6 +4393,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "minhash_delta_dedup": _minhash_delta_oracle(),
         "charset_detect": _charset_oracle(),
         "politeness_timeline": _politeness_timeline_oracle(),
+        "politeness_timeline_parallel": _politeness_parallel_oracle(),
         "script_profile": _script_profile_oracle(),
         "robots_availability": _robots_availability_oracle(),
         "registrable_domain": _registrable_domain_oracle(),
@@ -5384,6 +5410,23 @@ def _politeness_timeline_oracle() -> str:
         FROM documents
     )"""
     return politeness_timeline_sql(src, delay_us=2500000)
+
+
+def _politeness_parallel_oracle() -> str:
+    """DuckDB replay of q_politeness_timeline_parallel: same wave,
+    round-robin lanes, per-(host, lane) prefix max."""
+    from dblp_crawler_spark.operators.scheduler import (
+        politeness_timeline_parallel_sql,
+    )
+
+    src = """(
+        SELECT 'h' || CAST(doc_id % 9 AS VARCHAR) AS host,
+               'https://h' || CAST(doc_id % 9 AS VARCHAR) || '.org/p/'
+                 || CAST(doc_id AS VARCHAR) AS url,
+               CAST(1700000000000000 + (doc_id * 37 % 50) * 1000000 AS BIGINT) AS ready_us
+        FROM documents
+    )"""
+    return politeness_timeline_parallel_sql(src, nconn=2, delay_us=2500000)
 
 
 def _script_profile_oracle() -> str:

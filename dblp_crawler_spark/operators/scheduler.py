@@ -757,3 +757,73 @@ def ip_politeness_sql(pending: str, dns: str, budget: int) -> str:
         )
         SELECT * EXCLUDE (rn) FROM ipr WHERE rn <= {budget}
     """
+
+
+def politeness_timeline_parallel(batch: DataFrame, nconn: int = 2,
+                                 delay_us: int | None = None,
+                                 host_col: str = "host", url_col: str = "url",
+                                 ready_col: str = "ready_us",
+                                 delay_col: str = "delay_us") -> DataFrame:
+    """:func:`politeness_timeline` generalized to ``nconn`` parallel
+    connections per host — the HTTP/1.1 "a polite crawler keeps 1-2
+    connections" regime. Policy is DETERMINISTIC round-robin: fetch
+    k (per-host pop order) runs on lane k mod nconn, and each lane
+    enforces the per-connection delay independently via the same
+    prefix-max closed form, now keyed by (host, lane). Round-robin
+    is a defined schedule, not the greedy earliest-available one —
+    with equal ready times they coincide, and with skewed ready
+    times round-robin upper-bounds the greedy drain; the point is an
+    exact, engine-portable plan, and ``nconn=1`` degenerates to the
+    serial operator (pinned).
+
+    Plan: the host-keyed rank and the (host, lane)-keyed running max
+    — two exchanges, both slim (no payloads). Returns
+    (host, url, k, lane, start_us, finish_us)."""
+    d = (F.lit(delay_us).cast("long") if delay_us is not None
+         else F.col(delay_col).cast("long"))
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(ready_col).asc(), F.col(url_col).asc()
+    )
+    ranked = (
+        batch.withColumn("k", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("lane", (F.col("k") % nconn).cast("int"))
+        .withColumn("j", F.expr(f"k div {nconn}"))
+    )
+    wl = Window.partitionBy(host_col, "lane").orderBy(F.col("k").asc())
+    wrun = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        ranked.withColumn("__adj", F.col(ready_col).cast("long") - d * F.col("j"))
+        .withColumn("start_us", d * F.col("j") + F.max("__adj").over(wrun))
+        .withColumn("finish_us", F.col("start_us") + d)
+        .drop("__adj", "j")
+    )
+    return out
+
+
+def politeness_timeline_parallel_sql(src: str, nconn: int = 2,
+                                     delay_us: int | None = None,
+                                     host_col: str = "host",
+                                     url_col: str = "url",
+                                     ready_col: str = "ready_us",
+                                     delay_col: str = "delay_us") -> str:
+    """DuckDB replay of :func:`politeness_timeline_parallel`."""
+    d = (str(delay_us) if delay_us is not None
+         else f"CAST({delay_col} AS BIGINT)")
+    return f"""
+        WITH ptp AS (
+          SELECT *,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY {host_col}
+                   ORDER BY {ready_col} ASC, {url_col} ASC) - 1 AS BIGINT) AS k
+          FROM {src}
+        ), ptp1 AS (
+          SELECT *, CAST(k % {nconn} AS INT) AS lane, k // {nconn} AS j
+          FROM ptp
+        ), ptp2 AS (
+          SELECT *,
+                 {d} * j + MAX(CAST({ready_col} AS BIGINT) - {d} * j) OVER (
+                   PARTITION BY {host_col}, lane ORDER BY k ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS start_us
+          FROM ptp1
+        )
+        SELECT * EXCLUDE (j), start_us + {d} AS finish_us FROM ptp2
+    """

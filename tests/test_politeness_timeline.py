@@ -87,3 +87,68 @@ def test_single_host_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1  # rank + running max share one shuffle
+
+
+def test_parallel_timeline_pins_and_replay(spark):
+    import duckdb
+    import pandas as pd
+
+    from dblp_crawler_spark.operators.scheduler import (
+        politeness_timeline,
+        politeness_timeline_parallel,
+        politeness_timeline_parallel_sql,
+    )
+
+    rows = [("a", f"u{i}", 0) for i in range(6)] + \
+           [("b", "v0", 0), ("b", "v1", 0), ("b", "v2", 500)]
+    df = spark.createDataFrame(rows, "host string, url string, ready_us long")
+
+    # nconn=2, d=100: host a lanes alternate; drain halves vs serial
+    out = {(r.host, r.url): r for r in
+           politeness_timeline_parallel(df, nconn=2, delay_us=100).collect()}
+    assert [(out[("a", f"u{i}")].lane, out[("a", f"u{i}")].start_us)
+            for i in range(6)] == [
+        (0, 0), (1, 0), (0, 100), (1, 100), (0, 200), (1, 200)]
+    # host b: v2 ready late on lane 0 after v0 → max(500, 0+100)=500
+    assert out[("b", "v0")].start_us == 0
+    assert out[("b", "v1")].start_us == 0
+    assert out[("b", "v2")].start_us == 500
+
+    # nconn=1 degenerates to the serial operator exactly
+    serial = {(r.host, r.url): (r.k, r.start_us, r.finish_us)
+              for r in politeness_timeline(df, delay_us=100).collect()}
+    par1 = {(r.host, r.url): (r.k, r.start_us, r.finish_us)
+            for r in politeness_timeline_parallel(
+                df, nconn=1, delay_us=100).collect()}
+    assert serial == par1
+
+    # per-lane spacing property on a bigger random-ish batch
+    rows2 = [(f"h{i % 3}", f"w{i:03d}", (i * 137) % 900) for i in range(60)]
+    df2 = spark.createDataFrame(rows2, "host string, url string, ready_us long")
+    big = politeness_timeline_parallel(df2, nconn=2, delay_us=250).collect()
+    by_lane = {}
+    for r in big:
+        by_lane.setdefault((r.host, r.lane), []).append((r.k, r.start_us))
+    for starts in by_lane.values():
+        starts.sort()
+        for (_, s1), (_, s2) in zip(starts, starts[1:]):
+            assert s2 - s1 >= 250
+    for r in big:
+        assert r.start_us >= r.ready_us
+
+    # replay
+    spark_pdf = (
+        politeness_timeline_parallel(df2, nconn=2, delay_us=250)
+        .toPandas().sort_values(["host", "url"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("batch", pd.DataFrame(
+        rows2, columns=["host", "url", "ready_us"]))
+    duck_pdf = (
+        con.sql(politeness_timeline_parallel_sql("batch", nconn=2,
+                                                 delay_us=250)).df()
+        .sort_values(["host", "url"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
