@@ -3322,6 +3322,41 @@ def q_caption_locale_gate(spark, sf_dir):
     ).select("doc_id", "lang_hint", "caption_lang", "locale_mismatch")
 
 
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) interleave key (functions/zorder.morton_key):
+    the Delta/Iceberg ZORDER BY technique as a pure engine-portable
+    expression — bits of two 31-bit-clamped columns interleave via
+    five magic-number doubling steps, so a layout sorted on the key
+    clusters into 2-D tiles and zone maps prune on EITHER column.
+    Over events (user_id × epoch-day); NULL inputs → NULL key."""
+    from dblp_crawler_spark.functions.zorder import morton_key
+
+    ev = _t(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("long")
+    return ev.select(
+        "event_id", "user_id",
+        day.alias("day"),
+        morton_key(F.col("user_id"), day).alias("zkey"),
+    )
+
+
+def q_zorder_file_stats(spark, sf_dir):
+    """Simulated zone maps of a z-ordered 16-file layout
+    (zorder_file_stats): rows sort by the Morton key, split into
+    equal-rank slices, each reporting min/max of both columns —
+    exactly what a reader's pruning sees; the pruning win over a
+    linear sort is pinned in tests/test_zorder.py. Window over the
+    global key order is the simulation shape; production writes use
+    repartitionByRange(key)."""
+    from dblp_crawler_spark.functions.zorder import zorder_file_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 512).alias("a"),
+        (F.col("event_id") % 512).alias("b"),
+    )
+    return zorder_file_stats(ev, "a", "b", n_files=16)
+
+
 def q_url_locale_hint(spark, sf_dir):
     """URL locale hints (urlnorm.url_locale_hint): ccTLD (country,
     kept separate from language), leading /xx/ or /xx-yy/ path
@@ -4090,6 +4125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_alternates": q_hreflang_alternates,
         "pipeline_frontier_plan": q_pipeline_frontier_plan,
         "caption_locale_gate": q_caption_locale_gate,
+        "zorder_key": q_zorder_key,
+        "zorder_file_stats": q_zorder_file_stats,
         "url_locale_hint": q_url_locale_hint,
         "embedding_quality": q_embedding_quality,
         "pipeline_warc_to_corpus": q_pipeline_warc_to_corpus,
@@ -4420,6 +4457,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "hreflang_alternates": _hreflang_oracle(),
         "pipeline_frontier_plan": _frontier_plan_oracle(),
         "caption_locale_gate": _caption_locale_oracle(),
+        "zorder_key": _zorder_key_oracle(),
+        "zorder_file_stats": _zorder_stats_oracle(),
         "url_locale_hint": _url_locale_oracle(),
         "embedding_quality": _embedding_quality_oracle(),
         "pipeline_warc_to_corpus": _warc_corpus_oracle(),
@@ -5946,6 +5985,28 @@ def _caption_locale_oracle() -> str:
                  AND lang_hint <> caption_lang AS locale_mismatch
         FROM cl_s
     """
+
+
+def _zorder_key_oracle() -> str:
+    """DuckDB replay of q_zorder_key."""
+    from dblp_crawler_spark.functions.zorder import morton_key_sql
+
+    day = "CAST(floor(epoch(ts) / 86400) AS BIGINT)"
+    return f"""
+        SELECT event_id, user_id, {day} AS day,
+               {morton_key_sql('user_id', day)} AS zkey
+        FROM events
+    """
+
+
+def _zorder_stats_oracle() -> str:
+    """DuckDB replay of q_zorder_file_stats."""
+    from dblp_crawler_spark.functions.zorder import zorder_file_stats_sql
+
+    src = ("(SELECT user_id % 512 AS a, event_id % 512 AS b FROM events) "
+           "zf_src")
+    return zorder_file_stats_sql(src, "a", "b", n_files=16,
+                                 total="(SELECT COUNT(*) FROM events)")
 
 
 def _url_resolve_oracle() -> str:
