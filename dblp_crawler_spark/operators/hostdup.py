@@ -67,7 +67,7 @@ def soft404_detect_sql(src: str, host_col: str = "host",
           SELECT {host_col}, {hash_col}, COUNT(*) AS template_n
           FROM {src} GROUP BY {host_col}, {hash_col}
         ), s4_tot AS (
-          SELECT {host_col}, SUM(template_n) AS host_n
+          SELECT {host_col}, CAST(SUM(template_n) AS BIGINT) AS host_n
           FROM s4_hist GROUP BY {host_col}
         ), s4_tpl AS (
           SELECT h.{host_col}, h.{hash_col}, h.template_n, t.host_n
@@ -211,7 +211,8 @@ def host_language_profile_sql(src: str, host_col: str = "host",
                  SUM(n) OVER (PARTITION BY host) AS total
           FROM hl_hist
         )
-        SELECT host, MAX(total) AS n_pages, COUNT(*) AS n_langs,
+        SELECT host, CAST(MAX(total) AS BIGINT) AS n_pages,
+               COUNT(*) AS n_langs,
                MAX(CASE WHEN rn = 1 THEN lang END) AS dominant_lang,
                ROUND(MAX(CASE WHEN rn = 1 THEN n / total END), 4)
                  AS dominant_share,
