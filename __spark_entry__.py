@@ -4002,6 +4002,94 @@ def q_zipf_slope(spark, sf_dir):
     return zipf_slope(_t(spark, sf_dir, "documents").select("source", "text"))
 
 
+#: SVG payload fixtures for q_svg_structure — double-quoted attrs
+#: only (SVG is XML; also keeps the SQL literal escape trivial).
+_SVG_CASES = [
+    '<svg width="100" height="50" viewBox="0 0 100 50"><rect/></svg>',
+    '<svg viewBox="0 0 10 10"><script>alert(1)</script></svg>',
+    '<svg width="10" height="10"><rect onload="evil()"/></svg>',
+    '<svg height="20pt" width="20pt"><foreignObject><a xlink:href='
+    '"javascript:x"></a></foreignObject></svg>',
+    '<svg width="32px" height="32px"><circle><animate attributeName='
+    '"r"/></circle></svg>',
+    '<?xml version="1.0"?><svg viewBox="0 0 300 150"></svg>',
+    '<html><body><p>hi onclick= nothing</p></body></html>',
+    '<svg width="100%" height="100%"></svg>',
+]
+
+
+def q_svg_structure(spark, sf_dir):
+    """SVG structure + safety gate (webparse.svg_structure): the one
+    TEXT image format, whose executable content (<script>, on*
+    handlers, javascript: hrefs, <foreignObject>) must gate BEFORE
+    rasterizing or re-serving; dims from the root tag (px/unitless
+    only) and viewBox. Planted: a CSS-unit (pt) svg whose px dims
+    stay NULL but whose js-href flags fire, a SMIL-animated icon,
+    an xml-decl-prefixed viewBox-only doc, and plain HTML."""
+    from dblp_crawler_spark.sources.webparse import svg_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_SVG_CASES)
+    text = F.lit(_SVG_CASES[-1])
+    for i, s in enumerate(_SVG_CASES[:-1]):
+        text = F.when(m == i, F.lit(s)).otherwise(text)
+    pages = docs.select("doc_id", text.alias("svg_text"))
+    return svg_structure(pages).select(
+        "doc_id", "is_svg", "width_px", "height_px", "vb_w", "vb_h",
+        "has_script", "has_event_handler", "has_foreign_object",
+        "has_js_href", "unsafe", "is_animated",
+    )
+
+
+def _ico_le(v: int, n: int) -> str:
+    return "".join(f"{(v >> (8 * i)) & 255:02X}" for i in range(n))
+
+
+def _ico_entry(w: int, h: int, off: int) -> str:
+    """One 16-byte ICONDIRENTRY (dims, 1 plane, 32 bpp, 64-byte
+    payload at `off`)."""
+    return (_ico_le(w, 1) + _ico_le(h, 1) + "0000" + _ico_le(1, 2)
+            + _ico_le(32, 2) + _ico_le(64, 4) + _ico_le(off, 4))
+
+
+#: ICO fixtures: two-entry icon, PNG-embedded 256px icon (payload at
+#: byte 22 = ICONDIR + 1 entry), cursor, truncated directory, a PNG
+#: (non-ico), and a FIVE-entry icon pinning the scan cap (only the
+#: first ICO_SCAN_ENTRIES=4 entries feed max dims).
+_ICO_CASES = [
+    "0000" + "0100" + _ico_le(2, 2) + _ico_entry(16, 16, 38) + _ico_entry(32, 32, 102),
+    "0000" + "0100" + _ico_le(1, 2) + _ico_entry(0, 0, 22)
+    + "89504E470D0A1A0A" + "00" * 8,
+    "0000" + "0200" + _ico_le(1, 2) + _ico_entry(32, 32, 22),
+    "00000100",
+    "89504E470D0A1A0A" + "0000000D49484452",
+    "0000" + "0100" + _ico_le(5, 2) + _ico_entry(8, 8, 86)
+    + _ico_entry(16, 16, 86) + _ico_entry(24, 24, 86)
+    + _ico_entry(32, 32, 86) + _ico_entry(48, 48, 86),
+]
+
+
+def q_ico_structure(spark, sf_dir):
+    """Favicon/ICO directory structure (sniff.ico_structure):
+    icon-vs-cursor kind, declared image count, max declared dims
+    with the 0→256 convention, and PNG-embedded-entry detection (the
+    Vista+ form that routes through the PNG decoder). Decode-free
+    fixed-offset reads; the five-entry case pins the documented
+    ICO_SCAN_ENTRIES cap."""
+    from dblp_crawler_spark.operators.sniff import ico_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_ICO_CASES)
+    hexstr = F.lit(_ICO_CASES[-1])
+    for i, hx in enumerate(_ICO_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return ico_structure(imgs).select(
+        "doc_id", "fmt", "kind", "n_images", "max_w", "max_h",
+        "has_png_entry",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -4177,6 +4265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": q_link_reciprocity,
         "sitemap_coverage": q_sitemap_coverage,
         "zipf_slope": q_zipf_slope,
+        "svg_structure": q_svg_structure,
+        "ico_structure": q_ico_structure,
     }
 
 
@@ -7992,6 +8082,8 @@ def oracle_sql() -> dict[str, str]:
         "link_reciprocity": _link_reciprocity_oracle(),
         "sitemap_coverage": _sitemap_coverage_oracle(),
         "zipf_slope": _zipf_slope_oracle(),
+        "svg_structure": _svg_structure_oracle(),
+        "ico_structure": _ico_structure_oracle(),
     }
 
 
@@ -8157,3 +8249,41 @@ def _code_detect_oracle() -> str:
         FROM documents
     )"""
     return code_prose_detect_sql(src)
+
+
+def _svg_structure_oracle() -> str:
+    """DuckDB replay of q_svg_structure — same planted SVG strings,
+    same shared patterns through svg_structure_sql."""
+    from dblp_crawler_spark.sources.webparse import svg_structure_sql
+
+    whens = "".join(
+        f" WHEN {i} THEN '{s}'" for i, s in enumerate(_SVG_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_SVG_CASES)}{whens}
+                 ELSE '{_SVG_CASES[-1]}' END AS svg_text
+        FROM documents
+    )"""
+    return svg_structure_sql(src)
+
+
+def _ico_structure_oracle() -> str:
+    """DuckDB replay of q_ico_structure — same planted hex through
+    ico_structure_sql's staged reads."""
+    from dblp_crawler_spark.operators.sniff import (
+        ico_structure_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_ICO_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_ICO_CASES)}{whens}
+                 ELSE '{_ICO_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} ic_src)"
+    return ico_structure_sql(staged)

@@ -45,6 +45,8 @@ MAGIC_TABLE: list[tuple[str, list[tuple[int, str]]]] = [
     ("tiff", [(1, "49492A00")]),               # II*\0 (little-endian)
     ("tiff", [(1, "4D4D002A")]),               # MM\0* (big-endian)
     ("bmp", [(1, "424D")]),
+    ("ico", [(1, "00000100")]),                # ICONDIR, type 1 = icon
+    ("ico", [(1, "00000200")]),                # ICONDIR, type 2 = cursor
 ]
 
 UNKNOWN = "octet-stream"
@@ -1667,4 +1669,121 @@ def gzip_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                      AND regexp_matches(name_hex, '{_PRINTABLE_HEX_RE}')
                     THEN decode(unhex(name_hex)) END AS fname
         FROM gz_s
+    """
+
+
+# ---- ICO / favicon structure ---------------------------------------------------
+#
+# The favicon container (Microsoft ICONDIR, also the WHATWG sniff
+# table's image/x-icon): a crawler meets one per host, and the
+# routing decision is real — modern favicons embed whole PNG streams
+# per entry (Vista+), which decode through the PNG path, while
+# classic entries are DIB bitmaps.  Multi-resolution files declare
+# one ICONDIRENTRY per image; the 0-byte width/height convention
+# means 256.
+
+#: entries scanned for dims / PNG payloads — favicons beyond 4
+#: entries are rare and only the first ICO_SCAN_ENTRIES contribute
+#: to max_w/max_h/has_png_entry (documented cap, pinned in tests).
+ICO_SCAN_ENTRIES = 4
+#: window covers ICONDIR + 4 entries + small embedded payload heads.
+ICO_WINDOW_BYTES = 2048
+_PNG_MAGIC_HEX = "89504E470D0A1A0A"
+
+
+def ico_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, kind, n_images, max_w, max_h, has_png_entry) from
+    the ICONDIR header — decode-free like the rest of the header
+    family.  kind distinguishes icons from cursors (same container,
+    type word 1 vs 2); n_images is the declared entry count; max_w /
+    max_h are the largest declared dimensions over the first
+    ``ICO_SCAN_ENTRIES`` entries with the 0 → 256 convention applied;
+    has_png_entry is true when any scanned entry's payload offset
+    lands on a PNG magic inside the window (the Vista+ PNG-embedded
+    form that must route through the PNG decoder).  Truncated
+    directories NULL-absorb; non-ico rows get all-NULL structure."""
+    staged = df.withColumns(
+        {
+            "__ix": F.hex(F.substring(F.col(bytes_col), 1, ICO_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__ix")
+    is_ico = F.col("fmt") == "ico"
+    kind = F.when(is_ico,
+                  F.when(hx.substr(F.lit(5), F.lit(4)) == "0100", "icon")
+                   .otherwise("cursor"))
+    n = F.when(is_ico, _le(hx, F.lit(9), 2))
+    staged = staged.withColumn("__n", n)
+    n = F.col("__n")
+    cols, ws, hs, pngs = {}, [], [], []
+    for i in range(ICO_SCAN_ENTRIES):
+        base = 13 + 32 * i  # entry i starts at byte 6 + 16 i
+        valid = n > i
+        wd = F.when(valid, _hex2long(hx, F.lit(base), 2))
+        ht = F.when(valid, _hex2long(hx, F.lit(base + 2), 2))
+        off = F.when(valid, _le(hx, F.lit(base + 24), 4))
+        cols[f"__w{i}"] = F.when(wd == 0, 256).otherwise(wd)
+        cols[f"__h{i}"] = F.when(ht == 0, 256).otherwise(ht)
+        cols[f"__p{i}"] = hx.substr(
+            (F.lit(2) * off + 1).cast("int"), F.lit(16)
+        ) == _PNG_MAGIC_HEX
+        ws.append(f"__w{i}")
+        hs.append(f"__h{i}")
+        pngs.append(f"__p{i}")
+    staged = staged.withColumns(cols)
+    has_png = F.lit(False)
+    for p in pngs:
+        has_png = has_png | F.coalesce(F.col(p), F.lit(False))
+    return (
+        staged.withColumns(
+            {
+                "kind": kind,
+                "n_images": n.cast("int"),
+                "max_w": F.array_max(F.array(*ws)).cast("int"),
+                "max_h": F.array_max(F.array(*hs)).cast("int"),
+                "has_png_entry": F.when(n.isNotNull(), has_png),
+            }
+        )
+        .drop("__ix", "__n", *ws, *hs, *pngs)
+    )
+
+
+def ico_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                      fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`ico_structure` — same offsets, same
+    0 → 256 mapping, list_max mirroring array_max's NULL-skipping."""
+    n = (f"CASE WHEN {fmt_col} = 'ico' THEN "
+         f"{_le_sql(h_col, 9, 2)} END")
+    w_terms, h_terms, p_terms = [], [], []
+    for i in range(ICO_SCAN_ENTRIES):
+        base = 13 + 32 * i
+        wd = f"TRY_CAST(concat('0x', substring(h, {base}, 2)) AS BIGINT)"
+        ht = f"TRY_CAST(concat('0x', substring(h, {base + 2}, 2)) AS BIGINT)"
+        off = _le_sql("h", base + 24, 4)
+        w_terms.append(
+            f"CASE WHEN n > {i} THEN "
+            f"CASE WHEN ({wd}) = 0 THEN 256 ELSE {wd} END END")
+        h_terms.append(
+            f"CASE WHEN n > {i} THEN "
+            f"CASE WHEN ({ht}) = 0 THEN 256 ELSE {ht} END END")
+        p_terms.append(
+            f"COALESCE(CASE WHEN n > {i} THEN "
+            f"substring(h, CAST(2 * ({off}) + 1 AS BIGINT), 16)"
+            f" = '{_PNG_MAGIC_HEX}' END, false)")
+    return f"""
+        WITH ic0 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h, {n} AS n
+          FROM {src}
+        )
+        SELECT {keep}, fmt,
+               CASE WHEN fmt = 'ico' THEN
+                 CASE WHEN substring(h, 5, 4) = '0100'
+                      THEN 'icon' ELSE 'cursor' END END AS kind,
+               CAST(n AS INT) AS n_images,
+               CAST(list_max([{", ".join(w_terms)}]) AS INT) AS max_w,
+               CAST(list_max([{", ".join(h_terms)}]) AS INT) AS max_h,
+               CASE WHEN n IS NOT NULL
+                    THEN {" OR ".join(p_terms)} END AS has_png_entry
+        FROM ic0
     """

@@ -1056,3 +1056,153 @@ def hreflang_alternates_sql(src: str, url_col: str = "url",
           WHERE hreflang IS NOT NULL AND __href IS NOT NULL
         ) WHERE alt_url IS NOT NULL
     """
+
+
+# ---- SVG structure + safety gate -----------------------------------------------
+#
+# SVG is the one web image format that is TEXT (XML) and can carry
+# executable content — <script> elements, on* event handlers,
+# javascript: hrefs, and <foreignObject> HTML islands are all XSS
+# vectors a crawler must gate BEFORE re-serving or rasterizing a
+# crawled icon/diagram.  Dimensions come from the root tag's
+# width/height attributes (px or unitless only — CSS-unit lengths
+# need layout context and stay NULL) and from viewBox.  Everything
+# is regexp over the text: the root tag is located in a bounded
+# prescan window (WHATWG meta-charset discipline — a real SVG's root
+# element sits at the head), while the SECURITY scans run over the
+# FULL text, because a <script> at byte 10^6 is still a script.
+
+SVG_PRESCAN_CHARS = 4096
+_SVG_TAG_RE = r"(?is)<svg(?:\s[^>]*)?>"
+_SVG_W_RE = r"""(?is)\swidth\s*=\s*["']([^"']*)["']"""
+_SVG_H_RE = r"""(?is)\sheight\s*=\s*["']([^"']*)["']"""
+_SVG_VB_RE = r"""(?is)\sviewbox\s*=\s*["']([^"']*)["']"""
+#: number in px or unitless — anything else (pt/em/%/cm) is a layout
+#: question, not a pixel count
+_SVG_PX_RE = r"^\s*([0-9]+(?:\.[0-9]+)?)\s*(?:px)?\s*$"
+_SVG_VBWH_RE = (r"^\s*-?[0-9]+(?:\.[0-9]+)?[\s,]+-?[0-9]+(?:\.[0-9]+)?[\s,]+"
+                r"(-?[0-9]+(?:\.[0-9]+)?)[\s,]+(-?[0-9]+(?:\.[0-9]+)?)\s*$")
+_SVG_SCRIPT_RE = r"(?is)<script[\s>]"
+_SVG_HANDLER_RE = r"""(?is)\son[a-z]+\s*=\s*["']"""
+_SVG_FOREIGN_RE = r"(?is)<foreignobject[\s>]"
+_SVG_JSHREF_RE = r"""(?is)[\s"'](?:xlink:)?href\s*=\s*["']\s*javascript:"""
+_SVG_ANIM_RE = r"(?is)<(?:animate|animatetransform|animatemotion|set)[\s>]"
+
+
+def svg_structure(pages: DataFrame, text_col: str = "svg_text") -> DataFrame:
+    """Add (is_svg, width_px, height_px, vb_w, vb_h, has_script,
+    has_event_handler, has_foreign_object, has_js_href, unsafe,
+    is_animated) for SVG payload text.
+
+    ``unsafe`` is the admission gate: any of the four executable-
+    content signals.  Non-SVG rows (no <svg> root tag in the prescan
+    window) get is_svg=false and all-NULL structure.  Dimension
+    parsing is two-staged (raw attribute value, then a px-or-unitless
+    number parse) so an absent attribute and a CSS-unit length both
+    read NULL but stay distinguishable in the raw stage; stroke-width
+    never matches the width pattern (the attribute name is preceded
+    by whitespace, not '-').  Pure projection — one regexp pass per
+    signal, no shuffle, and patterns are shared verbatim with the
+    DuckDB replay (RE2-safe: no lookaround, inline (?is) flags)."""
+    t = F.col(text_col)
+    win = F.substring(t, 1, SVG_PRESCAN_CHARS)
+    staged = pages.withColumns(
+        {
+            "__tag": F.nullif(F.regexp_extract(win, _SVG_TAG_RE, 0), F.lit("")),
+        }
+    )
+    tag = F.col("__tag")
+    is_svg = tag.isNotNull()
+    staged = staged.withColumns(
+        {
+            "is_svg": is_svg,
+            "__wraw": F.when(is_svg, F.nullif(
+                F.regexp_extract(tag, _SVG_W_RE, 1), F.lit(""))),
+            "__hraw": F.when(is_svg, F.nullif(
+                F.regexp_extract(tag, _SVG_H_RE, 1), F.lit(""))),
+            "__vbraw": F.when(is_svg, F.nullif(
+                F.regexp_extract(tag, _SVG_VB_RE, 1), F.lit(""))),
+        }
+    )
+
+    def px(raw):
+        return F.nullif(
+            F.regexp_extract(raw, _SVG_PX_RE, 1), F.lit("")).cast("double")
+
+    flags = {
+        "has_script": _SVG_SCRIPT_RE,
+        "has_event_handler": _SVG_HANDLER_RE,
+        "has_foreign_object": _SVG_FOREIGN_RE,
+        "has_js_href": _SVG_JSHREF_RE,
+        "is_animated": _SVG_ANIM_RE,
+    }
+    out = staged.withColumns(
+        {
+            "width_px": px(F.col("__wraw")),
+            "height_px": px(F.col("__hraw")),
+            "vb_w": F.nullif(F.regexp_extract(
+                F.col("__vbraw"), _SVG_VBWH_RE, 1), F.lit("")).cast("double"),
+            "vb_h": F.nullif(F.regexp_extract(
+                F.col("__vbraw"), _SVG_VBWH_RE, 2), F.lit("")).cast("double"),
+            **{name: F.when(F.col("is_svg"), t.rlike(pat))
+               for name, pat in flags.items()},
+        }
+    )
+    unsafe = (F.col("has_script") | F.col("has_event_handler")
+              | F.col("has_foreign_object") | F.col("has_js_href"))
+    return out.withColumn(
+        "unsafe", F.when(F.col("is_svg"), unsafe)
+    ).drop("__tag", "__wraw", "__hraw", "__vbraw")
+
+
+def svg_structure_sql(src: str, keep: str = "doc_id",
+                      text_col: str = "svg_text") -> str:
+    """DuckDB replay of :func:`svg_structure` — same patterns (RE2
+    both sides), same two-stage dimension parse."""
+    def esc(p):
+        return p.replace("'", "''")
+
+    flag_sel = ", ".join(
+        f"CASE WHEN tag IS NOT NULL THEN "
+        f"regexp_matches({text_col}, '{esc(pat)}') END AS {name}"
+        for name, pat in [
+            ("has_script", _SVG_SCRIPT_RE),
+            ("has_event_handler", _SVG_HANDLER_RE),
+            ("has_foreign_object", _SVG_FOREIGN_RE),
+            ("has_js_href", _SVG_JSHREF_RE),
+            ("is_animated", _SVG_ANIM_RE),
+        ]
+    )
+    return f"""
+        WITH sv0 AS (
+          SELECT {keep}, {text_col},
+                 NULLIF(regexp_extract(
+                   substring({text_col}, 1, {SVG_PRESCAN_CHARS}),
+                   '{esc(_SVG_TAG_RE)}', 0), '') AS tag
+          FROM {src}
+        ), sv1 AS (
+          SELECT {keep}, tag IS NOT NULL AS is_svg,
+                 CASE WHEN tag IS NOT NULL THEN NULLIF(
+                   regexp_extract(tag, '{esc(_SVG_W_RE)}', 1), '') END AS wraw,
+                 CASE WHEN tag IS NOT NULL THEN NULLIF(
+                   regexp_extract(tag, '{esc(_SVG_H_RE)}', 1), '') END AS hraw,
+                 CASE WHEN tag IS NOT NULL THEN NULLIF(
+                   regexp_extract(tag, '{esc(_SVG_VB_RE)}', 1), '') END AS vbraw,
+                 {flag_sel}
+          FROM sv0
+        )
+        SELECT {keep}, is_svg,
+               TRY_CAST(NULLIF(regexp_extract(wraw, '{esc(_SVG_PX_RE)}', 1), '')
+                        AS DOUBLE) AS width_px,
+               TRY_CAST(NULLIF(regexp_extract(hraw, '{esc(_SVG_PX_RE)}', 1), '')
+                        AS DOUBLE) AS height_px,
+               TRY_CAST(NULLIF(regexp_extract(vbraw, '{esc(_SVG_VBWH_RE)}', 1), '')
+                        AS DOUBLE) AS vb_w,
+               TRY_CAST(NULLIF(regexp_extract(vbraw, '{esc(_SVG_VBWH_RE)}', 2), '')
+                        AS DOUBLE) AS vb_h,
+               has_script, has_event_handler, has_foreign_object, has_js_href,
+               CASE WHEN is_svg THEN has_script OR has_event_handler
+                    OR has_foreign_object OR has_js_href END AS unsafe,
+               is_animated
+        FROM sv1
+    """
