@@ -4090,6 +4090,67 @@ def q_ico_structure(spark, sf_dir):
     )
 
 
+def _jcs_seg(marker: str, payload: str) -> str:
+    ln = len(payload) // 2 + 2
+    return marker + f"{ln:04X}" + payload
+
+
+def _jcs_sof(ncomp: int) -> str:
+    comps = "".join(
+        f"{i + 1:02X}" + ("22" if i == 0 else "11") + "00"
+        for i in range(ncomp)
+    )
+    return _jcs_seg("FFC0", "08" + "0010" + "0010" + f"{ncomp:02X}" + comps)
+
+
+def _jcs_adobe(tr: int) -> str:
+    return _jcs_seg("FFEE", "41646F6265" + "0064" + "0000" + "0000"
+                    + f"{tr:02X}")
+
+
+_JCS_APP0 = _jcs_seg("FFE0", "4A46494600010100000100010000")
+_JCS_ICC = _jcs_seg("FFE2", "4943435F50524F46494C4500" + "0101" + "00" * 16)
+_JCS_SOS = _jcs_seg("FFDA", "01" + "010000")
+#: JPEG colorspace fixtures: plain JFIF YCbCr, Adobe transform=0 RGB,
+#: Adobe transform=2 YCCK, bare 4-comp CMYK, ICC-tagged, grayscale,
+#: a PNG, a truncated JPEG, and an APP14 that does NOT spell 'Adobe'
+#: (its transform byte must not count).
+_JCS_CASES = [
+    "FFD8" + _JCS_APP0 + _jcs_sof(3) + _JCS_SOS,
+    "FFD8" + _JCS_APP0 + _jcs_adobe(0) + _jcs_sof(3) + _JCS_SOS,
+    "FFD8" + _jcs_adobe(2) + _jcs_sof(4) + _JCS_SOS,
+    "FFD8" + _JCS_APP0 + _jcs_sof(4) + _JCS_SOS,
+    "FFD8" + _JCS_APP0 + _JCS_ICC + _jcs_sof(3) + _JCS_SOS,
+    "FFD8" + _jcs_sof(1) + _JCS_SOS,
+    "89504E470D0A1A0A" + "0000000D49484452",
+    "FFD8" + _jcs_seg("FFEE", "58585858580064000000000002")
+    + _jcs_sof(4) + _JCS_SOS,
+]
+
+
+def q_jpeg_colorspace(spark, sf_dir):
+    """JPEG colorspace routing (sniff.jpeg_colorspace): the
+    loader-crash tier — 4-component CMYK/YCCK press-pipeline JPEGs
+    decode to garbage in 3-channel loaders, and the decode-free
+    routing signal is SOF component count + the Adobe APP14
+    transform byte (libjpeg convention), plus ICC-profile presence
+    for color-managed routing. One bounded segment fold tracking
+    first SOF/APP14/ICC simultaneously; a planted non-Adobe APP14
+    pins that foreign APP14 payloads carry no transform."""
+    from dblp_crawler_spark.operators.sniff import jpeg_colorspace
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_JCS_CASES)
+    hexstr = F.lit(_JCS_CASES[-1])
+    for i, hx in enumerate(_JCS_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return jpeg_colorspace(imgs).select(
+        "doc_id", "fmt", "n_components", "adobe_transform", "has_icc",
+        "colorspace", "cmyk_risk",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -4267,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "svg_structure": q_svg_structure,
         "ico_structure": q_ico_structure,
+        "jpeg_colorspace": q_jpeg_colorspace,
     }
 
 
@@ -8084,6 +8146,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope": _zipf_slope_oracle(),
         "svg_structure": _svg_structure_oracle(),
         "ico_structure": _ico_structure_oracle(),
+        "jpeg_colorspace": _jpeg_colorspace_oracle(),
     }
 
 
@@ -8287,3 +8350,24 @@ def _ico_structure_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} ic_src)"
     return ico_structure_sql(staged)
+
+
+def _jpeg_colorspace_oracle() -> str:
+    """DuckDB replay of q_jpeg_colorspace — same planted hex through
+    jpeg_colorspace_sql's linear CTE walk."""
+    from dblp_crawler_spark.operators.sniff import (
+        jpeg_colorspace_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_JCS_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_JCS_CASES)}{whens}
+                 ELSE '{_JCS_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} jc_src)"
+    return jpeg_colorspace_sql(staged)

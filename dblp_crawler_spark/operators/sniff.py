@@ -1787,3 +1787,166 @@ def ico_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                     THEN {" OR ".join(p_terms)} END AS has_png_entry
         FROM ic0
     """
+
+
+# ---- JPEG colorspace routing ----------------------------------------------------
+#
+# The loader-crash tier: 4-component (CMYK/YCCK) JPEGs come out of
+# print/press pipelines, decode to inverted or garbage colors in
+# naive loaders, and crash training stacks that assume 3 channels;
+# the only decode-free routing signal is the SOF component count
+# plus the Adobe APP14 transform byte (libjpeg convention: 3-comp is
+# YCbCr unless Adobe says transform=0 → RGB; 4-comp is CMYK unless
+# transform=2 → YCCK).  ICC presence (APP2 'ICC_PROFILE\0') marks
+# payloads whose colors are wrong WITHOUT profile application —
+# worth routing to a color-managed decode path.
+
+#: hops for the colorspace walk: APP0+APP1+APP2+APP14+DQTs+SOF needs
+#: ~7 segments; an ICC segment is ONE hop regardless of size.
+JPEG_CS_MAX_HOPS = 10
+#: window: covers headers with small-to-moderate ICC payloads; a
+#: multi-KB profile pushes SOF beyond it and colorspace NULL-absorbs
+#: (has_icc is still detected — APP2 precedes the profile bytes).
+JPEG_CS_WINDOW_BYTES = 4096
+_ICC_SIG_HEX = "4943435F50524F46494C4500"   # 'ICC_PROFILE\0'
+_ADOBE_HEX = "41646F6265"                   # 'Adobe'
+
+
+def jpeg_colorspace(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, n_components, adobe_transform, has_icc, colorspace,
+    cmyk_risk) from the segment chain.  One bounded fold tracks the
+    FIRST SOF / APP14 / ICC-bearing APP2 positions simultaneously
+    (the walk parks at SOS/EOI so entropy-coded bytes are never
+    interpreted as markers); every read is a staged named column.
+    adobe_transform is NULL unless the APP14 payload actually spells
+    'Adobe' (a foreign APP14 is not a transform declaration).
+    colorspace: 1 comp → gray; 3 comp → rgb iff transform=0 else
+    ycbcr; 4 comp → ycck iff transform=2 else cmyk.  cmyk_risk is
+    the 4-component flag a 3-channel loader must gate on."""
+    staged = df.withColumns(
+        {
+            "__cx": F.hex(F.substring(F.col(bytes_col), 1, JPEG_CS_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__cx")
+    is_jpeg = F.col("fmt") == "jpeg"
+
+    def hop(acc, _i):
+        pos = acc["pos"]
+        marker = hx.substr(pos, F.lit(4))
+        stop = marker.isin("FFDA", "FFD9")
+        nxt = F.when(stop, pos).otherwise(
+            pos + F.lit(4) + F.lit(2) * _hex2long(hx, pos + F.lit(4), 4)
+        )
+        return F.struct(
+            nxt.alias("pos"),
+            F.coalesce(acc["sof"],
+                       F.when(marker.isin(*SOF_MARKERS), pos)).alias("sof"),
+            F.coalesce(acc["a14"],
+                       F.when(marker == "FFEE", pos)).alias("a14"),
+            F.coalesce(acc["icc"], F.when(
+                (marker == "FFE2")
+                & (hx.substr(pos + F.lit(8), F.lit(24)) == _ICC_SIG_HEX),
+                pos)).alias("icc"),
+        )
+
+    acc0 = F.struct(
+        F.lit(5).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("sof"),
+        F.lit(None).cast("long").alias("a14"),
+        F.lit(None).cast("long").alias("icc"),
+    )
+    walk = F.aggregate(F.sequence(F.lit(1), F.lit(JPEG_CS_MAX_HOPS)), acc0, hop)
+    s1 = staged.withColumn("__walk", F.when(is_jpeg, walk))
+    s2 = s1.withColumns(
+        {
+            "__sof": F.col("__walk.sof"),
+            "__a14": F.col("__walk.a14"),
+            "__icc": F.col("__walk.icc"),
+        }
+    )
+    s3 = s2.withColumns(
+        {
+            "__nc": _hex2long(hx, F.col("__sof") + F.lit(18), 2),
+            "__tr": F.when(
+                hx.substr(F.col("__a14") + F.lit(8), F.lit(10)) == _ADOBE_HEX,
+                _hex2long(hx, F.col("__a14") + F.lit(30), 2),
+            ),
+        }
+    )
+    nc, tr = F.col("__nc"), F.col("__tr")
+    colorspace = (
+        F.when(nc == 1, "gray")
+         .when(nc == 3, F.when(tr == 0, "rgb").otherwise("ycbcr"))
+         .when(nc == 4, F.when(tr == 2, "ycck").otherwise("cmyk"))
+    )
+    return (
+        s3.withColumns(
+            {
+                "n_components": nc.cast("int"),
+                "adobe_transform": tr.cast("int"),
+                "has_icc": F.when(is_jpeg, F.col("__icc").isNotNull()),
+                "colorspace": colorspace,
+                "cmyk_risk": F.when(nc.isNotNull(), nc == 4),
+            }
+        )
+        .drop("__cx", "__walk", "__sof", "__a14", "__icc", "__nc", "__tr")
+    )
+
+
+def jpeg_colorspace_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                        fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`jpeg_colorspace` — the fold unrolled
+    as a linear CTE chain (one hop per CTE, so the position
+    expression never multiplies out)."""
+    markers = ", ".join(f"'{m}'" for m in SOF_MARKERS)
+    ctes = [f"""jc0 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CAST(5 AS BIGINT) AS pos,
+                 CAST(NULL AS BIGINT) AS sof,
+                 CAST(NULL AS BIGINT) AS a14,
+                 CAST(NULL AS BIGINT) AS icc
+          FROM {src}
+        )"""]
+    for k in range(JPEG_CS_MAX_HOPS):
+        seg_len = "TRY_CAST(concat('0x', substring(h, pos + 4, 4)) AS BIGINT)"
+        ctes.append(f"""jc{k + 1} AS (
+          SELECT {keep}, fmt, h,
+                 CASE WHEN substring(h, pos, 4) IN ('FFDA', 'FFD9') THEN pos
+                      ELSE pos + 4 + 2 * {seg_len} END AS pos,
+                 COALESCE(sof, CASE WHEN substring(h, pos, 4) IN ({markers})
+                               THEN pos END) AS sof,
+                 COALESCE(a14, CASE WHEN substring(h, pos, 4) = 'FFEE'
+                               THEN pos END) AS a14,
+                 COALESCE(icc, CASE WHEN substring(h, pos, 4) = 'FFE2'
+                               AND substring(h, pos + 8, 24) = '{_ICC_SIG_HEX}'
+                               THEN pos END) AS icc
+          FROM jc{k})""")
+    last = f"jc{JPEG_CS_MAX_HOPS}"
+    return f"""
+        WITH {", ".join(ctes)}, jcf AS (
+          SELECT {keep}, fmt,
+                 CASE WHEN fmt = 'jpeg' THEN
+                   TRY_CAST(concat('0x', substring(h, sof + 18, 2)) AS BIGINT)
+                 END AS nc,
+                 CASE WHEN fmt = 'jpeg'
+                      AND substring(h, a14 + 8, 10) = '{_ADOBE_HEX}' THEN
+                   TRY_CAST(concat('0x', substring(h, a14 + 30, 2)) AS BIGINT)
+                 END AS tr,
+                 CASE WHEN fmt = 'jpeg' THEN icc IS NOT NULL END AS has_icc
+          FROM {last}
+        )
+        SELECT {keep}, fmt,
+               CAST(nc AS INT) AS n_components,
+               CAST(tr AS INT) AS adobe_transform,
+               has_icc,
+               CASE WHEN nc = 1 THEN 'gray'
+                    WHEN nc = 3 THEN
+                      CASE WHEN tr = 0 THEN 'rgb' ELSE 'ycbcr' END
+                    WHEN nc = 4 THEN
+                      CASE WHEN tr = 2 THEN 'ycck' ELSE 'cmyk' END
+               END AS colorspace,
+               CASE WHEN nc IS NOT NULL THEN nc = 4 END AS cmyk_risk
+        FROM jcf
+    """
