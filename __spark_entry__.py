@@ -4151,6 +4151,37 @@ def q_jpeg_colorspace(spark, sf_dir):
     )
 
 
+#: planted K4 on fresh nodes for q_triangle_counts — 4 triangles,
+#: every member in 3, clustering 1.0 on the degree-3 corners.
+_TRI_K4 = [("h100", "h101"), ("h100", "h102"), ("h100", "h103"),
+           ("h101", "h102"), ("h101", "h103"), ("h102", "h103")]
+
+
+def q_triangle_counts(spark, sf_dir):
+    """Per-host triangle participation + local clustering
+    (hits.triangle_counts): the community-vs-link-farm texture
+    signal — organic neighborhoods close triangles, generated spam
+    constellations are locally tree-like. Compact-forward
+    orientation (degree-ordered edges) bounds the wedge join on hot
+    hubs; planted K4 on fresh nodes pins 4 triangles / clustering
+    1.0 against the circulant bulk."""
+    from dblp_crawler_spark.operators.hits import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 3) % 23).cast("string")).alias("dst"),
+    )
+    ksrc = F.lit(_TRI_K4[-1][0])
+    kdst = F.lit(_TRI_K4[-1][1])
+    for i, (s, d) in enumerate(_TRI_K4[:-1]):
+        ksrc = F.when(F.col("doc_id") == i, F.lit(s)).otherwise(ksrc)
+        kdst = F.when(F.col("doc_id") == i, F.lit(d)).otherwise(kdst)
+    planted = docs.filter(F.col("doc_id") < len(_TRI_K4)).select(
+        ksrc.alias("src"), kdst.alias("dst"))
+    return triangle_counts(base.unionByName(planted))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -4329,6 +4360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "svg_structure": q_svg_structure,
         "ico_structure": q_ico_structure,
         "jpeg_colorspace": q_jpeg_colorspace,
+        "triangle_counts": q_triangle_counts,
     }
 
 
@@ -8147,6 +8179,7 @@ def oracle_sql() -> dict[str, str]:
         "svg_structure": _svg_structure_oracle(),
         "ico_structure": _ico_structure_oracle(),
         "jpeg_colorspace": _jpeg_colorspace_oracle(),
+        "triangle_counts": _triangle_counts_oracle(),
     }
 
 
@@ -8371,3 +8404,24 @@ def _jpeg_colorspace_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} jc_src)"
     return jpeg_colorspace_sql(staged)
+
+
+def _triangle_counts_oracle() -> str:
+    """DuckDB replay of q_triangle_counts — same circulant + planted
+    K4 edge synthesis through triangle_counts_sql."""
+    from dblp_crawler_spark.operators.hits import triangle_counts_sql
+
+    s_whens = "".join(
+        f" WHEN {i} THEN '{s}'" for i, (s, _) in enumerate(_TRI_K4[:-1]))
+    d_whens = "".join(
+        f" WHEN {i} THEN '{d}'" for i, (_, d) in enumerate(_TRI_K4[:-1]))
+    edges = f"""(
+        SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+               'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst
+        FROM documents
+        UNION ALL
+        SELECT CASE doc_id{s_whens} ELSE '{_TRI_K4[-1][0]}' END AS src,
+               CASE doc_id{d_whens} ELSE '{_TRI_K4[-1][1]}' END AS dst
+        FROM documents WHERE doc_id < {len(_TRI_K4)}
+    )"""
+    return triangle_counts_sql(edges)

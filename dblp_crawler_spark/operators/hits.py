@@ -186,3 +186,113 @@ def link_reciprocity_sql(edges: str, src: str = "src", dst: str = "dst") -> str:
                ROUND(SUM(rec) * 100.0 / COUNT(*), 2) AS recip_pct
         FROM lr_m GROUP BY s
     """
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation + local clustering over the
+    undirected link graph — the community-vs-link-farm texture
+    signal (organic site neighborhoods close triangles; generated
+    spam constellations are locally tree-like, and a host whose
+    neighborhood never closes a triangle earns frontier suspicion).
+
+    Algorithm is the compact-forward / node-iterator++ shape
+    (Schank-Wagner; Suri-Vassilvitskii's MapReduce variant): orient
+    every undirected edge from the (degree, node)-smaller endpoint
+    to the larger, so each node's OUT-degree is O(sqrt(m)) on any
+    graph — the orientation is what keeps the wedge join from
+    exploding on hot hosts (a 10^6-degree hub generates wedges only
+    as the CLOSING side, never as the pivot). Then ONE self-join
+    builds wedges a->b->c and ONE more equi-join closes them against
+    the oriented edge set; every triangle is produced exactly once
+    (a < b < c in the total order). All equi-joins, no broadcast
+    assumption; per-node counts via explode + one hash agg.
+
+    Output: (node, degree, n_triangles, clustering) for every node
+    of the undirected graph; clustering = 2T / deg(deg-1), NULL for
+    degree < 2 (undefined, not zero)."""
+    lo = F.least(F.col(src), F.col(dst))
+    hi = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(lo.alias("a"), hi.alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node").agg(F.count("*").alias("degree"))
+    )
+    d = und.join(deg.withColumnsRenamed({"node": "a", "degree": "da"}), "a") \
+           .join(deg.withColumnsRenamed({"node": "b", "degree": "db"}), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = d.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = oriented.withColumnsRenamed({"u": "x", "v": "y"})
+    e2 = oriented.withColumnsRenamed({"u": "y", "v": "z"})
+    wedges = e1.join(e2, "y").filter(F.col("x") != F.col("z"))
+    tri = wedges.join(
+        oriented.withColumnsRenamed({"u": "x", "v": "z"}), ["x", "z"]
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node").agg(F.count("*").alias("n_triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node", "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+         .alias("n_triangles"),
+    )
+    clustering = F.when(
+        F.col("degree") >= 2,
+        F.round(F.col("n_triangles") * 2.0
+                / (F.col("degree") * (F.col("degree") - 1)), 4),
+    )
+    return out.withColumn("clustering", clustering)
+
+
+def triangle_counts_sql(edges: str, src: str = "src",
+                        dst: str = "dst") -> str:
+    """DuckDB replay of :func:`triangle_counts` — same orientation,
+    same wedge-close joins."""
+    return f"""
+        WITH tc_und AS (
+          SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+          FROM {edges} WHERE {src} <> {dst}
+        ), tc_deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM tc_und
+            UNION ALL SELECT b AS node FROM tc_und
+          ) GROUP BY node
+        ), tc_or AS (
+          SELECT CASE WHEN da.degree < db.degree
+                        OR (da.degree = db.degree AND u.a < u.b)
+                      THEN u.a ELSE u.b END AS u,
+                 CASE WHEN da.degree < db.degree
+                        OR (da.degree = db.degree AND u.a < u.b)
+                      THEN u.b ELSE u.a END AS v
+          FROM tc_und u
+          JOIN tc_deg da ON da.node = u.a
+          JOIN tc_deg db ON db.node = u.b
+        ), tc_tri AS (
+          SELECT e1.u AS x, e1.v AS y, e2.v AS z
+          FROM tc_or e1
+          JOIN tc_or e2 ON e2.u = e1.v
+          JOIN tc_or e3 ON e3.u = e1.u AND e3.v = e2.v
+          WHERE e1.u <> e2.v
+        ), tc_pn AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT x AS node FROM tc_tri
+            UNION ALL SELECT y AS node FROM tc_tri
+            UNION ALL SELECT z AS node FROM tc_tri
+          ) GROUP BY node
+        )
+        SELECT d.node, d.degree,
+               CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.degree >= 2 THEN
+                 ROUND(COALESCE(p.n_triangles, 0) * 2.0
+                       / (d.degree * (d.degree - 1)), 4) END AS clustering
+        FROM tc_deg d LEFT JOIN tc_pn p ON p.node = d.node
+    """
