@@ -4182,6 +4182,19 @@ def q_triangle_counts(spark, sf_dir):
     return triangle_counts(base.unionByName(planted))
 
 
+def q_events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (streaming/events.
+    transition_matrix): per ordered event-type pair, how often the
+    second immediately follows the first in a user's stream and the
+    per-from probability — next-page/broken-flow modeling. One
+    per-user lead window ((ts, event_id)-deterministic), one hash
+    agg; the normalizer windows the tiny aggregated matrix, never
+    the event stream."""
+    from dblp_crawler_spark.streaming.events import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -4361,6 +4374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ico_structure": q_ico_structure,
         "jpeg_colorspace": q_jpeg_colorspace,
         "triangle_counts": q_triangle_counts,
+        "events_transitions": q_events_transitions,
     }
 
 
@@ -8180,6 +8194,7 @@ def oracle_sql() -> dict[str, str]:
         "ico_structure": _ico_structure_oracle(),
         "jpeg_colorspace": _jpeg_colorspace_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
+        "events_transitions": _events_transitions_oracle(),
     }
 
 
@@ -8425,3 +8440,10 @@ def _triangle_counts_oracle() -> str:
         FROM documents WHERE doc_id < {len(_TRI_K4)}
     )"""
     return triangle_counts_sql(edges)
+
+
+def _events_transitions_oracle() -> str:
+    """DuckDB replay of q_events_transitions."""
+    from dblp_crawler_spark.streaming.events import transition_matrix_sql
+
+    return transition_matrix_sql("events")

@@ -494,3 +494,63 @@ def retention_cohorts_sql(src: str = "events", max_weeks: int = 8) -> str:
                ROUND(n_active * 100.0 / n_cohort, 2) AS retention_pct
         FROM rc_act JOIN rc_sizes USING (cohort_date)
     """
+
+
+def transition_matrix(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      ts_col: str = "ts") -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every ordered pair of event types, how often does
+    `to_type` immediately follow `from_type` in some user's stream,
+    and what fraction of `from_type`'s outgoing transitions is that
+    — the navigation-model primitive (next-page prediction, broken-
+    flow detection: a checkout whose dominant successor is `error`
+    is an alert, and crawl-side the same shape models which page
+    template follows which).
+
+    Exactly one wide shuffle: the per-user `lead` window (ordered by
+    (ts, event_id) so timestamp ties cannot flip transitions between
+    engines — the same determinism discipline as the funnel).  The
+    (from, to) count is a hash agg with map-side partials, and the
+    per-from normalizer is a window over the already-aggregated
+    (tiny: |types|^2) matrix, not over the event stream.  To model
+    within-session transitions only, feed the output of `sessionize`
+    and use its session id as `user_col`.
+
+    Output: (from_type, to_type, n, p) with p = n / sum_n(from),
+    rounded to 6."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col("event_id"))
+    steps = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n"))
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * 1.0 / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+def transition_matrix_sql(src: str = "events", user_col: str = "user_id",
+                          type_col: str = "event_type",
+                          ts_col: str = "ts") -> str:
+    """DuckDB replay of :func:`transition_matrix` — same (ts,
+    event_id) ordering, same normalization."""
+    return f"""
+        WITH tm_s AS (
+          SELECT {type_col} AS from_type,
+                 LEAD({type_col}) OVER (PARTITION BY {user_col}
+                   ORDER BY {ts_col}, event_id) AS to_type
+          FROM {src}
+        ), tm_c AS (
+          SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tm_s WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM tm_c
+    """
