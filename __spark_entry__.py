@@ -4195,6 +4195,66 @@ def q_events_transitions(spark, sf_dir):
     return transition_matrix(_t(spark, sf_dir, "events"))
 
 
+#: homograph fixtures: brand targets, a Cyrillic-е and a Cyrillic-а
+#: imposter, a digit imposter, and a punycode host. Bulk site{k}
+#:.com hosts with 0/1 digits skeleton-shift but collide with no
+#: target, so they must produce NO pairs.
+_HOMOGRAPH_PLANTED = [
+    "google.com", "googlе.com", "g00gle.com",
+    "paypal.com", "pаypal.com", "xn--pypal-4ve.com",
+]
+
+
+def _homograph_hosts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    bulk = docs.select(
+        F.concat(F.lit("site"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".com")).alias("host"))
+    ph = F.lit(_HOMOGRAPH_PLANTED[-1])
+    for i, s in enumerate(_HOMOGRAPH_PLANTED[:-1]):
+        ph = F.when(F.col("doc_id") == i, F.lit(s)).otherwise(ph)
+    planted = docs.filter(F.col("doc_id") < len(_HOMOGRAPH_PLANTED)) \
+                  .select(ph.alias("host"))
+    return bulk.unionByName(planted)
+
+
+def _homograph_hosts_sql() -> str:
+    whens = "".join(
+        f" WHEN {i} THEN '{s}'"
+        for i, s in enumerate(_HOMOGRAPH_PLANTED[:-1]))
+    return f"""(
+        SELECT 'site' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host
+        FROM documents
+        UNION ALL
+        SELECT CASE doc_id{whens} ELSE '{_HOMOGRAPH_PLANTED[-1]}' END AS host
+        FROM documents WHERE doc_id < {len(_HOMOGRAPH_PLANTED)}
+    )"""
+
+
+def q_idn_homograph(spark, sf_dir):
+    """Per-host IDN confusable flags (hostdup.idn_homograph):
+    ascii_only (bytes==chars), xn-- punycode labels, the TR39
+    mixed-script red flag (Latin + Cyrillic/Greek in one host), and
+    the confusable skeleton (translate — codepoint-identical in both
+    engines). The skeleton is the block key homograph_pairs joins
+    on."""
+    from dblp_crawler_spark.operators.hostdup import idn_homograph
+
+    return idn_homograph(_homograph_hosts(spark, sf_dir))
+
+
+def q_homograph_pairs(spark, sf_dir):
+    """Homograph-attack pairs (hostdup.homograph_pairs): hosts the
+    confusable map CHANGED (imposters) equi-joined on skeleton
+    against hosts it FIXED (authentic Latin spellings) — planted
+    Cyrillic-е/-а and 0-for-o imposters collide with their brands,
+    while bulk digit-bearing hosts skeleton-shift but match no
+    target and must stay silent."""
+    from dblp_crawler_spark.operators.hostdup import homograph_pairs
+
+    return homograph_pairs(_homograph_hosts(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -4375,6 +4435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_colorspace": q_jpeg_colorspace,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
+        "idn_homograph": q_idn_homograph,
+        "homograph_pairs": q_homograph_pairs,
     }
 
 
@@ -8195,6 +8257,8 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_colorspace": _jpeg_colorspace_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
+        "idn_homograph": _idn_homograph_oracle(),
+        "homograph_pairs": _homograph_pairs_oracle(),
     }
 
 
@@ -8447,3 +8511,17 @@ def _events_transitions_oracle() -> str:
     from dblp_crawler_spark.streaming.events import transition_matrix_sql
 
     return transition_matrix_sql("events")
+
+
+def _idn_homograph_oracle() -> str:
+    """DuckDB replay of q_idn_homograph."""
+    from dblp_crawler_spark.operators.hostdup import idn_homograph_sql
+
+    return idn_homograph_sql(_homograph_hosts_sql())
+
+
+def _homograph_pairs_oracle() -> str:
+    """DuckDB replay of q_homograph_pairs."""
+    from dblp_crawler_spark.operators.hostdup import homograph_pairs_sql
+
+    return homograph_pairs_sql(_homograph_hosts_sql())

@@ -219,3 +219,97 @@ def host_language_profile_sql(src: str, host_col: str = "host",
                ROUND(SUM(-(n / total) * log2(n / total)), 4) AS lang_entropy
         FROM hl_e GROUP BY host
     """
+
+
+# ---- IDN homograph / confusable hosts ------------------------------------------
+#
+# The phishing-shape host pathology: a domain spelled with Cyrillic/
+# Greek letters (or 0/1 digit stand-ins) that renders pixel-identical
+# to a Latin brand domain.  A frontier that treats these as ordinary
+# new hosts hands them crawl budget and lets their content pollute
+# the corpus under a trusted-looking name; the defense is a
+# confusable SKELETON (Unicode TR39's idea, reduced to the
+# high-traffic confusable set): map every confusable to its Latin
+# target and collide hosts whose skeletons agree.  translate() is
+# codepoint-for-codepoint in both engines, so the skeleton — and the
+# oracle — cannot drift.
+
+#: visually-identical (Cyrillic/Greek → Latin) + digit confusables.
+#: Codepoint pairs; extend freely — the pair detector keys on the
+#: mapping's OUTPUT, not the table size.
+CONFUSABLE_FROM = "асеорхуіјѕԛԝ" + "ον" + "01"
+CONFUSABLE_TO = "aceopxyijsqw" + "ov" + "ol"
+
+#: script-property names shared by the engine (Java spells \p{IsX})
+#: and the replay (RE2 spells \p{X}) — same discipline as
+#: textstats.SCRIPT_TABLE.
+_HOMOGRAPH_SCRIPTS = ("Cyrillic", "Greek")
+
+
+def idn_homograph(hosts: DataFrame, host_col: str = "host") -> DataFrame:
+    """Per-host confusable flags: (host, ascii_only, has_punycode,
+    mixed_script, skeleton).
+
+    ascii_only is byte-length == char-length (engine-portable, no
+    codepoint table); has_punycode marks any xn-- label (IDN is
+    legitimate — the flag routes the host to punycode-aware
+    handling, it is NOT an accusation); mixed_script is the TR39
+    red flag proper: Latin letters AND Cyrillic/Greek letters inside
+    one host label set — no legitimate registry allows that mix.
+    Pure projection over the distinct host set."""
+    h = F.lower(F.col(host_col))
+    cyr_greek = "[" + "".join(
+        rf"\p{{Is{s}}}" for s in _HOMOGRAPH_SCRIPTS) + "]"
+    return hosts.select(h.alias("host")).distinct().select(
+        "host",
+        (F.octet_length("host") == F.length("host")).alias("ascii_only"),
+        F.col("host").rlike(r"(^|\.)xn--").alias("has_punycode"),
+        (F.col("host").rlike(r"\p{IsLatin}")
+         & F.col("host").rlike(cyr_greek)).alias("mixed_script"),
+        F.translate("host", CONFUSABLE_FROM, CONFUSABLE_TO).alias("skeleton"),
+    )
+
+
+def idn_homograph_sql(src: str, host_col: str = "host") -> str:
+    """DuckDB replay of :func:`idn_homograph` — RE2 script spelling,
+    strlen (bytes) vs length (chars) for ascii_only."""
+    cyr_greek = "[" + "".join(
+        f"\\p{{{s}}}" for s in _HOMOGRAPH_SCRIPTS) + "]"
+    return f"""
+        WITH ih_h AS (
+          SELECT DISTINCT lower({host_col}) AS host FROM {src}
+        )
+        SELECT host,
+               strlen(host) = length(host) AS ascii_only,
+               regexp_matches(host, '(^|\\.)xn--') AS has_punycode,
+               regexp_matches(host, '\\p{{Latin}}')
+                 AND regexp_matches(host, '{cyr_greek}') AS mixed_script,
+               translate(host, '{CONFUSABLE_FROM}', '{CONFUSABLE_TO}') AS skeleton
+        FROM ih_h
+    """
+
+
+def homograph_pairs(hosts: DataFrame, host_col: str = "host") -> DataFrame:
+    """(skeleton, imposter, target) pairs: an IMPOSTER is a host the
+    confusable map changed (skeleton ≠ host — it contains stand-in
+    codepoints); a TARGET is a host the map fixed (skeleton = host —
+    the authentic Latin spelling).  An imposter colliding with a
+    registered target is the homograph-attack signature; one
+    equi-join on skeleton (never all-pairs — the skeleton is the
+    block key, exactly the minhash-band discipline)."""
+    per = idn_homograph(hosts, host_col=host_col)
+    imposters = per.filter(F.col("skeleton") != F.col("host")) \
+                   .select("skeleton", F.col("host").alias("imposter"))
+    targets = per.filter(F.col("skeleton") == F.col("host")) \
+                 .select("skeleton", F.col("host").alias("target"))
+    return imposters.join(targets, "skeleton")
+
+
+def homograph_pairs_sql(src: str, host_col: str = "host") -> str:
+    """DuckDB replay of :func:`homograph_pairs`."""
+    return f"""
+        WITH hp_per AS ({idn_homograph_sql(src, host_col=host_col)})
+        SELECT i.skeleton, i.host AS imposter, t.host AS target
+        FROM hp_per i JOIN hp_per t ON t.skeleton = i.skeleton
+        WHERE i.skeleton <> i.host AND t.skeleton = t.host
+    """
