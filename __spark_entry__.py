@@ -4255,6 +4255,43 @@ def q_homograph_pairs(spark, sf_dir):
     return homograph_pairs(_homograph_hosts(spark, sf_dir))
 
 
+def q_pipeline_recrawl_plan(spark, sf_dir):
+    """Composed recrawl-wave planner in ONE plan — the freshness-
+    side integration statement next to pipeline_frontier_plan's
+    admission side: fetch log → recrawl_priorities (observed
+    change-rate staleness, the measured-cadence generalization of
+    fixed TTLs) → per-host admission cap (top-5 by priority, the
+    budget discipline that keeps one hot host from eating the wave)
+    → exact politeness_timeline schedule (prefix-max closed form,
+    delay 0.5 s). Every stage is an existing oracled operator; the
+    replay chains the same fragments so the composition is verified
+    as a unit. Output: the recrawl wave's exact fetch schedule with
+    its driving priority."""
+    from dblp_crawler_spark.operators import recrawl as RC
+    from dblp_crawler_spark.operators.scheduler import politeness_timeline
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("https://h"), (F.col("user_id") % 7).cast("string"),
+                 F.lit(".org/p"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts"),
+        F.col("event_type").alias("fingerprint"),
+    )
+    pr = RC.recrawl_priorities(log)
+    cand = pr.filter(F.col("priority").isNotNull()).select(
+        "url",
+        F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("host"),
+        "priority",
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    adm = cand.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+    wave = adm.select("host", "url", "priority",
+                      F.lit(0).cast("long").alias("ready_us"))
+    return politeness_timeline(wave, delay_us=500000).select(
+        "host", "url", "priority", "k", "start_us", "finish_us"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -4437,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
         "homograph_pairs": q_homograph_pairs,
+        "pipeline_recrawl_plan": q_pipeline_recrawl_plan,
     }
 
 
@@ -8259,6 +8297,7 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
         "homograph_pairs": _homograph_pairs_oracle(),
+        "pipeline_recrawl_plan": _pipeline_recrawl_plan_oracle(),
     }
 
 
@@ -8525,3 +8564,50 @@ def _homograph_pairs_oracle() -> str:
     from dblp_crawler_spark.operators.hostdup import homograph_pairs_sql
 
     return homograph_pairs_sql(_homograph_hosts_sql())
+
+
+def _pipeline_recrawl_plan_oracle() -> str:
+    """DuckDB replay of q_pipeline_recrawl_plan — chains the
+    recrawl_priorities fragment, the per-host cap, and
+    politeness_timeline_sql."""
+    from dblp_crawler_spark.operators.scheduler import politeness_timeline_sql
+
+    timeline = politeness_timeline_sql("rp_wave", delay_us=500000)
+    return f"""
+        WITH rp_f AS (
+          SELECT 'https://h' || CAST(user_id % 7 AS VARCHAR)
+                   || '.org/p' || CAST(user_id AS VARCHAR) AS url,
+                 ts, event_type AS fp
+          FROM events
+        ), rp_m AS (
+          SELECT url, ts, fp,
+            CASE WHEN lag(fp) OVER (PARTITION BY url ORDER BY ts, fp) IS NOT NULL
+                  AND lag(fp) OVER (PARTITION BY url ORDER BY ts, fp) <> fp
+                 THEN 1 ELSE 0 END AS changed
+          FROM rp_f
+        ), rp_a AS (
+          SELECT url, CAST(SUM(changed) AS BIGINT) AS n_changes,
+                 MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+          FROM rp_m GROUP BY url
+        ), rp_n AS (SELECT MAX(epoch_us(ts)) AS now_us FROM rp_f),
+        rp_pr AS (
+          SELECT url,
+                 ROUND((n_changes * (now_us - last_us)) / (last_us - first_us),
+                       6) AS priority
+          FROM rp_a, rp_n WHERE last_us > first_us
+        ), rp_cand AS (
+          SELECT url, regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                 priority
+          FROM rp_pr WHERE priority IS NOT NULL
+        ), rp_adm AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                   ORDER BY priority DESC, url ASC) AS rk
+            FROM rp_cand)
+          WHERE rk <= 5
+        ), rp_wave AS (
+          SELECT host, url, priority, CAST(0 AS BIGINT) AS ready_us FROM rp_adm
+        )
+        SELECT host, url, priority, k, start_us, finish_us
+        FROM ({timeline})
+    """
