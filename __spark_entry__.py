@@ -4151,6 +4151,115 @@ def q_jpeg_colorspace(spark, sf_dir):
     )
 
 
+def _tiff_ent_ii(tag, typ, val):
+    t = f"{tag & 0xFF:02X}{tag >> 8:02X}" + f"{typ:02X}00" + "01000000"
+    if typ == 3:
+        return t + f"{val & 0xFF:02X}{val >> 8:02X}0000"
+    return t + "".join(f"{(val >> (8 * i)) & 0xFF:02X}" for i in range(4))
+
+
+def _tiff_ent_mm(tag, typ, val):
+    v = f"{val:04X}0000" if typ == 3 else f"{val:08X}"
+    return f"{tag:04X}{typ:04X}00000001" + v
+
+
+def _tiff_ii(entries):
+    return ("49492A00" + "08000000" + f"{len(entries):02X}00"
+            + "".join(entries) + "00000000")
+
+
+def _tiff_mm(entries):
+    return ("4D4D002A" + "00000008" + f"{len(entries):04X}"
+            + "".join(entries) + "00000000")
+
+
+#: planted TIFF structure cases: LE LZW master, BE uncompressed with a
+#: LONG height (the typed-read pin: its first two BE bytes are 0), an
+#: old-style JPEG-in-TIFF, an off-table code (3 -> 'other'), a
+#: tagless-compression master, and a non-TIFF row.
+_TIFF_CASES = [
+    _tiff_ii([_tiff_ent_ii(0x0100, 3, 800), _tiff_ent_ii(0x0101, 4, 600),
+              _tiff_ent_ii(0x0103, 3, 5)]),
+    _tiff_mm([_tiff_ent_mm(0x0100, 3, 1024), _tiff_ent_mm(0x0101, 4, 600),
+              _tiff_ent_mm(0x0103, 3, 1)]),
+    _tiff_ii([_tiff_ent_ii(0x0100, 3, 32), _tiff_ent_ii(0x0101, 3, 32),
+              _tiff_ent_ii(0x0103, 3, 6)]),
+    _tiff_mm([_tiff_ent_mm(0x0100, 3, 8), _tiff_ent_mm(0x0101, 3, 8),
+              _tiff_ent_mm(0x0103, 3, 3)]),
+    _tiff_ii([_tiff_ent_ii(0x0100, 4, 70000), _tiff_ent_ii(0x0101, 4, 50000)]),
+    "FFD8FFE000104A46494600010100000100010000",
+]
+
+
+def q_tiff_structure(spark, sf_dir):
+    """Standalone-TIFF routing (sniff.tiff_structure): scanner/archival
+    masters hand a crawler bare .tif files whose decode path (LZW vs
+    old-style JPEG-in-TIFF vs uncompressed multi-GB rows) and bomb-gate
+    dims live in IFD0 — read endian-aware and TYPE-aware (a big-endian
+    LONG's first two bytes are its high half, so an untyped 2-byte read
+    silently returns 0; pinned by the BE LONG-height case)."""
+    from dblp_crawler_spark.operators.sniff import tiff_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_TIFF_CASES)
+    hexstr = F.lit(_TIFF_CASES[-1])
+    for i, hx in enumerate(_TIFF_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return tiff_structure(imgs).select(
+        "doc_id", "fmt", "endian", "width", "height", "compression",
+    )
+
+
+def _apng_chunk(ctype, data_hex):
+    return (f"{len(data_hex) // 2:08X}" + ctype.encode().hex().upper()
+            + data_hex + "00000000")
+
+
+_APNG_MAGIC = "89504E470D0A1A0A"
+_APNG_IHDR = _apng_chunk("IHDR", "00000010" * 2 + "08" + "06" + "000000")
+_APNG_IDAT = _apng_chunk("IDAT", "AB" * 4)
+_APNG_IEND = _apng_chunk("IEND", "")
+
+#: planted APNG cases: still PNG, looping 10-frame APNG, finite-replay
+#: APNG, an acTL AFTER the image data (not an APNG — the chunk walk
+#: parks at IDAT), ancillary chunks before acTL, and a GIF row.
+_APNG_CASES = [
+    _APNG_MAGIC + _APNG_IHDR + _APNG_IDAT + _APNG_IEND,
+    _APNG_MAGIC + _APNG_IHDR + _apng_chunk("acTL", "0000000A00000000")
+    + _APNG_IDAT + _APNG_IEND,
+    _APNG_MAGIC + _APNG_IHDR + _apng_chunk("acTL", "0000000200000003")
+    + _APNG_IDAT + _APNG_IEND,
+    _APNG_MAGIC + _APNG_IHDR + _APNG_IDAT
+    + _apng_chunk("acTL", "0000000A00000000") + _APNG_IEND,
+    _APNG_MAGIC + _APNG_IHDR + _apng_chunk("tEXt", "AA" * 6)
+    + _apng_chunk("pHYs", "00000B13" + "00000B13" + "01")
+    + _apng_chunk("acTL", "0000000400000001") + _APNG_IDAT + _APNG_IEND,
+    "4749463839611000" + "1000",
+]
+
+
+def q_png_animated(spark, sf_dir):
+    """APNG detection (sniff.png_animated): animation hides inside an
+    ordinary PNG — the acTL chunk before the first IDAT is the ONLY
+    marker, so a pipeline routing 'png = still image' silently trains
+    on frame 1 of animations. Length-hopped chunk walk that PARKS at
+    IDAT/IEND (enforcing the spec's acTL-before-IDAT ordering for
+    free; the late-acTL case pins it), emitting the declared frame and
+    replay counts (plays 0 = loop forever)."""
+    from dblp_crawler_spark.operators.sniff import png_animated
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_APNG_CASES)
+    hexstr = F.lit(_APNG_CASES[-1])
+    for i, hx in enumerate(_APNG_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return png_animated(imgs).select(
+        "doc_id", "fmt", "is_apng", "n_frames", "n_plays",
+    )
+
+
 #: planted K4 on fresh nodes for q_triangle_counts — 4 triangles,
 #: every member in 3, clustering 1.0 on the degree-3 corners.
 _TRI_K4 = [("h100", "h101"), ("h100", "h102"), ("h100", "h103"),
@@ -4470,6 +4579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "svg_structure": q_svg_structure,
         "ico_structure": q_ico_structure,
         "jpeg_colorspace": q_jpeg_colorspace,
+        "tiff_structure": q_tiff_structure,
+        "png_animated": q_png_animated,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -8293,6 +8404,8 @@ def oracle_sql() -> dict[str, str]:
         "svg_structure": _svg_structure_oracle(),
         "ico_structure": _ico_structure_oracle(),
         "jpeg_colorspace": _jpeg_colorspace_oracle(),
+        "tiff_structure": _tiff_structure_oracle(),
+        "png_animated": _png_animated_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -8522,6 +8635,48 @@ def _jpeg_colorspace_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} jc_src)"
     return jpeg_colorspace_sql(staged)
+
+
+def _tiff_structure_oracle() -> str:
+    """DuckDB replay of q_tiff_structure — same planted hex through
+    tiff_structure_sql's typed IFD scan."""
+    from dblp_crawler_spark.operators.sniff import (
+        sniff_case_sql,
+        tiff_structure_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_TIFF_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_TIFF_CASES)}{whens}
+                 ELSE '{_TIFF_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} tf_src)"
+    return tiff_structure_sql(staged)
+
+
+def _png_animated_oracle() -> str:
+    """DuckDB replay of q_png_animated — same planted hex through
+    png_animated_sql's linear CTE chunk walk."""
+    from dblp_crawler_spark.operators.sniff import (
+        png_animated_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_APNG_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_APNG_CASES)}{whens}
+                 ELSE '{_APNG_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} pa_src)"
+    return png_animated_sql(staged)
 
 
 def _triangle_counts_oracle() -> str:

@@ -1950,3 +1950,222 @@ def jpeg_colorspace_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                CASE WHEN nc IS NOT NULL THEN nc = 4 END AS cmyk_risk
         FROM jcf
     """
+
+
+# ---- standalone TIFF structure --------------------------------------------------
+#
+# Scanner/archival pipelines hand a crawler bare .tif masters; the
+# routing facts (dims for the bomb gate, compression for the decode
+# path — LZW and old-style JPEG-in-TIFF need different codecs, and
+# uncompressed masters are the multi-GB rows worth a size gate) all
+# live in IFD0, read with the SAME endian-aware machinery as the
+# EXIF family (_exif_stage already resolves the standalone-TIFF
+# header at byte 0).  TIFF 6.0 requires IFD entries sorted by tag,
+# so width (0x0100) / height (0x0101) / compression (0x0103) sit in
+# the first few entries — the bounded IFD_MAX_ENTRIES scan is exact
+# for spec-compliant files (deeper tags NULL-absorb, documented).
+
+_TIFF_W_TAG = 0x0100
+_TIFF_H_TAG = 0x0101
+_TIFF_COMP_TAG = 0x0103
+#: TIFF 6.0 / supplement compression codes → decode-path labels.
+TIFF_COMPRESSION = {1: "none", 2: "ccitt", 5: "lzw", 6: "jpeg-old",
+                    7: "jpeg", 8: "deflate", 32773: "packbits"}
+
+
+def _ifd_tag_value_typed(tag: int):
+    """Like :func:`_ifd_tag_value` but TYPE-AWARE: SHORT (3) reads 2
+    value bytes, LONG (4) reads 4 — a big-endian LONG's first two
+    bytes are its HIGH half, so the untyped 2-byte read silently
+    returns 0 for MM files (caught in design, pinned in tests)."""
+    hx = F.col("__ex")
+
+    def rd(pos, n_bytes):
+        return F.when(F.col("__le"), _le(hx, pos, n_bytes)).otherwise(
+            _hex2long(hx, pos, 2 * n_bytes)
+        )
+
+    branches = []
+    for i in range(IFD_MAX_ENTRIES):
+        epos = F.col("__e") + F.lit(24 * i)
+        typ = rd(epos + F.lit(4), 2)
+        val = F.when(typ == 3, rd(epos + F.lit(16), 2)) \
+               .when(typ == 4, rd(epos + F.lit(16), 4))
+        branches.append(
+            F.when((F.lit(i) < F.col("__n")) & (rd(epos, 2) == tag), val)
+        )
+    return F.coalesce(*branches)
+
+
+def tiff_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, endian, width, height, compression) for standalone
+    TIFF payloads — the master-file sibling of the jpeg/png header
+    tiers.  endian is 'II'/'MM'; compression maps the TIFF 6.0 code
+    to a decode-path label ('other' for codes off the table, NULL
+    when the tag is absent).  Non-TIFF rows get all-NULL structure;
+    JPEG-embedded EXIF stays the exif_* family's job — this operator
+    gates on fmt = 'tiff' (byte-0 header)."""
+    staged = _exif_stage(df, bytes_col)
+    is_tiff = F.col("fmt") == "tiff"
+    gate = lambda c: F.when(is_tiff, c)  # noqa: E731
+    endian = F.when(F.col("__le"), "II").otherwise("MM")
+    comp_code = _ifd_tag_value_typed(_TIFF_COMP_TAG)
+    comp = F.lit("other")
+    for code, label in TIFF_COMPRESSION.items():
+        comp = F.when(comp_code == code, label).otherwise(comp)
+    comp = F.when(comp_code.isNotNull(), comp)
+    return (
+        staged.withColumns(
+            {
+                "endian": gate(endian),
+                "width": gate(_ifd_tag_value_typed(_TIFF_W_TAG)).cast("int"),
+                "height": gate(_ifd_tag_value_typed(_TIFF_H_TAG)).cast("int"),
+                "compression": gate(comp),
+            }
+        )
+        .drop("__ex", "__t", "__le", "__ifd", "__n", "__e")
+    )
+
+
+def tiff_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                       fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`tiff_structure` — shared staging CTE,
+    same type-aware entry scan."""
+    def typed_branches(tag: int) -> str:
+        parts = []
+        for i in range(IFD_MAX_ENTRIES):
+            typ = _rd_sql("h", "le", f"e + {24 * i} + 4", 2)
+            val2 = _rd_sql("h", "le", f"e + {24 * i} + 16", 2)
+            val4 = _rd_sql("h", "le", f"e + {24 * i} + 16", 4)
+            parts.append(
+                f"CASE WHEN {i} < n AND ({_rd_sql('h', 'le', f'e + {24 * i}', 2)}) = {tag} "
+                f"THEN CASE WHEN ({typ}) = 3 THEN ({val2}) "
+                f"WHEN ({typ}) = 4 THEN ({val4}) END END"
+            )
+        return "COALESCE(" + ", ".join(parts) + ")"
+
+    comp_whens = " ".join(
+        f"WHEN {code} THEN '{label}'" for code, label in TIFF_COMPRESSION.items()
+    )
+    return f"""
+        WITH {_exif_stage_sql(src, keep, h_col, fmt_col)}, ts_v AS (
+          SELECT {keep}, fmt, le,
+                 {typed_branches(_TIFF_W_TAG)} AS w,
+                 {typed_branches(_TIFF_H_TAG)} AS hh,
+                 {typed_branches(_TIFF_COMP_TAG)} AS cc
+          FROM eo_en
+        )
+        SELECT {keep}, fmt,
+               CASE WHEN fmt = 'tiff' THEN
+                 CASE WHEN le THEN 'II' ELSE 'MM' END END AS endian,
+               CAST(CASE WHEN fmt = 'tiff' THEN w END AS INT) AS width,
+               CAST(CASE WHEN fmt = 'tiff' THEN hh END AS INT) AS height,
+               CASE WHEN fmt = 'tiff' AND cc IS NOT NULL THEN
+                 CASE cc {comp_whens} ELSE 'other' END END AS compression
+        FROM ts_v
+    """
+
+
+# ---- APNG detection --------------------------------------------------------------
+#
+# APNG hides animation inside an ordinary PNG: the acTL chunk before
+# the first IDAT is the ONLY marker (the magic bytes are plain PNG),
+# so a pipeline that routes "png = still image" silently trains on
+# frame 1 of animations.  The chunk walk is length-hopped like the
+# JPEG segment walk — chunk = len(4 BE) type(4) data crc(4) — and
+# PARKS at IDAT/IEND, which enforces the spec's ordering for free:
+# an acTL after the image data is not an APNG and is never seen.
+
+PNG_CHUNK_MAX_HOPS = 8
+PNG_ANIM_WINDOW_BYTES = 1024
+_ACTL_HEX = "6163544C"
+_IDAT_HEX = "49444154"
+_IEND_HEX = "49454E44"
+
+
+def png_animated(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, is_apng, n_frames, n_plays) — acTL-before-IDAT
+    detection plus the declared frame/replay counts (n_plays 0 =
+    loop forever, per spec).  Bounded chunk walk over one 1 KiB hex
+    window; a multi-KB iCCP before acTL pushes it out of the window
+    and the row NULL-absorbs to is_apng=false (documented — same
+    trade as every header tier).  Non-PNG rows get all-NULL."""
+    staged = df.withColumns(
+        {
+            "__px": F.hex(F.substring(F.col(bytes_col), 1, PNG_ANIM_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__px")
+    is_png = F.col("fmt") == "png"
+
+    def hop(acc, _i):
+        pos = acc["pos"]
+        ctype = hx.substr(pos + F.lit(8), F.lit(8))
+        stop = ctype.isin(_IDAT_HEX, _IEND_HEX)
+        nxt = F.when(stop, pos).otherwise(
+            pos + F.lit(24) + F.lit(2) * _hex2long(hx, pos, 8)
+        )
+        return F.struct(
+            nxt.alias("pos"),
+            F.coalesce(acc["actl"],
+                       F.when(ctype == _ACTL_HEX, pos)).alias("actl"),
+        )
+
+    acc0 = F.struct(
+        F.lit(17).cast("long").alias("pos"),   # byte 8: first chunk
+        F.lit(None).cast("long").alias("actl"),
+    )
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(PNG_CHUNK_MAX_HOPS)), acc0, hop)["actl"]
+    s1 = staged.withColumn("__actl", F.when(is_png, walk))
+    a = F.col("__actl")
+    return (
+        s1.withColumns(
+            {
+                "is_apng": F.when(is_png, a.isNotNull()),
+                "n_frames": F.when(a.isNotNull(),
+                                   _hex2long(hx, a + F.lit(16), 8)).cast("int"),
+                "n_plays": F.when(a.isNotNull(),
+                                  _hex2long(hx, a + F.lit(24), 8)).cast("int"),
+            }
+        )
+        .drop("__px", "__actl")
+    )
+
+
+def png_animated_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                     fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`png_animated` — linear CTE chain (the
+    jpeg_colorspace discipline)."""
+    ctes = [f"""pa0 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CAST(17 AS BIGINT) AS pos,
+                 CAST(NULL AS BIGINT) AS actl
+          FROM {src}
+        )"""]
+    for k in range(PNG_CHUNK_MAX_HOPS):
+        clen = f"TRY_CAST(concat('0x', substring(h, pos, 8)) AS BIGINT)"
+        ctes.append(f"""pa{k + 1} AS (
+          SELECT {keep}, fmt, h,
+                 CASE WHEN substring(h, pos + 8, 8)
+                        IN ('{_IDAT_HEX}', '{_IEND_HEX}') THEN pos
+                      ELSE pos + 24 + 2 * {clen} END AS pos,
+                 COALESCE(actl, CASE WHEN substring(h, pos + 8, 8)
+                          = '{_ACTL_HEX}' THEN pos END) AS actl
+          FROM pa{k})""")
+    last = f"pa{PNG_CHUNK_MAX_HOPS}"
+    return f"""
+        WITH {", ".join(ctes)}, paf AS (
+          SELECT {keep}, fmt,
+                 CASE WHEN fmt = 'png' THEN actl END AS actl, h
+          FROM {last}
+        )
+        SELECT {keep}, fmt,
+               CASE WHEN fmt = 'png' THEN actl IS NOT NULL END AS is_apng,
+               CAST(CASE WHEN actl IS NOT NULL THEN TRY_CAST(concat('0x',
+                 substring(h, actl + 16, 8)) AS BIGINT) END AS INT) AS n_frames,
+               CAST(CASE WHEN actl IS NOT NULL THEN TRY_CAST(concat('0x',
+                 substring(h, actl + 24, 8)) AS BIGINT) END AS INT) AS n_plays
+        FROM paf
+    """
