@@ -4260,6 +4260,54 @@ def q_png_animated(spark, sf_dir):
     )
 
 
+def _riff_case(form, payload_hex, declared=None):
+    body = form.encode().hex().upper() + payload_hex
+    size = declared if declared is not None else len(body) // 2
+    le = "".join(f"{(size >> (8 * i)) & 0xFF:02X}" for i in range(4))
+    return "52494646" + le + body
+
+
+#: planted completeness cases: intact/EOI-less JPEG, intact PNG /
+#: PNG cut after IDAT, intact/trailerless GIF, RIFF declaring its
+#: true size / declaring 64 bytes over a short payload, and a bmp
+#: (no trailer convention -> NULL, never a false truncation flag).
+_PAYLOAD_JFIF = "FFD8FFE000104A46494600010100000100010000" + "AB" * 8
+_PAYLOAD_PNG_BODY = (_APNG_MAGIC + _APNG_IHDR + _APNG_IDAT)
+_PAYLOAD_CASES = [
+    _PAYLOAD_JFIF + "FFD9",
+    _PAYLOAD_JFIF,
+    _PAYLOAD_PNG_BODY + "0000000049454E44AE426082",
+    _PAYLOAD_PNG_BODY,
+    "474946383961" + "1000" + "1000" + "00" * 6 + "3B",
+    "474946383961" + "1000" + "1000" + "00" * 6,
+    _riff_case("WEBP", "CD" * 10),
+    _riff_case("WEBP", "CD" * 10, declared=64),
+    "424D" + "00" * 20,
+]
+
+
+def q_payload_complete(spark, sf_dir):
+    """Structural payload completeness (sniff.payload_complete):
+    interrupted fetches are routine at crawl scale and invisible to a
+    Content-Length check when the response was chunked — but JPEG
+    (EOI FFD9), PNG (the fixed 12-byte IEND trailer) and GIF (0x3B)
+    must CLOSE with a trailer, and RIFF containers declare their size
+    in the header; both checks read 12 tail bytes + 16 head bytes of
+    a possibly multi-MB blob, no decode. Formats without a convention
+    stay NULL — no evidence is never 'complete' nor 'truncated'."""
+    from dblp_crawler_spark.operators.sniff import payload_complete
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_PAYLOAD_CASES)
+    hexstr = F.lit(_PAYLOAD_CASES[-1])
+    for i, hx in enumerate(_PAYLOAD_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return payload_complete(imgs).select(
+        "doc_id", "fmt", "payload_bytes", "trailer_ok", "truncated",
+    )
+
+
 #: planted K4 on fresh nodes for q_triangle_counts — 4 triangles,
 #: every member in 3, clustering 1.0 on the degree-3 corners.
 _TRI_K4 = [("h100", "h101"), ("h100", "h102"), ("h100", "h103"),
@@ -4581,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_colorspace": q_jpeg_colorspace,
         "tiff_structure": q_tiff_structure,
         "png_animated": q_png_animated,
+        "payload_complete": q_payload_complete,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -8406,6 +8455,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_colorspace": _jpeg_colorspace_oracle(),
         "tiff_structure": _tiff_structure_oracle(),
         "png_animated": _png_animated_oracle(),
+        "payload_complete": _payload_complete_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -8677,6 +8727,27 @@ def _png_animated_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} pa_src)"
     return png_animated_sql(staged)
+
+
+def _payload_complete_oracle() -> str:
+    """DuckDB replay of q_payload_complete — same planted hex through
+    payload_complete_sql's trailer/declared-size checks."""
+    from dblp_crawler_spark.operators.sniff import (
+        payload_complete_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_PAYLOAD_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_PAYLOAD_CASES)}{whens}
+                 ELSE '{_PAYLOAD_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} pc_src)"
+    return payload_complete_sql(staged)
 
 
 def _triangle_counts_oracle() -> str:

@@ -2169,3 +2169,93 @@ def png_animated_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                  substring(h, actl + 24, 8)) AS BIGINT) END AS INT) AS n_plays
         FROM paf
     """
+
+
+# ---- payload completeness (trailer-byte + declared-size checks) ------------------
+#
+# Interrupted fetches are routine at crawl scale (timeouts, reset
+# connections, byte-budget cutoffs) and a Content-Length check cannot
+# catch them when the response was chunked or the header lied — but
+# the major image formats carry an END marker the payload must close
+# with, readable from the LAST bytes without decode: JPEG's EOI
+# (FFD9), PNG's IEND chunk (length-0 + fourcc + its FIXED CRC
+# AE426082 — a spec constant, so the whole 12-byte trailer is one
+# literal compare), GIF's 0x3B trailer. RIFF containers (webp/wav/
+# avi) instead DECLARE their size in the header (LE32 at byte 4 =
+# file size - 8), so completeness is an exact integer compare.
+# Every existing header tier reads leading bytes; this is the one
+# check that must read the TAIL — still only 12 bytes of a possibly
+# multi-MB blob (hex of a bounded substr from octet_length-11), pure
+# expressions, map-side, blobs never shuffle.
+
+#: fmt → hex suffix the payload must end with (trailer convention)
+TRAILER_TABLE: dict[str, str] = {
+    "jpeg": "FFD9",
+    "png": "0000000049454E44AE426082",
+    "gif": "3B",
+}
+_RIFF_FMTS = ("webp", "wav", "avi")
+
+
+def payload_complete(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, payload_bytes, trailer_ok, truncated): decode-free
+    structural completeness for fetched payloads. `trailer_ok` is the
+    per-format check (suffix compare or RIFF declared-size equality),
+    NULL for formats with no trailer convention (bmp, pdf, ...);
+    `truncated` is its negation under the same gate — NULL means "no
+    evidence", never "complete". A payload shorter than its trailer
+    fails the suffix compare (hex of the whole payload can't end with
+    a longer literal), so short-read stubs flag without special
+    cases."""
+    b = F.col(bytes_col)
+    nbytes = F.octet_length(b).cast("long")
+    # last 12 bytes, hexed — position clamps to 1 for tiny payloads
+    tail = F.hex(b.substr(F.greatest(nbytes - F.lit(11), F.lit(1)).cast("int"),
+                          F.lit(12)))
+    head = F.hex(F.substring(b, 1, 16))
+    riff_declared = _le(head, F.lit(9), 4)
+
+    staged = df.withColumns(
+        {
+            "fmt": sniffed_type(b),
+            "payload_bytes": nbytes,
+        }
+    )
+    ok = F.lit(None).cast("boolean")
+    for fmt, suffix in TRAILER_TABLE.items():
+        ok = F.when(F.col("fmt") == fmt, tail.endswith(suffix)).otherwise(ok)
+    ok = F.when(
+        F.col("fmt").isin(*_RIFF_FMTS),
+        F.col("payload_bytes") == riff_declared + F.lit(8),
+    ).otherwise(ok)
+    return staged.withColumns(
+        {"trailer_ok": ok, "truncated": ~ok}
+    )
+
+
+def payload_complete_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                         fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`payload_complete` over ``src`` exposing
+    `keep`, the FULL payload hex and the sniffed fmt (entry fixtures
+    are small enough that the whole payload is the window) — same
+    TRAILER_TABLE, same RIFF size equation on strlen/2."""
+    trailer_whens = " ".join(
+        f"WHEN '{fmt}' THEN ends_with({h_col}, '{suffix}')"
+        for fmt, suffix in TRAILER_TABLE.items()
+    )
+    riff_fmts = ", ".join(f"'{f}'" for f in _RIFF_FMTS)
+    return f"""
+        WITH pc0 AS (
+          SELECT {keep}, {fmt_col} AS fmt,
+                 CAST(strlen({h_col}) // 2 AS BIGINT) AS payload_bytes,
+                 CASE {fmt_col} {trailer_whens}
+                      ELSE CASE WHEN {fmt_col} IN ({riff_fmts})
+                        THEN strlen({h_col}) // 2 = {_le_sql(h_col, 9, 4)} + 8
+                      END
+                 END AS trailer_ok
+          FROM {src}
+        )
+        SELECT {keep}, fmt, payload_bytes, trailer_ok,
+               NOT trailer_ok AS truncated
+        FROM pc0
+    """
