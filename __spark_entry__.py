@@ -2698,6 +2698,52 @@ def q_sitemap_scheduling_hints(spark, sf_dir):
     return sitemap_entries_full(pages, keep=["host"])
 
 
+def q_feed_entries(spark, sf_dir):
+    """RSS/Atom feed discovery (webparse.feed_entries): the PUSH
+    channel next to sitemaps' pull tier — news/blog hosts surface new
+    URLs in feeds minutes after publish, with a per-entry date that
+    seeds recrawl freshness exactly like sitemap lastmod. Planted XML
+    cycles an RSS feed (valid RFC 1123 pubDate + a linkless item that
+    drops), an RSS item with a junk month (published NULL, row kept),
+    an Atom feed (ISO updated; first link href wins), and a page
+    carrying BOTH forms (emits both kinds)."""
+    from dblp_crawler_spark.sources.webparse import feed_entries
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 7).cast("string")
+    day = (F.col("doc_id") % 27 + 1).cast("string")
+    aday = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    rss_item = F.concat(
+        F.lit("<item><link>https://f"), h, F.lit(".example/p/"), d,
+        F.lit("</link><pubDate>Tue, "), day,
+        F.lit(" Jun 2025 04:00:00 GMT</pubDate></item>"),
+        F.lit("<item><title>nolink</title></item>"),
+    )
+    rss_junk = F.concat(
+        F.lit("<item><link>https://f"), h, F.lit(".example/j/"), d,
+        F.lit("</link><pubDate>Tue, 5 Foo 2025 04:00:00 GMT</pubDate></item>"),
+    )
+    atom_entry = F.concat(
+        F.lit('<entry><link rel="self" href="https://f'), h,
+        F.lit(".example/a/"), d, F.lit('"/><updated>2025-11-'), aday,
+        F.lit("T00:00:00Z</updated></entry>"),
+    )
+    m = F.col("doc_id") % 4
+    xml = (
+        F.when(m == 0, F.concat(F.lit("<rss><channel>"), rss_item,
+                                F.lit("</channel></rss>")))
+        .when(m == 1, F.concat(F.lit("<rss><channel>"), rss_junk,
+                               F.lit("</channel></rss>")))
+        .when(m == 2, F.concat(F.lit("<feed>"), atom_entry, F.lit("</feed>")))
+        .otherwise(F.concat(F.lit("<rss><channel>"), rss_item,
+                            F.lit("</channel></rss><feed>"), atom_entry,
+                            F.lit("</feed>")))
+    )
+    pages = docs.select("doc_id", xml.alias("feed_xml"))
+    return feed_entries(pages, keep=["doc_id"])
+
+
 def q_ann_binary_hamming(spark, sf_dir):
     """Binary sign-quantized ANN (similarity.binary_hamming_topk):
     the memory-minimum retrieval tier next to PQ — 64-dim float32
@@ -4630,6 +4676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_structure": q_tiff_structure,
         "png_animated": q_png_animated,
         "payload_complete": q_payload_complete,
+        "feed_entries": q_feed_entries,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -8456,6 +8503,7 @@ def oracle_sql() -> dict[str, str]:
         "tiff_structure": _tiff_structure_oracle(),
         "png_animated": _png_animated_oracle(),
         "payload_complete": _payload_complete_oracle(),
+        "feed_entries": _feed_entries_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -8727,6 +8775,45 @@ def _png_animated_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} pa_src)"
     return png_animated_sql(staged)
+
+
+def _feed_entries_oracle() -> str:
+    """DuckDB replay of q_feed_entries — same planted XML synthesis
+    through feed_entries_sql."""
+    from dblp_crawler_spark.sources.webparse import feed_entries_sql
+
+    rss_item = (
+        "'<item><link>https://f' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.example/p/' || CAST(doc_id AS VARCHAR)"
+        " || '</link><pubDate>Tue, ' || CAST(doc_id % 27 + 1 AS VARCHAR)"
+        " || ' Jun 2025 04:00:00 GMT</pubDate></item>"
+        "<item><title>nolink</title></item>'"
+    )
+    rss_junk = (
+        "'<item><link>https://f' || CAST(doc_id % 7 AS VARCHAR)"
+        " || '.example/j/' || CAST(doc_id AS VARCHAR)"
+        " || '</link><pubDate>Tue, 5 Foo 2025 04:00:00 GMT</pubDate></item>'"
+    )
+    atom_entry = (
+        "'<entry><link rel=\"self\" href=\"https://f'"
+        " || CAST(doc_id % 7 AS VARCHAR) || '.example/a/'"
+        " || CAST(doc_id AS VARCHAR)"
+        " || '\"/><updated>2025-11-'"
+        " || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+        " || 'T00:00:00Z</updated></entry>'"
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN '<rss><channel>' || {rss_item} || '</channel></rss>'
+                 WHEN 1 THEN '<rss><channel>' || {rss_junk} || '</channel></rss>'
+                 WHEN 2 THEN '<feed>' || {atom_entry} || '</feed>'
+                 ELSE '<rss><channel>' || {rss_item}
+                      || '</channel></rss><feed>' || {atom_entry} || '</feed>'
+               END AS feed_xml
+        FROM documents
+    ) fe_pages"""
+    return feed_entries_sql(src, keep="doc_id")
 
 
 def _payload_complete_oracle() -> str:

@@ -1206,3 +1206,139 @@ def svg_structure_sql(src: str, keep: str = "doc_id",
                is_animated
         FROM sv1
     """
+
+
+# ---- RSS / Atom feeds ---------------------------------------------------------
+#
+# Feeds are the PUSH discovery channel next to sitemaps' pull tier:
+# news/blog hosts surface new URLs in RSS/Atom minutes after publish,
+# with a per-entry date that seeds recrawl freshness exactly like
+# sitemap lastmod — a crawler that only walks sitemaps discovers a
+# news site's day on the next sitemap regeneration. Same plan shape
+# as sitemap_entries: block regexps, ONE explode, pure expressions.
+#
+# Date handling: RSS carries RFC 1123 pubDate, Atom ISO 8601 updated.
+# Both reduce to an ISO day string built from regex fields (month
+# names folded through one table), then ONE try-parse to DATE on
+# each engine — junk months, out-of-range days (Feb 31) and absent
+# dates all NULL-absorb identically (a bad publisher can never fail
+# a wave).
+
+_RSS_ITEM_RE = r"(?s)<item[^>]*>(.*?)</item>"
+_ATOM_ENTRY_RE = r"(?s)<entry[^>]*>(.*?)</entry>"
+_RSS_LINK_RE = r"<link>([^<]*)</link>"
+_ATOM_LINK_RE = r"<link[^>]*href=\"([^\"]*)\""
+_RSS_DATE_RE = r"<pubDate>[^<]*?(\d{1,2})\s+([A-Za-z]{3})\s+(\d{4})"
+_ATOM_UPDATED_RE = r"<updated>(\d{4}-\d{2}-\d{2})"
+_MONTHS = ["jan", "feb", "mar", "apr", "may", "jun",
+           "jul", "aug", "sep", "oct", "nov", "dec"]
+
+
+def feed_entries(pages: DataFrame, xml_col: str = "feed_xml",
+                 keep: list | None = None) -> DataFrame:
+    """RSS <item> / Atom <entry> records → (kind, url canonicalized,
+    published DATE|NULL).
+
+    Records without a link are dropped (nothing to schedule); for
+    Atom the FIRST <link href> wins (entries may carry alternate/self
+    rels — first-match is the documented tie rule, same on both
+    engines). Dates parse day-month-year only (scheduling is
+    day-granular like sitemap lastmod); unparseable or impossible
+    dates are NULL via the try-parse. One explode over the
+    concatenated rss/atom block arrays; DuckDB replay is
+    :func:`feed_entries_sql`."""
+    from ..functions.urlnorm import canonical_url
+
+    cols = keep if keep is not None else [c for c in pages.columns if c != xml_col]
+    xml = F.col(xml_col)
+    recs = F.concat(
+        F.transform(
+            F.regexp_extract_all(xml, F.lit(_RSS_ITEM_RE), 1),
+            lambda b: F.struct(F.lit("rss").alias("kind"), b.alias("blk")),
+        ),
+        F.transform(
+            F.regexp_extract_all(xml, F.lit(_ATOM_ENTRY_RE), 1),
+            lambda b: F.struct(F.lit("atom").alias("kind"), b.alias("blk")),
+        ),
+    )
+    ex = pages.select(*cols, F.explode(recs).alias("rec")).select(
+        *cols, F.col("rec.kind").alias("kind"), F.col("rec.blk").alias("blk")
+    )
+    raw_link = F.when(
+        F.col("kind") == "rss", F.regexp_extract("blk", _RSS_LINK_RE, 1)
+    ).otherwise(F.regexp_extract("blk", _ATOM_LINK_RE, 1))
+
+    mon_name = F.lower(F.regexp_extract("blk", _RSS_DATE_RE, 2))
+    mon = F.lit(None).cast("int")
+    for i, m in enumerate(_MONTHS):
+        mon = F.when(mon_name == m, i + 1).otherwise(mon)
+    day = F.nullif(F.regexp_extract("blk", _RSS_DATE_RE, 1), F.lit(""))
+    year = F.nullif(F.regexp_extract("blk", _RSS_DATE_RE, 3), F.lit(""))
+    rss_iso = F.concat(
+        year, F.lit("-"), F.lpad(mon.cast("string"), 2, "0"),
+        F.lit("-"), F.lpad(day, 2, "0"),
+    )
+    atom_iso = F.nullif(F.regexp_extract("blk", _ATOM_UPDATED_RE, 1), F.lit(""))
+    iso = F.when(F.col("kind") == "rss", rss_iso).otherwise(atom_iso)
+    return (
+        ex.withColumn("raw_link", raw_link)
+        .filter(F.col("raw_link") != "")
+        .select(
+            *cols,
+            "kind",
+            canonical_url("raw_link").alias("url"),
+            F.try_to_timestamp(iso, F.lit("yyyy-MM-dd")).cast("date")
+            .alias("published"),
+        )
+    )
+
+
+def feed_entries_sql(src: str = "feed_pages", keep: str = "host",
+                     xml_col: str = "feed_xml") -> str:
+    """DuckDB replay of :func:`feed_entries` over ``src`` (must expose
+    `keep` + the feed XML): same block/field regexps (passed verbatim
+    — DuckDB strings don't process backslashes), same month table,
+    same one-try-parse date rule (try_strptime)."""
+    from ..functions.urlnorm import canonical_url_sql
+
+    mon_whens = " ".join(
+        f"WHEN '{m}' THEN {i + 1}" for i, m in enumerate(_MONTHS)
+    )
+    # double quotes are literal inside a single-quoted SQL string —
+    # the pattern passes verbatim
+    atom_link = _ATOM_LINK_RE
+    return f"""
+        WITH fe_recs AS (
+          SELECT {keep}, 'rss' AS kind,
+                 unnest(regexp_extract_all({xml_col}, '{_RSS_ITEM_RE}', 1)) AS blk
+          FROM {src}
+          UNION ALL
+          SELECT {keep}, 'atom' AS kind,
+                 unnest(regexp_extract_all({xml_col}, '{_ATOM_ENTRY_RE}', 1)) AS blk
+          FROM {src}
+        ), fe_f AS (
+          SELECT {keep}, kind, blk,
+                 CASE WHEN kind = 'rss'
+                      THEN regexp_extract(blk, '{_RSS_LINK_RE}', 1)
+                      ELSE regexp_extract(blk, '{atom_link}', 1) END AS raw_link,
+                 CASE WHEN kind = 'rss' THEN
+                   CASE WHEN nullif(regexp_extract(blk, '{_RSS_DATE_RE}', 1), '') IS NULL
+                          OR nullif(regexp_extract(blk, '{_RSS_DATE_RE}', 3), '') IS NULL
+                          OR (CASE lower(regexp_extract(blk, '{_RSS_DATE_RE}', 2))
+                              {mon_whens} ELSE NULL END) IS NULL
+                        THEN NULL
+                        ELSE concat(
+                          regexp_extract(blk, '{_RSS_DATE_RE}', 3), '-',
+                          lpad(CAST(CASE lower(regexp_extract(blk, '{_RSS_DATE_RE}', 2))
+                               {mon_whens} ELSE NULL END AS VARCHAR), 2, '0'), '-',
+                          lpad(regexp_extract(blk, '{_RSS_DATE_RE}', 1), 2, '0'))
+                   END
+                   ELSE nullif(regexp_extract(blk, '{_ATOM_UPDATED_RE}', 1), '')
+                 END AS iso
+          FROM fe_recs
+        )
+        SELECT {keep}, kind, {canonical_url_sql('raw_link')} AS url,
+               CAST(try_strptime(iso, '%Y-%m-%d') AS DATE) AS published
+        FROM fe_f
+        WHERE raw_link <> ''
+    """
