@@ -2698,6 +2698,40 @@ def q_sitemap_scheduling_hints(spark, sf_dir):
     return sitemap_entries_full(pages, keep=["host"])
 
 
+def q_cloaking_detect(spark, sf_dir):
+    """UA-conditional cloaking (hostdup.cloaking_detect): SEO spam
+    shows bots keyword farms, bot-walls show bots interstitials —
+    poison invisible to every per-page check because the corpus only
+    holds the crawler's copy. Paired probes (same URL fetched under
+    both UA classes) with differing content hashes are divergence
+    evidence; a host cloaks at ≥30% divergence over ≥3 pairs (exact
+    integer cross-multiply). Planted: two always-divergent hosts, a
+    quarter-divergent host (250‰ < 300‰ — stays clean), a
+    crawler-only host (unpaired probes never count), and honest
+    hosts."""
+    from dblp_crawler_spark.operators.hostdup import cloaking_detect
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    fetches = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit("crawler"), F.lit("browser"))).alias("ua_class"),
+    )
+    m8 = d % 8
+    div = m8.isin(0, 1) | ((m8 == 7) & (F.floor(d / 8) % 4 == 0))
+    fetches = fetches.filter(
+        ~((m8 == 6) & (F.col("ua_class") == "browser"))
+    ).select(
+        F.concat(F.lit("c"), m8.cast("string")).alias("host"),
+        F.concat(F.lit("/u"), d.cast("string")).alias("url"),
+        "ua_class",
+        F.when(div, F.concat(F.lit("h"), d.cast("string"), F.lit("-"),
+                             F.col("ua_class")))
+        .otherwise(F.concat(F.lit("h"), d.cast("string"))).alias("content_hash"),
+    )
+    return cloaking_detect(fetches)
+
+
 def q_feed_entries(spark, sf_dir):
     """RSS/Atom feed discovery (webparse.feed_entries): the PUSH
     channel next to sitemaps' pull tier — news/blog hosts surface new
@@ -4677,6 +4711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_animated": q_png_animated,
         "payload_complete": q_payload_complete,
         "feed_entries": q_feed_entries,
+        "cloaking_detect": q_cloaking_detect,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -8504,6 +8539,7 @@ def oracle_sql() -> dict[str, str]:
         "png_animated": _png_animated_oracle(),
         "payload_complete": _payload_complete_oracle(),
         "feed_entries": _feed_entries_oracle(),
+        "cloaking_detect": _cloaking_detect_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -8775,6 +8811,25 @@ def _png_animated_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} pa_src)"
     return png_animated_sql(staged)
+
+
+def _cloaking_detect_oracle() -> str:
+    """DuckDB replay of q_cloaking_detect — same planted fetch log
+    through cloaking_detect_sql."""
+    from dblp_crawler_spark.operators.hostdup import cloaking_detect_sql
+
+    src = """(
+        SELECT 'c' || CAST(doc_id % 8 AS VARCHAR) AS host,
+               '/u' || CAST(doc_id AS VARCHAR) AS url,
+               ua_class,
+               CASE WHEN doc_id % 8 IN (0, 1)
+                      OR (doc_id % 8 = 7 AND (doc_id // 8) % 4 = 0)
+                    THEN 'h' || CAST(doc_id AS VARCHAR) || '-' || ua_class
+                    ELSE 'h' || CAST(doc_id AS VARCHAR) END AS content_hash
+        FROM documents, (SELECT unnest(['crawler', 'browser']) AS ua_class)
+        WHERE NOT (doc_id % 8 = 6 AND ua_class = 'browser')
+    ) cd_src"""
+    return cloaking_detect_sql(src)
 
 
 def _feed_entries_oracle() -> str:

@@ -313,3 +313,81 @@ def homograph_pairs_sql(src: str, host_col: str = "host") -> str:
         FROM hp_per i JOIN hp_per t ON t.skeleton = i.skeleton
         WHERE i.skeleton <> i.host AND t.skeleton = t.host
     """
+
+
+def cloaking_detect(fetches: DataFrame, host_col: str = "host",
+                    url_col: str = "url", ua_col: str = "ua_class",
+                    hash_col: str = "content_hash",
+                    tau_milli: int = 300, min_paired: int = 3) -> DataFrame:
+    """Per-host cloaking signal: does the host serve crawler
+    user-agents DIFFERENT content than browser user-agents?
+
+    Cloaked hosts (SEO spam showing bots keyword farms, bot-walls
+    showing bots interstitials) poison a corpus invisibly — every
+    per-page quality check sees only the crawler's copy. The signal
+    needs probe fetches under both UA classes; given a fetch log with
+    a `ua_col` of 'crawler'/'browser' (other labels ignored), a URL
+    fetched under both is a PAIRED probe and a pair with differing
+    content hashes is DIVERGENT. A host cloaks when ≥
+    ``tau_milli``/1000 of ≥ ``min_paired`` paired probes diverge
+    (exact integer cross-multiply — a 2-URL host can't produce
+    evidence).
+
+    Refetches under one UA collapse to the MIN hash (deterministic;
+    hosts with per-request dynamic content need a template-normalized
+    hash upstream — the soft404 family's hash works). Plan: one
+    (host,url) hash agg with conditional mins folding the UA pivot
+    into the same shuffle, then a per-host rollup — two exchanges
+    total, no joins. Returns (host, n_paired, n_divergent,
+    cloaking)."""
+    ua = F.col(ua_col)
+    pairs = (
+        fetches.groupBy(host_col, url_col)
+        .agg(
+            F.min(F.when(ua == "crawler", F.col(hash_col))).alias("__ch"),
+            F.min(F.when(ua == "browser", F.col(hash_col))).alias("__bh"),
+        )
+        .withColumn("__paired", F.col("__ch").isNotNull() & F.col("__bh").isNotNull())
+        .withColumn("__div", F.col("__paired") & (F.col("__ch") != F.col("__bh")))
+    )
+    return (
+        pairs.groupBy(host_col)
+        .agg(
+            F.sum(F.col("__paired").cast("long")).alias("n_paired"),
+            F.sum(F.col("__div").cast("long")).alias("n_divergent"),
+        )
+        .withColumn(
+            "cloaking",
+            (F.col("n_paired") >= min_paired)
+            & (F.col("n_divergent") * 1000 >= F.lit(tau_milli) * F.col("n_paired")),
+        )
+    )
+
+
+def cloaking_detect_sql(src: str, host_col: str = "host",
+                        url_col: str = "url", ua_col: str = "ua_class",
+                        hash_col: str = "content_hash",
+                        tau_milli: int = 300, min_paired: int = 3) -> str:
+    """DuckDB replay of :func:`cloaking_detect` — same conditional-min
+    pivot, same integer thresholds."""
+    return f"""
+        WITH cd_pairs AS (
+          SELECT {host_col}, {url_col},
+                 MIN(CASE WHEN {ua_col} = 'crawler' THEN {hash_col} END) AS ch,
+                 MIN(CASE WHEN {ua_col} = 'browser' THEN {hash_col} END) AS bh
+          FROM {src} GROUP BY {host_col}, {url_col}
+        ), cd_flag AS (
+          SELECT {host_col},
+                 ch IS NOT NULL AND bh IS NOT NULL AS paired,
+                 ch IS NOT NULL AND bh IS NOT NULL AND ch <> bh AS div
+          FROM cd_pairs
+        )
+        SELECT {host_col},
+               CAST(SUM(CASE WHEN paired THEN 1 ELSE 0 END) AS BIGINT) AS n_paired,
+               CAST(SUM(CASE WHEN div THEN 1 ELSE 0 END) AS BIGINT) AS n_divergent,
+               SUM(CASE WHEN paired THEN 1 ELSE 0 END) >= {min_paired}
+                 AND SUM(CASE WHEN div THEN 1 ELSE 0 END) * 1000
+                     >= {tau_milli} * SUM(CASE WHEN paired THEN 1 ELSE 0 END)
+               AS cloaking
+        FROM cd_flag GROUP BY {host_col}
+    """
