@@ -2698,6 +2698,38 @@ def q_sitemap_scheduling_hints(spark, sf_dir):
     return sitemap_entries_full(pages, keep=["host"])
 
 
+def q_url_param_significance(spark, sf_dir):
+    """Learned query-param canonicalization
+    (urlnorm.url_param_significance): tracking params mint unbounded
+    distinct URLs for one document; static strip-lists cover the
+    famous prefixes, but the general answer is EVIDENCE from the
+    fetch log — a param whose value varied while everything else
+    (and the content hash) stayed fixed is insignificant, and one
+    counterexample vetoes stripping (a pagination/id param can never
+    be stripped by accident). Planted: utm varies freely with hashes
+    keyed only on (site,page,id) — strippable; id flips the hash in
+    every group — vetoed."""
+    from dblp_crawler_spark.functions.urlnorm import url_param_significance
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    fetches = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("iv")
+    ).select(
+        F.concat(F.lit("s"), (d % 4).cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.concat(
+            F.lit("https://s"), (d % 4).cast("string"), F.lit(".example/p"),
+            F.floor(d / 8).cast("string"), F.lit("?id="),
+            F.col("iv").cast("string"), F.lit("&utm="), (d % 5).cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (d % 4).cast("string"), F.lit("-"),
+                 F.floor(d / 8).cast("string"), F.lit("-"),
+                 F.col("iv").cast("string")).alias("content_hash"),
+    )
+    return url_param_significance(fetches)
+
+
 def q_cloaking_detect(spark, sf_dir):
     """UA-conditional cloaking (hostdup.cloaking_detect): SEO spam
     shows bots keyword farms, bot-walls show bots interstitials —
@@ -4712,6 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_complete": q_payload_complete,
         "feed_entries": q_feed_entries,
         "cloaking_detect": q_cloaking_detect,
+        "url_param_significance": q_url_param_significance,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -8540,6 +8573,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_complete": _payload_complete_oracle(),
         "feed_entries": _feed_entries_oracle(),
         "cloaking_detect": _cloaking_detect_oracle(),
+        "url_param_significance": _url_param_significance_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -8811,6 +8845,25 @@ def _png_animated_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} pa_src)"
     return png_animated_sql(staged)
+
+
+def _url_param_significance_oracle() -> str:
+    """DuckDB replay of q_url_param_significance — same planted fetch
+    log through url_param_significance_sql."""
+    from dblp_crawler_spark.functions.urlnorm import url_param_significance_sql
+
+    src = """(
+        SELECT 's' || CAST(doc_id % 4 AS VARCHAR) || '.example' AS host,
+               'https://s' || CAST(doc_id % 4 AS VARCHAR) || '.example/p'
+                 || CAST(doc_id // 8 AS VARCHAR) || '?id='
+                 || CAST(iv AS VARCHAR) || '&utm='
+                 || CAST(doc_id % 5 AS VARCHAR) AS url,
+               'h' || CAST(doc_id % 4 AS VARCHAR) || '-'
+                 || CAST(doc_id // 8 AS VARCHAR) || '-'
+                 || CAST(iv AS VARCHAR) AS content_hash
+        FROM documents, (SELECT unnest([0, 1]) AS iv)
+    ) up_src"""
+    return url_param_significance_sql(src)
 
 
 def _cloaking_detect_oracle() -> str:

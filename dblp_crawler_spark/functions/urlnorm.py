@@ -466,3 +466,146 @@ def resolve_url_sql(base_expr: str, href_expr: str) -> str:
              f"regexp_replace(({jrest}), '^[^?]*\\?', '') ELSE '' END")
     return (f"CASE WHEN ({joined}) IS NOT NULL THEN "
             f"{jorigin} || {_dot_normalize_sql(ppart)} || {qpart} END")
+
+
+# ---- query-parameter significance mining ---------------------------------------
+#
+# Which query parameters actually CHANGE the page? Tracking params
+# (utm_*, session ids, click ids) mint unbounded distinct URLs for
+# one document — the per-URL dedup then stores every copy and the
+# frontier refetches them all. Static strip-lists cover the famous
+# prefixes; the general answer is LEARNED from the fetch log: if,
+# holding everything else about the URL fixed, a parameter's value
+# varied and the content hash did not, the parameter is
+# insignificant — and one counterexample (value change => hash
+# change) vetoes stripping. This is evidence-based canonicalization:
+# strict, so a pagination or id param can never be stripped by
+# accident.
+
+
+def url_param_significance(fetches: DataFrame, host_col: str = "host",
+                           url_col: str = "url",
+                           hash_col: str = "content_hash",
+                           min_groups: int = 2) -> DataFrame:
+    """Per (host, param): is the parameter content-insignificant
+    (strippable)?
+
+    For every parameter instance the RESIDUAL key is the URL minus
+    every pair of that parameter's NAME (base path + the sorted
+    remaining pairs). Within one (host, param, residual) group the
+    parameter varied iff ≥2 distinct values appear — only such
+    groups are EVIDENCE; a group is invariant when all its rows carry
+    ONE content hash. `strippable` requires ≥ ``min_groups`` evidence
+    groups and ZERO counterexamples (any value-change-changes-hash
+    group vetoes). Duplicate same-name pairs in one URL ('a=1&a=2')
+    collapse into that URL's single residual — documented, identical
+    on both engines.
+
+    Plan: refetch collapse (one (host,url) agg), a map-side explode
+    of the parameter array with the residual computed by
+    higher-order filter/sort/join (no second scan), then two keyed
+    aggregations — partial-agg friendly, no joins, nothing all-pairs.
+    Returns (host, param, n_tested, n_invariant, strippable)."""
+    base = F.regexp_replace(F.col(url_col), r"\?.*$", "")
+    query = F.regexp_extract(F.col(url_col), r"\?(.*)$", 1)
+    params = F.when(query != "", F.split(query, "&")).otherwise(
+        F.array().cast("array<string>")
+    )
+    collapsed = (
+        fetches.groupBy(host_col, url_col)
+        .agg(F.min(hash_col).alias("__h"))
+        .select(
+            host_col, base.alias("__base"), params.alias("__params"), "__h",
+        )
+    )
+    inst = collapsed.select(
+        host_col, "__base", "__params", "__h",
+        F.explode("__params").alias("__p"),
+    ).withColumn("param", F.split("__p", "=").getItem(0))
+    residual = F.concat(
+        F.col("__base"),
+        F.lit("?"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    "__params",
+                    lambda x: F.split(x, "=").getItem(0) != F.col("param"),
+                )
+            ),
+            "&",
+        ),
+    )
+    value = F.substring(F.col("__p"), F.length("param") + 2, 1 << 20)
+    groups = (
+        inst.select(host_col, "param", residual.alias("__rkey"),
+                    value.alias("__v"), "__h")
+        .groupBy(host_col, "param", "__rkey")
+        .agg(
+            F.countDistinct("__v").alias("__nv"),
+            F.countDistinct("__h").alias("__nh"),
+        )
+    )
+    return (
+        groups.groupBy(host_col, "param")
+        .agg(
+            F.sum(F.when(F.col("__nv") >= 2, 1).otherwise(0)).alias("n_tested"),
+            F.sum(F.when((F.col("__nv") >= 2) & (F.col("__nh") == 1), 1)
+                  .otherwise(0)).alias("n_invariant"),
+        )
+        .withColumn(
+            "strippable",
+            (F.col("n_tested") >= min_groups)
+            & (F.col("n_invariant") == F.col("n_tested")),
+        )
+    )
+
+
+def url_param_significance_sql(src: str, host_col: str = "host",
+                               url_col: str = "url",
+                               hash_col: str = "content_hash",
+                               min_groups: int = 2) -> str:
+    """DuckDB replay of :func:`url_param_significance` — same residual
+    construction via list_filter/list_sort, same evidence rules."""
+    return f"""
+        WITH up_c AS (
+          SELECT {host_col}, {url_col}, MIN({hash_col}) AS h
+          FROM {src} GROUP BY {host_col}, {url_col}
+        ), up_p AS (
+          SELECT {host_col},
+                 regexp_replace({url_col}, '\\?.*$', '') AS base,
+                 CASE WHEN regexp_extract({url_col}, '\\?(.*)$', 1) <> ''
+                      THEN string_split(regexp_extract({url_col}, '\\?(.*)$', 1), '&')
+                      ELSE [] END AS params,
+                 h
+          FROM up_c
+        ), up_i AS (
+          SELECT {host_col}, base, params, h, unnest(params) AS p
+          FROM up_p
+        ), up_r AS (
+          SELECT {host_col},
+                 string_split(p, '=')[1] AS param,
+                 -- COALESCE: DuckDB's array_to_string([]) is NULL where
+                 -- Spark's array_join([]) is '' (and a NULL rkey would
+                 -- MERGE every single-param URL into one group)
+                 base || '?' || COALESCE(array_to_string(list_sort(
+                   list_filter(params,
+                   x -> string_split(x, '=')[1] <> string_split(p, '=')[1])),
+                   '&'), '') AS rkey,
+                 substring(p, strlen(string_split(p, '=')[1]) + 2) AS v,
+                 h
+          FROM up_i
+        ), up_g AS (
+          SELECT {host_col}, param, rkey,
+                 COUNT(DISTINCT v) AS nv, COUNT(DISTINCT h) AS nh
+          FROM up_r GROUP BY {host_col}, param, rkey
+        )
+        SELECT {host_col}, param,
+               CAST(SUM(CASE WHEN nv >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tested,
+               CAST(SUM(CASE WHEN nv >= 2 AND nh = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_invariant,
+               SUM(CASE WHEN nv >= 2 THEN 1 ELSE 0 END) >= {min_groups}
+                 AND SUM(CASE WHEN nv >= 2 THEN 1 ELSE 0 END)
+                     = SUM(CASE WHEN nv >= 2 AND nh = 1 THEN 1 ELSE 0 END)
+               AS strippable
+        FROM up_g GROUP BY {host_col}, param
+    """

@@ -1,0 +1,73 @@
+"""Query-parameter significance mining
+(functions/urlnorm.url_param_significance)."""
+
+import duckdb
+import pandas as pd
+
+from dblp_crawler_spark.functions.urlnorm import (
+    url_param_significance,
+    url_param_significance_sql,
+)
+
+
+def _log():
+    h = "s.example"
+    return [
+        # utm varies, hash fixed -> invariant evidence (2 groups)
+        (h, "https://s.example/a?id=1&utm=x", "A1"),
+        (h, "https://s.example/a?id=1&utm=y", "A1"),
+        (h, "https://s.example/b?utm=1", "B"),
+        (h, "https://s.example/b?utm=2", "B"),
+        # id varies, hash changes -> counterexample
+        (h, "https://s.example/a?id=2&utm=x", "A2"),
+        # refetch of the same URL collapses before grouping
+        (h, "https://s.example/a?id=1&utm=x", "A1"),
+        # 'once' never varies -> no evidence at all
+        (h, "https://s.example/c?once=1", "C"),
+        # mixed.example: ok in one group, counterexample in another
+        ("mixed.example", "https://mixed.example/p?t=1", "M1"),
+        ("mixed.example", "https://mixed.example/p?t=2", "M1"),
+        ("mixed.example", "https://mixed.example/q?t=1", "N1"),
+        ("mixed.example", "https://mixed.example/q?t=2", "N2"),
+        # bare flag param (no '='): value is '' in every row -> no variation
+        (h, "https://s.example/d?flag", "D"),
+        (h, "https://s.example/d?flag&z=1", "D"),
+    ]
+
+
+def test_param_significance_pins(spark):
+    df = spark.createDataFrame(
+        _log(), "host string, url string, content_hash string")
+    got = {(r.host, r.param): (r.n_tested, r.n_invariant, r.strippable)
+           for r in url_param_significance(df).collect()}
+    assert got[("s.example", "utm")] == (2, 2, True)
+    # one counterexample -> vetoed even though utm groups existed
+    assert got[("s.example", "id")] == (1, 0, False)
+    assert got[("s.example", "once")] == (0, 0, False)
+    assert got[("s.example", "flag")] == (0, 0, False)
+    # a single counterexample among invariant groups vetoes
+    assert got[("mixed.example", "t")] == (2, 1, False)
+
+
+def test_param_significance_min_groups(spark):
+    # one invariant group only: below min_groups=2 -> not strippable
+    rows = [("h", "https://h/x?u=1", "X"), ("h", "https://h/x?u=2", "X")]
+    df = spark.createDataFrame(rows, "host string, url string, content_hash string")
+    r = url_param_significance(df).collect()[0]
+    assert (r.n_tested, r.n_invariant, r.strippable) == (1, 1, False)
+    r2 = url_param_significance(df, min_groups=1).collect()[0]
+    assert r2.strippable
+
+
+def test_param_significance_duckdb_replay(spark):
+    df = spark.createDataFrame(
+        _log(), "host string, url string, content_hash string")
+    spark_pdf = (url_param_significance(df).toPandas()
+                 .sort_values(["host", "param"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("fetch_log", pd.DataFrame(
+        _log(), columns=["host", "url", "content_hash"]))
+    duck_pdf = (con.sql(url_param_significance_sql("fetch_log")).df()
+                .sort_values(["host", "param"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
