@@ -4420,6 +4420,53 @@ def q_payload_complete(spark, sf_dir):
     )
 
 
+#: planted admission cases (hex, declared fmt): honest PNG (admit),
+#: EOI-less JPEG (truncated), complete GIF declared png (mismatch),
+#: 30000x30000 PNG bomb with a valid IEND (bomb — trailer passes
+#: first), complete WebP (review: decodable, dims not bomb-checked),
+#: PDF (notimage), 3000x3000 ratio-bomb GIF, honest BMP (admit —
+#: NULL trailer convention passes).
+_ADMIT_CASES = [
+    (_APNG_MAGIC + _APNG_IHDR + _APNG_IDAT + "0000000049454E44AE426082", "png"),
+    (_PAYLOAD_JFIF, "jpeg"),
+    ("474946383961" + "1000" + "1000" + "00" * 6 + "3B", "png"),
+    (_APNG_MAGIC + _apng_chunk("IHDR", "00007530" * 2 + "0806000000")
+     + _APNG_IDAT + "0000000049454E44AE426082", "png"),
+    (_riff_case("WEBP", "CD" * 10), "webp"),
+    ("255044462D312E34" + "00" * 8, "pdf"),
+    ("474946383961" + "B80B" + "B80B" + "00" * 6 + "3B", "gif"),
+    ("424D" + "1E000000" + "00000000" + "1A000000" + "28000000"
+     + "20000000" + "20000000" + "0100", "bmp"),
+]
+
+
+def q_pipeline_payload_admission(spark, sf_dir):
+    """Composed image-store admission (sniff.payload_admission): the
+    verdict a fetch pipeline needs before ANY decoder runs, chaining
+    the header tiers in cheapest-rejection order — magic sniff
+    (notimage), trailer completeness (truncated), declared-vs-sniffed
+    contradiction (mismatch), dims-unreadable routing (review), the
+    decompression-bomb gate (bomb), else admit. ONE map-side
+    projection; every stage is an already-oracled operator and the
+    DuckDB replay chains the same fragments, so the composition is
+    verified as a unit."""
+    from dblp_crawler_spark.operators.sniff import payload_admission
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_ADMIT_CASES)
+    hexstr = F.lit(_ADMIT_CASES[-1][0])
+    decl = F.lit(_ADMIT_CASES[-1][1])
+    for i, (hx, dc) in enumerate(_ADMIT_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+        decl = F.when(m == i, F.lit(dc)).otherwise(decl)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"),
+                       decl.alias("declared"))
+    return payload_admission(imgs, declared_col="declared").select(
+        "doc_id", "fmt", "payload_bytes", "trailer_ok", "width", "height",
+        "pixels", "oversized", "bomb_ratio", "verdict",
+    )
+
+
 #: planted K4 on fresh nodes for q_triangle_counts — 4 triangles,
 #: every member in 3, clustering 1.0 on the degree-3 corners.
 _TRI_K4 = [("h100", "h101"), ("h100", "h102"), ("h100", "h103"),
@@ -4742,6 +4789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_structure": q_tiff_structure,
         "png_animated": q_png_animated,
         "payload_complete": q_payload_complete,
+        "pipeline_payload_admission": q_pipeline_payload_admission,
         "feed_entries": q_feed_entries,
         "cloaking_detect": q_cloaking_detect,
         "url_param_significance": q_url_param_significance,
@@ -8571,6 +8619,7 @@ def oracle_sql() -> dict[str, str]:
         "tiff_structure": _tiff_structure_oracle(),
         "png_animated": _png_animated_oracle(),
         "payload_complete": _payload_complete_oracle(),
+        "pipeline_payload_admission": _pipeline_payload_admission_oracle(),
         "feed_entries": _feed_entries_oracle(),
         "cloaking_detect": _cloaking_detect_oracle(),
         "url_param_significance": _url_param_significance_oracle(),
@@ -8943,6 +8992,31 @@ def _payload_complete_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} pc_src)"
     return payload_complete_sql(staged)
+
+
+def _pipeline_payload_admission_oracle() -> str:
+    """DuckDB replay of q_pipeline_payload_admission — same planted
+    (hex, declared) pairs through payload_admission_sql's chained
+    fragments."""
+    from dblp_crawler_spark.operators.sniff import payload_admission_sql
+
+    h_whens = "".join(
+        f" WHEN {i} THEN '{hx}'"
+        for i, (hx, _) in enumerate(_ADMIT_CASES[:-1])
+    )
+    d_whens = "".join(
+        f" WHEN {i} THEN '{dc}'"
+        for i, (_, dc) in enumerate(_ADMIT_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_ADMIT_CASES)}{h_whens}
+                 ELSE '{_ADMIT_CASES[-1][0]}' END AS h,
+               CASE doc_id % {len(_ADMIT_CASES)}{d_whens}
+                 ELSE '{_ADMIT_CASES[-1][1]}' END AS declared
+        FROM documents
+    ) adm_src"""
+    return payload_admission_sql(src, declared_col="declared")
 
 
 def _triangle_counts_oracle() -> str:

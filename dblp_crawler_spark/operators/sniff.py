@@ -2259,3 +2259,94 @@ def payload_complete_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                NOT trailer_ok AS truncated
         FROM pc0
     """
+
+
+# ---- composed payload admission ---------------------------------------------------
+#
+# The image-store admission verdict, composed from the header tiers
+# in one plan: magic sniff (can a decoder be chosen at all), trailer
+# completeness (did the fetch finish), declared-vs-sniffed mismatch
+# (is the server lying), header dims + the decompression-bomb gate
+# (is it safe to decode). Precedence is the cheapest-rejection order
+# a real pipeline uses — each tier only runs logically "after" the
+# previous one passed, though physically it is ONE projection.
+
+#: formats admitted to the image decode path at all
+ADMIT_FMTS = ("jpeg", "png", "gif", "bmp", "webp", "tiff")
+#: formats whose dims image_dims can read (the bomb gate's domain);
+#: the rest route to 'review' — decodable but not yet bomb-checkable
+DIMS_FMTS = ("jpeg", "png", "gif", "bmp")
+
+
+def payload_admission(df: DataFrame, bytes_col: str = "bytes",
+                      declared_col: str | None = None) -> DataFrame:
+    """Add (fmt, payload_bytes, trailer_ok, width, height, pixels,
+    oversized, bomb_ratio, verdict): the composed admission decision.
+
+    verdict ∈ {'notimage', 'truncated', 'mismatch', 'review', 'bomb',
+    'admit'} with that precedence: non-image formats first (nothing
+    downstream applies), then structural truncation (trailer_ok IS
+    false — a NULL convention passes, no evidence is not rejection),
+    then declared-type contradiction (only when ``declared_col`` is
+    given and non-NULL), then dims-unreadable formats → 'review'
+    (decodable but the bomb gate can't vouch), then the bomb gate,
+    then 'admit'. Pure composition of :func:`sniffed_type`,
+    :func:`payload_complete` and :func:`image_bomb_gate` — one
+    map-side projection, blobs never shuffle."""
+    staged = image_bomb_gate(payload_complete(df, bytes_col=bytes_col),
+                             bytes_col=bytes_col)
+    mismatch = (
+        (F.col(declared_col).isNotNull() & (F.col("fmt") != F.col(declared_col)))
+        if declared_col else F.lit(False)
+    )
+    verdict = (
+        F.when(~F.col("fmt").isin(*ADMIT_FMTS), "notimage")
+        .when(F.col("trailer_ok") == False, "truncated")  # noqa: E712
+        .when(mismatch, "mismatch")
+        .when(~F.col("fmt").isin(*DIMS_FMTS) | F.col("width").isNull()
+              | F.col("height").isNull(), "review")
+        .when(F.col("oversized") | F.col("bomb_ratio"), "bomb")
+        .otherwise("admit")
+    )
+    return staged.withColumn("verdict", verdict)
+
+
+def payload_admission_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                          declared_col: str | None = None) -> str:
+    """DuckDB replay of :func:`payload_admission` over ``src``
+    exposing `keep`, the full payload hex and (optionally) the
+    declared format — chains the payload_complete and image_bomb_gate
+    replays as CTEs over the SAME source and joins on `keep`, so the
+    composition is verified as one unit."""
+    fmt_sql = sniff_case_sql(h_col)
+    decl = f", {declared_col}" if declared_col else ""
+    staged = (f"(SELECT {keep}, {h_col}, {fmt_sql} AS fmt{decl} "
+              f"FROM {src})")
+    admit = ", ".join(f"'{f}'" for f in ADMIT_FMTS)
+    dims = ", ".join(f"'{f}'" for f in DIMS_FMTS)
+    mismatch = (
+        f"({declared_col} IS NOT NULL AND fmt <> {declared_col})"
+        if declared_col else "false"
+    )
+    decl_kp = f"{keep}{decl}"
+    return f"""
+        WITH pa_pc AS (
+          {payload_complete_sql(staged, keep=decl_kp, h_col=h_col, fmt_col='fmt')}
+        ), pa_bg AS (
+          {image_bomb_gate_sql(staged, keep=keep, h_col=h_col)}
+        ), pa_j AS (
+          SELECT pc.*, bg.width, bg.height, bg.pixels,
+                 bg.oversized, bg.bomb_ratio
+          FROM pa_pc pc JOIN pa_bg bg USING ({keep})
+        )
+        SELECT {keep}, fmt, payload_bytes, trailer_ok, width, height,
+               pixels, oversized, bomb_ratio,
+               CASE WHEN fmt NOT IN ({admit}) THEN 'notimage'
+                    WHEN trailer_ok = false THEN 'truncated'
+                    WHEN {mismatch} THEN 'mismatch'
+                    WHEN fmt NOT IN ({dims}) OR width IS NULL
+                         OR height IS NULL THEN 'review'
+                    WHEN oversized OR bomb_ratio THEN 'bomb'
+                    ELSE 'admit' END AS verdict
+        FROM pa_j
+    """

@@ -98,3 +98,33 @@ def test_payload_complete_duckdb_replay(spark):
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
     )
+
+
+def test_payload_admission_precedence(spark):
+    """Composed verdict precedence: truncation outranks mismatch,
+    mismatch outranks bomb, NULL declared skips the mismatch tier."""
+    from pyspark.sql import functions as F2
+    from dblp_crawler_spark.operators.sniff import payload_admission
+
+    jfif = "FFD8FFE000104A46494600010100000100010000" + "AB" * 8
+    png_bomb = ("89504E470D0A1A0A"
+                + _chunk("IHDR", "00007530" * 2 + "0806000000")
+                + _chunk("IDAT", "AB" * 4) + _IEND)
+    rows = [
+        # truncated AND mismatched: truncated wins
+        ("t_over_m", jfif, "png"),
+        # complete but mismatched AND a bomb: mismatch wins
+        ("m_over_b", png_bomb, "gif"),
+        # same bytes, declared correctly: bomb
+        ("bomb", png_bomb, "png"),
+        # same bytes, declared NULL: mismatch tier skipped -> bomb
+        ("null_decl", png_bomb, None),
+        ("notimage", "1F8B08000000", "gzip"),
+    ]
+    df = spark.createDataFrame(rows, "name string, hx string, declared string")
+    got = {r.name: r.verdict for r in payload_admission(
+        df.select("name", F2.unhex("hx").alias("bytes"), "declared"),
+        declared_col="declared").collect()}
+    assert got == {"t_over_m": "truncated", "m_over_b": "mismatch",
+                   "bomb": "bomb", "null_decl": "bomb",
+                   "notimage": "notimage"}
