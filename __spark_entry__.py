@@ -2730,6 +2730,46 @@ def q_url_param_significance(spark, sf_dir):
     return url_param_significance(fetches)
 
 
+#: planted X-Robots-Tag header blocks: unscoped pair, 'none', scoped
+#: to us, scoped to another bot (ignored), unavailable_after (a
+#: directive, not a scope), accumulating case-insensitive headers,
+#: no directive at all, and a token-boundary trap.
+_XRT_CASES = [
+    "HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex, nofollow\r\nContent-Type: image/jpeg",
+    "X-Robots-Tag: none",
+    "X-Robots-Tag: spark-frontier: noimageindex",
+    "X-Robots-Tag: googlebot: noindex",
+    "X-Robots-Tag: unavailable_after: 25 Jun 2026 15:00:00 GMT, noarchive",
+    "x-robots-tag: noindex\r\nX-ROBOTS-TAG: noarchive",
+    "Content-Type: text/html",
+    "X-Robots-Tag: noindexing",
+]
+
+
+def q_x_robots_tag(spark, sf_dir):
+    """X-Robots-Tag response-header directives
+    (webparse.x_robots_tag): the header-level twin of <meta robots> —
+    and for an IMAGE crawl the only twin that exists, since a JPEG
+    has no meta tag; noimageindex/noindex for binary payloads live
+    ONLY here. Lines scoped to another bot are ignored, lines scoped
+    to us apply with the scope stripped, unavailable_after is a
+    directive not a scope (all pinned); multiple headers accumulate;
+    token boundaries reject 'noindexing'."""
+    from dblp_crawler_spark.sources.webparse import x_robots_tag
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_XRT_CASES)
+    hdr = F.lit(_XRT_CASES[-1])
+    for i, hx in enumerate(_XRT_CASES[:-1]):
+        hdr = F.when(m == i, F.lit(hx)).otherwise(hdr)
+    pages = docs.select(
+        F.concat(F.lit("https://x.example/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        hdr.alias("headers"),
+    )
+    return x_robots_tag(pages)
+
+
 def q_cloaking_detect(spark, sf_dir):
     """UA-conditional cloaking (hostdup.cloaking_detect): SEO spam
     shows bots keyword farms, bot-walls show bots interstitials —
@@ -4793,6 +4833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": q_feed_entries,
         "cloaking_detect": q_cloaking_detect,
         "url_param_significance": q_url_param_significance,
+        "x_robots_tag": q_x_robots_tag,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -8623,6 +8664,7 @@ def oracle_sql() -> dict[str, str]:
         "feed_entries": _feed_entries_oracle(),
         "cloaking_detect": _cloaking_detect_oracle(),
         "url_param_significance": _url_param_significance_oracle(),
+        "x_robots_tag": _x_robots_tag_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -8913,6 +8955,28 @@ def _url_param_significance_oracle() -> str:
         FROM documents, (SELECT unnest([0, 1]) AS iv)
     ) up_src"""
     return url_param_significance_sql(src)
+
+
+def _x_robots_tag_oracle() -> str:
+    """DuckDB replay of q_x_robots_tag — same planted header blocks
+    through x_robots_tag_sql. CRLFs are spelled chr(13)||chr(10) so
+    the SQL literal carries REAL control bytes like the Spark lit."""
+    from dblp_crawler_spark.sources.webparse import x_robots_tag_sql
+
+    def sql_lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace(
+            "\r\n", "' || chr(13) || chr(10) || '") + "'"
+
+    whens = "".join(
+        f" WHEN {i} THEN {sql_lit(hx)}" for i, hx in enumerate(_XRT_CASES[:-1])
+    )
+    src = f"""(
+        SELECT 'https://x.example/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE doc_id % {len(_XRT_CASES)}{whens}
+                 ELSE {sql_lit(_XRT_CASES[-1])} END AS headers
+        FROM documents
+    ) xrt_src"""
+    return x_robots_tag_sql(src)
 
 
 def _cloaking_detect_oracle() -> str:

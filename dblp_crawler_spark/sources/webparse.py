@@ -1342,3 +1342,92 @@ def feed_entries_sql(src: str = "feed_pages", keep: str = "host",
         FROM fe_f
         WHERE raw_link <> ''
     """
+
+
+# ---- X-Robots-Tag response-header directives -------------------------------------
+#
+# The header-level twin of <meta name=robots> — and for an IMAGE
+# crawl the only twin that exists: a JPEG has no <meta> tag, so the
+# only way a server can declare noindex/noimageindex for a binary
+# payload is the X-Robots-Tag response header. Directives are
+# comma-separated tokens; a line may be scoped to one crawler by a
+# leading 'ua:' token (the ONLY directive that itself takes a colon
+# argument is unavailable_after, which is recognized and kept
+# unscoped). Multiple X-Robots-Tag headers accumulate.
+
+_XRT_LINE_RE = r"(?im)^x-robots-tag[ \t]*:[ \t]*([^\r\n]+)"
+_XRT_SCOPE_RE = r"(?i)^([a-zA-Z0-9_.*-]+)[ \t]*:"
+_XRT_STRIP_RE = r"(?i)^[a-zA-Z0-9_.*-]+[ \t]*:[ \t]*"
+
+
+def x_robots_tag(pages: DataFrame, url_col: str = "url",
+                 headers_col: str = "headers",
+                 ua: str = "spark-frontier") -> DataFrame:
+    """Per-URL crawl-control flags from X-Robots-Tag response
+    headers: (url, noindex, nofollow, noimageindex, noarchive).
+
+    A line scoped to a DIFFERENT user agent is ignored; a line scoped
+    to ``ua`` applies with the scope token stripped; unscoped lines
+    always apply ('none' implies noindex+nofollow per the public
+    robots-meta spec). Pure projection — regexp_extract_all over the
+    raw header block, higher-order filter/transform for the scoping,
+    one lowercased join, token tests. No shuffle, no UDF."""
+
+    def scope(v):
+        return F.lower(F.regexp_extract(v, _XRT_SCOPE_RE, 1))
+
+    lines = F.regexp_extract_all(F.col(headers_col), F.lit(_XRT_LINE_RE), 1)
+    ua_l = ua.lower()
+    applicable = F.filter(
+        lines,
+        lambda v: (scope(v) == "") | (scope(v) == "unavailable_after")
+        | (scope(v) == ua_l),
+    )
+    stripped = F.transform(
+        applicable,
+        lambda v: F.when(
+            scope(v) == ua_l, F.regexp_replace(v, _XRT_STRIP_RE, "")
+        ).otherwise(v),
+    )
+    joined = F.lower(F.array_join(stripped, ","))
+    tok = lambda t: F.coalesce(  # noqa: E731
+        joined.rlike(r"(^|[,\s])" + t + r"([,\s]|$)"), F.lit(False)
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        (tok("noindex") | tok("none")).alias("noindex"),
+        (tok("nofollow") | tok("none")).alias("nofollow"),
+        tok("noimageindex").alias("noimageindex"),
+        tok("noarchive").alias("noarchive"),
+    )
+
+
+def x_robots_tag_sql(src: str = "header_pages", url_col: str = "url",
+                     headers_col: str = "headers",
+                     ua: str = "spark-frontier") -> str:
+    """DuckDB replay of :func:`x_robots_tag` — same patterns (passed
+    verbatim), same scoping filter/strip, same token tests."""
+    ua_l = ua.lower()
+    scope = f"lower(regexp_extract(v, '{_XRT_SCOPE_RE}', 1))"
+    joined = (
+        f"lower(coalesce(array_to_string(list_transform(list_filter("
+        f"regexp_extract_all({headers_col}, '{_XRT_LINE_RE}', 1),"
+        f" v -> {scope} IN ('', 'unavailable_after', '{ua_l}')),"
+        f" v -> CASE WHEN {scope} = '{ua_l}'"
+        f" THEN regexp_replace(v, '{_XRT_STRIP_RE}', '') ELSE v END), ','), ''))"
+    )
+
+    def tok(t):
+        return f"coalesce(regexp_matches(j, '(^|[,\\s]){t}([,\\s]|$)'), FALSE)"
+
+    return f"""
+        WITH xrt AS (
+          SELECT {url_col} AS url, {joined} AS j FROM {src}
+        )
+        SELECT url,
+               ({tok('noindex')} OR {tok('none')}) AS noindex,
+               ({tok('nofollow')} OR {tok('none')}) AS nofollow,
+               {tok('noimageindex')} AS noimageindex,
+               {tok('noarchive')} AS noarchive
+        FROM xrt
+    """
