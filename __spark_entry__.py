@@ -2770,6 +2770,50 @@ def q_x_robots_tag(spark, sf_dir):
     return x_robots_tag(pages)
 
 
+#: planted Retry-After response shapes: delta-seconds, date-minus-
+#: Date difference, a past date (clamps to 0), date without a Date
+#: header (NULL — no difference exists), malformed, absent on a 503,
+#: parsed on a 301 (not rate-limited), and a clean 200.
+_RA_CASES = [
+    (429, "Retry-After: 120"),
+    (503, "Date: Tue, 10 Jun 2025 04:00:00 GMT\r\n"
+          "Retry-After: Tue, 10 Jun 2025 04:05:00 GMT"),
+    (503, "Date: Tue, 10 Jun 2025 04:00:00 GMT\r\n"
+          "Retry-After: Tue, 10 Jun 2025 03:00:00 GMT"),
+    (429, "Retry-After: Tue, 10 Jun 2025 04:05:00 GMT"),
+    (429, "Retry-After: soon"),
+    (503, "Content-Type: text/html"),
+    (301, "Retry-After: 30"),
+    (200, "Content-Type: image/png"),
+]
+
+
+def q_retry_after(spark, sf_dir):
+    """RFC 9110 Retry-After (freshness.retry_after): 429/503 mean the
+    server NAMED its backoff price, which a polite crawler honors
+    before its own AIMD opinion. Delta-seconds exactly; the HTTP-date
+    form as max(0, Retry-After − Date) — difference-only arithmetic
+    so timezones cancel (the cache_policy discipline); malformed or
+    Date-less date forms NULL-absorb (fall back to own policy, a bad
+    origin can never fail a wave). Per-host integration is one
+    rollup feeding the politeness delay column."""
+    from dblp_crawler_spark.operators.freshness import retry_after
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_RA_CASES)
+    st = F.lit(_RA_CASES[-1][0])
+    hdr = F.lit(_RA_CASES[-1][1])
+    for i, (s, hx) in enumerate(_RA_CASES[:-1]):
+        st = F.when(m == i, F.lit(s)).otherwise(st)
+        hdr = F.when(m == i, F.lit(hx)).otherwise(hdr)
+    resp = docs.select(
+        F.concat(F.lit("https://r.example/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        st.alias("status"), hdr.alias("headers"),
+    )
+    return retry_after(resp)
+
+
 def q_cloaking_detect(spark, sf_dir):
     """UA-conditional cloaking (hostdup.cloaking_detect): SEO spam
     shows bots keyword farms, bot-walls show bots interstitials —
@@ -4834,6 +4878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloaking_detect": q_cloaking_detect,
         "url_param_significance": q_url_param_significance,
         "x_robots_tag": q_x_robots_tag,
+        "retry_after": q_retry_after,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -8665,6 +8710,7 @@ def oracle_sql() -> dict[str, str]:
         "cloaking_detect": _cloaking_detect_oracle(),
         "url_param_significance": _url_param_significance_oracle(),
         "x_robots_tag": _x_robots_tag_oracle(),
+        "retry_after": _retry_after_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -8977,6 +9023,33 @@ def _x_robots_tag_oracle() -> str:
         FROM documents
     ) xrt_src"""
     return x_robots_tag_sql(src)
+
+
+def _retry_after_oracle() -> str:
+    """DuckDB replay of q_retry_after — same planted (status, header)
+    pairs through retry_after_sql (CRLFs as chr calls, the
+    x_robots_tag discipline)."""
+    from dblp_crawler_spark.operators.freshness import retry_after_sql
+
+    def sql_lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace(
+            "\r\n", "' || chr(13) || chr(10) || '") + "'"
+
+    s_whens = "".join(
+        f" WHEN {i} THEN {s}" for i, (s, _) in enumerate(_RA_CASES[:-1])
+    )
+    h_whens = "".join(
+        f" WHEN {i} THEN {sql_lit(hx)}" for i, (_, hx) in enumerate(_RA_CASES[:-1])
+    )
+    src = f"""(
+        SELECT 'https://r.example/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE doc_id % {len(_RA_CASES)}{s_whens}
+                 ELSE {_RA_CASES[-1][0]} END AS status,
+               CASE doc_id % {len(_RA_CASES)}{h_whens}
+                 ELSE {sql_lit(_RA_CASES[-1][1])} END AS headers
+        FROM documents
+    ) ra_src"""
+    return retry_after_sql(src)
 
 
 def _cloaking_detect_oracle() -> str:

@@ -153,3 +153,75 @@ def refresh_pages(lake, new_rows: DataFrame) -> int:
     from .. import schemas
 
     return lake.merge_upsert("pages", new_rows, ["url"], schemas.PAGES)
+
+
+# RFC 9110 Retry-After: delta-seconds or an HTTP-date. 429/503 are
+# the rate-limit statuses a polite crawler MUST honor before its own
+# AIMD backoff opinion (adaptive_crawl_delay) — the server named its
+# price. Date form reuses the cache_policy discipline: only the
+# Retry-After − Date DIFFERENCE is used, never an absolute epoch.
+_H_RETRY_AFTER = r"(?im)^retry-after\s*:\s*([^\r\n]*)"
+_H_STATUS_RATE_LIMITED = (429, 503)
+
+
+def retry_after(responses: DataFrame, url_col: str = "url",
+                status_col: str = "status",
+                headers_col: str = "headers") -> DataFrame:
+    """(url, status, raw headers) → (url, status, rate_limited,
+    retry_after_s): the server-declared backoff.
+
+    ``retry_after_s`` parses the delta-seconds form exactly and the
+    HTTP-date form as max(0, Retry-After − Date) when both headers
+    parse (difference-only — timezone handling cancels); absent or
+    malformed values are NULL (the crawler falls back to its own
+    backoff policy — a bad origin can never fail the wave).
+    ``rate_limited`` is the 429/503 status flag; the header is parsed
+    regardless (3xx responses may carry it too). Pure projection.
+    Per-host integration is one rollup: max(retry_after_s) over
+    rate_limited rows feeds the politeness delay column."""
+    h = F.col(headers_col)
+    raw = F.nullif(F.trim(F.regexp_extract(h, _H_RETRY_AFTER, 1)), F.lit(""))
+    delta = F.when(raw.rlike(r"^[0-9]+$"), raw.cast("long"))
+
+    def ts(val):
+        stripped = F.regexp_replace(val, _DOW_PREFIX, "")
+        return F.unix_timestamp(F.try_to_timestamp(stripped,
+                                                   F.lit(_RFC1123_SPARK)))
+
+    date_raw = F.nullif(F.trim(F.regexp_extract(h, _H_DATE, 1)), F.lit(""))
+    diff = ts(raw) - ts(date_raw)
+    dated = F.when(diff.isNotNull(), F.greatest(diff, F.lit(0).cast("long")))
+    return responses.select(
+        F.col(url_col).alias("url"),
+        F.col(status_col).cast("int").alias("status"),
+        F.col(status_col).cast("int").isin(*_H_STATUS_RATE_LIMITED)
+        .alias("rate_limited"),
+        F.coalesce(delta, dated).alias("retry_after_s"),
+    )
+
+
+def retry_after_sql(src: str = "responses", url_col: str = "url",
+                    status_col: str = "status",
+                    headers_col: str = "headers") -> str:
+    """DuckDB replay of :func:`retry_after` — same regexes, same
+    delta-vs-date precedence, same difference-only arithmetic."""
+    raw = f"nullif(trim(regexp_extract({headers_col}, '{_H_RETRY_AFTER}', 1)), '')"
+    delta = (f"CASE WHEN regexp_matches({raw}, '^[0-9]+$') "
+             f"THEN CAST({raw} AS BIGINT) END")
+
+    def ts(val):
+        return (f"epoch(try_strptime(regexp_replace({val}, "
+                f"'{_DOW_PREFIX}', ''), '{_RFC1123_DUCK}'))")
+
+    date_raw = (f"nullif(trim(regexp_extract({headers_col}, "
+                f"'{_H_DATE}', 1)), '')")
+    diff = f"CAST({ts(raw)} - {ts(date_raw)} AS BIGINT)"
+    dated = f"CASE WHEN ({diff}) IS NOT NULL THEN greatest({diff}, 0) END"
+    statuses = ", ".join(str(s) for s in _H_STATUS_RATE_LIMITED)
+    return f"""
+        SELECT {url_col} AS url,
+               CAST({status_col} AS INT) AS status,
+               CAST({status_col} AS INT) IN ({statuses}) AS rate_limited,
+               coalesce({delta}, {dated}) AS retry_after_s
+        FROM {src}
+    """
