@@ -4551,6 +4551,61 @@ def q_pipeline_payload_admission(spark, sf_dir):
     )
 
 
+def _icc_profile_hex(size=200, cls="6D6E7472", cs="52474220",
+                     acsp=True, intent=0):
+    return (f"{size:08X}" + "00" * 4 + "04400000" + cls + cs + "58595A20"
+            + "00" * 12 + ("61637370" if acsp else "DEADBEEF")
+            + "00" * 24 + f"{intent:08X}" + "00" * 60)
+
+
+def _icc_app2(profile_hex):
+    payload = "4943435F50524F46494C4500" + "0101" + profile_hex
+    return "FFE2" + f"{len(payload) // 2 + 2:04X}" + payload
+
+
+_ICC_APP0 = "FFE0" + "0010" + "4A46494600010100000100010000"
+_ICC_APP1 = "FFE1" + "0014" + "457869660000" + "49492A0008000000" + "0000"
+
+#: planted ICC cases: sRGB display profile, CMYK output profile with
+#: relative intent, a profile hiding behind APP0+EXIF (walk hops),
+#: a bad-acsp profile (found but not trusted), off-table signatures
+#: + intent 7 (-> 'other'), an ICC-less JPEG, and a PNG.
+_ICC_CASES = [
+    "FFD8" + _ICC_APP0 + _icc_app2(_icc_profile_hex()),
+    "FFD8" + _icc_app2(_icc_profile_hex(cls="70727472", cs="434D594B",
+                                        intent=1, size=544)),
+    "FFD8" + _ICC_APP0 + _ICC_APP1 + _icc_app2(_icc_profile_hex(intent=3)),
+    "FFD8" + _icc_app2(_icc_profile_hex(acsp=False)),
+    "FFD8" + _icc_app2(_icc_profile_hex(cls="AAAAAAAA", cs="BBBBBBBB",
+                                        intent=7)),
+    "FFD8" + _ICC_APP0 + "FFDB000401" + "00",
+    "89504E470D0A1A0A" + "00" * 8,
+]
+
+
+def q_icc_profile(spark, sf_dir):
+    """ICC profile header routing (sniff.icc_profile): a CMYK press
+    profile, an exotic rendering intent, or a non-display class each
+    need a different normalize step before pixels enter a training
+    set — and the routing facts sit in the fixed 128-byte ICC header
+    carried in JPEG APP2 behind 'ICC_PROFILE\\0', readable without
+    decoding image OR profile. has_icc is the segment-found flag;
+    fields additionally gate on the 'acsp' magic (found-but-corrupt
+    pinned); off-table signatures and intents label 'other'."""
+    from dblp_crawler_spark.operators.sniff import icc_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_ICC_CASES)
+    hexstr = F.lit(_ICC_CASES[-1])
+    for i, hx in enumerate(_ICC_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return icc_profile(imgs).select(
+        "doc_id", "fmt", "has_icc", "icc_size", "icc_class",
+        "icc_colorspace", "icc_intent",
+    )
+
+
 #: planted K4 on fresh nodes for q_triangle_counts — 4 triangles,
 #: every member in 3, clustering 1.0 on the degree-3 corners.
 _TRI_K4 = [("h100", "h101"), ("h100", "h102"), ("h100", "h103"),
@@ -4874,6 +4929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_animated": q_png_animated,
         "payload_complete": q_payload_complete,
         "pipeline_payload_admission": q_pipeline_payload_admission,
+        "icc_profile": q_icc_profile,
         "feed_entries": q_feed_entries,
         "cloaking_detect": q_cloaking_detect,
         "url_param_significance": q_url_param_significance,
@@ -8706,6 +8762,7 @@ def oracle_sql() -> dict[str, str]:
         "png_animated": _png_animated_oracle(),
         "payload_complete": _payload_complete_oracle(),
         "pipeline_payload_admission": _pipeline_payload_admission_oracle(),
+        "icc_profile": _icc_profile_oracle(),
         "feed_entries": _feed_entries_oracle(),
         "cloaking_detect": _cloaking_detect_oracle(),
         "url_param_significance": _url_param_significance_oracle(),
@@ -9129,6 +9186,27 @@ def _payload_complete_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} pc_src)"
     return payload_complete_sql(staged)
+
+
+def _icc_profile_oracle() -> str:
+    """DuckDB replay of q_icc_profile — same planted hex through
+    icc_profile_sql's unrolled APP2 walk."""
+    from dblp_crawler_spark.operators.sniff import (
+        icc_profile_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_ICC_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_ICC_CASES)}{whens}
+                 ELSE '{_ICC_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} icc_src)"
+    return icc_profile_sql(staged)
 
 
 def _pipeline_payload_admission_oracle() -> str:

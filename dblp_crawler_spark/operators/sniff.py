@@ -2350,3 +2350,160 @@ def payload_admission_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                     ELSE 'admit' END AS verdict
         FROM pa_j
     """
+
+
+# ---- ICC profile header (JPEG APP2, decode-free) ----------------------------------
+#
+# Color management routing: a CMYK press profile, a 16-bit display
+# profile, or an exotic rendering intent each need a different
+# normalize step before pixels enter a training set, and the routing
+# facts live in the ICC profile HEADER (public ICC.1 spec, fixed
+# 128-byte layout) carried in JPEG APP2 segments behind the
+# 'ICC_PROFILE\0' signature — readable without decoding either the
+# image or the profile body. Same bounded-fold + staged-read
+# machinery as the EXIF/DQT walks; the 512-byte window covers
+# JFIF/EXIF-prefixed files (a multi-KB EXIF block pushes APP2 out
+# and the row NULL-absorbs — the documented header-tier trade).
+
+ICC_WINDOW_BYTES = 512
+ICC_MAX_HOPS = 6
+_ICC_SIG = "4943435F50524F46494C4500"  # 'ICC_PROFILE\0'
+_ICC_ACSP = "61637370"                 # 'acsp' magic at profile offset 36
+
+#: profile/device class signature (offset 12) → label
+ICC_CLASSES = {"6D6E7472": "display", "73636E72": "input",
+               "70727472": "output", "73706163": "colorspace",
+               "6C696E6B": "link", "61627374": "abstract"}
+#: data colour space signature (offset 16) → label
+ICC_COLORSPACES = {"52474220": "rgb", "434D594B": "cmyk",
+                   "47524159": "gray", "4C616220": "lab"}
+#: rendering intent (offset 64) → label
+ICC_INTENTS = {0: "perceptual", 1: "relative", 2: "saturation",
+               3: "absolute"}
+
+
+def icc_profile(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, has_icc, icc_size, icc_class, icc_colorspace,
+    icc_intent) from the first APP2 ICC segment's profile header —
+    all NULL for non-JPEG rows and walks that never reach an ICC
+    APP2; ``has_icc`` is the segment-found flag, and the FIELDS are
+    additionally gated on the 'acsp' magic at profile offset 36 (a
+    corrupt profile shows has_icc=true, fields NULL — found but not
+    trusted). Signatures off the class/colorspace tables label
+    'other', intents ≥4 label 'other'. Map-side projection, blobs
+    never shuffle."""
+    staged = df.withColumns(
+        {
+            "__ix": F.hex(F.substring(F.col(bytes_col), 1, ICC_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__ix")
+
+    def hop(acc, _i):
+        pos = acc["i_pos"]
+        found = acc["p"].isNotNull()
+        is_icc = (hx.substr(pos, F.lit(4)) == "FFE2") & (
+            hx.substr(pos + F.lit(8), F.lit(24)) == _ICC_SIG
+        )
+        nxt = F.when(found | is_icc, pos).otherwise(
+            pos + F.lit(4) + F.lit(2) * _hex2long(hx, pos + F.lit(4), 4)
+        )
+        return F.struct(
+            nxt.alias("i_pos"),
+            # profile base: marker(2B)+len(2B)+sig(12B)+seq/total(2B)
+            F.coalesce(acc["p"], F.when(is_icc, pos + F.lit(36))).alias("p"),
+        )
+
+    acc0 = F.struct(
+        F.lit(5).cast("long").alias("i_pos"),
+        F.lit(None).cast("long").alias("p"),
+    )
+    walk = F.aggregate(F.sequence(F.lit(1), F.lit(ICC_MAX_HOPS)), acc0, hop)["p"]
+    s1 = staged.withColumn("__p", F.when(F.col("fmt") == "jpeg", walk))
+    p = F.col("__p")
+    acsp_ok = hx.substr(p + F.lit(72), F.lit(8)) == _ICC_ACSP
+    s2 = s1.withColumn("__pv", F.when(acsp_ok, p))
+    pv = F.col("__pv")
+
+    # nullif: a window-truncated signature read yields '' in Spark
+    # but NULL via the oracle's nullif — align both to NULL
+    cls_hex = F.nullif(hx.substr(pv + F.lit(24), F.lit(8)), F.lit(""))
+    cs_hex = F.nullif(hx.substr(pv + F.lit(32), F.lit(8)), F.lit(""))
+    cls = F.lit("other")
+    for code, label in ICC_CLASSES.items():
+        cls = F.when(cls_hex == code, label).otherwise(cls)
+    cs = F.lit("other")
+    for code, label in ICC_COLORSPACES.items():
+        cs = F.when(cs_hex == code, label).otherwise(cs)
+    intent_n = _hex2long(hx, pv + F.lit(128), 8)
+    intent = F.lit("other")
+    for code, label in ICC_INTENTS.items():
+        intent = F.when(intent_n == code, label).otherwise(intent)
+    return (
+        s2.withColumns(
+            {
+                "has_icc": F.when(F.col("fmt") == "jpeg", p.isNotNull()),
+                "icc_size": F.when(pv.isNotNull(),
+                                   _hex2long(hx, pv, 8)).cast("long"),
+                "icc_class": F.when(pv.isNotNull() & cls_hex.isNotNull(), cls),
+                "icc_colorspace": F.when(pv.isNotNull() & cs_hex.isNotNull(), cs),
+                "icc_intent": F.when(intent_n.isNotNull(), intent),
+            }
+        )
+        .drop("__ix", "__p", "__pv")
+    )
+
+
+def icc_profile_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                    fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`icc_profile` — unrolled APP2 walk,
+    staged profile base, same signature tables."""
+    pos_expr = "5"
+    p_cases = []
+    for _ in range(ICC_MAX_HOPS):
+        is_icc = (
+            f"substring({h_col}, {pos_expr}, 4) = 'FFE2' AND "
+            f"substring({h_col}, ({pos_expr}) + 8, 24) = '{_ICC_SIG}'"
+        )
+        p_cases.append(f"WHEN {is_icc} THEN ({pos_expr}) + 36")
+        seg_len = (f"TRY_CAST(concat('0x', substring({h_col}, "
+                   f"({pos_expr}) + 4, 4)) AS BIGINT)")
+        pos_expr = f"({pos_expr}) + 4 + 2 * {seg_len}"
+    walk = "CASE " + " ".join(p_cases) + " ELSE NULL END"
+    cls_whens = " ".join(
+        f"WHEN '{c}' THEN '{l}'" for c, l in ICC_CLASSES.items())
+    cs_whens = " ".join(
+        f"WHEN '{c}' THEN '{l}'" for c, l in ICC_COLORSPACES.items())
+    in_whens = " ".join(
+        f"WHEN {c} THEN '{l}'" for c, l in ICC_INTENTS.items())
+    return f"""
+        WITH icc0 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CASE WHEN {fmt_col} = 'jpeg'
+                      THEN CAST(({walk}) AS BIGINT) END AS p
+          FROM {src}
+        ), icc1 AS (
+          SELECT *, CASE WHEN substring(h, p + 72, 8) = '{_ICC_ACSP}'
+                         THEN p END AS pv
+          FROM icc0
+        ), icc2 AS (
+          SELECT {keep}, fmt, p, pv,
+                 nullif(substring(h, pv + 24, 8), '') AS cls_hex,
+                 nullif(substring(h, pv + 32, 8), '') AS cs_hex,
+                 TRY_CAST(concat('0x', substring(h, pv, 8)) AS BIGINT) AS sz,
+                 TRY_CAST(concat('0x', substring(h, pv + 128, 8)) AS BIGINT)
+                   AS intent_n
+          FROM icc1
+        )
+        SELECT {keep}, fmt,
+               CASE WHEN fmt = 'jpeg' THEN p IS NOT NULL END AS has_icc,
+               CAST(CASE WHEN pv IS NOT NULL THEN sz END AS BIGINT) AS icc_size,
+               CASE WHEN pv IS NOT NULL AND cls_hex IS NOT NULL THEN
+                 CASE cls_hex {cls_whens} ELSE 'other' END END AS icc_class,
+               CASE WHEN pv IS NOT NULL AND cs_hex IS NOT NULL THEN
+                 CASE cs_hex {cs_whens} ELSE 'other' END END AS icc_colorspace,
+               CASE WHEN intent_n IS NOT NULL THEN
+                 CASE intent_n {in_whens} ELSE 'other' END END AS icc_intent
+        FROM icc2
+    """
