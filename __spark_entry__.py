@@ -2814,6 +2814,48 @@ def q_retry_after(spark, sf_dir):
     return retry_after(resp)
 
 
+#: planted header-policy responses: cacheable 200, no-store and
+#: noarchive (both archive vetoes), image noindex (header-only
+#: channel), priced and unpriced rate limits, Retry-After on a 200
+#: (not rate-limited), and no-cache + 'none' combined.
+_HP_CASES = [
+    (200, "Cache-Control: max-age=600"),
+    (200, "Cache-Control: no-store"),
+    (200, "X-Robots-Tag: noarchive"),
+    (200, "Content-Type: image/jpeg\r\nX-Robots-Tag: noimageindex"),
+    (429, "Retry-After: 120"),
+    (503, "Content-Type: text/html"),
+    (200, "Retry-After: 60"),
+    (200, "Cache-Control: no-cache, max-age=30\r\nX-Robots-Tag: none"),
+]
+
+
+def q_pipeline_header_policy(spark, sf_dir):
+    """Composed header verdict (freshness.header_policy): everything
+    a fetch pipeline decides from raw response headers in ONE
+    projection — RFC 9111 freshness, RFC 9110 rate-limit backoff,
+    and X-Robots-Tag directives (the only robots channel a binary
+    image payload has) — built from the SAME column expressions as
+    the three stand-alone oracled operators (shared *_cols helpers),
+    with the DuckDB replay chaining their replays, so the composition
+    is verified against its parts."""
+    from dblp_crawler_spark.operators.freshness import header_policy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_HP_CASES)
+    st = F.lit(_HP_CASES[-1][0])
+    hdr = F.lit(_HP_CASES[-1][1])
+    for i, (s, hx) in enumerate(_HP_CASES[:-1]):
+        st = F.when(m == i, F.lit(s)).otherwise(st)
+        hdr = F.when(m == i, F.lit(hx)).otherwise(hdr)
+    resp = docs.select(
+        F.concat(F.lit("https://hp.example/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        st.alias("status"), hdr.alias("headers"),
+    )
+    return header_policy(resp)
+
+
 def q_cloaking_detect(spark, sf_dir):
     """UA-conditional cloaking (hostdup.cloaking_detect): SEO spam
     shows bots keyword farms, bot-walls show bots interstitials —
@@ -4935,6 +4977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_param_significance": q_url_param_significance,
         "x_robots_tag": q_x_robots_tag,
         "retry_after": q_retry_after,
+        "pipeline_header_policy": q_pipeline_header_policy,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -8768,6 +8811,7 @@ def oracle_sql() -> dict[str, str]:
         "url_param_significance": _url_param_significance_oracle(),
         "x_robots_tag": _x_robots_tag_oracle(),
         "retry_after": _retry_after_oracle(),
+        "pipeline_header_policy": _pipeline_header_policy_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -9107,6 +9151,33 @@ def _retry_after_oracle() -> str:
         FROM documents
     ) ra_src"""
     return retry_after_sql(src)
+
+
+def _pipeline_header_policy_oracle() -> str:
+    """DuckDB replay of q_pipeline_header_policy — same planted
+    (status, headers) pairs through header_policy_sql's chained
+    stage replays."""
+    from dblp_crawler_spark.operators.freshness import header_policy_sql
+
+    def sql_lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace(
+            "\r\n", "' || chr(13) || chr(10) || '") + "'"
+
+    s_whens = "".join(
+        f" WHEN {i} THEN {s}" for i, (s, _) in enumerate(_HP_CASES[:-1])
+    )
+    h_whens = "".join(
+        f" WHEN {i} THEN {sql_lit(hx)}" for i, (_, hx) in enumerate(_HP_CASES[:-1])
+    )
+    src = f"""(
+        SELECT 'https://hp.example/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE doc_id % {len(_HP_CASES)}{s_whens}
+                 ELSE {_HP_CASES[-1][0]} END AS status,
+               CASE doc_id % {len(_HP_CASES)}{h_whens}
+                 ELSE {sql_lit(_HP_CASES[-1][1])} END AS headers
+        FROM documents
+    ) hp_src"""
+    return header_policy_sql(src)
 
 
 def _cloaking_detect_oracle() -> str:

@@ -89,6 +89,19 @@ def cache_policy(responses: DataFrame, url_col: str = "url",
     malformed dates parse to NULL via try_to_timestamp, so a bad
     origin can never fail the wave.
     """
+    cols = cache_policy_cols(headers_col)
+    return responses.select(
+        F.col(url_col).alias("url"),
+        cols["no_store"].alias("no_store"),
+        cols["no_cache"].alias("no_cache"),
+        cols["ttl_s"].alias("ttl_s"),
+    )
+
+
+def cache_policy_cols(headers_col: str = "headers") -> dict:
+    """The cache_policy output expressions as a name → Column dict —
+    shared by :func:`cache_policy` and the composed
+    :func:`header_policy` so the two can never drift."""
     h = F.col(headers_col)
     cc = F.nullif(F.trim(F.regexp_extract(h, _H_CC, 1)), F.lit(""))
     no_store = F.coalesce(cc.rlike(r"(?i)(^|[,\s])no-store([,\s]|$)"), F.lit(False))
@@ -109,12 +122,7 @@ def cache_policy(responses: DataFrame, url_col: str = "url",
     ttl = F.when(no_store, F.lit(0).cast("long")).otherwise(
         F.coalesce(smax, mage, exp_ttl)
     )
-    return responses.select(
-        F.col(url_col).alias("url"),
-        no_store.alias("no_store"),
-        no_cache.alias("no_cache"),
-        ttl.alias("ttl_s"),
-    )
+    return {"no_store": no_store, "no_cache": no_cache, "ttl_s": ttl}
 
 
 def cache_policy_sql(src: str = "responses") -> str:
@@ -179,6 +187,19 @@ def retry_after(responses: DataFrame, url_col: str = "url",
     regardless (3xx responses may carry it too). Pure projection.
     Per-host integration is one rollup: max(retry_after_s) over
     rate_limited rows feeds the politeness delay column."""
+    cols = retry_after_cols(status_col, headers_col)
+    return responses.select(
+        F.col(url_col).alias("url"),
+        F.col(status_col).cast("int").alias("status"),
+        cols["rate_limited"].alias("rate_limited"),
+        cols["retry_after_s"].alias("retry_after_s"),
+    )
+
+
+def retry_after_cols(status_col: str = "status",
+                     headers_col: str = "headers") -> dict:
+    """The retry_after output expressions as a name → Column dict —
+    shared with the composed :func:`header_policy`."""
     h = F.col(headers_col)
     raw = F.nullif(F.trim(F.regexp_extract(h, _H_RETRY_AFTER, 1)), F.lit(""))
     delta = F.when(raw.rlike(r"^[0-9]+$"), raw.cast("long"))
@@ -191,13 +212,11 @@ def retry_after(responses: DataFrame, url_col: str = "url",
     date_raw = F.nullif(F.trim(F.regexp_extract(h, _H_DATE, 1)), F.lit(""))
     diff = ts(raw) - ts(date_raw)
     dated = F.when(diff.isNotNull(), F.greatest(diff, F.lit(0).cast("long")))
-    return responses.select(
-        F.col(url_col).alias("url"),
-        F.col(status_col).cast("int").alias("status"),
-        F.col(status_col).cast("int").isin(*_H_STATUS_RATE_LIMITED)
-        .alias("rate_limited"),
-        F.coalesce(delta, dated).alias("retry_after_s"),
-    )
+    return {
+        "rate_limited": F.col(status_col).cast("int")
+        .isin(*_H_STATUS_RATE_LIMITED),
+        "retry_after_s": F.coalesce(delta, dated),
+    }
 
 
 def retry_after_sql(src: str = "responses", url_col: str = "url",
@@ -224,4 +243,72 @@ def retry_after_sql(src: str = "responses", url_col: str = "url",
                CAST({status_col} AS INT) IN ({statuses}) AS rate_limited,
                coalesce({delta}, {dated}) AS retry_after_s
         FROM {src}
+    """
+
+
+def header_policy(responses: DataFrame, url_col: str = "url",
+                  status_col: str = "status",
+                  headers_col: str = "headers",
+                  ua: str = "spark-frontier") -> DataFrame:
+    """The composed per-URL header verdict: everything a fetch
+    pipeline decides from the raw response headers alone, in ONE
+    projection — RFC 9111 freshness (cache_policy), RFC 9110
+    rate-limit backoff (retry_after) and X-Robots-Tag directives
+    (x_robots_tag, the only robots channel a binary image payload
+    has) — built from the SAME column expressions the three
+    stand-alone operators use (shared `*_cols` helpers, so the
+    composition cannot drift from its parts).
+
+    Output per URL: ``archive_ok`` (storable at all: not no-store,
+    not noarchive), ``index_ok``/``follow_ok``/``image_index_ok``
+    (directive gates), ``rate_limited`` + ``backoff_s`` (the
+    server-named price, NULL when it named none — caller's AIMD
+    applies), ``no_cache`` and ``ttl_s`` (the freshness budget).
+    Still a single map-side pass: three regex families over one
+    headers column."""
+    from ..sources.webparse import x_robots_tag_cols
+
+    cp = cache_policy_cols(headers_col)
+    ra = retry_after_cols(status_col, headers_col)
+    xr = x_robots_tag_cols(headers_col, ua=ua)
+    return responses.select(
+        F.col(url_col).alias("url"),
+        F.col(status_col).cast("int").alias("status"),
+        (~(cp["no_store"] | xr["noarchive"])).alias("archive_ok"),
+        (~xr["noindex"]).alias("index_ok"),
+        (~xr["nofollow"]).alias("follow_ok"),
+        (~xr["noimageindex"]).alias("image_index_ok"),
+        ra["rate_limited"].alias("rate_limited"),
+        F.when(ra["rate_limited"], ra["retry_after_s"]).alias("backoff_s"),
+        cp["no_cache"].alias("no_cache"),
+        cp["ttl_s"].alias("ttl_s"),
+    )
+
+
+def header_policy_sql(src: str = "responses", url_col: str = "url",
+                      status_col: str = "status",
+                      headers_col: str = "headers",
+                      ua: str = "spark-frontier") -> str:
+    """DuckDB replay of :func:`header_policy` — chains the three
+    stand-alone replays (cache_policy_sql / retry_after_sql /
+    x_robots_tag_sql) as CTEs joined on url, so the composition is
+    verified against its oracled parts."""
+    from ..sources.webparse import x_robots_tag_sql
+
+    base = (f"(SELECT {url_col} AS url, {status_col} AS status, "
+            f"{headers_col} AS headers FROM {src})")
+    return f"""
+        WITH hp_cp AS ({cache_policy_sql(base)}),
+        hp_ra AS ({retry_after_sql(base)}),
+        hp_xr AS ({x_robots_tag_sql(base, ua=ua)})
+        SELECT url, hp_ra.status,
+               NOT (hp_cp.no_store OR hp_xr.noarchive) AS archive_ok,
+               NOT hp_xr.noindex AS index_ok,
+               NOT hp_xr.nofollow AS follow_ok,
+               NOT hp_xr.noimageindex AS image_index_ok,
+               hp_ra.rate_limited,
+               CASE WHEN hp_ra.rate_limited
+                    THEN hp_ra.retry_after_s END AS backoff_s,
+               hp_cp.no_cache, hp_cp.ttl_s
+        FROM hp_cp JOIN hp_ra USING (url) JOIN hp_xr USING (url)
     """

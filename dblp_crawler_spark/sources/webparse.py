@@ -1372,6 +1372,20 @@ def x_robots_tag(pages: DataFrame, url_col: str = "url",
     robots-meta spec). Pure projection — regexp_extract_all over the
     raw header block, higher-order filter/transform for the scoping,
     one lowercased join, token tests. No shuffle, no UDF."""
+    cols = x_robots_tag_cols(headers_col, ua=ua)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        cols["noindex"].alias("noindex"),
+        cols["nofollow"].alias("nofollow"),
+        cols["noimageindex"].alias("noimageindex"),
+        cols["noarchive"].alias("noarchive"),
+    )
+
+
+def x_robots_tag_cols(headers_col: str = "headers",
+                      ua: str = "spark-frontier") -> dict:
+    """The x_robots_tag output expressions as a name → Column dict —
+    shared with the composed header_policy operator."""
 
     def scope(v):
         return F.lower(F.regexp_extract(v, _XRT_SCOPE_RE, 1))
@@ -1393,13 +1407,12 @@ def x_robots_tag(pages: DataFrame, url_col: str = "url",
     tok = lambda t: F.coalesce(  # noqa: E731
         joined.rlike(r"(^|[,\s])" + t + r"([,\s]|$)"), F.lit(False)
     )
-    return pages.select(
-        F.col(url_col).alias("url"),
-        (tok("noindex") | tok("none")).alias("noindex"),
-        (tok("nofollow") | tok("none")).alias("nofollow"),
-        tok("noimageindex").alias("noimageindex"),
-        tok("noarchive").alias("noarchive"),
-    )
+    return {
+        "noindex": tok("noindex") | tok("none"),
+        "nofollow": tok("nofollow") | tok("none"),
+        "noimageindex": tok("noimageindex"),
+        "noarchive": tok("noarchive"),
+    }
 
 
 def x_robots_tag_sql(src: str = "header_pages", url_col: str = "url",
