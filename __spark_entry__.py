@@ -2856,6 +2856,34 @@ def q_pipeline_header_policy(spark, sf_dir):
     return header_policy(resp)
 
 
+def q_hreflang_reciprocity(spark, sf_dir):
+    """Translation-graph validation (webparse.hreflang_reciprocity):
+    search engines ignore non-reciprocal hreflang pairs, and a
+    one-way declaration is exactly the spam shape where a scraped
+    copy claims to be a translation of a page that never heard of it.
+    Three-state: true on a back edge (a self-declaration is its own —
+    the spec REQUIRES the self row), false when the target was
+    crawled but declares nothing back, NULL when the target is not
+    yet a source (unverifiable, not broken). Two equi-joins."""
+    from dblp_crawler_spark.sources.webparse import hreflang_reciprocity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = F.floor(F.col("doc_id") / 5).cast("string")
+    m = F.col("doc_id") % 5
+    u = lambda sfx: F.concat(F.lit("https://h.example/u"), g, F.lit(sfx))  # noqa: E731
+    url = (F.when(m == 0, u(".en")).when(m == 1, u(".de"))
+           .when(m == 2, u(".en")).when(m == 3, u(".fr"))
+           .otherwise(u(".fr")))
+    lang = (F.when(m == 0, "de").when(m == 1, "en").when(m == 2, "it")
+            .when(m == 3, "de").otherwise("fr"))
+    alt = (F.when(m == 0, u(".de")).when(m == 1, u(".en"))
+           .when(m == 2, u(".it")).when(m == 3, u(".de"))
+           .otherwise(u(".fr")))
+    alts = docs.select(url.alias("url"), lang.alias("hreflang"),
+                       alt.alias("alt_url"))
+    return hreflang_reciprocity(alts)
+
+
 def q_cloaking_detect(spark, sf_dir):
     """UA-conditional cloaking (hostdup.cloaking_detect): SEO spam
     shows bots keyword farms, bot-walls show bots interstitials —
@@ -4978,6 +5006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_robots_tag": q_x_robots_tag,
         "retry_after": q_retry_after,
         "pipeline_header_policy": q_pipeline_header_policy,
+        "hreflang_reciprocity": q_hreflang_reciprocity,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -8812,6 +8841,7 @@ def oracle_sql() -> dict[str, str]:
         "x_robots_tag": _x_robots_tag_oracle(),
         "retry_after": _retry_after_oracle(),
         "pipeline_header_policy": _pipeline_header_policy_oracle(),
+        "hreflang_reciprocity": _hreflang_reciprocity_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -9178,6 +9208,28 @@ def _pipeline_header_policy_oracle() -> str:
         FROM documents
     ) hp_src"""
     return header_policy_sql(src)
+
+
+def _hreflang_reciprocity_oracle() -> str:
+    """DuckDB replay of q_hreflang_reciprocity — same planted
+    translation graph through hreflang_reciprocity_sql."""
+    from dblp_crawler_spark.sources.webparse import hreflang_reciprocity_sql
+
+    u = "'https://h.example/u' || CAST(doc_id // 5 AS VARCHAR)"
+    src = f"""(
+        SELECT CASE doc_id % 5
+                 WHEN 0 THEN {u} || '.en' WHEN 1 THEN {u} || '.de'
+                 WHEN 2 THEN {u} || '.en' WHEN 3 THEN {u} || '.fr'
+                 ELSE {u} || '.fr' END AS url,
+               CASE doc_id % 5 WHEN 0 THEN 'de' WHEN 1 THEN 'en'
+                 WHEN 2 THEN 'it' WHEN 3 THEN 'de' ELSE 'fr' END AS hreflang,
+               CASE doc_id % 5
+                 WHEN 0 THEN {u} || '.de' WHEN 1 THEN {u} || '.en'
+                 WHEN 2 THEN {u} || '.it' WHEN 3 THEN {u} || '.de'
+                 ELSE {u} || '.fr' END AS alt_url
+        FROM documents
+    ) hr_src"""
+    return hreflang_reciprocity_sql(src)
 
 
 def _cloaking_detect_oracle() -> str:

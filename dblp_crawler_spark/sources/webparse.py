@@ -1444,3 +1444,64 @@ def x_robots_tag_sql(src: str = "header_pages", url_col: str = "url",
                {tok('noarchive')} AS noarchive
         FROM xrt
     """
+
+
+def hreflang_reciprocity(alternates: DataFrame, url_col: str = "url",
+                         lang_col: str = "hreflang",
+                         alt_col: str = "alt_url") -> DataFrame:
+    """Validate the declared translation graph: a hreflang edge
+    url → alt_url counts only if alt_url declares a link BACK to url
+    (the published hreflang contract — search engines ignore
+    non-reciprocal pairs, and for a crawler a one-way declaration is
+    exactly the spam shape where a scraped copy claims to be a
+    translation of a reputable page that never heard of it).
+
+    Three-state ``reciprocal``: true when the back edge exists (a
+    self-declaration is its own back edge — the spec REQUIRES the
+    self row, so it must not flag), false when alt_url was crawled
+    (appears as a declaring source) but declares no edge back, NULL
+    when alt_url is not yet a source — unverifiable, not broken.
+    Two equi-joins on (url, alt_url) pairs; nothing all-pairs."""
+    pairs = alternates.select(
+        F.col(url_col).alias("url"),
+        F.col(lang_col).alias("hreflang"),
+        F.col(alt_col).alias("alt_url"),
+    )
+    srcs = pairs.select(F.col("url").alias("__seen")).distinct()
+    back = pairs.select(
+        F.col("url").alias("__b_src"), F.col("alt_url").alias("__b_dst")
+    ).distinct()
+    out = (
+        pairs.join(srcs, pairs["alt_url"] == srcs["__seen"], "left")
+        .join(back, (F.col("url") == F.col("__b_dst"))
+              & (F.col("alt_url") == F.col("__b_src")), "left")
+    )
+    return out.select(
+        "url", "hreflang", "alt_url",
+        F.when(F.col("__seen").isNotNull(),
+               F.col("__b_src").isNotNull()).alias("reciprocal"),
+    )
+
+
+def hreflang_reciprocity_sql(src: str, url_col: str = "url",
+                             lang_col: str = "hreflang",
+                             alt_col: str = "alt_url") -> str:
+    """DuckDB replay of :func:`hreflang_reciprocity` — same two
+    equi-joins, same three-state rule."""
+    return f"""
+        WITH hr_p AS (
+          SELECT {url_col} AS url, {lang_col} AS hreflang,
+                 {alt_col} AS alt_url
+          FROM {src}
+        ), hr_s AS (
+          SELECT DISTINCT url AS seen FROM hr_p
+        ), hr_b AS (
+          SELECT DISTINCT url AS b_src, alt_url AS b_dst FROM hr_p
+        )
+        SELECT p.url, p.hreflang, p.alt_url,
+               CASE WHEN s.seen IS NOT NULL
+                    THEN b.b_src IS NOT NULL END AS reciprocal
+        FROM hr_p p
+        LEFT JOIN hr_s s ON p.alt_url = s.seen
+        LEFT JOIN hr_b b ON p.url = b.b_dst AND p.alt_url = b.b_src
+    """

@@ -64,3 +64,48 @@ def test_x_robots_tag_duckdb_replay(spark):
                 .sort_values("url").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
+
+
+# ---- hreflang reciprocity -----------------------------------------------------
+
+def _alt_rows():
+    return [
+        ("a.en", "de", "a.de"),   # reciprocal (a.de declares back)
+        ("a.de", "en", "a.en"),   # reciprocal
+        ("a.en", "it", "a.it"),   # a.it never a source -> NULL
+        ("a.fr", "de", "a.de"),   # a.de IS a source, no back edge -> false
+        ("a.fr", "fr", "a.fr"),   # self-declaration: its own back edge
+    ]
+
+
+def test_hreflang_reciprocity_pins(spark):
+    from dblp_crawler_spark.sources.webparse import hreflang_reciprocity
+
+    df = spark.createDataFrame(
+        _alt_rows(), "url string, hreflang string, alt_url string")
+    got = {(r.url, r.alt_url): r.reciprocal
+           for r in hreflang_reciprocity(df).collect()}
+    assert got[("a.en", "a.de")] is True
+    assert got[("a.de", "a.en")] is True
+    assert got[("a.en", "a.it")] is None
+    assert got[("a.fr", "a.de")] is False
+    assert got[("a.fr", "a.fr")] is True
+
+
+def test_hreflang_reciprocity_duckdb_replay(spark):
+    from dblp_crawler_spark.sources.webparse import (
+        hreflang_reciprocity,
+        hreflang_reciprocity_sql,
+    )
+
+    df = spark.createDataFrame(
+        _alt_rows(), "url string, hreflang string, alt_url string")
+    spark_pdf = (hreflang_reciprocity(df).toPandas()
+                 .sort_values(["url", "alt_url"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("alts", pd.DataFrame(
+        _alt_rows(), columns=["url", "hreflang", "alt_url"]))
+    duck_pdf = (con.sql(hreflang_reciprocity_sql("alts")).df()
+                .sort_values(["url", "alt_url"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
