@@ -4676,6 +4676,62 @@ def q_icc_profile(spark, sf_dir):
     )
 
 
+def _webp_le32(n):
+    return "".join(f"{(n >> (8 * i)) & 0xFF:02X}" for i in range(4))
+
+
+def _webp_chunk(fourcc, payload_hex):
+    size = len(payload_hex) // 2
+    pad = "00" if size % 2 else ""
+    return fourcc.encode().hex().upper() + _webp_le32(size) + payload_hex + pad
+
+
+def _webp_riff(body_hex):
+    return "52494646" + _webp_le32(len(body_hex) // 2 + 4) + "57454250" + body_hex
+
+
+_WA_VP8X_ANIM = _webp_chunk("VP8X", "02" + "000000" + "0F0000" + "0F0000")
+_WA_VP8X_STILL = _webp_chunk("VP8X", "00" + "000000" + "0F0000" + "0F0000")
+_WA_ANMF = _webp_chunk("ANMF", "AB" * 16)
+
+#: planted WebP animation cases: lossy still, infinite-loop 3-frame,
+#: loop-5 2-frame, an odd-sized ICCP before ANIM (the even-pad hop),
+#: extended-but-still VP8X, and a GIF row.
+_WA_CASES = [
+    _webp_riff(_webp_chunk("VP8 ", "9D012A" + "00" * 8)),
+    _webp_riff(_WA_VP8X_ANIM + _webp_chunk("ANIM", "00000000" + "0000")
+               + _WA_ANMF + _WA_ANMF + _WA_ANMF),
+    _webp_riff(_WA_VP8X_ANIM + _webp_chunk("ANIM", "00000000" + "0500")
+               + _WA_ANMF + _WA_ANMF),
+    _webp_riff(_WA_VP8X_ANIM + _webp_chunk("ICCP", "CD" * 7)
+               + _webp_chunk("ANIM", "00000000" + "0300") + _WA_ANMF),
+    _webp_riff(_WA_VP8X_STILL + _webp_chunk("VP8 ", "9D012A" + "00" * 8)),
+    "474946383961" + "1000" + "1000",
+]
+
+
+def q_webp_animation(spark, sf_dir):
+    """WebP animation walk (sniff.webp_animation): VP8X extended
+    files hide animation behind the container — ANIM carries the
+    loop count (0 = forever), each frame is an ANMF chunk, and RIFF
+    chunks pad to EVEN length (the pad byte is the classic walker
+    off-by-one, pinned by an odd ICCP before ANIM). Completes the
+    animation routing family next to png_animated and the GIF
+    NETSCAPE hint; frame count is a documented lower bound inside
+    the window."""
+    from dblp_crawler_spark.operators.sniff import webp_animation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_WA_CASES)
+    hexstr = F.lit(_WA_CASES[-1])
+    for i, hx in enumerate(_WA_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return webp_animation(imgs).select(
+        "doc_id", "fmt", "is_animated", "loop_count", "n_frames_lb",
+    )
+
+
 #: planted K4 on fresh nodes for q_triangle_counts — 4 triangles,
 #: every member in 3, clustering 1.0 on the degree-3 corners.
 _TRI_K4 = [("h100", "h101"), ("h100", "h102"), ("h100", "h103"),
@@ -5000,6 +5056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_complete": q_payload_complete,
         "pipeline_payload_admission": q_pipeline_payload_admission,
         "icc_profile": q_icc_profile,
+        "webp_animation": q_webp_animation,
         "feed_entries": q_feed_entries,
         "cloaking_detect": q_cloaking_detect,
         "url_param_significance": q_url_param_significance,
@@ -8835,6 +8892,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_complete": _payload_complete_oracle(),
         "pipeline_payload_admission": _pipeline_payload_admission_oracle(),
         "icc_profile": _icc_profile_oracle(),
+        "webp_animation": _webp_animation_oracle(),
         "feed_entries": _feed_entries_oracle(),
         "cloaking_detect": _cloaking_detect_oracle(),
         "url_param_significance": _url_param_significance_oracle(),
@@ -9330,6 +9388,27 @@ def _icc_profile_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} icc_src)"
     return icc_profile_sql(staged)
+
+
+def _webp_animation_oracle() -> str:
+    """DuckDB replay of q_webp_animation — same planted hex through
+    webp_animation_sql's linear CTE chunk walk."""
+    from dblp_crawler_spark.operators.sniff import (
+        sniff_case_sql,
+        webp_animation_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_WA_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_WA_CASES)}{whens}
+                 ELSE '{_WA_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} wa_src)"
+    return webp_animation_sql(staged)
 
 
 def _pipeline_payload_admission_oracle() -> str:

@@ -2507,3 +2507,125 @@ def icc_profile_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                  CASE intent_n {in_whens} ELSE 'other' END END AS icc_intent
         FROM icc2
     """
+
+
+# ---- WebP animation (ANIM / ANMF chunk walk) --------------------------------------
+#
+# The WebP sibling of png_animated: VP8X extended files hide
+# animation behind the container — the ANIM chunk carries the loop
+# count and each frame is an ANMF chunk. RIFF chunks are
+# fourcc(4) + size(4 LE) + payload padded to EVEN length (the pad
+# byte is the classic off-by-one in naive walkers — pinned). The
+# walk is bounded (window + hops), so the frame count is a LOWER
+# BOUND for many-frame files — the loop count and the is_animated
+# routing flag (what a pipeline actually keys on) sit in the first
+# chunks and are exact.
+
+WEBP_CHUNK_MAX_HOPS = 10
+WEBP_ANIM_WINDOW_BYTES = 1024
+_ANIM_HEX = "414E494D"
+_ANMF_HEX = "414E4D46"
+
+
+def webp_animation(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, is_animated, loop_count, n_frames_lb) for WebP
+    payloads — non-WebP rows all-NULL; still WebP (no ANIM chunk)
+    is_animated=false with NULL loop/frames; loop_count 0 = loop
+    forever (spec). ``n_frames_lb`` counts ANMF chunks inside the
+    window/hop bound (exact for header-sized fixtures, a documented
+    lower bound beyond). One hex projection, bounded fold, map-side
+    only."""
+    staged = df.withColumns(
+        {
+            "__wa": F.hex(F.substring(F.col(bytes_col), 1,
+                                      WEBP_ANIM_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__wa")
+
+    def hop(acc, _i):
+        pos = acc["pos"]
+        fourcc = hx.substr(pos, F.lit(8))
+        size = _le(hx, pos + F.lit(8), 4)  # chunk size is LE32
+        pad = size % 2
+        nxt = pos + F.lit(16) + F.lit(2) * (size + pad)
+        return F.struct(
+            nxt.alias("pos"),
+            F.coalesce(acc["anim"],
+                       F.when(fourcc == _ANIM_HEX, pos)).alias("anim"),
+            (acc["cnt"] + F.when(fourcc == _ANMF_HEX, F.lit(1))
+             .otherwise(F.lit(0))).alias("cnt"),
+        )
+
+    acc0 = F.struct(
+        F.lit(25).cast("long").alias("pos"),   # byte 12: first chunk
+        F.lit(None).cast("long").alias("anim"),
+        F.lit(0).cast("long").alias("cnt"),
+    )
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(WEBP_CHUNK_MAX_HOPS)), acc0, hop)
+    is_webp = F.col("fmt") == "webp"
+    s1 = staged.withColumns(
+        {
+            "__anim": F.when(is_webp, walk["anim"]),
+            "__cnt": F.when(is_webp, walk["cnt"]),
+        }
+    )
+    a = F.col("__anim")
+    return (
+        s1.withColumns(
+            {
+                "is_animated": F.when(is_webp, a.isNotNull()),
+                # ANIM payload: BGColor(4B) then LoopCount LE16
+                "loop_count": F.when(a.isNotNull(),
+                                     _le(hx, a + F.lit(24), 2)).cast("int"),
+                "n_frames_lb": F.when(a.isNotNull(),
+                                      F.col("__cnt")).cast("int"),
+            }
+        )
+        .drop("__wa", "__anim", "__cnt")
+    )
+
+
+def webp_animation_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                       fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`webp_animation` — linear CTE chain
+    (the png_animated discipline), same LE size + even-pad hop."""
+    def le4(pos):
+        return _le_sql_var("h", pos, 4)
+
+    ctes = [f"""wa0 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CAST(25 AS BIGINT) AS pos,
+                 CAST(NULL AS BIGINT) AS anim,
+                 CAST(0 AS BIGINT) AS cnt
+          FROM {src}
+        )"""]
+    for k in range(WEBP_CHUNK_MAX_HOPS):
+        size = le4("pos + 8")
+        ctes.append(f"""wa{k + 1} AS (
+          SELECT {keep}, fmt, h,
+                 pos + 16 + 2 * (({size}) + ({size}) % 2) AS pos,
+                 COALESCE(anim, CASE WHEN substring(h, pos, 8)
+                          = '{_ANIM_HEX}' THEN pos END) AS anim,
+                 cnt + CASE WHEN substring(h, pos, 8) = '{_ANMF_HEX}'
+                            THEN 1 ELSE 0 END AS cnt
+          FROM wa{k})""")
+    last = f"wa{WEBP_CHUNK_MAX_HOPS}"
+    return f"""
+        WITH {", ".join(ctes)}, waf AS (
+          SELECT {keep}, fmt, h,
+                 CASE WHEN fmt = 'webp' THEN anim END AS anim,
+                 CASE WHEN fmt = 'webp' THEN cnt END AS cnt
+          FROM {last}
+        )
+        SELECT {keep}, fmt,
+               CASE WHEN fmt = 'webp' THEN anim IS NOT NULL END AS is_animated,
+               CAST(CASE WHEN anim IS NOT NULL
+                    THEN {_le_sql_var('h', 'anim + 24', 2)} END AS INT)
+                 AS loop_count,
+               CAST(CASE WHEN anim IS NOT NULL THEN cnt END AS INT)
+                 AS n_frames_lb
+        FROM waf
+    """
