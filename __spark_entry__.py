@@ -2884,6 +2884,49 @@ def q_hreflang_reciprocity(spark, sf_dir):
     return hreflang_reciprocity(alts)
 
 
+#: 4 scenarios × 4 parts per url: complete split, duplicated-part gap
+#: (byte 500-749 never arrives), overlapping-but-complete, and a
+#: late-start + over-declared tail (clamped; gap at byte 0).
+_CR_PARTS = [
+    (0, 249), (250, 499), (500, 749), (750, 999),        # complete
+    (0, 249), (250, 499), (250, 499), (750, 999),        # gap
+    (0, 399), (200, 599), (400, 799), (600, 999),        # overlap
+    (100, 499), (500, 1099), (500, 749), (750, 999),     # late + clamp
+]
+
+
+def q_range_reassembly(spark, sf_dir):
+    """Content-Range reassembly audit (freshness.range_reassembly):
+    large media arrives as 206 parts and the pipeline must PROVE it
+    holds every byte before reassembly — a missing middle chunk is a
+    silently-corrupt image. Interval union with ONE per-url window
+    (running max of prior clamped ends; overlaps never double-count),
+    gap detection, and ends clamped to total−1 so an over-declaring
+    server can't fake completeness. Parser + rollup verified as one
+    chain."""
+    from dblp_crawler_spark.operators.freshness import (
+        content_range_parts,
+        range_reassembly,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    idx = (F.floor(d / 4) % 4) * 4 + d % 4
+    s = F.lit(_CR_PARTS[-1][0])
+    e = F.lit(_CR_PARTS[-1][1])
+    for i, (ps, pe) in enumerate(_CR_PARTS[:-1]):
+        s = F.when(idx == i, F.lit(ps)).otherwise(s)
+        e = F.when(idx == i, F.lit(pe)).otherwise(e)
+    resp = docs.select(
+        F.concat(F.lit("https://m.example/f"),
+                 F.floor(d / 4).cast("string")).alias("url"),
+        F.concat(F.lit("Content-Range: bytes "), s.cast("string"),
+                 F.lit("-"), e.cast("string"), F.lit("/1000"))
+        .alias("headers"),
+    )
+    return range_reassembly(content_range_parts(resp))
+
+
 def q_cloaking_detect(spark, sf_dir):
     """UA-conditional cloaking (hostdup.cloaking_detect): SEO spam
     shows bots keyword farms, bot-walls show bots interstitials —
@@ -5064,6 +5107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_after": q_retry_after,
         "pipeline_header_policy": q_pipeline_header_policy,
         "hreflang_reciprocity": q_hreflang_reciprocity,
+        "range_reassembly": q_range_reassembly,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -8900,6 +8944,7 @@ def oracle_sql() -> dict[str, str]:
         "retry_after": _retry_after_oracle(),
         "pipeline_header_policy": _pipeline_header_policy_oracle(),
         "hreflang_reciprocity": _hreflang_reciprocity_oracle(),
+        "range_reassembly": _range_reassembly_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -9288,6 +9333,32 @@ def _hreflang_reciprocity_oracle() -> str:
         FROM documents
     ) hr_src"""
     return hreflang_reciprocity_sql(src)
+
+
+def _range_reassembly_oracle() -> str:
+    """DuckDB replay of q_range_reassembly — same planted part grid
+    through range_reassembly_sql's parser + window chain."""
+    from dblp_crawler_spark.operators.freshness import range_reassembly_sql
+
+    s_whens = "".join(
+        f" WHEN {i} THEN {ps}" for i, (ps, _) in enumerate(_CR_PARTS[:-1])
+    )
+    e_whens = "".join(
+        f" WHEN {i} THEN {pe}" for i, (_, pe) in enumerate(_CR_PARTS[:-1])
+    )
+    idx = "((doc_id // 4) % 4) * 4 + doc_id % 4"
+    src = f"""(
+        SELECT 'https://m.example/f' || CAST(doc_id // 4 AS VARCHAR) AS url,
+               'Content-Range: bytes '
+                 || CAST(CASE {idx}{s_whens} ELSE {_CR_PARTS[-1][0]} END
+                         AS VARCHAR)
+                 || '-'
+                 || CAST(CASE {idx}{e_whens} ELSE {_CR_PARTS[-1][1]} END
+                         AS VARCHAR)
+                 || '/1000' AS headers
+        FROM documents
+    ) cr_src"""
+    return range_reassembly_sql(src)
 
 
 def _cloaking_detect_oracle() -> str:

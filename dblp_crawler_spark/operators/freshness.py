@@ -312,3 +312,124 @@ def header_policy_sql(src: str = "responses", url_col: str = "url",
                hp_cp.no_cache, hp_cp.ttl_s
         FROM hp_cp JOIN hp_ra USING (url) JOIN hp_xr USING (url)
     """
+
+
+# RFC 9110 Content-Range: large media (exactly the multi-MB images
+# and video this graft cell stores) arrives as 206 partial responses,
+# and a pipeline must PROVE it holds every byte before reassembling a
+# payload — a missing middle chunk produces a silently-corrupt image
+# that decodes as garbage or truncates. Coverage is the classic
+# interval-union problem, solved distributed with ONE per-url window.
+_H_CONTENT_RANGE = (
+    r"(?im)^content-range[ \t]*:[ \t]*bytes[ \t]+(\d+)-(\d+)/(\d+)"
+)
+
+
+def content_range_parts(responses: DataFrame, url_col: str = "url",
+                        headers_col: str = "headers") -> DataFrame:
+    """Parse 206 part records: (url, part_start, part_end,
+    total_bytes) from Content-Range headers; rows whose header is
+    absent/malformed (or the unsatisfied '*/N' form) are dropped —
+    they carry no byte evidence. Pure projection + filter."""
+    h = F.col(headers_col)
+
+    def grp(i):
+        return F.nullif(F.regexp_extract(h, _H_CONTENT_RANGE, i),
+                        F.lit("")).cast("long")
+
+    return responses.select(
+        F.col(url_col).alias("url"),
+        grp(1).alias("part_start"),
+        grp(2).alias("part_end"),
+        grp(3).alias("total_bytes"),
+    ).where(F.col("part_start").isNotNull()
+            & F.col("part_end").isNotNull()
+            & F.col("total_bytes").isNotNull())
+
+
+def range_reassembly(parts: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per (url, total_bytes): (n_parts, covered_bytes, has_gap,
+    complete) — can the stored 206 parts reassemble the full payload?
+
+    Interval union without a driver loop: per url, order parts by
+    (start, end) and keep the running max of prior clamped ends
+    (window, rows unbounded-preceding → 1-preceding); each part
+    contributes max(0, end − max(start−1, prev_max)) new bytes, so
+    overlaps never double-count and the sum IS the union size.
+    ``has_gap`` fires when a part starts beyond prev_max+1 (the first
+    part beyond byte 0 included); ``complete`` = union == total.
+    Ends are clamped to total−1 first, so a server over-declaring a
+    part can't fake completeness arithmetic. ONE shuffle (the window;
+    the rollup reuses its partitioning). Inconsistent totals for one
+    url split groups and read incomplete — documented."""
+    from pyspark.sql import Window
+
+    start = F.col("part_start")
+    end_c = F.least(F.col("part_end"), F.col("total_bytes") - 1)
+    w = (
+        Window.partitionBy(url_col, "total_bytes")
+        .orderBy("part_start", "part_end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.coalesce(F.max(end_c).over(w), F.lit(-1).cast("long"))
+    staged = parts.select(
+        url_col, "total_bytes",
+        F.greatest(
+            F.lit(0).cast("long"),
+            end_c - F.greatest(start - 1, prev_max),
+        ).alias("__inc"),
+        (start > prev_max + 1).alias("__gap"),
+    )
+    return (
+        staged.groupBy(url_col, "total_bytes")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("__inc").alias("covered_bytes"),
+            F.max(F.col("__gap").cast("int")).alias("__g"),
+        )
+        .select(
+            url_col, "total_bytes", "n_parts", "covered_bytes",
+            (F.col("__g") == 1).alias("has_gap"),
+            (F.col("covered_bytes") == F.col("total_bytes")).alias("complete"),
+        )
+    )
+
+
+def range_reassembly_sql(src: str = "responses", url_col: str = "url",
+                         headers_col: str = "headers") -> str:
+    """DuckDB replay of content_range_parts → range_reassembly —
+    same regex, same clamped running-max window, same union sum."""
+    def grp(i):
+        return (f"CAST(nullif(regexp_extract({headers_col}, "
+                f"'{_H_CONTENT_RANGE}', {i}), '') AS BIGINT)")
+
+    return f"""
+        WITH crp AS (
+          SELECT {url_col} AS url, {grp(1)} AS part_start,
+                 {grp(2)} AS part_end, {grp(3)} AS total_bytes
+          FROM {src}
+          WHERE {grp(1)} IS NOT NULL AND {grp(2)} IS NOT NULL
+            AND {grp(3)} IS NOT NULL
+        ), crw AS (
+          SELECT url, total_bytes,
+                 greatest(0, least(part_end, total_bytes - 1)
+                   - greatest(part_start - 1, COALESCE(MAX(
+                       least(part_end, total_bytes - 1)) OVER (
+                     PARTITION BY url, total_bytes
+                     ORDER BY part_start, part_end
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     -1))) AS inc,
+                 part_start > COALESCE(MAX(least(part_end, total_bytes - 1))
+                   OVER (PARTITION BY url, total_bytes
+                         ORDER BY part_start, part_end
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   -1) + 1 AS gap
+          FROM crp
+        )
+        SELECT url, total_bytes,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(inc) AS BIGINT) AS covered_bytes,
+               MAX(CASE WHEN gap THEN 1 ELSE 0 END) = 1 AS has_gap,
+               CAST(SUM(inc) AS BIGINT) = total_bytes AS complete
+        FROM crw GROUP BY url, total_bytes
+    """

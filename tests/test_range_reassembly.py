@@ -1,0 +1,63 @@
+"""Content-Range reassembly audit
+(operators/freshness.content_range_parts / range_reassembly)."""
+
+import duckdb
+import pandas as pd
+
+from dblp_crawler_spark.operators.freshness import (
+    content_range_parts,
+    range_reassembly,
+    range_reassembly_sql,
+)
+
+
+def _hdr(s, e, t):
+    return f"HTTP/1.1 206 Partial Content\r\nContent-Range: bytes {s}-{e}/{t}"
+
+
+def _log():
+    rows = []
+    # complete 4-part file
+    for s, e in [(0, 249), (250, 499), (500, 749), (750, 999)]:
+        rows.append(("ok", _hdr(s, e, 1000)))
+    # missing middle chunk
+    for s, e in [(0, 249), (250, 499), (750, 999)]:
+        rows.append(("gap", _hdr(s, e, 1000)))
+    # overlapping parts still complete, never double-counted
+    for s, e in [(0, 399), (200, 599), (400, 799), (600, 999)]:
+        rows.append(("overlap", _hdr(s, e, 1000)))
+    # a part over-declaring past total: clamped, still complete
+    for s, e in [(0, 499), (500, 1099)]:
+        rows.append(("clamp", _hdr(s, e, 1000)))
+    # first part starts beyond byte 0
+    rows.append(("late", _hdr(100, 999, 1000)))
+    # malformed / unsatisfied-range rows carry no evidence
+    rows.append(("junk", "Content-Range: bytes */1000"))
+    rows.append(("junk", "Content-Type: image/png"))
+    return rows
+
+
+def test_range_reassembly_pins(spark):
+    df = spark.createDataFrame(_log(), "url string, headers string")
+    parts = content_range_parts(df)
+    got = {r.url: (r.n_parts, r.covered_bytes, r.has_gap, r.complete)
+           for r in range_reassembly(parts).collect()}
+    assert got["ok"] == (4, 1000, False, True)
+    assert got["gap"] == (3, 750, True, False)
+    assert got["overlap"] == (4, 1000, False, True)
+    assert got["clamp"] == (2, 1000, False, True)
+    assert got["late"] == (1, 900, True, False)
+    assert "junk" not in got   # no parsed parts -> no row
+
+
+def test_range_reassembly_duckdb_replay(spark):
+    df = spark.createDataFrame(_log(), "url string, headers string")
+    spark_pdf = (range_reassembly(content_range_parts(df)).toPandas()
+                 .sort_values("url").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("responses", pd.DataFrame(
+        _log(), columns=["url", "headers"]))
+    duck_pdf = (con.sql(range_reassembly_sql("responses")).df()
+                .sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
