@@ -61,3 +61,42 @@ def test_range_reassembly_duckdb_replay(spark):
                 .sort_values("url").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
+
+
+# ---- property: window union == brute-force interval union ---------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(
+    parts=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 80)).map(
+            lambda t: (min(t[0], 59), max(t[0], t[1]))),
+        min_size=1, max_size=12,
+    ),
+    total=st.integers(min_value=40, max_value=60),
+)
+def test_range_union_matches_bruteforce(spark, parts, total):
+    """The windowed increment sum equals a from-scratch byte-set
+    union on random (possibly overlapping, over-declaring, late)
+    part lists — and completeness/gap agree with the byte set."""
+    rows = [("u", s, e, total) for s, e in parts]
+    df = spark.createDataFrame(
+        rows, "url string, part_start long, part_end long, total_bytes long")
+    r = range_reassembly(df).collect()[0]
+
+    covered = set()
+    for s, e in parts:
+        covered.update(range(s, min(e, total - 1) + 1))
+    assert r.covered_bytes == len(covered)
+    assert r.complete == (len(covered) == total)
+    # has_gap: some byte below the max covered byte (or byte 0) missing
+    expect_gap = bool(covered) and (
+        min(covered) > 0 or len(covered) != max(covered) + 1)
+    assert r.has_gap == expect_gap
