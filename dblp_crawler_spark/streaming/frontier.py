@@ -53,3 +53,28 @@ def admit_stream(
         url_host("__curl").alias("host"),
         "seen_key",
     )
+
+
+def discover_feeds(pages, within_watermark: str | None = None,
+                   xml_col: str = "feed_xml"):
+    """Streaming feed discovery: RSS/Atom pages arrive continuously
+    (feeds are THE push channel — a news host's new URLs appear in
+    its feed minutes after publish) and each page's entries must join
+    the frontier exactly once. `feed_entries` is a stateless
+    projection (regexps + one explode), so it is streaming-safe
+    verbatim; the only stateful step is the per-URL seen set, which
+    is Structured Streaming keyed state (`dropDuplicates` on url —
+    first arrival wins; pass ``within_watermark`` to bound state when
+    re-announcements only repeat within a horizon, the same trade as
+    the curation dedup).
+
+    One definition for both engines: on a batch DataFrame it equals
+    batch feed_entries + dedup; on a readStream it runs incrementally
+    under any trigger and the seen state persists across restarts via
+    the checkpoint."""
+    from ..sources.webparse import feed_entries
+
+    ent = feed_entries(pages, xml_col=xml_col)
+    if within_watermark is not None:
+        return ent.dropDuplicatesWithinWatermark(["url"])
+    return ent.dropDuplicates(["url"])

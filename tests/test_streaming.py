@@ -636,3 +636,51 @@ def test_streaming_fingerprint_matches_batch(spark, tmp_path_factory, tmp_path):
         for r in table_fingerprint(docs, group_cols=["source"]).collect()
     }
     assert got2 == want2 and got2 != got1
+
+
+def test_streaming_feed_discovery_matches_batch(spark, tmp_path):
+    """Feed discovery over a stream keeps exactly the batch entry
+    set, with the per-URL seen state surviving ACROSS micro-batches
+    and restarts (two availableNow runs, one checkpoint: a URL
+    re-announced in run 2 must NOT be re-emitted; a new URL must)."""
+    from dblp_crawler_spark.streaming.frontier import discover_feeds
+
+    def rss(*items):
+        return ("<rss><channel>" + "".join(
+            f"<item><link>{u}</link><pubDate>Tue, {d} Jun 2025 00:00:00 GMT"
+            "</pubDate></item>" for u, d in items) + "</channel></rss>")
+
+    rows1 = [("h1", rss(("https://h1.ex/a", 1), ("https://h1.ex/b", 2))),
+             ("h2", rss(("https://h2.ex/x", 3)))]
+    # run 2: /a re-announced (deduped), /c new
+    rows2 = [("h1", rss(("https://h1.ex/a", 9), ("https://h1.ex/c", 4)))]
+    src = str(tmp_path / "feed_src")
+    out = str(tmp_path / "feed_out")
+    ckpt = str(tmp_path / "feed_ckpt")
+    spark.createDataFrame(rows1, "host string, feed_xml string") \
+        .write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "host string, feed_xml string").parquet(src)
+        q = (discover_feeds(stream)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(rows2, "host string, feed_xml string") \
+        .write.mode("append").parquet(src)
+    run_once()
+    got = {(r.url, str(r.published)) for r in spark.read.parquet(out).collect()}
+    assert got == {("https://h1.ex/a", "2025-06-01"),
+                   ("https://h1.ex/b", "2025-06-02"),
+                   ("https://h2.ex/x", "2025-06-03"),
+                   ("https://h1.ex/c", "2025-06-04")}
+    # batch mode, same definition: same URL set (batch dedup may keep
+    # either announcement of /a — compare on url)
+    all_pages = spark.createDataFrame(
+        rows1 + rows2, "host string, feed_xml string")
+    assert {r.url for r in discover_feeds(all_pages).collect()} \
+        == {u for u, _ in got}
