@@ -2927,6 +2927,43 @@ def q_range_reassembly(spark, sf_dir):
     return range_reassembly(content_range_parts(resp))
 
 
+#: planted validator headers: strong ETag, Last-Modified only, both
+#: (If-None-Match first), neither, and a weak ETag with trailing
+#: whitespace (trimmed; W/ prefix and quotes echoed verbatim).
+_RV_CASES = [
+    'ETag: "abc123"\r\nContent-Type: text/html',
+    "Last-Modified: Tue, 10 Jun 2025 04:00:00 GMT",
+    'Last-Modified: Tue, 10 Jun 2025 04:00:00 GMT\r\nETag: W/"weak-1"',
+    "Content-Type: image/png",
+    'ETag: W/"w2"  \r\nX: y',
+]
+
+
+def q_revalidation_headers(spark, sf_dir):
+    """Conditional-GET validators (freshness.revalidation_headers):
+    the revalidate tier of fetch_plan needs the stored ETag /
+    Last-Modified to ask '304?' instead of refetching bytes — and the
+    spec's rule is ECHO VERBATIM (If-Modified-Since must be
+    byte-identical to the stored Last-Modified; an ETag keeps its W/
+    prefix and quotes), so extraction is string-exact, never a parse.
+    Both validators present → both conditions sent (origins must
+    prefer If-None-Match); none → NULL, the tier degrades to a plain
+    fetch."""
+    from dblp_crawler_spark.operators.freshness import revalidation_headers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_RV_CASES)
+    hdr = F.lit(_RV_CASES[-1])
+    for i, hx in enumerate(_RV_CASES[:-1]):
+        hdr = F.when(m == i, F.lit(hx)).otherwise(hdr)
+    resp = docs.select(
+        F.concat(F.lit("https://v.example/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        hdr.alias("headers"),
+    )
+    return revalidation_headers(resp)
+
+
 def q_cloaking_detect(spark, sf_dir):
     """UA-conditional cloaking (hostdup.cloaking_detect): SEO spam
     shows bots keyword farms, bot-walls show bots interstitials —
@@ -5108,6 +5145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_header_policy": q_pipeline_header_policy,
         "hreflang_reciprocity": q_hreflang_reciprocity,
         "range_reassembly": q_range_reassembly,
+        "revalidation_headers": q_revalidation_headers,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -8945,6 +8983,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_header_policy": _pipeline_header_policy_oracle(),
         "hreflang_reciprocity": _hreflang_reciprocity_oracle(),
         "range_reassembly": _range_reassembly_oracle(),
+        "revalidation_headers": _revalidation_headers_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -9359,6 +9398,27 @@ def _range_reassembly_oracle() -> str:
         FROM documents
     ) cr_src"""
     return range_reassembly_sql(src)
+
+
+def _revalidation_headers_oracle() -> str:
+    """DuckDB replay of q_revalidation_headers — same planted headers
+    through revalidation_headers_sql (CRLFs as chr calls)."""
+    from dblp_crawler_spark.operators.freshness import revalidation_headers_sql
+
+    def sql_lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace(
+            "\r\n", "' || chr(13) || chr(10) || '") + "'"
+
+    whens = "".join(
+        f" WHEN {i} THEN {sql_lit(hx)}" for i, hx in enumerate(_RV_CASES[:-1])
+    )
+    src = f"""(
+        SELECT 'https://v.example/' || CAST(doc_id AS VARCHAR) AS url,
+               CASE doc_id % {len(_RV_CASES)}{whens}
+                 ELSE {sql_lit(_RV_CASES[-1])} END AS headers
+        FROM documents
+    ) rv_src"""
+    return revalidation_headers_sql(src)
 
 
 def _cloaking_detect_oracle() -> str:

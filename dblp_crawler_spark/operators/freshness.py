@@ -433,3 +433,71 @@ def range_reassembly_sql(src: str = "responses", url_col: str = "url",
                CAST(SUM(inc) AS BIGINT) = total_bytes AS complete
         FROM crw GROUP BY url, total_bytes
     """
+
+
+# RFC 9110 validators: the revalidate tier of fetch_plan needs the
+# stored response's ETag / Last-Modified to build a conditional GET.
+# Both are ECHOED VERBATIM (the spec's rule — If-Modified-Since must
+# be byte-identical to the stored Last-Modified, and an ETag keeps
+# its W/ prefix and quotes), so extraction is string-exact, never a
+# parse: a validator we can't parse is still a validator we can echo.
+# No (?m)$ anchor: Java treats the position before \r as end-of-line,
+# RE2 does not — trailing whitespace is stripped by an explicit
+# replace instead, identical in both engines.
+_H_ETAG = r"(?im)^etag[ \t]*:[ \t]*([^\r\n]+)"
+_H_LAST_MODIFIED = r"(?im)^last-modified[ \t]*:[ \t]*([^\r\n]+)"
+_TRAIL_WS = r"[ \t]+$"
+
+
+def revalidation_headers(responses: DataFrame, url_col: str = "url",
+                         headers_col: str = "headers") -> DataFrame:
+    """(url, raw headers) → (url, etag, last_modified, cond_headers):
+    the stored validators and the ready-to-send conditional-GET
+    header block. ETag wins a 304 even when the date lies, so when
+    both validators exist BOTH conditions are sent (spec-permitted;
+    origins must prefer If-None-Match); no validator → NULL
+    cond_headers (the revalidate tier degrades to a plain fetch).
+    Pure projection; strings are echoed verbatim, never parsed."""
+    h = F.col(headers_col)
+    etag = F.nullif(
+        F.regexp_replace(F.regexp_extract(h, _H_ETAG, 1), _TRAIL_WS, ""),
+        F.lit(""))
+    lm = F.nullif(
+        F.regexp_replace(F.regexp_extract(h, _H_LAST_MODIFIED, 1),
+                         _TRAIL_WS, ""),
+        F.lit(""))
+    inm = F.concat(F.lit("If-None-Match: "), etag)
+    ims = F.concat(F.lit("If-Modified-Since: "), lm)
+    cond = (
+        F.when(etag.isNotNull() & lm.isNotNull(),
+               F.concat(inm, F.lit("\r\n"), ims))
+        .when(etag.isNotNull(), inm)
+        .when(lm.isNotNull(), ims)
+    )
+    return responses.select(
+        F.col(url_col).alias("url"),
+        etag.alias("etag"),
+        lm.alias("last_modified"),
+        cond.alias("cond_headers"),
+    )
+
+
+def revalidation_headers_sql(src: str = "responses", url_col: str = "url",
+                             headers_col: str = "headers") -> str:
+    """DuckDB replay of :func:`revalidation_headers` — same regexes,
+    same both-validators rule, CRLF via chr()."""
+    etag = (f"nullif(regexp_replace(regexp_extract({headers_col}, "
+            f"'{_H_ETAG}', 1), '{_TRAIL_WS}', ''), '')")
+    lm = (f"nullif(regexp_replace(regexp_extract({headers_col}, "
+          f"'{_H_LAST_MODIFIED}', 1), '{_TRAIL_WS}', ''), '')")
+    return f"""
+        SELECT {url_col} AS url, {etag} AS etag, {lm} AS last_modified,
+               CASE
+                 WHEN {etag} IS NOT NULL AND {lm} IS NOT NULL THEN
+                   'If-None-Match: ' || {etag} || chr(13) || chr(10)
+                     || 'If-Modified-Since: ' || {lm}
+                 WHEN {etag} IS NOT NULL THEN 'If-None-Match: ' || {etag}
+                 WHEN {lm} IS NOT NULL THEN 'If-Modified-Since: ' || {lm}
+               END AS cond_headers
+        FROM {src}
+    """

@@ -55,3 +55,53 @@ def test_retry_after_duckdb_replay(spark):
                 .sort_values("url").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
+
+
+# ---- revalidation validators -----------------------------------------------------
+
+def _val_log():
+    return [
+        ("u1", 'ETag: "abc123"\r\nContent-Type: text/html'),
+        ("u2", "Last-Modified: Tue, 10 Jun 2025 04:00:00 GMT"),
+        # both present: BOTH conditions sent, If-None-Match first
+        ("u3", 'Last-Modified: Tue, 10 Jun 2025 04:00:00 GMT\r\n'
+               'ETag: W/"weak-1"'),
+        # no validator: cond NULL (revalidate degrades to plain fetch)
+        ("u4", "Content-Type: image/png"),
+        # trailing whitespace trimmed, quotes/weak prefix kept verbatim
+        ("u5", "ETag: \"  spaced  \"  \r\nX: y"),
+    ]
+
+
+def test_revalidation_headers_pins(spark):
+    from dblp_crawler_spark.operators.freshness import revalidation_headers
+
+    df = spark.createDataFrame(_val_log(), "url string, headers string")
+    got = {r.url: (r.etag, r.last_modified, r.cond_headers)
+           for r in revalidation_headers(df).collect()}
+    assert got["u1"] == ('"abc123"', None, 'If-None-Match: "abc123"')
+    assert got["u2"] == (None, "Tue, 10 Jun 2025 04:00:00 GMT",
+                         "If-Modified-Since: Tue, 10 Jun 2025 04:00:00 GMT")
+    assert got["u3"] == ('W/"weak-1"', "Tue, 10 Jun 2025 04:00:00 GMT",
+                         'If-None-Match: W/"weak-1"\r\n'
+                         "If-Modified-Since: Tue, 10 Jun 2025 04:00:00 GMT")
+    assert got["u4"] == (None, None, None)
+    assert got["u5"][0] == '"  spaced  "'   # inner spaces verbatim
+
+
+def test_revalidation_headers_duckdb_replay(spark):
+    from dblp_crawler_spark.operators.freshness import (
+        revalidation_headers,
+        revalidation_headers_sql,
+    )
+
+    df = spark.createDataFrame(_val_log(), "url string, headers string")
+    spark_pdf = (revalidation_headers(df).toPandas()
+                 .sort_values("url").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("responses2", pd.DataFrame(
+        _val_log(), columns=["url", "headers"]))
+    duck_pdf = (con.sql(revalidation_headers_sql("responses2")).df()
+                .sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
