@@ -3876,6 +3876,48 @@ def q_image_phash_components(spark, sf_dir):
     return cc.select(F.col("id").alias("image_id"), F.col("component").alias("cluster_rep"))
 
 
+def q_split_leakage_images(spark, sf_dir):
+    """Near-dup leakage across image splits (dedup.
+    cluster_split_leakage over phash components): a re-encoded image
+    has a different id AND different bytes, so an id-keyed split
+    scatters the copies across the train/eval boundary and only the
+    near-dup CLUSTER knows they are one picture — the image twin of
+    leakage_free_split's exact-text guarantee. Composes three oracled
+    stages: the phash hamming pair join + connected components
+    (q_image_phash_components' planted twins), the deterministic
+    hash_split on image_id (which DOES scatter the twins — that is
+    the point), and the leakage rollup with its min-split repair
+    (eval only ever shrinks). Singletons are their own cluster and
+    never leak."""
+    from dblp_crawler_spark.functions.hashing import hash60
+    from dblp_crawler_spark.operators.dedup import cluster_split_leakage
+    from dblp_crawler_spark.operators.multimodal import phash_near_dup_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    iid = F.format_string("img_%06d", "doc_id")
+    base = docs.select(iid.alias("image_id"), hash60(iid).alias("phash"))
+    twin1 = docs.filter(F.col("doc_id") % 8 == 0).select(
+        F.concat(iid, F.lit("_twin")).alias("image_id"),
+        hash60(iid).bitwiseXOR(F.lit(3)).alias("phash"),
+    )
+    twin2 = docs.filter(F.col("doc_id") % 16 == 0).select(
+        F.concat(iid, F.lit("_twin2")).alias("image_id"),
+        hash60(iid).bitwiseXOR(F.lit(60)).alias("phash"),
+    )
+    imgs = base.unionByName(twin1).unionByName(twin2)
+    pairs = phash_near_dup_images(imgs, max_hamming=4, prefix_bits=12)
+    cc = D.connected_components(pairs, src="a", dst="b")
+    members = (
+        imgs.join(cc, imgs["image_id"] == cc["id"], "left")
+        .select(
+            "image_id",
+            F.coalesce(F.col("component"), F.col("image_id")).alias("cluster"),
+            T.hash_split(val_pct=10, id_col="image_id").alias("split"),
+        )
+    )
+    return cluster_split_leakage(members, id_col="image_id")
+
+
 def q_joint_dedup_clusters(spark, sf_dir):
     """Cross-modal duplicate clusters: phash-near-dup OR exact-
     caption edges, closed transitively (operators/multimodal.py
@@ -5107,6 +5149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": q_image_phash_dedup,
         "dedup_hamming_pigeonhole": q_dedup_hamming_pigeonhole,
         "image_phash_components": q_image_phash_components,
+        "split_leakage_images": q_split_leakage_images,
         "joint_dedup_clusters": q_joint_dedup_clusters,
         "image_linear_gate": q_image_linear_gate,
         "image_batch_assembly": q_image_batch_assembly,
@@ -5456,6 +5499,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "image_phash_dedup": _phash_dedup_oracle(),
         "dedup_hamming_pigeonhole": _hamming_pigeonhole_oracle(),
         "image_phash_components": _phash_components_oracle(),
+        "split_leakage_images": _split_leakage_images_oracle(),
         "joint_dedup_clusters": _joint_dedup_oracle(),
         "image_linear_gate": _image_linear_gate_oracle(),
         "image_batch_assembly": _batch_assembly_oracle(),
@@ -7893,6 +7937,50 @@ def _phash_components_oracle() -> str:
         )
         SELECT id AS image_id, MIN(comp) AS cluster_rep FROM reach GROUP BY id
     """
+
+
+def _split_leakage_images_oracle() -> str:
+    """DuckDB replay of q_split_leakage_images — the phash-components
+    recursive CTE, the md5 hash_split, then the leakage rollup, all
+    chained."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.operators.dedup import cluster_split_leakage_sql
+
+    pid = "printf('img_%06d', doc_id)"
+    threshold = f"{(10 * 0x10000) // 100:04x}"
+    members = f"""(
+        WITH RECURSIVE sli_imgs AS (
+          SELECT {pid} AS image_id, {H(pid)} AS phash FROM documents
+          UNION ALL
+          SELECT {pid} || '_twin', xor({H(pid)}, 3) FROM documents WHERE doc_id % 8 = 0
+          UNION ALL
+          SELECT {pid} || '_twin2', xor({H(pid)}, 60) FROM documents WHERE doc_id % 16 = 0
+        ), sli_blocked AS (
+          SELECT image_id, phash, phash >> 52 AS block FROM sli_imgs
+        ), sli_pairs AS (
+          SELECT x.image_id AS a, y.image_id AS b
+          FROM sli_blocked x JOIN sli_blocked y ON x.block = y.block
+          WHERE x.image_id < y.image_id
+            AND bit_count(xor(x.phash, y.phash)) <= 4
+        ), sli_sym AS (
+          SELECT a AS id, b AS nbr FROM sli_pairs
+          UNION
+          SELECT b AS id, a AS nbr FROM sli_pairs
+        ), sli_reach(id, comp) AS (
+          SELECT id, id FROM sli_sym
+          UNION
+          SELECT s.nbr, r.comp FROM sli_reach r JOIN sli_sym s ON s.id = r.id
+          WHERE r.comp < s.nbr
+        ), sli_cc AS (
+          SELECT id AS image_id, MIN(comp) AS comp FROM sli_reach GROUP BY id
+        )
+        SELECT i.image_id,
+               COALESCE(c.comp, i.image_id) AS cluster,
+               CASE WHEN substr(md5(i.image_id), 1, 4) < '{threshold}'
+                    THEN 'val' ELSE 'train' END AS split
+        FROM sli_imgs i LEFT JOIN sli_cc c USING (image_id)
+    )"""
+    return cluster_split_leakage_sql(members, id_col="image_id")
 
 
 def _joint_dedup_oracle() -> str:

@@ -855,3 +855,54 @@ def minhash_delta(new_docs: DataFrame, state_sigs: DataFrame,
         )
     )
     return matches, new_sigs, new_bands
+
+
+def cluster_split_leakage(members: DataFrame, id_col: str = "id",
+                          cluster_col: str = "cluster",
+                          split_col: str = "split") -> DataFrame:
+    """Near-dup leakage across train/eval splits: a cluster whose
+    members land on BOTH sides of a split boundary leaks eval content
+    into training — the eval-integrity failure exact-text splits
+    (leakage_free_split) cannot catch, because near-duplicates (a
+    re-encoded image, a reformatted page) have different ids AND
+    different bytes, so only the near-dup CLUSTER knows they are one
+    document.
+
+    Input is (id, cluster, split) — compose from any clustering
+    (connected_components over phash/minhash pairs; singletons =
+    their own cluster). Output adds (n_splits, leaked, move_to):
+    ``leaked`` iff the cluster spans >1 distinct split; ``move_to``
+    is the deterministic repair — every member of a leaked cluster
+    reassigns to the cluster's MIN split name, so all copies
+    co-locate and the eval set only ever SHRINKS (a doc moves out of
+    eval, never in — no training row ever enters eval). One
+    cluster-keyed agg + one equi-join back; nothing all-pairs."""
+    agg = members.groupBy(cluster_col).agg(
+        F.countDistinct(split_col).alias("n_splits"),
+        F.min(split_col).alias("__ms"),
+    )
+    out = members.join(agg, cluster_col)
+    return out.select(
+        id_col, cluster_col, split_col, "n_splits",
+        (F.col("n_splits") > 1).alias("leaked"),
+        F.when(F.col("n_splits") > 1, F.col("__ms")).alias("move_to"),
+    )
+
+
+def cluster_split_leakage_sql(src: str, id_col: str = "id",
+                              cluster_col: str = "cluster",
+                              split_col: str = "split") -> str:
+    """DuckDB replay of :func:`cluster_split_leakage`."""
+    return f"""
+        WITH csl_a AS (
+          SELECT {cluster_col} AS c,
+                 COUNT(DISTINCT {split_col}) AS n_splits,
+                 MIN({split_col}) AS ms
+          FROM {src} GROUP BY {cluster_col}
+        )
+        SELECT m.{id_col}, m.{cluster_col}, m.{split_col},
+               CAST(a.n_splits AS BIGINT) AS n_splits,
+               a.n_splits > 1 AS leaked,
+               CASE WHEN a.n_splits > 1 THEN a.ms END AS move_to
+        FROM {src} m JOIN csl_a a ON m.{cluster_col} = a.c
+    """
