@@ -4854,6 +4854,54 @@ def q_webp_animation(spark, sf_dir):
     )
 
 
+def _es_app1(orientation=6):
+    ifd = ("49492A00" + "08000000" + "0100"
+           + "1201" + "0300" + "01000000" + f"{orientation:02X}000000"
+           + "00000000")
+    payload = "457869660000" + ifd
+    return "FFE1" + f"{len(payload) // 2 + 2:04X}" + payload
+
+
+_ES_APP0 = "FFE0" + "0010" + "4A46494600010100000100010000"
+_ES_DQT = "FFDB" + "0006" + "0001020304"
+
+#: planted strip cases: EXIF behind APP0, EXIF first, EXIF-less,
+#: an APP1 declaring a length past the payload (detected but NOT
+#: removable — surgery must never shear real bytes), and a PNG.
+_ES_CASES = [
+    "FFD8" + _ES_APP0 + _es_app1() + _ES_DQT,
+    "FFD8" + _es_app1(3) + _ES_APP0 + _ES_DQT,
+    "FFD8" + _ES_APP0 + _ES_DQT,
+    "FFD8" + "FFE1" + "0FFF" + "457869660000" + "AA" * 4,
+    "89504E470D0A1A0A" + "00" * 8,
+]
+
+
+def q_exif_strip(spark, sf_dir):
+    """EXIF strip (sniff.exif_strip): the publish-side privacy
+    transform — exif_gps_flag DETECTS geotags, but a corpus that
+    ships payloads must REMOVE the metadata, and the whole EXIF block
+    lives in one APP1 segment whose boundaries are readable from the
+    header, so the strip is pure byte surgery (two binary substrings
+    + concat): no decode, no re-encode, pixels untouched. A declared
+    length running past the payload is detected but NOT removed —
+    surgery never shears real bytes (pinned); the stripped payload
+    reads NULL through exif_orientation (pinned end-to-end)."""
+    from dblp_crawler_spark.operators.sniff import exif_strip
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_ES_CASES)
+    hexstr = F.lit(_ES_CASES[-1])
+    for i, hx in enumerate(_ES_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    out = exif_strip(imgs)
+    return out.select(
+        "doc_id", "fmt", "had_exif", "removed_bytes",
+        F.hex(F.col("stripped")).alias("stripped_hex"),
+    )
+
+
 #: planted K4 on fresh nodes for q_triangle_counts — 4 triangles,
 #: every member in 3, clustering 1.0 on the degree-3 corners.
 _TRI_K4 = [("h100", "h101"), ("h100", "h102"), ("h100", "h103"),
@@ -5180,6 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_payload_admission": q_pipeline_payload_admission,
         "icc_profile": q_icc_profile,
         "webp_animation": q_webp_animation,
+        "exif_strip": q_exif_strip,
         "feed_entries": q_feed_entries,
         "cloaking_detect": q_cloaking_detect,
         "url_param_significance": q_url_param_significance,
@@ -9063,6 +9112,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_payload_admission": _pipeline_payload_admission_oracle(),
         "icc_profile": _icc_profile_oracle(),
         "webp_animation": _webp_animation_oracle(),
+        "exif_strip": _exif_strip_oracle(),
         "feed_entries": _feed_entries_oracle(),
         "cloaking_detect": _cloaking_detect_oracle(),
         "url_param_significance": _url_param_significance_oracle(),
@@ -9628,6 +9678,27 @@ def _webp_animation_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} wa_src)"
     return webp_animation_sql(staged)
+
+
+def _exif_strip_oracle() -> str:
+    """DuckDB replay of q_exif_strip — same planted hex through
+    exif_strip_sql's walk + hex-string surgery."""
+    from dblp_crawler_spark.operators.sniff import (
+        exif_strip_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_ES_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_ES_CASES)}{whens}
+                 ELSE '{_ES_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} es_src)"
+    return exif_strip_sql(staged)
 
 
 def _pipeline_payload_admission_oracle() -> str:

@@ -2637,3 +2637,137 @@ def webp_animation_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                  AS n_frames_lb
         FROM waf
     """
+
+
+# ---- EXIF strip (decode-free byte surgery) -----------------------------------------
+#
+# The PUBLISH-side privacy transform: exif_gps_flag DETECTS geotags,
+# but a corpus that ships payloads must REMOVE the metadata — and the
+# whole EXIF block (GPS, serial numbers, owner names) lives in one
+# APP1 segment whose boundaries are readable from the header, so the
+# strip is pure byte surgery (two binary substrings + concat), no
+# decode, no re-encode, pixels untouched. Positions come from the
+# bounded hex-window walk; the SURGERY runs on the full binary
+# column, so payload size is irrelevant — only the segment must
+# START inside the window (it sits right after SOI in practice).
+
+def exif_strip(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, had_exif, removed_bytes, stripped): the payload with
+    its first EXIF APP1 segment removed — byte-identical input for
+    rows with no EXIF (non-JPEG, EXIF-less JPEG, or a walk that
+    never reaches APP1 in-window; had_exif=false, removed_bytes
+    NULL). A found-but-truncated length field NULL-absorbs to the
+    untouched payload rather than shearing bytes (had_exif stays
+    true, removed_bytes NULL — detected but not safely removable).
+    Only the FIRST Exif APP1 strips (multiple APP1s — XMP etc. — keep
+    their own segments; re-run to fixpoint if a hostile file stacks
+    Exif blocks)."""
+    b = F.col(bytes_col)
+    staged = df.withColumns(
+        {
+            "__sx": F.hex(F.substring(b, 1, EXIF_WINDOW_BYTES)),
+            "fmt": sniffed_type(b),
+        }
+    )
+    hx = F.col("__sx")
+
+    def hop(acc, _i):
+        pos = acc["pos"]
+        found = acc["app1"].isNotNull()
+        marker = hx.substr(pos, F.lit(4))
+        is_app1 = (marker == "FFE1") & (
+            hx.substr(pos + F.lit(8), F.lit(12)) == _EXIF_SIG
+        )
+        nxt = F.when(found | is_app1, pos).otherwise(
+            pos + F.lit(4) + F.lit(2) * _hex2long(hx, pos + F.lit(4), 4)
+        )
+        return F.struct(
+            nxt.alias("pos"),
+            F.coalesce(acc["app1"], F.when(is_app1, pos)).alias("app1"),
+        )
+
+    acc0 = F.struct(
+        F.lit(5).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("app1"),
+    )
+    walk = F.aggregate(F.sequence(F.lit(1), F.lit(EXIF_MAX_HOPS)), acc0, hop)["app1"]
+    s1 = staged.withColumn("__p", F.when(F.col("fmt") == "jpeg", walk))
+    p = F.col("__p")
+    # segment byte length: marker (2) + the length field's value —
+    # valid only when the WHOLE segment fits inside the payload (a
+    # declared length running past the end means surgery would shear
+    # real bytes: detected but not safely removable)
+    seg = F.lit(2) + _hex2long(hx, p + F.lit(4), 4)
+    b0 = (p + F.lit(1)) / F.lit(2)  # 1-based byte index of the marker
+    s2 = s1.withColumns(
+        {
+            "__b0": b0.cast("long"),
+            "__seg": F.when(
+                p.isNotNull()
+                & (b0.cast("long") + seg - 1 <= F.octet_length(b)),
+                seg,
+            ),
+        }
+    )
+    head = b.substr(F.lit(1), (F.col("__b0") - 1).cast("int"))
+    tail = b.substr((F.col("__b0") + F.col("__seg")).cast("int"),
+                    F.octet_length(b))
+    stripped = F.when(
+        F.col("__p").isNotNull() & F.col("__seg").isNotNull(),
+        F.concat(head, tail),
+    ).otherwise(b)
+    return (
+        s2.withColumns(
+            {
+                "had_exif": F.col("__p").isNotNull(),
+                "removed_bytes": F.col("__seg"),
+                "stripped": stripped,
+            }
+        )
+        .drop("__sx", "__p", "__b0", "__seg")
+    )
+
+
+def exif_strip_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                   fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`exif_strip` over the FULL payload hex
+    (fixtures fit the window): unrolled APP1 walk, the same two-
+    substring surgery on the hex string (positions double, lengths
+    double — hex chars are 2 per byte)."""
+    pos_expr = "5"
+    p_cases = []
+    for _ in range(EXIF_MAX_HOPS):
+        is_app1 = (
+            f"substring({h_col}, {pos_expr}, 4) = 'FFE1' AND "
+            f"substring({h_col}, ({pos_expr}) + 8, 12) = '{_EXIF_SIG}'"
+        )
+        p_cases.append(f"WHEN {is_app1} THEN ({pos_expr})")
+        seg_len = (f"TRY_CAST(concat('0x', substring({h_col}, "
+                   f"({pos_expr}) + 4, 4)) AS BIGINT)")
+        pos_expr = f"({pos_expr}) + 4 + 2 * {seg_len}"
+    walk = "CASE " + " ".join(p_cases) + " ELSE NULL END"
+    return f"""
+        WITH es0 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CASE WHEN {fmt_col} = 'jpeg'
+                      THEN CAST(({walk}) AS BIGINT) END AS p
+          FROM {src}
+        ), es1 AS (
+          SELECT *, CASE WHEN p IS NOT NULL
+                      AND (p + 1) // 2
+                          + 2 + TRY_CAST(concat('0x',
+                              substring(h, p + 4, 4)) AS BIGINT) - 1
+                          <= strlen(h) // 2
+                    THEN 2 + TRY_CAST(concat('0x',
+                           substring(h, p + 4, 4)) AS BIGINT)
+                 END AS seg
+          FROM es0
+        )
+        SELECT {keep}, fmt,
+               p IS NOT NULL AS had_exif,
+               seg AS removed_bytes,
+               CASE WHEN p IS NOT NULL AND seg IS NOT NULL THEN
+                 substring(h, 1, p - 1) || substring(h, p + 2 * seg)
+               ELSE h END AS stripped_hex
+        FROM es1
+    """
