@@ -2964,6 +2964,36 @@ def q_revalidation_headers(spark, sf_dir):
     return revalidation_headers(resp)
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Host-frequency boilerplate removal (webparse.
+    strip_boilerplate): nav bars, cookie banners and footers repeat
+    on every page of a host — invisible to per-page heuristics, the
+    signal is cross-page frequency (distinct-page counted, so a page
+    repeating its OWN line is repetition, not boilerplate). Planted:
+    per-host nav+footer lines over unique bodies (stripped), and
+    one-page-per-host solo rows (below min_pages — no evidence, no
+    removal)."""
+    from dblp_crawler_spark.sources.webparse import strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    m6 = d % 6
+    host = F.when(m6 == 5, F.concat(F.lit("solo"), d.cast("string"))) \
+            .otherwise(F.concat(F.lit("b"), m6.cast("string"), F.lit(".example")))
+    nav = F.concat(F.lit("Home | About | b"), m6.cast("string"))
+    foot = F.concat(F.lit("(c) 2026 host b"), m6.cast("string"))
+    text = F.concat(
+        nav, F.lit("\nbody "), d.cast("string"), F.lit(" alpha\n\nbody "),
+        d.cast("string"), F.lit(" beta\n"), foot,
+    )
+    pages = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("/p"), d.cast("string")).alias("url"),
+        text.alias("text"),
+    )
+    return strip_boilerplate(pages)
+
+
 def q_cloaking_detect(spark, sf_dir):
     """UA-conditional cloaking (hostdup.cloaking_detect): SEO spam
     shows bots keyword farms, bot-walls show bots interstitials —
@@ -5238,6 +5268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_reciprocity": q_hreflang_reciprocity,
         "range_reassembly": q_range_reassembly,
         "revalidation_headers": q_revalidation_headers,
+        "strip_boilerplate": q_strip_boilerplate,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -9122,6 +9153,7 @@ def oracle_sql() -> dict[str, str]:
         "hreflang_reciprocity": _hreflang_reciprocity_oracle(),
         "range_reassembly": _range_reassembly_oracle(),
         "revalidation_headers": _revalidation_headers_oracle(),
+        "strip_boilerplate": _strip_boilerplate_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -9557,6 +9589,28 @@ def _revalidation_headers_oracle() -> str:
         FROM documents
     ) rv_src"""
     return revalidation_headers_sql(src)
+
+
+def _strip_boilerplate_oracle() -> str:
+    """DuckDB replay of q_strip_boilerplate — same planted pages
+    through strip_boilerplate_sql."""
+    from dblp_crawler_spark.sources.webparse import strip_boilerplate_sql
+
+    src = """(
+        SELECT CASE WHEN doc_id % 6 = 5
+                    THEN 'solo' || CAST(doc_id AS VARCHAR)
+                    ELSE 'b' || CAST(doc_id % 6 AS VARCHAR) || '.example'
+               END AS host,
+               '/p' || CAST(doc_id AS VARCHAR) AS url,
+               'Home | About | b' || CAST(doc_id % 6 AS VARCHAR)
+                 || chr(10) || 'body ' || CAST(doc_id AS VARCHAR)
+                 || ' alpha' || chr(10) || chr(10)
+                 || 'body ' || CAST(doc_id AS VARCHAR) || ' beta'
+                 || chr(10) || '(c) 2026 host b'
+                 || CAST(doc_id % 6 AS VARCHAR) AS text
+        FROM documents
+    ) sb_src"""
+    return strip_boilerplate_sql(src)
 
 
 def _cloaking_detect_oracle() -> str:

@@ -1505,3 +1505,120 @@ def hreflang_reciprocity_sql(src: str, url_col: str = "url",
         LEFT JOIN hr_s s ON p.alt_url = s.seen
         LEFT JOIN hr_b b ON p.url = b.b_dst AND p.alt_url = b.b_src
     """
+
+
+# ---- host-frequency boilerplate removal -------------------------------------------
+#
+# Nav bars, cookie banners, footers: the SAME lines repeat on every
+# page of a host, and per-page heuristics cannot see that — the
+# signal is cross-page frequency (the jusText/boilerplate-corpus
+# idea). A line is boilerplate for a host when it appears on ≥
+# tau_milli/1000 of the host's pages (counted by DISTINCT pages — a
+# page repeating its own line 50× is repetition, not boilerplate)
+# with ≥ min_pages support. Removing it is a relational transform:
+# explode lines, one (host, line) frequency agg, join the verdict
+# back, reassemble in original order.
+
+
+def strip_boilerplate(pages: DataFrame, host_col: str = "host",
+                      url_col: str = "url", text_col: str = "text",
+                      tau_milli: int = 500, min_pages: int = 3) -> DataFrame:
+    """Per page: (host, url, content, n_kept, n_dropped) with the
+    host's boilerplate lines removed and the survivors rejoined in
+    ORIGINAL order (newline-separated). Lines compare TRIMMED; blank
+    lines drop unconditionally (they are neither content nor
+    evidence). Small hosts (< min_pages) keep everything — no
+    evidence, no removal. Plan: one explode, one (host,line) hash agg
+    over page-distinct lines, one broadcast-size join back (the
+    boilerplate table is tiny: per host, only lines crossing the
+    threshold), one (url) reassembly agg with an array_sort on
+    (line_no) so order never depends on shuffle arrival."""
+    lines = pages.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
+    ).withColumn("line", F.trim(F.col("raw"))).where(F.col("line") != "")
+    n_pages = pages.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(url_col).alias("__np"))
+    freq = (
+        lines.select("host", "line", "url").distinct()
+        .groupBy("host", "line").agg(F.count("*").alias("__n"))
+    )
+    boiler = (
+        freq.join(n_pages, "host")
+        .where((F.col("__np") >= min_pages)
+               & (F.col("__n") * 1000 >= F.lit(tau_milli) * F.col("__np"))
+               & (F.col("__n") >= 2))
+        .select("host", "line", F.lit(True).alias("__boiler"))
+    )
+    flagged = lines.join(boiler, ["host", "line"], "left")
+    return (
+        flagged.groupBy("host", "url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__boiler").isNull(),
+                                F.struct(F.col("line_no").alias("ln"),
+                                         F.col("line").alias("l")),
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                "\n",
+            ).alias("content"),
+            F.sum(F.when(F.col("__boiler").isNull(), 1).otherwise(0))
+            .alias("n_kept"),
+            F.sum(F.when(F.col("__boiler").isNotNull(), 1).otherwise(0))
+            .alias("n_dropped"),
+        )
+    )
+
+
+def strip_boilerplate_sql(src: str = "pages", host_col: str = "host",
+                          url_col: str = "url", text_col: str = "text",
+                          tau_milli: int = 500, min_pages: int = 3) -> str:
+    """DuckDB replay of :func:`strip_boilerplate` — same trimmed-line
+    explode (indexed list_transform for positions), same
+    distinct-page frequency rule, string_agg ORDER BY line_no for the
+    reassembly."""
+    return f"""
+        WITH sb_raw AS (
+          SELECT {host_col} AS host, {url_col} AS url,
+                 unnest(list_transform(string_split({text_col}, chr(10)),
+                        (x, i) -> {{'l': x, 'ln': i}})) AS z
+          FROM {src}
+        ), sb_lines AS (
+          SELECT host, url, z.ln AS line_no, trim(z.l) AS line
+          FROM sb_raw WHERE trim(z.l) <> ''
+        ), sb_np AS (
+          SELECT {host_col} AS host, COUNT(DISTINCT {url_col}) AS np
+          FROM {src} GROUP BY 1
+        ), sb_freq AS (
+          SELECT host, line, COUNT(*) AS n
+          FROM (SELECT DISTINCT host, line, url FROM sb_lines)
+          GROUP BY host, line
+        ), sb_boiler AS (
+          SELECT f.host, f.line
+          FROM sb_freq f JOIN sb_np p USING (host)
+          WHERE p.np >= {min_pages}
+            AND f.n * 1000 >= {tau_milli} * p.np
+            AND f.n >= 2
+        ), sb_flag AS (
+          SELECT l.host, l.url, l.line_no, l.line,
+                 b.line IS NOT NULL AS boiler
+          FROM sb_lines l LEFT JOIN sb_boiler b
+            ON l.host = b.host AND l.line = b.line
+        )
+        SELECT host, url,
+               coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+                 chr(10) ORDER BY line_no), '') AS content,
+               CAST(SUM(CASE WHEN NOT boiler THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped
+        FROM sb_flag GROUP BY host, url
+    """
