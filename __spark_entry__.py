@@ -2994,6 +2994,64 @@ def q_strip_boilerplate(spark, sf_dir):
     return strip_boilerplate(pages)
 
 
+_HSC_JPEG_OK = "FFD8FFE000104A46494600010100000100010000" + "FFD9"
+_HSC_JPEG_CUT = "FFD8FFE000104A46494600010100000100010000"
+_HSC_GIF_OK = "474946383961" + "1000" + "1000" + "00" * 6 + "3B"
+_HSC_BMP = "424D" + "00" * 20
+
+
+def q_pipeline_host_scorecard(spark, sf_dir):
+    """Composed host reputation (hostdup.host_scorecard): the rollup
+    a frontier consults before granting budget — UA cloaking, soft-404
+    templates, and payload truncation folded into ONE transparent
+    integer score per host, each signal an already-oracled operator
+    and the DuckDB replay chaining the same fragments. Planted: c0
+    cloaks AND serves a half-share soft-404 template (flagged), c1
+    cloaks only (400 < 500, watched but not flagged), c2 soft-404s,
+    c3 truncates half its payloads, c4 serves only no-trailer-
+    convention bmps (no evidence is NOT truncation), the rest clean."""
+    from dblp_crawler_spark.operators.hostdup import host_scorecard
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    m8 = d % 8
+    host = F.concat(F.lit("c"), m8.cast("string"))
+    blk = F.floor(d / 8) % 2 == 0
+
+    probes = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit("crawler"), F.lit("browser"))).alias("ua_class"),
+    )
+    div = m8.isin(0, 1)
+    probes = probes.filter(
+        ~((m8 == 6) & (F.col("ua_class") == "browser"))
+    ).select(
+        host.alias("host"),
+        F.concat(F.lit("/u"), d.cast("string")).alias("url"),
+        "ua_class",
+        F.when(div, F.concat(F.lit("h"), d.cast("string"), F.lit("-"),
+                             F.col("ua_class")))
+        .otherwise(F.concat(F.lit("h"), d.cast("string"))).alias("content_hash"),
+    )
+    pages = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("/u"), d.cast("string")).alias("url"),
+        F.when(m8.isin(0, 2) & blk,
+               F.concat(F.lit("TPL"), m8.cast("string")))
+        .otherwise(F.concat(F.lit("u"), d.cast("string")))
+        .alias("content_hash"),
+    )
+    pay_hex = (
+        F.when((m8 == 3) & blk, F.lit(_HSC_JPEG_CUT))
+        .when(m8 == 3, F.lit(_HSC_JPEG_OK))
+        .when(m8 == 4, F.lit(_HSC_BMP))
+        .otherwise(F.lit(_HSC_GIF_OK))
+    )
+    payloads = docs.select(host.alias("host"),
+                           F.unhex(pay_hex).alias("bytes"))
+    return host_scorecard(probes, pages, payloads)
+
+
 def q_cloaking_detect(spark, sf_dir):
     """UA-conditional cloaking (hostdup.cloaking_detect): SEO spam
     shows bots keyword farms, bot-walls show bots interstitials —
@@ -5269,6 +5327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_reassembly": q_range_reassembly,
         "revalidation_headers": q_revalidation_headers,
         "strip_boilerplate": q_strip_boilerplate,
+        "pipeline_host_scorecard": q_pipeline_host_scorecard,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -9154,6 +9213,7 @@ def oracle_sql() -> dict[str, str]:
         "range_reassembly": _range_reassembly_oracle(),
         "revalidation_headers": _revalidation_headers_oracle(),
         "strip_boilerplate": _strip_boilerplate_oracle(),
+        "pipeline_host_scorecard": _pipeline_host_scorecard_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -9611,6 +9671,41 @@ def _strip_boilerplate_oracle() -> str:
         FROM documents
     ) sb_src"""
     return strip_boilerplate_sql(src)
+
+
+def _pipeline_host_scorecard_oracle() -> str:
+    """DuckDB replay of q_pipeline_host_scorecard — same three
+    planted frames through host_scorecard_sql's chained replays."""
+    from dblp_crawler_spark.operators.hostdup import host_scorecard_sql
+
+    probe_src = """(
+        SELECT 'c' || CAST(doc_id % 8 AS VARCHAR) AS host,
+               '/u' || CAST(doc_id AS VARCHAR) AS url,
+               ua_class,
+               CASE WHEN doc_id % 8 IN (0, 1)
+                    THEN 'h' || CAST(doc_id AS VARCHAR) || '-' || ua_class
+                    ELSE 'h' || CAST(doc_id AS VARCHAR) END AS content_hash
+        FROM documents, (SELECT unnest(['crawler', 'browser']) AS ua_class)
+        WHERE NOT (doc_id % 8 = 6 AND ua_class = 'browser')
+    )"""
+    page_src = """(
+        SELECT 'c' || CAST(doc_id % 8 AS VARCHAR) AS host,
+               '/u' || CAST(doc_id AS VARCHAR) AS url,
+               CASE WHEN doc_id % 8 IN (0, 2) AND (doc_id // 8) % 2 = 0
+                    THEN 'TPL' || CAST(doc_id % 8 AS VARCHAR)
+                    ELSE 'u' || CAST(doc_id AS VARCHAR) END AS content_hash
+        FROM documents
+    )"""
+    payload_src = f"""(
+        SELECT 'c' || CAST(doc_id % 8 AS VARCHAR) AS host,
+               CASE WHEN doc_id % 8 = 3 AND (doc_id // 8) % 2 = 0
+                      THEN '{_HSC_JPEG_CUT}'
+                    WHEN doc_id % 8 = 3 THEN '{_HSC_JPEG_OK}'
+                    WHEN doc_id % 8 = 4 THEN '{_HSC_BMP}'
+                    ELSE '{_HSC_GIF_OK}' END AS h
+        FROM documents
+    )"""
+    return host_scorecard_sql(probe_src, page_src, payload_src)
 
 
 def _cloaking_detect_oracle() -> str:

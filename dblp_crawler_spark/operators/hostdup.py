@@ -391,3 +391,115 @@ def cloaking_detect_sql(src: str, host_col: str = "host",
                AS cloaking
         FROM cd_flag GROUP BY {host_col}
     """
+
+
+def host_scorecard(fetch_probes: DataFrame, pages: DataFrame,
+                   payloads: DataFrame,
+                   flag_milli: int = 500) -> DataFrame:
+    """The per-host reputation rollup a frontier consults before
+    granting budget: three independent pathology signals — UA
+    cloaking (probe divergence), soft-404 templates (one hash
+    dominating the host's 200s) and payload truncation (fetches that
+    never finish) — folded into ONE transparent integer score per
+    host. Each signal is the already-oracled operator; this is their
+    integration statement.
+
+    Inputs: ``fetch_probes`` (host, url, ua_class, content_hash) for
+    :func:`cloaking_detect`; ``pages`` (host, url, content_hash) for
+    :func:`soft404_detect`; ``payloads`` (host, bytes) for
+    payload_complete. Output per host: cloaking, soft404_milli
+    (template-page share), truncated_milli (share of
+    trailer-evidenced payloads that are cut — no-evidence formats
+    never count), and score = 400·cloaking + soft404_milli +
+    truncated_milli with ``flagged`` at ≥ ``flag_milli``. All exact
+    integer arithmetic; three host-keyed rollups + two equi-joins."""
+    from .sniff import payload_complete
+
+    cl = cloaking_detect(fetch_probes).select("host", "cloaking")
+    s4 = (
+        soft404_detect(pages)
+        .groupBy("host")
+        .agg(
+            F.sum(F.col("is_soft404").cast("long")).alias("__s"),
+            F.count("*").alias("__n"),
+        )
+        .select("host",
+                F.expr("CAST(__s * 1000 DIV __n AS BIGINT)")
+                .alias("soft404_milli"))
+    )
+    pc = (
+        payload_complete(payloads)
+        .groupBy("host")
+        .agg(
+            F.sum(F.col("truncated").cast("long")).alias("__tr"),
+            F.count("trailer_ok").alias("__ev"),
+        )
+        .select(
+            "host",
+            F.when(F.col("__ev") > 0,
+                   F.expr("CAST(__tr * 1000 DIV __ev AS BIGINT)"))
+            .otherwise(F.lit(0).cast("long")).alias("truncated_milli"),
+        )
+    )
+    out = cl.join(s4, "host", "full").join(pc, "host", "full")
+    score = (
+        F.coalesce(F.col("cloaking").cast("long"), F.lit(0)) * 400
+        + F.coalesce(F.col("soft404_milli"), F.lit(0))
+        + F.coalesce(F.col("truncated_milli"), F.lit(0))
+    )
+    return out.select(
+        "host",
+        F.coalesce(F.col("cloaking"), F.lit(False)).alias("cloaking"),
+        F.coalesce(F.col("soft404_milli"), F.lit(0).cast("long"))
+        .alias("soft404_milli"),
+        F.coalesce(F.col("truncated_milli"), F.lit(0).cast("long"))
+        .alias("truncated_milli"),
+        score.alias("score"),
+        (score >= flag_milli).alias("flagged"),
+    )
+
+
+def host_scorecard_sql(probe_src: str, page_src: str, payload_src: str,
+                       flag_milli: int = 500) -> str:
+    """DuckDB replay of :func:`host_scorecard` — chains the
+    cloaking_detect / soft404_detect / payload_complete replays and
+    the same integer fold. ``payload_src`` must expose (host, h) with
+    h the full payload hex; its fmt is regenerated from the shared
+    MAGIC_TABLE."""
+    from .sniff import payload_complete_sql, sniff_case_sql
+
+    staged_payload = (f"(SELECT host, h, {sniff_case_sql('h')} AS fmt "
+                      f"FROM {payload_src})")
+    return f"""
+        WITH hs_cl AS (
+          SELECT host, cloaking FROM ({cloaking_detect_sql(probe_src)})
+        ), hs_s4 AS (
+          SELECT host,
+                 CAST(SUM(CASE WHEN is_soft404 THEN 1 ELSE 0 END) * 1000
+                      // COUNT(*) AS BIGINT) AS soft404_milli
+          FROM ({soft404_detect_sql(page_src)}) GROUP BY host
+        ), hs_pc AS (
+          SELECT host,
+                 CASE WHEN COUNT(trailer_ok) > 0 THEN
+                   CAST(SUM(CASE WHEN truncated THEN 1 ELSE 0 END) * 1000
+                        // COUNT(trailer_ok) AS BIGINT)
+                 ELSE 0 END AS truncated_milli
+          FROM ({payload_complete_sql(staged_payload, keep="host")})
+          GROUP BY host
+        ), hs_j AS (
+          SELECT COALESCE(c.host, s.host, p.host) AS host,
+                 COALESCE(c.cloaking, false) AS cloaking,
+                 COALESCE(s.soft404_milli, 0) AS soft404_milli,
+                 COALESCE(p.truncated_milli, 0) AS truncated_milli
+          FROM hs_cl c
+          FULL JOIN hs_s4 s ON c.host = s.host
+          FULL JOIN hs_pc p ON COALESCE(c.host, s.host) = p.host
+        )
+        SELECT host, cloaking, soft404_milli, truncated_milli,
+               CAST(CASE WHEN cloaking THEN 400 ELSE 0 END
+                    + soft404_milli + truncated_milli AS BIGINT) AS score,
+               (CASE WHEN cloaking THEN 400 ELSE 0 END
+                    + soft404_milli + truncated_milli) >= {flag_milli}
+                 AS flagged
+        FROM hs_j
+    """
