@@ -314,3 +314,61 @@ def test_pq_codebook_joins_broadcast(spark):
     p_adc = plan_of(pq_adc_topk(queries, codes, cb, dim=16, m=4, k=5))
     assert "BroadcastHashJoin" in p_enc
     assert "BroadcastHashJoin" in p_adc
+
+
+def test_cloaking_detect_two_exchanges_no_join(spark):
+    """cloaking_detect's UA pivot folds into the (host,url) agg —
+    the plan is two keyed aggregations, no join of any kind."""
+    from dblp_crawler_spark.operators.hostdup import cloaking_detect
+
+    df = spark.createDataFrame(
+        [("h", "/u", "crawler", "x")],
+        "host string, url string, ua_class string, content_hash string")
+    import re
+
+    p = plan_of(cloaking_detect(df))
+    assert "Join" not in p and "CartesianProduct" not in p
+    # formatted explain names each node twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+
+
+def test_strip_boilerplate_no_cartesian(spark):
+    """The boilerplate verdict joins back on (host, line) — an equi
+    hash join, never nested-loop."""
+    from dblp_crawler_spark.sources.webparse import strip_boilerplate
+
+    df = spark.createDataFrame(
+        [("h", "/u", "a\nb")], "host string, url string, text string")
+    p = plan_of(strip_boilerplate(df))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_payload_tiers_map_only(spark):
+    """payload_complete / payload_admission / exif_strip must stay
+    pure projections: no Exchange — blobs never shuffle."""
+    from pyspark.sql import functions as F2
+    from dblp_crawler_spark.operators.sniff import (
+        exif_strip,
+        payload_admission,
+        payload_complete,
+    )
+
+    df = spark.createDataFrame([("a", "FFD8FF")], "id string, hx string") \
+        .select("id", F2.unhex("hx").alias("bytes"))
+    for op in (payload_complete, exif_strip):
+        assert "Exchange" not in plan_of(op(df))
+    assert "Exchange" not in plan_of(payload_admission(df))
+
+
+def test_range_reassembly_single_exchange(spark):
+    """The interval-union window and the rollup share one (url,total)
+    partitioning — exactly one Exchange in the plan."""
+    from dblp_crawler_spark.operators.freshness import range_reassembly
+
+    df = spark.createDataFrame(
+        [("u", 0, 9, 100)],
+        "url string, part_start long, part_end long, total_bytes long")
+    import re
+
+    p = plan_of(range_reassembly(df))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
