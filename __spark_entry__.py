@@ -4990,6 +4990,51 @@ def q_exif_strip(spark, sf_dir):
     )
 
 
+def _xmp_app1(xml: str) -> str:
+    payload = ("http://ns.adobe.com/xap/1.0/\x00" + xml).encode()
+    return "FFE1" + f"{len(payload) + 2:04X}" + payload.hex().upper()
+
+
+#: planted XMP cases: CC-BY packet with attribute-form Marked +
+#: WebStatement + dc:rights, element-form Marked=False, a rights-less
+#: packet, an XMP-less JPEG, and a PNG.
+_XMP_CASES = [
+    "FFD8" + _ES_APP0 + _xmp_app1(
+        '<x:xmpmeta><rdf:RDF><rdf:Description xmpRights:Marked="True" '
+        'xmpRights:WebStatement="https://creativecommons.org/licenses/by/4.0/">'
+        "<dc:rights><rdf:Alt><rdf:li xml:lang='x-default'>(c) Jane Doe"
+        "</rdf:li></rdf:Alt></dc:rights></rdf:Description></rdf:RDF>"
+        "</x:xmpmeta>") + "FFDB0006" + "0001020304",
+    "FFD8" + _xmp_app1("<rdf:Description><xmpRights:Marked>False"
+                       "</xmpRights:Marked></rdf:Description>"),
+    "FFD8" + _xmp_app1("<x:xmpmeta><rdf:RDF/></x:xmpmeta>"),
+    "FFD8" + _ES_APP0,
+    "89504E470D0A1A0A" + "00" * 8,
+]
+
+
+def q_xmp_license(spark, sf_dir):
+    """XMP rights extraction (sniff.xmp_license): whether a scraped
+    image may enter a training set at all often lives in its XMP
+    packet — xmpRights:Marked (the copyrighted flag, tri-state:
+    NULL = not asserted), xmpRights:WebStatement (the license URL —
+    CC deeds live here) and dc:rights. XMP is plain UTF-8 XML behind
+    the public APP1 namespace signature; the walk slices EXACTLY the
+    packet bytes so the binary around it never reaches the decoder.
+    Attribute and element spellings both pinned."""
+    from dblp_crawler_spark.operators.sniff import xmp_license
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_XMP_CASES)
+    hexstr = F.lit(_XMP_CASES[-1])
+    for i, hx in enumerate(_XMP_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return xmp_license(imgs).select(
+        "doc_id", "fmt", "has_xmp", "xmp_marked", "license_url", "rights",
+    )
+
+
 #: planted K4 on fresh nodes for q_triangle_counts — 4 triangles,
 #: every member in 3, clustering 1.0 on the degree-3 corners.
 _TRI_K4 = [("h100", "h101"), ("h100", "h102"), ("h100", "h103"),
@@ -5317,6 +5362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icc_profile": q_icc_profile,
         "webp_animation": q_webp_animation,
         "exif_strip": q_exif_strip,
+        "xmp_license": q_xmp_license,
         "feed_entries": q_feed_entries,
         "cloaking_detect": q_cloaking_detect,
         "url_param_significance": q_url_param_significance,
@@ -9203,6 +9249,7 @@ def oracle_sql() -> dict[str, str]:
         "icc_profile": _icc_profile_oracle(),
         "webp_animation": _webp_animation_oracle(),
         "exif_strip": _exif_strip_oracle(),
+        "xmp_license": _xmp_license_oracle(),
         "feed_entries": _feed_entries_oracle(),
         "cloaking_detect": _cloaking_detect_oracle(),
         "url_param_significance": _url_param_significance_oracle(),
@@ -9848,6 +9895,27 @@ def _exif_strip_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} es_src)"
     return exif_strip_sql(staged)
+
+
+def _xmp_license_oracle() -> str:
+    """DuckDB replay of q_xmp_license — same planted hex through
+    xmp_license_sql's walk + packet decode."""
+    from dblp_crawler_spark.operators.sniff import (
+        sniff_case_sql,
+        xmp_license_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_XMP_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_XMP_CASES)}{whens}
+                 ELSE '{_XMP_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} xl_src)"
+    return xmp_license_sql(staged)
 
 
 def _pipeline_payload_admission_oracle() -> str:

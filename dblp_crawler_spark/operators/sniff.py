@@ -2771,3 +2771,150 @@ def exif_strip_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                ELSE h END AS stripped_hex
         FROM es1
     """
+
+
+# ---- XMP rights / license extraction ----------------------------------------------
+#
+# Compliance tier: whether a scraped image may enter a training set
+# at all often lives in its XMP packet — xmpRights:Marked (the
+# copyrighted flag), xmpRights:WebStatement (the license URL: CC
+# deeds live here) and dc:rights (the human-readable notice). XMP is
+# plain UTF-8 XML inside a JPEG APP1 segment behind the public
+# namespace signature, so extraction is: walk to the segment, slice
+# EXACTLY the packet bytes (always valid UTF-8 — the binary around
+# it never reaches the decoder), decode, regex. Attribute and
+# element spellings both occur in the wild; both are matched.
+
+XMP_WINDOW_BYTES = 4096
+XMP_MAX_HOPS = 6
+#: hex of 'http://ns.adobe.com/xap/1.0/\0' — the APP1 XMP signature
+_XMP_SIG = "687474703A2F2F6E732E61646F62652E636F6D2F7861702F312E302F00"
+_XMP_SIG_BYTES = 29
+
+_XMP_MARKED_RE = (
+    r'(?is)xmpRights:Marked\s*(?:=\s*["\x27]|>\s*)(True|False)'
+)
+_XMP_WEBSTMT_RE = (
+    r'(?is)xmpRights:WebStatement\s*(?:=\s*["\x27]|>\s*)([^"\x27<\s]+)'
+)
+_XMP_RIGHTS_RE = r"(?is)<dc:rights>.*?<rdf:li[^>]*>([^<]*)<"
+
+
+def xmp_license(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, has_xmp, xmp_marked, license_url, rights): the
+    XMP rights fields, NULL-absorbing for non-JPEG rows, XMP-less
+    files and fields the packet doesn't carry. ``xmp_marked`` is the
+    tri-state copyrighted flag (NULL = not asserted); rights text is
+    the first <rdf:li> of dc:rights. One hex window (4 KiB — XMP
+    sits at the file head; larger packets truncate and fields past
+    the window NULL-absorb, documented), one packet slice, three
+    regex extracts. Map-side only."""
+    staged = df.withColumns(
+        {
+            "__mx": F.hex(F.substring(F.col(bytes_col), 1, XMP_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__mx")
+    sig_hex_len = 2 * _XMP_SIG_BYTES
+
+    def hop(acc, _i):
+        pos = acc["pos"]
+        found = acc["x"].isNotNull()
+        is_xmp = (hx.substr(pos, F.lit(4)) == "FFE1") & (
+            hx.substr(pos + F.lit(8), F.lit(sig_hex_len)) == _XMP_SIG
+        )
+        nxt = F.when(found | is_xmp, pos).otherwise(
+            pos + F.lit(4) + F.lit(2) * _hex2long(hx, pos + F.lit(4), 4)
+        )
+        return F.struct(
+            nxt.alias("pos"),
+            F.coalesce(acc["x"], F.when(is_xmp, pos)).alias("x"),
+        )
+
+    acc0 = F.struct(
+        F.lit(5).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("x"),
+    )
+    walk = F.aggregate(F.sequence(F.lit(1), F.lit(XMP_MAX_HOPS)), acc0, hop)["x"]
+    s1 = staged.withColumn("__x", F.when(F.col("fmt") == "jpeg", walk))
+    p = F.col("__x")
+    pkt_len = (_hex2long(hx, p + F.lit(4), 4) - F.lit(2 + _XMP_SIG_BYTES)) * 2
+    pkt = hx.substr((p + F.lit(8) + F.lit(sig_hex_len)).cast("int"),
+                    pkt_len.cast("int"))
+    s2 = s1.withColumn(
+        "__xml",
+        F.when(p.isNotNull() & (pkt_len > 0),
+               F.decode(F.unhex(pkt), "UTF-8")),
+    )
+    xml = F.col("__xml")
+    marked_raw = F.lower(F.nullif(
+        F.regexp_extract(xml, _XMP_MARKED_RE, 1), F.lit("")))
+    return (
+        s2.withColumns(
+            {
+                "has_xmp": F.when(F.col("fmt") == "jpeg", p.isNotNull()),
+                "xmp_marked": F.when(marked_raw == "true", True)
+                .when(marked_raw == "false", False),
+                "license_url": F.nullif(
+                    F.regexp_extract(xml, _XMP_WEBSTMT_RE, 1), F.lit("")),
+                "rights": F.nullif(
+                    F.regexp_extract(xml, _XMP_RIGHTS_RE, 1), F.lit("")),
+            }
+        )
+        .drop("__mx", "__x", "__xml")
+    )
+
+
+def xmp_license_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                    fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`xmp_license` — unrolled walk, the same
+    packet slice through unhex+decode, the same patterns (\\x27
+    spells the single quote so the patterns embed in SQL literals
+    unescaped)."""
+    sig_hex_len = 2 * _XMP_SIG_BYTES
+    pos_expr = "5"
+    x_cases = []
+    for _ in range(XMP_MAX_HOPS):
+        is_xmp = (
+            f"substring({h_col}, {pos_expr}, 4) = 'FFE1' AND "
+            f"substring({h_col}, ({pos_expr}) + 8, {sig_hex_len}) = '{_XMP_SIG}'"
+        )
+        x_cases.append(f"WHEN {is_xmp} THEN ({pos_expr})")
+        seg_len = (f"TRY_CAST(concat('0x', substring({h_col}, "
+                   f"({pos_expr}) + 4, 4)) AS BIGINT)")
+        pos_expr = f"({pos_expr}) + 4 + 2 * {seg_len}"
+    walk = "CASE " + " ".join(x_cases) + " ELSE NULL END"
+    return f"""
+        WITH xl0 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CASE WHEN {fmt_col} = 'jpeg'
+                      THEN CAST(({walk}) AS BIGINT) END AS x
+          FROM {src}
+        ), xl1 AS (
+          SELECT *, (TRY_CAST(concat('0x', substring(h, x + 4, 4)) AS BIGINT)
+                     - {2 + _XMP_SIG_BYTES}) * 2 AS pl
+          FROM xl0
+        ), xl2 AS (
+          SELECT {keep}, fmt, x,
+                 CASE WHEN x IS NOT NULL AND pl > 0 THEN
+                   decode(unhex(substring(h, x + 8 + {sig_hex_len}, pl)))
+                 END AS xml
+          FROM xl1
+        ), xl3 AS (
+          SELECT {keep}, fmt, x,
+                 lower(nullif(regexp_extract(xml,
+                   '{_XMP_MARKED_RE}', 1), '')) AS marked_raw,
+                 nullif(regexp_extract(xml, '{_XMP_WEBSTMT_RE}', 1), '')
+                   AS license_url,
+                 nullif(regexp_extract(xml, '{_XMP_RIGHTS_RE}', 1), '')
+                   AS rights
+          FROM xl2
+        )
+        SELECT {keep}, fmt,
+               CASE WHEN fmt = 'jpeg' THEN x IS NOT NULL END AS has_xmp,
+               CASE WHEN marked_raw = 'true' THEN true
+                    WHEN marked_raw = 'false' THEN false END AS xmp_marked,
+               license_url, rights
+        FROM xl3
+    """
