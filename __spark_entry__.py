@@ -3052,6 +3052,37 @@ def q_pipeline_host_scorecard(spark, sf_dir):
     return host_scorecard(probes, pages, payloads)
 
 
+def q_interleaved_segments(spark, sf_dir):
+    """Interleaved multimodal samples (webparse.
+    interleaved_segments): pretraining wants the PAGE as a sequence —
+    text block, image, text block (the MMC4/OBELICS shape) — because
+    grounding is learned from adjacency, so ORDER is the payload.
+    Sentinel capture-replace (no lookahead — RE2; the tag keeps its
+    spelling), one explode, two ordered slots per piece; srcless
+    imgs split but emit nothing, empty inter-image text emits
+    nothing, entities decode through the shared html_to_text chain.
+    Planted pages vary image count and casing by doc."""
+    from dblp_crawler_spark.sources.webparse import interleaved_segments
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><p>intro &amp; doc "), d,
+        F.lit('</p><IMG src="https://i.ex/'), d, F.lit('-1.jpg">'),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<img src="https://i.ex/'), d,
+                        F.lit("-2.png\"/>"))).otherwise(F.lit("<p>mid</p>")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit('<img data-x="no src">')).otherwise(F.lit("")),
+        F.lit("<p>tail "), d, F.lit("</p></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://i.ex/p"), d).alias("url"),
+        html.alias("html"),
+    )
+    return interleaved_segments(pages)
+
+
 def q_cloaking_detect(spark, sf_dir):
     """UA-conditional cloaking (hostdup.cloaking_detect): SEO spam
     shows bots keyword farms, bot-walls show bots interstitials —
@@ -5374,6 +5405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revalidation_headers": q_revalidation_headers,
         "strip_boilerplate": q_strip_boilerplate,
         "pipeline_host_scorecard": q_pipeline_host_scorecard,
+        "interleaved_segments": q_interleaved_segments,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -9261,6 +9293,7 @@ def oracle_sql() -> dict[str, str]:
         "revalidation_headers": _revalidation_headers_oracle(),
         "strip_boilerplate": _strip_boilerplate_oracle(),
         "pipeline_host_scorecard": _pipeline_host_scorecard_oracle(),
+        "interleaved_segments": _interleaved_segments_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -9753,6 +9786,27 @@ def _pipeline_host_scorecard_oracle() -> str:
         FROM documents
     )"""
     return host_scorecard_sql(probe_src, page_src, payload_src)
+
+
+def _interleaved_segments_oracle() -> str:
+    """DuckDB replay of q_interleaved_segments — same planted HTML
+    through interleaved_segments_sql."""
+    from dblp_crawler_spark.sources.webparse import interleaved_segments_sql
+
+    d = "CAST(doc_id AS VARCHAR)"
+    src = f"""(
+        SELECT 'https://i.ex/p' || {d} AS url,
+               '<html><p>intro &amp; doc ' || {d}
+                 || '</p><IMG src="https://i.ex/' || {d} || '-1.jpg">'
+                 || CASE WHEN doc_id % 3 = 0
+                      THEN '<img src="https://i.ex/' || {d} || '-2.png"/>'
+                      ELSE '<p>mid</p>' END
+                 || CASE WHEN doc_id % 4 = 0
+                      THEN '<img data-x="no src">' ELSE '' END
+                 || '<p>tail ' || {d} || '</p></html>' AS html
+        FROM documents
+    )"""
+    return interleaved_segments_sql(src)
 
 
 def _cloaking_detect_oracle() -> str:

@@ -1622,3 +1622,87 @@ def strip_boilerplate_sql(src: str = "pages", host_col: str = "host",
                  AS n_dropped
         FROM sb_flag GROUP BY host, url
     """
+
+
+# ---- interleaved image/text segments ------------------------------------------
+#
+# Multimodal pretraining wants the PAGE as a sequence — text block,
+# image, text block — not a bag of captions (the MMC4/OBELICS
+# sample shape): the model learns image-text grounding from
+# adjacency, so ORDER is the payload. Relational construction: mark
+# every <img> with a sentinel (a capture-group replace, so the tag
+# keeps its original spelling — RE2 has no lookahead and a naive
+# (?i) replace would case-fold it), split on the sentinel, and each
+# piece yields up to two ordered rows: its leading image ref, then
+# its visible text through the shared html_to_text chain.
+
+_IMG_SRC_RE = r'(?is)^<img[^>]*src\s*=\s*["\x27]([^"\x27>]+)'
+
+
+def interleaved_segments(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """(url, seq, kind, content): the page as an ordered multimodal
+    sequence — kind 'image' rows carry the src URL, 'text' rows the
+    cleaned visible text between images. ``seq`` is a SPARSE ordering
+    key (2·piece for the image slot, 2·piece+1 for the text slot) —
+    order by it, don't index it. An <img> without src contributes no
+    image row (its tag still splits the text); empty text between
+    consecutive images contributes no text row; alt-text captioning
+    stays extract_images' job. Map-side only: one replace, one
+    explode, no shuffle."""
+    marked = F.regexp_replace(F.col(html_col), r"(?i)(<img)", "\x01$1")
+    pieces = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.split(marked, "\x01")).alias("pos", "piece"),
+    )
+    img_src = F.nullif(F.regexp_extract("piece", _IMG_SRC_RE, 1), F.lit(""))
+    text = html_to_text(F.col("piece"))
+    slots = F.array(
+        F.when(img_src.isNotNull(),
+               F.struct((F.col("pos") * 2).alias("seq"),
+                        F.lit("image").alias("kind"),
+                        img_src.alias("content"))),
+        F.when(text != "",
+               F.struct((F.col("pos") * 2 + 1).alias("seq"),
+                        F.lit("text").alias("kind"),
+                        text.alias("content"))),
+    )
+    return pieces.select(
+        "url",
+        F.explode(F.filter(slots, lambda s: s.isNotNull())).alias("seg"),
+    ).select("url", F.col("seg.seq").cast("long").alias("seq"),
+             "seg.kind", "seg.content")
+
+
+def interleaved_segments_sql(src: str = "html_pages", url_col: str = "url",
+                             html_col: str = "html") -> str:
+    """DuckDB replay of :func:`interleaved_segments` — same sentinel
+    capture-replace, indexed list_transform for positions, UNION ALL
+    for the two slots."""
+    sentinel = "\x01"
+    img_re = _IMG_SRC_RE.replace("'", "''")
+    text = html_to_text_sql("piece")
+    return f"""
+        WITH is_pieces AS (
+          SELECT {url_col} AS url, z.p - 1 AS pos, z.piece AS piece
+          FROM (
+            SELECT {url_col},
+                   unnest(list_transform(
+                     string_split(regexp_replace({html_col},
+                       '(?i)(<img)', '{sentinel}\\1', 'g'), '{sentinel}'),
+                     (x, i) -> {{'piece': x, 'p': i}})) AS z
+            FROM {src}
+          )
+        ), is_slots AS (
+          SELECT url, CAST(pos * 2 AS BIGINT) AS seq, 'image' AS kind,
+                 nullif(regexp_extract(piece, '{img_re}', 1), '') AS content
+          FROM is_pieces
+          UNION ALL
+          SELECT url, CAST(pos * 2 + 1 AS BIGINT) AS seq, 'text' AS kind,
+                 {text} AS content
+          FROM is_pieces
+        )
+        SELECT url, seq, kind, content
+        FROM is_slots
+        WHERE content IS NOT NULL AND content <> ''
+    """
