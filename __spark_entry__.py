@@ -3000,18 +3000,9 @@ _HSC_GIF_OK = "474946383961" + "1000" + "1000" + "00" * 6 + "3B"
 _HSC_BMP = "424D" + "00" * 20
 
 
-def q_pipeline_host_scorecard(spark, sf_dir):
-    """Composed host reputation (hostdup.host_scorecard): the rollup
-    a frontier consults before granting budget — UA cloaking, soft-404
-    templates, and payload truncation folded into ONE transparent
-    integer score per host, each signal an already-oracled operator
-    and the DuckDB replay chaining the same fragments. Planted: c0
-    cloaks AND serves a half-share soft-404 template (flagged), c1
-    cloaks only (400 < 500, watched but not flagged), c2 soft-404s,
-    c3 truncates half its payloads, c4 serves only no-trailer-
-    convention bmps (no evidence is NOT truncation), the rest clean."""
-    from dblp_crawler_spark.operators.hostdup import host_scorecard
-
+def _hsc_frames(spark, sf_dir):
+    """The planted (probes, pages, payloads) triple shared by
+    q_pipeline_host_scorecard and q_pipeline_reputation_budget."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     m8 = d % 8
@@ -3049,7 +3040,45 @@ def q_pipeline_host_scorecard(spark, sf_dir):
     )
     payloads = docs.select(host.alias("host"),
                            F.unhex(pay_hex).alias("bytes"))
+    return probes, pages, payloads
+
+
+def q_pipeline_host_scorecard(spark, sf_dir):
+    """Composed host reputation (hostdup.host_scorecard): the rollup
+    a frontier consults before granting budget — UA cloaking, soft-404
+    templates, and payload truncation folded into ONE transparent
+    integer score per host, each signal an already-oracled operator
+    and the DuckDB replay chaining the same fragments. Planted: c0
+    cloaks AND serves a half-share soft-404 template (flagged), c1
+    cloaks only (400 < 500, watched but not flagged), c2 soft-404s,
+    c3 truncates half its payloads, c4 serves only no-trailer-
+    convention bmps (no evidence is NOT truncation), the rest clean."""
+    from dblp_crawler_spark.operators.hostdup import host_scorecard
+
+    probes, pages, payloads = _hsc_frames(spark, sf_dir)
     return host_scorecard(probes, pages, payloads)
+
+
+def q_pipeline_reputation_budget(spark, sf_dir):
+    """Reputation-weighted budget (host_scorecard →
+    budget.host_budget_alloc): the frontier-loop closure — pathology
+    evidence becomes fetch slots. Flagged hosts get weight 0 (no
+    budget at all), watched hosts weight 1000−score, clean hosts
+    1000; the largest-remainder apportionment then splits 1000 slots
+    EXACTLY (sum == budget, remainder ties by host asc). Both stages
+    are already-oracled operators; the replay chains the scorecard
+    fragments into the same integer apportionment."""
+    from dblp_crawler_spark.operators.budget import host_budget_alloc
+    from dblp_crawler_spark.operators.hostdup import host_scorecard
+
+    probes, pages, payloads = _hsc_frames(spark, sf_dir)
+    sc = host_scorecard(probes, pages, payloads)
+    weights = sc.select(
+        "host",
+        F.when(F.col("flagged"), F.lit(0).cast("long"))
+        .otherwise(F.lit(1000) - F.col("score")).alias("weight"),
+    )
+    return host_budget_alloc(weights, budget=1000)
 
 
 def q_interleaved_segments(spark, sf_dir):
@@ -5406,6 +5435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "pipeline_host_scorecard": q_pipeline_host_scorecard,
         "interleaved_segments": q_interleaved_segments,
+        "pipeline_reputation_budget": q_pipeline_reputation_budget,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -9294,6 +9324,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": _strip_boilerplate_oracle(),
         "pipeline_host_scorecard": _pipeline_host_scorecard_oracle(),
         "interleaved_segments": _interleaved_segments_oracle(),
+        "pipeline_reputation_budget": _pipeline_reputation_budget_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -9786,6 +9817,37 @@ def _pipeline_host_scorecard_oracle() -> str:
         FROM documents
     )"""
     return host_scorecard_sql(probe_src, page_src, payload_src)
+
+
+def _pipeline_reputation_budget_oracle() -> str:
+    """DuckDB replay of q_pipeline_reputation_budget — the scorecard
+    chain into the same largest-remainder apportionment."""
+    sc = _pipeline_host_scorecard_oracle()
+    return f"""
+        WITH rb_sc AS ({sc}),
+        rb_w AS (
+          SELECT host, CASE WHEN flagged THEN 0
+                            ELSE 1000 - score END AS weight
+          FROM rb_sc
+        ),
+        rb_t AS (SELECT CAST(SUM(weight) AS BIGINT) AS w FROM rb_w),
+        rb_q AS (
+          SELECT host, weight,
+                 (1000 * weight) // w AS base,
+                 (1000 * weight) % w AS rem
+          FROM rb_w, rb_t
+        ),
+        rb_k AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS k FROM rb_q),
+        rb_r AS (
+          SELECT host, weight, base,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk
+          FROM rb_q
+        )
+        SELECT host, CAST(weight AS BIGINT) AS weight,
+               CAST(base + CASE WHEN rk <= (SELECT k FROM rb_k)
+                                THEN 1 ELSE 0 END AS BIGINT) AS budget
+        FROM rb_r
+    """
 
 
 def _interleaved_segments_oracle() -> str:
