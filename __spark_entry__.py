@@ -3112,6 +3112,42 @@ def q_interleaved_segments(spark, sf_dir):
     return interleaved_segments(pages)
 
 
+#: planted percent-encoding shapes (joined with a per-doc path)
+_PCT_CASES = [
+    "/%7euser/%41%42?x=%2Fpath%3a1",   # decode unreserved, keep reserved
+    "/plain",
+    "/bad%zz%4",                       # malformed triplets untouched
+    "/pct%2525",                       # %25 never double-decodes
+    "/mixed%2d%2E%5f%7E",              # - . _ ~ all decode
+]
+
+
+def q_percent_normalize(spark, sf_dir):
+    """RFC 3986 §6.2.2 percent-encoding normalization
+    (urlnorm.percent_normalize): %7Euser and ~user are THE SAME
+    resource — a frontier that doesn't normalize stores and fetches
+    both spellings. Unreserved octets decode (ALPHA/DIGIT/-._~),
+    every surviving triplet uppercases (%3a→%3A), reserved octets
+    NEVER decode (%2F is not /; %25 never double-decodes), malformed
+    triplets pass untouched — all pinned. The decode table renders
+    BOTH the Spark when-chain and the SQL CASE, so the engines
+    cannot drift."""
+    from dblp_crawler_spark.functions.urlnorm import percent_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_PCT_CASES)
+    tail = F.lit(_PCT_CASES[-1])
+    for i, c in enumerate(_PCT_CASES[:-1]):
+        tail = F.when(m == i, F.lit(c)).otherwise(tail)
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://p"), (F.col("doc_id") % 4).cast("string"),
+                 F.lit(".example"), tail).alias("url"),
+    )
+    return urls.select("doc_id", "url",
+                       percent_normalize("url").alias("normalized"))
+
+
 def q_cloaking_detect(spark, sf_dir):
     """UA-conditional cloaking (hostdup.cloaking_detect): SEO spam
     shows bots keyword farms, bot-walls show bots interstitials —
@@ -5436,6 +5472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_host_scorecard": q_pipeline_host_scorecard,
         "interleaved_segments": q_interleaved_segments,
         "pipeline_reputation_budget": q_pipeline_reputation_budget,
+        "percent_normalize": q_percent_normalize,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -9325,6 +9362,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_host_scorecard": _pipeline_host_scorecard_oracle(),
         "interleaved_segments": _interleaved_segments_oracle(),
         "pipeline_reputation_budget": _pipeline_reputation_budget_oracle(),
+        "percent_normalize": _percent_normalize_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -9869,6 +9907,27 @@ def _interleaved_segments_oracle() -> str:
         FROM documents
     )"""
     return interleaved_segments_sql(src)
+
+
+def _percent_normalize_oracle() -> str:
+    """DuckDB replay of q_percent_normalize — same planted URLs
+    through percent_normalize_sql's generated decode table."""
+    from dblp_crawler_spark.functions.urlnorm import percent_normalize_sql
+
+    whens = "".join(
+        f" WHEN {i} THEN '{c}'" for i, c in enumerate(_PCT_CASES[:-1])
+    )
+    return f"""
+        WITH pn_src AS (
+          SELECT doc_id,
+                 'https://p' || CAST(doc_id % 4 AS VARCHAR) || '.example'
+                   || CASE doc_id % {len(_PCT_CASES)}{whens}
+                      ELSE '{_PCT_CASES[-1]}' END AS url
+          FROM documents
+        )
+        SELECT doc_id, url, {percent_normalize_sql('url')} AS normalized
+        FROM pn_src
+    """
 
 
 def _cloaking_detect_oracle() -> str:

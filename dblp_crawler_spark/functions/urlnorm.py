@@ -609,3 +609,76 @@ def url_param_significance_sql(src: str, host_col: str = "host",
                AS strippable
         FROM up_g GROUP BY {host_col}, param
     """
+
+
+# ---- RFC 3986 §6.2.2 percent-encoding normalization -----------------------------
+#
+# %7Euser and ~user are THE SAME resource; %3a and %3A are the same
+# triplet. A frontier that doesn't normalize percent-encodings
+# stores and fetches both spellings. The two safe syntax-level
+# rules: uppercase every triplet's hex digits, and DECODE triplets
+# whose octet is UNRESERVED (ALPHA / DIGIT / - . _ ~ — decoding
+# anything else changes meaning: %2F is not /). One split on '%',
+# one transform whose per-piece decision is a generated table (the
+# same table renders the SQL replay, so the engines cannot drift);
+# malformed triplets (non-hex or truncated) pass through untouched.
+
+_UNRESERVED = {
+    f"{ord(c):02X}": c
+    for c in ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+              "abcdefghijklmnopqrstuvwxyz0123456789-._~")
+}
+_HEX2 = r"^[0-9A-Fa-f]{2}"
+
+
+def percent_normalize(url: Column | str) -> Column:
+    """Normalized percent-encoding of a URL string: unreserved
+    octets decoded, every surviving triplet uppercased, malformed
+    '%' sequences untouched. Composes BEFORE :func:`canonical_url`
+    (this is a spelling rule, not structure). Pure expressions —
+    one split + one transform, no UDF."""
+    u = F.col(url) if isinstance(url, str) else url
+    parts = F.split(u, "%")
+
+    def piece(p):
+        code = F.upper(p.substr(F.lit(1), F.lit(2)))
+        decoded = F.lit(None).cast("string")
+        for hx, ch in _UNRESERVED.items():
+            decoded = F.when(code == hx, F.lit(ch)).otherwise(decoded)
+        tail = p.substr(F.lit(3), F.length(p))
+        return (
+            F.when(~p.rlike(_HEX2), F.concat(F.lit("%"), p))
+            .when(decoded.isNotNull(), F.concat(decoded, tail))
+            .otherwise(F.concat(F.lit("%"), code, tail))
+        )
+
+    rest = F.aggregate(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+        F.lit("").cast("string"),
+        lambda acc, p: F.concat(acc, piece(p)),
+    )
+    return F.when(F.size(parts) <= 1, u).otherwise(
+        F.concat(F.try_element_at(parts, F.lit(1)), rest)
+    )
+
+
+def percent_normalize_sql(expr: str) -> str:
+    """DuckDB replay of :func:`percent_normalize` — same split, the
+    decode table rendered from the SAME _UNRESERVED dict, list_reduce
+    for the fold."""
+    whens = " ".join(
+        f"WHEN '{hx}' THEN '{ch}'" for hx, ch in _UNRESERVED.items()
+    )
+    piece = (
+        "CASE WHEN NOT regexp_matches(p, '{hex2}') THEN '%' || p "
+        "WHEN (CASE upper(substring(p, 1, 2)) {whens} ELSE NULL END) "
+        "IS NOT NULL THEN "
+        "(CASE upper(substring(p, 1, 2)) {whens} END) || substring(p, 3) "
+        "ELSE '%' || upper(substring(p, 1, 2)) || substring(p, 3) END"
+    ).format(hex2=_HEX2, whens=whens)
+    parts = f"string_split({expr}, '%')"
+    return (
+        f"CASE WHEN len({parts}) <= 1 THEN {expr} ELSE "
+        f"{parts}[1] || list_reduce(list_prepend('', list_transform("
+        f"{parts}[2:], p -> {piece})), (a, b) -> a || b) END"
+    )

@@ -71,3 +71,51 @@ def test_param_significance_duckdb_replay(spark):
                 .sort_values(["host", "param"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
+
+
+# ---- RFC 3986 percent-encoding normalization -----------------------------------
+
+def _pct_cases():
+    return [
+        # unreserved decode + reserved preserved + case uppercased
+        "https://a.ex/%7euser/%41%42?x=%2Fpath%3a1",
+        "https://a.ex/plain",
+        # malformed triplets untouched
+        "https://a.ex/bad%zz%4",
+        # %25 is the percent itself: reserved, never double-decoded
+        "https://a.ex/pct%2525",
+        "https://a.ex/tail%",
+        "%41-leading",
+    ]
+
+
+def test_percent_normalize_pins(spark):
+    from pyspark.sql import functions as F2
+    from dblp_crawler_spark.functions.urlnorm import percent_normalize
+
+    df = spark.createDataFrame([(c,) for c in _pct_cases()], "u string")
+    got = [r.o for r in df.select(percent_normalize("u").alias("o")).collect()]
+    assert got == [
+        "https://a.ex/~user/AB?x=%2Fpath%3A1",
+        "https://a.ex/plain",
+        "https://a.ex/bad%zz%4",
+        "https://a.ex/pct%2525",
+        "https://a.ex/tail%",
+        "A-leading",
+    ]
+
+
+def test_percent_normalize_duckdb_replay(spark):
+    from pyspark.sql import functions as F2
+    from dblp_crawler_spark.functions.urlnorm import (
+        percent_normalize,
+        percent_normalize_sql,
+    )
+
+    df = spark.createDataFrame([(c,) for c in _pct_cases()], "u string")
+    got = [r.o for r in df.select(percent_normalize("u").alias("o")).collect()]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"u": _pct_cases()}))
+    duck = [r[0] for r in
+            con.sql(f"SELECT {percent_normalize_sql('u')} FROM t").fetchall()]
+    assert got == duck
