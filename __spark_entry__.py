@@ -3148,6 +3148,37 @@ def q_percent_normalize(spark, sf_dir):
                        percent_normalize("url").alias("normalized"))
 
 
+def q_sitemap_scope_check(spark, sf_dir):
+    """Sitemap scope validation (webparse.sitemap_scope_check): the
+    protocol's injection defense — a sitemap may only DESCRIBE URLs
+    on its own host at or below its own directory, otherwise any
+    site could inject arbitrary-host URLs into a frontier through
+    its own sitemap. Planted: in-scope entries (same dir, below dir,
+    case-folded host), an above-dir entry, and a cross-host
+    injection attempt."""
+    from dblp_crawler_spark.sources.webparse import sitemap_scope_check
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    sm = F.concat(F.lit("https://s"), (d % 4).cast("string"),
+                  F.lit(".example/news/sitemap.xml"))
+    m5 = d % 5
+    url = (
+        F.when(m5 == 0, F.concat(F.lit("https://s"), (d % 4).cast("string"),
+                                 F.lit(".example/news/p"), d.cast("string")))
+        .when(m5 == 1, F.concat(F.lit("https://s"), (d % 4).cast("string"),
+                                F.lit(".example/news/sub/p"), d.cast("string")))
+        .when(m5 == 2, F.concat(F.lit("https://S"), (d % 4).cast("string"),
+                                F.lit(".EXAMPLE/news/p"), d.cast("string")))
+        .when(m5 == 3, F.concat(F.lit("https://s"), (d % 4).cast("string"),
+                                F.lit(".example/blog/p"), d.cast("string")))
+        .otherwise(F.concat(F.lit("https://evil.example/news/p"),
+                            d.cast("string")))
+    )
+    entries = docs.select("doc_id", sm.alias("sitemap_url"), url.alias("url"))
+    return sitemap_scope_check(entries)
+
+
 def q_cloaking_detect(spark, sf_dir):
     """UA-conditional cloaking (hostdup.cloaking_detect): SEO spam
     shows bots keyword farms, bot-walls show bots interstitials —
@@ -5473,6 +5504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_segments": q_interleaved_segments,
         "pipeline_reputation_budget": q_pipeline_reputation_budget,
         "percent_normalize": q_percent_normalize,
+        "sitemap_scope_check": q_sitemap_scope_check,
         "triangle_counts": q_triangle_counts,
         "events_transitions": q_events_transitions,
         "idn_homograph": q_idn_homograph,
@@ -9363,6 +9395,7 @@ def oracle_sql() -> dict[str, str]:
         "interleaved_segments": _interleaved_segments_oracle(),
         "pipeline_reputation_budget": _pipeline_reputation_budget_oracle(),
         "percent_normalize": _percent_normalize_oracle(),
+        "sitemap_scope_check": _sitemap_scope_check_oracle(),
         "triangle_counts": _triangle_counts_oracle(),
         "events_transitions": _events_transitions_oracle(),
         "idn_homograph": _idn_homograph_oracle(),
@@ -9928,6 +9961,29 @@ def _percent_normalize_oracle() -> str:
         SELECT doc_id, url, {percent_normalize_sql('url')} AS normalized
         FROM pn_src
     """
+
+
+def _sitemap_scope_check_oracle() -> str:
+    """DuckDB replay of q_sitemap_scope_check — same planted entries
+    through sitemap_scope_check_sql."""
+    from dblp_crawler_spark.sources.webparse import sitemap_scope_check_sql
+
+    s4 = "CAST(doc_id % 4 AS VARCHAR)"
+    d = "CAST(doc_id AS VARCHAR)"
+    src = f"""(
+        SELECT doc_id,
+               'https://s' || {s4} || '.example/news/sitemap.xml'
+                 AS sitemap_url,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'https://s' || {s4} || '.example/news/p' || {d}
+                 WHEN 1 THEN 'https://s' || {s4} || '.example/news/sub/p' || {d}
+                 WHEN 2 THEN 'https://S' || {s4} || '.EXAMPLE/news/p' || {d}
+                 WHEN 3 THEN 'https://s' || {s4} || '.example/blog/p' || {d}
+                 ELSE 'https://evil.example/news/p' || {d}
+               END AS url
+        FROM documents
+    )"""
+    return sitemap_scope_check_sql(src)
 
 
 def _cloaking_detect_oracle() -> str:

@@ -1706,3 +1706,52 @@ def interleaved_segments_sql(src: str = "html_pages", url_col: str = "url",
         FROM is_slots
         WHERE content IS NOT NULL AND content <> ''
     """
+
+
+def sitemap_scope_check(entries: DataFrame, sitemap_col: str = "sitemap_url",
+                        url_col: str = "url") -> DataFrame:
+    """The sitemaps.org scope rule: a sitemap may only DESCRIBE URLs
+    on its own host, at or below its own directory — entries outside
+    that scope must be ignored (otherwise any site could inject
+    arbitrary-host URLs into a crawler's frontier through its own
+    sitemap: the protocol's injection defense). Adds (in_scope,
+    scope_reason): 'ok', 'cross-host', or 'above-dir'. Host compare
+    is case-folded; the directory is the sitemap path up to and
+    including its last '/'; the entry path must start with it. Pure
+    projection — run between sitemap_entries and frontier
+    admission."""
+    from ..functions.urlnorm import url_host, url_path
+
+    sm_host = url_host(F.col(sitemap_col))
+    e_host = url_host(F.col(url_col))
+    sm_dir = F.regexp_replace(url_path(F.col(sitemap_col)), r"[^/]*$", "")
+    e_path = url_path(F.col(url_col))
+    reason = (
+        F.when(e_host != sm_host, "cross-host")
+        .when(~e_path.startswith(sm_dir), "above-dir")
+        .otherwise("ok")
+    )
+    return entries.withColumns(
+        {"in_scope": reason == "ok", "scope_reason": reason}
+    )
+
+
+def sitemap_scope_check_sql(src: str, sitemap_col: str = "sitemap_url",
+                            url_col: str = "url") -> str:
+    """DuckDB replay of :func:`sitemap_scope_check` — same host/path
+    fragments, same precedence."""
+    from ..functions.urlnorm import url_host_sql, url_path_sql
+
+    sm_host = url_host_sql(sitemap_col)
+    e_host = url_host_sql(url_col)
+    sm_dir = f"regexp_replace({url_path_sql(sitemap_col)}, '[^/]*$', '')"
+    e_path = url_path_sql(url_col)
+    reason = (
+        f"CASE WHEN {e_host} <> {sm_host} THEN 'cross-host' "
+        f"WHEN NOT starts_with({e_path}, {sm_dir}) THEN 'above-dir' "
+        f"ELSE 'ok' END"
+    )
+    return f"""
+        SELECT *, ({reason}) = 'ok' AS in_scope, {reason} AS scope_reason
+        FROM {src}
+    """

@@ -71,3 +71,50 @@ def test_feed_entries_duckdb_replay(spark):
             lambda v: None if pd.isna(v) else str(v)[:10]
         )
     pd.testing.assert_frame_equal(spark_pdf, duck_pdf[spark_pdf.columns])
+
+
+# ---- sitemap scope validation ---------------------------------------------------
+
+def _scope_rows():
+    sm = "https://a.ex/news/sitemap.xml"
+    return [
+        (sm, "https://a.ex/news/2026/story1"),        # ok
+        (sm, "https://a.ex/news/sub/dir/p"),          # ok (below dir)
+        (sm, "https://A.EX/news/x"),                  # host case-folds: ok
+        (sm, "https://a.ex/blog/p"),                  # above-dir
+        (sm, "https://evil.ex/news/p"),               # cross-host
+        # root sitemap scopes the whole host
+        ("https://b.ex/sitemap.xml", "https://b.ex/anything/at/all"),
+    ]
+
+
+def test_sitemap_scope_pins(spark):
+    from dblp_crawler_spark.sources.webparse import sitemap_scope_check
+
+    df = spark.createDataFrame(_scope_rows(), "sitemap_url string, url string")
+    got = {r.url: (r.in_scope, r.scope_reason)
+           for r in sitemap_scope_check(df).collect()}
+    assert got["https://a.ex/news/2026/story1"] == (True, "ok")
+    assert got["https://a.ex/news/sub/dir/p"] == (True, "ok")
+    assert got["https://A.EX/news/x"] == (True, "ok")
+    assert got["https://a.ex/blog/p"] == (False, "above-dir")
+    assert got["https://evil.ex/news/p"] == (False, "cross-host")
+    assert got["https://b.ex/anything/at/all"] == (True, "ok")
+
+
+def test_sitemap_scope_duckdb_replay(spark):
+    from dblp_crawler_spark.sources.webparse import (
+        sitemap_scope_check,
+        sitemap_scope_check_sql,
+    )
+
+    df = spark.createDataFrame(_scope_rows(), "sitemap_url string, url string")
+    spark_pdf = (sitemap_scope_check(df).toPandas()
+                 .sort_values("url").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("entries", pd.DataFrame(
+        _scope_rows(), columns=["sitemap_url", "url"]))
+    duck_pdf = (con.sql(sitemap_scope_check_sql("entries")).df()
+                .sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
