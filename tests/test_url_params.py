@@ -119,3 +119,44 @@ def test_percent_normalize_duckdb_replay(spark):
     duck = [r[0] for r in
             con.sql(f"SELECT {percent_normalize_sql('u')} FROM t").fetchall()]
     assert got == duck
+
+
+def _py_percent_normalize(u: str) -> str:
+    """From-scratch sequential reference of the two RFC 3986 §6.2.2
+    rules (unreserved decode + triplet uppercase)."""
+    unreserved = set("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                     "abcdefghijklmnopqrstuvwxyz0123456789-._~")
+    out, i = [], 0
+    while i < len(u):
+        c = u[i]
+        if c == "%" and i + 2 < len(u) + 1 and len(u) - i >= 3 \
+                and all(x in "0123456789abcdefABCDEF" for x in u[i+1:i+3]):
+            ch = chr(int(u[i+1:i+3], 16))
+            if ch in unreserved:
+                out.append(ch)
+            else:
+                out.append("%" + u[i+1:i+3].upper())
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(urls=st.lists(
+    st.text(alphabet="abz%417EfG2-._~/?=&", min_size=0, max_size=30),
+    min_size=1, max_size=8))
+def test_percent_normalize_matches_python_reference(spark, urls):
+    from dblp_crawler_spark.functions.urlnorm import percent_normalize
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r.o for r in
+           df.select(percent_normalize("u").alias("o")).collect()]
+    assert got == [_py_percent_normalize(u) for u in urls]
