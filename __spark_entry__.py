@@ -5162,6 +5162,58 @@ def q_xmp_license(spark, sf_dir):
     )
 
 
+def _cam_app1(model: str, le=True, inline=False):
+    val = model.encode() + b"\x00"
+    cnt = len(val)
+    if le:
+        ent = "1001" + "0200" + "".join(
+            f"{(cnt >> (8 * i)) & 0xFF:02X}" for i in range(4))
+    else:
+        ent = "0110" + "0002" + f"{cnt:08X}"
+    if inline:
+        v, extra = val.hex().upper().ljust(8, "0"), ""
+    else:
+        off = 8 + 2 + 12 + 4
+        v = ("".join(f"{(off >> (8 * i)) & 0xFF:02X}" for i in range(4))
+             if le else f"{off:08X}")
+        extra = val.hex().upper()
+    hdr = ("49492A00" + "08000000" + "0100") if le \
+        else ("4D4D002A" + "00000008" + "0001")
+    payload = "457869660000" + hdr + ent + v + "00000000" + extra
+    return "FFE1" + f"{len(payload) // 2 + 2:04X}" + payload
+
+
+#: planted camera-model cases: LE offset-stored, BE offset-stored,
+#: LE inline (count <= 4), EXIF-less JPEG, PNG.
+_CAM_CASES = [
+    "FFD8" + _cam_app1("Canon EOS R5", le=True),
+    "FFD8" + _cam_app1("NIKON Z9", le=False),
+    "FFD8" + _cam_app1("X1", le=True, inline=True),
+    "FFD8" + _ES_APP0,
+    "89504E470D0A1A0A" + "00" * 8,
+]
+
+
+def q_exif_camera_model(spark, sf_dir):
+    """EXIF camera-model provenance (sniff.exif_camera_model): a host
+    whose images all report ONE model is a single-shooter archive; a
+    host whose images report NONE is usually synthetic output
+    (generators don't write EXIF) — per-host model diversity is the
+    stock-farm signal. ASCII tag 0x0110 read endian-aware with the
+    inline-vs-offset storage rule (count <= 4 packs into the value
+    field; larger strings live behind an offset from the TIFF
+    header), NUL terminator excluded, clamped at 32 bytes."""
+    from dblp_crawler_spark.operators.sniff import exif_camera_model
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_CAM_CASES)
+    hexstr = F.lit(_CAM_CASES[-1])
+    for i, hx in enumerate(_CAM_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return exif_camera_model(imgs).select("doc_id", "fmt", "camera_model")
+
+
 #: planted K4 on fresh nodes for q_triangle_counts — 4 triangles,
 #: every member in 3, clustering 1.0 on the degree-3 corners.
 _TRI_K4 = [("h100", "h101"), ("h100", "h102"), ("h100", "h103"),
@@ -5490,6 +5542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_animation": q_webp_animation,
         "exif_strip": q_exif_strip,
         "xmp_license": q_xmp_license,
+        "exif_camera_model": q_exif_camera_model,
         "feed_entries": q_feed_entries,
         "cloaking_detect": q_cloaking_detect,
         "url_param_significance": q_url_param_significance,
@@ -9381,6 +9434,7 @@ def oracle_sql() -> dict[str, str]:
         "webp_animation": _webp_animation_oracle(),
         "exif_strip": _exif_strip_oracle(),
         "xmp_license": _xmp_license_oracle(),
+        "exif_camera_model": _exif_camera_model_oracle(),
         "feed_entries": _feed_entries_oracle(),
         "cloaking_detect": _cloaking_detect_oracle(),
         "url_param_significance": _url_param_significance_oracle(),
@@ -10126,6 +10180,27 @@ def _exif_strip_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} es_src)"
     return exif_strip_sql(staged)
+
+
+def _exif_camera_model_oracle() -> str:
+    """DuckDB replay of q_exif_camera_model — same planted hex
+    through exif_camera_model_sql's shared staging."""
+    from dblp_crawler_spark.operators.sniff import (
+        exif_camera_model_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_CAM_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_CAM_CASES)}{whens}
+                 ELSE '{_CAM_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} cm_src)"
+    return exif_camera_model_sql(staged)
 
 
 def _xmp_license_oracle() -> str:

@@ -2918,3 +2918,89 @@ def xmp_license_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                license_url, rights
         FROM xl3
     """
+
+
+# ---- EXIF camera make/model (provenance) -------------------------------------------
+#
+# Provenance tier: a host whose images all report ONE camera model is
+# a single-shooter archive; a host whose images report NONE is
+# usually synthetic/scraped output (generators don't write EXIF) —
+# per-host model diversity is the stock-farm signal. The Model tag
+# (0x0110, ASCII) lives in IFD0; ASCII values are NUL-terminated and
+# count>4 values live behind an offset from the TIFF header, so the
+# read is: scan entries for the tag, pick inline vs offset storage by
+# COUNT, slice exactly count-1 bytes, decode. Same staging as the
+# EXIF family.
+
+_MODEL_TAG = 0x0110
+#: longest model string read (beyond: truncated — it is a label)
+MODEL_MAX_BYTES = 32
+
+
+def exif_camera_model(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, camera_model): the EXIF Model string, NULL for
+    non-EXIF rows, absent tags, non-ASCII types, and reads past the
+    window. Inline (count ≤ 4) and offset-stored values both handled;
+    the NUL terminator is excluded by slicing count−1 bytes; values
+    longer than MODEL_MAX_BYTES clamp (a label, not a payload).
+    Map-side projection on the shared 256-byte EXIF window."""
+    staged = _exif_stage(df, bytes_col)
+    hx = F.col("__ex")
+
+    def rd(pos, n_bytes):
+        return F.when(F.col("__le"), _le(hx, pos, n_bytes)).otherwise(
+            _hex2long(hx, pos, 2 * n_bytes)
+        )
+
+    branches = []
+    for i in range(IFD_MAX_ENTRIES):
+        epos = F.col("__e") + F.lit(24 * i)
+        typ = rd(epos + F.lit(4), 2)
+        cnt = rd(epos + F.lit(8), 4)
+        hit = (F.lit(i) < F.col("__n")) & (rd(epos, 2) == _MODEL_TAG) & (typ == 2)
+        n = F.least(cnt - 1, F.lit(MODEL_MAX_BYTES))
+        inline = hx.substr(epos + F.lit(16), (n * 2).cast("int"))
+        off_pos = F.col("__t") + F.lit(2) * rd(epos + F.lit(16), 4)
+        stored = hx.substr(off_pos.cast("int"), (n * 2).cast("int"))
+        branches.append(
+            F.when(hit & (cnt > 1),
+                   F.when(cnt <= 4, inline).otherwise(stored))
+        )
+    model_hex = F.coalesce(*branches)
+    # a window-truncated slice has odd/short hex; unhex NULL-absorbs
+    model = F.when(
+        model_hex.rlike("^(?:[0-9A-F]{2})+$"),
+        F.decode(F.unhex(model_hex), "UTF-8"),
+    )
+    return (
+        staged.withColumn("camera_model", model)
+        .drop("__ex", "__t", "__le", "__ifd", "__n", "__e")
+    )
+
+
+def exif_camera_model_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                          fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`exif_camera_model` — shared staging
+    CTE, same inline-vs-offset rule, same clamp and hex validation."""
+    def branch(i):
+        typ = _rd_sql("h", "le", f"e + {24 * i} + 4", 2)
+        cnt = _rd_sql("h", "le", f"e + {24 * i} + 8", 4)
+        tag = _rd_sql("h", "le", f"e + {24 * i}", 2)
+        n = f"least(({cnt}) - 1, {MODEL_MAX_BYTES})"
+        inline = f"substring(h, e + {24 * i} + 16, ({n}) * 2)"
+        off = _rd_sql("h", "le", f"e + {24 * i} + 16", 4)
+        stored = f"substring(h, t + 2 * ({off}), ({n}) * 2)"
+        return (f"CASE WHEN {i} < n AND ({tag}) = {_MODEL_TAG} "
+                f"AND ({typ}) = 2 AND ({cnt}) > 1 THEN "
+                f"CASE WHEN ({cnt}) <= 4 THEN {inline} ELSE {stored} END END")
+
+    branches = ", ".join(branch(i) for i in range(IFD_MAX_ENTRIES))
+    return f"""
+        WITH {_exif_stage_sql(src, keep, h_col, fmt_col)}, cm AS (
+          SELECT {keep}, fmt, COALESCE({branches}) AS mh FROM eo_en
+        )
+        SELECT {keep}, fmt,
+               CASE WHEN regexp_matches(mh, '^(?:[0-9A-F]{{2}})+$')
+                    THEN decode(unhex(mh)) END AS camera_model
+        FROM cm
+    """
