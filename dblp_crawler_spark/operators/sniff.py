@@ -3004,3 +3004,408 @@ def exif_camera_model_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                     THEN decode(unhex(mh)) END AS camera_model
         FROM cm
     """
+
+
+# ---- PNG textual metadata (tEXt) -------------------------------------------
+#
+# Generators sign their PNG output here: Stable Diffusion WebUI
+# writes the whole prompt into a 'parameters' tEXt chunk, most
+# exporters write 'Software' — the PNG counterpart of the EXIF
+# camera-model provenance signal (which PNGs never carry).  The walk
+# is png_animated's bounded chunk hop parked at IDAT/IEND, so a tEXt
+# placed after the image data is never seen (spec-legal but useless
+# for provenance: generators always write it before IDAT).  The
+# keyword's NUL separator has no declared length, so the scan is an
+# unrolled first-NUL probe bounded at PNG_KEYWORD_MAX_BYTES; keyword
+# and value decode only when their hex is printable ASCII — DuckDB's
+# decode() ERRORS on invalid UTF-8 where Spark substitutes U+FFFD,
+# and the printable gate is what keeps both engines exact (a Latin-1
+# accented value NULL-absorbs on both; documented clamp).
+
+_TEXT_HEX = "74455874"
+PNG_KEYWORD_MAX_BYTES = 24
+PNG_TEXT_MAX_BYTES = 48
+#: hex pairs of printable ASCII 0x20..0x7E — decode-safe on BOTH engines
+_PRINTABLE_HEX_RE = "^(?:2[0-9A-F]|[3-6][0-9A-F]|7[0-9A-E])+$"
+#: generator fingerprints for the Software keyword (case-insensitive)
+_GEN_SOFTWARE_RE = "(?i)(stable.?diffusion|midjourney|dall.e|novelai|invokeai|comfyui)"
+
+
+def png_text_chunk(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, text_keyword, text_value, gen_hint) from the FIRST
+    tEXt chunk before IDAT/IEND — all NULL for non-PNG rows, PNGs
+    without a pre-IDAT tEXt, keywords with no NUL within the scan
+    bound, and non-printable-ASCII keyword/value bytes.  text_value
+    clamps at PNG_TEXT_MAX_BYTES (a provenance label, not a payload);
+    an empty text field decodes to ''.  gen_hint is true when the
+    keyword is 'parameters' (SD-WebUI's prompt chunk) or 'Software'
+    names a known generator; false for any other decoded keyword;
+    NULL when no keyword decoded.  One 1 KiB hex projection."""
+    staged = df.withColumns(
+        {
+            "__px": F.hex(F.substring(F.col(bytes_col), 1, PNG_ANIM_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__px")
+    is_png = F.col("fmt") == "png"
+
+    def hop(acc, _i):
+        pos = acc["pos"]
+        ctype = hx.substr(pos + F.lit(8), F.lit(8))
+        stop = ctype.isin(_IDAT_HEX, _IEND_HEX)
+        nxt = F.when(stop, pos).otherwise(
+            pos + F.lit(24) + F.lit(2) * _hex2long(hx, pos, 8)
+        )
+        return F.struct(
+            nxt.alias("pos"),
+            F.coalesce(acc["t"],
+                       F.when(ctype == _TEXT_HEX, pos)).alias("t"),
+        )
+
+    acc0 = F.struct(
+        F.lit(17).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("t"),
+    )
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(PNG_CHUNK_MAX_HOPS)), acc0, hop)["t"]
+    s1 = staged.withColumn("__t", F.when(is_png, walk))
+    t = F.col("__t")
+    s2 = s1.withColumn("__len", F.when(t.isNotNull(), _hex2long(hx, t, 8)))
+    ln = F.col("__len")
+    # first NUL byte index within the keyword scan bound = keyword length
+    nul_branches = [
+        F.when(
+            (F.lit(i) < F.least(ln, F.lit(PNG_KEYWORD_MAX_BYTES + 1)))
+            & (hx.substr(t + F.lit(16 + 2 * i), F.lit(2)) == "00"),
+            F.lit(i).cast("long"),
+        )
+        for i in range(PNG_KEYWORD_MAX_BYTES + 1)
+    ]
+    s3 = s2.withColumn("__klen", F.coalesce(*nul_branches))
+    klen = F.col("__klen")
+    kw_hex = F.when(klen > 0, hx.substr(t + F.lit(16), (klen * 2).cast("int")))
+    vlen = F.least(ln - klen - 1, F.lit(PNG_TEXT_MAX_BYTES))
+    val_hex = F.when(
+        klen > 0,
+        hx.substr((t + 16 + 2 * (klen + 1)).cast("int"), (vlen * 2).cast("int")),
+    )
+    keyword = F.when(kw_hex.rlike(_PRINTABLE_HEX_RE),
+                     F.decode(F.unhex(kw_hex), "UTF-8"))
+    s4 = s3.withColumns(
+        {
+            "text_keyword": keyword,
+            "text_value": F.when(
+                keyword.isNotNull(),
+                F.when(vlen == 0, F.lit("")).otherwise(
+                    F.when(val_hex.rlike(_PRINTABLE_HEX_RE),
+                           F.decode(F.unhex(val_hex), "UTF-8"))
+                ),
+            ),
+        }
+    )
+    gen = (F.col("text_keyword") == "parameters") | (
+        (F.col("text_keyword") == "Software")
+        & F.col("text_value").rlike(_GEN_SOFTWARE_RE)
+    )
+    return (
+        s4.withColumn(
+            "gen_hint",
+            F.when(F.col("text_keyword").isNotNull(), F.coalesce(gen, F.lit(False))),
+        )
+        .drop("__px", "__t", "__len", "__klen")
+    )
+
+
+def png_text_chunk_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                       fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`png_text_chunk` — same chunk-hop CTE
+    chain as png_animated_sql, same NUL probe, printable gate, and
+    generator regex."""
+    ctes = [f"""pt0 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CAST(17 AS BIGINT) AS pos,
+                 CAST(NULL AS BIGINT) AS t
+          FROM {src}
+        )"""]
+    for k in range(PNG_CHUNK_MAX_HOPS):
+        clen = "TRY_CAST(concat('0x', substring(h, pos, 8)) AS BIGINT)"
+        ctes.append(f"""pt{k + 1} AS (
+          SELECT {keep}, fmt, h,
+                 CASE WHEN substring(h, pos + 8, 8)
+                        IN ('{_IDAT_HEX}', '{_IEND_HEX}') THEN pos
+                      ELSE pos + 24 + 2 * {clen} END AS pos,
+                 COALESCE(t, CASE WHEN substring(h, pos + 8, 8)
+                          = '{_TEXT_HEX}' THEN pos END) AS t
+          FROM pt{k})""")
+    last = f"pt{PNG_CHUNK_MAX_HOPS}"
+    nul = ", ".join(
+        f"CASE WHEN {i} < least(ln, {PNG_KEYWORD_MAX_BYTES + 1}) "
+        f"AND substring(h, t + {16 + 2 * i}, 2) = '00' "
+        f"THEN CAST({i} AS BIGINT) END"
+        for i in range(PNG_KEYWORD_MAX_BYTES + 1)
+    )
+    return f"""
+        WITH {", ".join(ctes)}, pt_t AS (
+          SELECT {keep}, fmt, h,
+                 CASE WHEN fmt = 'png' THEN t END AS t
+          FROM {last}
+        ), pt_l AS (
+          SELECT {keep}, fmt, h, t,
+                 CASE WHEN t IS NOT NULL THEN
+                   TRY_CAST(concat('0x', substring(h, t, 8)) AS BIGINT) END AS ln
+          FROM pt_t
+        ), pt_k AS (
+          SELECT {keep}, fmt, h, t, ln, COALESCE({nul}) AS klen
+          FROM pt_l
+        ), pt_hx AS (
+          SELECT {keep}, fmt, ln, klen,
+                 CASE WHEN klen > 0 THEN substring(h, t + 16, klen * 2) END AS kh,
+                 least(ln - klen - 1, {PNG_TEXT_MAX_BYTES}) AS vlen,
+                 CASE WHEN klen > 0 THEN
+                   substring(h, t + 16 + 2 * (klen + 1),
+                             least(ln - klen - 1, {PNG_TEXT_MAX_BYTES}) * 2) END AS vh
+          FROM pt_k
+        ), pt_d AS (
+          SELECT {keep}, fmt, vlen, vh,
+                 CASE WHEN regexp_matches(kh, '{_PRINTABLE_HEX_RE}')
+                      THEN decode(unhex(kh)) END AS text_keyword
+          FROM pt_hx
+        ), pt_v AS (
+          SELECT {keep}, fmt, text_keyword,
+                 CASE WHEN text_keyword IS NOT NULL THEN
+                   CASE WHEN vlen = 0 THEN ''
+                        WHEN regexp_matches(vh, '{_PRINTABLE_HEX_RE}')
+                        THEN decode(unhex(vh)) END END AS text_value
+          FROM pt_d
+        )
+        SELECT {keep}, fmt, text_keyword, text_value,
+               CASE WHEN text_keyword IS NOT NULL THEN COALESCE(
+                 text_keyword = 'parameters' OR (text_keyword = 'Software'
+                   AND regexp_matches(text_value, '{_GEN_SOFTWARE_RE}')),
+                 FALSE) END AS gen_hint
+        FROM pt_v
+    """
+
+
+# ---- physical pixel density (JFIF APP0 / PNG pHYs) ---------------------------
+#
+# Density metadata is scan-vs-screen provenance: a 300/600 dpi JPEG
+# is overwhelmingly a scanner/camera-pipeline product, 72/96 dpi is
+# screen-export, and PNGs carrying pHYs in meters come from print
+# tooling — another decode-free axis for the synthetic-vs-archival
+# split (generators emit no density or the library default). JFIF
+# reads are fixed offsets (spec pins 'JFIF\0' + version + unit +
+# X/Y density at the head of a leading APP0); PNG reuses the bounded
+# chunk walk parked at IDAT/IEND to find pHYs. dpi_x/dpi_y
+# normalize to dots-per-inch with INTEGER half-up arithmetic
+# (25.4 mm/inch → ×254 over the metric divisor) so both engines
+# round identically; aspect-ratio-only densities (JFIF unit 0)
+# yield NULL dpi, and a JPEG whose first segment is not a JFIF APP0
+# (EXIF-first files) reports all-NULL — EXIF density lives in the
+# IFD walk family, not here.
+
+_PHYS_HEX = "70485973"
+#: JFIF unit byte / pHYs unit byte → label
+DENSITY_UNITS_JFIF = {0: "aspect", 1: "dpi", 2: "dpcm"}
+
+
+def image_density(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, density_unit, density_x, density_y, dpi_x, dpi_y):
+    raw declared densities plus inch-normalized integers (half-up).
+    NULL throughout for rows without density metadata."""
+    staged = df.withColumns(
+        {
+            "__dx": F.hex(F.substring(F.col(bytes_col), 1, PNG_ANIM_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__dx")
+    # JFIF: FFD8(4) FFE0(4) len(4) 'JFIF\0'(10) ver(4) unit(2) dx(4) dy(4)
+    is_jfif = (
+        (F.col("fmt") == "jpeg")
+        & (hx.substr(F.lit(5), F.lit(4)) == "FFE0")
+        & (hx.substr(F.lit(13), F.lit(10)) == "4A46494600")
+    )
+    j_unit = F.when(is_jfif, _hex2long(hx, F.lit(27), 2))
+    j_dx = F.when(is_jfif, _hex2long(hx, F.lit(29), 4))
+    j_dy = F.when(is_jfif, _hex2long(hx, F.lit(33), 4))
+
+    def hop(acc, _i):
+        pos = acc["pos"]
+        ctype = hx.substr(pos + F.lit(8), F.lit(8))
+        stop = ctype.isin(_IDAT_HEX, _IEND_HEX)
+        nxt = F.when(stop, pos).otherwise(
+            pos + F.lit(24) + F.lit(2) * _hex2long(hx, pos, 8)
+        )
+        return F.struct(
+            nxt.alias("pos"),
+            F.coalesce(acc["p"],
+                       F.when(ctype == _PHYS_HEX, pos)).alias("p"),
+        )
+
+    acc0 = F.struct(
+        F.lit(17).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("p"),
+    )
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(PNG_CHUNK_MAX_HOPS)), acc0, hop)["p"]
+    s1 = staged.withColumn("__p", F.when(F.col("fmt") == "png", walk))
+    p = F.col("__p")
+    p_x = _hex2long(hx, p + F.lit(16), 8)
+    p_y = _hex2long(hx, p + F.lit(24), 8)
+    p_m = _hex2long(hx, p + F.lit(32), 2) == 1  # 1 = per metre
+    unit = (
+        F.when(p.isNotNull() & p_m, "per_meter")
+        .when(p.isNotNull(), "aspect")
+        .when(j_unit == 0, "aspect")
+        .when(j_unit == 1, "dpi")
+        .when(j_unit == 2, "dpcm")
+    )
+    dx = F.coalesce(F.when(p.isNotNull(), p_x), j_dx)
+    dy = F.coalesce(F.when(p.isNotNull(), p_y), j_dy)
+    u = F.col("density_unit")
+    out = s1.withColumns(
+        {
+            "density_unit": unit,
+            "density_x": dx.cast("long"),
+            "density_y": dy.cast("long"),
+        }
+    )
+    return out.withColumns(
+        {
+            "dpi_x": F.floor(
+                F.when(u == "dpi", F.col("density_x"))
+                .when(u == "dpcm", (F.col("density_x") * 254 + 50) / 100)
+                .when(u == "per_meter", (F.col("density_x") * 254 + 5000) / 10000)
+            ).cast("long"),
+            "dpi_y": F.floor(
+                F.when(u == "dpi", F.col("density_y"))
+                .when(u == "dpcm", (F.col("density_y") * 254 + 50) / 100)
+                .when(u == "per_meter", (F.col("density_y") * 254 + 5000) / 10000)
+            ).cast("long"),
+        }
+    ).drop("__dx", "__p")
+
+
+def image_density_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                      fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`image_density` — same JFIF offsets,
+    chunk walk, unit labels, and integer dpi arithmetic."""
+    ctes = [f"""dn0 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CAST(17 AS BIGINT) AS pos,
+                 CAST(NULL AS BIGINT) AS p
+          FROM {src}
+        )"""]
+    for k in range(PNG_CHUNK_MAX_HOPS):
+        clen = "TRY_CAST(concat('0x', substring(h, pos, 8)) AS BIGINT)"
+        ctes.append(f"""dn{k + 1} AS (
+          SELECT {keep}, fmt, h,
+                 CASE WHEN substring(h, pos + 8, 8)
+                        IN ('{_IDAT_HEX}', '{_IEND_HEX}') THEN pos
+                      ELSE pos + 24 + 2 * {clen} END AS pos,
+                 COALESCE(p, CASE WHEN substring(h, pos + 8, 8)
+                          = '{_PHYS_HEX}' THEN pos END) AS p
+          FROM dn{k})""")
+    last = f"dn{PNG_CHUNK_MAX_HOPS}"
+
+    def be(pos_expr, n):
+        return f"TRY_CAST(concat('0x', substring(h, {pos_expr}, {n})) AS BIGINT)"
+
+    jfif = ("fmt = 'jpeg' AND substring(h, 5, 4) = 'FFE0' "
+            "AND substring(h, 13, 10) = '4A46494600'")
+    return f"""
+        WITH {", ".join(ctes)}, dn_j AS (
+          SELECT {keep}, fmt, h,
+                 CASE WHEN fmt = 'png' THEN p END AS p,
+                 CASE WHEN {jfif} THEN {be(27, 2)} END AS j_unit,
+                 CASE WHEN {jfif} THEN {be(29, 4)} END AS j_dx,
+                 CASE WHEN {jfif} THEN {be(33, 4)} END AS j_dy
+          FROM {last}
+        ), dn_u AS (
+          SELECT {keep}, fmt,
+                 CASE WHEN p IS NOT NULL AND {be('p + 32', 2)} = 1
+                        THEN 'per_meter'
+                      WHEN p IS NOT NULL THEN 'aspect'
+                      WHEN j_unit = 0 THEN 'aspect'
+                      WHEN j_unit = 1 THEN 'dpi'
+                      WHEN j_unit = 2 THEN 'dpcm' END AS density_unit,
+                 CAST(COALESCE(CASE WHEN p IS NOT NULL
+                          THEN {be('p + 16', 8)} END, j_dx) AS BIGINT) AS density_x,
+                 CAST(COALESCE(CASE WHEN p IS NOT NULL
+                          THEN {be('p + 24', 8)} END, j_dy) AS BIGINT) AS density_y
+          FROM dn_j
+        )
+        SELECT {keep}, fmt, density_unit, density_x, density_y,
+               CAST(floor(CASE WHEN density_unit = 'dpi' THEN density_x
+                    WHEN density_unit = 'dpcm'
+                      THEN (density_x * 254 + 50) / 100
+                    WHEN density_unit = 'per_meter'
+                      THEN (density_x * 254 + 5000) / 10000 END) AS BIGINT) AS dpi_x,
+               CAST(floor(CASE WHEN density_unit = 'dpi' THEN density_y
+                    WHEN density_unit = 'dpcm'
+                      THEN (density_y * 254 + 50) / 100
+                    WHEN density_unit = 'per_meter'
+                      THEN (density_y * 254 + 5000) / 10000 END) AS BIGINT) AS dpi_y
+        FROM dn_u
+    """
+
+
+# ---- EXIF thumbnail (IFD1) presence ------------------------------------------
+#
+# Cameras write an IFD1 thumbnail into every JPEG; exporters,
+# messengers, and generators almost never do — so a host whose
+# images still carry thumbnails is serving camera-original files
+# (and leaking a privacy surface: the thumbnail often survives the
+# crop that removed something from the main image). The pointer to
+# IFD1 sits RIGHT AFTER IFD0's entry array: at e + 24*n (hex), a
+# 4-byte offset from the TIFF header; 0 = no IFD1 (the spec's
+# terminator). The read is gated on n <= IFD_MAX_ENTRIES — a
+# corrupt entry count would place the pointer outside the window
+# where partial-slice reads diverge between engines — and the IFD1
+# entry count is only reported when the offset lands in-window
+# (TRY_CAST/conv NULL-absorb the rest).
+
+def exif_thumbnail(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, has_thumbnail, ifd1_entries): true when IFD0's
+    next-IFD pointer is a sane nonzero offset; NULL for non-EXIF
+    rows and implausible entry counts."""
+    staged = _exif_stage(df, bytes_col)
+    hx = F.col("__ex")
+
+    def rd(pos, n_bytes):
+        return F.when(F.col("__le"), _le(hx, pos, n_bytes)).otherwise(
+            _hex2long(hx, pos, 2 * n_bytes)
+        )
+
+    sane = F.col("__n") <= IFD_MAX_ENTRIES
+    off = F.when(sane, rd(F.col("__e") + F.lit(24) * F.col("__n"), 4))
+    ifd1 = F.when(off > 0, rd(F.col("__t") + F.lit(2) * off, 2))
+    return (
+        staged.withColumns(
+            {
+                "has_thumbnail": F.when(off.isNotNull(), off > 0),
+                "ifd1_entries": ifd1.cast("int"),
+            }
+        )
+        .drop("__ex", "__t", "__le", "__ifd", "__n", "__e")
+    )
+
+
+def exif_thumbnail_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                       fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`exif_thumbnail` — shared staging CTE,
+    same sanity gate and pointer arithmetic."""
+    off = (f"CASE WHEN n <= {IFD_MAX_ENTRIES} THEN "
+           f"{_rd_sql('h', 'le', 'e + 24 * n', 4)} END")
+    return f"""
+        WITH {_exif_stage_sql(src, keep, h_col, fmt_col)}, et_o AS (
+          SELECT {keep}, fmt, h, t, le, ({off}) AS off FROM eo_en
+        )
+        SELECT {keep}, fmt,
+               CASE WHEN off IS NOT NULL THEN off > 0 END AS has_thumbnail,
+               CAST(CASE WHEN off > 0 THEN
+                 {_rd_sql('h', 'le', 't + 2 * off', 2)} END AS INT) AS ifd1_entries
+        FROM et_o
+    """
