@@ -296,3 +296,139 @@ def triangle_counts_sql(edges: str, src: str = "src",
                        / (d.degree * (d.degree - 1)), 4) END AS clustering
         FROM tc_deg d LEFT JOIN tc_pn p ON p.node = d.node
     """
+
+
+# ---- k-core peel -------------------------------------------------------------
+#
+# The k-core (maximal subgraph where every member keeps >= k
+# neighbors INSIDE the subgraph) is the density complement to
+# triangle_counts' local texture: a link farm can fake degree but
+# organic communities nest cores — frontier reputation wants "is
+# this host held by a dense neighborhood or propped by pendant
+# trees".  The peel is the standard synchronous fixpoint (Matula &
+# Beck / Batagelj-Zaversnik semantics, distributed a la Montresor's
+# k-core message passing): each round drops EVERY node whose current
+# degree < k at once, then recomputes.  Synchronous rounds (not the
+# sequential min-degree order) make the result engine-portable: the
+# fixpoint set is identical either way — the k-core is unique — and
+# round r's surviving edge set is a pure function of round r-1's, so
+# a fixed-round unrolled SQL CTE chain replays the Spark loop
+# exactly, converged or not.
+#
+# Scale shape per round: ONE hash agg (degrees, map-side partials) +
+# TWO node-keyed equi-joins of the symmetrized edge table against
+# the tiny keep-set + localCheckpoint lineage truncation with the
+# surviving-edge count riding the same job as an Observation
+# (the connected_components / hits discipline — one job per round,
+# nothing all-pairs, no driver-side graph).
+
+def _kcore_sym(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetrized, deduped, loop-free directed view: each undirected
+    edge exactly once per direction, so degree = COUNT per side."""
+    lo = F.least(F.col(src), F.col(dst))
+    hi = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(lo.alias("a"), hi.alias("b"))
+        .distinct()
+    )
+    return und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
+def _kcore_round(sym: DataFrame, k: int) -> DataFrame:
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    keep = deg.filter(F.col("deg") >= k).select("a")
+    return (
+        sym.join(keep, "a")
+        .join(keep.withColumnRenamed("a", "b"), "b")
+        .select("a", "b")
+    )
+
+
+def kcore(edges: DataFrame, k: int, rounds: int,
+          src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, degree) after `rounds` synchronous peels toward the
+    k-core.  Fixed round count for cross-engine replay — pick
+    `rounds` >= the peel depth (longest pendant chain) or use
+    :func:`kcore_converged`; a converged peel is the exact k-core.
+    Self-loops and duplicate/reversed edges collapse first."""
+    sym = _kcore_sym(edges, src, dst).localCheckpoint()
+    for _ in range(rounds):
+        sym = _kcore_round(sym, k).localCheckpoint()
+    return (
+        sym.groupBy("a").agg(F.count("*").alias("degree"))
+        .select(F.col("a").alias("node"), "degree")
+    )
+
+
+def kcore_converged(edges: DataFrame, k: int, max_rounds: int = 64,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """:func:`kcore` run to the fixpoint: stops when a round removes
+    no edge (edge count is the convergence witness — a dropped node
+    always drops its edges — and rides each round's checkpoint job
+    as an Observation, zero extra actions)."""
+    from pyspark.sql import Observation
+
+    sym = _kcore_sym(edges, src, dst).localCheckpoint()
+    prev = None
+    for _ in range(max_rounds):
+        obs = Observation()
+        sym = _kcore_round(sym, k).observe(
+            obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        n = obs.get["n"]
+        if n == prev:
+            break
+        prev = n
+    return (
+        sym.groupBy("a").agg(F.count("*").alias("degree"))
+        .select(F.col("a").alias("node"), "degree")
+    )
+
+
+def kcore_py(edge_list, k: int, rounds: int):
+    """Sequential from-scratch reference for the synchronous peel —
+    the distributed-vs-sequential contract pin."""
+    cur = {(min(u, v), max(u, v)) for u, v in edge_list if u != v}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in cur if u in keep and v in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    deg = {}
+    for u, v in cur:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return deg
+
+
+def kcore_sql(edges: str, k: int, rounds: int,
+              src: str = "src", dst: str = "dst") -> str:
+    """DuckDB replay of :func:`kcore` — the same symmetrize + fixed
+    peel rounds as an unrolled linear CTE chain."""
+    ctes = [f"""kc_u AS (
+          SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+          FROM {edges} WHERE {src} <> {dst}
+        ), kc_e0 AS (
+          SELECT a, b FROM kc_u
+          UNION ALL SELECT b AS a, a AS b FROM kc_u
+        )"""]
+    for r in range(rounds):
+        ctes.append(f"""kc_k{r} AS (
+          SELECT a FROM kc_e{r} GROUP BY a HAVING COUNT(*) >= {k}
+        ), kc_e{r + 1} AS (
+          SELECT e.a, e.b FROM kc_e{r} e
+          JOIN kc_k{r} x ON e.a = x.a
+          JOIN kc_k{r} y ON e.b = y.a
+        )""")
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM kc_e{rounds} GROUP BY a
+    """

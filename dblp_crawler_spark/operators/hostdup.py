@@ -503,3 +503,76 @@ def host_scorecard_sql(probe_src: str, page_src: str, payload_src: str,
                  AS flagged
         FROM hs_j
     """
+
+
+# ---- scheme / www variant preference ----------------------------------------
+#
+# Most sites serve the same page at up to four spellings (http/https
+# × www/bare). Content-hash election (canonical_election) catches
+# them AFTER fetching all four; this operator collapses them
+# DECLARATIVELY, before a byte is fetched, by the convention
+# browsers and search engines settled on: prefer https over http and
+# the bare host over www. — rank = https*2 + bare*1, ties (same
+# rank, distinct URLs can only differ beyond the variant key) break
+# on the lexicographically smallest URL. Runs on canonicalized URLs
+# (canonical_url upstream — casing/ports already normalized). One
+# window over the variant key + one key join back; the variant key
+# strips scheme and a single leading 'www.' label.
+
+def variant_preference(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, preferred_url, is_alias) per distinct URL: all observed
+    scheme/www variants of the same host+path group under one key;
+    the highest-preference spelling is elected, the rest are aliases
+    a frontier should rewrite to it."""
+    from pyspark.sql import Window
+
+    u = F.col("url")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    ranked = urls.select(F.col(url_col).alias("url")).distinct().select(
+        "url",
+        F.regexp_replace(rest, r"^www\.", "").alias("vkey"),
+        ((scheme == "https").cast("int") * 2
+         + (~rest.startswith("www.")).cast("int")).alias("rank"),
+    )
+    w = Window.partitionBy("vkey").orderBy(F.desc("rank"), F.asc("url"))
+    pref = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vkey", F.col("url").alias("preferred_url"))
+    )
+    return ranked.join(pref, "vkey").select(
+        "url", "preferred_url",
+        (F.col("url") != F.col("preferred_url")).alias("is_alias"),
+    )
+
+
+def variant_preference_sql(src: str, url_col: str = "url") -> str:
+    """DuckDB replay of :func:`variant_preference` — same key, rank,
+    and window election."""
+    return f"""
+        WITH vp_b AS (
+          SELECT DISTINCT {url_col} AS url FROM {src}
+        ), vp_k AS (
+          SELECT url,
+                 lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                 regexp_replace(url,
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+          FROM vp_b
+        ), vp_r AS (
+          SELECT url, regexp_replace(rest, '^www\\.', '') AS vkey,
+                 CASE WHEN scheme = 'https' THEN 2 ELSE 0 END
+                 + CASE WHEN rest LIKE 'www.%' THEN 0 ELSE 1 END AS rank
+          FROM vp_k
+        ), vp_p AS (
+          SELECT vkey, url AS preferred_url FROM (
+            SELECT vkey, url,
+                   ROW_NUMBER() OVER (PARTITION BY vkey
+                                      ORDER BY rank DESC, url) AS rn
+            FROM vp_r
+          ) WHERE rn = 1
+        )
+        SELECT r.url, p.preferred_url, r.url <> p.preferred_url AS is_alias
+        FROM vp_r r JOIN vp_p p USING (vkey)
+    """

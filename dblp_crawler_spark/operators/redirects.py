@@ -75,3 +75,121 @@ def resolve_redirects(
         F.col("m_src").isNull().alias("resolved"),
     )
     return fin
+
+
+# ---- pagination chains (rel=next list ranking) --------------------------------
+#
+# Listing series ("?page=2", Link: rel="next") are the one structure
+# a frontier should fetch IN ORDER and CAP: page 400 of an infinite
+# calendar is the classic crawler trap, and a chain's root is its
+# natural dedup/budget key.  Following next-pointers is sequential;
+# the distributed form is LIST RANKING (Wyllie pointer doubling):
+# walk the PREDECESSOR direction, each round jumping anc -> anc(anc)
+# and adding the jumped distance, so a chain of length L resolves in
+# ceil(log2 L) rounds — per round ONE self-equi-join of the state +
+# localCheckpoint, with the moved-count riding the checkpoint job as
+# an Observation (the resolve_redirects discipline).  Fixed `rounds`
+# bounds resolution at 2^rounds pages; deeper nodes — and every
+# cycle or self-loop, which can never reach a root — report
+# complete=false with NULL root/index: exactly the rows a trap
+# filter wants.  Branching next-pointers (two pages naming the same
+# successor) make the predecessor non-unique; they collapse to the
+# MIN predecessor for determinism, turning the graph into a
+# functional forest whose roots are the distance-0 first pages.
+
+def pagination_chains(links: DataFrame, rounds: int = 5,
+                      url_col: str = "url",
+                      next_col: str = "next_url") -> DataFrame:
+    """(url, next_url) records → (url, root_url, page_idx, complete)
+    for every page seen on either side; page_idx is 1-based from the
+    chain root, NULL (with complete=false) past the 2^rounds horizon
+    or on cycles.  Early-stops at the global fixpoint — output-
+    visible fields are identical to the full unroll either way."""
+    from pyspark.sql import Observation
+
+    l = (
+        links.select(F.col(url_col).alias("u"), F.col(next_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        l.select(F.col("u").alias("node"))
+        .unionByName(l.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    prev = l.groupBy(F.col("v").alias("node")).agg(F.min("u").alias("prev"))
+    state = (
+        nodes.join(prev, "node", "left")
+        .select(
+            "node",
+            F.coalesce("prev", F.col("node")).alias("anc"),
+            F.when(F.col("prev").isNull(), 0).otherwise(1)
+             .cast("long").alias("dist"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        obs = Observation()
+        a = state.select(
+            F.col("node").alias("a_node"),
+            F.col("anc").alias("a_anc"),
+            F.col("dist").alias("a_dist"),
+        )
+        stepped = (
+            state.join(a, state["anc"] == a["a_node"])
+            .observe(obs, F.sum(
+                (F.col("anc") != F.col("a_anc")).cast("int")).alias("moved"))
+            .select(
+                "node",
+                F.col("a_anc").alias("anc"),
+                (F.col("dist") + F.col("a_dist")).alias("dist"),
+            )
+        )
+        state = stepped.localCheckpoint()
+        if not int(obs.get["moved"] or 0):
+            break
+    flagged = state.join(
+        prev.select(F.col("node").alias("anc"), F.lit(True).alias("__hp")),
+        "anc", "left",
+    )
+    complete = F.col("__hp").isNull()
+    return flagged.select(
+        F.col("node").alias(url_col),
+        F.when(complete, F.col("anc")).alias("root_url"),
+        F.when(complete, F.col("dist") + 1).cast("long").alias("page_idx"),
+        complete.alias("complete"),
+    )
+
+
+def pagination_chains_sql(links: str, rounds: int = 5,
+                          url_col: str = "url",
+                          next_col: str = "next_url") -> str:
+    """DuckDB replay of :func:`pagination_chains` — same predecessor
+    collapse and unrolled doubling rounds."""
+    ctes = [f"""pg_l AS (
+          SELECT DISTINCT {url_col} AS u, {next_col} AS v
+          FROM {links} WHERE {next_col} IS NOT NULL
+        ), pg_n AS (
+          SELECT u AS node FROM pg_l UNION SELECT v AS node FROM pg_l
+        ), pg_p AS (
+          SELECT v AS node, MIN(u) AS prev FROM pg_l GROUP BY v
+        ), pg_s0 AS (
+          SELECT n.node, COALESCE(p.prev, n.node) AS anc,
+                 CAST(CASE WHEN p.prev IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dist
+          FROM pg_n n LEFT JOIN pg_p p ON p.node = n.node
+        )"""]
+    for r in range(rounds):
+        ctes.append(f"""pg_s{r + 1} AS (
+          SELECT s.node, a.anc, s.dist + a.dist AS dist
+          FROM pg_s{r} s JOIN pg_s{r} a ON s.anc = a.node
+        )""")
+    last = f"pg_s{rounds}"
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT s.node AS {url_col},
+               CASE WHEN p.prev IS NULL THEN s.anc END AS root_url,
+               CAST(CASE WHEN p.prev IS NULL THEN s.dist + 1 END AS BIGINT)
+                 AS page_idx,
+               p.prev IS NULL AS complete
+        FROM {last} s LEFT JOIN pg_p p ON p.node = s.anc
+    """

@@ -827,3 +827,55 @@ def politeness_timeline_parallel_sql(src: str, nconn: int = 2,
         )
         SELECT * EXCLUDE (j), start_us + {d} AS finish_us FROM ptp2
     """
+
+
+# ---- robots.txt drift --------------------------------------------------------
+#
+# robots.txt is a LIVE contract: sites tighten it after traffic
+# spikes and loosen it after redesigns, and a frontier that queued a
+# million URLs under last month's rules needs to know which of them
+# just flipped. Complements robots_availability (is our copy stale?)
+# with the semantic question (what does the NEW copy change?): both
+# rule sets run through the full RFC 9309 longest-match decision —
+# wildcards, '$' anchors, allow-tie precedence — and each URL gets a
+# four-way verdict. newly_blocked URLs must leave the queue (keeping
+# them is a compliance bug); newly_allowed ones are re-seed
+# candidates. Two robots_decide passes + one url-keyed join; the
+# rules side stays tiny per host, so the plan is two host-keyed
+# joins + two hash aggs over the frontier — nothing new shuffles.
+
+def robots_drift(urls: DataFrame, rules_old: DataFrame,
+                 rules_new: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, allowed_old, allowed_new, verdict) for every distinct
+    URL, verdict in {newly_blocked, newly_allowed, still_allowed,
+    still_blocked} under old vs new (host, rule, pattern) sets."""
+    old = robots_decide(urls, rules_old, url_col) \
+        .withColumnRenamed("allowed", "allowed_old")
+    new = robots_decide(urls, rules_new, url_col) \
+        .withColumnRenamed("allowed", "allowed_new")
+    o, n = F.col("allowed_old"), F.col("allowed_new")
+    verdict = (
+        F.when(o & ~n, "newly_blocked")
+        .when(~o & n, "newly_allowed")
+        .when(o & n, "still_allowed")
+        .otherwise("still_blocked")
+    )
+    return old.join(new, "url").select(
+        "url", "allowed_old", "allowed_new", verdict.alias("verdict"))
+
+
+def robots_drift_sql(urls: str = "cand_urls",
+                     rules_old: str = "robots_rules_old",
+                     rules_new: str = "robots_rules_new") -> str:
+    """DuckDB replay of :func:`robots_drift` — robots_decide_sql on
+    each rule set (scoped WITHs inside subqueries), same verdict
+    CASE."""
+    return f"""
+        SELECT o.url, o.allowed AS allowed_old, n.allowed AS allowed_new,
+               CASE WHEN o.allowed AND NOT n.allowed THEN 'newly_blocked'
+                    WHEN NOT o.allowed AND n.allowed THEN 'newly_allowed'
+                    WHEN o.allowed AND n.allowed THEN 'still_allowed'
+                    ELSE 'still_blocked' END AS verdict
+        FROM ({robots_decide_sql(urls, rules_old)}) o
+        JOIN ({robots_decide_sql(urls, rules_new)}) n USING (url)
+    """
