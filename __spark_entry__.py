@@ -5355,6 +5355,350 @@ def q_pipeline_recrawl_plan(spark, sf_dir):
     )
 
 
+#: planted K5 + a pendant 3-chain off n4 for q_host_kcore: at k=2
+#: the chain peels one node per round while the clique and the
+#: degree-2 circulant bulk survive — the density-vs-pendant signal.
+_KCORE_PLANTED = (
+    [(f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)]
+    + [("n4", "p0"), ("p0", "p1"), ("p1", "p2")]
+)
+
+
+def q_host_kcore(spark, sf_dir):
+    """k-core peel of the host link graph (hits.kcore): the density
+    complement to triangle_counts — a link farm fakes degree but
+    pendant trees peel away round by round, and only hosts held by a
+    dense neighborhood survive. Synchronous fixed-round peel (one
+    degree agg + two keep-joins per round, localCheckpoint lineage
+    truncation) so the unrolled DuckDB CTE chain replays the loop
+    exactly. Planted K5 + pendant chain against the circulant bulk;
+    k=2, 6 rounds (past the fixpoint)."""
+    from dblp_crawler_spark.operators.hits import kcore
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    bulk = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 3) % 23).cast("string")).alias("dst"),
+    )
+    ksrc = F.lit(_KCORE_PLANTED[-1][0])
+    kdst = F.lit(_KCORE_PLANTED[-1][1])
+    for i, (s, d) in enumerate(_KCORE_PLANTED[:-1]):
+        ksrc = F.when(F.col("doc_id") == i, F.lit(s)).otherwise(ksrc)
+        kdst = F.when(F.col("doc_id") == i, F.lit(d)).otherwise(kdst)
+    planted = docs.filter(F.col("doc_id") < len(_KCORE_PLANTED)).select(
+        ksrc.alias("src"), kdst.alias("dst"))
+    return kcore(bulk.unionByName(planted), k=2, rounds=6)
+
+
+def _png_chunk_hex(ctype: bytes, data: bytes) -> str:
+    return (f"{len(data):08X}" + ctype.hex().upper()
+            + data.hex().upper() + "00000000")
+
+
+_PNG_SIG = "89504E470D0A1A0A"
+_PNGTXT_IHDR = _png_chunk_hex(
+    b"IHDR", bytes.fromhex("0000001000000010") + bytes([8, 6, 0, 0, 0]))
+_PNGTXT_IDAT = _png_chunk_hex(b"IDAT", b"\x00")
+
+
+def _pngtxt(keyword: bytes, value: bytes, pre: str = "") -> str:
+    body = _PNG_SIG + _PNGTXT_IHDR + pre
+    body += _png_chunk_hex(b"tEXt", keyword + b"\x00" + value)
+    return body + _PNGTXT_IDAT
+
+
+#: planted tEXt cases: exporter Software, SD-WebUI parameters chunk,
+#: generator Software behind a gAMA hop, tEXt-less PNG, a spec-legal
+#: but post-IDAT tEXt (never seen — park rule), and a JPEG.
+_PNGTXT_CASES = [
+    _pngtxt(b"Software", b"GIMP 2.10"),
+    _pngtxt(b"parameters", b"masterpiece, 8k, trending"),
+    _pngtxt(b"Software", b"Stable Diffusion web UI",
+            pre=_png_chunk_hex(b"gAMA", (45455).to_bytes(4, "big"))),
+    _PNG_SIG + _PNGTXT_IHDR + _PNGTXT_IDAT,
+    _PNG_SIG + _PNGTXT_IHDR + _PNGTXT_IDAT
+    + _png_chunk_hex(b"tEXt", b"Software\x00late"),
+    "FFD8FFE000104A46494600010100000100010000",
+]
+
+
+def q_png_text_provenance(spark, sf_dir):
+    """PNG tEXt provenance (sniff.png_text_chunk): generators sign
+    their PNG output in textual chunks — SD-WebUI writes the whole
+    prompt under 'parameters', exporters write 'Software' — the PNG
+    counterpart of the EXIF camera-model signal (PNGs carry no
+    EXIF). Bounded chunk walk parked at IDAT/IEND, unrolled
+    first-NUL keyword probe, printable-ASCII decode gate (the rule
+    that keeps Spark's U+FFFD-substituting decode and DuckDB's
+    erroring decode exact), value clamped at 48 bytes."""
+    from dblp_crawler_spark.operators.sniff import png_text_chunk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_PNGTXT_CASES)
+    hexstr = F.lit(_PNGTXT_CASES[-1])
+    for i, hx in enumerate(_PNGTXT_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return png_text_chunk(imgs).select(
+        "doc_id", "fmt", "text_keyword", "text_value", "gen_hint")
+
+
+#: classic double-decode residue (UTF-8 re-read as Latin-1), built
+#: not typed so the plant is provably the real damage bytes.
+_MOJI_RESIDUE = "café déjà vu".encode("utf-8").decode("latin-1")
+_MOJI_REPL_DOC = "broken � page � here"
+
+
+def q_mojibake_gate(spark, sf_dir):
+    """Encoding-damage detection (textstats.mojibake_stats):
+    double-decoded UTF-8 residue is invisible to lang-ID, charset
+    declarations, and dedup — only the structural signatures (C2-DF
+    lead + continuation-image follower; E0-EF lead + two; U+FFFD)
+    count it. Signature classes rendered from ONE Python table into
+    both engines; flag = min-hits AND density. Planted residue and
+    replacement-char docs against the clean document bulk."""
+    from dblp_crawler_spark.operators.textstats import mojibake_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 7
+    text = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit(" " + _MOJI_RESIDUE)))
+        .when(m == 1, F.lit(_MOJI_REPL_DOC))
+        .otherwise(F.col("text"))
+    )
+    return mojibake_stats(docs.select("doc_id", text.alias("text")))
+
+
+def q_pagination_chains(spark, sf_dir):
+    """Pagination list-ranking (redirects.pagination_chains):
+    rel=next series resolved to (root, 1-based page index) by Wyllie
+    pointer doubling over the predecessor forest — the fetch-in-
+    order key for listing series and the trap detector for infinite
+    calendars (cycles, self-loops, and chains past the 2^rounds
+    horizon report complete=false). Bulk 6-page chains per site, a
+    planted 41-page trap chain that crosses the rounds=5 horizon, a
+    3-cycle, and a self-loop."""
+    from dblp_crawler_spark.operators.redirects import pagination_chains
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    site = (F.col("doc_id") % 37).cast("string")
+    page = F.col("doc_id") % 6
+    bulk = docs.filter(page < 5).select(
+        F.concat(F.lit("https://s"), site, F.lit(".com/list?page="),
+                 page.cast("string")).alias("url"),
+        F.concat(F.lit("https://s"), site, F.lit(".com/list?page="),
+                 (page + 1).cast("string")).alias("next_url"),
+    )
+    trap = docs.filter(F.col("doc_id") < 40).select(
+        F.concat(F.lit("https://trap.example/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("https://trap.example/p"),
+                 (F.col("doc_id") + 1).cast("string")).alias("next_url"),
+    )
+    cyc = docs.filter(F.col("doc_id") < 3).select(
+        F.concat(F.lit("https://cyc.example/p"),
+                 (F.col("doc_id") % 3).cast("string")).alias("url"),
+        F.concat(F.lit("https://cyc.example/p"),
+                 ((F.col("doc_id") + 1) % 3).cast("string")).alias("next_url"),
+    )
+    selfl = docs.filter(F.col("doc_id") == 0).select(
+        F.lit("https://self.example/p0").alias("url"),
+        F.lit("https://self.example/p0").alias("next_url"),
+    )
+    links = bulk.unionByName(trap).unionByName(cyc).unionByName(selfl)
+    return pagination_chains(links, rounds=5)
+
+
+def q_robots_drift(spark, sf_dir):
+    """robots.txt drift (scheduler.robots_drift): which queued URLs
+    FLIP when a host publishes a new robots.txt — newly_blocked must
+    leave the frontier (compliance), newly_allowed are re-seed
+    candidates. Both rule generations run the full RFC 9309
+    longest-match decision (wildcards, '$' anchors, allow-tie), so
+    an Allow override like /private/pub* keeps its subtree crawlable
+    while /private flips blocked. Even hosts tighten, h3 releases
+    /tmp, odd hosts are rule-free in both generations."""
+    from dblp_crawler_spark.operators.scheduler import robots_drift
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hh = (F.col("doc_id") % 7).cast("string")
+    seg = F.when(F.col("doc_id") % 4 == 0, "private") \
+        .when(F.col("doc_id") % 4 == 1, "pub") \
+        .when(F.col("doc_id") % 4 == 2, "private/pub").otherwise("tmp")
+    urls = docs.select(
+        F.concat(F.lit("https://h"), hh, F.lit(".org/"), seg, F.lit("/d"),
+                 (F.col("doc_id") % 50).cast("string")).alias("url"))
+    hosts = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".org")).alias("host")).distinct()
+    old = hosts.filter(F.col("host") == "h3.org").select(
+        "host", F.lit("disallow").alias("rule"), F.lit("/tmp").alias("pattern"))
+    even = F.substring("host", 2, 1).cast("int") % 2 == 0
+    new = hosts.filter(even).select(
+        "host", F.lit("disallow").alias("rule"), F.lit("/private").alias("pattern")
+    ).unionByName(
+        hosts.filter(even).select(
+            "host", F.lit("allow").alias("rule"),
+            F.lit("/private/pub*").alias("pattern"))
+    )
+    return robots_drift(urls, old, new)
+
+
+def q_parallel_corpus_mine(spark, sf_dir):
+    """Parallel-corpus mining (webparse.parallel_corpus_mine): the
+    web's self-labeled bitext — reciprocal hreflang pairs with both
+    declared languages pulled from the edge pair, gated by the
+    integer length-ratio bitext filter and declared-vs-observed
+    language consistency. Planted families: every 5th site declares
+    one-way only (dropped by reciprocity), every 5th serves a
+    two-word 'translation' (len gate), every 5th declares Italian
+    over a French page (lang gate); the rest align."""
+    from dblp_crawler_spark.sources.webparse import parallel_corpus_mine
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") < 400)
+    site = (F.col("doc_id") % 31).cast("string")
+    pid = F.col("doc_id").cast("string")
+    en = F.concat(F.lit("https://s"), site, F.lit(".org/en/p"), pid)
+    fr = F.concat(F.lit("https://s"), site, F.lit(".org/fr/p"), pid)
+    m5 = F.col("doc_id") % 5
+    fr_decl = F.when(m5 == 2, "it").otherwise("fr")
+    fwd = docs.select(en.alias("url"), fr_decl.alias("hreflang"),
+                      fr.alias("alt_url"))
+    back = docs.filter(m5 != 4).select(
+        fr.alias("url"), F.lit("en").alias("hreflang"), en.alias("alt_url"))
+    alt = fwd.unionByName(back)
+    en_docs = docs.select(en.alias("url"), F.lit("en").alias("lang"), "text")
+    fr_docs = docs.select(
+        fr.alias("url"), F.lit("fr").alias("lang"),
+        F.when(m5 == 3, F.lit("deux mots"))
+         .otherwise(F.concat(F.lit("le "), F.col("text"))).alias("text"))
+    return parallel_corpus_mine(alt, en_docs.unionByName(fr_docs))
+
+
+def q_variant_preference(spark, sf_dir):
+    """Scheme/www variant election (hostdup.variant_preference):
+    collapse http/https × www/bare spellings of the same page BEFORE
+    fetching — rank https*2 + bare*1, smallest URL on ties — so the
+    frontier rewrites aliases instead of fetching a page four times.
+    Synthesis covers full quartets (7 hosts × 11 paths × all four
+    spellings at every SF)."""
+    from dblp_crawler_spark.operators.hostdup import variant_preference
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m4 = F.col("doc_id") % 4
+    prefix = (
+        F.when(m4 == 0, "http://")
+        .when(m4 == 1, "http://www.")
+        .when(m4 == 2, "https://")
+        .otherwise("https://www.")
+    )
+    urls = docs.select(
+        F.concat(prefix, F.lit("v"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".org/p"), (F.col("doc_id") % 11).cast("string"))
+        .alias("url"))
+    return variant_preference(urls)
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (textstats.
+    tokenizer_fertility): chars per BPE-ish token and the
+    BPE-vs-whitespace blowup — the exchange rate that converts
+    corpus weights into effective token budgets per language. One
+    hash agg over the documents table with both existing token
+    counters."""
+    from dblp_crawler_spark.operators.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+#: planted density cases: JFIF 300 dpi scan, JFIF 118 dpcm, JFIF
+#: aspect-only, PNG pHYs 2835/m (72 dpi), density-less PNG, GIF.
+def _jfif_hex(unit: int, dx: int, dy: int) -> str:
+    return ("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101"
+            + f"{unit:02X}" + f"{dx:04X}" + f"{dy:04X}" + "0000")
+
+
+_DENSITY_CASES = [
+    _jfif_hex(1, 300, 300),
+    _jfif_hex(2, 118, 118),
+    _jfif_hex(0, 1, 1),
+    _PNG_SIG + _PNGTXT_IHDR
+    + _png_chunk_hex(b"pHYs", (2835).to_bytes(4, "big")
+                     + (2835).to_bytes(4, "big") + b"\x01") + _PNGTXT_IDAT,
+    _PNG_SIG + _PNGTXT_IHDR + _PNGTXT_IDAT,
+    "474946383961" + "00" * 8,
+]
+
+
+def q_image_density(spark, sf_dir):
+    """Physical pixel density (sniff.image_density): scan-vs-screen
+    provenance — 300/600 dpi means scanner or camera pipeline, 72/96
+    means screen export, and generators usually write nothing. JFIF
+    APP0 fixed-offset reads + the bounded PNG chunk walk parked at
+    pHYs; inch normalization in integer half-up arithmetic so both
+    engines round identically; aspect-only densities give NULL
+    dpi."""
+    from dblp_crawler_spark.operators.sniff import image_density
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_DENSITY_CASES)
+    hexstr = F.lit(_DENSITY_CASES[-1])
+    for i, hx in enumerate(_DENSITY_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return image_density(imgs).select(
+        "doc_id", "fmt", "density_unit", "density_x", "density_y",
+        "dpi_x", "dpi_y")
+
+
+def _thumb_tiff_ii(next_off: int, ifd1_entries: int = 3) -> str:
+    body = ("49492A00" + "08000000" + "0100"
+            + "0F01" + "0200" + "04000000" + "41424300")
+    body += "".join(f"{(next_off >> (8 * i)) & 255:02X}" for i in range(4))
+    if next_off:
+        body += f"{ifd1_entries:02X}00"
+    return body
+
+
+def _thumb_jpeg(tiff: str) -> str:
+    seg_len = 2 + 6 + len(tiff) // 2
+    return ("FFD8" + _ES_APP0 + "FFE1" + f"{seg_len:04X}"
+            + "457869660000" + tiff)
+
+
+#: planted IFD1 cases: camera JPEG with thumbnail, stripped JPEG
+#: without, BE TIFF with thumbnail, EXIF-less JPEG, PNG.
+_THUMB_CASES = [
+    _thumb_jpeg(_thumb_tiff_ii(26, ifd1_entries=3)),
+    _thumb_jpeg(_thumb_tiff_ii(0)),
+    ("4D4D002A" + "00000008" + "0001"
+     + "010F" + "0002" + "00000004" + "41424300" + "0000001A" + "0004"),
+    "FFD8" + _ES_APP0,
+    "89504E470D0A1A0A" + "00" * 8,
+]
+
+
+def q_exif_thumbnail(spark, sf_dir):
+    """EXIF IFD1 thumbnail presence (sniff.exif_thumbnail): cameras
+    write a thumbnail IFD into every JPEG, exporters and generators
+    strip it — a host still serving thumbnails is serving
+    camera-original files (and a privacy surface: the thumbnail
+    often survives the crop). The next-IFD pointer right after
+    IFD0's entries, endian-aware, gated on a sane entry count so
+    out-of-window reads NULL-absorb identically in both engines."""
+    from dblp_crawler_spark.operators.sniff import exif_thumbnail
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_THUMB_CASES)
+    hexstr = F.lit(_THUMB_CASES[-1])
+    for i, hx in enumerate(_THUMB_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return exif_thumbnail(imgs).select(
+        "doc_id", "fmt", "has_thumbnail", "ifd1_entries")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -5563,6 +5907,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idn_homograph": q_idn_homograph,
         "homograph_pairs": q_homograph_pairs,
         "pipeline_recrawl_plan": q_pipeline_recrawl_plan,
+        "host_kcore": q_host_kcore,
+        "png_text_provenance": q_png_text_provenance,
+        "mojibake_gate": q_mojibake_gate,
+        "pagination_chains": q_pagination_chains,
+        "robots_drift": q_robots_drift,
+        "parallel_corpus_mine": q_parallel_corpus_mine,
+        "variant_preference": q_variant_preference,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "image_density": q_image_density,
+        "exif_thumbnail": q_exif_thumbnail,
     }
 
 
@@ -9455,7 +9809,230 @@ def oracle_sql() -> dict[str, str]:
         "idn_homograph": _idn_homograph_oracle(),
         "homograph_pairs": _homograph_pairs_oracle(),
         "pipeline_recrawl_plan": _pipeline_recrawl_plan_oracle(),
+        "host_kcore": _host_kcore_oracle(),
+        "png_text_provenance": _png_text_provenance_oracle(),
+        "mojibake_gate": _mojibake_gate_oracle(),
+        "pagination_chains": _pagination_chains_oracle(),
+        "robots_drift": _robots_drift_oracle(),
+        "parallel_corpus_mine": _parallel_corpus_mine_oracle(),
+        "variant_preference": _variant_preference_oracle(),
+        "tokenizer_fertility": _tokenizer_fertility_oracle(),
+        "image_density": _image_density_oracle(),
+        "exif_thumbnail": _exif_thumbnail_oracle(),
     }
+
+
+def _exif_thumbnail_oracle() -> str:
+    """DuckDB replay of q_exif_thumbnail — same planted hex through
+    exif_thumbnail_sql's shared staging."""
+    from dblp_crawler_spark.operators.sniff import (
+        exif_thumbnail_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_THUMB_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_THUMB_CASES)}{whens}
+                 ELSE '{_THUMB_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} et_src)"
+    return exif_thumbnail_sql(staged)
+
+
+def _variant_preference_oracle() -> str:
+    """DuckDB replay of q_variant_preference — same quartet
+    synthesis through variant_preference_sql."""
+    from dblp_crawler_spark.operators.hostdup import variant_preference_sql
+
+    src = """(
+        SELECT CASE doc_id % 4 WHEN 0 THEN 'http://'
+                 WHEN 1 THEN 'http://www.'
+                 WHEN 2 THEN 'https://'
+                 ELSE 'https://www.' END
+               || 'v' || CAST(doc_id % 7 AS VARCHAR) || '.org/p'
+               || CAST(doc_id % 11 AS VARCHAR) AS url
+        FROM documents
+    )"""
+    return variant_preference_sql(src)
+
+
+def _tokenizer_fertility_oracle() -> str:
+    """DuckDB replay of q_tokenizer_fertility."""
+    from dblp_crawler_spark.operators.textstats import tokenizer_fertility_sql
+
+    return tokenizer_fertility_sql("documents")
+
+
+def _image_density_oracle() -> str:
+    """DuckDB replay of q_image_density — same planted hex through
+    image_density_sql's staged walk."""
+    from dblp_crawler_spark.operators.sniff import (
+        image_density_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_DENSITY_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_DENSITY_CASES)}{whens}
+                 ELSE '{_DENSITY_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} dn_src)"
+    return image_density_sql(staged)
+
+
+def _parallel_corpus_mine_oracle() -> str:
+    """DuckDB replay of q_parallel_corpus_mine — same synthesized
+    hreflang graph and doc texts through parallel_corpus_mine_sql."""
+    from dblp_crawler_spark.sources.webparse import parallel_corpus_mine_sql
+
+    en = ("'https://s' || CAST(doc_id % 31 AS VARCHAR) || '.org/en/p'"
+          " || CAST(doc_id AS VARCHAR)")
+    fr = ("'https://s' || CAST(doc_id % 31 AS VARCHAR) || '.org/fr/p'"
+          " || CAST(doc_id AS VARCHAR)")
+    alt = f"""(
+        SELECT {en} AS url,
+               CASE WHEN doc_id % 5 = 2 THEN 'it' ELSE 'fr' END AS hreflang,
+               {fr} AS alt_url
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT {fr} AS url, 'en' AS hreflang, {en} AS alt_url
+        FROM documents WHERE doc_id < 400 AND doc_id % 5 <> 4
+    )"""
+    docs = f"""(
+        SELECT {en} AS url, 'en' AS lang, text
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT {fr} AS url, 'fr' AS lang,
+               CASE WHEN doc_id % 5 = 3 THEN 'deux mots'
+                    ELSE 'le ' || text END AS text
+        FROM documents WHERE doc_id < 400
+    )"""
+    return parallel_corpus_mine_sql(alt, docs)
+
+
+def _robots_drift_oracle() -> str:
+    """DuckDB replay of q_robots_drift — same URL/rule synthesis
+    through robots_drift_sql's dual decision."""
+    from dblp_crawler_spark.operators.scheduler import robots_drift_sql
+
+    urls = """(
+        SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.org/'
+               || CASE WHEN doc_id % 4 = 0 THEN 'private'
+                       WHEN doc_id % 4 = 1 THEN 'pub'
+                       WHEN doc_id % 4 = 2 THEN 'private/pub'
+                       ELSE 'tmp' END
+               || '/d' || CAST(doc_id % 50 AS VARCHAR) AS url
+        FROM documents
+    )"""
+    hosts = """(
+        SELECT DISTINCT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.org' AS host
+        FROM documents
+    )"""
+    old = f"""(
+        SELECT host, 'disallow' AS rule, '/tmp' AS pattern
+        FROM {hosts} rdo_h WHERE host = 'h3.org'
+    )"""
+    new = f"""(
+        SELECT host, 'disallow' AS rule, '/private' AS pattern
+        FROM {hosts} rdn_h
+        WHERE CAST(substring(host, 2, 1) AS INT) % 2 = 0
+        UNION ALL
+        SELECT host, 'allow' AS rule, '/private/pub*' AS pattern
+        FROM {hosts} rdn_h2
+        WHERE CAST(substring(host, 2, 1) AS INT) % 2 = 0
+    )"""
+    return robots_drift_sql(urls, old, new)
+
+
+def _pagination_chains_oracle() -> str:
+    """DuckDB replay of q_pagination_chains — same link synthesis
+    through pagination_chains_sql's unrolled doubling."""
+    from dblp_crawler_spark.operators.redirects import pagination_chains_sql
+
+    links = """(
+        SELECT 'https://s' || CAST(doc_id % 37 AS VARCHAR)
+                 || '.com/list?page=' || CAST(doc_id % 6 AS VARCHAR) AS url,
+               'https://s' || CAST(doc_id % 37 AS VARCHAR)
+                 || '.com/list?page=' || CAST(doc_id % 6 + 1 AS VARCHAR) AS next_url
+        FROM documents WHERE doc_id % 6 < 5
+        UNION ALL
+        SELECT 'https://trap.example/p' || CAST(doc_id AS VARCHAR),
+               'https://trap.example/p' || CAST(doc_id + 1 AS VARCHAR)
+        FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT 'https://cyc.example/p' || CAST(doc_id % 3 AS VARCHAR),
+               'https://cyc.example/p' || CAST((doc_id + 1) % 3 AS VARCHAR)
+        FROM documents WHERE doc_id < 3
+        UNION ALL
+        SELECT 'https://self.example/p0', 'https://self.example/p0'
+        FROM documents WHERE doc_id = 0
+    )"""
+    return pagination_chains_sql(links, rounds=5)
+
+
+def _host_kcore_oracle() -> str:
+    """DuckDB replay of q_host_kcore — same circulant + planted
+    K5/chain synthesis through kcore_sql's unrolled peel."""
+    from dblp_crawler_spark.operators.hits import kcore_sql
+
+    s_whens = "".join(
+        f" WHEN {i} THEN '{s}'" for i, (s, _) in enumerate(_KCORE_PLANTED[:-1]))
+    d_whens = "".join(
+        f" WHEN {i} THEN '{d}'" for i, (_, d) in enumerate(_KCORE_PLANTED[:-1]))
+    edges = f"""(
+        SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+               'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst
+        FROM documents
+        UNION ALL
+        SELECT CASE doc_id{s_whens} ELSE '{_KCORE_PLANTED[-1][0]}' END AS src,
+               CASE doc_id{d_whens} ELSE '{_KCORE_PLANTED[-1][1]}' END AS dst
+        FROM documents WHERE doc_id < {len(_KCORE_PLANTED)}
+    )"""
+    return kcore_sql(edges, k=2, rounds=6)
+
+
+def _png_text_provenance_oracle() -> str:
+    """DuckDB replay of q_png_text_provenance — same planted hex
+    through png_text_chunk_sql's chunk-hop chain."""
+    from dblp_crawler_spark.operators.sniff import (
+        png_text_chunk_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_PNGTXT_CASES[:-1])
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_PNGTXT_CASES)}{whens}
+                 ELSE '{_PNGTXT_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} px_src)"
+    return png_text_chunk_sql(staged)
+
+
+def _mojibake_gate_oracle() -> str:
+    """DuckDB replay of q_mojibake_gate — same planted residue
+    (shared constants) through mojibake_stats_sql."""
+    from dblp_crawler_spark.operators.textstats import mojibake_stats_sql
+
+    src = f"""(
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' {_MOJI_RESIDUE}'
+                    WHEN doc_id % 7 = 1 THEN '{_MOJI_REPL_DOC}'
+                    ELSE text END AS text
+        FROM documents
+    )"""
+    return mojibake_stats_sql(src)
 
 
 def _exif_gps_oracle() -> str:

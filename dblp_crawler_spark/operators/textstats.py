@@ -1493,3 +1493,160 @@ def zipf_slope_sql(src: str, k: int = 100, text_col: str = "text",
                  AS zipf_slope
         FROM zs_agg
     """
+
+
+# ---- encoding-damage (mojibake) detection ------------------------------------
+#
+# UTF-8 bytes decoded once too often as Latin-1/CP1252 leave an
+# unmistakable residue — 'Ã©' for é, 'â€™' for ’, 'Ð¿Ñ€Ð¸Ð²ÐµÑ‚'
+# for Cyrillic — and a corpus keeps every such page unless something
+# counts the residue: lang-ID still says "latin script", charset
+# detection sees a valid declaration (the damage happened UPSTREAM
+# of us, in some exporter), and dedup treats each mangling as fresh
+# text.  The signatures are structural, not lexical: a 2-byte UTF-8
+# misdecode is lead U+00C2..U+00DF followed by a continuation byte's
+# Latin-1/CP1252 image; a 3-byte misdecode is lead U+00E0..U+00EF
+# followed by TWO of them.  The follower class is rendered from one
+# Python table into BOTH engines (the shared-table discipline), so
+# the regexes cannot drift.  Legit accented text almost never puts
+# continuation-image characters (C1 controls, curly quotes, †, ‰)
+# right after an accented letter twice in a row — and the flag also
+# requires a minimum hit count and density.  Pure projection.
+
+#: CP1252's images of bytes 0x80..0x9F (the non-Latin-1 ones)
+_CP1252_HIGH = [
+    0x20AC, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021, 0x02C6,
+    0x2030, 0x0160, 0x2039, 0x0152, 0x017D, 0x2018, 0x2019, 0x201C,
+    0x201D, 0x2022, 0x2013, 0x2014, 0x02DC, 0x2122, 0x0161, 0x203A,
+    0x0153, 0x017E, 0x0178,
+]
+_MOJI_FOLLOWER = ("[\\x{0080}-\\x{00BF}"
+                  + "".join(f"\\x{{{c:04X}}}" for c in _CP1252_HIGH) + "]")
+MOJI2_RE = "[\\x{00C2}-\\x{00DF}]" + _MOJI_FOLLOWER
+MOJI3_RE = "[\\x{00E0}-\\x{00EF}]" + _MOJI_FOLLOWER + _MOJI_FOLLOWER
+MOJI_REPL_RE = "\\x{FFFD}"
+
+
+def mojibake_stats(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_hits: int = 2,
+                   per_kchar: float = 1.0) -> DataFrame:
+    """Per-doc encoding-damage profile: counts of 2-byte and 3-byte
+    misdecode signatures and U+FFFD replacement chars, damage density
+    per 1000 chars, and the drop flag (>= min_hits AND density >=
+    per_kchar).  Non-overlapping leftmost matches in both engines."""
+    t = F.col(text_col)
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+
+    d = docs.select(
+        F.col(id_col),
+        n(MOJI2_RE).alias("n_moji2"),
+        n(MOJI3_RE).alias("n_moji3"),
+        n(MOJI_REPL_RE).alias("n_replacement"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+    hits = F.col("n_moji2") + F.col("n_moji3") + F.col("n_replacement")
+    dens = F.round(hits * F.lit(1000.0) / F.greatest(F.col("n_chars"), F.lit(1)), 4)
+    return d.withColumns(
+        {
+            "moji_per_kchar": dens,
+            "mojibake_flag": (hits >= min_hits) & (dens >= per_kchar),
+        }
+    )
+
+
+def mojibake_stats_sql(src: str, text_col: str = "text",
+                       id_col: str = "doc_id", min_hits: int = 2,
+                       per_kchar: float = 1.0) -> str:
+    """DuckDB replay of :func:`mojibake_stats` — the same rendered
+    signature regexes, counts via len(regexp_extract_all)."""
+    def n(pat):
+        return f"CAST(len(regexp_extract_all({text_col}, '{pat}')) AS BIGINT)"
+
+    return f"""
+        WITH mj AS (
+          SELECT {id_col},
+                 {n(MOJI2_RE)} AS n_moji2,
+                 {n(MOJI3_RE)} AS n_moji3,
+                 {n(MOJI_REPL_RE)} AS n_replacement,
+                 CAST(length({text_col}) AS BIGINT) AS n_chars
+          FROM {src}
+        )
+        SELECT *,
+               ROUND((n_moji2 + n_moji3 + n_replacement) * 1000.0
+                     / greatest(n_chars, 1), 4) AS moji_per_kchar,
+               (n_moji2 + n_moji3 + n_replacement) >= {min_hits}
+                 AND ROUND((n_moji2 + n_moji3 + n_replacement) * 1000.0
+                           / greatest(n_chars, 1), 4) >= {per_kchar}
+                 AS mojibake_flag
+        FROM mj
+    """
+
+
+# ---- tokenizer fertility by language ----------------------------------------
+#
+# Context budgets are paid in TOKENS but corpora are weighed in
+# chars/words — and the exchange rate differs per language (CJK and
+# agglutinative languages cost multiples of English under the same
+# tokenizer). The per-language fertility table (chars per BPE-ish
+# token, BPE-vs-whitespace blowup) is what a mixture designer uses
+# to convert corpus weights into effective token budgets. One hash
+# agg over the corpus with both existing token counters; ratios are
+# the only floats, rounded identically in both engines.
+
+def tokenizer_fertility(docs: DataFrame, text_col: str = "text",
+                        lang_col: str = "lang") -> DataFrame:
+    """Per language: n_docs, n_chars, n_tokens (whitespace-ish),
+    n_bpe_tokens, chars_per_bpe_token, bpe_per_token (the subword
+    blowup factor; NULL when a language has no whitespace tokens)."""
+    d = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.length(F.col(text_col)).cast("long").alias("c"),
+        token_count(F.col(text_col)).cast("long").alias("t"),
+        bpe_token_count(F.col(text_col)).cast("long").alias("b"),
+    )
+    g = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("c").alias("n_chars"),
+        F.sum("t").alias("n_tokens"),
+        F.sum("b").alias("n_bpe_tokens"),
+    )
+    return g.select(
+        "lang", "n_docs", "n_chars", "n_tokens", "n_bpe_tokens",
+        F.round(F.col("n_chars") / F.greatest(F.col("n_bpe_tokens"), F.lit(1)), 4)
+         .alias("chars_per_bpe_token"),
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("n_bpe_tokens") / F.col("n_tokens"), 4))
+         .alias("bpe_per_token"),
+    )
+
+
+def tokenizer_fertility_sql(src: str, text_col: str = "text",
+                            lang_col: str = "lang") -> str:
+    """DuckDB replay of :func:`tokenizer_fertility` — same token
+    regexes (shared constants), same rounding."""
+    return f"""
+        WITH tf AS (
+          SELECT {lang_col} AS lang,
+                 CAST(length({text_col}) AS BIGINT) AS c,
+                 CAST(len(regexp_extract_all(lower({text_col}),
+                          '[0-9a-z_]+')) AS BIGINT) AS t,
+                 CAST(len(regexp_extract_all(lower({text_col}),
+                          '{BPE_TOKEN_RE}')) AS BIGINT) AS b
+          FROM {src}
+        ), tg AS (
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(c) AS BIGINT) AS n_chars,
+                 CAST(SUM(t) AS BIGINT) AS n_tokens,
+                 CAST(SUM(b) AS BIGINT) AS n_bpe_tokens
+          FROM tf GROUP BY lang
+        )
+        SELECT lang, n_docs, n_chars, n_tokens, n_bpe_tokens,
+               ROUND(n_chars * 1.0 / greatest(n_bpe_tokens, 1), 4)
+                 AS chars_per_bpe_token,
+               CASE WHEN n_tokens > 0
+                    THEN ROUND(n_bpe_tokens * 1.0 / n_tokens, 4) END
+                 AS bpe_per_token
+        FROM tg
+    """

@@ -1755,3 +1755,137 @@ def sitemap_scope_check_sql(src: str, sitemap_col: str = "sitemap_url",
         SELECT *, ({reason}) = 'ok' AS in_scope, {reason} AS scope_reason
         FROM {src}
     """
+
+
+# ---- parallel-corpus mining over the hreflang graph ---------------------------
+#
+# Reciprocal hreflang pairs are the web's self-labeled translation
+# corpus — the highest-precision source of aligned bitext a crawl
+# can produce without a single model call, and translation training
+# is the one LLM-data product that needs PAIRS, not documents.  The
+# mine composes verified pieces: reciprocity (one-way declarations
+# are the scraped-copy spam shape) -> one canonical row per
+# undirected pair with BOTH declared languages (the back edge
+# declares the source side's language — hreflang labels the page it
+# points AT) -> text join -> integer-exact gates.  The length-ratio
+# gate is the classic bitext filter (true translations have similar
+# token counts; 1000*a <= ratio_milli*b both ways keeps it exact in
+# both engines — no float division), and the language-consistency
+# gate cross-checks each side's OBSERVED doc language against the
+# partner's declaration (primary-subtag prefix, so 'en' matches
+# 'en-US').  All candidate pairs are emitted with their gate flags —
+# a curation pipeline filters on `aligned`, an audit reads the
+# failures.  Plan: two pair-keyed equi-joins + two url-keyed doc
+# joins; nothing all-pairs, token counts computed once per side.
+
+def parallel_corpus_mine(alternates: DataFrame, docs: DataFrame,
+                         ratio_milli: int = 2000, min_tokens: int = 5,
+                         url_col: str = "url", lang_col: str = "hreflang",
+                         alt_col: str = "alt_url",
+                         doc_url_col: str = "url",
+                         doc_lang_col: str = "lang",
+                         text_col: str = "text") -> DataFrame:
+    """(src_url, tgt_url, src_lang, tgt_lang, n_tok_src, n_tok_tgt,
+    len_ok, lang_ok, aligned): one row per reciprocal cross-language
+    hreflang pair (src_url < tgt_url) whose both sides were fetched;
+    aligned = length-ratio AND min-token AND declared-vs-observed
+    language gates all pass."""
+    from ..operators.textstats import token_count
+
+    pairs = alternates.select(
+        F.col(url_col).alias("url"),
+        F.col(lang_col).alias("hreflang"),
+        F.col(alt_col).alias("alt_url"),
+    ).distinct()
+    rec = hreflang_reciprocity(pairs).where(
+        F.col("reciprocal") & (F.col("url") != F.col("alt_url")))
+    back = rec.select(
+        F.col("url").alias("b_url"),
+        F.col("alt_url").alias("b_alt"),
+        F.col("hreflang").alias("b_lang"),
+    )
+    canon = (
+        rec.join(back, (F.col("b_url") == F.col("alt_url"))
+                 & (F.col("b_alt") == F.col("url")))
+        .where((F.col("url") < F.col("alt_url"))
+               & (F.col("b_lang") != F.col("hreflang")))
+        .select(
+            F.col("url").alias("src_url"),
+            F.col("b_lang").alias("src_lang"),
+            F.col("alt_url").alias("tgt_url"),
+            F.col("hreflang").alias("tgt_lang"),
+        )
+    )
+    d = docs.select(
+        F.col(doc_url_col).alias("d_url"),
+        F.col(doc_lang_col).alias("d_lang"),
+        token_count(F.col(text_col)).cast("long").alias("d_ntok"),
+    )
+    j = (
+        canon.join(d.withColumnsRenamed(
+            {"d_url": "src_url", "d_lang": "src_doc_lang", "d_ntok": "n_tok_src"}),
+            "src_url")
+        .join(d.withColumnsRenamed(
+            {"d_url": "tgt_url", "d_lang": "tgt_doc_lang", "d_ntok": "n_tok_tgt"}),
+            "tgt_url")
+    )
+    a, b = F.col("n_tok_src"), F.col("n_tok_tgt")
+    len_ok = ((a >= min_tokens) & (b >= min_tokens)
+              & (a * 1000 <= b * ratio_milli) & (b * 1000 <= a * ratio_milli))
+    pfx = lambda c: F.substring(c, 1, 2)  # noqa: E731 — primary subtag
+    lang_ok = ((pfx(F.col("src_doc_lang")) == pfx(F.col("src_lang")))
+               & (pfx(F.col("tgt_doc_lang")) == pfx(F.col("tgt_lang"))))
+    return j.select(
+        "src_url", "tgt_url", "src_lang", "tgt_lang",
+        "n_tok_src", "n_tok_tgt",
+        len_ok.alias("len_ok"), lang_ok.alias("lang_ok"),
+        (len_ok & lang_ok).alias("aligned"),
+    )
+
+
+def parallel_corpus_mine_sql(alternates: str, docs: str,
+                             ratio_milli: int = 2000,
+                             min_tokens: int = 5) -> str:
+    """DuckDB replay of :func:`parallel_corpus_mine` over relations
+    ``alternates(url, hreflang, alt_url)`` and ``docs(url, lang,
+    text)`` — same reciprocity subquery, canonical direction, token
+    regex, and integer gates."""
+    return f"""
+        WITH pc_r AS (
+          SELECT DISTINCT url, hreflang, alt_url
+          FROM ({hreflang_reciprocity_sql(
+              f"(SELECT DISTINCT url, hreflang, alt_url FROM {alternates}) pc_in")})
+          WHERE reciprocal AND url <> alt_url
+        ), pc_c AS (
+          SELECT r.url AS src_url, b.hreflang AS src_lang,
+                 r.alt_url AS tgt_url, r.hreflang AS tgt_lang
+          FROM pc_r r
+          JOIN pc_r b ON b.url = r.alt_url AND b.alt_url = r.url
+          WHERE r.url < r.alt_url AND b.hreflang <> r.hreflang
+        ), pc_d AS (
+          SELECT url AS d_url, lang AS d_lang,
+                 CAST(len(regexp_extract_all(lower(text), '[0-9a-z_]+'))
+                      AS BIGINT) AS d_ntok
+          FROM {docs}
+        ), pc_j AS (
+          SELECT c.*, s.d_lang AS src_doc_lang, s.d_ntok AS n_tok_src,
+                 t.d_lang AS tgt_doc_lang, t.d_ntok AS n_tok_tgt
+          FROM pc_c c
+          JOIN pc_d s ON s.d_url = c.src_url
+          JOIN pc_d t ON t.d_url = c.tgt_url
+        )
+        SELECT src_url, tgt_url, src_lang, tgt_lang, n_tok_src, n_tok_tgt,
+               (n_tok_src >= {min_tokens} AND n_tok_tgt >= {min_tokens}
+                AND n_tok_src * 1000 <= n_tok_tgt * {ratio_milli}
+                AND n_tok_tgt * 1000 <= n_tok_src * {ratio_milli}) AS len_ok,
+               (substring(src_doc_lang, 1, 2) = substring(src_lang, 1, 2)
+                AND substring(tgt_doc_lang, 1, 2) = substring(tgt_lang, 1, 2))
+                 AS lang_ok,
+               (n_tok_src >= {min_tokens} AND n_tok_tgt >= {min_tokens}
+                AND n_tok_src * 1000 <= n_tok_tgt * {ratio_milli}
+                AND n_tok_tgt * 1000 <= n_tok_src * {ratio_milli}
+                AND substring(src_doc_lang, 1, 2) = substring(src_lang, 1, 2)
+                AND substring(tgt_doc_lang, 1, 2) = substring(tgt_lang, 1, 2))
+                 AS aligned
+        FROM pc_j
+    """
