@@ -5699,6 +5699,209 @@ def q_exif_thumbnail(spark, sf_dir):
         "doc_id", "fmt", "has_thumbnail", "ifd1_entries")
 
 
+#: punctuation blob that pushes punct_ratio past the 0.1 quality
+#: gate on every synthetic doc length — the planted "worse copy".
+_KB_PUNCT = " " + "!" * 80
+
+
+def q_pipeline_dedup_keep_best(spark, sf_dir):
+    """Quality-electing dedup (dedup.keep_best over
+    connected_components): in a near-dup cluster keep the BEST
+    member, not the numerically smallest — the FineWeb-style
+    election min-id drop lists cannot express. Planted clusters pin
+    both directions: {clean original, punct-stuffed copy} keeps the
+    original, {punct-stuffed ORIGINAL, clean higher-id copy} keeps
+    the copy (election provably != min-id). Prefix fingerprints pair
+    the planted families; quality is the real composite score, ties
+    fall back to min-id."""
+    from dblp_crawler_spark.operators.dedup import connected_components, keep_best
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m8 = F.col("doc_id") % 8
+    eff = (F.col("doc_id")
+           - F.when(m8.isin(1, 5), 1).otherwise(0)).alias("eff")
+    base = docs.select(F.col("doc_id").alias("eff_id"),
+                       F.col("text").alias("base"))
+    planted = (
+        docs.select("doc_id", eff)
+        .join(base, F.col("eff") == F.col("eff_id"))
+        .select(
+            "doc_id",
+            F.when(m8.isin(1, 4), F.concat(F.col("base"), F.lit(_KB_PUNCT)))
+             .otherwise(F.col("base")).alias("text"),
+        )
+    )
+    t = planted.withColumn("fp", F.substring("text", 1, 64))
+    a = t.select(F.col("doc_id").alias("a"), F.col("fp"))
+    b = t.select(F.col("doc_id").alias("b"), F.col("fp"))
+    pairs = a.join(b, "fp").where(F.col("a") < F.col("b")).select("a", "b")
+    cc = connected_components(pairs, src="a", dst="b")
+    scores = t.select(F.col("doc_id").alias("id"),
+                      T.quality_score("text").alias("score"))
+    return keep_best(cc, scores).select(
+        F.col("id").alias("doc_id"), F.col("keep_id").alias("keep_doc_id"),
+        "score", "keep_score")
+
+
+#: (host_class, rotation) → planted bytes for the provenance rollup:
+#: class 0 hosts serve camera-pipeline files (model / thumbnail /
+#: 300 dpi), class 1 hosts serve generator output (parameters tEXt /
+#: SD Software / EXIF-less), class 2 hosts mix.
+def _ip_table() -> dict:
+    return {
+        (0, 0): _CAM_CASES[0], (0, 1): _THUMB_CASES[0],
+        (0, 2): _DENSITY_CASES[0],
+        (1, 0): _PNGTXT_CASES[1], (1, 1): _PNGTXT_CASES[2],
+        (1, 2): "FFD8" + _ES_APP0,
+        (2, 0): _CAM_CASES[0], (2, 1): _PNGTXT_CASES[1],
+        (2, 2): _DENSITY_CASES[4],
+    }
+
+
+def q_pipeline_image_provenance(spark, sf_dir):
+    """Per-host image provenance scorecard — the integration
+    statement over the whole decode-free image tier: EXIF camera
+    model + IFD1 thumbnail + physical density say 'camera pipeline',
+    PNG tEXt generator signatures say 'synthetic output', and the
+    HOST-level mix is the signal (one image proves nothing; a host
+    whose images all sign the same way is a farm). Four header reads
+    CHAINED on one bytes column (each re-projects its own staging —
+    still a single map-side plan, no joins), one hash agg, integer
+    majority verdicts. Class-0/1/2 hosts planted archival /
+    synthetic / mixed."""
+    from dblp_crawler_spark.operators.sniff import (
+        exif_camera_model,
+        exif_thumbnail,
+        image_density,
+        png_text_chunk,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    cls = (F.col("doc_id") % 12) % 3
+    rot = F.col("doc_id") % 3
+    table = _ip_table()
+    hexstr = F.lit(table[(2, 2)])
+    for (c, i), hx in table.items():
+        if (c, i) != (2, 2):
+            hexstr = F.when((cls == c) & (rot == i), F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select(
+        "doc_id",
+        F.concat(F.lit("img"), (F.col("doc_id") % 12).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.unhex(hexstr).alias("bytes"),
+    )
+    x = exif_thumbnail(image_density(png_text_chunk(exif_camera_model(imgs))))
+    g = x.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.count(F.when(F.col("camera_model").isNotNull(), 1)).alias("n_camera"),
+        F.count(F.when(F.col("gen_hint"), 1)).alias("n_gen"),
+        F.count(F.when(F.col("dpi_x") >= 300, 1)).alias("n_highdpi"),
+        F.count(F.when(F.col("has_thumbnail"), 1)).alias("n_thumb"),
+    )
+    arch = F.col("n_camera") + F.col("n_thumb") + F.col("n_highdpi")
+    verdict = (
+        F.when(F.col("n_gen") * 2 >= F.col("n_images"), "synthetic")
+        .when(arch * 2 >= F.col("n_images"), "archival")
+        .otherwise("mixed")
+    )
+    return g.withColumn("verdict", verdict)
+
+
+def q_pipeline_trap_quarantine(spark, sf_dir):
+    """Trap quarantine — the admission verdict combining BOTH trap
+    detectors: per-URL heuristics (url_trap_flags: calendar paths,
+    session params, depth, repeated segments) and the STRUCTURAL
+    evidence only pagination list-ranking can see (cycles,
+    self-loops, chains past the horizon → chain_trap; resolvable but
+    absurdly deep series → deep_pagination). Precedence: structural
+    beats heuristic beats depth; everything else admits. Bulk 6-page
+    chains admit, the 41-page chain splits into deep_pagination /
+    chain_trap at the horizon, calendar and session chains flag
+    heuristically."""
+    from dblp_crawler_spark.functions.urlnorm import url_trap_flags
+    from dblp_crawler_spark.operators.redirects import pagination_chains
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    site = (F.col("doc_id") % 37).cast("string")
+    page = F.col("doc_id") % 6
+    bulk = docs.filter(page < 5).select(
+        F.concat(F.lit("https://s"), site, F.lit(".com/list?page="),
+                 page.cast("string")).alias("url"),
+        F.concat(F.lit("https://s"), site, F.lit(".com/list?page="),
+                 (page + 1).cast("string")).alias("next_url"),
+    )
+    trap = docs.filter(F.col("doc_id") < 40).select(
+        F.concat(F.lit("https://trap.example/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("https://trap.example/p"),
+                 (F.col("doc_id") + 1).cast("string")).alias("next_url"),
+    )
+    cyc = docs.filter(F.col("doc_id") < 3).select(
+        F.concat(F.lit("https://cyc.example/p"),
+                 (F.col("doc_id") % 3).cast("string")).alias("url"),
+        F.concat(F.lit("https://cyc.example/p"),
+                 ((F.col("doc_id") + 1) % 3).cast("string")).alias("next_url"),
+    )
+
+    def _cal(i):
+        return F.concat(F.lit("https://cal.example/a/2023/"), i.cast("string"),
+                        F.lit("/2024/"), i.cast("string"))
+
+    cal = docs.filter(F.col("doc_id") < 12).select(
+        _cal(F.col("doc_id") + 1).alias("url"),
+        _cal(F.col("doc_id") + 2).alias("next_url"),
+    )
+    ses = docs.filter(F.col("doc_id") < 6).select(
+        F.concat(F.lit("https://s.example/p?sessionid="),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("https://s.example/p?sessionid="),
+                 (F.col("doc_id") + 1).cast("string")).alias("next_url"),
+    )
+    links = bulk.unionByName(trap).unionByName(cyc) \
+                .unionByName(cal).unionByName(ses)
+    ch = pagination_chains(links, rounds=5)
+    flagged = ch.withColumn("f", url_trap_flags("url")).select(
+        "url", "complete", "page_idx", F.col("f.is_trap").alias("is_trap"))
+    verdict = (
+        F.when(~F.col("complete"), "chain_trap")
+        .when(F.col("is_trap"), "heuristic_trap")
+        .when(F.col("page_idx") > 20, "deep_pagination")
+        .otherwise("admit")
+    )
+    return flagged.withColumn("verdict", verdict)
+
+
+_CFA_ENUM = ("daily", "hourly", "monthly", "always",
+             "never", "sometimes", "weekly")
+
+
+def q_changefreq_audit(spark, sf_dir):
+    """Declared-vs-observed changefreq audit (recrawl.
+    changefreq_audit): sitemap <changefreq> is a claim, the fetch
+    log is the measurement — chronic over-declaration ('hourly' on
+    yearly pages) is crawl-budget bait a scheduler must not reward.
+    Nominal spec intervals vs exact integer observed mean change
+    interval with a 2x band, cross-multiplied (no float decides);
+    'always' honest only when every revisit changed; junk/never/
+    single-fetch/static rows report no_signal. Fetch log derived
+    from the events table (event_type as content fingerprint),
+    declared enum cycled per URL incl. junk."""
+    from dblp_crawler_spark.operators.recrawl import changefreq_audit
+
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(F.lit("https://h"), (F.col("user_id") % 7).cast("string"),
+                   F.lit(".org/p"), F.col("user_id").cast("string"))
+    log = ev.select(url.alias("url"), "ts",
+                    F.col("event_type").alias("fingerprint"))
+    cf = F.try_element_at(
+        F.array(*[F.lit(x) for x in _CFA_ENUM]),
+        (F.col("user_id") % 7 + 1).cast("int"),
+    )
+    declared = ev.select("user_id").distinct().select(
+        url.alias("url"), cf.alias("changefreq"))
+    return changefreq_audit(log, declared)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -5917,6 +6120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "image_density": q_image_density,
         "exif_thumbnail": q_exif_thumbnail,
+        "pipeline_dedup_keep_best": q_pipeline_dedup_keep_best,
+        "pipeline_image_provenance": q_pipeline_image_provenance,
+        "pipeline_trap_quarantine": q_pipeline_trap_quarantine,
+        "changefreq_audit": q_changefreq_audit,
     }
 
 
@@ -9819,7 +10026,182 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _tokenizer_fertility_oracle(),
         "image_density": _image_density_oracle(),
         "exif_thumbnail": _exif_thumbnail_oracle(),
+        "pipeline_dedup_keep_best": _pipeline_dedup_keep_best_oracle(),
+        "pipeline_image_provenance": _pipeline_image_provenance_oracle(),
+        "pipeline_trap_quarantine": _pipeline_trap_quarantine_oracle(),
+        "changefreq_audit": _changefreq_audit_oracle(),
     }
+
+
+def _changefreq_audit_oracle() -> str:
+    """DuckDB replay of q_changefreq_audit — same events-derived
+    fetch log and enum cycle through changefreq_audit_sql."""
+    from dblp_crawler_spark.operators.recrawl import changefreq_audit_sql
+
+    url = ("'https://h' || CAST(user_id % 7 AS VARCHAR) || '.org/p'"
+           " || CAST(user_id AS VARCHAR)")
+    whens = " ".join(
+        f"WHEN {i} THEN '{x}'" for i, x in enumerate(_CFA_ENUM))
+    fetches = f"""(
+        SELECT {url} AS url, ts, event_type AS fingerprint FROM events
+    )"""
+    declared = f"""(
+        SELECT {url} AS url,
+               CASE user_id % 7 {whens} END AS changefreq
+        FROM (SELECT DISTINCT user_id FROM events)
+    )"""
+    return changefreq_audit_sql(fetches, declared)
+
+
+def _pipeline_trap_quarantine_oracle() -> str:
+    """DuckDB replay of q_pipeline_trap_quarantine — same link
+    synthesis through pagination_chains_sql, same trap fragments and
+    verdict precedence."""
+    from dblp_crawler_spark.functions.urlnorm import url_trap_flags_sql
+    from dblp_crawler_spark.operators.redirects import pagination_chains_sql
+
+    cal = ("'https://cal.example/a/2023/' || CAST(doc_id + {o} AS VARCHAR)"
+           " || '/2024/' || CAST(doc_id + {o} AS VARCHAR)")
+    links = f"""(
+        SELECT 'https://s' || CAST(doc_id % 37 AS VARCHAR)
+                 || '.com/list?page=' || CAST(doc_id % 6 AS VARCHAR) AS url,
+               'https://s' || CAST(doc_id % 37 AS VARCHAR)
+                 || '.com/list?page=' || CAST(doc_id % 6 + 1 AS VARCHAR) AS next_url
+        FROM documents WHERE doc_id % 6 < 5
+        UNION ALL
+        SELECT 'https://trap.example/p' || CAST(doc_id AS VARCHAR),
+               'https://trap.example/p' || CAST(doc_id + 1 AS VARCHAR)
+        FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT 'https://cyc.example/p' || CAST(doc_id % 3 AS VARCHAR),
+               'https://cyc.example/p' || CAST((doc_id + 1) % 3 AS VARCHAR)
+        FROM documents WHERE doc_id < 3
+        UNION ALL
+        SELECT {cal.format(o=1)}, {cal.format(o=2)}
+        FROM documents WHERE doc_id < 12
+        UNION ALL
+        SELECT 'https://s.example/p?sessionid=' || CAST(doc_id AS VARCHAR),
+               'https://s.example/p?sessionid=' || CAST(doc_id + 1 AS VARCHAR)
+        FROM documents WHERE doc_id < 6
+    )"""
+    trap = url_trap_flags_sql("url")["is_trap"]
+    return f"""
+        WITH tq_ch AS (
+          SELECT url, complete, page_idx
+          FROM ({pagination_chains_sql(links, rounds=5)})
+        ), tq_f AS (
+          SELECT url, complete, page_idx, {trap} AS is_trap FROM tq_ch
+        )
+        SELECT *, CASE WHEN NOT complete THEN 'chain_trap'
+                       WHEN is_trap THEN 'heuristic_trap'
+                       WHEN page_idx > 20 THEN 'deep_pagination'
+                       ELSE 'admit' END AS verdict
+        FROM tq_f
+    """
+
+
+def _pipeline_image_provenance_oracle() -> str:
+    """DuckDB replay of q_pipeline_image_provenance — same planted
+    bytes through all four *_sql readers, joined on doc_id, same
+    integer majority verdicts."""
+    from dblp_crawler_spark.operators.sniff import (
+        exif_camera_model_sql,
+        exif_thumbnail_sql,
+        image_density_sql,
+        png_text_chunk_sql,
+        sniff_case_sql,
+    )
+
+    table = _ip_table()
+    whens = " ".join(
+        f"WHEN (doc_id % 12) % 3 = {c} AND doc_id % 3 = {i} THEN '{hx}'"
+        for (c, i), hx in table.items() if (c, i) != (2, 2)
+    )
+    src = f"""(
+        SELECT doc_id, CASE {whens} ELSE '{table[(2, 2)]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} ip_src)"
+    return f"""
+        WITH ip_cam AS (
+          SELECT doc_id, camera_model FROM ({exif_camera_model_sql(staged)})
+        ), ip_txt AS (
+          SELECT doc_id, gen_hint FROM ({png_text_chunk_sql(staged)})
+        ), ip_den AS (
+          SELECT doc_id, dpi_x FROM ({image_density_sql(staged)})
+        ), ip_thm AS (
+          SELECT doc_id, has_thumbnail FROM ({exif_thumbnail_sql(staged)})
+        ), ip_j AS (
+          SELECT 'img' || CAST(c.doc_id % 12 AS VARCHAR) || '.example' AS host,
+                 camera_model, gen_hint, dpi_x, has_thumbnail
+          FROM ip_cam c
+          JOIN ip_txt USING (doc_id)
+          JOIN ip_den USING (doc_id)
+          JOIN ip_thm USING (doc_id)
+        ), ip_g AS (
+          SELECT host, COUNT(*) AS n_images,
+                 COUNT(CASE WHEN camera_model IS NOT NULL THEN 1 END) AS n_camera,
+                 COUNT(CASE WHEN gen_hint THEN 1 END) AS n_gen,
+                 COUNT(CASE WHEN dpi_x >= 300 THEN 1 END) AS n_highdpi,
+                 COUNT(CASE WHEN has_thumbnail THEN 1 END) AS n_thumb
+          FROM ip_j GROUP BY host
+        )
+        SELECT *, CASE WHEN n_gen * 2 >= n_images THEN 'synthetic'
+                       WHEN (n_camera + n_thumb + n_highdpi) * 2 >= n_images
+                         THEN 'archival'
+                       ELSE 'mixed' END AS verdict
+        FROM ip_g
+    """
+
+
+def _pipeline_dedup_keep_best_oracle() -> str:
+    """DuckDB replay of q_pipeline_dedup_keep_best — same plant,
+    prefix pairing, recursive-CTE components, quality scores, and
+    keep_best_sql election."""
+    from dblp_crawler_spark.operators.dedup import keep_best_sql
+
+    quality = f"""CAST(ROUND(
+        (CASE WHEN len({_TOK}) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+        + (CASE WHEN (CASE WHEN length(text) > 0 THEN
+             length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE
+               / length(text) ELSE 0.0 END) <= 0.1 THEN 0.3 ELSE 0.0 END)
+        + (CASE WHEN (CASE WHEN len({_TOK}) > 0 THEN
+             len(list_filter({_TOK}, t -> list_contains(['{SW_LIST}'], t)))::DOUBLE
+               / len({_TOK}) ELSE 0.0 END) >= 0.01 THEN 0.3 ELSE 0.0 END), 6)
+        AS DOUBLE)"""
+    # no trailing aliases: keep_best_sql appends its own c/s aliases
+    inner = keep_best_sql("(SELECT id, component FROM kb_cc)",
+                          "(SELECT id, score FROM kb_sc)")
+    return f"""
+        WITH RECURSIVE kb_t AS (
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id % 8 IN (1, 4)
+                      THEN b.text || '{_KB_PUNCT}' ELSE b.text END AS text
+          FROM documents d JOIN documents b
+            ON b.doc_id = d.doc_id
+               - (CASE WHEN d.doc_id % 8 IN (1, 5) THEN 1 ELSE 0 END)
+        ), kb_fp AS (
+          SELECT doc_id, text, substring(text, 1, 64) AS fp FROM kb_t
+        ), kb_pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM kb_fp a JOIN kb_fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        ), kb_sym AS (
+          SELECT a AS id, b AS nbr FROM kb_pairs
+          UNION
+          SELECT b AS id, a AS nbr FROM kb_pairs
+        ), kb_reach(id, comp) AS (
+          SELECT id, id FROM kb_sym
+          UNION
+          SELECT s.nbr, r.comp FROM kb_reach r JOIN kb_sym s ON s.id = r.id
+          WHERE r.comp < s.nbr
+        ), kb_cc AS (
+          SELECT id, MIN(comp) AS component FROM kb_reach GROUP BY id
+        ), kb_sc AS (
+          SELECT doc_id AS id, {quality} AS score FROM kb_fp
+        )
+        SELECT id AS doc_id, keep_id AS keep_doc_id, score, keep_score
+        FROM ({inner})
+    """
 
 
 def _exif_thumbnail_oracle() -> str:

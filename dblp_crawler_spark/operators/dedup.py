@@ -906,3 +906,68 @@ def cluster_split_leakage_sql(src: str, id_col: str = "id",
                CASE WHEN a.n_splits > 1 THEN a.ms END AS move_to
         FROM {src} m JOIN csl_a a ON m.{cluster_col} = a.c
     """
+
+
+# ---- keep-best representative election ---------------------------------------
+#
+# Min-id representatives (drop_list) are deterministic but blind: in
+# a near-dup cluster of {clean original, ad-stuffed copy, truncated
+# mirror} the curated corpus should keep the BEST member, not the
+# numerically smallest — the FineWeb/RefinedWeb-style election.
+# Plugging any per-doc score into the cluster grouping is one join +
+# one per-cluster window: rank by (score DESC, id ASC) so equal
+# scores degrade gracefully to the min-id rule and the election
+# stays engine-portable (the tie-break is total). Emits the DROP
+# rows with both scores so an audit can see what the election
+# traded; singleton docs never enter (components only covers paired
+# ids) and therefore never appear on a drop list.
+
+def keep_best(components: DataFrame, scores: DataFrame,
+              id_col: str = "id", comp_col: str = "component",
+              score_col: str = "score") -> DataFrame:
+    """(id, keep_id, score, keep_score) for every clustered doc that
+    LOST its cluster's election — the deletion list under
+    best-member (not min-id) representative choice."""
+    from pyspark.sql import Window
+
+    j = components.join(scores, id_col).select(
+        F.col(id_col).alias("id"),
+        F.col(comp_col).alias("comp"),
+        F.col(score_col).alias("score"),
+    )
+    w = Window.partitionBy("comp").orderBy(F.desc("score"), F.asc("id"))
+    winners = (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("comp"), F.col("id").alias("keep_id"),
+                F.col("score").alias("keep_score"))
+    )
+    return (
+        j.join(winners, "comp")
+        .where(F.col("id") != F.col("keep_id"))
+        .select("id", "keep_id", "score", "keep_score")
+    )
+
+
+def keep_best_sql(components: str, scores: str,
+                  id_col: str = "id", comp_col: str = "component",
+                  score_col: str = "score") -> str:
+    """DuckDB replay of :func:`keep_best` over relations
+    ``components(id, component)`` and ``scores(id, score)``."""
+    return f"""
+        WITH kb_j AS (
+          SELECT c.{id_col} AS id, c.{comp_col} AS comp,
+                 s.{score_col} AS score
+          FROM {components} c JOIN {scores} s ON s.{id_col} = c.{id_col}
+        ), kb_w AS (
+          SELECT comp, id AS keep_id, score AS keep_score FROM (
+            SELECT comp, id, score,
+                   ROW_NUMBER() OVER (PARTITION BY comp
+                                      ORDER BY score DESC, id) AS rn
+            FROM kb_j
+          ) WHERE rn = 1
+        )
+        SELECT j.id, w.keep_id, j.score, w.keep_score
+        FROM kb_j j JOIN kb_w w USING (comp)
+        WHERE j.id <> w.keep_id
+    """

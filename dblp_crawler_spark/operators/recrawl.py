@@ -202,3 +202,106 @@ def canonical_election(fetches: DataFrame, url_col: str = "url",
             )
         )
     return alias_map.select("url", "canonical_url"), host_report
+
+
+# ---- declared-vs-observed changefreq audit -----------------------------------
+#
+# Sitemap <changefreq> is a publisher CLAIM; the fetch log is the
+# measurement. Sites chronically over-declare ("hourly" on pages
+# that change yearly — bait for crawl budget) and sometimes
+# under-declare (busy feeds marked monthly); a scheduler that trusts
+# claims wastes exactly the budget politeness saved. The audit joins
+# the spec's nominal interval against the observed mean change
+# interval (span / n_changes, exact integers) with a 2x tolerance
+# band on each side — all comparisons cross-multiplied so no float
+# ever decides. 'always' (nominal 0) is honest only when every
+# revisit changed. URLs without two fetches, without any observed
+# change, or declaring 'never'/junk give no_signal — unverifiable,
+# not wrong (the scheduler falls back to observed-rate priorities).
+
+def changefreq_audit(fetches: DataFrame, declared: DataFrame,
+                     url_col: str = "url", ts_col: str = "ts",
+                     fp_col: str = "fingerprint",
+                     cf_col: str = "changefreq") -> DataFrame:
+    """(url, changefreq, declared_s, n_fetches, n_changes, span_s,
+    verdict) per url in both inputs; verdict in {over_declared,
+    under_declared, accurate, no_signal}."""
+    from ..sources.webparse import CHANGEFREQ_SECONDS
+
+    marked = change_history(fetches, url_col, ts_col, fp_col)
+    per_url = marked.groupBy(F.col(url_col).alias("url")).agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum("changed").cast("long").alias("n_changes"),
+        (F.max(F.unix_seconds(F.col(ts_col).cast("timestamp")))
+         - F.min(F.unix_seconds(F.col(ts_col).cast("timestamp"))))
+        .alias("span_s"),
+    )
+    cf = F.lower(F.col(cf_col))
+    ds = F.lit(None).cast("long")
+    for name, secs in CHANGEFREQ_SECONDS.items():
+        ds = F.when(cf == name, F.lit(secs).cast("long")).otherwise(ds)
+    d = declared.select(F.col(url_col).alias("url"), cf.alias("changefreq"),
+                        ds.alias("declared_s"))
+    j = d.join(per_url, "url")
+    no_signal = (F.col("declared_s").isNull() | (F.col("n_fetches") < 2)
+                 | (F.col("n_changes") == 0))
+    always_ok = F.col("n_changes") == F.col("n_fetches") - 1
+    verdict = (
+        F.when(no_signal, "no_signal")
+        .when(F.col("declared_s") == 0,
+              F.when(always_ok, "accurate").otherwise("over_declared"))
+        .when(F.col("declared_s") * 2 * F.col("n_changes") < F.col("span_s"),
+              "over_declared")
+        .when(F.col("declared_s") * F.col("n_changes") > 2 * F.col("span_s"),
+              "under_declared")
+        .otherwise("accurate")
+    )
+    return j.select("url", "changefreq", "declared_s", "n_fetches",
+                    "n_changes", "span_s", verdict.alias("verdict"))
+
+
+def changefreq_audit_sql(fetches: str, declared: str) -> str:
+    """DuckDB replay of :func:`changefreq_audit` over relations
+    ``fetches(url, ts, fingerprint)`` and ``declared(url,
+    changefreq)`` — same lag marking, integer bands, and enum
+    table."""
+    from ..sources.webparse import CHANGEFREQ_SECONDS
+
+    ds = " ".join(f"WHEN '{n}' THEN {s}" for n, s in CHANGEFREQ_SECONDS.items())
+    return f"""
+        WITH ca_m AS (
+          SELECT url, ts, fingerprint,
+                 CASE WHEN lag(fingerprint) OVER
+                        (PARTITION BY url ORDER BY ts, fingerprint)
+                      IS NOT NULL
+                      AND lag(fingerprint) OVER
+                        (PARTITION BY url ORDER BY ts, fingerprint)
+                      <> fingerprint
+                 THEN 1 ELSE 0 END AS changed
+          FROM {fetches}
+        ), ca_u AS (
+          SELECT url, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                 CAST(SUM(changed) AS BIGINT) AS n_changes,
+                 CAST(floor(epoch(MAX(CAST(ts AS TIMESTAMP))))
+                      - floor(epoch(MIN(CAST(ts AS TIMESTAMP)))) AS BIGINT)
+                   AS span_s
+          FROM ca_m GROUP BY url
+        ), ca_d AS (
+          SELECT url, lower(changefreq) AS changefreq,
+                 CAST(CASE lower(changefreq) {ds} END AS BIGINT) AS declared_s
+          FROM {declared}
+        )
+        SELECT d.url, d.changefreq, d.declared_s, u.n_fetches, u.n_changes,
+               u.span_s,
+               CASE WHEN d.declared_s IS NULL OR u.n_fetches < 2
+                         OR u.n_changes = 0 THEN 'no_signal'
+                    WHEN d.declared_s = 0 THEN
+                      CASE WHEN u.n_changes = u.n_fetches - 1
+                           THEN 'accurate' ELSE 'over_declared' END
+                    WHEN d.declared_s * 2 * u.n_changes < u.span_s
+                      THEN 'over_declared'
+                    WHEN d.declared_s * u.n_changes > 2 * u.span_s
+                      THEN 'under_declared'
+                    ELSE 'accurate' END AS verdict
+        FROM ca_d d JOIN ca_u u USING (url)
+    """
