@@ -5902,6 +5902,66 @@ def q_changefreq_audit(spark, sf_dir):
     return changefreq_audit(log, declared)
 
 
+def q_politeness_compliance(spark, sf_dir):
+    """Politeness compliance audit (scheduler.politeness_compliance):
+    the plan's inverse — the fetch log is ground truth, and
+    consecutive same-host gaps under the delay are violations (a
+    worker bypassing its window, a retry path skipping the
+    scheduler, or two shards on one host — the bug salted pops
+    exist to prevent). One per-host lag window + one hash agg, all
+    int64 microseconds. Events-derived log, 1000 s delay gives a
+    deterministic mix of violating and compliant hosts."""
+    from dblp_crawler_spark.operators.scheduler import politeness_compliance
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 11).cast("string"),
+                 F.lit(".org")).alias("host"),
+        F.concat(F.lit("/e"), F.col("event_id").cast("string")).alias("url"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return politeness_compliance(log, delay_us=1_000_000_000)
+
+
+def q_dns_churn(spark, sf_dir):
+    """DNS churn / fast-flux detection (hostdup.dns_churn): spam
+    infrastructure rotates a hostname across botnet IP pools;
+    legitimate hosts sit on small stable sets. Distinct-IP count vs
+    observation window, churn compared by integer
+    cross-multiplication; a planted 8-IP burst host flags against
+    the stable bulk."""
+    from dblp_crawler_spark.operators.hostdup import dns_churn
+
+    ev = _t(spark, sf_dir, "events")
+    bulk = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 9).cast("string"),
+                 F.lit(".org")).alias("host"),
+        F.concat(F.lit("10.0."), (F.col("user_id") % 2).cast("string"),
+                 F.lit("."), (F.col("user_id") % 3).cast("string")).alias("ip"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    flux = ev.filter(F.col("event_id") < 8).select(
+        F.lit("flux.example").alias("host"),
+        F.concat(F.lit("66.0.0."),
+                 F.col("event_id").cast("string")).alias("ip"),
+        (F.col("event_id") * 60_000_000).alias("ts_us"),
+    )
+    return dns_churn(bulk.unionByName(flux))
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Sqrt temperature mixture (textstats.temperature_mixture):
+    the mBERT/XLM-R exponentiated smoothing at alpha = 1/2 —
+    proportional sampling lets the head source swamp the tail,
+    uniform over-trains tiny sources. alpha fixed at 1/2 because
+    sqrt is IEEE correctly-rounded (engine-exact) where pow(n, 0.3)
+    is libm-dependent; per-source weights quantize to int64 before
+    the normalizer sum so no float addition order exists."""
+    from dblp_crawler_spark.operators.textstats import temperature_mixture
+
+    return temperature_mixture(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -6124,6 +6184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_image_provenance": q_pipeline_image_provenance,
         "pipeline_trap_quarantine": q_pipeline_trap_quarantine,
         "changefreq_audit": q_changefreq_audit,
+        "politeness_compliance": q_politeness_compliance,
+        "dns_churn": q_dns_churn,
+        "temperature_mixture": q_temperature_mixture,
     }
 
 
@@ -10030,7 +10093,48 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_image_provenance": _pipeline_image_provenance_oracle(),
         "pipeline_trap_quarantine": _pipeline_trap_quarantine_oracle(),
         "changefreq_audit": _changefreq_audit_oracle(),
+        "politeness_compliance": _politeness_compliance_oracle(),
+        "dns_churn": _dns_churn_oracle(),
+        "temperature_mixture": _temperature_mixture_oracle(),
     }
+
+
+def _politeness_compliance_oracle() -> str:
+    """DuckDB replay of q_politeness_compliance."""
+    from dblp_crawler_spark.operators.scheduler import politeness_compliance_sql
+
+    log = """(
+        SELECT 'h' || CAST(user_id % 11 AS VARCHAR) || '.org' AS host,
+               '/e' || CAST(event_id AS VARCHAR) AS url,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+        FROM events
+    )"""
+    return politeness_compliance_sql(log, delay_us=1_000_000_000)
+
+
+def _dns_churn_oracle() -> str:
+    """DuckDB replay of q_dns_churn — same bulk + planted flux."""
+    from dblp_crawler_spark.operators.hostdup import dns_churn_sql
+
+    src = """(
+        SELECT 'h' || CAST(user_id % 9 AS VARCHAR) || '.org' AS host,
+               '10.0.' || CAST(user_id % 2 AS VARCHAR) || '.'
+                 || CAST(user_id % 3 AS VARCHAR) AS ip,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+        FROM events
+        UNION ALL
+        SELECT 'flux.example', '66.0.0.' || CAST(event_id AS VARCHAR),
+               event_id * 60000000
+        FROM events WHERE event_id < 8
+    )"""
+    return dns_churn_sql(src)
+
+
+def _temperature_mixture_oracle() -> str:
+    """DuckDB replay of q_temperature_mixture."""
+    from dblp_crawler_spark.operators.textstats import temperature_mixture_sql
+
+    return temperature_mixture_sql("documents")
 
 
 def _changefreq_audit_oracle() -> str:

@@ -576,3 +576,57 @@ def variant_preference_sql(src: str, url_col: str = "url") -> str:
         SELECT r.url, p.preferred_url, r.url <> p.preferred_url AS is_alias
         FROM vp_r r JOIN vp_p p USING (vkey)
     """
+
+
+# ---- DNS churn / fast-flux detection -----------------------------------------
+#
+# Spam and malware infrastructure rotates a hostname across large
+# botnet IP pools with tiny TTLs (fast flux); legitimate hosts sit
+# on a handful of stable addresses (round-robin and CDNs rotate
+# WITHIN a small set). The resolution log the crawler already keeps
+# for ip_politeness yields the signal for free: distinct-IP count
+# vs observation window. The flag cross-multiplies (new IPs per day
+# > churn threshold) so no float decides; a host observed at one
+# instant (span 0) flags only via the raw IP count. One hash agg.
+
+def dns_churn(dns_log: DataFrame, min_ips: int = 5, per_day: int = 3,
+              host_col: str = "host", ip_col: str = "ip",
+              ts_col: str = "ts_us") -> DataFrame:
+    """(host, n_obs, n_ips, span_s, fast_flux) per host over a
+    (host, ip, ts_us) resolution log: fast_flux when the host showed
+    >= min_ips distinct IPs AND gained more than `per_day` new IPs
+    per observed day (span-0 hosts: the IP count alone decides)."""
+    g = dns_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.count_distinct(F.col(ip_col)).alias("n_ips"),
+        # floor-div, not float-div: DuckDB's double->BIGINT cast ROUNDS
+        # where Spark's truncates — floor on both sides is the parity
+        F.floor((F.max(ts_col) - F.min(ts_col)) / F.lit(1_000_000))
+        .cast("long").alias("span_s"),
+    )
+    churny = (F.col("n_ips") - 1) * 86400 > F.lit(per_day) * F.col("span_s")
+    return g.withColumn(
+        "fast_flux",
+        (F.col("n_ips") >= min_ips)
+        & (F.when(F.col("span_s") == 0, F.lit(True)).otherwise(churny)),
+    )
+
+
+def dns_churn_sql(src: str, min_ips: int = 5, per_day: int = 3,
+                  host_col: str = "host", ip_col: str = "ip",
+                  ts_col: str = "ts_us") -> str:
+    """DuckDB replay of :func:`dns_churn` — same integer churn
+    cross-multiplication."""
+    return f"""
+        WITH dc_g AS (
+          SELECT {host_col} AS host, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 CAST(COUNT(DISTINCT {ip_col}) AS BIGINT) AS n_ips,
+                 CAST(floor((MAX({ts_col}) - MIN({ts_col})) / 1000000)
+                      AS BIGINT) AS span_s
+          FROM {src} GROUP BY {host_col}
+        )
+        SELECT *, n_ips >= {min_ips} AND (CASE WHEN span_s = 0 THEN TRUE
+                   ELSE (n_ips - 1) * 86400 > {per_day} * span_s END)
+               AS fast_flux
+        FROM dc_g
+    """

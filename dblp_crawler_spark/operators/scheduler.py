@@ -879,3 +879,70 @@ def robots_drift_sql(urls: str = "cand_urls",
         FROM ({robots_decide_sql(urls, rules_old)}) o
         JOIN ({robots_decide_sql(urls, rules_new)}) n USING (url)
     """
+
+
+# ---- politeness compliance audit ---------------------------------------------
+#
+# The scheduler PLANS polite fetches (politeness_window/timeline);
+# this audits what actually HAPPENED — a fetch log is the ground
+# truth, and violations mean a worker ignored its window, a retry
+# path bypassed the scheduler, or two shards fetched one host
+# concurrently (the exact bug salted pops exist to prevent). Also
+# the operator you run over a THIRD-party crawler's log before
+# whitelisting it. Per host: consecutive-fetch gaps under the
+# host's delay are violations; first fetches have no gap. One lag
+# window per host + one hash agg, all int64 microseconds; the delay
+# is a constant or a per-host column (adaptive_crawl_delay's output
+# plugs in, same as politeness_timeline).
+
+def politeness_compliance(log: DataFrame, delay_us: int | None = None,
+                          host_col: str = "host", ts_col: str = "ts_us",
+                          url_col: str = "url") -> DataFrame:
+    """(host, n_fetches, n_violations, min_gap_us, delay_us,
+    compliant) per host.  `delay_us` literal, or NULL to read a
+    per-host ``delay_us`` column from the log.  min_gap_us is NULL
+    for single-fetch hosts (no gap exists — vacuously compliant)."""
+    from pyspark.sql import Window
+
+    d = F.lit(delay_us).cast("long") if delay_us is not None \
+        else F.col("delay_us")
+    w = Window.partitionBy(host_col).orderBy(ts_col, url_col)
+    gap = F.col(ts_col) - F.lag(F.col(ts_col)).over(w)
+    marked = log.select(
+        F.col(host_col).alias("host"),
+        gap.alias("gap"),
+        d.alias("d"),
+    )
+    g = marked.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.count(F.when(F.col("gap") < F.col("d"), 1)).alias("n_violations"),
+        F.min("gap").alias("min_gap_us"),
+        F.max("d").alias("delay_us"),
+    )
+    return g.withColumn("compliant", F.col("n_violations") == 0)
+
+
+def politeness_compliance_sql(src: str, delay_us: int | None = None,
+                              host_col: str = "host", ts_col: str = "ts_us",
+                              url_col: str = "url") -> str:
+    """DuckDB replay of :func:`politeness_compliance` — same lag
+    window, counts, and NULL-gap semantics."""
+    d = str(delay_us) if delay_us is not None else "delay_us"
+    return f"""
+        WITH pc_m AS (
+          SELECT {host_col} AS host,
+                 {ts_col} - lag({ts_col}) OVER
+                   (PARTITION BY {host_col}
+                    ORDER BY {ts_col}, {url_col}) AS gap,
+                 CAST({d} AS BIGINT) AS d
+          FROM {src}
+        ), pc_g AS (
+          SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                 CAST(COUNT(CASE WHEN gap < d THEN 1 END) AS BIGINT)
+                   AS n_violations,
+                 MIN(gap) AS min_gap_us,
+                 MAX(d) AS delay_us
+          FROM pc_m GROUP BY host
+        )
+        SELECT *, n_violations = 0 AS compliant FROM pc_g
+    """

@@ -1650,3 +1650,60 @@ def tokenizer_fertility_sql(src: str, text_col: str = "text",
                  AS bpe_per_token
         FROM tg
     """
+
+
+# ---- temperature-scaled source mixture (alpha = 1/2) --------------------------
+#
+# Proportional sampling lets English swamp every other language;
+# uniform sampling over-trains tiny sources. The standard fix
+# (mBERT/XLM-R's exponentiated smoothing) samples source s with
+# probability n_s^alpha / sum n^alpha. alpha is fixed at 1/2 here
+# deliberately: sqrt is an IEEE-754 correctly-rounded operation, so
+# the shares replay bit-identically in every engine, where a general
+# pow(n, 0.3) depends on each libm's last-ulp behavior — the same
+# determinism-over-generality trade the fixed-point quantizers make.
+# One count agg + one 1-row broadcast of the normalizer.
+
+def temperature_mixture(docs: DataFrame,
+                        source_col: str = "source") -> DataFrame:
+    """Per source: n_docs, raw_share, temp_share (sqrt-smoothed
+    sampling probability), boost = temp_share / raw_share (>1 means
+    the source is up-sampled by smoothing). Shares rounded to 6.
+    The per-source weight is quantized to an int64 (floor of
+    sqrt * 10^6) BEFORE the normalizer sum: a float sum's value
+    depends on partition arrival order, an integer sum never does —
+    the only floats are the two final one-divisions."""
+    g = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    wint = F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000.0)).cast("long")
+    gw = g.withColumn("__wi", wint)
+    w = gw.select(F.sum("n_docs").alias("__n"), F.sum("__wi").alias("__w"))
+    j = gw.join(F.broadcast(w))
+    raw = F.round(F.col("n_docs") / F.col("__n"), 6)
+    temp = F.round(F.col("__wi") / F.col("__w"), 6)
+    return j.select(
+        "source", "n_docs", raw.alias("raw_share"), temp.alias("temp_share"),
+        F.round(temp / raw, 4).alias("boost"),
+    )
+
+
+def temperature_mixture_sql(src: str, source_col: str = "source") -> str:
+    """DuckDB replay of :func:`temperature_mixture` — same sqrt
+    smoothing and rounding."""
+    return f"""
+        WITH tm_g AS (
+          SELECT {source_col} AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(floor(sqrt(COUNT(*)) * 1000000.0) AS BIGINT) AS wi
+          FROM {src} GROUP BY {source_col}
+        ), tm_w AS (
+          SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+                 CAST(SUM(wi) AS BIGINT) AS w
+          FROM tm_g
+        )
+        SELECT source, n_docs,
+               ROUND(n_docs * 1.0 / n, 6) AS raw_share,
+               ROUND(wi * 1.0 / w, 6) AS temp_share,
+               ROUND(ROUND(wi * 1.0 / w, 6)
+                     / ROUND(n_docs * 1.0 / n, 6), 4) AS boost
+        FROM tm_g, tm_w
+    """
