@@ -5962,6 +5962,156 @@ def q_temperature_mixture(spark, sf_dir):
     return temperature_mixture(_t(spark, sf_dir, "documents"))
 
 
+def _sw_app1(value: str, le=True) -> str:
+    val = value.encode() + b"\x00"
+    cnt = len(val)
+    off = 8 + 2 + 12 + 4
+    if le:
+        ent = "3101" + "0200" + "".join(
+            f"{(cnt >> (8 * i)) & 255:02X}" for i in range(4))
+        v = "".join(f"{(off >> (8 * i)) & 255:02X}" for i in range(4))
+        hdr = "49492A00" + "08000000" + "0100"
+    else:
+        ent = "0131" + "0002" + f"{cnt:08X}"
+        v = f"{off:08X}"
+        hdr = "4D4D002A" + "00000008" + "0001"
+    payload = ("457869660000" + hdr + ent + v + "00000000"
+               + val.hex().upper())
+    return "FFD8" + _ES_APP0 + "FFE1" + f"{len(payload) // 2 + 2:04X}" + payload
+
+
+#: planted Software cases: editor (LE), generator (BE), generator
+#: (LE), EXIF-less JPEG, PNG.
+_SW_CASES = [
+    _sw_app1("Adobe Photoshop 25.0"),
+    _sw_app1("Stable Diffusion XL", le=False),
+    _sw_app1("ComfyUI"),
+    "FFD8" + _ES_APP0,
+    "89504E470D0A1A0A" + "00" * 8,
+]
+
+
+def q_exif_software(spark, sf_dir):
+    """EXIF Software tag (sniff.exif_software): the JPEG-side
+    generator signature — editors and AI pipelines that DO write
+    EXIF name themselves in tag 0x0131, matched against the SAME
+    fingerprint regex as the PNG tEXt gate so one tool's JPEG and
+    PNG output read identically in the host provenance rollup.
+    Endian-aware inline-vs-offset ASCII read on the shared EXIF
+    staging."""
+    from dblp_crawler_spark.operators.sniff import exif_software
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_SW_CASES)
+    hexstr = F.lit(_SW_CASES[-1])
+    for i, hx in enumerate(_SW_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return exif_software(imgs).select("doc_id", "fmt", "software", "gen_hint")
+
+
+def q_sitemap_images(spark, sf_dir):
+    """Image-sitemap extension (webparse.sitemap_images): the
+    publisher's declared image+caption inventory — structured
+    captions without fetching a single page, the best discovery
+    channel an image+caption crawl has. Blocks-within-blocks regex
+    parse (no XML engine), canonicalized URLs, optional fields NULL,
+    cross-host declarations flagged not dropped. Every third image
+    declared on a CDN host, every second carries a caption."""
+    from dblp_crawler_spark.sources.webparse import sitemap_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    hh = (F.col("doc_id") % 10).cast("string")
+    img_host = F.when(F.col("doc_id") % 3 == 0,
+                      F.concat(F.lit("https://cdn"), hh, F.lit(".net"))) \
+        .otherwise(F.concat(F.lit("https://h"), hh, F.lit(".org")))
+    cap = F.when(F.col("doc_id") % 2 == 0,
+                 F.concat(F.lit("<image:caption>photo number "), d,
+                          F.lit("</image:caption>"))).otherwise(F.lit(""))
+    ttl = F.when(F.col("doc_id") % 4 == 0,
+                 F.concat(F.lit("<image:title>t"), d,
+                          F.lit("</image:title>"))).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://h"), hh, F.lit(".org/g/"), d,
+        F.lit("</loc><image:image><image:loc>"), img_host,
+        F.lit("/i/"), d, F.lit(".jpg</image:loc>"), cap, ttl,
+        F.lit("</image:image>"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("<image:image><image:loc>"), img_host,
+                        F.lit("/i/"), d,
+                        F.lit("b.jpg</image:loc></image:image>")))
+        .otherwise(F.lit("")),
+        F.lit("</url></urlset>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("h"), hh, F.lit(".org")).alias("host"),
+        xml.alias("sitemap_xml"))
+    return sitemap_images(pages)
+
+
+def q_outlink_profile(spark, sf_dir):
+    """Per-page outlink spray profile (webparse.outlink_profile):
+    link-farm texture BEFORE any graph algorithm — hundreds of
+    anchors across many unrelated domains, nearly all external,
+    vs organic pages linking mostly within their site. Exact
+    per-mille external fraction, integer spray gates. Every 11th
+    page is a planted 24-domain sprayer."""
+    from dblp_crawler_spark.sources.webparse import outlink_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    page = F.concat(F.lit("https://site"), (F.col("doc_id") % 11).cast("string"),
+                    F.lit(".org/p"), (F.col("doc_id") % 7).cast("string"))
+    spray = F.col("doc_id") % 11 == 0
+    k = F.col("doc_id") % 24
+    out = F.when(
+        spray,
+        F.concat(F.lit("https://spam"), F.col("doc_id").cast("string"),
+                 F.lit(".net/x")),
+    ).otherwise(
+        F.when(k < 20,
+               F.concat(F.lit("https://site"),
+                        (F.col("doc_id") % 11).cast("string"),
+                        F.lit(".org/a"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("https://ref"), k.cast("string"),
+                            F.lit(".org/cite"))))
+    return outlink_profile(docs.select(page.alias("url"), out.alias("out_url")))
+
+
+def q_meta_refresh(spark, sf_dir):
+    """Meta-refresh redirects (webparse.meta_refresh): the redirect
+    channel that never touches HTTP — parked domains and consent
+    walls hop through <meta http-equiv=refresh>, and ignoring it
+    records the hop page as content. 0-5 s refreshes are redirects
+    (the search-engine rule), longer delays are content; attribute
+    order free; targets resolve against the page. Families: instant
+    redirect, reversed-attribute 3 s, self-reload, slow refresh,
+    refresh-less pages."""
+    from dblp_crawler_spark.sources.webparse import meta_refresh
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit("<html><meta http-equiv='refresh' content='0; url=/n"), d,
+            F.lit("'></html>")))
+        .when(m == 1, F.concat(
+            F.lit("<meta content=\"3;url=https://q.org/t"), d,
+            F.lit("\" http-equiv=\"refresh\">")))
+        .when(m == 2, F.lit("<meta http-equiv='refresh' content='300'>"))
+        .when(m == 3, F.concat(
+            F.lit("<meta http-equiv='refresh' content='30; url=slow"), d,
+            F.lit(".html'>")))
+        .otherwise(F.lit("<html>no refresh</html>"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://p"), (F.col("doc_id") % 13).cast("string"),
+                 F.lit(".org/x"), d).alias("url"),
+        html.alias("html"))
+    return meta_refresh(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -6187,6 +6337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_compliance": q_politeness_compliance,
         "dns_churn": q_dns_churn,
         "temperature_mixture": q_temperature_mixture,
+        "exif_software": q_exif_software,
+        "sitemap_images": q_sitemap_images,
+        "outlink_profile": q_outlink_profile,
+        "meta_refresh": q_meta_refresh,
     }
 
 
@@ -10096,7 +10250,98 @@ def oracle_sql() -> dict[str, str]:
         "politeness_compliance": _politeness_compliance_oracle(),
         "dns_churn": _dns_churn_oracle(),
         "temperature_mixture": _temperature_mixture_oracle(),
+        "exif_software": _exif_software_oracle(),
+        "sitemap_images": _sitemap_images_oracle(),
+        "outlink_profile": _outlink_profile_oracle(),
+        "meta_refresh": _meta_refresh_oracle(),
     }
+
+
+def _exif_software_oracle() -> str:
+    """DuckDB replay of q_exif_software."""
+    from dblp_crawler_spark.operators.sniff import (
+        exif_software_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_SW_CASES[:-1]))
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_SW_CASES)}{whens}
+                 ELSE '{_SW_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} sw_src)"
+    return exif_software_sql(staged)
+
+
+def _sitemap_images_oracle() -> str:
+    """DuckDB replay of q_sitemap_images — same synthesized XML."""
+    from dblp_crawler_spark.sources.webparse import sitemap_images_sql
+
+    d = "CAST(doc_id AS VARCHAR)"
+    hh = "CAST(doc_id % 10 AS VARCHAR)"
+    img_host = (f"CASE WHEN doc_id % 3 = 0 THEN 'https://cdn' || {hh} || '.net'"
+                f" ELSE 'https://h' || {hh} || '.org' END")
+    cap = (f"CASE WHEN doc_id % 2 = 0 THEN '<image:caption>photo number ' || {d}"
+           f" || '</image:caption>' ELSE '' END")
+    ttl = (f"CASE WHEN doc_id % 4 = 0 THEN '<image:title>t' || {d}"
+           f" || '</image:title>' ELSE '' END")
+    second = (f"CASE WHEN doc_id % 5 = 0 THEN '<image:image><image:loc>' || "
+              f"{img_host} || '/i/' || {d} || "
+              f"'b.jpg</image:loc></image:image>' ELSE '' END")
+    src = f"""(
+        SELECT 'h' || {hh} || '.org' AS host,
+               '<urlset><url><loc>https://h' || {hh} || '.org/g/' || {d}
+               || '</loc><image:image><image:loc>' || {img_host} || '/i/'
+               || {d} || '.jpg</image:loc>' || {cap} || {ttl}
+               || '</image:image>' || {second} || '</url></urlset>'
+               AS sitemap_xml
+        FROM documents
+    )"""
+    return sitemap_images_sql(src)
+
+
+def _outlink_profile_oracle() -> str:
+    """DuckDB replay of q_outlink_profile — same edge synthesis."""
+    from dblp_crawler_spark.sources.webparse import outlink_profile_sql
+
+    edges = """(
+        SELECT 'https://site' || CAST(doc_id % 11 AS VARCHAR) || '.org/p'
+               || CAST(doc_id % 7 AS VARCHAR) AS url,
+               CASE WHEN doc_id % 11 = 0
+                    THEN 'https://spam' || CAST(doc_id AS VARCHAR) || '.net/x'
+                    WHEN doc_id % 24 < 20
+                    THEN 'https://site' || CAST(doc_id % 11 AS VARCHAR)
+                         || '.org/a' || CAST(doc_id AS VARCHAR)
+                    ELSE 'https://ref' || CAST(doc_id % 24 AS VARCHAR)
+                         || '.org/cite' END AS out_url
+        FROM documents
+    )"""
+    return outlink_profile_sql(edges)
+
+
+def _meta_refresh_oracle() -> str:
+    """DuckDB replay of q_meta_refresh — same synthesized HTML."""
+    from dblp_crawler_spark.sources.webparse import meta_refresh_sql
+
+    d = "CAST(doc_id AS VARCHAR)"
+    src = f"""(
+        SELECT 'https://p' || CAST(doc_id % 13 AS VARCHAR) || '.org/x' || {d}
+                 AS url,
+               CASE doc_id % 5
+                 WHEN 0 THEN '<html><meta http-equiv=''refresh'' content=''0; url=/n'
+                        || {d} || '''></html>'
+                 WHEN 1 THEN '<meta content="3;url=https://q.org/t' || {d}
+                        || '" http-equiv="refresh">'
+                 WHEN 2 THEN '<meta http-equiv=''refresh'' content=''300''>'
+                 WHEN 3 THEN '<meta http-equiv=''refresh'' content=''30; url=slow'
+                        || {d} || '.html''>'
+                 ELSE '<html>no refresh</html>' END AS html
+        FROM documents
+    )"""
+    return meta_refresh_sql(src)
 
 
 def _politeness_compliance_oracle() -> str:

@@ -3409,3 +3409,97 @@ def exif_thumbnail_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                  {_rd_sql('h', 'le', 't + 2 * off', 2)} END AS INT) AS ifd1_entries
         FROM et_o
     """
+
+
+# ---- EXIF Software tag (0x0131) ----------------------------------------------
+#
+# The JPEG-side counterpart of the PNG tEXt generator signature:
+# editors and AI pipelines that DO write EXIF put themselves in the
+# Software/ProcessingSoftware tag ("Adobe Photoshop 25.0", and
+# increasingly the generator names the tEXt gate matches on PNGs).
+# Same endian-aware inline-vs-offset ASCII read as the camera-model
+# tag, same printable gate, and the SAME generator regex as
+# png_text_chunk — one fingerprint table for both containers, so
+# the host-level provenance rollup sees JPEG and PNG output of one
+# tool identically.
+
+_SOFTWARE_TAG = 0x0131
+
+
+def exif_software(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, software, gen_hint): the EXIF Software string and
+    whether it names a known generator; NULL for rows without the
+    tag. Clamped at MODEL_MAX_BYTES like the camera model."""
+    staged = _exif_stage(df, bytes_col)
+    hx = F.col("__ex")
+
+    def rd(pos, n_bytes):
+        return F.when(F.col("__le"), _le(hx, pos, n_bytes)).otherwise(
+            _hex2long(hx, pos, 2 * n_bytes)
+        )
+
+    branches = []
+    for i in range(IFD_MAX_ENTRIES):
+        epos = F.col("__e") + F.lit(24 * i)
+        typ = rd(epos + F.lit(4), 2)
+        cnt = rd(epos + F.lit(8), 4)
+        hit = (F.lit(i) < F.col("__n")) & (rd(epos, 2) == _SOFTWARE_TAG) & (typ == 2)
+        n = F.least(cnt - 1, F.lit(MODEL_MAX_BYTES))
+        inline = hx.substr(epos + F.lit(16), (n * 2).cast("int"))
+        off_pos = F.col("__t") + F.lit(2) * rd(epos + F.lit(16), 4)
+        stored = hx.substr(off_pos.cast("int"), (n * 2).cast("int"))
+        branches.append(
+            F.when(hit & (cnt > 1),
+                   F.when(cnt <= 4, inline).otherwise(stored))
+        )
+    sw_hex = F.coalesce(*branches)
+    software = F.when(
+        sw_hex.rlike("^(?:[0-9A-F]{2})+$"),
+        F.decode(F.unhex(sw_hex), "UTF-8"),
+    )
+    return (
+        staged.withColumns(
+            {
+                "software": software,
+                "gen_hint": F.when(
+                    software.isNotNull(),
+                    F.coalesce(software.rlike(_GEN_SOFTWARE_RE), F.lit(False)),
+                ),
+            }
+        )
+        .drop("__ex", "__t", "__le", "__ifd", "__n", "__e")
+    )
+
+
+def exif_software_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                      fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`exif_software` — shared staging, same
+    storage rule, same generator regex."""
+    def branch(i):
+        typ = _rd_sql("h", "le", f"e + {24 * i} + 4", 2)
+        cnt = _rd_sql("h", "le", f"e + {24 * i} + 8", 4)
+        tag = _rd_sql("h", "le", f"e + {24 * i}", 2)
+        n = f"least(({cnt}) - 1, {MODEL_MAX_BYTES})"
+        inline = f"substring(h, e + {24 * i} + 16, ({n}) * 2)"
+        off = _rd_sql("h", "le", f"e + {24 * i} + 16", 4)
+        stored = f"substring(h, t + 2 * ({off}), ({n}) * 2)"
+        return (f"CASE WHEN {i} < n AND ({tag}) = {_SOFTWARE_TAG} "
+                f"AND ({typ}) = 2 AND ({cnt}) > 1 THEN "
+                f"CASE WHEN ({cnt}) <= 4 THEN {inline} ELSE {stored} END END")
+
+    branches = ", ".join(branch(i) for i in range(IFD_MAX_ENTRIES))
+    return f"""
+        WITH {_exif_stage_sql(src, keep, h_col, fmt_col)}, sw AS (
+          SELECT {keep}, fmt, COALESCE({branches}) AS sh FROM eo_en
+        ), sw_d AS (
+          SELECT {keep}, fmt,
+                 CASE WHEN regexp_matches(sh, '^(?:[0-9A-F]{{2}})+$')
+                      THEN decode(unhex(sh)) END AS software
+          FROM sw
+        )
+        SELECT {keep}, fmt, software,
+               CASE WHEN software IS NOT NULL THEN COALESCE(
+                 regexp_matches(software, '{_GEN_SOFTWARE_RE}'), FALSE) END
+                 AS gen_hint
+        FROM sw_d
+    """

@@ -1889,3 +1889,248 @@ def parallel_corpus_mine_sql(alternates: str, docs: str,
                  AS aligned
         FROM pc_j
     """
+
+
+# ---- image-sitemap extension (sitemaps.org image:*) ---------------------------
+#
+# The image sitemap extension is a publisher's DECLARED image
+# inventory — for an image+caption crawl it beats page-parsing
+# discovery on all three axes: the page need not be fetched first,
+# the caption/title are structured fields instead of alt-text
+# heuristics, and lastmod-style freshness rides the parent <url>
+# record. Records parse as blocks-within-blocks (one
+# regexp_extract_all for <url>, one for nested <image:image>), so a
+# page declaring N images yields N rows without ever parsing XML as
+# XML. Caption and title are optional per spec (NULL when absent);
+# images outside the parent host violate the extension's spirit and
+# are flagged, not dropped (the sitemap scope-check family decides
+# admission).
+
+_SMI_BLOCK_RE = r"(?s)<image:image>(.*?)</image:image>"
+_SMI_LOC_RE = r"<image:loc>([^<]*)</image:loc>"
+_SMI_CAPTION_RE = r"(?s)<image:caption>(.*?)</image:caption>"
+_SMI_TITLE_RE = r"(?s)<image:title>(.*?)</image:title>"
+
+
+def sitemap_images(pages: DataFrame, xml_col: str = "sitemap_xml",
+                   keep: list | None = None) -> DataFrame:
+    """Image-sitemap records → (page_url, image_url, caption, title,
+    same_host) — one row per declared image, page URLs and image
+    URLs canonicalized, cross-host declarations flagged."""
+    from ..functions.urlnorm import canonical_url, url_host
+
+    cols = keep if keep is not None else [c for c in pages.columns if c != xml_col]
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(_SM_BLOCK_RE), 1)
+    b = (
+        pages.select(*cols, F.explode(blocks).alias("blk"))
+        .withColumn("raw_loc", F.regexp_extract("blk", _SM_LOC_RE, 1))
+        .filter(F.col("raw_loc") != "")
+    )
+    imgs = b.select(
+        *cols,
+        canonical_url("raw_loc").alias("page_url"),
+        F.explode(F.regexp_extract_all("blk", F.lit(_SMI_BLOCK_RE), F.lit(1)))
+        .alias("ib"),
+    ).withColumn("raw_img", F.regexp_extract("ib", _SMI_LOC_RE, 1)) \
+     .filter(F.col("raw_img") != "")
+    return imgs.select(
+        *cols,
+        "page_url",
+        canonical_url("raw_img").alias("image_url"),
+        F.nullif(F.regexp_extract("ib", _SMI_CAPTION_RE, 1), F.lit(""))
+        .alias("caption"),
+        F.nullif(F.regexp_extract("ib", _SMI_TITLE_RE, 1), F.lit(""))
+        .alias("title"),
+        (url_host(canonical_url("raw_img")) == url_host(F.col("page_url")))
+        .alias("same_host"),
+    )
+
+
+def sitemap_images_sql(src: str = "sitemap_pages", keep: str = "host") -> str:
+    """DuckDB replay of :func:`sitemap_images` — same two-level
+    block parse and canonicalization."""
+    from ..functions.urlnorm import canonical_url_sql, url_host_sql
+
+    canon_img = canonical_url_sql("regexp_extract(ib, '<image:loc>([^<]*)</image:loc>', 1)")
+    canon_page = canonical_url_sql("raw_loc")
+    return f"""
+        WITH smi_b AS (
+          SELECT {keep}, unnest(regexp_extract_all(sitemap_xml,
+                   '(?s)<url>(.*?)</url>', 1)) AS blk
+          FROM {src}
+        ), smi_l AS (
+          SELECT {keep}, blk,
+                 regexp_extract(blk, '<loc>([^<]*)</loc>', 1) AS raw_loc
+          FROM smi_b
+        ), smi_i AS (
+          SELECT {keep}, {canon_page} AS page_url,
+                 unnest(regexp_extract_all(blk,
+                   '(?s)<image:image>(.*?)</image:image>', 1)) AS ib
+          FROM smi_l WHERE raw_loc <> ''
+        ), smi_r AS (
+          SELECT {keep}, page_url, ib,
+                 regexp_extract(ib, '<image:loc>([^<]*)</image:loc>', 1)
+                   AS raw_img
+          FROM smi_i
+        )
+        SELECT {keep}, page_url, {canon_img} AS image_url,
+               nullif(regexp_extract(ib,
+                 '(?s)<image:caption>(.*?)</image:caption>', 1), '') AS caption,
+               nullif(regexp_extract(ib,
+                 '(?s)<image:title>(.*?)</image:title>', 1), '') AS title,
+               {url_host_sql(canon_img)} = {url_host_sql('page_url')}
+                 AS same_host
+        FROM smi_r WHERE raw_img <> ''
+    """
+
+
+# ---- per-page outlink profile -------------------------------------------------
+#
+# Link farms and SEO spam have a distinctive outlink TEXTURE before
+# any graph algorithm runs: hundreds of anchors spraying across
+# many unrelated registrable domains, nearly all external. Organic
+# pages link mostly within their own site plus a handful of
+# external references. The profile is one rollup over the edges
+# extract_outlinks already produces — n_links, distinct hosts,
+# distinct registrable-ish domains (last-2-label fallback; join the
+# PSL dim upstream for exactness), external fraction in exact
+# per-mille — and an integer spray flag: >= min_links anchors AND
+# external links outnumber internal `ext_ratio`-fold AND domains
+# diverse (domains*spread >= links). Feeds the reputation/budget
+# loop next to triangle/k-core texture.
+
+def outlink_profile(outlinks: DataFrame, url_col: str = "url",
+                    out_col: str = "out_url", min_links: int = 20,
+                    ext_num: int = 9, ext_den: int = 10,
+                    spread: int = 2) -> DataFrame:
+    """(url, n_links, n_hosts, n_domains, n_external, external_milli,
+    spray_flag) per source page over (url, out_url) edges."""
+    from dblp_crawler_spark.functions.urlnorm import url_host
+
+    e = outlinks.select(
+        F.col(url_col).alias("url"),
+        url_host(url_col).alias("src_host"),
+        url_host(out_col).alias("dst_host"),
+    )
+    dom = F.regexp_extract(F.col("dst_host"), r"([^.]+\.[^.]+)$", 1)
+    g = e.withColumn("dst_dom", dom).groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct(F.col("dst_host")).alias("n_hosts"),
+        F.count_distinct(F.col("dst_dom")).alias("n_domains"),
+        F.count(F.when(F.col("dst_host") != F.col("src_host"), 1))
+        .alias("n_external"),
+    )
+    ext_milli = F.floor(F.col("n_external") * 1000 / F.col("n_links")) \
+        .cast("long")
+    spray = ((F.col("n_links") >= min_links)
+             & (F.col("n_external") * ext_den >= F.col("n_links") * ext_num)
+             & (F.col("n_domains") * spread >= F.col("n_links")))
+    return g.withColumns({"external_milli": ext_milli,
+                          "spray_flag": spray})
+
+
+def outlink_profile_sql(src: str, url_col: str = "url",
+                        out_col: str = "out_url", min_links: int = 20,
+                        ext_num: int = 9, ext_den: int = 10,
+                        spread: int = 2) -> str:
+    """DuckDB replay of :func:`outlink_profile` — same host/domain
+    extraction and integer gates."""
+    from dblp_crawler_spark.functions.urlnorm import url_host_sql
+
+    return f"""
+        WITH op_e AS (
+          SELECT {url_col} AS url,
+                 {url_host_sql(url_col)} AS src_host,
+                 {url_host_sql(out_col)} AS dst_host
+          FROM {src}
+        ), op_g AS (
+          SELECT url, CAST(COUNT(*) AS BIGINT) AS n_links,
+                 CAST(COUNT(DISTINCT dst_host) AS BIGINT) AS n_hosts,
+                 CAST(COUNT(DISTINCT regexp_extract(dst_host,
+                      '([^.]+\\.[^.]+)$', 1)) AS BIGINT) AS n_domains,
+                 CAST(COUNT(CASE WHEN dst_host <> src_host THEN 1 END)
+                      AS BIGINT) AS n_external
+          FROM op_e GROUP BY url
+        )
+        SELECT *,
+               CAST(floor(n_external * 1000 / n_links) AS BIGINT)
+                 AS external_milli,
+               n_links >= {min_links}
+                 AND n_external * {ext_den} >= n_links * {ext_num}
+                 AND n_domains * {spread} >= n_links AS spray_flag
+        FROM op_g
+    """
+
+
+# ---- meta-refresh redirects ---------------------------------------------------
+#
+# <meta http-equiv="refresh"> is the redirect channel that never
+# touches HTTP: parked domains, consent walls, and legacy sites hop
+# through it, and a crawler that ignores it records the hop page as
+# content while missing the real resource. Search engines treat a
+# 0-5 s refresh as a redirect (301-equivalent) and longer delays as
+# content — the flag mirrors that. Attribute order is free in HTML,
+# so the tag match keys on the http-equiv attribute alone and the
+# content attribute is pulled from the same tag text in a second
+# extract; the URL part resolves against the page like any href.
+
+_META_REFRESH_TAG_RE = (
+    r"""(?is)<meta\b([^>]*http-equiv\s*=\s*["']?refresh["']?[^>]*)>""")
+_META_REFRESH_CONTENT_RE = r"""(?is)content\s*=\s*["']([^"']*)["']"""
+_META_REFRESH_URL_RE = r"""(?i)url\s*=\s*['"]?([^'";\s]+)"""
+
+
+def meta_refresh(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html",
+                 redirect_max_s: int = 5) -> DataFrame:
+    """(url, delay_s, target_url, treat_as_redirect) from the first
+    meta-refresh tag; all NULL when the page has none.  target_url
+    resolves against the page URL; a refresh without a url= part
+    (self-reload) keeps target NULL.  treat_as_redirect when a
+    target exists and delay <= redirect_max_s."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url
+
+    tag = F.regexp_extract(F.col(html_col), _META_REFRESH_TAG_RE, 1)
+    content = F.regexp_extract(tag, _META_REFRESH_CONTENT_RE, 1)
+    raw = F.nullif(F.regexp_extract(content, _META_REFRESH_URL_RE, 1), F.lit(""))
+    delay = F.nullif(
+        F.regexp_extract(content, r"^\s*([0-9]+)", 1), F.lit("")
+    ).try_cast("long")
+    s = pages.select(
+        F.col(url_col).alias("url"),
+        F.when(content != "", delay).alias("delay_s"),
+        F.when(raw.isNotNull(), resolve_url(url_col, raw)).alias("target_url"),
+    )
+    return s.withColumn(
+        "treat_as_redirect",
+        F.when(F.col("delay_s").isNotNull(),
+               F.col("target_url").isNotNull()
+               & (F.col("delay_s") <= redirect_max_s)),
+    )
+
+
+def meta_refresh_sql(src: str, url_col: str = "url", html_col: str = "html",
+                     redirect_max_s: int = 5) -> str:
+    """DuckDB replay of :func:`meta_refresh` — same tag/content/url
+    extracts and redirect rule."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+
+    tag = (f"regexp_extract({html_col}, "
+           f"'(?is)<meta\\b([^>]*http-equiv\\s*=\\s*[\"'']?refresh[\"'']?[^>]*)>', 1)")
+    content = f"regexp_extract({tag}, '(?is)content\\s*=\\s*[\"'']([^\"'']*)[\"'']', 1)"
+    raw = f"nullif(regexp_extract({content}, '(?i)url\\s*=\\s*[''\"]?([^''\";\\s]+)', 1), '')"
+    delay = (f"CAST(TRY_CAST(nullif(regexp_extract({content}, "
+             f"'^\\s*([0-9]+)', 1), '') AS BIGINT) AS BIGINT)")
+    return f"""
+        WITH mr_x AS (
+          SELECT {url_col} AS url,
+                 CASE WHEN {content} <> '' THEN {delay} END AS delay_s,
+                 CASE WHEN {raw} IS NOT NULL
+                      THEN {resolve_url_sql(url_col, raw)} END AS target_url
+          FROM {src}
+        )
+        SELECT *, CASE WHEN delay_s IS NOT NULL THEN
+                 target_url IS NOT NULL AND delay_s <= {redirect_max_s} END
+               AS treat_as_redirect
+        FROM mr_x
+    """
