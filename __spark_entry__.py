@@ -6112,6 +6112,70 @@ def q_meta_refresh(spark, sf_dir):
     return meta_refresh(pages)
 
 
+def q_pipeline_image_discovery(spark, sf_dir):
+    """Image+caption discovery plan — the graft cell's core story in
+    ONE oracled plan: merge the two discovery channels (declared
+    image-sitemap records with structured captions; parsed <img>
+    tags with alt-text captions), elect one record per image URL
+    preferring the declared channel (richer captions), then gate
+    through the full RFC 9309 robots decision before anything is
+    scheduled (planted /private images flip to disallowed). Every
+    stage is an existing oracled operator; the replay chains the
+    same fragments so the composition is verified as a unit."""
+    from dblp_crawler_spark.operators.scheduler import robots_decide
+    from dblp_crawler_spark.sources.webparse import (
+        extract_images,
+        sitemap_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    hh = (F.col("doc_id") % 8).cast("string")
+    img = F.concat(
+        F.lit("https://h"), hh, F.lit(".org"),
+        F.when(F.col("doc_id") % 6 == 0, "/private").otherwise(""),
+        F.lit("/i/"), d, F.lit(".jpg"))
+    page_url = F.concat(F.lit("https://h"), hh, F.lit(".org/g/"), d)
+    html = F.concat(
+        F.lit('<img src="'), img, F.lit('" alt="alt text '), d, F.lit('">'),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit('<img src="data:image/png;base64,xx">'))
+        .otherwise(F.lit("")))
+    pages = docs.select(page_url.alias("url"), html.alias("html"))
+    sm = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("h"), hh, F.lit(".org")).alias("host"),
+        F.concat(
+            F.lit("<urlset><url><loc>"), page_url,
+            F.lit("</loc><image:image><image:loc>"), img,
+            F.lit("</image:loc><image:caption>declared caption "), d,
+            F.lit("</image:caption></image:image></url></urlset>"),
+        ).alias("sitemap_xml"))
+    declared = sitemap_images(sm).select(
+        "image_url", "page_url", "caption", F.lit("sitemap").alias("source"))
+    parsed = extract_images(pages).select(
+        F.col("img_url").alias("image_url"),
+        F.col("url").alias("page_url"),
+        F.col("alt").alias("caption"),
+        F.lit("html").alias("source"))
+    cand = declared.unionByName(parsed).distinct()
+    w = Window.partitionBy("image_url").orderBy(
+        F.desc((F.col("source") == "sitemap").cast("int")),
+        F.asc("page_url"),
+        F.asc(F.coalesce(F.col("caption"), F.lit(""))),
+    )
+    best = cand.withColumn("rn", F.row_number().over(w)) \
+               .where(F.col("rn") == 1).drop("rn")
+    hosts = docs.select(
+        F.concat(F.lit("h"), hh, F.lit(".org")).alias("host")).distinct()
+    rules = hosts.select(
+        "host", F.lit("disallow").alias("rule"),
+        F.lit("/private").alias("pattern"))
+    adm = robots_decide(best.select(F.col("image_url").alias("url")),
+                        rules)
+    return best.join(adm, best["image_url"] == adm["url"]).select(
+        "image_url", "page_url", "caption", "source", "allowed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -6341,6 +6405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_images": q_sitemap_images,
         "outlink_profile": q_outlink_profile,
         "meta_refresh": q_meta_refresh,
+        "pipeline_image_discovery": q_pipeline_image_discovery,
     }
 
 
@@ -10254,7 +10319,72 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_images": _sitemap_images_oracle(),
         "outlink_profile": _outlink_profile_oracle(),
         "meta_refresh": _meta_refresh_oracle(),
+        "pipeline_image_discovery": _pipeline_image_discovery_oracle(),
     }
+
+
+def _pipeline_image_discovery_oracle() -> str:
+    """DuckDB replay of q_pipeline_image_discovery — same page/
+    sitemap synthesis through the same operator fragments."""
+    from dblp_crawler_spark.operators.scheduler import robots_decide_sql
+    from dblp_crawler_spark.sources.webparse import (
+        extract_images_sql,
+        sitemap_images_sql,
+    )
+
+    d = "CAST(doc_id AS VARCHAR)"
+    hh = "CAST(doc_id % 8 AS VARCHAR)"
+    img = (f"'https://h' || {hh} || '.org' || "
+           f"CASE WHEN doc_id % 6 = 0 THEN '/private' ELSE '' END"
+           f" || '/i/' || {d} || '.jpg'")
+    page_url = f"'https://h' || {hh} || '.org/g/' || {d}"
+    pages = f"""(
+        SELECT {page_url} AS url,
+               '<img src="' || {img} || '" alt="alt text ' || {d} || '">'
+               || CASE WHEN doc_id % 4 = 0
+                       THEN '<img src="data:image/png;base64,xx">'
+                       ELSE '' END AS html
+        FROM documents
+    )"""
+    sm = f"""(
+        SELECT 'h' || {hh} || '.org' AS host,
+               '<urlset><url><loc>' || {page_url}
+               || '</loc><image:image><image:loc>' || {img}
+               || '</image:loc><image:caption>declared caption ' || {d}
+               || '</image:caption></image:image></url></urlset>'
+                 AS sitemap_xml
+        FROM documents WHERE doc_id % 3 = 0
+    )"""
+    rules = """(
+        SELECT DISTINCT 'h' || CAST(doc_id % 8 AS VARCHAR) || '.org' AS host,
+               'disallow' AS rule, '/private' AS pattern
+        FROM documents
+    )"""
+    urls = "(SELECT image_url AS url FROM id_best)"
+    return f"""
+        WITH id_dec AS (
+          SELECT image_url, page_url, caption, 'sitemap' AS source
+          FROM ({sitemap_images_sql(sm)})
+        ), id_par AS (
+          SELECT img_url AS image_url, url AS page_url, alt AS caption,
+                 'html' AS source
+          FROM ({extract_images_sql(pages)})
+        ), id_cand AS (
+          SELECT DISTINCT * FROM (
+            SELECT * FROM id_dec UNION ALL SELECT * FROM id_par)
+        ), id_best AS (
+          SELECT image_url, page_url, caption, source FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY image_url
+              ORDER BY CASE WHEN source = 'sitemap' THEN 1 ELSE 0 END DESC,
+                       page_url, COALESCE(caption, '')) AS rn
+            FROM id_cand
+          ) WHERE rn = 1
+        ), id_adm AS (
+          SELECT url, allowed FROM ({robots_decide_sql(urls, rules)})
+        )
+        SELECT b.image_url, b.page_url, b.caption, b.source, a.allowed
+        FROM id_best b JOIN id_adm a ON a.url = b.image_url
+    """
 
 
 def _exif_software_oracle() -> str:
