@@ -6176,6 +6176,84 @@ def q_pipeline_image_discovery(spark, sf_dir):
         "image_url", "page_url", "caption", "source", "allowed")
 
 
+_BL_PATTERNS = [
+    ("host_suffix", "bad7.example"),
+    ("path_prefix", "s3.org/private"),
+    ("substring", "utm_spy"),
+    ("host", "s5.org"),
+]
+
+
+def q_url_blocklist(spark, sf_dir):
+    """Typed URL deny list (frontier.url_blocklist): the admission
+    gate every production crawler carries — legal takedowns, abuse
+    domains, opt-outs — matched BEFORE fetching. Four pattern kinds
+    (exact host, dot-checked host suffix, host+path prefix, raw
+    substring), each its own broadcast-join shape against the tiny
+    dim; deterministic precedence election when several match."""
+    from dblp_crawler_spark.operators.frontier import url_blocklist
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    host = F.when(F.col("doc_id") % 9 == 0,
+                  F.concat(F.lit("sub"), (F.col("doc_id") % 3).cast("string"),
+                           F.lit(".bad7.example"))) \
+        .otherwise(F.concat(F.lit("s"), (F.col("doc_id") % 8).cast("string"),
+                            F.lit(".org")))
+    path = F.when(F.col("doc_id") % 7 == 0, "/private/p") \
+        .otherwise(F.lit("/p"))
+    q = F.when(F.col("doc_id") % 13 == 0, "?utm_spy=1").otherwise(F.lit(""))
+    urls = docs.select(
+        F.concat(F.lit("https://"), host, path,
+                 F.col("doc_id").cast("string"), q).alias("url"))
+    pats = spark.createDataFrame(_BL_PATTERNS, "kind string, pattern string")
+    return url_blocklist(urls, pats)
+
+
+def q_text_url_mentions(spark, sf_dir):
+    """Plain-text URL citation mining (webparse.text_url_mentions):
+    PDFs, READMEs, and forum posts cite URLs without anchors — a
+    frontier that only follows <a href> never sees them. Trailing
+    prose punctuation stripped (the 'see https://x.org/p.' rule),
+    scheme case-folded, canonicalized, mention-counted. Planted
+    citations (with prose periods and duplicates) over the document
+    bulk."""
+    from dblp_crawler_spark.sources.webparse import text_url_mentions
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cite = F.concat(F.lit(" see https://cite"),
+                    (F.col("doc_id") % 31).cast("string"),
+                    F.lit(".org/p"), (F.col("doc_id") % 17).cast("string"),
+                    F.lit("."))
+    text = F.when(F.col("doc_id") % 2 == 0, F.concat(F.col("text"), cite))
+    text = text.when(F.col("doc_id") % 5 == 1,
+                     F.concat(F.col("text"), cite, cite)) \
+        .otherwise(F.col("text"))
+    return text_url_mentions(docs.select("doc_id", text.alias("text")))
+
+
+def q_order_divergence(spark, sf_dir):
+    """Crawl-order replay divergence (audit.order_divergence): the
+    diagnostic behind the determinism contract — when two runs
+    disagree, the first diverging sequence number localizes the bug
+    and the rows AT it say which side scheduled what. Planted swap
+    at seq 100/200 over an otherwise identical order."""
+    from dblp_crawler_spark.operators.audit import order_divergence
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 9).cast("string"),
+                   F.lit(".org/p"), F.col("doc_id").cast("string"))
+    a = docs.select(F.col("doc_id").alias("seq"), url.alias("url"))
+    swapped = (
+        F.when(F.col("doc_id") == 100, F.lit(200))
+        .when(F.col("doc_id") == 200, F.lit(100))
+        .otherwise(F.col("doc_id"))
+    )
+    b_url = F.concat(F.lit("https://h"), (swapped % 9).cast("string"),
+                     F.lit(".org/p"), swapped.cast("string"))
+    b = docs.select(F.col("doc_id").alias("seq"), b_url.alias("url"))
+    return order_divergence(a, b)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -6406,6 +6484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_profile": q_outlink_profile,
         "meta_refresh": q_meta_refresh,
         "pipeline_image_discovery": q_pipeline_image_discovery,
+        "url_blocklist": q_url_blocklist,
+        "text_url_mentions": q_text_url_mentions,
+        "order_divergence": q_order_divergence,
     }
 
 
@@ -10320,7 +10401,69 @@ def oracle_sql() -> dict[str, str]:
         "outlink_profile": _outlink_profile_oracle(),
         "meta_refresh": _meta_refresh_oracle(),
         "pipeline_image_discovery": _pipeline_image_discovery_oracle(),
+        "url_blocklist": _url_blocklist_oracle(),
+        "text_url_mentions": _text_url_mentions_oracle(),
+        "order_divergence": _order_divergence_oracle(),
     }
+
+
+def _url_blocklist_oracle() -> str:
+    """DuckDB replay of q_url_blocklist — same URL synthesis and
+    planted pattern dim."""
+    from dblp_crawler_spark.operators.frontier import url_blocklist_sql
+
+    urls = """(
+        SELECT 'https://' ||
+               CASE WHEN doc_id % 9 = 0
+                    THEN 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.bad7.example'
+                    ELSE 's' || CAST(doc_id % 8 AS VARCHAR) || '.org' END ||
+               CASE WHEN doc_id % 7 = 0 THEN '/private/p' ELSE '/p' END ||
+               CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 13 = 0 THEN '?utm_spy=1' ELSE '' END AS url
+        FROM documents
+    )"""
+    rows = " UNION ALL ".join(
+        f"SELECT '{k}' AS kind, '{p}' AS pattern" for k, p in _BL_PATTERNS)
+    return url_blocklist_sql(urls, f"({rows})")
+
+
+def _text_url_mentions_oracle() -> str:
+    """DuckDB replay of q_text_url_mentions — same planted
+    citations."""
+    from dblp_crawler_spark.sources.webparse import text_url_mentions_sql
+
+    cite = ("' see https://cite' || CAST(doc_id % 31 AS VARCHAR)"
+            " || '.org/p' || CAST(doc_id % 17 AS VARCHAR) || '.'")
+    src = f"""(
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN text || {cite}
+                    WHEN doc_id % 5 = 1 THEN text || {cite} || {cite}
+                    ELSE text END AS text
+        FROM documents
+    )"""
+    return text_url_mentions_sql(src)
+
+
+def _order_divergence_oracle() -> str:
+    """DuckDB replay of q_order_divergence — same planted swap."""
+    from dblp_crawler_spark.operators.audit import order_divergence_sql
+
+    a = """(
+        SELECT doc_id AS seq,
+               'https://h' || CAST(doc_id % 9 AS VARCHAR) || '.org/p'
+                 || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    )"""
+    b = """(
+        SELECT doc_id AS seq,
+               'https://h' || CAST(sw % 9 AS VARCHAR) || '.org/p'
+                 || CAST(sw AS VARCHAR) AS url
+        FROM (SELECT doc_id,
+                     CASE doc_id WHEN 100 THEN 200 WHEN 200 THEN 100
+                          ELSE doc_id END AS sw
+              FROM documents)
+    )"""
+    return order_divergence_sql(a, b)
 
 
 def _pipeline_image_discovery_oracle() -> str:

@@ -126,3 +126,62 @@ def table_fingerprint_sql(src: str, columns: list[str],
         FROM (SELECT {gsel} {h} AS h FROM {src})
         {gby}
     """
+
+
+# ---- crawl-order replay divergence --------------------------------------------
+#
+# The determinism contract (T2: resume/replay reproduces the exact
+# crawl order) needs a DIAGNOSTIC, not just a pass/fail assert: when
+# two runs disagree, the first diverging sequence number localizes
+# the bug (everything before it is proven equal; the rows AT it say
+# which side scheduled what). One full-outer equi-join on seq + one
+# aggregate; the divergence rows ride a second tiny join against the
+# 1-row summary — nothing is collected, nothing sorted globally.
+
+def order_divergence(a: DataFrame, b: DataFrame, seq_col: str = "seq",
+                     key_col: str = "url") -> DataFrame:
+    """Compare two ordered runs: ONE summary row (n_a, n_b,
+    n_mismatch, first_divergence_seq, a_url, b_url) — NULLs when the
+    runs are identical. Mismatch = key differs at a seq or the seq
+    exists on one side only (null-safe compare)."""
+    aa = a.select(F.col(seq_col).alias("seq"), F.col(key_col).alias("a_key"))
+    bb = b.select(F.col(seq_col).alias("seq"), F.col(key_col).alias("b_key"))
+    j = aa.join(bb, "seq", "full_outer")
+    mism = ~F.col("a_key").eqNullSafe(F.col("b_key"))
+    summary = j.agg(
+        F.count(F.col("a_key")).alias("n_a"),
+        F.count(F.col("b_key")).alias("n_b"),
+        F.count(F.when(mism, 1)).alias("n_mismatch"),
+        F.min(F.when(mism, F.col("seq"))).alias("first_divergence_seq"),
+    )
+    at = j.select(F.col("seq").alias("__s"), "a_key", "b_key")
+    return (
+        summary.join(
+            at, summary["first_divergence_seq"].eqNullSafe(at["__s"]), "left")
+        .select("n_a", "n_b", "n_mismatch", "first_divergence_seq",
+                F.col("a_key").alias("a_url"), F.col("b_key").alias("b_url"))
+    )
+
+
+def order_divergence_sql(a: str, b: str, seq_col: str = "seq",
+                         key_col: str = "url") -> str:
+    """DuckDB replay of :func:`order_divergence`."""
+    return f"""
+        WITH od_j AS (
+          SELECT COALESCE(x.{seq_col}, y.{seq_col}) AS seq,
+                 x.{key_col} AS a_key, y.{key_col} AS b_key
+          FROM {a} x FULL OUTER JOIN {b} y ON x.{seq_col} = y.{seq_col}
+        ), od_s AS (
+          SELECT CAST(COUNT(a_key) AS BIGINT) AS n_a,
+                 CAST(COUNT(b_key) AS BIGINT) AS n_b,
+                 CAST(COUNT(CASE WHEN a_key IS DISTINCT FROM b_key
+                            THEN 1 END) AS BIGINT) AS n_mismatch,
+                 MIN(CASE WHEN a_key IS DISTINCT FROM b_key
+                     THEN seq END) AS first_divergence_seq
+          FROM od_j
+        )
+        SELECT s.n_a, s.n_b, s.n_mismatch, s.first_divergence_seq,
+               j.a_key AS a_url, j.b_key AS b_url
+        FROM od_s s LEFT JOIN od_j j
+          ON j.seq IS NOT DISTINCT FROM s.first_divergence_seq
+    """

@@ -351,3 +351,100 @@ def registrable_domain_sql(src: str, psl: str, host_col: str = "host",
                array_to_string(l[GREATEST(1, n - COALESCE(kbest, 1)) : n], '.') AS registrable
         FROM rd_base b LEFT JOIN rd_match m ON b.host = m.host
     """
+
+
+# ---- URL blocklist gate ------------------------------------------------------
+#
+# Every production crawler carries a deny list — legal takedowns,
+# abuse domains, customer opt-outs — and it must run as an ADMISSION
+# gate, not a post-hoc delete (fetching a blocked URL is already the
+# violation). The list is a dim table of typed patterns: exact host,
+# host suffix (blocks subdomains — 'example.com' blocks
+# 'a.example.com' but not 'notexample.com'; the dot is checked),
+# path prefix on a specific host, and raw substring (the blunt
+# instrument for tracking pixels and known exploit paths). The dim
+# is tiny (10^3-10^5 rows) and broadcast; each pattern type is its
+# own broadcast join shape, so no all-pairs LIKE scan ever runs —
+# substring, the only non-equi shape, is still a broadcast
+# nested-loop over the tiny dim only.
+
+def url_blocklist(urls: DataFrame, patterns: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """(url, blocked, block_kind, block_pattern) per distinct URL
+    against a patterns(kind, pattern) dim; kind in {host, host_suffix,
+    path_prefix, substring}. path_prefix patterns are
+    'host/path-prefix'. The first match in (host, host_suffix,
+    path_prefix, substring, then pattern text) order is reported —
+    deterministic when several patterns match."""
+    from ..functions.urlnorm import url_host, url_path
+
+    u = urls.select(F.col(url_col).alias("url")).distinct().select(
+        "url", url_host("url").alias("__h"), url_path("url").alias("__p"))
+    p = patterns.select(
+        F.col("kind").alias("__kind"), F.col("pattern").alias("__pat"))
+    kind_rank = (
+        F.when(F.col("__kind") == "host", 0)
+        .when(F.col("__kind") == "host_suffix", 1)
+        .when(F.col("__kind") == "path_prefix", 2)
+        .otherwise(3)
+    )
+    hit = (
+        F.when(F.col("__kind") == "host", F.col("__h") == F.col("__pat"))
+        .when(F.col("__kind") == "host_suffix",
+              (F.col("__h") == F.col("__pat"))
+              | F.col("__h").endswith(F.concat(F.lit("."), F.col("__pat"))))
+        .when(F.col("__kind") == "path_prefix",
+              F.concat(F.col("__h"), F.col("__p")).startswith(F.col("__pat")))
+        .otherwise(F.col("url").contains(F.col("__pat")))
+    )
+    from pyspark.sql import Window
+
+    m = u.join(F.broadcast(p), hit).withColumn("__rk", kind_rank)
+    w = Window.partitionBy("url").orderBy("__rk", "__pat", "__kind")
+    best = (
+        m.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("url", F.col("__kind").alias("block_kind"),
+                F.col("__pat").alias("block_pattern"))
+    )
+    return u.select("url").join(best, "url", "left").select(
+        "url",
+        F.col("block_kind").isNotNull().alias("blocked"),
+        "block_kind", "block_pattern",
+    )
+
+
+def url_blocklist_sql(urls: str, patterns: str, url_col: str = "url") -> str:
+    """DuckDB replay of :func:`url_blocklist` — same typed matches
+    and (rank, pattern) MIN election."""
+    from ..functions.urlnorm import url_host_sql, url_path_sql
+
+    h = url_host_sql("url")
+    pth = url_path_sql("url")
+    return f"""
+        WITH bl_u AS (
+          SELECT DISTINCT {url_col} AS url FROM {urls}
+        ), bl_h AS (
+          SELECT url, {h} AS hh, {pth} AS pp FROM bl_u
+        ), bl_j AS (
+          SELECT u.url, p.kind, p.pattern,
+                 CASE p.kind WHEN 'host' THEN 0 WHEN 'host_suffix' THEN 1
+                      WHEN 'path_prefix' THEN 2 ELSE 3 END AS rk
+          FROM bl_h u JOIN {patterns} p ON
+            CASE p.kind
+              WHEN 'host' THEN u.hh = p.pattern
+              WHEN 'host_suffix' THEN u.hh = p.pattern
+                   OR suffix(u.hh, '.' || p.pattern)
+              WHEN 'path_prefix' THEN starts_with(u.hh || u.pp, p.pattern)
+              ELSE contains(u.url, p.pattern) END
+        ), bl_m AS (
+          SELECT url, kind AS block_kind, pattern AS block_pattern FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY url
+                      ORDER BY rk, pattern, kind) AS rn
+            FROM bl_j
+          ) WHERE rn = 1
+        )
+        SELECT u.url, block_kind IS NOT NULL AS blocked,
+               block_kind, block_pattern
+        FROM bl_u u LEFT JOIN bl_m USING (url)
+    """

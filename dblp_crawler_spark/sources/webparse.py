@@ -2134,3 +2134,65 @@ def meta_refresh_sql(src: str, url_col: str = "url", html_col: str = "html",
                AS treat_as_redirect
         FROM mr_x
     """
+
+
+# ---- URL mentions in plain text -----------------------------------------------
+#
+# Plaintext corpora — PDFs, READMEs, forum posts, the documents
+# table itself — cite URLs without anchors, and a frontier that only
+# follows <a href> never sees them. The extractor is one
+# regexp_extract_all for http(s) URLs with trailing punctuation
+# stripped (the classic "see https://x.org/p." citation: the final
+# '.' is prose, not path — likewise , ; : ! ? ) ] } ' \"), then
+# canonicalization and per-URL mention counting. One regex pass +
+# one explode + one hash agg; feeds frontier admission like any
+# discovery channel.
+
+_TEXT_URL_RE = r"""(?i)https?://[^\s<>"']+"""
+_TEXT_URL_TRAIL_RE = r"""[.,;:!?)\]}'"]+$"""
+
+
+def text_url_mentions(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(url, n_mentions, n_docs) over every http(s) URL cited in the
+    corpus text, trailing prose punctuation stripped, canonicalized."""
+    from dblp_crawler_spark.functions.urlnorm import canonical_url
+
+    raw = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(
+            F.col(text_col), F.lit(_TEXT_URL_RE), F.lit(0))).alias("__raw"),
+    )
+    cleaned = raw.select(
+        "doc_id",
+        canonical_url(F.regexp_replace(F.col("__raw"), _TEXT_URL_TRAIL_RE, ""))
+        .alias("url"),
+    )
+    return cleaned.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+    )
+
+
+def text_url_mentions_sql(src: str, text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB replay of :func:`text_url_mentions` — same regexes and
+    canonicalization."""
+    from dblp_crawler_spark.functions.urlnorm import canonical_url_sql
+
+    # patterns rendered from the SAME Python constants (quote-escaped)
+    trail = _TEXT_URL_TRAIL_RE.replace("'", "''")
+    urlre = _TEXT_URL_RE.replace("'", "''")
+    canon = canonical_url_sql(f"regexp_replace(u, '{trail}', '')")
+    return f"""
+        WITH tu_r AS (
+          SELECT {id_col} AS doc_id,
+                 unnest(regexp_extract_all({text_col}, '{urlre}')) AS u
+          FROM {src}
+        ), tu_c AS (
+          SELECT doc_id, {canon} AS url FROM tu_r
+        )
+        SELECT url, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM tu_c GROUP BY url
+    """
