@@ -6254,6 +6254,56 @@ def q_order_divergence(spark, sf_dir):
     return order_divergence(a, b)
 
 
+def q_byte_budget_admission(spark, sf_dir):
+    """Per-host byte-budget admission (budget.byte_budget_admission):
+    politeness bounds fetch RATE, bandwidth bounds fetch BYTES — a
+    wave planner admitting by count lets one video-heavy host eat
+    the wave. Per-host running totals in (priority DESC, url) order;
+    the first over-budget item still admits (first-fit — an
+    oversized page must not starve its host forever). Declared
+    sizes and priorities synthesized from doc_id; budget 200 KB."""
+    from dblp_crawler_spark.operators.budget import byte_budget_admission
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    cand = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string"),
+                 F.lit(".org")).alias("host"),
+        F.concat(F.lit("/p"), F.col("doc_id").cast("string")).alias("url"),
+        (F.col("doc_id") * 7 % 101).alias("priority"),
+        (F.col("doc_id") * 1717 % 90000 + 10000).alias("bytes_est"),
+    )
+    return byte_budget_admission(cand, budget_bytes=200_000)
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Snapshot embedding drift (similarity.embedding_drift): when a
+    source's embedding distribution moves — redesign, language
+    shift, injection — the pipeline should know before the model
+    does. Cosine between the two snapshots' mean vectors over
+    MILLI-QUANTIZED int64 component sums: cosine is scale-invariant
+    so the un-divided integer sums ARE the mean direction, every sum
+    is exact, and the only floats are the final sqrt/divide.
+    Snapshots = even/odd vec_id halves (offset +0.5 so each label's
+    mean has a strong common direction), grouped by label; %7==0
+    labels planted with a flipped second half (drift ~2 vs ~0)."""
+    from dblp_crawler_spark.operators.similarity import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # +0.5 gives every label's mean a strong common direction, so the
+    # unplanted halves agree (cos ~ +1) and the %7==0 flip shows the
+    # full reversal (cos ~ -1) instead of hiding in mean-of-random
+    # noise (raw synthetic means are near-orthogonal across halves)
+    sign = F.when((F.col("label") % 7 == 0) & (F.col("vec_id") % 2 == 1), -1.0) \
+        .otherwise(1.0)
+    flipped = emb.select(
+        "vec_id", "label",
+        F.transform(F.col("embedding"),
+                    lambda v: (v + F.lit(0.5)) * sign).alias("embedding"))
+    a = flipped.filter(F.col("vec_id") % 2 == 0)
+    b = flipped.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift(a, b)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -6487,6 +6537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "text_url_mentions": q_text_url_mentions,
         "order_divergence": q_order_divergence,
+        "byte_budget_admission": q_byte_budget_admission,
+        "embedding_drift": q_embedding_drift,
     }
 
 
@@ -10404,7 +10456,40 @@ def oracle_sql() -> dict[str, str]:
         "url_blocklist": _url_blocklist_oracle(),
         "text_url_mentions": _text_url_mentions_oracle(),
         "order_divergence": _order_divergence_oracle(),
+        "byte_budget_admission": _byte_budget_admission_oracle(),
+        "embedding_drift": _embedding_drift_oracle(),
     }
+
+
+def _byte_budget_admission_oracle() -> str:
+    """DuckDB replay of q_byte_budget_admission."""
+    from dblp_crawler_spark.operators.budget import byte_budget_admission_sql
+
+    cand = """(
+        SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.org' AS host,
+               '/p' || CAST(doc_id AS VARCHAR) AS url,
+               doc_id * 7 % 101 AS priority,
+               doc_id * 1717 % 90000 + 10000 AS bytes_est
+        FROM documents
+    )"""
+    return byte_budget_admission_sql(cand, budget_bytes=200_000)
+
+
+def _embedding_drift_oracle() -> str:
+    """DuckDB replay of q_embedding_drift — same planted flip and
+    even/odd split."""
+    from dblp_crawler_spark.operators.similarity import embedding_drift_sql
+
+    flipped = """
+        SELECT vec_id, label,
+               list_transform(embedding, v -> (CAST(v AS DOUBLE) + 0.5)
+                 * CASE WHEN label % 7 = 0 AND vec_id % 2 = 1
+                        THEN -1.0 ELSE 1.0 END) AS embedding
+        FROM embeddings
+    """
+    a = f"(SELECT * FROM ({flipped}) ed_fa WHERE vec_id % 2 = 0)"
+    b = f"(SELECT * FROM ({flipped}) ed_fb WHERE vec_id % 2 = 1)"
+    return embedding_drift_sql(a, b)
 
 
 def _url_blocklist_oracle() -> str:

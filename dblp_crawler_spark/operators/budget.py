@@ -115,3 +115,61 @@ def allocation_gini(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         "n_groups", "total", "gini_num", "gini_den",
         F.round(F.col("gini_num") / F.col("gini_den"), 6).alias("gini"),
     )
+
+
+# ---- per-host byte-budget admission ------------------------------------------
+#
+# Politeness bounds fetch RATE; bandwidth and storage bound fetch
+# BYTES — and a wave planner that admits by count alone lets one
+# host's video-heavy pages eat the wave's whole byte budget.
+# Candidates carry declared sizes (Content-Length from HEAD or the
+# previous fetch); admission takes each host's candidates in
+# (priority DESC, url) order until the running total passes the
+# budget. The FIRST over-budget item still admits (a budget must
+# admit at least one item per host or an oversized page starves a
+# host forever — the bin-packing first-fit rule); everything after
+# stops. One per-host running-sum window, all int64.
+
+def byte_budget_admission(cand: DataFrame, budget_bytes: int,
+                          host_col: str = "host", url_col: str = "url",
+                          prio_col: str = "priority",
+                          bytes_col: str = "bytes_est") -> DataFrame:
+    """(host, url, priority, bytes_est, running_bytes, admitted) —
+    per-host prefix sums in priority order; admitted while the
+    PREVIOUS total is under budget."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(host_col)
+        .orderBy(F.desc(prio_col), F.asc(url_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col(bytes_col)).over(w)
+    out = cand.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        F.col(prio_col).alias("priority"),
+        F.col(bytes_col).alias("bytes_est"),
+        run.cast("long").alias("running_bytes"),
+    )
+    prev = F.col("running_bytes") - F.col("bytes_est")
+    return out.withColumn("admitted", prev < budget_bytes)
+
+
+def byte_budget_admission_sql(src: str, budget_bytes: int,
+                              host_col: str = "host", url_col: str = "url",
+                              prio_col: str = "priority",
+                              bytes_col: str = "bytes_est") -> str:
+    """DuckDB replay of :func:`byte_budget_admission`."""
+    return f"""
+        WITH bb AS (
+          SELECT {host_col} AS host, {url_col} AS url,
+                 {prio_col} AS priority, {bytes_col} AS bytes_est,
+                 CAST(SUM({bytes_col}) OVER (PARTITION BY {host_col}
+                      ORDER BY {prio_col} DESC, {url_col}
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_bytes
+          FROM {src}
+        )
+        SELECT *, running_bytes - bytes_est < {budget_bytes} AS admitted
+        FROM bb
+    """

@@ -901,3 +901,94 @@ def embedding_quality_sql(src: str, dim: int, id_col: str = "vec_id",
                            AND max_abs_val <= {max_abs}, false) AS ok
         FROM eq
     """
+
+
+# ---- embedding drift between snapshots ---------------------------------------
+#
+# Retraining data pipelines need to know when a source's embedding
+# DISTRIBUTION moved — a redesign, a language shift, an injection —
+# before the model does. The per-group signal is the cosine between
+# the two snapshots' mean vectors; the engineering problem is that
+# float sums are partition-order-dependent, so the mean is computed
+# over MILLI-QUANTIZED components (floor(v*1000) as int64): every
+# sum is exact integer work, cosine is scale-invariant so the
+# un-divided integer sum vectors ARE the mean direction, and the
+# only floats are the final sqrt/divide on three exact integers.
+# Overflow headroom: |q| <= 1000, so the dot products stay under
+# int64 past 10^6 rows x 1000 dims per group. Two explode+sum aggs
+# + one per-(group,dim) join + one per-group fold.
+
+def embedding_drift(snap_a: DataFrame, snap_b: DataFrame,
+                    group_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(group, n_a, n_b, cos_sim, drift) per group present in both
+    snapshots; drift = round(1 - cos, 6). Groups whose quantized sum
+    vector is all-zero on either side report NULL cosine."""
+    def sums(df, tag):
+        return (
+            df.select(F.col(group_col).alias("g"),
+                      F.posexplode(F.col(vec_col)).alias("d", "v"))
+            .withColumn("q", F.floor(F.col("v").cast("double") * 1000)
+                        .cast("long"))
+            .groupBy("g", "d")
+            .agg(F.sum("q").alias(f"s_{tag}"))
+        )
+
+    na = snap_a.groupBy(F.col(group_col).alias("g")) \
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    nb = snap_b.groupBy(F.col(group_col).alias("g")) \
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    j = sums(snap_a, "a").join(sums(snap_b, "b"), ["g", "d"])
+    folded = j.groupBy("g").agg(
+        F.sum(F.col("s_a") * F.col("s_b")).alias("ab"),
+        F.sum(F.col("s_a") * F.col("s_a")).alias("aa"),
+        F.sum(F.col("s_b") * F.col("s_b")).alias("bb"),
+    )
+    cos = F.when(
+        (F.col("aa") > 0) & (F.col("bb") > 0),
+        F.round(F.col("ab") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb"))), 6),
+    )
+    return (
+        folded.join(na, "g").join(nb, "g")
+        .select(F.col("g").alias(group_col), "n_a", "n_b",
+                cos.alias("cos_sim"),
+                F.round(1 - cos, 6).alias("drift"))
+    )
+
+
+def embedding_drift_sql(a: str, b: str, group_col: str = "label",
+                        vec_col: str = "embedding") -> str:
+    """DuckDB replay of :func:`embedding_drift` — same milli
+    quantization and integer folds."""
+    def sums(src, tag):
+        return f"""(
+          SELECT {group_col} AS g, d - 1 AS d,
+                 CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))
+                      AS BIGINT) AS s_{tag}
+          FROM (SELECT {group_col},
+                       unnest({vec_col}) AS v,
+                       generate_subscripts({vec_col}, 1) AS d
+                FROM {src})
+          GROUP BY {group_col}, d)"""
+
+    return f"""
+        WITH ed_a AS {sums(a, 'a')}, ed_b AS {sums(b, 'b')},
+        ed_f AS (
+          SELECT g, CAST(SUM(s_a * s_b) AS BIGINT) AS ab,
+                 CAST(SUM(s_a * s_a) AS BIGINT) AS aa,
+                 CAST(SUM(s_b * s_b) AS BIGINT) AS bb
+          FROM ed_a JOIN ed_b USING (g, d) GROUP BY g
+        ), ed_na AS (
+          SELECT {group_col} AS g, CAST(COUNT(*) AS BIGINT) AS n_a
+          FROM {a} GROUP BY {group_col}
+        ), ed_nb AS (
+          SELECT {group_col} AS g, CAST(COUNT(*) AS BIGINT) AS n_b
+          FROM {b} GROUP BY {group_col}
+        )
+        SELECT g AS {group_col}, n_a, n_b,
+               CASE WHEN aa > 0 AND bb > 0 THEN
+                 ROUND(ab / (sqrt(aa) * sqrt(bb)), 6) END AS cos_sim,
+               ROUND(1 - CASE WHEN aa > 0 AND bb > 0 THEN
+                 ROUND(ab / (sqrt(aa) * sqrt(bb)), 6) END, 6) AS drift
+        FROM ed_f JOIN ed_na USING (g) JOIN ed_nb USING (g)
+    """
