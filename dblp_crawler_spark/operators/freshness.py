@@ -366,19 +366,28 @@ def range_reassembly(parts: DataFrame, url_col: str = "url") -> DataFrame:
 
     start = F.col("part_start")
     end_c = F.least(F.col("part_end"), F.col("total_bytes") - 1)
+    # a part that STARTS past EOF is a server lie carrying no byte
+    # evidence: it must neither fire the gap flag nor leak its
+    # clamped end into the running max (start ordering already puts
+    # such rows last, so valid rows' arithmetic is untouched)
+    valid = start <= F.col("total_bytes") - 1
+    end_m = F.when(valid, end_c).otherwise(F.lit(-1).cast("long"))
     w = (
         Window.partitionBy(url_col, "total_bytes")
         .orderBy("part_start", "part_end")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prev_max = F.coalesce(F.max(end_c).over(w), F.lit(-1).cast("long"))
+    prev_max = F.coalesce(F.max(end_m).over(w), F.lit(-1).cast("long"))
     staged = parts.select(
         url_col, "total_bytes",
-        F.greatest(
-            F.lit(0).cast("long"),
-            end_c - F.greatest(start - 1, prev_max),
-        ).alias("__inc"),
-        (start > prev_max + 1).alias("__gap"),
+        F.when(
+            valid,
+            F.greatest(
+                F.lit(0).cast("long"),
+                end_c - F.greatest(start - 1, prev_max),
+            ),
+        ).otherwise(F.lit(0).cast("long")).alias("__inc"),
+        (valid & (start > prev_max + 1)).alias("__gap"),
     )
     return (
         staged.groupBy(url_col, "total_bytes")
@@ -412,14 +421,22 @@ def range_reassembly_sql(src: str = "responses", url_col: str = "url",
             AND {grp(3)} IS NOT NULL
         ), crw AS (
           SELECT url, total_bytes,
-                 greatest(0, least(part_end, total_bytes - 1)
-                   - greatest(part_start - 1, COALESCE(MAX(
-                       least(part_end, total_bytes - 1)) OVER (
-                     PARTITION BY url, total_bytes
-                     ORDER BY part_start, part_end
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                     -1))) AS inc,
-                 part_start > COALESCE(MAX(least(part_end, total_bytes - 1))
+                 CASE WHEN part_start <= total_bytes - 1 THEN
+                   greatest(0, least(part_end, total_bytes - 1)
+                     - greatest(part_start - 1, COALESCE(MAX(
+                         CASE WHEN part_start <= total_bytes - 1
+                              THEN least(part_end, total_bytes - 1)
+                              ELSE -1 END) OVER (
+                       PARTITION BY url, total_bytes
+                       ORDER BY part_start, part_end
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       -1)))
+                 ELSE 0 END AS inc,
+                 part_start <= total_bytes - 1
+                   AND part_start > COALESCE(MAX(
+                     CASE WHEN part_start <= total_bytes - 1
+                          THEN least(part_end, total_bytes - 1)
+                          ELSE -1 END)
                    OVER (PARTITION BY url, total_bytes
                          ORDER BY part_start, part_end
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),

@@ -31,6 +31,12 @@ def _log():
         rows.append(("clamp", _hdr(s, e, 1000)))
     # first part starts beyond byte 0
     rows.append(("late", _hdr(100, 999, 1000)))
+    # a part ENTIRELY past EOF carries no byte evidence: no coverage,
+    # no gap flag (the hypothesis-found (40,40)/40 case, pinned)
+    rows.append(("pasteof", _hdr(1000, 1000, 1000)))
+    # ...and mixed with real parts it neither gaps nor double-counts
+    for s, e in [(0, 999), (1005, 1200)]:
+        rows.append(("mixed_eof", _hdr(s, e, 1000)))
     # malformed / unsatisfied-range rows carry no evidence
     rows.append(("junk", "Content-Range: bytes */1000"))
     rows.append(("junk", "Content-Type: image/png"))
@@ -47,6 +53,8 @@ def test_range_reassembly_pins(spark):
     assert got["overlap"] == (4, 1000, False, True)
     assert got["clamp"] == (2, 1000, False, True)
     assert got["late"] == (1, 900, True, False)
+    assert got["pasteof"] == (1, 0, False, False)
+    assert got["mixed_eof"] == (2, 1000, False, True)
     assert "junk" not in got   # no parsed parts -> no row
 
 
