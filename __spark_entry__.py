@@ -6304,6 +6304,32 @@ def q_embedding_drift(spark, sf_dir):
     return embedding_drift(a, b)
 
 
+def q_seed_distance(spark, sf_dir):
+    """Hop distance from the seed hosts (hits.seed_distance): the
+    frontier's depth map over the DIRECTED link graph — depth-0/1 is
+    the curated neighborhood, depth-5+ chains are where spam lives,
+    unreachable hosts don't belong in the frontier. Synchronous
+    Bellman-Ford rounds with explicit NULL-aware min (engines
+    disagree on LEAST's NULL rule), localCheckpoint + Observation;
+    unrolled CTE replay. Circulant bulk + a planted far chain
+    hanging off the bulk; seeds h0 and h5."""
+    from dblp_crawler_spark.operators.hits import seed_distance
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    bulk = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 19).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 5 + 2) % 19).cast("string")).alias("dst"),
+    )
+    chain = docs.filter(F.col("doc_id") < 6).select(
+        F.when(F.col("doc_id") == 0, F.lit("h2")).otherwise(
+            F.concat(F.lit("far"), (F.col("doc_id") - 1).cast("string")))
+        .alias("src"),
+        F.concat(F.lit("far"), F.col("doc_id").cast("string")).alias("dst"),
+    )
+    seeds = spark.createDataFrame([("h0",), ("h5",)], "id string")
+    return seed_distance(bulk.unionByName(chain), seeds, rounds=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -6539,6 +6565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_divergence": q_order_divergence,
         "byte_budget_admission": q_byte_budget_admission,
         "embedding_drift": q_embedding_drift,
+        "seed_distance": q_seed_distance,
     }
 
 
@@ -10458,7 +10485,27 @@ def oracle_sql() -> dict[str, str]:
         "order_divergence": _order_divergence_oracle(),
         "byte_budget_admission": _byte_budget_admission_oracle(),
         "embedding_drift": _embedding_drift_oracle(),
+        "seed_distance": _seed_distance_oracle(),
     }
+
+
+def _seed_distance_oracle() -> str:
+    """DuckDB replay of q_seed_distance — same bulk + planted chain
+    and seed set through the unrolled rounds."""
+    from dblp_crawler_spark.operators.hits import seed_distance_sql
+
+    edges = """(
+        SELECT 'h' || CAST(doc_id % 19 AS VARCHAR) AS src,
+               'h' || CAST((doc_id * 5 + 2) % 19 AS VARCHAR) AS dst
+        FROM documents
+        UNION ALL
+        SELECT CASE WHEN doc_id = 0 THEN 'h2'
+                    ELSE 'far' || CAST(doc_id - 1 AS VARCHAR) END AS src,
+               'far' || CAST(doc_id AS VARCHAR) AS dst
+        FROM documents WHERE doc_id < 6
+    )"""
+    seeds = "(SELECT 'h0' AS id UNION ALL SELECT 'h5' AS id)"
+    return seed_distance_sql(edges, seeds, rounds=12)
 
 
 def _byte_budget_admission_oracle() -> str:

@@ -419,10 +419,13 @@ def kcore_sql(edges: str, k: int, rounds: int,
           SELECT a, b FROM kc_u
           UNION ALL SELECT b AS a, a AS b FROM kc_u
         )"""]
+    # kc_e{r} and kc_k{r} are each referenced more than once;
+    # MATERIALIZED stops exponential CTE inlining (the seed_distance
+    # lesson — DuckDB 1.0 inlines multi-referenced CTEs)
     for r in range(rounds):
-        ctes.append(f"""kc_k{r} AS (
+        ctes.append(f"""kc_k{r} AS MATERIALIZED (
           SELECT a FROM kc_e{r} GROUP BY a HAVING COUNT(*) >= {k}
-        ), kc_e{r + 1} AS (
+        ), kc_e{r + 1} AS MATERIALIZED (
           SELECT e.a, e.b FROM kc_e{r} e
           JOIN kc_k{r} x ON e.a = x.a
           JOIN kc_k{r} y ON e.b = y.a
@@ -431,4 +434,128 @@ def kcore_sql(edges: str, k: int, rounds: int,
         WITH {", ".join(ctes)}
         SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
         FROM kc_e{rounds} GROUP BY a
+    """
+
+
+# ---- hop distance from the seed set ------------------------------------------
+#
+# "How far is this host from anything we trust?" is the frontier's
+# depth map: BFS layer over the DIRECTED link graph from the seed
+# hosts — the number the reference's crawl implicitly tracks as its
+# BFS wave (T1's depth limit) and TrustRank smooths into mass. The
+# exact hop count is the audit view: depth-0/1 hosts are the curated
+# neighborhood, depth-5+ reachable-only-through-chains hosts are
+# where spam lives, unreachable hosts should not be in the frontier
+# at all. Synchronous label-correction rounds (Bellman-Ford with
+# unit weights): per round ONE src-keyed equi-join + ONE min agg +
+# ONE node-keyed merge, localCheckpoint truncation, changed-count
+# riding the checkpoint job as an Observation. Fixed `rounds` =
+# max depth resolved; the unrolled CTE chain replays it exactly.
+# NULL-aware min is spelled explicitly (CASE, not LEAST) — engines
+# disagree on LEAST's NULL behavior.
+
+def _dist_merge(old, cand):
+    return (
+        F.when(old.isNull(), cand)
+        .when(cand.isNull(), old)
+        .otherwise(F.least(old, cand))
+    )
+
+
+def seed_distance(edges: DataFrame, seeds: DataFrame, rounds: int,
+                  src: str = "src", dst: str = "dst",
+                  seed_col: str = "id") -> DataFrame:
+    """(node, dist) for every endpoint of the directed edge list;
+    dist = exact hop count from the nearest seed, NULL when
+    unreachable within `rounds` hops. Seeds not in the graph are
+    ignored (distance flows along edges only)."""
+    from pyspark.sql import Observation
+
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    e = edges.select(F.col(src).alias("esrc"),
+                     F.col(dst).alias("edst")).distinct().localCheckpoint()
+    state = (
+        nodes.join(seeds.select(F.col(seed_col).alias("node"),
+                                F.lit(0).cast("long").alias("__s")),
+                   "node", "left")
+        .select("node", F.col("__s").alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        cand = (
+            e.join(state.where(F.col("dist").isNotNull())
+                   .select(F.col("node").alias("esrc"), "dist"), "esrc")
+            .groupBy(F.col("edst").alias("node"))
+            .agg(F.min(F.col("dist") + 1).alias("cand"))
+        )
+        obs = Observation()
+        merged = (
+            state.join(cand, "node", "left")
+            .select("node", _dist_merge(F.col("dist"), F.col("cand"))
+                    .alias("new_dist"), "dist")
+            .observe(obs, F.count(F.when(
+                ~F.col("new_dist").eqNullSafe(F.col("dist")), 1)).alias("ch"))
+            .select("node", F.col("new_dist").alias("dist"))
+        )
+        state = merged.localCheckpoint()
+        if not int(obs.get["ch"] or 0):
+            break
+    return state
+
+
+def seed_distance_py(edge_list, seed_ids, rounds: int):
+    """Sequential reference for the synchronous label correction."""
+    nodes = {u for u, _ in edge_list} | {v for _, v in edge_list}
+    dist = {n: (0 if n in set(seed_ids) else None) for n in nodes}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v in edge_list:
+            if dist[u] is not None:
+                c = dist[u] + 1
+                if nxt[v] is None or c < nxt[v]:
+                    nxt[v] = c
+        if nxt == dist:
+            break
+        dist = nxt
+    return dist
+
+
+def seed_distance_sql(edges: str, seeds: str, rounds: int,
+                      src: str = "src", dst: str = "dst",
+                      seed_col: str = "id") -> str:
+    """DuckDB replay of :func:`seed_distance` — unrolled synchronous
+    rounds, same explicit NULL-aware min."""
+    # every round CTE is referenced twice downstream; MATERIALIZED
+    # stops DuckDB's inliner from expanding the chain exponentially
+    # (12 rounds would otherwise open the base scan 2^12 times)
+    ctes = [f"""sd_n AS MATERIALIZED (
+          SELECT {src} AS node FROM {edges}
+          UNION SELECT {dst} AS node FROM {edges}
+        ), sd_e AS MATERIALIZED (
+          SELECT DISTINCT {src} AS esrc, {dst} AS edst FROM {edges}
+        ), sd_0 AS MATERIALIZED (
+          SELECT n.node,
+                 CASE WHEN s.{seed_col} IS NOT NULL
+                      THEN CAST(0 AS BIGINT) END AS dist
+          FROM sd_n n LEFT JOIN {seeds} s ON s.{seed_col} = n.node
+        )"""]
+    for r in range(rounds):
+        ctes.append(f"""sd_c{r} AS (
+          SELECT e.edst AS node, MIN(s.dist + 1) AS cand
+          FROM sd_e e JOIN sd_{r} s ON s.node = e.esrc
+          WHERE s.dist IS NOT NULL GROUP BY e.edst
+        ), sd_{r + 1} AS MATERIALIZED (
+          SELECT s.node,
+                 CASE WHEN s.dist IS NULL THEN c.cand
+                      WHEN c.cand IS NULL THEN s.dist
+                      ELSE least(s.dist, c.cand) END AS dist
+          FROM sd_{r} s LEFT JOIN sd_c{r} c ON c.node = s.node
+        )""")
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT node, dist FROM sd_{rounds}
     """

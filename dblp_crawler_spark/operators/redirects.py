@@ -166,7 +166,7 @@ def pagination_chains_sql(links: str, rounds: int = 5,
                           next_col: str = "next_url") -> str:
     """DuckDB replay of :func:`pagination_chains` — same predecessor
     collapse and unrolled doubling rounds."""
-    ctes = [f"""pg_l AS (
+    ctes = [f"""pg_l AS MATERIALIZED (
           SELECT DISTINCT {url_col} AS u, {next_col} AS v
           FROM {links} WHERE {next_col} IS NOT NULL
         ), pg_n AS (
@@ -178,8 +178,10 @@ def pagination_chains_sql(links: str, rounds: int = 5,
                  CAST(CASE WHEN p.prev IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dist
           FROM pg_n n LEFT JOIN pg_p p ON p.node = n.node
         )"""]
+    # each round self-joins the previous state: MATERIALIZED stops
+    # exponential CTE inlining (the seed_distance lesson)
     for r in range(rounds):
-        ctes.append(f"""pg_s{r + 1} AS (
+        ctes.append(f"""pg_s{r + 1} AS MATERIALIZED (
           SELECT s.node, a.anc, s.dist + a.dist AS dist
           FROM pg_s{r} s JOIN pg_s{r} a ON s.anc = a.node
         )""")
