@@ -6330,6 +6330,69 @@ def q_seed_distance(spark, sf_dir):
     return seed_distance(bulk.unionByName(chain), seeds, rounds=12)
 
 
+def q_og_image_caption(spark, sf_dir):
+    """OpenGraph image+caption extraction (webparse.
+    og_image_caption): the third discovery channel and often the
+    richest — og:image/og:image:alt/og:description are EDITORIAL
+    choices, the page's own statement of its representative image
+    and text. Quote-delimited property match (og:image never matches
+    og:image:alt), property=/name= in any attribute order, first
+    occurrence wins, image resolved against the page. Families:
+    full tag set, name= + reversed attrs, relative images, og-less
+    pages."""
+    from dblp_crawler_spark.sources.webparse import og_image_caption
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<meta property="og:title" content="Post '), d,
+            F.lit('"><meta property="og:image" content="/img/'), d,
+            F.lit('.jpg"><meta property="og:image:alt" content="hero '), d,
+            F.lit('"><meta property="og:description" content="about '), d,
+            F.lit('">')))
+        .when(m == 1, F.concat(
+            F.lit("<meta content='https://cdn.example/"), d,
+            F.lit(".png' name='og:image'>")))
+        .when(m == 2, F.concat(
+            F.lit('<meta property="og:image" content="first'), d,
+            F.lit('.jpg"><meta property="og:image" content="second.jpg">')))
+        .otherwise(F.lit("<html>no og tags</html>"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://o"), (F.col("doc_id") % 9).cast("string"),
+                 F.lit(".org/p"), d).alias("url"),
+        html.alias("html"))
+    return og_image_caption(pages)
+
+
+def q_pipeline_multilingual_budget(spark, sf_dir):
+    """Multilingual token-budget allocation — tokenizer_fertility ×
+    sqrt temperature_mixture composed on the language key: the
+    smoothed sampling share converts a total token budget into
+    per-language token allocations, and the fertility table says
+    what those tokens cost in chars. budget_tokens =
+    floor(temp_share * 10^6) (floor of an already-rounded share —
+    deterministic in both engines)."""
+    from dblp_crawler_spark.operators.textstats import (
+        temperature_mixture,
+        tokenizer_fertility,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fert = tokenizer_fertility(docs)
+    mix = temperature_mixture(docs, source_col="lang") \
+        .withColumnRenamed("source", "lang")
+    j = fert.join(mix.select("lang", "temp_share", "boost"), "lang")
+    return j.select(
+        "lang", "n_docs", "n_bpe_tokens", "chars_per_bpe_token",
+        "temp_share", "boost",
+        F.floor(F.col("temp_share") * 1_000_000).cast("long")
+        .alias("budget_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -6566,6 +6629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_budget_admission": q_byte_budget_admission,
         "embedding_drift": q_embedding_drift,
         "seed_distance": q_seed_distance,
+        "og_image_caption": q_og_image_caption,
+        "pipeline_multilingual_budget": q_pipeline_multilingual_budget,
     }
 
 
@@ -10486,7 +10551,51 @@ def oracle_sql() -> dict[str, str]:
         "byte_budget_admission": _byte_budget_admission_oracle(),
         "embedding_drift": _embedding_drift_oracle(),
         "seed_distance": _seed_distance_oracle(),
+        "og_image_caption": _og_image_caption_oracle(),
+        "pipeline_multilingual_budget": _pipeline_multilingual_budget_oracle(),
     }
+
+
+def _og_image_caption_oracle() -> str:
+    """DuckDB replay of q_og_image_caption — same synthesized HTML."""
+    from dblp_crawler_spark.sources.webparse import og_image_caption_sql
+
+    d = "CAST(doc_id AS VARCHAR)"
+    src = f"""(
+        SELECT 'https://o' || CAST(doc_id % 9 AS VARCHAR) || '.org/p' || {d}
+                 AS url,
+               CASE doc_id % 4
+                 WHEN 0 THEN '<meta property="og:title" content="Post ' || {d}
+                   || '"><meta property="og:image" content="/img/' || {d}
+                   || '.jpg"><meta property="og:image:alt" content="hero '
+                   || {d} || '"><meta property="og:description" content="about '
+                   || {d} || '">'
+                 WHEN 1 THEN '<meta content=''https://cdn.example/' || {d}
+                   || '.png'' name=''og:image''>'
+                 WHEN 2 THEN '<meta property="og:image" content="first' || {d}
+                   || '.jpg"><meta property="og:image" content="second.jpg">'
+                 ELSE '<html>no og tags</html>' END AS html
+        FROM documents
+    )"""
+    return og_image_caption_sql(src)
+
+
+def _pipeline_multilingual_budget_oracle() -> str:
+    """DuckDB replay of q_pipeline_multilingual_budget — the same
+    fertility and mixture fragments joined on lang."""
+    from dblp_crawler_spark.operators.textstats import (
+        temperature_mixture_sql,
+        tokenizer_fertility_sql,
+    )
+
+    return f"""
+        WITH mb_f AS ({tokenizer_fertility_sql("documents")}),
+        mb_m AS ({temperature_mixture_sql("documents", source_col="lang")})
+        SELECT f.lang, f.n_docs, f.n_bpe_tokens, f.chars_per_bpe_token,
+               m.temp_share, m.boost,
+               CAST(floor(m.temp_share * 1000000) AS BIGINT) AS budget_tokens
+        FROM mb_f f JOIN mb_m m ON m.source = f.lang
+    """
 
 
 def _seed_distance_oracle() -> str:

@@ -2196,3 +2196,70 @@ def text_url_mentions_sql(src: str, text_col: str = "text",
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM tu_c GROUP BY url
     """
+
+
+# ---- OpenGraph image+caption extraction ---------------------------------------
+#
+# The third image+caption discovery channel, and on the modern web
+# often the richest: nearly every CMS emits OpenGraph meta tags, and
+# og:image / og:image:alt / og:description are EDITORIAL choices —
+# the page's own statement of its representative image and text,
+# far cleaner than scraping an arbitrary <img>. Tag matching keys on
+# the quote-delimited property value (so og:image never matches
+# og:image:alt), accepts property= or name= (both occur in the
+# wild) in any attribute order, takes the FIRST occurrence per
+# field (OpenGraph's array semantics use the first as primary), and
+# resolves og:image against the page URL.
+
+def _og_tag(field: str) -> str:
+    return (r"(?is)<meta\b([^>]*(?:property|name)\s*=\s*"
+            + f"""["']{field}["']""" + r"[^>]*)>")
+
+
+_OG_CONTENT_RE = r"""(?is)content\s*=\s*["']([^"']*)["']"""
+
+
+def og_image_caption(pages: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """(url, og_image_url, og_alt, og_title, og_description) from
+    the page's OpenGraph tags — NULL per missing field, image URL
+    resolved against the page."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url
+
+    def field(name):
+        tag = F.regexp_extract(F.col(html_col), _og_tag(name), 1)
+        return F.nullif(F.regexp_extract(tag, _OG_CONTENT_RE, 1), F.lit(""))
+
+    img = field("og:image")
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.when(img.isNotNull(),
+               resolve_url(url_col, img)).alias("og_image_url"),
+        field("og:image:alt").alias("og_alt"),
+        field("og:title").alias("og_title"),
+        field("og:description").alias("og_description"),
+    )
+
+
+def og_image_caption_sql(src: str, url_col: str = "url",
+                         html_col: str = "html") -> str:
+    """DuckDB replay of :func:`og_image_caption` — same quote-
+    delimited tag matches and first-occurrence rule."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+
+    def field(name):
+        pat = _og_tag(name).replace("'", "''")
+        cpat = _OG_CONTENT_RE.replace("'", "''")
+        tag = f"regexp_extract({html_col}, '{pat}', 1)"
+        return f"nullif(regexp_extract({tag}, '{cpat}', 1), '')"
+
+    img = field("og:image")
+    return f"""
+        SELECT {url_col} AS url,
+               CASE WHEN {img} IS NOT NULL
+                    THEN {resolve_url_sql(url_col, img)} END AS og_image_url,
+               {field("og:image:alt")} AS og_alt,
+               {field("og:title")} AS og_title,
+               {field("og:description")} AS og_description
+        FROM {src}
+    """
