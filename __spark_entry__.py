@@ -6393,6 +6393,63 @@ def q_pipeline_multilingual_budget(spark, sf_dir):
     )
 
 
+def _pe_chunk(ctype: bytes, data: bytes) -> str:
+    return (f"{len(data):08X}" + ctype.hex().upper()
+            + data.hex().upper() + "00000000")
+
+
+def _pe_tiff_ii(orientation: int) -> bytes:
+    ent = (bytes.fromhex("1201") + bytes.fromhex("0300")
+           + (1).to_bytes(4, "little")
+           + orientation.to_bytes(2, "little") + b"\x00\x00")
+    return (b"II*\x00" + (8).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + ent + b"\x00\x00\x00\x00")
+
+
+def _pe_tiff_mm(orientation: int) -> bytes:
+    ent = (bytes.fromhex("0112") + bytes.fromhex("0003")
+           + (1).to_bytes(4, "big")
+           + orientation.to_bytes(2, "big") + b"\x00\x00")
+    return (b"MM\x00*" + (8).to_bytes(4, "big")
+            + (1).to_bytes(2, "big") + ent + b"\x00\x00\x00\x00")
+
+
+#: planted eXIf cases: LE o6 (transposing), BE o8, LE o1 behind a
+#: gAMA hop, eXIf-less PNG, JPEG.
+_PE_IHDR = _pe_chunk(
+    b"IHDR", bytes.fromhex("0000001000000010") + bytes([8, 6, 0, 0, 0]))
+_PE_CASES = [
+    _PNG_SIG + _PE_IHDR + _pe_chunk(b"eXIf", _pe_tiff_ii(6))
+    + _pe_chunk(b"IDAT", b"\x00"),
+    _PNG_SIG + _PE_IHDR + _pe_chunk(b"eXIf", _pe_tiff_mm(8))
+    + _pe_chunk(b"IDAT", b"\x00"),
+    _PNG_SIG + _PE_IHDR + _pe_chunk(b"gAMA", (45455).to_bytes(4, "big"))
+    + _pe_chunk(b"eXIf", _pe_tiff_ii(1)) + _pe_chunk(b"IDAT", b"\x00"),
+    _PNG_SIG + _PE_IHDR + _pe_chunk(b"IDAT", b"\x00"),
+    "FFD8" + _ES_APP0,
+]
+
+
+def q_png_exif_orientation(spark, sf_dir):
+    """EXIF inside PNG (sniff.png_exif_orientation): the PNG 1.5
+    eXIf chunk is a raw TIFF blob — iPhone screenshots and modern
+    exporters write it, and a provenance pass reading only JPEG APP1
+    calls those PNGs metadata-free. Chunk walk parked at IDAT/IEND,
+    then the same endian-aware TIFF staging and orientation scan as
+    the JPEG path anchored at the chunk data; orientations 5-8
+    transpose."""
+    from dblp_crawler_spark.operators.sniff import png_exif_orientation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(_PE_CASES)
+    hexstr = F.lit(_PE_CASES[-1])
+    for i, hx in enumerate(_PE_CASES[:-1]):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return png_exif_orientation(imgs).select(
+        "doc_id", "fmt", "orientation", "swap_dims")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -6631,6 +6688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_distance": q_seed_distance,
         "og_image_caption": q_og_image_caption,
         "pipeline_multilingual_budget": q_pipeline_multilingual_budget,
+        "png_exif_orientation": q_png_exif_orientation,
     }
 
 
@@ -10553,7 +10611,28 @@ def oracle_sql() -> dict[str, str]:
         "seed_distance": _seed_distance_oracle(),
         "og_image_caption": _og_image_caption_oracle(),
         "pipeline_multilingual_budget": _pipeline_multilingual_budget_oracle(),
+        "png_exif_orientation": _png_exif_orientation_oracle(),
     }
+
+
+def _png_exif_orientation_oracle() -> str:
+    """DuckDB replay of q_png_exif_orientation — same planted hex
+    through the chunk-hop + TIFF staging replay."""
+    from dblp_crawler_spark.operators.sniff import (
+        png_exif_orientation_sql,
+        sniff_case_sql,
+    )
+
+    whens = "".join(
+        f" WHEN {i} THEN '{hx}'" for i, hx in enumerate(_PE_CASES[:-1]))
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(_PE_CASES)}{whens}
+                 ELSE '{_PE_CASES[-1]}' END AS h
+        FROM documents
+    )"""
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} pe_src)"
+    return png_exif_orientation_sql(staged)
 
 
 def _og_image_caption_oracle() -> str:

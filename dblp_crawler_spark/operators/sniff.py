@@ -3503,3 +3503,138 @@ def exif_software_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                  AS gen_hint
         FROM sw_d
     """
+
+
+# ---- EXIF inside PNG (eXIf chunk) --------------------------------------------
+#
+# PNG 1.5 standardized the eXIf chunk: a raw TIFF blob inside the
+# chunk stream — iPhone screenshots and modern exporters write it,
+# and a provenance pass that only reads JPEG APP1 calls those PNGs
+# metadata-free. The chunk walk is the png_animated hop parked at
+# IDAT/IEND; the chunk DATA is a TIFF header, so the byte-order /
+# IFD-offset / entry-count staging and the orientation tag scan are
+# the same endian-aware reads as the JPEG path, just anchored at the
+# chunk data position. Same swap_dims contract as exif_orientation
+# (orientations 5-8 transpose).
+
+_EXIF_CHUNK_HEX = "65584966"
+
+
+def png_exif_orientation(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, orientation, swap_dims) from a PNG eXIf chunk —
+    NULL for non-PNG rows, PNGs without the chunk, malformed byte
+    orders, absent tags, and out-of-range values."""
+    staged = df.withColumns(
+        {
+            "__px": F.hex(F.substring(F.col(bytes_col), 1, PNG_ANIM_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__px")
+
+    def hop(acc, _i):
+        pos = acc["pos"]
+        ctype = hx.substr(pos + F.lit(8), F.lit(8))
+        stop = ctype.isin(_IDAT_HEX, _IEND_HEX)
+        nxt = F.when(stop, pos).otherwise(
+            pos + F.lit(24) + F.lit(2) * _hex2long(hx, pos, 8)
+        )
+        return F.struct(
+            nxt.alias("pos"),
+            F.coalesce(acc["x"],
+                       F.when(ctype == _EXIF_CHUNK_HEX, pos)).alias("x"),
+        )
+
+    acc0 = F.struct(
+        F.lit(17).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("x"),
+    )
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(PNG_CHUNK_MAX_HOPS)), acc0, hop)["x"]
+    s1 = staged.withColumn(
+        "__t", F.when(F.col("fmt") == "png", walk + F.lit(16)))
+    bo = hx.substr(F.col("__t"), F.lit(4))
+    s2 = s1.withColumn(
+        "__le", F.when(bo == "4949", F.lit(True)).when(bo == "4D4D", F.lit(False)))
+
+    def rd(pos, n_bytes):
+        return F.when(F.col("__le"), _le(hx, pos, n_bytes)).otherwise(
+            _hex2long(hx, pos, 2 * n_bytes)
+        )
+
+    s3 = s2.withColumn("__ifd", rd(F.col("__t") + F.lit(8), 4))
+    s4 = s3.withColumns(
+        {
+            "__n": rd(F.col("__t") + F.lit(2) * F.col("__ifd"), 2),
+            "__e": F.col("__t") + F.lit(2) * F.col("__ifd") + F.lit(4),
+        }
+    )
+    branches = []
+    for i in range(IFD_MAX_ENTRIES):
+        epos = F.col("__e") + F.lit(24 * i)
+        hit = (F.lit(i) < F.col("__n")) & (rd(epos, 2) == _ORIENT_TAG)
+        branches.append(F.when(hit, rd(epos + F.lit(16), 2)))
+    o = F.coalesce(*branches)
+    o = F.when((o >= 1) & (o <= 8), o)
+    return (
+        s4.withColumns(
+            {
+                "orientation": o.cast("int"),
+                "swap_dims": F.when(o.isNotNull(), o >= 5),
+            }
+        )
+        .drop("__px", "__t", "__le", "__ifd", "__n", "__e")
+    )
+
+
+def png_exif_orientation_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                             fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`png_exif_orientation` — same chunk
+    hop chain + TIFF staging anchored at the chunk data."""
+    ctes = [f"""pe0 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CAST(17 AS BIGINT) AS pos,
+                 CAST(NULL AS BIGINT) AS x
+          FROM {src}
+        )"""]
+    for k in range(PNG_CHUNK_MAX_HOPS):
+        clen = "TRY_CAST(concat('0x', substring(h, pos, 8)) AS BIGINT)"
+        ctes.append(f"""pe{k + 1} AS (
+          SELECT {keep}, fmt, h,
+                 CASE WHEN substring(h, pos + 8, 8)
+                        IN ('{_IDAT_HEX}', '{_IEND_HEX}') THEN pos
+                      ELSE pos + 24 + 2 * {clen} END AS pos,
+                 COALESCE(x, CASE WHEN substring(h, pos + 8, 8)
+                          = '{_EXIF_CHUNK_HEX}' THEN pos END) AS x
+          FROM pe{k})""")
+    last = f"pe{PNG_CHUNK_MAX_HOPS}"
+    branches = ", ".join(
+        f"CASE WHEN {i} < n AND ({_rd_sql('h', 'le', f'e + {24 * i}', 2)})"
+        f" = {_ORIENT_TAG} "
+        f"THEN ({_rd_sql('h', 'le', f'e + {24 * i} + 16', 2)}) END"
+        for i in range(IFD_MAX_ENTRIES)
+    )
+    return f"""
+        WITH {", ".join(ctes)}, pe_t AS (
+          SELECT {keep}, fmt, h,
+                 CASE WHEN fmt = 'png' THEN x + 16 END AS t
+          FROM {last}
+        ), pe_le AS (
+          SELECT *, CASE substring(h, t, 4) WHEN '4949' THEN true
+                    WHEN '4D4D' THEN false ELSE NULL END AS le
+          FROM pe_t
+        ), pe_ifd AS (
+          SELECT *, {_rd_sql('h', 'le', 't + 8', 4)} AS ifd FROM pe_le
+        ), pe_en AS (
+          SELECT *, {_rd_sql('h', 'le', 't + 2 * ifd', 2)} AS n,
+                 t + 2 * ifd + 4 AS e
+          FROM pe_ifd
+        ), pe_o AS (
+          SELECT {keep}, fmt, COALESCE({branches}) AS o FROM pe_en
+        )
+        SELECT {keep}, fmt,
+               CAST(CASE WHEN o BETWEEN 1 AND 8 THEN o END AS INT)
+                 AS orientation,
+               CASE WHEN o BETWEEN 1 AND 8 THEN o >= 5 END AS swap_dims
+        FROM pe_o
+    """
