@@ -6450,6 +6450,58 @@ def q_png_exif_orientation(spark, sf_dir):
         "doc_id", "fmt", "orientation", "swap_dims")
 
 
+#: planted invisible payloads, built from codepoints (never typed)
+_INV_ZW = "".join(chr(c) for c in (0x200B, 0x200D, 0x2060))
+_INV_BIDI = chr(0x202E) + "gpj.exe" + chr(0x202C)
+
+
+def q_invisible_chars(spark, sf_dir):
+    """Invisible/bidi-control hygiene (textstats.invisible_chars):
+    zero-width and bidi codepoints are the web's invisible ink —
+    hidden watermarks, RLO-spoofed filenames, prompt-injection
+    payloads that survive every visual review. Two classes rendered
+    from one codepoint table into both engines, counted per doc,
+    plus the cleaned text column. Every 6th doc planted with
+    zero-width splices, every 11th with an RLO spoof."""
+    from dblp_crawler_spark.operators.textstats import invisible_chars
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id")
+    text = (
+        F.when(m % 6 == 0, F.concat(F.lit("wm" + _INV_ZW), F.col("text")))
+        .when(m % 11 == 1, F.concat(F.col("text"), F.lit(" file" + _INV_BIDI)))
+        .otherwise(F.col("text"))
+    )
+    return invisible_chars(docs.select("doc_id", text.alias("text")))
+
+
+def q_caption_diversity(spark, sf_dir):
+    """Per-host caption diversity (webparse.caption_diversity):
+    generated galleries share caption TEMPLATES — the host-level
+    caption distribution is the stock-farm smell per-image gates
+    can't see. Case-folded trimmed captions; NULL/empty counted as
+    uncaptioned, not template evidence. Every 5th host planted as a
+    single-template farm against organic per-image captions."""
+    from dblp_crawler_spark.sources.webparse import caption_diversity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hh = F.col("doc_id") % 15
+    farm = hh % 5 == 0
+    cap = (
+        F.when(farm & (F.col("doc_id") % 7 != 3),
+               F.lit("Beautiful Sunset Wallpaper HD"))
+        .when(farm, F.lit("beautiful sunset wallpaper hd "))
+        .when(F.col("doc_id") % 9 == 4, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("photo number "),
+                            F.col("doc_id").cast("string")))
+    )
+    imgs = docs.select(
+        F.concat(F.lit("cap"), hh.cast("string"), F.lit(".example"))
+        .alias("host"),
+        cap.alias("caption"))
+    return caption_diversity(imgs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -6689,6 +6741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "og_image_caption": q_og_image_caption,
         "pipeline_multilingual_budget": q_pipeline_multilingual_budget,
         "png_exif_orientation": q_png_exif_orientation,
+        "invisible_chars": q_invisible_chars,
+        "caption_diversity": q_caption_diversity,
     }
 
 
@@ -10612,7 +10666,43 @@ def oracle_sql() -> dict[str, str]:
         "og_image_caption": _og_image_caption_oracle(),
         "pipeline_multilingual_budget": _pipeline_multilingual_budget_oracle(),
         "png_exif_orientation": _png_exif_orientation_oracle(),
+        "invisible_chars": _invisible_chars_oracle(),
+        "caption_diversity": _caption_diversity_oracle(),
     }
+
+
+def _invisible_chars_oracle() -> str:
+    """DuckDB replay of q_invisible_chars — same planted payloads
+    (codepoint-built constants embedded as literals)."""
+    from dblp_crawler_spark.operators.textstats import invisible_chars_sql
+
+    src = f"""(
+        SELECT doc_id,
+               CASE WHEN doc_id % 6 = 0 THEN 'wm{_INV_ZW}' || text
+                    WHEN doc_id % 11 = 1 THEN text || ' file{_INV_BIDI}'
+                    ELSE text END AS text
+        FROM documents
+    )"""
+    return invisible_chars_sql(src)
+
+
+def _caption_diversity_oracle() -> str:
+    """DuckDB replay of q_caption_diversity — same host/caption
+    synthesis."""
+    from dblp_crawler_spark.sources.webparse import caption_diversity_sql
+
+    src = """(
+        SELECT 'cap' || CAST(doc_id % 15 AS VARCHAR) || '.example' AS host,
+               CASE WHEN (doc_id % 15) % 5 = 0 AND doc_id % 7 <> 3
+                      THEN 'Beautiful Sunset Wallpaper HD'
+                    WHEN (doc_id % 15) % 5 = 0
+                      THEN 'beautiful sunset wallpaper hd '
+                    WHEN doc_id % 9 = 4 THEN NULL
+                    ELSE 'photo number ' || CAST(doc_id AS VARCHAR) END
+                 AS caption
+        FROM documents
+    )"""
+    return caption_diversity_sql(src)
 
 
 def _png_exif_orientation_oracle() -> str:

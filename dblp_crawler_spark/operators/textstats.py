@@ -1707,3 +1707,62 @@ def temperature_mixture_sql(src: str, source_col: str = "source") -> str:
                      / ROUND(n_docs * 1.0 / n, 6), 4) AS boost
         FROM tm_g, tm_w
     """
+
+
+# ---- invisible / bidi control characters -------------------------------------
+#
+# Zero-width and bidi-control codepoints are the web's invisible
+# ink: hidden watermarks, SEO cloaking, spoofed filenames
+# (RLO-reversed extensions), and prompt-injection payloads that
+# survive every visual review — a training corpus wants them
+# counted and usually stripped. Two rendered classes (zero-width:
+# ZWSP/ZWNJ/ZWJ/WJ/ZWNBSP-BOM; bidi controls: the 202A-202E
+# embedding/override block plus the 2066-2069 isolates), counted
+# per doc, plus a cleaned text column with both classes removed —
+# the same one-table-renders-both-engines discipline as the
+# mojibake signatures. Pure projection.
+
+_ZERO_WIDTH = [0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF]
+_BIDI_CTRL = [0x202A, 0x202B, 0x202C, 0x202D, 0x202E,
+              0x2066, 0x2067, 0x2068, 0x2069]
+ZW_RE = "[" + "".join(f"\\x{{{c:04X}}}" for c in _ZERO_WIDTH) + "]"
+BIDI_RE = "[" + "".join(f"\\x{{{c:04X}}}" for c in _BIDI_CTRL) + "]"
+
+
+def invisible_chars(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per doc: n_zero_width, n_bidi_ctrl, has_invisible, and
+    clean_text with both classes removed."""
+    t = F.col(text_col)
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+
+    d = docs.select(
+        F.col(id_col),
+        n(ZW_RE).alias("n_zero_width"),
+        n(BIDI_RE).alias("n_bidi_ctrl"),
+        F.regexp_replace(F.regexp_replace(t, ZW_RE, ""), BIDI_RE, "")
+        .alias("clean_text"),
+    )
+    return d.withColumn(
+        "has_invisible",
+        (F.col("n_zero_width") + F.col("n_bidi_ctrl")) > 0)
+
+
+def invisible_chars_sql(src: str, text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB replay of :func:`invisible_chars` — same rendered
+    classes."""
+    def n(pat):
+        return f"CAST(len(regexp_extract_all({text_col}, '{pat}')) AS BIGINT)"
+
+    return f"""
+        SELECT {id_col},
+               {n(ZW_RE)} AS n_zero_width,
+               {n(BIDI_RE)} AS n_bidi_ctrl,
+               regexp_replace(regexp_replace({text_col}, '{ZW_RE}', '', 'g'),
+                              '{BIDI_RE}', '', 'g') AS clean_text,
+               {n(ZW_RE)} + {n(BIDI_RE)} > 0 AS has_invisible
+        FROM {src}
+    """

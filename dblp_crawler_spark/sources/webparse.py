@@ -2263,3 +2263,88 @@ def og_image_caption_sql(src: str, url_col: str = "url",
                {field("og:description")} AS og_description
         FROM {src}
     """
+
+
+# ---- per-host caption diversity -----------------------------------------------
+#
+# Generated galleries share caption TEMPLATES — ten thousand images
+# captioned "beautiful sunset wallpaper hd" — and per-image gates
+# can't see it: the signal is the host-level caption distribution.
+# Low distinct-caption ratio or one caption owning most of the host
+# is the stock-farm/template smell that routes a host's images to
+# heavier dedup (or out). Trimmed case-folded captions compare;
+# NULL/empty captions count separately (missing captions are their
+# own quality problem, not a template). One (host, caption) rollup
+# + one host rollup; integer per-mille thresholds.
+
+def caption_diversity(imgs: DataFrame, host_col: str = "host",
+                      caption_col: str = "caption", min_images: int = 8,
+                      top_milli: int = 500) -> DataFrame:
+    """(host, n_images, n_captioned, n_distinct, top_share_milli,
+    templated) per host; templated when >= min_images captioned
+    images and the most common caption owns >= top_milli/1000 of
+    them."""
+    c = F.lower(F.trim(F.col(caption_col)))
+    base = imgs.select(
+        F.col(host_col).alias("host"),
+        F.when(c != "", c).alias("cap"),
+    )
+    per_cap = (
+        base.where(F.col("cap").isNotNull())
+        .groupBy("host", "cap").agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_host = per_cap.groupBy("host").agg(
+        F.sum("n").alias("n_captioned"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("__top"),
+    )
+    totals = base.groupBy("host").agg(F.count(F.lit(1)).alias("n_images"))
+    j = totals.join(per_host, "host", "left")
+    top_milli_c = F.floor(F.coalesce(F.col("__top"), F.lit(0)) * 1000
+                          / F.greatest(F.col("n_captioned"), F.lit(1))) \
+        .cast("long")
+    return j.select(
+        "host", "n_images",
+        F.coalesce(F.col("n_captioned"), F.lit(0).cast("long"))
+        .alias("n_captioned"),
+        F.coalesce(F.col("n_distinct"), F.lit(0).cast("long"))
+        .alias("n_distinct"),
+        top_milli_c.alias("top_share_milli"),
+        ((F.coalesce(F.col("n_captioned"), F.lit(0)) >= min_images)
+         & (top_milli_c >= top_milli)).alias("templated"),
+    )
+
+
+def caption_diversity_sql(src: str, host_col: str = "host",
+                          caption_col: str = "caption", min_images: int = 8,
+                          top_milli: int = 500) -> str:
+    """DuckDB replay of :func:`caption_diversity`."""
+    return f"""
+        WITH cd_b AS (
+          SELECT {host_col} AS host,
+                 nullif(lower(trim({caption_col})), '') AS cap
+          FROM {src}
+        ), cd_c AS (
+          SELECT host, cap, CAST(COUNT(*) AS BIGINT) AS n
+          FROM cd_b WHERE cap IS NOT NULL GROUP BY host, cap
+        ), cd_h AS (
+          SELECT host, CAST(SUM(n) AS BIGINT) AS n_captioned,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(MAX(n) AS BIGINT) AS top
+          FROM cd_c GROUP BY host
+        ), cd_t AS (
+          SELECT host, CAST(COUNT(*) AS BIGINT) AS n_images
+          FROM cd_b GROUP BY host
+        )
+        SELECT t.host, t.n_images,
+               COALESCE(h.n_captioned, 0) AS n_captioned,
+               COALESCE(h.n_distinct, 0) AS n_distinct,
+               CAST(floor(COALESCE(h.top, 0) * 1000
+                    / greatest(COALESCE(h.n_captioned, 0), 1)) AS BIGINT)
+                 AS top_share_milli,
+               COALESCE(h.n_captioned, 0) >= {min_images}
+                 AND CAST(floor(COALESCE(h.top, 0) * 1000
+                     / greatest(COALESCE(h.n_captioned, 0), 1)) AS BIGINT)
+                     >= {top_milli} AS templated
+        FROM cd_t t LEFT JOIN cd_h h USING (host)
+    """
