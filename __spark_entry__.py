@@ -6502,6 +6502,64 @@ def q_caption_diversity(spark, sf_dir):
     return caption_diversity(imgs)
 
 
+def q_pipeline_corpus_release(spark, sf_dir):
+    """The text-side release pipeline in ONE oracled plan — the
+    curation sequence a corpus actually ships through: hygiene gates
+    (mojibake signatures, invisible/bidi characters, minimum
+    tokens) → exact dedup (md5, min-id representative) → seeded
+    deterministic shuffle (the portable permutation that breaks
+    source/time locality) → token-budget shard packing IN SHUFFLE
+    ORDER via the two-pass distributed prefix sum. Planted families:
+    every 13th doc carries double-decode residue (gated), the next a
+    zero-width splice (gated), m13==5 duplicates its clean
+    predecessor (deduped). Every stage is an existing oracled
+    operator; the replay chains the same fragments."""
+    from dblp_crawler_spark.operators.textstats import (
+        invisible_chars,
+        mojibake_stats,
+        pack_shards,
+        seeded_shuffle,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m13 = F.col("doc_id") % 13
+    eff = (F.col("doc_id") - F.when(m13 == 5, 1).otherwise(0)).alias("eff")
+    base = docs.select(F.col("doc_id").alias("eff_id"),
+                       F.col("text").alias("base"))
+    src = (
+        docs.select("doc_id", eff)
+        .join(base, F.col("eff") == F.col("eff_id"))
+        .select(
+            "doc_id",
+            F.when(m13 == 0, F.concat(F.col("base"),
+                                      F.lit(" " + _MOJI_RESIDUE)))
+            .when(m13 == 1, F.concat(F.lit(_INV_ZW), F.col("base")))
+            .otherwise(F.col("base")).alias("text"),
+        )
+    )
+    mj = mojibake_stats(src).select("doc_id", "mojibake_flag")
+    iv = invisible_chars(src).select("doc_id", "has_invisible")
+    gated = (
+        src.join(mj, "doc_id").join(iv, "doc_id")
+        .where(~F.col("mojibake_flag") & ~F.col("has_invisible")
+               & (token_count("text") >= 10))
+        .select("doc_id", "text")
+    )
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))) \
+        .orderBy("doc_id")
+    kept = gated.withColumn("rn", F.row_number().over(w)) \
+        .where(F.col("rn") == 1).drop("rn")
+    ranked = kept.join(seeded_shuffle(kept, seed=17), "doc_id")
+    packed = pack_shards(ranked.select("epoch_rank", "text"),
+                         shard_tokens=2000, id_col="epoch_rank")
+    return (
+        ranked.select("doc_id", "epoch_rank")
+        .join(packed, "epoch_rank")
+        .select("doc_id", "epoch_rank", "n_tokens", "shard")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pushdown_year_filter": q_pushdown_year_filter,
@@ -6743,6 +6801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_exif_orientation": q_png_exif_orientation,
         "invisible_chars": q_invisible_chars,
         "caption_diversity": q_caption_diversity,
+        "pipeline_corpus_release": q_pipeline_corpus_release,
     }
 
 
@@ -10668,7 +10727,60 @@ def oracle_sql() -> dict[str, str]:
         "png_exif_orientation": _png_exif_orientation_oracle(),
         "invisible_chars": _invisible_chars_oracle(),
         "caption_diversity": _caption_diversity_oracle(),
+        "pipeline_corpus_release": _pipeline_corpus_release_oracle(),
     }
+
+
+def _pipeline_corpus_release_oracle() -> str:
+    """DuckDB replay of q_pipeline_corpus_release — same plant, gate
+    fragments, md5 dedup, portable shuffle key, and prefix-sum
+    packing."""
+    from dblp_crawler_spark.functions.hashing import hash60_sql as H
+    from dblp_crawler_spark.operators.textstats import (
+        invisible_chars_sql,
+        mojibake_stats_sql,
+    )
+
+    src = f"""(
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 13 = 0 THEN b.text || ' {_MOJI_RESIDUE}'
+                    WHEN d.doc_id % 13 = 1 THEN '{_INV_ZW}' || b.text
+                    ELSE b.text END AS text
+        FROM documents d JOIN documents b
+          ON b.doc_id = d.doc_id
+             - (CASE WHEN d.doc_id % 13 = 5 THEN 1 ELSE 0 END)
+    )"""
+    return f"""
+        WITH cr_s AS MATERIALIZED ({f"SELECT * FROM {src} cr_in"}),
+        cr_m AS (
+          SELECT doc_id, mojibake_flag FROM ({mojibake_stats_sql("cr_s")})
+        ), cr_i AS (
+          SELECT doc_id, has_invisible FROM ({invisible_chars_sql("cr_s")})
+        ), cr_g AS (
+          SELECT s.doc_id, s.text
+          FROM cr_s s JOIN cr_m USING (doc_id) JOIN cr_i USING (doc_id)
+          WHERE NOT mojibake_flag AND NOT has_invisible
+            AND len({_TOK}) >= 10
+        ), cr_k AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM cr_g
+          ) WHERE rn = 1
+        ), cr_r AS (
+          SELECT doc_id, text,
+                 ROW_NUMBER() OVER (ORDER BY {H('doc_id', 17)} ASC,
+                                    doc_id ASC) - 1 AS epoch_rank
+          FROM cr_k
+        )
+        SELECT doc_id, epoch_rank,
+               CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+               CAST(FLOOR(COALESCE(SUM(len({_TOK})) OVER (ORDER BY epoch_rank
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / 2000.0) AS BIGINT) AS shard
+        FROM cr_r
+    """
 
 
 def _invisible_chars_oracle() -> str:
