@@ -3696,6 +3696,80 @@ def q_gzip_structure(spark, sf_dir):
     )
 
 
+_WAV_CASES = [
+    # CD PCM stereo, data declares 352800 B at 176400 B/s → 2000 ms
+    "524946462400000057415645666D7420100000000100020044AC000010B10200"
+    "040010006461746120620500",
+    # IEEE float mono 48k behind a LIST chunk the walk must hop
+    "5249464630000000574156454C49535404000000AAAAAAAA666D742010000000"
+    "0300010080BB000000EE0200040020006461746100770100",
+    # mulaw 8k mono behind an ODD-sized JUNK chunk (pad rule)
+    "5249464630000000574156454A554E4B03000000BBBBBB00666D742010000000"
+    "07000100401F0000401F0000010008006461746139300000",
+    # data chunk with no fmt chunk: size kept, codec/duration NULL
+    "524946460C000000574156456461746100100000",
+]
+
+_MP3_CASES = [
+    # v2.3 empty tag; MPEG1 L3 128 kbps 44100 stereo
+    "49443303000000000000FFFB90000000000000000000",
+    # v2.4 129-byte zero tag; MPEG2 L3 48 kbps 22050 mono
+    "4944330400000000010100" + "00" * 128 + "FFF362C000000000",
+    # v2.4 with footer flag: frame sits 10 bytes later
+    "49443304001000000014" + "00" * 30 + "FFFBA04000000000",
+    # MPEG2.5 L3 64 kbps 11025 joint stereo
+    "49443303000000000000FFE2824000000000",
+    # valid tag, garbage where the frame should be
+    "494433030000000000040000000041424344",
+]
+
+
+def q_wav_structure(spark, sf_dir):
+    """WAV container structure (sniff.wav_structure): RIFF chunk walk
+    to the `fmt `/`data` chunks — codec contract (PCM / IEEE float /
+    telephony companding), channels, rate, bit width, and an EXACT
+    integer duration from the declared data size (bytes × 1000 div
+    byte rate) without reading one sample; LIST/JUNK chunks hop with
+    RIFF's odd-size pad rule. The audio sibling of png_structure.
+    Planted: CD PCM, float-behind-LIST, mulaw-behind-odd-JUNK,
+    fmt-less, and a JPEG row (NULLs)."""
+    from dblp_crawler_spark.operators.sniff import wav_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    hexstr = F.lit("FFD8FFE00000000000000000")
+    for i, hx in enumerate(_WAV_CASES):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    blobs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return wav_structure(blobs).select(
+        "doc_id", "fmt", "codec", "channels", "sample_rate",
+        "bits_per_sample", "data_bytes", "duration_ms"
+    )
+
+
+def q_mp3_structure(spark, sf_dir):
+    """MP3 structure (sniff.mp3_structure): ID3v2 syncsafe tag size
+    (how much metadata — often embedded cover art — precedes the
+    audio) + the first MPEG frame header's version/layer/bitrate/
+    sample-rate/channel-mode, sync-validated before any field is
+    read. Costs a transcription pass and routes mono telephony away
+    from music-tier storage, all decode-free. Planted: MPEG1 128k
+    stereo, MPEG2 48k mono behind a 129-byte tag, a footered v2.4
+    tag, MPEG2.5 joint stereo, a no-sync row, and a PNG row."""
+    from dblp_crawler_spark.operators.sniff import mp3_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    hexstr = F.lit("89504E470D0A1A0A0000000000000000")
+    for i, hx in enumerate(_MP3_CASES):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    blobs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return mp3_structure(blobs).select(
+        "doc_id", "fmt", "id3_major", "tag_bytes", "mpeg_version",
+        "layer", "bitrate_kbps", "sample_rate", "channel_mode"
+    )
+
+
 def q_pipeline_image_harvest(spark, sf_dir):
     """Composed image+caption harvest in ONE plan — the integration
     statement for this graft cell's axis B: HTML pages →
@@ -6678,6 +6752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_role": q_image_role,
         "pdf_structure": q_pdf_structure,
         "gzip_structure": q_gzip_structure,
+        "wav_structure": q_wav_structure,
+        "mp3_structure": q_mp3_structure,
         "pipeline_image_harvest": q_pipeline_image_harvest,
         "host_language_profile": q_host_language_profile,
         "hreflang_alternates": q_hreflang_alternates,
@@ -7077,6 +7153,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "image_role": _image_role_oracle(),
         "pdf_structure": _pdf_structure_oracle(),
         "gzip_structure": _gzip_structure_oracle(),
+        "wav_structure": _wav_structure_oracle(),
+        "mp3_structure": _mp3_structure_oracle(),
         "pipeline_image_harvest": _image_harvest_oracle(),
         "host_language_profile": _host_lang_profile_oracle(),
         "hreflang_alternates": _hreflang_oracle(),
@@ -8443,6 +8521,49 @@ def _gzip_structure_oracle() -> str:
     )"""
     staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM {src} gz_src)"
     return gzip_structure_sql(staged)
+
+
+def _wav_structure_oracle() -> str:
+    """DuckDB replay of q_wav_structure — same planted hex, same
+    chunk-walk fragment."""
+    from dblp_crawler_spark.operators.sniff import (
+        sniff_case_sql,
+        wav_structure_sql,
+    )
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{hx}'" for i, hx in enumerate(_WAV_CASES)
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 5 {whens}
+                 ELSE 'FFD8FFE00000000000000000' END AS h
+        FROM documents
+    )"""
+    staged = (f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt"
+              f" FROM {src} wv_src)")
+    return wav_structure_sql(staged)
+
+
+def _mp3_structure_oracle() -> str:
+    """DuckDB replay of q_mp3_structure."""
+    from dblp_crawler_spark.operators.sniff import (
+        mp3_structure_sql,
+        sniff_case_sql,
+    )
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{hx}'" for i, hx in enumerate(_MP3_CASES)
+    )
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 6 {whens}
+                 ELSE '89504E470D0A1A0A0000000000000000' END AS h
+        FROM documents
+    )"""
+    staged = (f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt"
+              f" FROM {src} m3_src)")
+    return mp3_structure_sql(staged)
 
 
 def _image_harvest_oracle() -> str:

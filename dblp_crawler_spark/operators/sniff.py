@@ -3638,3 +3638,345 @@ def png_exif_orientation_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                CASE WHEN o BETWEEN 1 AND 8 THEN o >= 5 END AS swap_dims
         FROM pe_o
     """
+
+
+# ---- WAV structure (RIFF fmt/data chunk walk) -------------------------------------
+#
+# Audio is the third modality of a multimodal crawl and WAV is its
+# raw-capture container: the `fmt ` chunk is the codec contract
+# (PCM vs float vs telephony companding), channels/rate/width set
+# the storage cost per second, and the `data` chunk's DECLARED size
+# gives an exact duration without reading a single sample — the
+# audio sibling of jpeg_structure/png_structure. The walk hops real
+# chunks (LIST/JUNK/bext commonly precede fmt in broadcast WAVs)
+# with RIFF's odd-size pad rule, parks at `data` (whose payload is
+# the file), and NULL-absorbs rows whose fmt chunk lies beyond the
+# bounded window. Reference scope note: the reference crawls XML
+# pages only (/root/reference/dblp_crawler/downloader.py:52-84);
+# this tier exists for the image/audio graft axes.
+
+WAV_WINDOW_BYTES = 256
+WAV_MAX_HOPS = 6
+_FMT_CC_HEX = "666D7420"    # 'fmt '
+_DATA_CC_HEX = "64617461"   # 'data'
+
+#: WAVE format code → codec label (shared by engine and oracle)
+WAV_CODEC_TABLE: list[tuple[int, str]] = [
+    (1, "pcm"),
+    (3, "ieee_float"),
+    (6, "alaw"),
+    (7, "mulaw"),
+    (65534, "extensible"),
+]
+
+
+def wav_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, codec, channels, sample_rate, bits_per_sample,
+    data_bytes, duration_ms) from the RIFF header alone. duration_ms
+    is exact integer work: declared data bytes × 1000 div the
+    header's byte rate (NULL when the byte rate is 0 or the fmt
+    chunk is missing). Non-WAV rows get all-NULL structure."""
+    staged = df.withColumns(
+        {
+            "__wx": F.hex(F.substring(F.col(bytes_col), 1, WAV_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__wx")
+    is_wav = F.col("fmt") == "wav"
+
+    def hop(acc, _i):
+        pos = acc["pos"]
+        cc = hx.substr(pos, F.lit(8))
+        size = _le(hx, pos + F.lit(8), 4)
+        stop = (cc == _DATA_CC_HEX) | (cc == "")
+        nxt = F.when(stop, pos).otherwise(
+            pos + F.lit(16) + F.lit(2) * (size + size % F.lit(2))
+        )
+        return F.struct(
+            nxt.alias("pos"),
+            F.coalesce(
+                acc["fpos"],
+                F.when(cc == _FMT_CC_HEX, pos + F.lit(16)),
+            ).alias("fpos"),
+            F.coalesce(
+                acc["dsize"], F.when(cc == _DATA_CC_HEX, size)
+            ).alias("dsize"),
+        )
+
+    acc0 = F.struct(
+        F.lit(25).cast("long").alias("pos"),   # byte 12: first subchunk
+        F.lit(None).cast("long").alias("fpos"),
+        F.lit(None).cast("long").alias("dsize"),
+    )
+    walk = F.aggregate(F.sequence(F.lit(1), F.lit(WAV_MAX_HOPS)), acc0, hop)
+    s1 = staged.withColumns(
+        {
+            "__fp": F.when(is_wav, walk["fpos"]),
+            "__ds": F.when(is_wav, walk["dsize"]),
+        }
+    )
+    fp = F.col("__fp")
+    code = _le(hx, fp, 2)
+    codec = F.lit(None).cast("string")
+    for c, label in reversed(WAV_CODEC_TABLE):
+        codec = F.when(code == c, label).otherwise(codec)
+    codec = F.when(code.isNotNull(), F.coalesce(codec, F.lit("other")))
+    s2 = s1.withColumns(
+        {
+            "codec": codec,
+            "channels": _le(hx, fp + F.lit(4), 2).cast("int"),
+            "sample_rate": _le(hx, fp + F.lit(8), 4).cast("int"),
+            "bits_per_sample": _le(hx, fp + F.lit(28), 2).cast("int"),
+            "data_bytes": F.col("__ds"),
+            "__br": _le(hx, fp + F.lit(16), 4),
+        }
+    )
+    return s2.withColumn(
+        "duration_ms",
+        F.when(F.col("__br") > 0, F.expr("__ds * 1000 div __br")),
+    ).drop("__wx", "__fp", "__ds", "__br")
+
+
+def wav_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                      fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`wav_structure` — linear CTE chain, one
+    CTE per hop (the png_animated discipline), same codec table."""
+    ctes = [f"""wv0 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CAST(25 AS BIGINT) AS pos,
+                 CAST(NULL AS BIGINT) AS fpos,
+                 CAST(NULL AS BIGINT) AS dsize
+          FROM {src}
+        )"""]
+    size = _le_sql_var("h", "pos + 8", 4)
+    for k in range(WAV_MAX_HOPS):
+        ctes.append(f"""wv{k + 1} AS (
+          SELECT {keep}, fmt, h,
+                 CASE WHEN substring(h, pos, 8) IN ('{_DATA_CC_HEX}', '')
+                        THEN pos
+                      ELSE pos + 16 + 2 * ({size} + ({size}) % 2) END AS pos,
+                 COALESCE(fpos, CASE WHEN substring(h, pos, 8)
+                          = '{_FMT_CC_HEX}' THEN pos + 16 END) AS fpos,
+                 COALESCE(dsize, CASE WHEN substring(h, pos, 8)
+                          = '{_DATA_CC_HEX}' THEN {size} END) AS dsize
+          FROM wv{k})""")
+    last = f"wv{WAV_MAX_HOPS}"
+    codec_whens = " ".join(
+        f"WHEN {c} THEN '{label}'" for c, label in WAV_CODEC_TABLE
+    )
+    code = _le_sql_var("h", "fpos", 2)
+    return f"""
+        WITH {", ".join(ctes)}, wvg AS (
+          SELECT {keep}, fmt, h,
+                 CASE WHEN fmt = 'wav' THEN fpos END AS fpos,
+                 CASE WHEN fmt = 'wav' THEN dsize END AS dsize
+          FROM {last}
+        ), wvf AS (
+          SELECT {keep}, fmt, dsize AS data_bytes,
+                 {code} AS code,
+                 CAST({_le_sql_var("h", "fpos + 4", 2)} AS INT) AS channels,
+                 CAST({_le_sql_var("h", "fpos + 8", 4)} AS INT) AS sample_rate,
+                 CAST({_le_sql_var("h", "fpos + 28", 2)} AS INT)
+                   AS bits_per_sample,
+                 {_le_sql_var("h", "fpos + 16", 4)} AS br
+          FROM wvg
+        )
+        SELECT {keep}, fmt,
+               CASE WHEN code IS NOT NULL THEN
+                 COALESCE(CASE code {codec_whens} END, 'other') END AS codec,
+               channels, sample_rate, bits_per_sample, data_bytes,
+               CASE WHEN br > 0 THEN data_bytes * 1000 // br END
+                 AS duration_ms
+        FROM wvf
+    """
+
+
+# ---- MP3 structure (ID3v2 + first MPEG frame header) ------------------------------
+#
+# Podcast/speech corpora arrive as MP3; the ID3v2 tag says how much
+# metadata (often embedded cover art — kilobytes to megabytes)
+# precedes the audio, and the FIRST MPEG frame header pins the
+# stream contract: version, layer, bitrate, sample rate, channel
+# mode — enough to cost a transcription pass and to route mono
+# telephony away from music-tier storage, all without a decoder.
+# ID3v2 sizes are SYNCSAFE (4×7 bits, high bit of every byte zero,
+# so a tag size can never fake a frame sync); v2.4 footers add 10
+# bytes. The frame is validated by its 11-bit sync before any field
+# is read; a tag larger than the hex window NULL-absorbs the frame
+# fields (documented — same trade as every header tier). Bitrate
+# tables are Layer III only (the MP3 case); Layer I/II rows keep
+# their version/layer but NULL the bitrate.
+
+MP3_WINDOW_BYTES = 4096
+
+#: MPEG version bits (frame byte 1 >> 3 & 3) → label; 1 is reserved
+MP3_VERSION_TABLE: list[tuple[int, str]] = [(0, "2.5"), (2, "2"), (3, "1")]
+#: layer bits (frame byte 1 >> 1 & 3) → layer number; 0 is reserved
+MP3_LAYER_TABLE: list[tuple[int, int]] = [(1, 3), (2, 2), (3, 1)]
+#: Layer III bitrate (kbps) by index 1..14; 0 = free, 15 = bad → NULL
+MP3_BITRATE_V1_L3 = [32, 40, 48, 56, 64, 80, 96, 112,
+                     128, 160, 192, 224, 256, 320]
+MP3_BITRATE_V2_L3 = [8, 16, 24, 32, 40, 48, 56, 64,
+                     80, 96, 112, 128, 144, 160]
+#: sample rate by version label and 2-bit index (3 = reserved)
+MP3_SAMPLE_RATES = {"1": [44100, 48000, 32000],
+                    "2": [22050, 24000, 16000],
+                    "2.5": [11025, 12000, 8000]}
+MP3_CHANNEL_MODES = ["stereo", "joint_stereo", "dual_channel", "mono"]
+
+
+def _bits(col: Column, shift: int, mask: int) -> Column:
+    """(col >> shift) & mask for small non-negative ints — exact
+    because every intermediate fits a double's mantissa."""
+    return (col / F.lit(1 << shift)).cast("long") % F.lit(mask + 1)
+
+
+def mp3_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, id3_major, tag_bytes, mpeg_version, layer,
+    bitrate_kbps, sample_rate, channel_mode) — ID3v2 header + first
+    frame header, decode-free. Only ID3-tagged files sniff as mp3
+    (bare MPEG streams have no reliable magic); non-mp3 rows get
+    all-NULL structure."""
+    staged = df.withColumns(
+        {
+            "__mx": F.hex(F.substring(F.col(bytes_col), 1, MP3_WINDOW_BYTES)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__mx")
+    is_mp3 = F.col("fmt") == "mp3"
+
+    def byte(i: int) -> Column:
+        return _hex2long(hx, F.lit(2 * i + 1), 2)
+
+    size = (
+        (byte(6) % 128) * F.lit(1 << 21) + (byte(7) % 128) * F.lit(1 << 14)
+        + (byte(8) % 128) * F.lit(1 << 7) + (byte(9) % 128)
+    )
+    footer = _bits(byte(5), 4, 1)
+    s1 = staged.withColumns(
+        {
+            "id3_major": F.when(is_mp3, byte(3)).cast("int"),
+            "tag_bytes": F.when(is_mp3, F.lit(10) + size + F.lit(10) * footer),
+        }
+    )
+    fpos = F.lit(2) * F.col("tag_bytes") + F.lit(1)
+    fb1 = _hex2long(hx, fpos + F.lit(2), 2)
+    fb2 = _hex2long(hx, fpos + F.lit(4), 2)
+    fb3 = _hex2long(hx, fpos + F.lit(6), 2)
+    sync_ok = (_hex2long(hx, fpos, 2) == 255) & (fb1 >= 224)
+    s2 = s1.withColumns(
+        {
+            "__vb": F.when(sync_ok, _bits(fb1, 3, 3)),
+            "__lb": F.when(sync_ok, _bits(fb1, 1, 3)),
+            "__bi": F.when(sync_ok, _bits(fb2, 4, 15)),
+            "__si": F.when(sync_ok, _bits(fb2, 2, 3)),
+            "__cm": F.when(sync_ok, _bits(fb3, 6, 3)),
+        }
+    )
+    ver = F.lit(None).cast("string")
+    for bits, label in reversed(MP3_VERSION_TABLE):
+        ver = F.when(F.col("__vb") == bits, label).otherwise(ver)
+    layer = F.lit(None).cast("int")
+    for bits, num in reversed(MP3_LAYER_TABLE):
+        layer = F.when(F.col("__lb") == bits, F.lit(num)).otherwise(layer)
+    s3 = s2.withColumns({"mpeg_version": ver, "layer": layer})
+    bi = F.col("__bi")
+    v1_arr = F.array([F.lit(x) for x in MP3_BITRATE_V1_L3])
+    v2_arr = F.array([F.lit(x) for x in MP3_BITRATE_V2_L3])
+    bitrate = F.when(
+        (F.col("layer") == 3) & bi.between(1, 14),
+        F.when(F.col("mpeg_version") == "1", F.element_at(v1_arr, bi.cast("int")))
+        .when(F.col("mpeg_version").isin("2", "2.5"),
+              F.element_at(v2_arr, bi.cast("int"))),
+    )
+    sr = F.lit(None).cast("int")
+    for label, rates in MP3_SAMPLE_RATES.items():
+        arr = F.array([F.lit(x) for x in rates])
+        sr = F.when(
+            (F.col("mpeg_version") == label) & F.col("__si").between(0, 2),
+            F.element_at(arr, (F.col("__si") + 1).cast("int")),
+        ).otherwise(sr)
+    cm_arr = F.array([F.lit(x) for x in MP3_CHANNEL_MODES])
+    return s3.withColumns(
+        {
+            "bitrate_kbps": bitrate.cast("int"),
+            "sample_rate": sr.cast("int"),
+            # explicit null guard: element_at(literal_array, NULL) is
+            # unreliable (observed returning the LAST element on
+            # Spark 4.1.2), so never hand it a nullable index bare
+            "channel_mode": F.when(
+                F.col("__cm").isNotNull(),
+                F.element_at(cm_arr, (F.col("__cm") + 1).cast("int")),
+            ),
+        }
+    ).drop("__mx", "__vb", "__lb", "__bi", "__si", "__cm")
+
+
+def mp3_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                      fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`mp3_structure` — same syncsafe size,
+    same sync gate, same tables rendered as CASE arms."""
+    def byte(i: int) -> str:
+        return f"TRY_CAST(concat('0x', substring(h, {2 * i + 1}, 2)) AS BIGINT)"
+
+    size = (f"(({byte(6)}) % 128) * {1 << 21} + (({byte(7)}) % 128) * {1 << 14}"
+            f" + (({byte(8)}) % 128) * {1 << 7} + (({byte(9)}) % 128)")
+    footer = f"(({byte(5)}) // 16) % 2"
+    bhex = "TRY_CAST(concat('0x', substring(h, {p}, 2)) AS BIGINT)"
+    fb0 = bhex.format(p="fpos")
+    fb1 = bhex.format(p="fpos + 2")
+    fb2 = bhex.format(p="fpos + 4")
+    fb3 = bhex.format(p="fpos + 6")
+    ver_whens = " ".join(f"WHEN {b} THEN '{v}'" for b, v in MP3_VERSION_TABLE)
+    lay_whens = " ".join(f"WHEN {b} THEN {n}" for b, n in MP3_LAYER_TABLE)
+    v1_whens = " ".join(f"WHEN {i + 1} THEN {kb}"
+                        for i, kb in enumerate(MP3_BITRATE_V1_L3))
+    v2_whens = " ".join(f"WHEN {i + 1} THEN {kb}"
+                        for i, kb in enumerate(MP3_BITRATE_V2_L3))
+    sr_arms = " ".join(
+        f"""WHEN mpeg_version = '{label}' AND si BETWEEN 0 AND 2 THEN
+              CASE si WHEN 0 THEN {r[0]} WHEN 1 THEN {r[1]} ELSE {r[2]} END"""
+        for label, r in MP3_SAMPLE_RATES.items()
+    )
+    cm_whens = " ".join(f"WHEN {i} THEN '{m}'"
+                        for i, m in enumerate(MP3_CHANNEL_MODES))
+    return f"""
+        WITH m30 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CASE WHEN {fmt_col} = 'mp3'
+                   THEN CAST({byte(3)} AS INT) END AS id3_major,
+                 CASE WHEN {fmt_col} = 'mp3'
+                   THEN 10 + {size} + 10 * ({footer}) END AS tag_bytes
+          FROM {src}
+        ), m31 AS (
+          SELECT *, 2 * tag_bytes + 1 AS fpos FROM m30
+        ), m32 AS (
+          SELECT {keep}, fmt, id3_major, tag_bytes,
+                 CASE WHEN {fb0} = 255 AND {fb1} >= 224 THEN
+                   ({fb1} // 8) % 4 END AS vb,
+                 CASE WHEN {fb0} = 255 AND {fb1} >= 224 THEN
+                   ({fb1} // 2) % 4 END AS lb,
+                 CASE WHEN {fb0} = 255 AND {fb1} >= 224 THEN
+                   ({fb2} // 16) % 16 END AS bi,
+                 CASE WHEN {fb0} = 255 AND {fb1} >= 224 THEN
+                   ({fb2} // 4) % 4 END AS si,
+                 CASE WHEN {fb0} = 255 AND {fb1} >= 224 THEN
+                   ({fb3} // 64) % 4 END AS cm
+          FROM m31
+        ), m33 AS (
+          SELECT *, CASE vb {ver_whens} END AS mpeg_version,
+                 CAST(CASE lb {lay_whens} END AS INT) AS layer
+          FROM m32
+        )
+        SELECT {keep}, fmt, id3_major, tag_bytes, mpeg_version, layer,
+               CAST(CASE WHEN layer = 3 AND bi BETWEEN 1 AND 14 THEN
+                 CASE WHEN mpeg_version = '1' THEN CASE bi {v1_whens} END
+                      WHEN mpeg_version IN ('2', '2.5')
+                        THEN CASE bi {v2_whens} END
+                 END END AS INT) AS bitrate_kbps,
+               CAST(CASE {sr_arms} END AS INT) AS sample_rate,
+               CASE cm {cm_whens} END AS channel_mode
+        FROM m33
+    """
