@@ -976,6 +976,93 @@ def q_video_scene_cuts(spark, sf_dir):
     return scene_cuts(planted, max_hamming=10)
 
 
+_VTT_A_PRE = ("WEBVTT\n\n00:01.000 --> 00:03.500 align:start\n"
+              "<v N>alpha ")
+_VTT_A_POST = "\n\n01:02:03.456 --> 01:02:04.000\nbeta\ngamma\n"
+_VTT_B_PRE = "WEBVTT\n\nNOTE nothing\n\n00:00.100 --> 00:00.200\nsolo "
+_VTT_B_POST = "\n"
+_VTT_NONE = "WEBVTT\n\nno cues"
+
+
+def q_webvtt_cues(spark, sf_dir):
+    """WebVTT cue parsing (subtitles.webvtt_cues): caption tracks are
+    the only video/language alignment a crawler gets without ASR —
+    cue blocks to (cue_idx, start_ms, end_ms, text) with exact
+    integer millisecond timestamps (hours optional and unbounded),
+    styling/voice tags stripped, multi-line payloads joined, NOTE
+    blocks and cue-less files contributing nothing. Pure regexp +
+    one posexplode, map-side."""
+    from dblp_crawler_spark.sources.subtitles import webvtt_cues
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    vtt = (
+        F.when(m == 0, F.concat(F.lit(_VTT_A_PRE), sid, F.lit(_VTT_A_POST)))
+        .when(m == 1, F.concat(F.lit(_VTT_B_PRE), sid, F.lit(_VTT_B_POST)))
+        .otherwise(F.lit(_VTT_NONE))
+    )
+    files = docs.select(F.col("doc_id").alias("video_id"), vtt.alias("vtt"))
+    return webvtt_cues(files)
+
+
+def q_pipeline_video_text(spark, sf_dir):
+    """Composed video→text sample mining in ONE plan — the video
+    analog of pipeline_image_harvest: stored frame phashes →
+    scene_segments (lag + running-sum islands, ONE window per video,
+    no frame bytes) → webvtt_cues on the video's caption track →
+    scene_transcripts (interval-overlap on the video_id equi-join,
+    cue-order string agg). Each output row is a mintable training
+    sample: (video, scene, time span, transcript). Planted: 8
+    frames/video in three 3-3-2 scenes at 1000 ms cadence; cues at
+    fixed times with one cue STRADDLING the scene-1/2 cut (it must
+    appear in both transcripts) and scene 3 silent for every third
+    video. The DuckDB replay chains the same three fragments."""
+    from dblp_crawler_spark.functions.hashing import HASH60_SEP
+    from dblp_crawler_spark.operators.multimodal import (
+        scene_segments,
+        scene_transcripts,
+    )
+    from dblp_crawler_spark.sources.subtitles import webvtt_cues
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    frames = docs.select(
+        F.col("doc_id").alias("video_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx"),
+    )
+    scene = F.expr("frame_idx div 3").cast("string")
+    base = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("video_id").cast("string"),
+                           F.lit(HASH60_SEP), scene)),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    planted = frames.withColumns(
+        {
+            "phash": base.bitwiseXOR((F.col("frame_idx") % 3).cast("long")),
+            "ts_ms": (F.col("frame_idx") * F.lit(1000)).cast("long"),
+        }
+    )
+    segs = scene_segments(planted, max_hamming=10)
+
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    vtt = F.concat(
+        F.lit("WEBVTT\n\n00:00.500 --> 00:01.200\nopen "), sid,
+        # straddles the scene-1 (ts 0..2000) / scene-2 (3000..5000) cut
+        F.lit("\n\n00:01.800 --> 00:03.300\nbridge "), sid,
+        F.when(m != 2,
+               F.concat(F.lit("\n\n00:06.100 --> 00:07.000\nclose "), sid))
+        .otherwise(F.lit("")),
+        F.lit("\n"),
+    )
+    files = docs.select(F.col("doc_id").alias("video_id"), vtt.alias("vtt"))
+    cues = webvtt_cues(files)
+    return scene_transcripts(segs, cues)
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join: each click attributes to the user's most recent
     strictly-preceding view (running last-ignorenulls window — one
@@ -6775,6 +6862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_filter": q_url_trap_filter,
         "frontier_admission": q_frontier_admission,
         "video_scene_cuts": q_video_scene_cuts,
+        "webvtt_cues": q_webvtt_cues,
+        "pipeline_video_text": q_pipeline_video_text,
         "html_text_extract": q_html_text_extract,
         "lm_bits_score": q_lm_bits_score,
         "text_classifier_gate": q_text_classifier_gate,
@@ -7176,6 +7265,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "url_trap_filter": _url_trap_oracle(),
         "frontier_admission": _frontier_admission_oracle(),
         "video_scene_cuts": _scene_cuts_oracle(),
+        "webvtt_cues": _webvtt_cues_oracle(),
+        "pipeline_video_text": _video_text_oracle(),
         "html_text_extract": _html_text_oracle(),
         "semdedup_drop_list": _semdedup_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
@@ -7759,6 +7850,69 @@ def _scene_cuts_oracle(max_hamming: int = 10) -> str:
                MAX(len) AS longest_scene
         FROM per_scene GROUP BY video_id
     """
+
+
+def _sql_str(s: str) -> str:
+    """Render a Python string (possibly holding newlines) as a DuckDB
+    expression — chr(10) concat, since plain SQL literals don't
+    interpret escapes."""
+    parts = []
+    for seg in s.split("\n"):
+        if seg:
+            parts.append("'" + seg.replace("'", "''") + "'")
+        parts.append("chr(10)")
+    return "(" + " || ".join(parts[:-1] or ["''"]) + ")"
+
+
+def _webvtt_cues_oracle() -> str:
+    """DuckDB replay of q_webvtt_cues — same planted VTT strings."""
+    from dblp_crawler_spark.sources.subtitles import webvtt_cues_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    src = f"""(
+        SELECT doc_id AS video_id,
+               CASE doc_id % 3
+                 WHEN 0 THEN {_sql_str(_VTT_A_PRE)} || {sid}
+                   || {_sql_str(_VTT_A_POST)}
+                 WHEN 1 THEN {_sql_str(_VTT_B_PRE)} || {sid}
+                   || {_sql_str(_VTT_B_POST)}
+                 ELSE {_sql_str(_VTT_NONE)} END AS vtt
+        FROM documents
+    ) vt_src"""
+    return webvtt_cues_sql(src)
+
+
+def _video_text_oracle() -> str:
+    """DuckDB replay of q_pipeline_video_text — chains the same three
+    fragments: planted frames → scene_segments_sql, planted VTT →
+    webvtt_cues_sql, then scene_transcripts_sql."""
+    from dblp_crawler_spark.operators.multimodal import (
+        scene_segments_sql,
+        scene_transcripts_sql,
+    )
+    from dblp_crawler_spark.sources.subtitles import webvtt_cues_sql
+
+    base = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || chr(31) "
+            "|| CAST(i // 3 AS VARCHAR)), 1, 15)) AS BIGINT)")
+    frames = f"""(
+        SELECT doc_id AS video_id, CAST(i AS INT) AS frame_idx,
+               xor({base}, CAST(i % 3 AS BIGINT)) AS phash,
+               CAST(i * 1000 AS BIGINT) AS ts_ms
+        FROM documents, range(8) t(i)
+    ) vx_frames"""
+    sid = "CAST(doc_id AS VARCHAR)"
+    vtt = (
+        f"{_sql_str('WEBVTT||00:00.500 --> 00:01.200|open '.replace('|', chr(10)))}"
+        f" || {sid} || "
+        f"{_sql_str('||00:01.800 --> 00:03.300|bridge '.replace('|', chr(10)))}"
+        f" || {sid} || CASE WHEN doc_id % 3 != 2 THEN "
+        f"{_sql_str('||00:06.100 --> 00:07.000|close '.replace('|', chr(10)))}"
+        f" || {sid} ELSE '' END || chr(10)"
+    )
+    files = f"(SELECT doc_id AS video_id, {vtt} AS vtt FROM documents) vx_files"
+    seg_sql = scene_segments_sql(frames, max_hamming=10)
+    cue_sql = webvtt_cues_sql(files)
+    return scene_transcripts_sql(f"({seg_sql})", f"({cue_sql})")
 
 
 def _frontier_admission_oracle() -> str:

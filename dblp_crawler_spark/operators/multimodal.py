@@ -451,6 +451,141 @@ def scene_cuts(frames: DataFrame, max_hamming: int = 10,
     )
 
 
+def scene_segments(frames: DataFrame, max_hamming: int = 10,
+                   video_col: str = "video_id", idx_col: str = "frame_idx",
+                   phash_col: str = "phash", ts_col: str = "ts_ms") -> DataFrame:
+    """Per-scene TIME INTERVALS — the alignment-ready form of
+    :func:`scene_cuts`: same lag + running-sum islands over stored
+    frame phashes, but instead of collapsing to per-video counts it
+    keeps one row per scene with its [start_ms, end_ms] span (min/
+    max of the member frames' timestamps). This is what subtitle
+    alignment joins against (scene_transcripts); scale shape is
+    identical to scene_cuts — ONE window per video, phash ints only,
+    frame bytes never in the plan.
+
+    Returns (video_id, scene, start_ms, end_ms, n_frames); scene is
+    1-based in order of appearance."""
+    w = Window.partitionBy(video_col).orderBy(idx_col)
+    prev = F.lag(phash_col).over(w)
+    cut = (
+        prev.isNull()
+        | (F.bit_count(F.col(phash_col).bitwiseXOR(prev)) > max_hamming)
+    ).cast("int")
+    scened = frames.select(
+        video_col,
+        ts_col,
+        F.sum(cut).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("scene"),
+    )
+    return scened.groupBy(video_col, "scene").agg(
+        F.min(ts_col).alias("start_ms"),
+        F.max(ts_col).alias("end_ms"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
+
+
+def scene_segments_sql(frames_src: str, max_hamming: int = 10,
+                       video_col: str = "video_id",
+                       idx_col: str = "frame_idx",
+                       phash_col: str = "phash",
+                       ts_col: str = "ts_ms") -> str:
+    """DuckDB replay of :func:`scene_segments` over a frames relation
+    exposing (video, idx, phash, ts) — lag and running sum in
+    separate CTEs (no nested windows), bit_count(xor)."""
+    return f"""
+        WITH sg_l AS (
+          SELECT {video_col} AS video_id, {idx_col} AS frame_idx,
+                 {phash_col} AS phash, {ts_col} AS ts_ms,
+                 lag({phash_col}) OVER (PARTITION BY {video_col}
+                                        ORDER BY {idx_col}) AS prev
+          FROM {frames_src}
+        ), sg_c AS (
+          SELECT video_id, frame_idx, ts_ms,
+                 CASE WHEN prev IS NULL
+                      OR bit_count(xor(phash, prev)) > {max_hamming}
+                 THEN 1 ELSE 0 END AS cut
+          FROM sg_l
+        ), sg_s AS (
+          SELECT video_id, ts_ms,
+                 CAST(SUM(cut) OVER (PARTITION BY video_id ORDER BY frame_idx
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS scene
+          FROM sg_c
+        )
+        SELECT video_id, scene, MIN(ts_ms) AS start_ms,
+               MAX(ts_ms) AS end_ms, CAST(COUNT(*) AS BIGINT) AS n_frames
+        FROM sg_s GROUP BY video_id, scene
+    """
+
+
+def scene_transcripts(segments: DataFrame, cues: DataFrame,
+                      video_col: str = "video_id") -> DataFrame:
+    """Align subtitle cues to scene intervals: a cue belongs to every
+    scene whose [start_ms, end_ms] span it OVERLAPS (cues routinely
+    straddle a cut — speech does not pause for the editor), and each
+    scene's transcript is its cues' text joined in cue order. The
+    result is the (video, scene, time-span, transcript) table a
+    video-text training pair is minted from — one sample per scene
+    with non-empty transcript, keyframe via scene_cuts sampling.
+
+    Scale shape: ONE equi-join on video_id (cues and scenes of a
+    video are co-partitioned; per-video row counts are bounded by
+    runtime, not corpus size) + one hash agg with an array_sort for
+    the in-scene cue order — no window, no cross join. Scenes with
+    no overlapping cue survive with an empty transcript (left join):
+    silent footage is a fact worth keeping, not a row to drop."""
+    c = cues.select(
+        F.col(video_col).alias("__v"),
+        F.col("cue_idx"),
+        F.col("start_ms").alias("__cs"),
+        F.col("end_ms").alias("__ce"),
+        F.col("text"),
+    )
+    j = segments.join(
+        c,
+        (segments[video_col] == c["__v"])
+        & (F.col("__cs") <= F.col("end_ms"))
+        & (F.col("__ce") >= F.col("start_ms")),
+        "left",
+    )
+    agg = j.groupBy(video_col, "scene", "start_ms", "end_ms").agg(
+        F.count("cue_idx").alias("n_cues"),
+        F.array_sort(
+            F.collect_list(F.struct("cue_idx", "text"))
+        ).alias("__cues"),
+    )
+    transcript = F.array_join(
+        F.transform(F.col("__cues"), lambda x: x["text"]), " "
+    )
+    return agg.select(
+        video_col, "scene", "start_ms", "end_ms", "n_cues",
+        transcript.alias("transcript"),
+    )
+
+
+def scene_transcripts_sql(segments_src: str, cues_src: str,
+                          video_col: str = "video_id") -> str:
+    """DuckDB replay of :func:`scene_transcripts` — same overlap
+    predicate, string_agg ordered by cue_idx."""
+    return f"""
+        WITH st_j AS (
+          SELECT s.video_id, s.scene, s.start_ms, s.end_ms,
+                 c.cue_idx, c.text
+          FROM {segments_src} s
+          LEFT JOIN {cues_src} c
+            ON s.video_id = c.{video_col}
+           AND c.start_ms <= s.end_ms AND c.end_ms >= s.start_ms
+        )
+        SELECT video_id, scene, start_ms, end_ms,
+               CAST(COUNT(cue_idx) AS BIGINT) AS n_cues,
+               COALESCE(string_agg(text, ' ' ORDER BY cue_idx), '')
+                 AS transcript
+        FROM st_j
+        GROUP BY video_id, scene, start_ms, end_ms
+    """
+
+
 def clip_alignment_gate(pairs: DataFrame, img_col: str = "img_emb",
                         cap_col: str = "cap_emb", tau_pct: int = 30) -> DataFrame:
     """CLIP-score style image/caption alignment gate (LAION-style
