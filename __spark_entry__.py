@@ -3693,6 +3693,95 @@ def q_extract_images(spark, sf_dir):
     return extract_images(pages)
 
 
+_DU_PNG_HEX = ("89504E470D0A1A0A" + "0000000D49484452"
+               + "00000028" + "0000001E" + "0802000000")
+
+
+def q_figure_captions(spark, sf_dir):
+    """<figure>/<figcaption> extraction (webparse.figure_captions):
+    the figcaption is an EDITORIAL caption written for the reader —
+    typically the highest-quality text a page offers about its
+    image, above alt text (accessibility fallback) and og tags (one
+    per page). First <img> per figure, markup stripped from the
+    caption, figures without a figcaption kept with NULL caption
+    (absence is evidence), img-less figures dropped."""
+    from dblp_crawler_spark.sources.webparse import figure_captions
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".org/g/p"), sid, F.lit(".html"))
+    html = F.concat(
+        F.lit('<figure><img src="/i/f'), sid,
+        F.lit('.jpg" alt="alt"><figcaption>Figure '), sid,
+        F.lit(": a <b>bold</b>\n  claim</figcaption></figure>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<figure><img src="bare'), sid,
+                        F.lit('.png"></figure>')))
+        .otherwise(F.lit("")),
+        F.lit("<figure><figcaption>orphan</figcaption></figure>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return figure_captions(pages)
+
+
+def q_data_uri_images(spark, sf_dir):
+    """Inline data:-URI image mining (webparse.data_uri_images):
+    images embedded in the HTML never hit the fetch pipeline — no
+    URL to schedule, no store row — so they are invisible unless
+    mined from the page itself; the decoded payload runs the SAME
+    sniff + header-dims tiers as fetched bytes (a data:image/gif URI
+    lying about its PNG payload is caught exactly like a lying
+    Content-Type). Planted: a true PNG, a declared-gif/actual-PNG
+    liar, and a plain-URL tag that drops."""
+    from dblp_crawler_spark.sources.webparse import data_uri_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".org/d/p"), sid)
+    b64 = F.base64(F.unhex(F.lit(_DU_PNG_HEX)))
+    html = F.concat(
+        F.lit('<img src="data:image/png;base64,'), b64, F.lit('">'),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit('<img src="data:image/gif;base64,'), b64,
+                        F.lit('">')))
+        .otherwise(F.lit("")),
+        F.lit('<img src="https://cdn.ex.org/r'), sid, F.lit('.jpg">'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return data_uri_images(pages)
+
+
+def q_lazyload_images(spark, sf_dir):
+    """Lazy-load salvage (webparse.lazyload_images): the modern
+    below-the-fold idiom keeps a placeholder in src while data-src /
+    data-srcset carries the real asset — a src-only harvester misses
+    most of a long page's images. Planted: data-src salvage,
+    data-srcset fallback (first candidate), loading=lazy with a
+    data: placeholder and nothing to salvage, and an eager tag."""
+    from dblp_crawler_spark.sources.webparse import lazyload_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".org/l/p"), sid)
+    m = F.col("doc_id") % 4
+    html = F.concat(
+        F.lit('<img src="ph.gif" data-src="/real'), sid, F.lit('.jpg">'),
+        F.when(m == 0, F.lit('<img loading="lazy" '
+                             'src="data:image/gif;base64,R0lGODlhAQABAA==">'))
+        .when(m == 1, F.concat(F.lit('<img data-srcset="/s'), sid,
+                               F.lit('.jpg 320w, /l'), sid,
+                               F.lit('.jpg 1280w" src="ph.gif">')))
+        .when(m == 2, F.concat(F.lit('<img src="/eager'), sid,
+                               F.lit('.png" loading="eager">')))
+        .otherwise(F.lit("")),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return lazyload_images(pages)
+
+
 _PNG_DIM_HDR = "89504E470D0A1A0A" + "0000000D49484452"
 _ROLE_HEADERS = [
     _PNG_DIM_HDR + "00000400" + "00000300" + "0802000000",  # 1024x768 content
@@ -6836,6 +6925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_resolve": q_url_resolve,
         "extract_outlinks": q_extract_outlinks,
         "extract_images": q_extract_images,
+        "figure_captions": q_figure_captions,
+        "data_uri_images": q_data_uri_images,
+        "lazyload_images": q_lazyload_images,
         "image_role": q_image_role,
         "pdf_structure": q_pdf_structure,
         "gzip_structure": q_gzip_structure,
@@ -7239,6 +7331,9 @@ def _portable_hash_oracles() -> dict[str, str]:
         "url_resolve": _url_resolve_oracle(),
         "extract_outlinks": _outlinks_oracle(),
         "extract_images": _images_oracle(),
+        "figure_captions": _figure_captions_oracle(),
+        "data_uri_images": _data_uri_oracle(),
+        "lazyload_images": _lazyload_oracle(),
         "image_role": _image_role_oracle(),
         "pdf_structure": _pdf_structure_oracle(),
         "gzip_structure": _gzip_structure_oracle(),
@@ -8979,6 +9074,77 @@ def _images_oracle() -> str:
         FROM documents
     ) ei_src"""
     return extract_images_sql(src)
+
+
+def _figure_captions_oracle() -> str:
+    """DuckDB replay of q_figure_captions."""
+    from dblp_crawler_spark.sources.webparse import figure_captions_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    html = (
+        f"'<figure><img src=\"/i/f' || {sid} || '.jpg\" alt=\"alt\">"
+        f"<figcaption>Figure ' || {sid} || ': a <b>bold</b>' || chr(10)"
+        f" || '  claim</figcaption></figure>'"
+        f" || CASE WHEN doc_id % 3 = 0 THEN"
+        f" '<figure><img src=\"bare' || {sid} || '.png\"></figure>'"
+        f" ELSE '' END"
+        f" || '<figure><figcaption>orphan</figcaption></figure>'"
+    )
+    src = f"""(
+        SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org/g/p'
+                 || {sid} || '.html' AS url,
+               {html} AS html
+        FROM documents
+    ) fc_src"""
+    return figure_captions_sql(src)
+
+
+def _data_uri_oracle() -> str:
+    """DuckDB replay of q_data_uri_images — to_base64 of the same
+    planted PNG header bytes."""
+    from dblp_crawler_spark.sources.webparse import data_uri_images_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    b64 = f"to_base64(from_hex('{_DU_PNG_HEX}'))"
+    html = (
+        f"'<img src=\"data:image/png;base64,' || {b64} || '\">'"
+        f" || CASE WHEN doc_id % 2 = 0 THEN"
+        f" '<img src=\"data:image/gif;base64,' || {b64} || '\">'"
+        f" ELSE '' END"
+        f" || '<img src=\"https://cdn.ex.org/r' || {sid} || '.jpg\">'"
+    )
+    src = f"""(
+        SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org/d/p'
+                 || {sid} AS url,
+               {html} AS html
+        FROM documents
+    ) du_src"""
+    return data_uri_images_sql(src)
+
+
+def _lazyload_oracle() -> str:
+    """DuckDB replay of q_lazyload_images."""
+    from dblp_crawler_spark.sources.webparse import lazyload_images_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    html = (
+        f"'<img src=\"ph.gif\" data-src=\"/real' || {sid} || '.jpg\">'"
+        f" || CASE doc_id % 4"
+        f" WHEN 0 THEN '<img loading=\"lazy\" "
+        f"src=\"data:image/gif;base64,R0lGODlhAQABAA==\">'"
+        f" WHEN 1 THEN '<img data-srcset=\"/s' || {sid}"
+        f" || '.jpg 320w, /l' || {sid} || '.jpg 1280w\" src=\"ph.gif\">'"
+        f" WHEN 2 THEN '<img src=\"/eager' || {sid}"
+        f" || '.png\" loading=\"eager\">'"
+        f" ELSE '' END"
+    )
+    src = f"""(
+        SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org/l/p'
+                 || {sid} AS url,
+               {html} AS html
+        FROM documents
+    ) lz_src"""
+    return lazyload_images_sql(src)
 
 
 def _url_locale_oracle() -> str:

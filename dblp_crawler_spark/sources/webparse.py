@@ -2348,3 +2348,289 @@ def caption_diversity_sql(src: str, host_col: str = "host",
                      >= {top_milli} AS templated
         FROM cd_t t LEFT JOIN cd_h h USING (host)
     """
+
+
+# ---- figure/figcaption, data-URI, and lazy-load image channels --------------------
+#
+# Three more discovery channels for image+caption pairs beyond
+# <img alt>/srcset (extract_images), OpenGraph (og_image_caption)
+# and image sitemaps (sitemap_images):
+#   * <figure><img><figcaption> — the figcaption is an EDITORIAL
+#     caption written for the reader (not an accessibility fallback
+#     or a filename), typically the highest-quality text a page
+#     offers about its image;
+#   * data: URIs — images inlined into the HTML itself, which never
+#     hit the fetch pipeline at all (no URL to schedule, no payload
+#     row in the store) and so are invisible unless mined here;
+#   * lazy-load idioms — src holds a 1×1 placeholder while data-src/
+#     data-srcset carries the real asset, hiding most below-the-fold
+#     images from a naive src-only harvester.
+# All pure regexp + posexplode, map-side; RE2-safe patterns shared
+# verbatim with the DuckDB replays.
+
+_FIGURE_RE = r"(?si)<figure[^>]*>.*?</figure>"
+_FIGCAP_RE = r"(?si)<figcaption[^>]*>(.*?)</figcaption>"
+_DATA_SRC_RE = r"""(?i)[\s"']data-src\s*=\s*["']?([^"'\s>]+)"""
+_DATA_SRCSET_DQ_RE = r"""(?i)[\s"']data-srcset\s*=\s*"([^"]*)\""""
+_DATA_SRCSET_SQ_RE = r"""(?i)[\s"']data-srcset\s*=\s*'([^']*)'"""
+_LOADING_RE = r"""(?i)[\s"']loading\s*=\s*["']?(lazy|eager)"""
+_DATA_URI_RE = r"^data:image/([a-z0-9.+-]+);base64,([A-Za-z0-9+/=]+)$"
+
+
+def figure_captions(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """One row per <figure> holding an <img>: (url, fig_idx,
+    img_url, caption) — caption is the figcaption's text with inner
+    markup stripped and whitespace collapsed, NULL when the figure
+    has no figcaption (the pair gate downstream decides; absence is
+    evidence, not an error). The img URL is the figure's FIRST <img>
+    tag's src resolved against the page; figures without a
+    resolvable img drop."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url
+
+    figs = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_FIGURE_RE), F.lit(0))
+        ).alias("fig_idx", "__fig"),
+    )
+    g = F.col("__fig")
+    img_tag = F.regexp_extract(g, _IMG_TAG_RE, 0)
+    src = F.nullif(F.regexp_extract(img_tag, _SRC_RE, 1), F.lit(""))
+    cap_raw = F.nullif(F.regexp_extract(g, _FIGCAP_RE, 1), F.lit(""))
+    caption = F.nullif(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(cap_raw, r"<[^>]*>", ""), r"\s+", " "
+            )
+        ),
+        F.lit(""),
+    )
+    out = figs.select(
+        "url",
+        F.col("fig_idx").cast("int").alias("fig_idx"),
+        resolve_url("url", src).alias("img_url"),
+        caption.alias("caption"),
+    )
+    return out.where(F.col("img_url").isNotNull())
+
+
+def figure_captions_sql(src: str, url_col: str = "url",
+                        html_col: str = "html") -> str:
+    """DuckDB replay of :func:`figure_captions`."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+
+    def esc(p):
+        return p.replace("'", "''")
+
+    return f"""
+        WITH fc_f AS (
+          SELECT {url_col} AS url, t.i - 1 AS fig_idx, t.fig
+          FROM {src},
+               LATERAL (SELECT unnest(regexp_extract_all({html_col},
+                          '{esc(_FIGURE_RE)}', 0)) AS fig,
+                        generate_subscripts(regexp_extract_all({html_col},
+                          '{esc(_FIGURE_RE)}', 0), 1) AS i) t
+        ), fc_p AS (
+          SELECT url, fig_idx,
+                 NULLIF(regexp_extract(regexp_extract(fig,
+                   '{esc(_IMG_TAG_RE)}', 0), '{esc(_SRC_RE)}', 1), '') AS s,
+                 NULLIF(trim(regexp_replace(regexp_replace(
+                   NULLIF(regexp_extract(fig, '{esc(_FIGCAP_RE)}', 1), ''),
+                   '<[^>]*>', '', 'g'), '\\s+', ' ', 'g')), '') AS caption
+          FROM fc_f
+        )
+        SELECT url, CAST(fig_idx AS INT) AS fig_idx,
+               {resolve_url_sql('url', 's')} AS img_url, caption
+        FROM fc_p
+        WHERE ({resolve_url_sql('url', 's')}) IS NOT NULL
+    """
+
+
+def data_uri_images(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """Inline base64 images mined from the page itself: (url,
+    tag_idx, declared_fmt, fmt, width, height, payload_bytes) —
+    declared_fmt from the data: URI's media type, fmt/width/height
+    from SNIFFING the decoded bytes with the same header tiers the
+    fetch path uses (a data:image/png URI can lie about its payload
+    exactly like a Content-Type header). Only strictly
+    base64-grammar-valid URIs decode; everything else drops."""
+    from dblp_crawler_spark.operators.sniff import image_dims
+
+    tags = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_IMG_TAG_RE), F.lit(0))
+        ).alias("tag_idx", "__tag"),
+    )
+    src = F.nullif(F.regexp_extract(F.col("__tag"), _SRC_RE, 1), F.lit(""))
+    parsed = tags.select(
+        "url",
+        F.col("tag_idx").cast("int").alias("tag_idx"),
+        F.nullif(F.regexp_extract(src, _DATA_URI_RE, 1),
+                 F.lit("")).alias("declared_fmt"),
+        F.nullif(F.regexp_extract(src, _DATA_URI_RE, 2),
+                 F.lit("")).alias("__b64"),
+    ).where(
+        F.col("__b64").isNotNull() & (F.length("__b64") % 4 == 0)
+    )
+    blobs = parsed.withColumn("bytes", F.unbase64(F.col("__b64")))
+    return image_dims(blobs).select(
+        "url", "tag_idx", "declared_fmt", "fmt", "width", "height",
+        F.octet_length("bytes").cast("long").alias("payload_bytes"),
+    )
+
+
+def data_uri_images_sql(src: str, url_col: str = "url",
+                        html_col: str = "html") -> str:
+    """DuckDB replay of :func:`data_uri_images` — from_base64 +
+    the shared image_dims/sniff fragments over the decoded hex."""
+    from dblp_crawler_spark.operators.sniff import (
+        image_dims_sql,
+        sniff_case_sql,
+    )
+
+    def esc(p):
+        return p.replace("'", "''")
+
+    fmt_case, w_sql, h_sql = image_dims_sql("h")
+    return f"""
+        WITH du_t AS (
+          SELECT {url_col} AS url, t.i - 1 AS tag_idx, t.tag
+          FROM {src},
+               LATERAL (SELECT unnest(regexp_extract_all({html_col},
+                          '{esc(_IMG_TAG_RE)}', 0)) AS tag,
+                        generate_subscripts(regexp_extract_all({html_col},
+                          '{esc(_IMG_TAG_RE)}', 0), 1) AS i) t
+        ), du_s AS (
+          SELECT url, tag_idx,
+                 NULLIF(regexp_extract(tag, '{esc(_SRC_RE)}', 1), '') AS s
+          FROM du_t
+        ), du_p AS (
+          SELECT url, tag_idx,
+                 NULLIF(regexp_extract(s, '{esc(_DATA_URI_RE)}', 1), '')
+                   AS declared_fmt,
+                 NULLIF(regexp_extract(s, '{esc(_DATA_URI_RE)}', 2), '')
+                   AS b64
+          FROM du_s WHERE NULLIF(regexp_extract(s,
+                 '{esc(_DATA_URI_RE)}', 2), '') IS NOT NULL
+            AND strlen(regexp_extract(s, '{esc(_DATA_URI_RE)}', 2)) % 4 = 0
+        ), du_h AS (
+          SELECT url, tag_idx, declared_fmt,
+                 hex(from_base64(b64)) AS h
+          FROM du_p
+        ), du_f AS (
+          SELECT url, tag_idx, declared_fmt, h,
+                 {sniff_case_sql('h')} AS fmt
+          FROM du_h
+        )
+        SELECT url, CAST(tag_idx AS INT) AS tag_idx, declared_fmt, fmt,
+               {w_sql} AS width, {h_sql} AS height,
+               CAST(strlen(h) // 2 AS BIGINT) AS payload_bytes
+        FROM du_f
+    """
+
+
+def lazyload_images(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """Lazy-load salvage: one row per <img> tag with (url, tag_idx,
+    src_url, lazy_url, loading, effective_url, is_lazy) — the
+    effective asset is data-src when present (falling back to the
+    widest data-srcset candidate's URL, then src), and is_lazy marks
+    tags whose real asset would be MISSED by a src-only harvester
+    (data-src/data-srcset present, or loading=lazy with a data: src
+    placeholder)."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url
+
+    tags = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_IMG_TAG_RE), F.lit(0))
+        ).alias("tag_idx", "__tag"),
+    )
+    t = F.col("__tag")
+    src = F.nullif(F.regexp_extract(t, _SRC_RE, 1), F.lit(""))
+    dsrc = F.nullif(F.regexp_extract(t, _DATA_SRC_RE, 1), F.lit(""))
+    dss = F.coalesce(
+        F.nullif(F.regexp_extract(t, _DATA_SRCSET_DQ_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(t, _DATA_SRCSET_SQ_RE, 1), F.lit("")),
+    )
+    # first data-srcset candidate's URL (the salvage fallback; full
+    # widest-candidate election stays extract_images' job)
+    dss_url = F.nullif(
+        F.regexp_extract(F.trim(F.split(dss, ",").getItem(0)),
+                         r"^(\S+)", 1), F.lit(""))
+    loading = F.nullif(F.lower(F.regexp_extract(t, _LOADING_RE, 1)), F.lit(""))
+    staged = tags.select(
+        "url",
+        F.col("tag_idx").cast("int").alias("tag_idx"),
+        src.alias("__src"),
+        dsrc.alias("__dsrc"),
+        dss_url.alias("__dss"),
+        loading.alias("loading"),
+    )
+    eff = F.coalesce(F.col("__dsrc"), F.col("__dss"), F.col("__src"))
+    is_lazy = (
+        F.col("__dsrc").isNotNull()
+        | F.col("__dss").isNotNull()
+        | ((F.col("loading") == "lazy")
+           & F.coalesce(F.col("__src").startswith("data:"), F.lit(False)))
+    )
+    return staged.select(
+        "url", "tag_idx",
+        resolve_url("url", F.col("__src")).alias("src_url"),
+        resolve_url("url", F.coalesce(F.col("__dsrc"), F.col("__dss"))
+                    ).alias("lazy_url"),
+        "loading",
+        resolve_url("url", eff).alias("effective_url"),
+        is_lazy.alias("is_lazy"),
+    )
+
+
+def lazyload_images_sql(src: str, url_col: str = "url",
+                        html_col: str = "html") -> str:
+    """DuckDB replay of :func:`lazyload_images`."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+
+    def esc(p):
+        return p.replace("'", "''")
+
+    return f"""
+        WITH lz_t AS (
+          SELECT {url_col} AS url, t.i - 1 AS tag_idx, t.tag
+          FROM {src},
+               LATERAL (SELECT unnest(regexp_extract_all({html_col},
+                          '{esc(_IMG_TAG_RE)}', 0)) AS tag,
+                        generate_subscripts(regexp_extract_all({html_col},
+                          '{esc(_IMG_TAG_RE)}', 0), 1) AS i) t
+        ), lz_a AS (
+          SELECT url, tag_idx,
+                 NULLIF(regexp_extract(tag, '{esc(_SRC_RE)}', 1), '') AS s,
+                 NULLIF(regexp_extract(tag, '{esc(_DATA_SRC_RE)}', 1), '')
+                   AS ds,
+                 COALESCE(
+                   NULLIF(regexp_extract(tag,
+                     '{esc(_DATA_SRCSET_DQ_RE)}', 1), ''),
+                   NULLIF(regexp_extract(tag,
+                     '{esc(_DATA_SRCSET_SQ_RE)}', 1), '')) AS dss,
+                 NULLIF(lower(regexp_extract(tag,
+                   '{esc(_LOADING_RE)}', 1)), '') AS loading
+          FROM lz_t
+        ), lz_b AS (
+          SELECT url, tag_idx, s, ds, loading,
+                 NULLIF(regexp_extract(trim(string_split(dss, ',')[1]),
+                        '^(\\S+)', 1), '') AS dssu
+          FROM lz_a
+        )
+        SELECT url, CAST(tag_idx AS INT) AS tag_idx,
+               {resolve_url_sql('url', 's')} AS src_url,
+               {resolve_url_sql('url', 'COALESCE(ds, dssu)')} AS lazy_url,
+               loading,
+               {resolve_url_sql('url', 'COALESCE(ds, dssu, s)')}
+                 AS effective_url,
+               ds IS NOT NULL OR dssu IS NOT NULL
+                 OR (loading = 'lazy'
+                     AND COALESCE(starts_with(s, 'data:'), false)) AS is_lazy
+        FROM lz_b
+    """

@@ -1,0 +1,121 @@
+"""figure/figcaption, data-URI, and lazy-load image discovery
+channels (sources/webparse)."""
+
+import base64
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dblp_crawler_spark.sources.webparse import (
+    data_uri_images,
+    data_uri_images_sql,
+    figure_captions,
+    figure_captions_sql,
+    lazyload_images,
+    lazyload_images_sql,
+)
+
+_PNG_40x30 = bytes.fromhex(
+    "89504E470D0A1A0A" + "0000000D49484452"
+    + "00000028" + "0000001E" + "0802000000"
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def _replay(spark, sdf, con, sql, keys):
+    spark_pdf = sdf.toPandas().sort_values(keys).reset_index(drop=True)
+    duck_pdf = con.sql(sql).df().sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
+
+
+def test_figure_captions_pins(spark):
+    html = (
+        '<figure class="hero"><img src="/a.jpg" alt="alt text">'
+        "<figcaption>A <b>bold</b>\n  caption</figcaption></figure>"
+        '<figure><img src="b.png"></figure>'            # no figcaption
+        "<figure><figcaption>orphan</figcaption></figure>"  # no img → drop
+        '<p><img src="loose.gif"></p>'                  # not in a figure
+    )
+    pages = _pages(spark, [("https://ex.org/g/p.html", html)])
+    rows = {r.fig_idx: r for r in figure_captions(pages).collect()}
+    assert len(rows) == 2
+    assert rows[0].img_url == "https://ex.org/a.jpg"
+    assert rows[0].caption == "A bold caption"        # tags stripped, ws folded
+    assert rows[1].img_url == "https://ex.org/g/b.png"
+    assert rows[1].caption is None
+
+
+def test_figure_captions_duckdb_replay(spark):
+    html0 = ('<figure><img src="/a.jpg"><figcaption>Cap <i>one</i>'
+             "</figcaption></figure><figure><img src=rel.png></figure>")
+    pages = _pages(spark, [("https://ex.org/x/", html0),
+                           ("https://ex.org/y", "<p>no figures</p>")])
+    con = duckdb.connect()
+    con.register("pages", pages.toPandas())
+    _replay(spark, figure_captions(pages), con,
+            figure_captions_sql("pages"), ["url", "fig_idx"])
+
+
+def test_data_uri_images_pins(spark):
+    b64 = base64.b64encode(_PNG_40x30).decode()
+    html = (
+        f'<img src="data:image/png;base64,{b64}">'
+        # declared gif but the payload is PNG — sniff wins
+        f'<img src="data:image/gif;base64,{b64}">'
+        '<img src="https://cdn.ex.org/real.jpg">'       # not a data URI
+        '<img src="data:image/png;base64,###">'          # invalid grammar
+    )
+    pages = _pages(spark, [("https://ex.org/p", html)])
+    rows = {r.tag_idx: r for r in data_uri_images(pages).collect()}
+    assert len(rows) == 2
+    assert (rows[0].declared_fmt, rows[0].fmt, rows[0].width,
+            rows[0].height) == ("png", "png", 40, 30)
+    assert (rows[1].declared_fmt, rows[1].fmt) == ("gif", "png")
+    assert rows[0].payload_bytes == len(_PNG_40x30)
+
+
+def test_data_uri_images_duckdb_replay(spark):
+    b64 = base64.b64encode(_PNG_40x30).decode()
+    html = (f'<img src="data:image/png;base64,{b64}">'
+            '<img src="/f.jpg">')
+    pages = _pages(spark, [("https://ex.org/p", html)])
+    con = duckdb.connect()
+    con.register("pages", pages.toPandas())
+    _replay(spark, data_uri_images(pages), con,
+            data_uri_images_sql("pages"), ["url", "tag_idx"])
+
+
+def test_lazyload_images_pins(spark):
+    html = (
+        '<img src="ph.gif" data-src="/real1.jpg">'
+        '<img loading="lazy" src="data:image/gif;base64,R0lGODlhAQABAA==">'
+        '<img data-srcset="/r2-s.jpg 320w, /r2-l.jpg 1280w" src="ph.gif">'
+        '<img src="/eager.png" loading="eager">'
+    )
+    pages = _pages(spark, [("https://ex.org/d/p", html)])
+    rows = {r.tag_idx: r for r in lazyload_images(pages).collect()}
+    assert rows[0].is_lazy and rows[0].effective_url == "https://ex.org/real1.jpg"
+    assert rows[0].src_url == "https://ex.org/d/ph.gif"
+    # data: placeholder + loading=lazy, but nothing to salvage
+    assert rows[1].is_lazy and rows[1].effective_url is None
+    assert rows[2].is_lazy
+    assert rows[2].effective_url == "https://ex.org/r2-s.jpg"  # first candidate
+    assert not rows[3].is_lazy
+    assert rows[3].effective_url == "https://ex.org/eager.png"
+
+
+def test_lazyload_images_duckdb_replay(spark):
+    html = ('<img src="ph.gif" data-src="/real1.jpg">'
+            "<img data-srcset='/r2.jpg 2x' src=ph2.gif loading=lazy>"
+            '<img src="/plain.png">')
+    pages = _pages(spark, [("https://ex.org/d/p", html)])
+    con = duckdb.connect()
+    con.register("pages", pages.toPandas())
+    _replay(spark, lazyload_images(pages), con,
+            lazyload_images_sql("pages"), ["url", "tag_idx"])
