@@ -3946,6 +3946,74 @@ def q_mp3_structure(spark, sf_dir):
     )
 
 
+def _tar_fixture_hex(members) -> str:
+    """Deterministic ustar bytes (mtime/uid/gid pinned to 0) → hex;
+    used by BOTH the Spark entry and its oracle so the planted
+    archive is byte-identical. Built with the stdlib writer so the
+    fixture is a REAL tar, not a hand-rolled approximation."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for name, size in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = size
+            ti.mtime = 0
+            tf.addfile(ti, io.BytesIO(b"Q" * size))
+    return buf.getvalue().hex().upper()
+
+
+_TAR_PAIR_HEX = _tar_fixture_hex([("img.jpg", 700), ("img.txt", 13)])
+_TAR_SINGLE_HEX = _tar_fixture_hex([("page.html", 515)])
+
+
+def q_tar_structure(spark, sf_dir):
+    """ustar member walk (sniff.tar_structure): tar is the RELEASE
+    container of multimodal training data (WebDataset packs
+    sample.jpg/sample.txt pairs into plain tar shards), and the
+    member table (name, octal size, typeflag, data offset) is
+    readable with bounded header arithmetic — the audit a shard
+    consumer runs to random-access samples. Planted: a real
+    two-member pair shard and a single-member archive written by the
+    stdlib tar writer, plus PNG rows that contribute no rows."""
+    from dblp_crawler_spark.operators.sniff import tar_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 3
+    hexstr = (
+        F.when(m == 0, F.lit(_TAR_PAIR_HEX))
+        .when(m == 1, F.lit(_TAR_SINGLE_HEX))
+        .otherwise(F.lit("89504E470D0A1A0A"))
+    )
+    blobs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return tar_structure(blobs)
+
+
+def q_webdataset_manifest(spark, sf_dir):
+    """WebDataset shard layout (archive.webdataset_manifest): the
+    write-side inverse of tar_structure — exact ustar member
+    arithmetic (512-byte headers, data padded to 512) through the
+    distributed exclusive prefix-sum and DIV-target shard placement
+    (the warc_cdx_layout discipline), samples placed WHOLE with .jpg
+    before .txt. The manifest is computable before a byte is
+    written; tests pin it against Python's own tar writer
+    byte-for-byte. Planted: per-doc payload lengths cycling over 7
+    sizes so shards split mid-stream."""
+    from dblp_crawler_spark.operators.archive import webdataset_manifest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = (F.lit(100) + (F.col("doc_id") % 7) * F.lit(137)).cast("int")
+    pairs = docs.select(
+        F.format_string("img%07d", F.col("doc_id")).alias("image_id"),
+        F.repeat(F.lit("X"), n).alias("bytes"),
+        F.concat(F.lit("caption "), F.col("doc_id").cast("string")
+                 ).alias("caption"),
+    )
+    return webdataset_manifest(pairs, target_bytes=1 << 20)
+
+
 def q_pipeline_image_harvest(spark, sf_dir):
     """Composed image+caption harvest in ONE plan — the integration
     statement for this graft cell's axis B: HTML pages →
@@ -6933,6 +7001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gzip_structure": q_gzip_structure,
         "wav_structure": q_wav_structure,
         "mp3_structure": q_mp3_structure,
+        "tar_structure": q_tar_structure,
+        "webdataset_manifest": q_webdataset_manifest,
         "pipeline_image_harvest": q_pipeline_image_harvest,
         "host_language_profile": q_host_language_profile,
         "hreflang_alternates": q_hreflang_alternates,
@@ -7339,6 +7409,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "gzip_structure": _gzip_structure_oracle(),
         "wav_structure": _wav_structure_oracle(),
         "mp3_structure": _mp3_structure_oracle(),
+        "tar_structure": _tar_structure_oracle(),
+        "webdataset_manifest": _wds_manifest_oracle(),
         "pipeline_image_harvest": _image_harvest_oracle(),
         "host_language_profile": _host_lang_profile_oracle(),
         "hreflang_alternates": _hreflang_oracle(),
@@ -8813,6 +8885,35 @@ def _mp3_structure_oracle() -> str:
     staged = (f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt"
               f" FROM {src} m3_src)")
     return mp3_structure_sql(staged)
+
+
+def _tar_structure_oracle() -> str:
+    """DuckDB replay of q_tar_structure — identical stdlib-written
+    tar fixtures."""
+    from dblp_crawler_spark.operators.sniff import tar_structure_sql
+
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN '{_TAR_PAIR_HEX}'
+                 WHEN 1 THEN '{_TAR_SINGLE_HEX}'
+                 ELSE '89504E470D0A1A0A' END AS h
+        FROM documents
+    ) tar_src"""
+    return tar_structure_sql(src)
+
+
+def _wds_manifest_oracle() -> str:
+    """DuckDB replay of q_webdataset_manifest — same planted sizes,
+    same member arithmetic."""
+    from dblp_crawler_spark.operators.archive import webdataset_manifest_sql
+
+    src = """(
+        SELECT printf('img%07d', doc_id) AS image_id,
+               repeat('58', CAST(100 + (doc_id % 7) * 137 AS INT)) AS h,
+               'caption ' || CAST(doc_id AS VARCHAR) AS caption
+        FROM documents
+    ) wds_src"""
+    return webdataset_manifest_sql(src, target_bytes=1 << 20)
 
 
 def _image_harvest_oracle() -> str:

@@ -440,3 +440,136 @@ def warc_revisit_layout_sql(src: str,
                rec_len
         FROM wr_sh
     """
+
+
+# ---- WebDataset shard layout ------------------------------------------------------
+#
+# The release format of image+caption training data: plain tar
+# shards of (sample.jpg, sample.txt) member pairs, consumed
+# sequentially by dataloaders (no random seeks, object-store
+# friendly). The writer arithmetic is pure integer work — a ustar
+# member occupies 512 + ceil(len/512)*512 bytes — so shard
+# placement and every member's byte offset are a deterministic
+# function of the sample set alone, exactly like warc_layout: the
+# manifest is computable BEFORE a byte is written, any engine
+# replays it, and a killed writer re-derives where everything
+# belongs. A SAMPLE (both members) is always placed whole in one
+# shard — WebDataset's contract; tar_structure is the reader-side
+# inverse, and the round-trip against Python's tarfile writer is
+# pinned in tests.
+
+WDS_TARGET_BYTES = 1 << 30
+
+
+def _tar_member_bytes(data_len: Column) -> Column:
+    """Bytes a ustar member occupies: header + data padded to 512."""
+    return (F.lit(512)
+            + ((data_len + F.lit(511)) / F.lit(512)).cast("long") * F.lit(512))
+
+
+def webdataset_manifest(pairs: DataFrame,
+                        target_bytes: int = WDS_TARGET_BYTES,
+                        id_col: str = "image_id",
+                        payload_col: str = "bytes",
+                        caption_col: str = "caption") -> DataFrame:
+    """Deterministic WebDataset shard layout for (id, payload,
+    caption) samples → two rows per sample: (shard, shard_name,
+    image_id, member_name, header_offset, data_offset, data_bytes).
+
+    Samples are totally ordered by id, placed whole at
+    ``shard = prefix DIV target_bytes`` over the exclusive byte
+    prefix-sum of exact sample sizes (the warc_layout discipline —
+    same `_exclusive_byte_prefix`, same broadcast per-shard start
+    subtraction), and within a sample the .jpg member precedes the
+    .txt member (the WebDataset grouping rule: a sample's members
+    are adjacent, keyed by the shared basename)."""
+    img_len = F.octet_length(F.col(payload_col)).cast("long")
+    txt_len = F.octet_length(F.col(caption_col)).cast("long")
+    sized = pairs.select(
+        F.col(id_col).alias("image_id"),
+        img_len.alias("__il"),
+        txt_len.alias("__tl"),
+        (_tar_member_bytes(img_len) + _tar_member_bytes(txt_len)
+         ).alias("sample_bytes"),
+    )
+    placed = _exclusive_byte_prefix(
+        sized, order_cols=["image_id"], len_col="sample_bytes"
+    ).withColumn("shard", F.expr(f"CAST(prefix DIV {target_bytes} AS INT)"))
+    starts = placed.groupBy("shard").agg(F.min("prefix").alias("__start"))
+    base = (
+        placed.join(F.broadcast(starts), "shard")
+        .withColumn("__soff", F.col("prefix") - F.col("__start"))
+    )
+    members = base.select(
+        "shard", "image_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.col("image_id"), F.lit(".jpg")).alias("member_name"),
+                    F.col("__soff").alias("header_offset"),
+                    F.col("__il").alias("data_bytes"),
+                ),
+                F.struct(
+                    F.concat(F.col("image_id"), F.lit(".txt")).alias("member_name"),
+                    (F.col("__soff") + _tar_member_bytes(F.col("__il"))
+                     ).alias("header_offset"),
+                    F.col("__tl").alias("data_bytes"),
+                ),
+            )
+        ).alias("m"),
+    )
+    return members.select(
+        "shard",
+        F.format_string("shard-%05d.tar", F.col("shard")).alias("shard_name"),
+        "image_id",
+        F.col("m.member_name").alias("member_name"),
+        F.col("m.header_offset").alias("header_offset"),
+        (F.col("m.header_offset") + F.lit(512)).alias("data_offset"),
+        F.col("m.data_bytes").alias("data_bytes"),
+    )
+
+
+def webdataset_manifest_sql(src: str, target_bytes: int = WDS_TARGET_BYTES,
+                            id_col: str = "image_id",
+                            payload_hex_col: str = "h",
+                            caption_col: str = "caption") -> str:
+    """DuckDB replay of :func:`webdataset_manifest` over ``src``
+    exposing the payload as HEX (entry fixtures carry hex) — same
+    member arithmetic, global-window prefix at oracle scale."""
+    def member(expr: str) -> str:
+        return f"(512 + (({expr} + 511) // 512) * 512)"
+
+    return f"""
+        WITH wd_s AS (
+          SELECT {id_col} AS image_id,
+                 CAST(strlen({payload_hex_col}) // 2 AS BIGINT) AS il,
+                 CAST(octet_length(encode({caption_col})) AS BIGINT) AS tl
+          FROM {src}
+        ), wd_z AS (
+          SELECT *, {member('il')} + {member('tl')} AS sample_bytes FROM wd_s
+        ), wd_p AS (
+          SELECT *, COALESCE(SUM(sample_bytes) OVER (ORDER BY image_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prefix
+          FROM wd_z
+        ), wd_h AS (
+          SELECT *, CAST(prefix // {target_bytes} AS INT) AS shard FROM wd_p
+        ), wd_o AS (
+          SELECT *, prefix - MIN(prefix) OVER (PARTITION BY shard) AS soff
+          FROM wd_h
+        ), wd_m AS (
+          SELECT shard, image_id, image_id || '.jpg' AS member_name,
+                 soff AS header_offset, il AS data_bytes
+          FROM wd_o
+          UNION ALL
+          SELECT shard, image_id, image_id || '.txt' AS member_name,
+                 soff + {member('il')} AS header_offset, tl AS data_bytes
+          FROM wd_o
+        )
+        SELECT shard, printf('shard-%05d.tar', shard) AS shard_name,
+               image_id, member_name,
+               CAST(header_offset AS BIGINT) AS header_offset,
+               CAST(header_offset + 512 AS BIGINT) AS data_offset,
+               data_bytes
+        FROM wd_m
+    """

@@ -3980,3 +3980,161 @@ def mp3_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                CASE cm {cm_whens} END AS channel_mode
         FROM m33
     """
+
+
+# ---- TAR structure (ustar member walk) --------------------------------------------
+#
+# Tar is the RELEASE container of multimodal training data — the
+# WebDataset convention packs (sample.jpg, sample.txt) member pairs
+# into plain tar shards precisely because the format is readable
+# with bounded header arithmetic: each member is a 512-byte header
+# (name NUL-terminated at 0, size as 11 ASCII-octal digits at 124,
+# typeflag at 156, 'ustar' magic at 257) followed by its data padded
+# to the next 512 boundary. The walk below recovers the member table
+# (name, size, type, data offset) without reading a data byte — the
+# same audit a shard consumer does to random-access samples, and the
+# inverse of webdataset_manifest's writer arithmetic, so the two can
+# be tested against each other. Members whose headers lie beyond the
+# hex window NULL-absorb (walk parks), archives that aren't tar
+# contribute no rows.
+
+TAR_WINDOW_BYTES = 8192
+TAR_MAX_MEMBERS = 8
+_USTAR_MAGIC_HEX = "7573746172"   # 'ustar' (POSIX \0 or GNU ' ' follows)
+
+
+def _octal11(hx: Column, pos: Column) -> Column:
+    """Exact integer from 11 ASCII-octal digits at hex-char `pos`
+    (the %011o field format every mainstream tar writer emits);
+    NULL if any byte is not an octal digit."""
+    v = None
+    ok = None
+    for i in range(11):
+        d = _hex2long(hx, pos + F.lit(2 * i), 2) - F.lit(48)
+        c = d.between(0, 7)
+        ok = c if ok is None else ok & c
+        v = d if v is None else v * F.lit(8) + d
+    return F.when(ok, v)
+
+
+def tar_structure(df: DataFrame, bytes_col: str = "bytes",
+                  keep: list[str] | None = None) -> DataFrame:
+    """One row per tar member: (keep..., member_idx, name, typeflag,
+    size_bytes, data_offset) — names NUL-terminated and printable-
+    validated before decode, sizes exact octal integers, typeflag
+    '0' for the old-tar NUL convention, data_offset in bytes from
+    archive start. The walk requires the ustar magic per header and
+    parks at the end-of-archive zero block."""
+    keep = list(keep or ["doc_id"])
+    staged = df.select(
+        *keep, F.hex(F.substring(F.col(bytes_col), 1, TAR_WINDOW_BYTES)).alias("__tx")
+    )
+    hx = F.col("__tx")
+
+    def hop(acc, _i):
+        pos = acc["pos"]
+        name0 = hx.substr(pos, F.lit(2))
+        magic_ok = hx.substr(pos + F.lit(514), F.lit(10)) == _USTAR_MAGIC_HEX
+        size = _octal11(hx, pos + F.lit(248))
+        valid = (name0 != "") & (name0 != "00") & magic_ok & size.isNotNull()
+        blocks = ((size + F.lit(511)) / F.lit(512)).cast("long")
+        nxt = F.when(valid, pos + F.lit(1024) + F.lit(1024) * blocks).otherwise(pos)
+        members = F.when(
+            valid, F.concat(acc["members"], F.array(pos))
+        ).otherwise(acc["members"])
+        return F.struct(nxt.alias("pos"), members.alias("members"))
+
+    acc0 = F.struct(
+        F.lit(1).cast("long").alias("pos"),
+        F.array().cast("array<long>").alias("members"),
+    )
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(TAR_MAX_MEMBERS)), acc0, hop)["members"]
+    rows = staged.select(
+        *keep, "__tx", F.posexplode(walk).alias("member_idx", "__mp")
+    )
+    p = F.col("__mp")
+    name_hex = F.regexp_extract(
+        hx.substr(p, F.lit(200)), "^((?:[0-9A-F]{2})*?)00", 1)
+    name = F.when(
+        (name_hex != "") & name_hex.rlike(_PRINTABLE_HEX_RE),
+        F.decode(F.unhex(name_hex), "UTF-8"),
+    )
+    tf_hex = hx.substr(p + F.lit(312), F.lit(2))
+    typeflag = F.when(tf_hex == "00", F.lit("0")).otherwise(
+        F.decode(F.unhex(tf_hex), "UTF-8"))
+    return rows.select(
+        *keep,
+        F.col("member_idx").cast("int").alias("member_idx"),
+        name.alias("name"),
+        typeflag.alias("typeflag"),
+        _octal11(hx, p + F.lit(248)).alias("size_bytes"),
+        ((p - F.lit(1)) / F.lit(2)).cast("long").alias("header_offset"),
+        (((p - F.lit(1)) / F.lit(2)).cast("long") + F.lit(512)).alias("data_offset"),
+    ).drop("__tx")
+
+
+def _octal11_sql(h: str, pos_expr: str) -> str:
+    digs = [
+        f"(TRY_CAST(concat('0x', substring({h}, ({pos_expr}) + {2 * i}, 2))"
+        f" AS BIGINT) - 48)"
+        for i in range(11)
+    ]
+    ok = " AND ".join(f"{d} BETWEEN 0 AND 7" for d in digs)
+    val = digs[0]
+    for d in digs[1:]:
+        val = f"({val} * 8 + {d})"
+    return f"CASE WHEN {ok} THEN {val} END"
+
+
+def tar_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h") -> str:
+    """DuckDB replay of :func:`tar_structure` — linear CTE chain, one
+    MATERIALIZED CTE per member hop. Materialization is load-bearing
+    twice over: the size expression would otherwise inline ~3x into
+    the next hop's pos (exponential expression growth over 8 hops),
+    and the final UNION references the last CTE once per member arm
+    (DuckDB 1.0 inlines multi-referenced CTEs — the seed_distance
+    lesson)."""
+    ctes = [f"""tr0 AS MATERIALIZED (
+          SELECT {keep}, {h_col} AS h, CAST(1 AS BIGINT) AS pos,
+                 {", ".join(f"CAST(NULL AS BIGINT) AS m{j + 1}"
+                            for j in range(TAR_MAX_MEMBERS))}
+          FROM {src}
+        )"""]
+    for k in range(TAR_MAX_MEMBERS):
+        size = _octal11_sql("h", "pos + 248")
+        valid = (f"substring(h, pos, 2) <> '' AND substring(h, pos, 2) <> '00'"
+                 f" AND substring(h, pos + 514, 10) = '{_USTAR_MAGIC_HEX}'"
+                 f" AND sz IS NOT NULL")
+        carries = ", ".join(
+            f"m{j + 1}" for j in range(TAR_MAX_MEMBERS) if j != k
+        )
+        ctes.append(f"""tr{k + 1} AS MATERIALIZED (
+          SELECT {keep}, h,
+                 CASE WHEN {valid}
+                   THEN pos + 1024 + 1024 * ((sz + 511) // 512)
+                   ELSE pos END AS pos,
+                 CASE WHEN {valid} THEN pos END AS m{k + 1}{"," if carries else ""}
+                 {carries}
+          FROM (SELECT *, {size} AS sz FROM tr{k}) tr{k}s)""")
+    last = f"tr{TAR_MAX_MEMBERS}"
+    arms = []
+    for k in range(TAR_MAX_MEMBERS):
+        p = f"m{k + 1}"
+        name_hex = (f"regexp_extract(substring(h, {p}, 200),"
+                    f" '^((?:[0-9A-F]{{2}})*?)00', 1)")
+        arms.append(f"""
+        SELECT {keep}, CAST({k} AS INT) AS member_idx,
+               CASE WHEN {name_hex} <> ''
+                     AND regexp_matches({name_hex}, '{_PRINTABLE_HEX_RE}')
+                    THEN decode(unhex({name_hex})) END AS name,
+               CASE WHEN substring(h, {p} + 312, 2) = '00' THEN '0'
+                    ELSE decode(unhex(substring(h, {p} + 312, 2))) END
+                 AS typeflag,
+               {_octal11_sql("h", f"{p} + 248")} AS size_bytes,
+               CAST(({p} - 1) // 2 AS BIGINT) AS header_offset,
+               CAST(({p} - 1) // 2 + 512 AS BIGINT) AS data_offset
+        FROM {last} WHERE {p} IS NOT NULL""")
+    union = " UNION ALL ".join(f"SELECT * FROM ({a.strip()}) u{i}"
+                               for i, a in enumerate(arms))
+    return "WITH " + ", ".join(ctes) + " " + union
