@@ -6368,6 +6368,53 @@ def q_sitemap_images(spark, sf_dir):
     return sitemap_images(pages)
 
 
+def q_sitemap_videos(spark, sf_dir):
+    """Video-sitemap extension (webparse.sitemap_videos): the
+    publisher's declared video inventory — content/player URL,
+    thumbnail, editorial title+description, and duration — the
+    richest discovery channel a video-text corpus has, structured
+    metadata without fetching a page. content_loc preferred over
+    player_loc; durations validated against the spec's [1, 28800]
+    band (declared-but-invalid kept flagged, not dropped); CDN-host
+    declarations flagged. Planted: every third video player-only,
+    every fourth with an out-of-band duration, every fifth with no
+    duration at all."""
+    from dblp_crawler_spark.sources.webparse import sitemap_videos
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    hh = (F.col("doc_id") % 10).cast("string")
+    loc = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("<video:player_loc allow_embed=\"yes\">https://play.ex"),
+                 hh, F.lit(".com/e/"), d, F.lit("</video:player_loc>")),
+    ).otherwise(
+        F.concat(F.lit("<video:content_loc>https://cdn"), hh,
+                 F.lit(".net/v/"), d, F.lit(".mp4</video:content_loc>")),
+    )
+    dur = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .when(F.col("doc_id") % 4 == 0,
+              F.lit("<video:duration>99999</video:duration>"))
+        .otherwise(F.concat(F.lit("<video:duration>"),
+                            ((F.col("doc_id") % 600) + 30).cast("string"),
+                            F.lit("</video:duration>")))
+    )
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://h"), hh, F.lit(".org/w/"), d,
+        F.lit("</loc><video:video>"), loc,
+        F.lit("<video:thumbnail_loc>https://cdn"), hh, F.lit(".net/t/"), d,
+        F.lit(".jpg</video:thumbnail_loc><video:title>Clip "), d,
+        F.lit("</video:title><video:description>about clip "), d,
+        F.lit("</video:description>"), dur,
+        F.lit("</video:video></url></urlset>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("h"), hh, F.lit(".org")).alias("host"),
+        xml.alias("sitemap_xml"))
+    return sitemap_videos(pages)
+
+
 def q_outlink_profile(spark, sf_dir):
     """Per-page outlink spray profile (webparse.outlink_profile):
     link-farm texture BEFORE any graph algorithm — hundreds of
@@ -7114,6 +7161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "exif_software": q_exif_software,
         "sitemap_images": q_sitemap_images,
+        "sitemap_videos": q_sitemap_videos,
         "outlink_profile": q_outlink_profile,
         "meta_refresh": q_meta_refresh,
         "pipeline_image_discovery": q_pipeline_image_discovery,
@@ -11255,6 +11303,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture": _temperature_mixture_oracle(),
         "exif_software": _exif_software_oracle(),
         "sitemap_images": _sitemap_images_oracle(),
+        "sitemap_videos": _sitemap_videos_oracle(),
         "outlink_profile": _outlink_profile_oracle(),
         "meta_refresh": _meta_refresh_oracle(),
         "pipeline_image_discovery": _pipeline_image_discovery_oracle(),
@@ -11638,6 +11687,35 @@ def _sitemap_images_oracle() -> str:
         FROM documents
     )"""
     return sitemap_images_sql(src)
+
+
+def _sitemap_videos_oracle() -> str:
+    """DuckDB replay of q_sitemap_videos — same synthesized XML."""
+    from dblp_crawler_spark.sources.webparse import sitemap_videos_sql
+
+    d = "CAST(doc_id AS VARCHAR)"
+    hh = "CAST(doc_id % 10 AS VARCHAR)"
+    loc = (f"CASE WHEN doc_id % 3 = 0 THEN"
+           f" '<video:player_loc allow_embed=\"yes\">https://play.ex' || {hh}"
+           f" || '.com/e/' || {d} || '</video:player_loc>'"
+           f" ELSE '<video:content_loc>https://cdn' || {hh} || '.net/v/'"
+           f" || {d} || '.mp4</video:content_loc>' END")
+    dur = (f"CASE WHEN doc_id % 5 = 0 THEN ''"
+           f" WHEN doc_id % 4 = 0 THEN '<video:duration>99999</video:duration>'"
+           f" ELSE '<video:duration>' || CAST((doc_id % 600) + 30 AS VARCHAR)"
+           f" || '</video:duration>' END")
+    src = f"""(
+        SELECT 'h' || {hh} || '.org' AS host,
+               '<urlset><url><loc>https://h' || {hh} || '.org/w/' || {d}
+               || '</loc><video:video>' || {loc}
+               || '<video:thumbnail_loc>https://cdn' || {hh} || '.net/t/'
+               || {d} || '.jpg</video:thumbnail_loc><video:title>Clip '
+               || {d} || '</video:title><video:description>about clip '
+               || {d} || '</video:description>' || {dur}
+               || '</video:video></url></urlset>' AS sitemap_xml
+        FROM documents
+    )"""
+    return sitemap_videos_sql(src)
 
 
 def _outlink_profile_oracle() -> str:

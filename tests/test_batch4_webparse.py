@@ -174,3 +174,53 @@ def test_meta_refresh(spark):
         .sort_values("url").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
+
+
+SMV_XML = (
+    "<urlset><url><loc>https://a.org/watch/1</loc>"
+    "<video:video>"
+    "<video:content_loc>https://cdn.b.net/v/1.mp4</video:content_loc>"
+    "<video:thumbnail_loc>https://cdn.b.net/t/1.jpg</video:thumbnail_loc>"
+    "<video:title>Clip one</video:title>"
+    "<video:description>About one</video:description>"
+    "<video:duration>600</video:duration>"
+    "</video:video></url>"
+    "<url><loc>https://a.org/watch/2</loc>"
+    "<video:video>"
+    '<video:player_loc allow_embed="yes">https://a.org/embed/2</video:player_loc>'
+    "<video:duration>99999</video:duration>"
+    "</video:video></url>"
+    "<url><loc>https://a.org/watch/3</loc>"
+    "<video:video><video:title>no url</video:title></video:video></url>"
+    "<url><loc>https://a.org/plain</loc></url></urlset>"
+)
+
+
+def test_sitemap_videos(spark):
+    from dblp_crawler_spark.sources.webparse import (
+        sitemap_videos,
+        sitemap_videos_sql,
+    )
+    df = spark.createDataFrame([("a.org", SMV_XML)],
+                               "host string, sitemap_xml string")
+    out = sitemap_videos(df)
+    got = {r.video_url: r for r in out.collect()}
+    r = got["https://cdn.b.net/v/1.mp4"]
+    assert (r.page_url, r.thumbnail_url, r.title, r.description,
+            r.duration_s, r.valid_duration, r.same_host) == (
+        "https://a.org/watch/1", "https://cdn.b.net/t/1.jpg", "Clip one",
+        "About one", 600, True, False)
+    r = got["https://a.org/embed/2"]          # player_loc fallback
+    assert (r.duration_s, r.valid_duration, r.same_host) == (
+        99999, False, True)
+    assert r.thumbnail_url is None and r.title is None
+    assert len(got) == 2                      # URL-less video drops
+    spark_pdf = out.toPandas().sort_values("video_url").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("smv", pd.DataFrame([("a.org", SMV_XML)],
+                                     columns=["host", "sitemap_xml"]))
+    duck_pdf = (
+        con.sql(sitemap_videos_sql("smv")).df()
+        .sort_values("video_url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
