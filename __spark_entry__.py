@@ -3782,6 +3782,44 @@ def q_lazyload_images(spark, sf_dir):
     return lazyload_images(pages)
 
 
+def q_caption_election(spark, sf_dir):
+    """Cross-channel caption election (webparse.caption_election):
+    a page captions the same image through several channels at once
+    — figcaption (editorial, per-image), og:image:alt (editorial,
+    page-level), img alt (accessibility fallback) — and the miner
+    must pick ONE text per image by channel strength. Composed from
+    three already-oracled extractors in ONE plan (union + one
+    window); the replay chains the same fragments. Planted per page:
+    an image with all three channels (figcaption wins), one with
+    og+alt (og wins), one alt-only, and one caption-less (absent
+    from the election)."""
+    from dblp_crawler_spark.sources.webparse import caption_election
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".org/c/p"), sid)
+    html = F.concat(
+        F.lit('<meta property="og:image" content="/i/two'), sid,
+        F.lit('.jpg"><meta property="og:image:alt" content="og cap '), sid,
+        F.lit('">'),
+        F.lit('<figure><img src="/i/one'), sid,
+        F.lit('.jpg"><figcaption>fig cap '), sid,
+        F.lit("</figcaption></figure>"),
+        F.lit('<img src="/i/one'), sid, F.lit('.jpg" alt="alt one '), sid,
+        F.lit('">'),
+        F.lit('<img src="/i/two'), sid, F.lit('.jpg" alt="alt two '), sid,
+        F.lit('">'),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit('<img src="/i/three'), sid,
+                        F.lit('.jpg" alt="alt three '), sid, F.lit('">')))
+        .otherwise(F.lit("")),
+        F.lit('<img src="/i/four'), sid, F.lit('.jpg">'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return caption_election(pages)
+
+
 _PNG_DIM_HDR = "89504E470D0A1A0A" + "0000000D49484452"
 _ROLE_HEADERS = [
     _PNG_DIM_HDR + "00000400" + "00000300" + "0802000000",  # 1024x768 content
@@ -7041,6 +7079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_outlinks": q_extract_outlinks,
         "extract_images": q_extract_images,
         "figure_captions": q_figure_captions,
+        "caption_election": q_caption_election,
         "data_uri_images": q_data_uri_images,
         "lazyload_images": q_lazyload_images,
         "image_role": q_image_role,
@@ -7450,6 +7489,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "extract_outlinks": _outlinks_oracle(),
         "extract_images": _images_oracle(),
         "figure_captions": _figure_captions_oracle(),
+        "caption_election": _caption_election_oracle(),
         "data_uri_images": _data_uri_oracle(),
         "lazyload_images": _lazyload_oracle(),
         "image_role": _image_role_oracle(),
@@ -9246,6 +9286,37 @@ def _figure_captions_oracle() -> str:
         FROM documents
     ) fc_src"""
     return figure_captions_sql(src)
+
+
+def _caption_election_oracle() -> str:
+    """DuckDB replay of q_caption_election — same planted HTML, the
+    fragment chains figcaption/og/alt extraction + the election."""
+    from dblp_crawler_spark.sources.webparse import caption_election_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    html = (
+        f"'<meta property=\"og:image\" content=\"/i/two' || {sid}"
+        f" || '.jpg\"><meta property=\"og:image:alt\" content=\"og cap '"
+        f" || {sid} || '\">'"
+        f" || '<figure><img src=\"/i/one' || {sid}"
+        f" || '.jpg\"><figcaption>fig cap ' || {sid}"
+        f" || '</figcaption></figure>'"
+        f" || '<img src=\"/i/one' || {sid} || '.jpg\" alt=\"alt one '"
+        f" || {sid} || '\">'"
+        f" || '<img src=\"/i/two' || {sid} || '.jpg\" alt=\"alt two '"
+        f" || {sid} || '\">'"
+        f" || CASE WHEN doc_id % 2 = 0 THEN"
+        f" '<img src=\"/i/three' || {sid} || '.jpg\" alt=\"alt three '"
+        f" || {sid} || '\">' ELSE '' END"
+        f" || '<img src=\"/i/four' || {sid} || '.jpg\">'"
+    )
+    src = f"""(
+        SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org/c/p'
+                 || {sid} AS url,
+               {html} AS html
+        FROM documents
+    ) ce_src"""
+    return caption_election_sql(src)
 
 
 def _data_uri_oracle() -> str:

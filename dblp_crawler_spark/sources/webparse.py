@@ -2748,3 +2748,103 @@ def sitemap_videos_sql(src: str = "sitemap_pages", keep: str = "host") -> str:
                  AS same_host
         FROM smv_r WHERE raw_vid IS NOT NULL
     """
+
+
+# ---- caption election across channels ---------------------------------------------
+#
+# A page can caption the same image through several channels at
+# once: a <figcaption> (editorial, written for the reader), the
+# OpenGraph og:image:alt/description (editorial but page-level), and
+# the <img alt> (accessibility fallback, often a filename). An
+# image+caption miner must pick ONE text per image, and the pick
+# should be the strongest channel available — the LAION-style
+# "caption source" election, here as a deterministic window over the
+# union of the per-channel extractors (each already an oracled
+# fragment; the replay chains the same three).
+
+CAPTION_CHANNEL_PRIORITY = ["figcaption", "og", "img_alt"]
+
+
+def caption_election(pages: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """Per (page, image): all caption candidates from the three HTML
+    channels, and the elected winner by channel priority (figcaption
+    > og > img_alt), ties broken on caption text for determinism.
+    Returns (url, img_url, caption, channel, n_candidates) — one row
+    per image that has at least one non-NULL caption; images no
+    channel captions simply don't elect (the pair gate downstream
+    sees them via extract_images, not here).
+
+    Scale shape: three map-side extractions unioned, ONE window keyed
+    (url, img_url) — no self-joins, page HTML never shuffles (only
+    the slim candidate rows)."""
+    figs = figure_captions(pages, url_col, html_col).where(
+        F.col("caption").isNotNull()
+    ).select(
+        "url", "img_url", "caption",
+        F.lit(1).alias("__prio"), F.lit("figcaption").alias("channel"),
+    )
+    og = og_image_caption(pages, url_col, html_col)
+    ogc = og.where(
+        F.col("og_image_url").isNotNull()
+        & F.coalesce(F.col("og_alt"), F.col("og_description")).isNotNull()
+    ).select(
+        "url", F.col("og_image_url").alias("img_url"),
+        F.coalesce(F.col("og_alt"), F.col("og_description")).alias("caption"),
+        F.lit(2).alias("__prio"), F.lit("og").alias("channel"),
+    )
+    alts = extract_images(pages, url_col, html_col).where(
+        F.col("alt").isNotNull()
+    ).select(
+        "url", "img_url", F.col("alt").alias("caption"),
+        F.lit(3).alias("__prio"), F.lit("img_alt").alias("channel"),
+    )
+    cands = figs.unionByName(ogc).unionByName(alts)
+    w = Window.partitionBy("url", "img_url").orderBy("__prio", "caption")
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_candidates",
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy("url", "img_url")))
+        .where(F.col("__rn") == 1)
+        .select("url", "img_url", "caption", "channel",
+                F.col("n_candidates").cast("long").alias("n_candidates"))
+    )
+
+
+def caption_election_sql(src: str, url_col: str = "url",
+                         html_col: str = "html") -> str:
+    """DuckDB replay of :func:`caption_election` — chains the three
+    channel fragments, same union, same window."""
+    figs = figure_captions_sql(src, url_col, html_col)
+    og = og_image_caption_sql(src, url_col, html_col)
+    alts = extract_images_sql(src, url_col, html_col)
+    return f"""
+        WITH ce_f AS (
+          SELECT url, img_url, caption, 1 AS prio,
+                 'figcaption' AS channel
+          FROM ({figs}) f WHERE caption IS NOT NULL
+        ), ce_o AS (
+          SELECT url, og_image_url AS img_url,
+                 COALESCE(og_alt, og_description) AS caption,
+                 2 AS prio, 'og' AS channel
+          FROM ({og}) o
+          WHERE og_image_url IS NOT NULL
+            AND COALESCE(og_alt, og_description) IS NOT NULL
+        ), ce_a AS (
+          SELECT url, img_url, alt AS caption, 3 AS prio,
+                 'img_alt' AS channel
+          FROM ({alts}) a WHERE alt IS NOT NULL
+        ), ce_u AS (
+          SELECT * FROM ce_f UNION ALL SELECT * FROM ce_o
+          UNION ALL SELECT * FROM ce_a
+        ), ce_r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY url, img_url
+                   ORDER BY prio, caption) AS rn,
+                 COUNT(*) OVER (PARTITION BY url, img_url) AS n_candidates
+          FROM ce_u
+        )
+        SELECT url, img_url, caption, channel,
+               CAST(n_candidates AS BIGINT) AS n_candidates
+        FROM ce_r WHERE rn = 1
+    """

@@ -119,3 +119,33 @@ def test_lazyload_images_duckdb_replay(spark):
     con.register("pages", pages.toPandas())
     _replay(spark, lazyload_images(pages), con,
             lazyload_images_sql("pages"), ["url", "tag_idx"])
+
+
+def test_caption_election(spark):
+    from dblp_crawler_spark.sources.webparse import (
+        caption_election,
+        caption_election_sql,
+    )
+    html = (
+        '<meta property="og:image" content="/i/2.jpg">'
+        '<meta property="og:image:alt" content="og caption two">'
+        '<figure><img src="/i/1.jpg"><figcaption>fig caption one'
+        "</figcaption></figure>"
+        '<img src="/i/1.jpg" alt="alt one">'
+        '<img src="/i/2.jpg" alt="alt two">'
+        '<img src="/i/3.jpg" alt="alt three">'
+        '<img src="/i/4.jpg">'
+    )
+    pages = _pages(spark, [("https://ex.org/p", html)])
+    out = caption_election(pages)
+    got = {r.img_url: (r.caption, r.channel, r.n_candidates)
+           for r in out.collect()}
+    assert got["https://ex.org/i/1.jpg"] == ("fig caption one", "figcaption", 2)
+    assert got["https://ex.org/i/2.jpg"] == ("og caption two", "og", 2)
+    assert got["https://ex.org/i/3.jpg"] == ("alt three", "img_alt", 1)
+    assert "https://ex.org/i/4.jpg" not in got      # no caption anywhere
+
+    con = duckdb.connect()
+    con.register("pages", pages.toPandas())
+    _replay(spark, out, con, caption_election_sql("pages"),
+            ["url", "img_url"])
