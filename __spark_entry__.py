@@ -1063,6 +1063,72 @@ def q_pipeline_video_text(spark, sf_dir):
     return scene_transcripts(segs, cues)
 
 
+_HLS_MASTER_PRE = ("#EXTM3U\n"
+                   "#EXT-X-STREAM-INF:BANDWIDTH=800000,RESOLUTION=640x360\n"
+                   "low/")
+_HLS_MASTER_MID = (".m3u8\n#EXT-X-STREAM-INF:BANDWIDTH=2500000,"
+                   "RESOLUTION=1280x720\nmid/")
+_HLS_MASTER_POST = ".m3u8\n"
+_HLS_VOD_PRE = "#EXTM3U\n#EXT-X-TARGETDURATION:10\n#EXTINF:9.009,\nsa"
+_HLS_VOD_MID = ".ts\n#EXTINF:10,\nsb"
+_HLS_VOD_POST = ".ts\n#EXT-X-ENDLIST\n"
+_HLS_LIVE_PRE = "#EXTM3U\n#EXTINF:6.0,\nlv"
+_HLS_LIVE_POST = ".ts\n"
+
+
+def _hls_files(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    m3u8 = (
+        F.when(m == 0, F.concat(F.lit(_HLS_MASTER_PRE), sid,
+                                F.lit(_HLS_MASTER_MID), sid,
+                                F.lit(_HLS_MASTER_POST)))
+        .when(m == 1, F.concat(F.lit(_HLS_VOD_PRE), sid,
+                               F.lit(_HLS_VOD_MID), sid,
+                               F.lit(_HLS_VOD_POST)))
+        .otherwise(F.concat(F.lit(_HLS_LIVE_PRE), sid,
+                            F.lit(_HLS_LIVE_POST)))
+    )
+    url = F.concat(F.lit("https://v"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".ex.org/s"), sid, F.lit("/index.m3u8"))
+    return docs.select(url.alias("url"), m3u8.alias("m3u8"))
+
+
+def q_hls_segments(spark, sf_dir):
+    """HLS media-segment extraction (hls.hls_segments): web video
+    ships as .m3u8 playlists, not .mp4 files — segment URIs resolve
+    against the playlist URL and EXTINF decimal seconds parse to
+    EXACT integer milliseconds (9.009 → 9009), the unit a fetch
+    scheduler and a transcription budget both consume."""
+    from dblp_crawler_spark.sources.hls import hls_segments
+
+    return hls_segments(_hls_files(spark, sf_dir))
+
+
+def q_hls_playlist(spark, sf_dir):
+    """HLS playlist routing summary (hls.hls_playlist): master vs
+    media via RFC 8216's mutually-exclusive tag sets, the bitrate
+    ladder's max bandwidth, exact total duration from summed EXTINF
+    fragments, and the VOD/live split (EXT-X-ENDLIST) that decides
+    harvestability — one projection over the playlist text, counts
+    and sums from the same regexp arrays the exploding extractors
+    use, no join back."""
+    from dblp_crawler_spark.sources.hls import hls_playlist
+
+    return hls_playlist(_hls_files(spark, sf_dir))
+
+
+def q_hls_variants(spark, sf_dir):
+    """HLS master-playlist variant ladder (hls.hls_variants): one
+    row per rendition with bandwidth + declared resolution — the
+    table a harvester picks its fetch tier from (highest resolution
+    worth the bytes, or lowest for contact-sheet sampling)."""
+    from dblp_crawler_spark.sources.hls import hls_variants
+
+    return hls_variants(_hls_files(spark, sf_dir))
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join: each click attributes to the user's most recent
     strictly-preceding view (running last-ignorenulls window — one
@@ -7112,6 +7178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_scene_cuts": q_video_scene_cuts,
         "webvtt_cues": q_webvtt_cues,
         "pipeline_video_text": q_pipeline_video_text,
+        "hls_segments": q_hls_segments,
+        "hls_playlist": q_hls_playlist,
+        "hls_variants": q_hls_variants,
         "html_text_extract": q_html_text_extract,
         "lm_bits_score": q_lm_bits_score,
         "text_classifier_gate": q_text_classifier_gate,
@@ -7522,6 +7591,9 @@ def _portable_hash_oracles() -> dict[str, str]:
         "video_scene_cuts": _scene_cuts_oracle(),
         "webvtt_cues": _webvtt_cues_oracle(),
         "pipeline_video_text": _video_text_oracle(),
+        "hls_segments": _hls_oracle("segments"),
+        "hls_playlist": _hls_oracle("playlist"),
+        "hls_variants": _hls_oracle("variants"),
         "html_text_extract": _html_text_oracle(),
         "semdedup_drop_list": _semdedup_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
@@ -8117,6 +8189,38 @@ def _sql_str(s: str) -> str:
             parts.append("'" + seg.replace("'", "''") + "'")
         parts.append("chr(10)")
     return "(" + " || ".join(parts[:-1] or ["''"]) + ")"
+
+
+def _hls_oracle(which: str) -> str:
+    """DuckDB replay of the q_hls_* entries — same planted playlists
+    through _sql_str, same fragments."""
+    from dblp_crawler_spark.sources.hls import (
+        hls_playlist_sql,
+        hls_segments_sql,
+        hls_variants_sql,
+    )
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    m3u8 = (
+        f"CASE doc_id % 3"
+        f" WHEN 0 THEN {_sql_str(_HLS_MASTER_PRE)} || {sid}"
+        f" || {_sql_str(_HLS_MASTER_MID)} || {sid}"
+        f" || {_sql_str(_HLS_MASTER_POST)}"
+        f" WHEN 1 THEN {_sql_str(_HLS_VOD_PRE)} || {sid}"
+        f" || {_sql_str(_HLS_VOD_MID)} || {sid}"
+        f" || {_sql_str(_HLS_VOD_POST)}"
+        f" ELSE {_sql_str(_HLS_LIVE_PRE)} || {sid}"
+        f" || {_sql_str(_HLS_LIVE_POST)} END"
+    )
+    src = f"""(
+        SELECT 'https://v' || CAST(doc_id % 10 AS VARCHAR) || '.ex.org/s'
+                 || {sid} || '/index.m3u8' AS url,
+               {m3u8} AS m3u8
+        FROM documents
+    ) hls_src"""
+    fn = {"segments": hls_segments_sql, "playlist": hls_playlist_sql,
+          "variants": hls_variants_sql}[which]
+    return fn(src)
 
 
 def _webvtt_cues_oracle() -> str:
