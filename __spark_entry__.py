@@ -1063,6 +1063,72 @@ def q_pipeline_video_text(spark, sf_dir):
     return scene_transcripts(segs, cues)
 
 
+_SRT_PRE = "1\n00:00:01,000 --> 00:00:03,500\n<i>seg</i> "
+_SRT_MID = "\n\n9\n00:01:00,250 --> 01:00:00,000\nmore "
+_SRT_POST = "\n"
+
+
+def q_srt_cues(spark, sf_dir):
+    """SubRip parsing (subtitles.srt_cues): the other dominant
+    subtitle format — comma decimal separator, mandatory hours,
+    numbered cues whose declared numbers are IGNORED (wild files
+    skip and repeat them; position is the only trustworthy index).
+    Output contract byte-identical to webvtt_cues so
+    scene_transcripts consumes either."""
+    from dblp_crawler_spark.sources.subtitles import srt_cues
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    srt = F.when(
+        F.col("doc_id") % 3 == 2, F.lit("no cues here")
+    ).otherwise(
+        F.concat(F.lit(_SRT_PRE), sid, F.lit(_SRT_MID), sid,
+                 F.lit(_SRT_POST))
+    )
+    files = docs.select(F.col("doc_id").alias("video_id"), srt.alias("srt"))
+    return srt_cues(files)
+
+
+def q_jsonld_image_license(spark, sf_dir):
+    """JSON-LD ImageObject mining (webparse.jsonld_images): the one
+    channel that carries image LICENSE metadata — schema.org's
+    license + acquireLicensePage (the fields Google's image-license
+    program indexes), plus creditText/creator attribution; a
+    compliance-clean image dataset needs these at mining time, not
+    after a takedown. Script blocks cut by regex, payload parsed
+    with real JSON functions on BOTH engines (never regex over
+    JSON). Planted: a fully-attributed CC block, a NewsArticle
+    block (dropped), a url-fallback block, and an invalid-JSON
+    block (NULL-absorbed)."""
+    from dblp_crawler_spark.sources.webparse import jsonld_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".org/a/p"), sid)
+    b1 = F.concat(
+        F.lit('{"@type":"ImageObject","contentUrl":"/ph/c'), sid,
+        F.lit('.jpg","caption":"photo '), sid,
+        F.lit('","license":"https://creativecommons.org/licenses/by/4.0/",'
+              '"creditText":"Agency","creator":{"name":"Ann '), sid,
+        F.lit('"}}'),
+    )
+    b2 = F.lit('{"@type":"NewsArticle","headline":"x"}')
+    b3 = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('{"@type":"ImageObject","url":"https://cdn'),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".net/u"), sid, F.lit('.png"}')),
+    ).otherwise(F.lit('{"@type":"ImageObject", broken'))
+    html = F.concat(
+        F.lit('<script type="application/ld+json">'), b1, F.lit("</script>"),
+        F.lit('<script type="application/ld+json">'), b2, F.lit("</script>"),
+        F.lit('<script type="application/ld+json">'), b3, F.lit("</script>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return jsonld_images(pages)
+
+
 _HLS_MASTER_PRE = ("#EXTM3U\n"
                    "#EXT-X-STREAM-INF:BANDWIDTH=800000,RESOLUTION=640x360\n"
                    "low/")
@@ -7178,6 +7244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_scene_cuts": q_video_scene_cuts,
         "webvtt_cues": q_webvtt_cues,
         "pipeline_video_text": q_pipeline_video_text,
+        "srt_cues": q_srt_cues,
+        "jsonld_image_license": q_jsonld_image_license,
         "hls_segments": q_hls_segments,
         "hls_playlist": q_hls_playlist,
         "hls_variants": q_hls_variants,
@@ -7591,6 +7659,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "video_scene_cuts": _scene_cuts_oracle(),
         "webvtt_cues": _webvtt_cues_oracle(),
         "pipeline_video_text": _video_text_oracle(),
+        "srt_cues": _srt_cues_oracle(),
+        "jsonld_image_license": _jsonld_oracle(),
         "hls_segments": _hls_oracle("segments"),
         "hls_playlist": _hls_oracle("playlist"),
         "hls_variants": _hls_oracle("variants"),
@@ -8189,6 +8259,57 @@ def _sql_str(s: str) -> str:
             parts.append("'" + seg.replace("'", "''") + "'")
         parts.append("chr(10)")
     return "(" + " || ".join(parts[:-1] or ["''"]) + ")"
+
+
+def _srt_cues_oracle() -> str:
+    """DuckDB replay of q_srt_cues."""
+    from dblp_crawler_spark.sources.subtitles import srt_cues_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    srt = (
+        f"CASE WHEN doc_id % 3 = 2 THEN 'no cues here'"
+        f" ELSE {_sql_str(_SRT_PRE)} || {sid} || {_sql_str(_SRT_MID)}"
+        f" || {sid} || {_sql_str(_SRT_POST)} END"
+    )
+    src = f"""(
+        SELECT doc_id AS video_id, {srt} AS srt FROM documents
+    ) srt_src"""
+    return srt_cues_sql(src)
+
+
+def _jsonld_oracle() -> str:
+    """DuckDB replay of q_jsonld_image_license — same planted
+    blocks, real JSON functions."""
+    from dblp_crawler_spark.sources.webparse import jsonld_images_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    b1 = (
+        f"'{{\"@type\":\"ImageObject\",\"contentUrl\":\"/ph/c' || {sid}"
+        f" || '.jpg\",\"caption\":\"photo ' || {sid}"
+        f" || '\",\"license\":\"https://creativecommons.org/licenses/by/4.0/\","
+        f"\"creditText\":\"Agency\",\"creator\":{{\"name\":\"Ann ' || {sid}"
+        f" || '\"}}}}'"
+    )
+    b2 = "'{\"@type\":\"NewsArticle\",\"headline\":\"x\"}'"
+    b3 = (
+        f"CASE WHEN doc_id % 2 = 0 THEN"
+        f" '{{\"@type\":\"ImageObject\",\"url\":\"https://cdn'"
+        f" || CAST(doc_id % 5 AS VARCHAR) || '.net/u' || {sid}"
+        f" || '.png\"}}'"
+        f" ELSE '{{\"@type\":\"ImageObject\", broken' END"
+    )
+    html = (
+        f"'<script type=\"application/ld+json\">' || {b1} || '</script>'"
+        f" || '<script type=\"application/ld+json\">' || {b2} || '</script>'"
+        f" || '<script type=\"application/ld+json\">' || {b3} || '</script>'"
+    )
+    src = f"""(
+        SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org/a/p'
+                 || {sid} AS url,
+               {html} AS html
+        FROM documents
+    ) jl_src"""
+    return jsonld_images_sql(src)
 
 
 def _hls_oracle(which: str) -> str:

@@ -124,3 +124,84 @@ def webvtt_cues_sql(src: str, vtt_col: str = "vtt",
                  '{_TAG_RE}', '', 'g'), '\\n+', ' ', 'g')) AS text
         FROM vt_b
     """
+
+
+# ---- SubRip (.srt) ----------------------------------------------------------------
+#
+# The other dominant subtitle format: numbered cues, COMMA decimal
+# separator, hours mandatory, no header. Same output contract as
+# webvtt_cues so scene_transcripts consumes either; declared cue
+# numbers are ignored and cues renumbered by order of appearance
+# (files in the wild skip and repeat numbers — position is the only
+# trustworthy index).
+
+SRT_CUE_RE = (r"\d{2}:\d{2}:\d{2},\d{3}[ \t]*-->[ \t]*"
+              r"\d{2}:\d{2}:\d{2},\d{3}[^\n]*\n(?:[^\n]+\n?)+")
+_SRT_START_RE = r"^(\d{2}):(\d{2}):(\d{2}),(\d{3})"
+_SRT_END_RE = r"-->[ \t]*(\d{2}):(\d{2}):(\d{2}),(\d{3})"
+
+
+def _srt_ms(blk: Column, pat: str) -> Column:
+    h = F.regexp_extract(blk, pat, 1).cast("long")
+    mm = F.regexp_extract(blk, pat, 2).cast("long")
+    ss = F.regexp_extract(blk, pat, 3).cast("long")
+    ms = F.regexp_extract(blk, pat, 4).cast("long")
+    return h * F.lit(3600000) + mm * F.lit(60000) + ss * F.lit(1000) + ms
+
+
+def srt_cues(files: DataFrame, srt_col: str = "srt",
+             keep: list[str] | None = None) -> DataFrame:
+    """One row per cue: (keep..., cue_idx, start_ms, end_ms, text) —
+    the SRT twin of :func:`webvtt_cues`, byte-identical output
+    contract."""
+    keep = list(keep or ["video_id"])
+    blocks = files.select(
+        *keep,
+        F.posexplode(
+            F.regexp_extract_all(F.col(srt_col), F.lit(SRT_CUE_RE), F.lit(0))
+        ).alias("cue_idx", "__blk"),
+    )
+    b = F.col("__blk")
+    payload = F.regexp_replace(b, r"^[^\n]*\n", "")
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(payload, _TAG_RE, ""), r"\n+", " "
+        )
+    )
+    return blocks.select(
+        *keep,
+        F.col("cue_idx").cast("int").alias("cue_idx"),
+        _srt_ms(b, _SRT_START_RE).alias("start_ms"),
+        _srt_ms(b, _SRT_END_RE).alias("end_ms"),
+        text.alias("text"),
+    )
+
+
+def srt_cues_sql(src: str, srt_col: str = "srt",
+                 keep: str = "video_id") -> str:
+    """DuckDB replay of :func:`srt_cues`."""
+    def ms(pat: str) -> str:
+        return (
+            f"TRY_CAST(regexp_extract(blk, '{pat}', 1) AS BIGINT) * 3600000"
+            f" + TRY_CAST(regexp_extract(blk, '{pat}', 2) AS BIGINT) * 60000"
+            f" + TRY_CAST(regexp_extract(blk, '{pat}', 3) AS BIGINT) * 1000"
+            f" + TRY_CAST(regexp_extract(blk, '{pat}', 4) AS BIGINT)"
+        )
+
+    return f"""
+        WITH sr_b AS (
+          SELECT {keep}, t.i - 1 AS cue_idx, t.blk
+          FROM {src},
+               LATERAL (SELECT unnest(regexp_extract_all({srt_col},
+                          '{SRT_CUE_RE}', 0)) AS blk,
+                        generate_subscripts(regexp_extract_all({srt_col},
+                          '{SRT_CUE_RE}', 0), 1) AS i) t
+        )
+        SELECT {keep}, CAST(cue_idx AS INT) AS cue_idx,
+               {ms(_SRT_START_RE)} AS start_ms,
+               {ms(_SRT_END_RE)} AS end_ms,
+               trim(regexp_replace(regexp_replace(
+                 regexp_replace(blk, '^[^\\n]*\\n', ''),
+                 '{_TAG_RE}', '', 'g'), '\\n+', ' ', 'g')) AS text
+        FROM sr_b
+    """

@@ -149,3 +149,37 @@ def test_caption_election(spark):
     con.register("pages", pages.toPandas())
     _replay(spark, out, con, caption_election_sql("pages"),
             ["url", "img_url"])
+
+
+def test_jsonld_images(spark):
+    from dblp_crawler_spark.sources.webparse import (
+        jsonld_images,
+        jsonld_images_sql,
+    )
+    block1 = ('{"@context":"https://schema.org","@type":"ImageObject",'
+              '"contentUrl":"/photos/cat.jpg","caption":"a cat",'
+              '"license":"https://creativecommons.org/licenses/by/4.0/",'
+              '"acquireLicensePage":"https://ex.org/buy",'
+              '"creditText":"Jo Doe","creator":{"@type":"Person","name":"Jo"}}')
+    block2 = '{"@type":"NewsArticle","headline":"irrelevant"}'
+    block3 = '{"@type":"ImageObject","url":"https://cdn.ex.net/d.png"}'
+    bad = '{"@type":"ImageObject", broken'
+    html = "".join(
+        f'<script type="application/ld+json">{b}</script>'
+        for b in (block1, block2, block3, bad)
+    )
+    pages = _pages(spark, [("https://ex.org/a/p", html)])
+    out = jsonld_images(pages)
+    got = {r.image_url: r for r in out.collect()}
+    assert len(got) == 2
+    r = got["https://ex.org/photos/cat.jpg"]
+    assert (r.caption, r.credit, r.creator) == ("a cat", "Jo Doe", "Jo")
+    assert r.license.startswith("https://creativecommons.org/")
+    assert r.acquire_license_page == "https://ex.org/buy"
+    r2 = got["https://cdn.ex.net/d.png"]          # url fallback
+    assert r2.caption is None and r2.license is None
+
+    con = duckdb.connect()
+    con.register("pages", pages.toPandas())
+    _replay(spark, out, con, jsonld_images_sql("pages"),
+            ["url", "block_idx"])

@@ -132,3 +132,37 @@ def test_scene_transcripts_pins_and_replay(spark):
     pd.testing.assert_frame_equal(
         spark_pdf, duck[spark_pdf.columns], check_dtype=False
     )
+
+
+_SRT = """1
+00:00:01,000 --> 00:00:03,500
+<i>Hello</i> world
+
+7
+00:01:00,250 --> 01:00:00,000
+line one
+line two
+
+not a cue
+"""
+
+
+def test_srt_cues_pins_and_replay(spark):
+    from dblp_crawler_spark.sources.subtitles import srt_cues, srt_cues_sql
+    files = spark.createDataFrame([("v1", _SRT), ("v2", "no cues")],
+                                  "video_id string, srt string")
+    rows = {r.cue_idx: r for r in srt_cues(files).collect()}
+    assert len(rows) == 2
+    assert (rows[0].start_ms, rows[0].end_ms, rows[0].text) == (
+        1000, 3500, "Hello world")
+    assert (rows[1].start_ms, rows[1].end_ms, rows[1].text) == (
+        60250, 3600000, "line one line two")
+
+    con = duckdb.connect()
+    con.register("files", files.toPandas())
+    spark_pdf = (srt_cues(files).toPandas()
+                 .sort_values(["video_id", "cue_idx"]).reset_index(drop=True))
+    duck_pdf = (con.sql(srt_cues_sql("files")).df()
+                .sort_values(["video_id", "cue_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
