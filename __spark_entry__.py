@@ -4184,6 +4184,64 @@ def q_webdataset_manifest(spark, sf_dir):
     return webdataset_manifest(pairs, target_bytes=1 << 20)
 
 
+_ZSTD_CASES = [
+    "28B52FFD" + "00" + "58" + "AA" * 4,          # plain, window log 21
+    "28B52FFD" + "20" + "C8" + "AA" * 4,          # single-segment, size 200
+    "28B52FFD" + "45" + "00" + "07" + "0201" + "AA" * 2,  # dict 7, fcs+256
+    "28B52FFD" + "80" + "10" + "70110100" + "AA" * 2,     # 4-byte fcs 70000
+]
+
+_PQ_CASES = [
+    "50415231" + "BB" * 84 + "28000000" + "50415231",   # complete
+    "50415231" + "BB" * 40,                              # torn tail
+    "50415231" + "BB" * 8 + "FF000000" + "50415231",     # footer > file
+]
+
+
+def q_zstd_structure(spark, sf_dir):
+    """zstd frame header (sniff.zstd_structure): the compression of
+    modern data releases (.tar.zst shards, zstd WARCs) declares, in
+    its first <=18 bytes, the DECOMPRESSED content size (costing),
+    the dictionary id (a shared-dictionary frame is undecodable
+    without its dictionary — a real archive failure mode), the
+    window log (decoder memory budget), and the checksum flag.
+    Planted: all four fcs widths incl. the 2-byte +256 bias and a
+    dictionary frame; PNG rows NULL."""
+    from dblp_crawler_spark.operators.sniff import zstd_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    hexstr = F.lit("89504E470D0A1A0A00000000")
+    for i, hx in enumerate(_ZSTD_CASES):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    blobs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return zstd_structure(blobs).select(
+        "doc_id", "fmt", "single_segment", "has_checksum", "window_log",
+        "dict_id", "content_size"
+    )
+
+
+def q_parquet_structure(spark, sf_dir):
+    """Parquet file audit (sniff.parquet_structure): the lakehouse's
+    own format audited decode-free — PAR1 at both ends (a missing
+    tail magic is a torn object-store upload) and the LE32 footer
+    length at end-8; footer size vs file size makes the small-file/
+    metadata-bloat problem visible in one projection. Reads the head
+    and the LAST 8 bytes only."""
+    from dblp_crawler_spark.operators.sniff import parquet_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 4
+    hexstr = F.lit("89504E470D0A1A0A00000000")
+    for i, hx in enumerate(_PQ_CASES):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    blobs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return parquet_structure(blobs).select(
+        "doc_id", "fmt", "file_bytes", "tail_magic_ok", "footer_bytes",
+        "complete"
+    )
+
+
 def q_pipeline_image_harvest(spark, sf_dir):
     """Composed image+caption harvest in ONE plan — the integration
     statement for this graft cell's axis B: HTML pages →
@@ -7220,6 +7278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_structure": q_wav_structure,
         "mp3_structure": q_mp3_structure,
         "tar_structure": q_tar_structure,
+        "zstd_structure": q_zstd_structure,
+        "parquet_structure": q_parquet_structure,
         "webdataset_manifest": q_webdataset_manifest,
         "pipeline_image_harvest": q_pipeline_image_harvest,
         "host_language_profile": q_host_language_profile,
@@ -7635,6 +7695,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "wav_structure": _wav_structure_oracle(),
         "mp3_structure": _mp3_structure_oracle(),
         "tar_structure": _tar_structure_oracle(),
+        "zstd_structure": _zstd_structure_oracle(),
+        "parquet_structure": _parquet_structure_oracle(),
         "webdataset_manifest": _wds_manifest_oracle(),
         "pipeline_image_harvest": _image_harvest_oracle(),
         "host_language_profile": _host_lang_profile_oracle(),
@@ -9213,6 +9275,46 @@ def _tar_structure_oracle() -> str:
         FROM documents
     ) tar_src"""
     return tar_structure_sql(src)
+
+
+def _zstd_structure_oracle() -> str:
+    """DuckDB replay of q_zstd_structure."""
+    from dblp_crawler_spark.operators.sniff import (
+        sniff_case_sql,
+        zstd_structure_sql,
+    )
+
+    whens = " ".join(f"WHEN {i} THEN '{hx}'"
+                     for i, hx in enumerate(_ZSTD_CASES))
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 5 {whens}
+                 ELSE '89504E470D0A1A0A00000000' END AS h
+        FROM documents
+    ) zs_src"""
+    staged = (f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt"
+              f" FROM {src})")
+    return zstd_structure_sql(staged)
+
+
+def _parquet_structure_oracle() -> str:
+    """DuckDB replay of q_parquet_structure."""
+    from dblp_crawler_spark.operators.sniff import (
+        parquet_structure_sql,
+        sniff_case_sql,
+    )
+
+    whens = " ".join(f"WHEN {i} THEN '{hx}'"
+                     for i, hx in enumerate(_PQ_CASES))
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 4 {whens}
+                 ELSE '89504E470D0A1A0A00000000' END AS h
+        FROM documents
+    ) pq_src"""
+    staged = (f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt"
+              f" FROM {src})")
+    return parquet_structure_sql(staged)
 
 
 def _wds_manifest_oracle() -> str:

@@ -41,6 +41,8 @@ MAGIC_TABLE: list[tuple[str, list[tuple[int, str]]]] = [
     ("gzip", [(1, "1F8B")]),
     ("zip", [(1, "504B0304")]),
     ("mp3", [(1, "494433")]),                  # ID3 tag
+    ("zstd", [(1, "28B52FFD")]),               # zstd frame (RFC 8878)
+    ("parquet", [(1, "50415231")]),            # 'PAR1'
     ("mp4", [(9, "66747970")]),                # 'ftyp' at byte 4
     ("tiff", [(1, "49492A00")]),               # II*\0 (little-endian)
     ("tiff", [(1, "4D4D002A")]),               # MM\0* (big-endian)
@@ -4138,3 +4140,191 @@ def tar_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h") -> str:
     union = " UNION ALL ".join(f"SELECT * FROM ({a.strip()}) u{i}"
                                for i, a in enumerate(arms))
     return "WITH " + ", ".join(ctes) + " " + union
+
+
+# ---- zstd frame header (RFC 8878) -------------------------------------------------
+#
+# Zstandard is the compression of modern data releases (.tar.zst
+# shards, zstd-parquet, zstd WARCs), and its frame header declares
+# exactly what a pipeline wants to know before spending a decode:
+# the DECOMPRESSED content size (costing), the dictionary id (a
+# frame compressed against a dictionary is undecodable without it —
+# a real failure mode for shared-dictionary WARC archives), the
+# window log (decoder memory budget), and whether a content
+# checksum trails the frame. All in the first ≤ 18 bytes.
+
+def zstd_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, single_segment, has_checksum, window_log, dict_id,
+    content_size) from the zstd frame header. content_size is NULL
+    when the frame doesn't declare it (fcs flag 0 without the
+    single-segment shortcut); dict_id NULL when undeclared;
+    window_log NULL in single-segment frames (the content size IS
+    the window). The 2-byte fcs format's +256 bias is applied per
+    spec."""
+    staged = df.withColumns(
+        {
+            "__zx": F.hex(F.substring(F.col(bytes_col), 1, 20)),
+            "fmt": sniffed_type(F.col(bytes_col)),
+        }
+    )
+    hx = F.col("__zx")
+    is_z = F.col("fmt") == "zstd"
+    fhd = F.when(is_z, _hex2long(hx, F.lit(9), 2))
+    s1 = staged.withColumn("__fhd", fhd)
+    fhd = F.col("__fhd")
+    fcs_flag = _bits(fhd, 6, 3)
+    ss = _bits(fhd, 5, 1) == 1
+    did_flag = _bits(fhd, 0, 3)
+    did_bytes = F.when(did_flag == 3, F.lit(4)).otherwise(did_flag)
+    wd_bytes = F.when(ss, F.lit(0)).otherwise(F.lit(1))
+    fcs_bytes = (
+        F.when(fcs_flag == 0, F.when(ss, F.lit(1)).otherwise(F.lit(0)))
+        .when(fcs_flag == 1, F.lit(2))
+        .when(fcs_flag == 2, F.lit(4))
+        .otherwise(F.lit(8))
+    )
+    wd_pos = F.lit(11)
+    did_pos = wd_pos + 2 * wd_bytes
+    fcs_pos = did_pos + 2 * did_bytes
+    wd = _hex2long(hx, wd_pos, 2)
+    s2 = s1.withColumns(
+        {
+            "single_segment": F.when(fhd.isNotNull(), ss),
+            "has_checksum": F.when(fhd.isNotNull(), _bits(fhd, 2, 1) == 1),
+            "window_log": F.when(
+                fhd.isNotNull() & ~ss, (F.lit(10) + _bits(wd, 3, 31))
+            ).cast("int"),
+            "dict_id": F.when(did_bytes > 0, _le_col(hx, did_pos, did_bytes)),
+            "content_size": F.when(
+                fcs_bytes > 0,
+                _le_col(hx, fcs_pos, fcs_bytes)
+                + F.when(fcs_bytes == 2, F.lit(256)).otherwise(F.lit(0)),
+            ),
+        }
+    )
+    return s2.drop("__zx", "__fhd")
+
+
+def _le_col(hx: Column, pos: Column, n_bytes: Column) -> Column:
+    """Little-endian read whose LENGTH is itself a column (bounded
+    8 bytes) — a when-chain over the possible widths."""
+    out = F.lit(None).cast("long")
+    for n in (1, 2, 4, 8):
+        out = F.when(n_bytes == n, _le(hx, pos, n)).otherwise(out)
+    return out
+
+
+def zstd_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                       fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`zstd_structure`."""
+    def le_var(pos: str, n: str) -> str:
+        arms = " ".join(
+            f"WHEN {w} THEN {_le_sql_var('h', pos, w)}" for w in (1, 2, 4, 8)
+        )
+        return f"CASE {n} {arms} END"
+
+    return f"""
+        WITH zs0 AS (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CASE WHEN {fmt_col} = 'zstd' THEN
+                   TRY_CAST(concat('0x', substring({h_col}, 9, 2)) AS BIGINT)
+                 END AS fhd
+          FROM {src}
+        ), zs1 AS (
+          SELECT *, (fhd // 64) % 4 AS fcs_flag,
+                 (fhd // 32) % 2 = 1 AS ss,
+                 (fhd // 4) % 2 = 1 AS cks,
+                 CASE WHEN fhd % 4 = 3 THEN 4 ELSE fhd % 4 END AS did_bytes
+          FROM zs0
+        ), zs2 AS (
+          SELECT *, CASE WHEN ss THEN 0 ELSE 1 END AS wd_bytes,
+                 CASE fcs_flag WHEN 0 THEN CASE WHEN ss THEN 1 ELSE 0 END
+                      WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS fcs_bytes
+          FROM zs1
+        ), zs3 AS (
+          SELECT *, 11 + 2 * wd_bytes AS did_pos FROM zs2
+        ), zs4 AS (
+          SELECT *, did_pos + 2 * did_bytes AS fcs_pos FROM zs3
+        )
+        SELECT {keep}, fmt,
+               CASE WHEN fhd IS NOT NULL THEN ss END AS single_segment,
+               CASE WHEN fhd IS NOT NULL THEN cks END AS has_checksum,
+               CAST(CASE WHEN fhd IS NOT NULL AND NOT ss THEN
+                 10 + (TRY_CAST(concat('0x', substring(h, 11, 2)) AS BIGINT)
+                       // 8) % 32 END AS INT) AS window_log,
+               CASE WHEN did_bytes > 0
+                 THEN {le_var('did_pos', 'did_bytes')} END AS dict_id,
+               CASE WHEN fcs_bytes > 0
+                 THEN {le_var('fcs_pos', 'fcs_bytes')}
+                      + CASE WHEN fcs_bytes = 2 THEN 256 ELSE 0 END
+               END AS content_size
+        FROM zs4
+    """
+
+
+# ---- parquet file audit -----------------------------------------------------------
+#
+# The lakehouse's own file format, auditable decode-free: 'PAR1' at
+# both ends (a missing tail magic is a torn upload — the object-
+# store failure payload_complete catches for images), and the LE32
+# at end-8 declaring the thrift footer's length. footer_bytes vs
+# file size bounds metadata bloat (tiny files with huge footers are
+# the small-file problem made visible in one projection).
+
+def parquet_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, file_bytes, tail_magic_ok, footer_bytes, complete)
+    from the head and the LAST 8 bytes only."""
+    b = F.col(bytes_col)
+    nbytes = F.octet_length(b).cast("long")
+    tail = F.hex(b.substr(F.greatest(nbytes - F.lit(7), F.lit(1)).cast("int"),
+                          F.lit(8)))
+    staged = df.withColumns(
+        {
+            "fmt": sniffed_type(b),
+            "file_bytes": nbytes,
+            "__pt": tail,
+        }
+    )
+    is_pq = F.col("fmt") == "parquet"
+    tail_ok = F.col("__pt").endswith("50415231")
+    footer = _le(F.col("__pt"), F.lit(1), 4)
+    s = staged.withColumns(
+        {
+            "tail_magic_ok": F.when(is_pq, tail_ok),
+            "footer_bytes": F.when(is_pq & tail_ok, footer),
+        }
+    )
+    return s.withColumn(
+        "complete",
+        F.when(
+            is_pq,
+            tail_ok & (F.col("footer_bytes") + F.lit(12) <= F.col("file_bytes")),
+        ),
+    ).drop("__pt")
+
+
+def parquet_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                          fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`parquet_structure` over the FULL
+    payload hex (oracle fixtures are small; the tail window is the
+    last 16 hex chars)."""
+    tail = f"substring({h_col}, greatest(strlen({h_col}) - 15, 1), 16)"
+    return f"""
+        WITH pq0 AS (
+          SELECT {keep}, {fmt_col} AS fmt,
+                 CAST(strlen({h_col}) // 2 AS BIGINT) AS file_bytes,
+                 {tail} AS pt
+          FROM {src}
+        ), pq1 AS (
+          SELECT *, CASE WHEN fmt = 'parquet'
+                   THEN ends_with(pt, '50415231') END AS tail_magic_ok,
+                 CASE WHEN fmt = 'parquet' AND ends_with(pt, '50415231')
+                   THEN {_le_sql_var('pt', '1', 4)} END AS footer_bytes
+          FROM pq0
+        )
+        SELECT {keep}, fmt, file_bytes, tail_magic_ok, footer_bytes,
+               CASE WHEN fmt = 'parquet' THEN
+                 COALESCE(tail_magic_ok, false)
+                 AND footer_bytes + 12 <= file_bytes END AS complete
+        FROM pq1
+    """
