@@ -1195,6 +1195,73 @@ def q_hls_variants(spark, sf_dir):
     return hls_variants(_hls_files(spark, sf_dir))
 
 
+def q_pipeline_av_discovery(spark, sf_dir):
+    """Composed audio/video discovery in ONE plan — the AV-axis
+    integration statement, sibling of pipeline_image_discovery:
+    video-sitemap declarations (sitemap_videos) equi-joined to the
+    fetched playlist store keyed by the declared URL, routed by
+    hls_playlist (master / VOD / live / missing), and rolled up per
+    host: how much of the declared inventory is fetchable VOD, how
+    many declared minutes of content the host really offers. Every
+    stage is an oracled operator; the replay chains the same
+    fragments. Planted: every third declaration has no fetched
+    playlist (coverage gap), the rest cycle master/VOD/live."""
+    from dblp_crawler_spark.sources.hls import hls_playlist
+    from dblp_crawler_spark.sources.webparse import sitemap_videos
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    hh = (F.col("doc_id") % 10).cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://h"), hh, F.lit(".org/w/"), d,
+        F.lit("</loc><video:video><video:content_loc>https://cdn"), hh,
+        F.lit(".net/v/"), d,
+        F.lit(".m3u8</video:content_loc><video:title>Clip "), d,
+        F.lit("</video:title></video:video></url></urlset>"),
+    )
+    sm_pages = docs.select(
+        F.concat(F.lit("h"), hh, F.lit(".org")).alias("host"),
+        xml.alias("sitemap_xml"))
+    declared = sitemap_videos(sm_pages)
+
+    m = F.col("doc_id") % 3
+    m3u8 = (
+        F.when(m == 1, F.concat(F.lit(_HLS_VOD_PRE), d,
+                                F.lit(_HLS_VOD_MID), d,
+                                F.lit(_HLS_VOD_POST)))
+        .when(F.col("doc_id") % 2 == 0,
+              F.concat(F.lit(_HLS_MASTER_PRE), d,
+                       F.lit(_HLS_MASTER_MID), d,
+                       F.lit(_HLS_MASTER_POST)))
+        .otherwise(F.concat(F.lit(_HLS_LIVE_PRE), d,
+                            F.lit(_HLS_LIVE_POST)))
+    )
+    store = docs.where(m != 0).select(
+        F.concat(F.lit("https://cdn"), hh, F.lit(".net/v/"), d,
+                 F.lit(".m3u8")).alias("url"),
+        m3u8.alias("m3u8"),
+    )
+    routed = hls_playlist(store)
+    j = declared.join(
+        routed, declared["video_url"] == routed["url"], "left"
+    )
+    return j.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_declared"),
+        F.count("kind").alias("n_fetched"),
+        F.sum(F.when((F.col("kind") == "media") & ~F.col("live"), 1)
+              .otherwise(0)).alias("n_vod"),
+        F.sum(F.when(F.coalesce(F.col("live"), F.lit(False)), 1)
+              .otherwise(0)).alias("n_live"),
+        F.sum(F.when(F.col("kind") == "master", 1).otherwise(0))
+        .alias("n_master"),
+        F.coalesce(
+            F.sum(F.when((F.col("kind") == "media") & ~F.col("live"),
+                         F.col("total_duration_ms")).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("vod_duration_ms"),
+    )
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join: each click attributes to the user's most recent
     strictly-preceding view (running last-ignorenulls window — one
@@ -7309,6 +7376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hls_segments": q_hls_segments,
         "hls_playlist": q_hls_playlist,
         "hls_variants": q_hls_variants,
+        "pipeline_av_discovery": q_pipeline_av_discovery,
         "html_text_extract": q_html_text_extract,
         "lm_bits_score": q_lm_bits_score,
         "text_classifier_gate": q_text_classifier_gate,
@@ -7726,6 +7794,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "hls_segments": _hls_oracle("segments"),
         "hls_playlist": _hls_oracle("playlist"),
         "hls_variants": _hls_oracle("variants"),
+        "pipeline_av_discovery": _av_discovery_oracle(),
         "html_text_extract": _html_text_oracle(),
         "semdedup_drop_list": _semdedup_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
@@ -8404,6 +8473,61 @@ def _hls_oracle(which: str) -> str:
     fn = {"segments": hls_segments_sql, "playlist": hls_playlist_sql,
           "variants": hls_variants_sql}[which]
     return fn(src)
+
+
+def _av_discovery_oracle() -> str:
+    """DuckDB replay of q_pipeline_av_discovery — chains
+    sitemap_videos_sql + hls_playlist_sql + the same left join and
+    per-host rollup."""
+    from dblp_crawler_spark.sources.hls import hls_playlist_sql
+    from dblp_crawler_spark.sources.webparse import sitemap_videos_sql
+
+    d = "CAST(doc_id AS VARCHAR)"
+    hh = "CAST(doc_id % 10 AS VARCHAR)"
+    sm_src = f"""(
+        SELECT 'h' || {hh} || '.org' AS host,
+               '<urlset><url><loc>https://h' || {hh} || '.org/w/' || {d}
+               || '</loc><video:video><video:content_loc>https://cdn' || {hh}
+               || '.net/v/' || {d}
+               || '.m3u8</video:content_loc><video:title>Clip ' || {d}
+               || '</video:title></video:video></url></urlset>'
+                 AS sitemap_xml
+        FROM documents
+    )"""
+    m3u8 = (
+        f"CASE WHEN doc_id % 3 = 1 THEN {_sql_str(_HLS_VOD_PRE)} || {d}"
+        f" || {_sql_str(_HLS_VOD_MID)} || {d} || {_sql_str(_HLS_VOD_POST)}"
+        f" WHEN doc_id % 2 = 0 THEN {_sql_str(_HLS_MASTER_PRE)} || {d}"
+        f" || {_sql_str(_HLS_MASTER_MID)} || {d}"
+        f" || {_sql_str(_HLS_MASTER_POST)}"
+        f" ELSE {_sql_str(_HLS_LIVE_PRE)} || {d}"
+        f" || {_sql_str(_HLS_LIVE_POST)} END"
+    )
+    store = f"""(
+        SELECT 'https://cdn' || {hh} || '.net/v/' || {d} || '.m3u8' AS url,
+               {m3u8} AS m3u8
+        FROM documents WHERE doc_id % 3 <> 0
+    )"""
+    declared = sitemap_videos_sql(sm_src)
+    routed = hls_playlist_sql(store)
+    return f"""
+        WITH avd_d AS ({declared}), avd_r AS ({routed}), avd_j AS (
+          SELECT d.host, r.kind, r.live, r.total_duration_ms
+          FROM avd_d d LEFT JOIN avd_r r ON d.video_url = r.url
+        )
+        SELECT host, COUNT(*) AS n_declared,
+               COUNT(kind) AS n_fetched,
+               CAST(SUM(CASE WHEN kind = 'media' AND NOT live
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_vod,
+               CAST(SUM(CASE WHEN COALESCE(live, false)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+               CAST(SUM(CASE WHEN kind = 'master' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_master,
+               CAST(COALESCE(SUM(CASE WHEN kind = 'media' AND NOT live
+                    THEN total_duration_ms ELSE 0 END), 0) AS BIGINT)
+                 AS vod_duration_ms
+        FROM avd_j GROUP BY host
+    """
 
 
 def _webvtt_cues_oracle() -> str:
