@@ -4309,6 +4309,56 @@ def q_parquet_structure(spark, sf_dir):
     )
 
 
+def _id3_fixture_hex() -> tuple[str, str]:
+    """Deterministic ID3v2.3 and v2.4 tag hex (title/artist text
+    frames + one binary APIC the walk must hop), shared by the Spark
+    entry and its oracle."""
+    def ss4(n):
+        return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F]).hex().upper()
+
+    def frame(fid, payload_hex, v24):
+        size = len(payload_hex) // 2
+        sz = ss4(size) if v24 else f"{size:08X}"
+        return fid.encode().hex().upper() + sz + "0000" + payload_hex
+
+    def txt(s, enc="00"):
+        return enc + s.encode().hex().upper()
+
+    f23 = (frame("TIT2", txt("Track Title") + "00", False)
+           + frame("APIC", "AA" * 5, False)
+           + frame("TPE1", txt("Some Artist"), False))
+    v23 = "4944330300" + "00" + ss4(len(f23) // 2) + f23 + "00" * 6
+    f24 = (frame("TIT2", txt("Episode Título", enc="03"), True)
+           + frame("TALB", txt("Show", enc="03"), True))
+    v24 = "4944330400" + "00" + ss4(len(f24) // 2) + f24 + "00" * 6
+    return v23, v24
+
+
+_ID3_V23_HEX, _ID3_V24_HEX = _id3_fixture_hex()
+
+
+def q_id3_text_frames(spark, sf_dir):
+    """ID3v2 text frames (sniff.id3_text_frames): the caption
+    channel for AUDIO — TIT2/TPE1/TALB are editorial text already
+    attached to the payload, no ASR needed (the audio analog of img
+    alt). Frame sizes are BE32 in v2.3 but SYNCSAFE in v2.4 (the
+    classic cross-version bug — planted both); latin-1 and UTF-8
+    payloads decode behind printable / structural-UTF-8 validation,
+    UTF-16 NULL-absorbs; binary APIC frames hop without emitting."""
+    from dblp_crawler_spark.operators.sniff import id3_text_frames
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 3
+    hexstr = (
+        F.when(m == 0, F.lit(_ID3_V23_HEX))
+        .when(m == 1, F.lit(_ID3_V24_HEX))
+        .otherwise(F.lit("89504E470D0A1A0A"))
+    )
+    blobs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return id3_text_frames(blobs)
+
+
 def q_pipeline_image_harvest(spark, sf_dir):
     """Composed image+caption harvest in ONE plan — the integration
     statement for this graft cell's axis B: HTML pages →
@@ -7344,6 +7394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gzip_structure": q_gzip_structure,
         "wav_structure": q_wav_structure,
         "mp3_structure": q_mp3_structure,
+        "id3_text_frames": q_id3_text_frames,
         "tar_structure": q_tar_structure,
         "zstd_structure": q_zstd_structure,
         "parquet_structure": q_parquet_structure,
@@ -7762,6 +7813,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "gzip_structure": _gzip_structure_oracle(),
         "wav_structure": _wav_structure_oracle(),
         "mp3_structure": _mp3_structure_oracle(),
+        "id3_text_frames": _id3_frames_oracle(),
         "tar_structure": _tar_structure_oracle(),
         "zstd_structure": _zstd_structure_oracle(),
         "parquet_structure": _parquet_structure_oracle(),
@@ -9384,6 +9436,25 @@ def _mp3_structure_oracle() -> str:
     staged = (f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt"
               f" FROM {src} m3_src)")
     return mp3_structure_sql(staged)
+
+
+def _id3_frames_oracle() -> str:
+    """DuckDB replay of q_id3_text_frames."""
+    from dblp_crawler_spark.operators.sniff import (
+        id3_text_frames_sql,
+        sniff_case_sql,
+    )
+
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN '{_ID3_V23_HEX}'
+                 WHEN 1 THEN '{_ID3_V24_HEX}'
+                 ELSE '89504E470D0A1A0A' END AS h
+        FROM documents
+    ) id3_src"""
+    staged = (f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt"
+              f" FROM {src})")
+    return id3_text_frames_sql(staged)
 
 
 def _tar_structure_oracle() -> str:

@@ -4328,3 +4328,172 @@ def parquet_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
                  AND footer_bytes + 12 <= file_bytes END AS complete
         FROM pq1
     """
+
+
+# ---- ID3v2 text frames (audio captions) -------------------------------------------
+#
+# The text a podcast/music corpus pairs with its audio lives in the
+# ID3v2 tag's T-frames — TIT2 (title), TPE1 (artist), TALB (album),
+# and friends — the audio analog of <img alt>: editorial text,
+# already attached, no ASR needed. Frames walk like tar members:
+# 4-char ASCII id, a size that is BE32 in v2.3 but SYNCSAFE in v2.4
+# (the classic cross-version bug — a v2.4 tag read with v2.3 sizes
+# walks into garbage), 2 flag bytes, then the payload whose first
+# byte names the text encoding (0 latin1, 3 utf-8 → decoded;
+# 1/2 UTF-16 → NULL-absorbed, documented). The walk parks at the
+# padding (zero bytes fail the id grammar) or at anything that is
+# not a frame id — including the first MPEG audio byte.
+
+ID3_MAX_FRAMES = 8
+_ID3_FID_RE = "^(?:3[0-9]|4[1-9A-F]|5[0-9A]){4}$"
+#: structural UTF-8 over hex pairs: printable ASCII or complete
+#: 2/3/4-byte sequences (whole code points per alternative, so the
+#: match is unambiguous); lone continuation bytes and C0/C1 overlongs
+#: fail. Latin-1 payloads (enc 0) validate ASCII-printable only —
+#: a 0xE9 'é' in latin-1 is NOT valid UTF-8 and decode() would
+#: mangle it, so such rows NULL-absorb (documented).
+_UTF8_HEX_RE = ("^(?:2[0-9A-F]|[3-6][0-9A-F]|7[0-9A-E]"
+                "|(?:C[2-9A-F]|D[0-9A-F])[89AB][0-9A-F]"
+                "|E[0-9A-F](?:[89AB][0-9A-F]){2}"
+                "|F[0-7](?:[89AB][0-9A-F]){3})+$")
+
+
+def _id3_syncsafe(hx: Column, pos: Column) -> Column:
+    v = None
+    for i in range(4):
+        d = _hex2long(hx, pos + F.lit(2 * i), 2) % 128
+        v = d if v is None else v * F.lit(128) + d
+    return v
+
+
+def id3_text_frames(df: DataFrame, bytes_col: str = "bytes",
+                    keep: list[str] | None = None) -> DataFrame:
+    """One row per ID3v2 TEXT frame: (keep..., frame_idx, frame_id,
+    text) — only latin-1/UTF-8 payloads decode (printable-validated,
+    trailing NULs trimmed); non-mp3 rows and non-T frames contribute
+    nothing."""
+    keep = list(keep or ["doc_id"])
+    staged = df.select(
+        *keep,
+        F.hex(F.substring(F.col(bytes_col), 1, MP3_WINDOW_BYTES)).alias("__ix"),
+        sniffed_type(F.col(bytes_col)).alias("__fmt"),
+    )
+    hx = F.col("__ix")
+    v24 = _hex2long(hx, F.lit(7), 2) == 4
+
+    def fsize(pos):
+        return F.when(v24, _id3_syncsafe(hx, pos + F.lit(8))).otherwise(
+            _be(hx, pos + F.lit(8)))
+
+    def hop(acc, _i):
+        pos = acc["pos"]
+        fid = hx.substr(pos, F.lit(8))
+        size = fsize(pos)
+        valid = fid.rlike(_ID3_FID_RE) & size.isNotNull() & (size > 0)
+        nxt = F.when(valid, pos + F.lit(20) + F.lit(2) * size).otherwise(pos)
+        frames = F.when(
+            valid, F.concat(acc["frames"], F.array(pos))
+        ).otherwise(acc["frames"])
+        return F.struct(nxt.alias("pos"), frames.alias("frames"))
+
+    acc0 = F.struct(
+        F.lit(21).cast("long").alias("pos"),   # byte 10: first frame
+        F.array().cast("array<long>").alias("frames"),
+    )
+    walk = F.when(
+        F.col("__fmt") == "mp3",
+        F.aggregate(F.sequence(F.lit(1), F.lit(ID3_MAX_FRAMES)), acc0, hop)["frames"],
+    ).otherwise(F.array().cast("array<long>"))
+    rows = staged.select(
+        *keep, "__ix", F.posexplode(walk).alias("frame_idx", "__fp")
+    )
+    p = F.col("__fp")
+    fid_txt = F.decode(F.unhex(hx.substr(p, F.lit(8))), "UTF-8")
+    size = F.when(v24, _id3_syncsafe(hx, p + F.lit(8))).otherwise(
+        _be(hx, p + F.lit(8)))
+    enc = _hex2long(hx, p + F.lit(20), 2)
+    body = F.regexp_replace(
+        hx.substr(p + F.lit(22), (F.lit(2) * (size - F.lit(1))).cast("int")),
+        "(?:00)+$", "")
+    text = F.when(
+        (body != "")
+        & (
+            ((enc == 0) & body.rlike(_PRINTABLE_HEX_RE))
+            | ((enc == 3) & body.rlike(_UTF8_HEX_RE))
+        ),
+        F.decode(F.unhex(body), "UTF-8"),
+    )
+    return rows.where(fid_txt.startswith("T")).select(
+        *keep,
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        fid_txt.alias("frame_id"),
+        text.alias("text"),
+    )
+
+
+def _be(hx: Column, pos: Column) -> Column:
+    return _hex2long(hx, pos, 8)
+
+
+def id3_text_frames_sql(src: str, keep: str = "doc_id",
+                        h_col: str = "h", fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`id3_text_frames` — MATERIALIZED hop
+    CTEs (the tar_structure lesson: stop both the per-hop size
+    expression inlining and the union arms re-inlining the chain)."""
+    v24 = "TRY_CAST(concat('0x', substring(h, 7, 2)) AS BIGINT) = 4"
+
+    def syncsafe(pos: str) -> str:
+        terms = [
+            f"(TRY_CAST(concat('0x', substring(h, ({pos}) + {2 * i}, 2))"
+            f" AS BIGINT) % 128) * {128 ** (3 - i)}"
+            for i in range(4)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    def fsize(pos: str) -> str:
+        return (f"CASE WHEN {v24} THEN {syncsafe(f'({pos}) + 8')}"
+                f" ELSE TRY_CAST(concat('0x', substring(h, ({pos}) + 8, 8))"
+                f" AS BIGINT) END")
+
+    ctes = [f"""id0 AS MATERIALIZED (
+          SELECT {keep}, {h_col} AS h, {fmt_col} AS fmt,
+                 CAST(21 AS BIGINT) AS pos,
+                 {", ".join(f"CAST(NULL AS BIGINT) AS f{j + 1}"
+                            for j in range(ID3_MAX_FRAMES))}
+          FROM {src}
+        )"""]
+    for k in range(ID3_MAX_FRAMES):
+        valid = (f"fmt = 'mp3' AND regexp_matches(substring(h, pos, 8),"
+                 f" '{_ID3_FID_RE}') AND sz IS NOT NULL AND sz > 0")
+        carries = ", ".join(
+            f"f{j + 1}" for j in range(ID3_MAX_FRAMES) if j != k
+        )
+        ctes.append(f"""id{k + 1} AS MATERIALIZED (
+          SELECT {keep}, h, fmt,
+                 CASE WHEN {valid} THEN pos + 20 + 2 * sz ELSE pos END AS pos,
+                 CASE WHEN {valid} THEN pos END AS f{k + 1}{"," if carries else ""}
+                 {carries}
+          FROM (SELECT *, {fsize('pos')} AS sz FROM id{k}) id{k}s)""")
+    last = f"id{ID3_MAX_FRAMES}"
+    arms = []
+    for k in range(ID3_MAX_FRAMES):
+        p = f"f{k + 1}"
+        body = (f"regexp_replace(substring(h, {p} + 22,"
+                f" CAST(2 * ({fsize(p)} - 1) AS INT)), '(?:00)+$', '')")
+        arms.append(f"""
+        SELECT {keep}, CAST({k} AS INT) AS frame_idx,
+               decode(unhex(substring(h, {p}, 8))) AS frame_id,
+               CASE WHEN {body} <> '' AND (
+                      (TRY_CAST(concat('0x', substring(h, {p} + 20, 2))
+                         AS BIGINT) = 0
+                       AND regexp_matches({body}, '{_PRINTABLE_HEX_RE}'))
+                      OR
+                      (TRY_CAST(concat('0x', substring(h, {p} + 20, 2))
+                         AS BIGINT) = 3
+                       AND regexp_matches({body}, '{_UTF8_HEX_RE}')))
+                    THEN decode(unhex({body})) END AS text
+        FROM {last} WHERE {p} IS NOT NULL
+          AND starts_with(decode(unhex(substring(h, {p}, 8))), 'T')""")
+    union = " UNION ALL ".join(f"SELECT * FROM ({a.strip()}) v{i}"
+                               for i, a in enumerate(arms))
+    return "WITH " + ", ".join(ctes) + " " + union

@@ -175,3 +175,78 @@ def test_mp3_structure_duckdb_replay(spark):
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
     )
+
+
+# ---- ID3v2 text frames ------------------------------------------------------
+
+def _ss4(n):
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F]).hex().upper()
+
+
+def _frame23(fid, payload_hex):
+    size = len(payload_hex) // 2
+    return fid.encode().hex().upper() + f"{size:08X}" + "0000" + payload_hex
+
+
+def _frame24(fid, payload_hex):
+    size = len(payload_hex) // 2
+    return fid.encode().hex().upper() + _ss4(size) + "0000" + payload_hex
+
+
+def _txt(s, enc="00"):
+    return enc + s.encode().hex().upper()
+
+
+def _id3_cases():
+    v23_frames = (_frame23("TIT2", _txt("My Title") + "00")
+                  + _frame23("APIC", "AA" * 6)
+                  + _frame23("TPE1", _txt("Artist")))
+    v23 = "4944330300" + "00" + _ss4(len(v23_frames) // 2) + v23_frames
+    v24_frames = (_frame24("TIT2", _txt("Tïtle", enc="03"))
+                  + _frame24("TALB", "01" + "FFFE" + "4100"))  # UTF-16 → NULL
+    v24 = "4944330400" + "00" + _ss4(len(v24_frames) // 2) + v24_frames
+    return {
+        "v23": v23 + "00" * 8,
+        "v24": v24 + "00" * 8,
+        "empty_tag": "4944330300" + "00" + _ss4(0) + "FFFB9000",
+        "png": "89504E470D0A1A0A" + "00" * 8,
+    }
+
+
+def test_id3_text_frames_pins(spark):
+    from dblp_crawler_spark.operators.sniff import id3_text_frames
+    cases = _id3_cases()
+    df = spark.createDataFrame(list(cases.items()), "doc_id string, hx string")
+    rows = id3_text_frames(
+        df.select("doc_id", F.unhex("hx").alias("bytes"))).collect()
+    got = {(r.doc_id, r.frame_id): r.text for r in rows}
+    assert got[("v23", "TIT2")] == "My Title"     # trailing NUL trimmed
+    assert got[("v23", "TPE1")] == "Artist"
+    assert got[("v24", "TIT2")] == "Tïtle"        # UTF-8, syncsafe size
+    assert got[("v24", "TALB")] is None           # UTF-16 NULL-absorbs
+    assert len(rows) == 4                         # APIC skipped, others none
+
+
+def test_id3_text_frames_duckdb_replay(spark):
+    from dblp_crawler_spark.operators.sniff import (
+        id3_text_frames,
+        id3_text_frames_sql,
+    )
+    cases = _id3_cases()
+    df = spark.createDataFrame(list(cases.items()), "doc_id string, hx string")
+    spark_pdf = (
+        id3_text_frames(df.select("doc_id", F.unhex("hx").alias("bytes")))
+        .toPandas().sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases.items(), columns=["doc_id", "h"]))
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM cases)"
+    duck_pdf = (
+        con.sql(id3_text_frames_sql(staged)).df()
+        .sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
