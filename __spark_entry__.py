@@ -4359,6 +4359,27 @@ def q_id3_text_frames(spark, sf_dir):
     return id3_text_frames(blobs)
 
 
+def q_pipeline_audio_admission(spark, sf_dir):
+    """Composed audio admission (sniff.audio_admission): the audio
+    analog of pipeline_payload_admission — sniff → wav/mp3 header
+    tiers → codec, sample-rate (ASR floor 16 kHz), duration-band
+    and bitrate gates in cheapest-rejection order, ONE projection
+    per tier. The replay joins the same wav/mp3 fragments and
+    applies the identical verdict precedence. Planted: admit rows,
+    telephony-companding rejects, a too-short clip, a fmt-less
+    RIFF, a free-format-bitrate mp3, and non-audio payloads."""
+    from dblp_crawler_spark.operators.sniff import audio_admission
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    all_cases = _WAV_CASES + _MP3_CASES + ["89504E470D0A1A0A"]
+    m = F.col("doc_id") % len(all_cases)
+    hexstr = F.lit("FFD8FFE000000000")
+    for i, hx in enumerate(all_cases):
+        hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
+    blobs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return audio_admission(blobs).select("doc_id", "fmt", "verdict", "admit")
+
+
 def q_pipeline_image_harvest(spark, sf_dir):
     """Composed image+caption harvest in ONE plan — the integration
     statement for this graft cell's axis B: HTML pages →
@@ -7395,6 +7416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_structure": q_wav_structure,
         "mp3_structure": q_mp3_structure,
         "id3_text_frames": q_id3_text_frames,
+        "pipeline_audio_admission": q_pipeline_audio_admission,
         "tar_structure": q_tar_structure,
         "zstd_structure": q_zstd_structure,
         "parquet_structure": q_parquet_structure,
@@ -7814,6 +7836,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "wav_structure": _wav_structure_oracle(),
         "mp3_structure": _mp3_structure_oracle(),
         "id3_text_frames": _id3_frames_oracle(),
+        "pipeline_audio_admission": _audio_admission_oracle(),
         "tar_structure": _tar_structure_oracle(),
         "zstd_structure": _zstd_structure_oracle(),
         "parquet_structure": _parquet_structure_oracle(),
@@ -9455,6 +9478,27 @@ def _id3_frames_oracle() -> str:
     staged = (f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt"
               f" FROM {src})")
     return id3_text_frames_sql(staged)
+
+
+def _audio_admission_oracle() -> str:
+    """DuckDB replay of q_pipeline_audio_admission."""
+    from dblp_crawler_spark.operators.sniff import (
+        audio_admission_sql,
+        sniff_case_sql,
+    )
+
+    all_cases = _WAV_CASES + _MP3_CASES + ["89504E470D0A1A0A"]
+    whens = " ".join(f"WHEN {i} THEN '{hx}'"
+                     for i, hx in enumerate(all_cases))
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % {len(all_cases)} {whens}
+                 ELSE 'FFD8FFE000000000' END AS h
+        FROM documents
+    ) aa_src"""
+    staged = (f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt"
+              f" FROM {src})")
+    return audio_admission_sql(staged)
 
 
 def _tar_structure_oracle() -> str:

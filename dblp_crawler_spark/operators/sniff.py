@@ -4497,3 +4497,99 @@ def id3_text_frames_sql(src: str, keep: str = "doc_id",
     union = " UNION ALL ".join(f"SELECT * FROM ({a.strip()}) v{i}"
                                for i, a in enumerate(arms))
     return "WITH " + ", ".join(ctes) + " " + union
+
+
+# ---- composed audio admission ----------------------------------------------------
+#
+# The audio-store admission verdict, the audio analog of
+# payload_admission: magic sniff (is it audio at all) → container
+# structure (is the codec decodable, is the stream described) →
+# quality gates (sample rate floor for ASR, duration band, bitrate
+# floor). Cheapest-rejection precedence, physically ONE projection
+# per tier over the same header bytes.
+
+AUDIO_MIN_SAMPLE_RATE = 16000     # ASR models' common floor
+AUDIO_MIN_MS = 1000
+AUDIO_MAX_MS = 4 * 3600 * 1000
+AUDIO_MIN_KBPS = 32
+_WAV_ADMIT_CODECS = ("pcm", "ieee_float")
+
+
+def audio_admission(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, verdict, admit): route each payload through the
+    wav/mp3 header tiers and gate on codec, sample rate, duration
+    and bitrate. Verdicts: not_audio / no_fmt_chunk /
+    codec_unsupported / low_sample_rate / no_duration / too_short /
+    too_long (wav); no_sync / unknown_bitrate / low_bitrate /
+    low_sample_rate (mp3); admit."""
+    w = wav_structure(df, bytes_col).withColumnsRenamed(
+        {"sample_rate": "wav_sr", "codec": "wav_codec",
+         "duration_ms": "wav_ms"}
+    ).drop("channels", "bits_per_sample", "data_bytes", "fmt")
+    m = mp3_structure(w, bytes_col).withColumnsRenamed(
+        {"sample_rate": "mp3_sr"}
+    )
+    wav_verdict = (
+        F.when(F.col("wav_codec").isNull(), "no_fmt_chunk")
+        .when(~F.col("wav_codec").isin(*_WAV_ADMIT_CODECS),
+              "codec_unsupported")
+        .when(F.col("wav_sr") < AUDIO_MIN_SAMPLE_RATE, "low_sample_rate")
+        .when(F.col("wav_ms").isNull(), "no_duration")
+        .when(F.col("wav_ms") < AUDIO_MIN_MS, "too_short")
+        .when(F.col("wav_ms") > AUDIO_MAX_MS, "too_long")
+        .otherwise("admit")
+    )
+    mp3_verdict = (
+        F.when(F.col("mpeg_version").isNull(), "no_sync")
+        .when(F.col("bitrate_kbps").isNull(), "unknown_bitrate")
+        .when(F.col("bitrate_kbps") < AUDIO_MIN_KBPS, "low_bitrate")
+        .when(F.col("mp3_sr") < AUDIO_MIN_SAMPLE_RATE, "low_sample_rate")
+        .otherwise("admit")
+    )
+    verdict = (
+        F.when(F.col("fmt") == "wav", wav_verdict)
+        .when(F.col("fmt") == "mp3", mp3_verdict)
+        .otherwise("not_audio")
+    )
+    return m.withColumns(
+        {"verdict": verdict, "admit": verdict == "admit"}
+    )
+
+
+def audio_admission_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                        fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`audio_admission` — the wav and mp3
+    fragments joined on `keep` (both are per-row projections of the
+    same staged relation), same verdict precedence."""
+    wavf = wav_structure_sql(src, keep, h_col, fmt_col)
+    mp3f = mp3_structure_sql(src, keep, h_col, fmt_col)
+    codecs = ", ".join(f"'{c}'" for c in _WAV_ADMIT_CODECS)
+    return f"""
+        WITH aa_w AS ({wavf}), aa_m AS ({mp3f}), aa_j AS (
+          SELECT w.{keep}, w.fmt, w.codec AS wav_codec,
+                 w.sample_rate AS wav_sr, w.duration_ms AS wav_ms,
+                 m.mpeg_version, m.bitrate_kbps, m.sample_rate AS mp3_sr
+          FROM aa_w w JOIN aa_m m USING ({keep})
+        ), aa_v AS (
+          SELECT *,
+            CASE WHEN fmt = 'wav' THEN
+              CASE WHEN wav_codec IS NULL THEN 'no_fmt_chunk'
+                   WHEN wav_codec NOT IN ({codecs}) THEN 'codec_unsupported'
+                   WHEN wav_sr < {AUDIO_MIN_SAMPLE_RATE}
+                     THEN 'low_sample_rate'
+                   WHEN wav_ms IS NULL THEN 'no_duration'
+                   WHEN wav_ms < {AUDIO_MIN_MS} THEN 'too_short'
+                   WHEN wav_ms > {AUDIO_MAX_MS} THEN 'too_long'
+                   ELSE 'admit' END
+            WHEN fmt = 'mp3' THEN
+              CASE WHEN mpeg_version IS NULL THEN 'no_sync'
+                   WHEN bitrate_kbps IS NULL THEN 'unknown_bitrate'
+                   WHEN bitrate_kbps < {AUDIO_MIN_KBPS} THEN 'low_bitrate'
+                   WHEN mp3_sr < {AUDIO_MIN_SAMPLE_RATE}
+                     THEN 'low_sample_rate'
+                   ELSE 'admit' END
+            ELSE 'not_audio' END AS verdict
+          FROM aa_j
+        )
+        SELECT {keep}, fmt, verdict, verdict = 'admit' AS admit FROM aa_v
+    """

@@ -250,3 +250,40 @@ def test_id3_text_frames_duckdb_replay(spark):
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
     )
+
+
+def test_audio_admission(spark):
+    from dblp_crawler_spark.operators.sniff import (
+        audio_admission,
+        audio_admission_sql,
+    )
+    cases = dict(_wav_cases())
+    cases.update(_mp3_cases())
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    out = audio_admission(df.select("name", F.unhex("hx").alias("bytes")))
+    got = {r.name: (r.verdict, r.admit) for r in out.collect()}
+    assert got["pcm_cd"] == ("admit", True)
+    assert got["float_list"] == ("too_short", False)       # 500 ms
+    assert got["mulaw_junk"] == ("codec_unsupported", False)
+    assert got["odd_codec"] == ("codec_unsupported", False)
+    assert got["data_first"] == ("no_fmt_chunk", False)
+    assert got["jpeg"] == ("not_audio", False)
+    assert got["v1_128"] == ("admit", True)
+    assert got["free_br"] == ("unknown_bitrate", False)
+    assert got["no_sync"] == ("no_sync", False)
+    assert got["v25_64"] == ("low_sample_rate", False)     # 11025
+
+    spark_pdf = (
+        out.select("name", "fmt", "verdict", "admit")
+        .toPandas().sort_values("name").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases.items(), columns=["name", "h"]))
+    staged = f"(SELECT name, h, {sniff_case_sql('h')} AS fmt FROM cases)"
+    duck_pdf = (
+        con.sql(audio_admission_sql(staged, keep="name")).df()
+        .sort_values("name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
