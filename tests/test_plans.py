@@ -372,3 +372,74 @@ def test_range_reassembly_single_exchange(spark):
 
     p = plan_of(range_reassembly(df))
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_image_channels_are_map_only(spark):
+    """figure_captions / data_uri_images / lazyload_images /
+    jsonld_images are regexp projections: no Exchange anywhere —
+    page HTML must never shuffle."""
+    from dblp_crawler_spark.sources.webparse import (
+        data_uri_images,
+        figure_captions,
+        jsonld_images,
+        lazyload_images,
+    )
+    pages = spark.createDataFrame(
+        [("https://a.org/p", "<img src='x.jpg'>")], "url string, html string")
+    for fn in (figure_captions, data_uri_images, lazyload_images,
+               jsonld_images):
+        p = plan_of(fn(pages))
+        assert "Exchange" not in p, (fn.__name__, p)
+
+
+def test_caption_election_two_window_exchanges(spark):
+    """The election costs exactly two Exchanges: extract_images'
+    widest-candidate window (url, tag_idx) feeding the alt channel,
+    plus the election window (url, img_url). Nothing else may
+    shuffle — page HTML stays map-side throughout."""
+    import re
+    from dblp_crawler_spark.sources.webparse import caption_election
+
+    pages = spark.createDataFrame(
+        [("https://a.org/p", "<img src='x.jpg' alt='a'>")],
+        "url string, html string")
+    p = plan_of(caption_election(pages))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+    assert "Join" not in p
+
+
+def test_audio_structure_tiers_are_map_only(spark):
+    """wav/mp3/zstd/parquet structure and audio_admission are pure
+    header projections — no Exchange, no join."""
+    from dblp_crawler_spark.operators.sniff import (
+        audio_admission,
+        mp3_structure,
+        parquet_structure,
+        wav_structure,
+        zstd_structure,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a", "FFD8FF")], "doc_id string, hx string")
+    blobs = df.select("doc_id", F.unhex("hx").alias("bytes"))
+    for fn in (wav_structure, mp3_structure, zstd_structure,
+               parquet_structure, audio_admission):
+        p = plan_of(fn(blobs))
+        assert "Exchange" not in p and "Join" not in p, (fn.__name__, p)
+
+
+def test_scene_transcripts_single_join_no_cartesian(spark):
+    """Alignment is ONE equi-join on video_id (never a nested-loop/
+    cartesian) + the grouping agg."""
+    from dblp_crawler_spark.operators.multimodal import (
+        scene_segments,
+        scene_transcripts,
+    )
+    from dblp_crawler_spark.sources.subtitles import webvtt_cues
+
+    frames = spark.createDataFrame(
+        [("v", 0, 1, 0)], "video_id string, frame_idx int, phash long, ts_ms long")
+    files = spark.createDataFrame(
+        [("v", "00:00.000 --> 00:01.000\nhi\n")], "video_id string, vtt string")
+    p = plan_of(scene_transcripts(scene_segments(frames), webvtt_cues(files)))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
