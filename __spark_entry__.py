@@ -1262,6 +1262,85 @@ def q_pipeline_av_discovery(spark, sf_dir):
     )
 
 
+_HLS_LANGS = ["en", "de", "fr", "es"]
+
+
+def q_hls_media_renditions(spark, sf_dir):
+    """HLS alternate renditions (hls.hls_media_renditions): master
+    playlists declare audio tracks and SUBTITLE tracks as
+    EXT-X-MEDIA lines with a LANGUAGE attribute — the discovery
+    channel telling a multilingual corpus which caption languages
+    exist BEFORE fetching anything. Muxed audio (URI-less) yields a
+    NULL rendition_url; subtitle URIs resolve against the master."""
+    from dblp_crawler_spark.sources.hls import hls_media_renditions
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in _HLS_LANGS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    m3u8 = F.concat(
+        F.lit('#EXTM3U\n#EXT-X-MEDIA:TYPE=AUDIO,GROUP-ID="aud",'
+              'NAME="Main",LANGUAGE="en",DEFAULT=YES\n'
+              '#EXT-X-MEDIA:TYPE=SUBTITLES,GROUP-ID="subs",NAME="T",'
+              'LANGUAGE="'), lang,
+        F.lit('",DEFAULT=NO,URI="subs/'), lang, F.lit("-"), sid,
+        F.lit('.vtt"\n#EXT-X-STREAM-INF:BANDWIDTH=800000\nlow.m3u8\n'),
+    )
+    url = F.concat(F.lit("https://v"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".ex.org/m"), sid, F.lit("/master.m3u8"))
+    return hls_media_renditions(
+        docs.select(url.alias("url"), m3u8.alias("m3u8")))
+
+
+def q_pipeline_subtitle_harvest(spark, sf_dir):
+    """Composed multilingual subtitle harvest in ONE plan: master
+    playlists → hls_media_renditions (SUBTITLES tracks with their
+    LANGUAGE) → equi-join the fetched caption-track store on the
+    resolved rendition URL → webvtt_cues → per-language inventory
+    (tracks, cues, total caption milliseconds) — the table a
+    multilingual video-text corpus budgets transcription-free
+    supervision from. Every stage an oracled fragment; the replay
+    chains the same three. Planted: every fifth declared track
+    missing from the store (fetch gap)."""
+    from dblp_crawler_spark.sources.hls import hls_media_renditions
+    from dblp_crawler_spark.sources.subtitles import webvtt_cues
+
+    rends = q_hls_media_renditions(spark, sf_dir).where(
+        F.col("type") == "SUBTITLES"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in _HLS_LANGS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    vtt_url = F.concat(
+        F.lit("https://v"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".ex.org/m"), sid, F.lit("/subs/"), lang, F.lit("-"), sid,
+        F.lit(".vtt"),
+    )
+    dur_s = (F.col("doc_id") % 7 + 2).cast("string")
+    vtt = F.concat(
+        F.lit("WEBVTT\n\n00:01.000 --> 00:0"), dur_s,
+        F.lit(".000\nhello "), sid,
+        F.lit("\n\n01:00.000 --> 01:30.500\nworld "), sid, F.lit("\n"),
+    )
+    store = docs.where(F.col("doc_id") % 5 != 0).select(
+        vtt_url.alias("vtt_url"), vtt.alias("vtt"))
+    cues = webvtt_cues(store, keep=["vtt_url"])
+    j = rends.join(cues, rends["rendition_url"] == cues["vtt_url"], "left")
+    return j.groupBy("language").agg(
+        F.count_distinct(F.col("rendition_url")).alias("n_declared_tracks"),
+        F.count_distinct(F.col("vtt_url")).alias("n_fetched_tracks"),
+        F.count(F.col("cue_idx")).alias("n_cues"),
+        F.coalesce(
+            F.sum(F.col("end_ms") - F.col("start_ms")), F.lit(0)
+        ).cast("long").alias("caption_ms"),
+    )
+
+
 def q_events_asof_attribution(spark, sf_dir):
     """As-of join: each click attributes to the user's most recent
     strictly-preceding view (running last-ignorenulls window — one
@@ -7450,6 +7529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hls_playlist": q_hls_playlist,
         "hls_variants": q_hls_variants,
         "pipeline_av_discovery": q_pipeline_av_discovery,
+        "hls_media_renditions": q_hls_media_renditions,
+        "pipeline_subtitle_harvest": q_pipeline_subtitle_harvest,
         "html_text_extract": q_html_text_extract,
         "lm_bits_score": q_lm_bits_score,
         "text_classifier_gate": q_text_classifier_gate,
@@ -7870,6 +7951,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "hls_playlist": _hls_oracle("playlist"),
         "hls_variants": _hls_oracle("variants"),
         "pipeline_av_discovery": _av_discovery_oracle(),
+        "hls_media_renditions": _hls_renditions_oracle(),
+        "pipeline_subtitle_harvest": _subtitle_harvest_oracle(),
         "html_text_extract": _html_text_oracle(),
         "semdedup_drop_list": _semdedup_oracle(),
         "image_aspect_bucket": _aspect_bucket_oracle(),
@@ -8602,6 +8685,80 @@ def _av_discovery_oracle() -> str:
                     THEN total_duration_ms ELSE 0 END), 0) AS BIGINT)
                  AS vod_duration_ms
         FROM avd_j GROUP BY host
+    """
+
+
+def _hls_rendition_src_sql() -> str:
+    """Shared planted-master relation for the rendition entries."""
+    sid = "CAST(doc_id AS VARCHAR)"
+    lang = ("CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'"
+            " WHEN 2 THEN 'fr' ELSE 'es' END")
+    m3u8 = (
+        f"'#EXTM3U' || chr(10)"
+        f" || '#EXT-X-MEDIA:TYPE=AUDIO,GROUP-ID=\"aud\",NAME=\"Main\","
+        f"LANGUAGE=\"en\",DEFAULT=YES' || chr(10)"
+        f" || '#EXT-X-MEDIA:TYPE=SUBTITLES,GROUP-ID=\"subs\",NAME=\"T\","
+        f"LANGUAGE=\"' || {lang} || '\",DEFAULT=NO,URI=\"subs/' || {lang}"
+        f" || '-' || {sid} || '.vtt\"' || chr(10)"
+        f" || '#EXT-X-STREAM-INF:BANDWIDTH=800000' || chr(10)"
+        f" || 'low.m3u8' || chr(10)"
+    )
+    return f"""(
+        SELECT 'https://v' || CAST(doc_id % 10 AS VARCHAR) || '.ex.org/m'
+                 || {sid} || '/master.m3u8' AS url,
+               {m3u8} AS m3u8
+        FROM documents
+    ) hm_src"""
+
+
+def _hls_renditions_oracle() -> str:
+    """DuckDB replay of q_hls_media_renditions."""
+    from dblp_crawler_spark.sources.hls import hls_media_renditions_sql
+
+    return hls_media_renditions_sql(_hls_rendition_src_sql())
+
+
+def _subtitle_harvest_oracle() -> str:
+    """DuckDB replay of q_pipeline_subtitle_harvest — chains
+    hls_media_renditions_sql + webvtt_cues_sql + the same left join
+    and per-language rollup."""
+    from dblp_crawler_spark.sources.hls import hls_media_renditions_sql
+    from dblp_crawler_spark.sources.subtitles import webvtt_cues_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    lang = ("CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'"
+            " WHEN 2 THEN 'fr' ELSE 'es' END")
+    dur = "CAST(doc_id % 7 + 2 AS VARCHAR)"
+    vtt = (
+        f"'WEBVTT' || chr(10) || chr(10)"
+        f" || '00:01.000 --> 00:0' || {dur} || '.000' || chr(10)"
+        f" || 'hello ' || {sid} || chr(10) || chr(10)"
+        f" || '01:00.000 --> 01:30.500' || chr(10)"
+        f" || 'world ' || {sid} || chr(10)"
+    )
+    store = f"""(
+        SELECT 'https://v' || CAST(doc_id % 10 AS VARCHAR) || '.ex.org/m'
+                 || {sid} || '/subs/' || {lang} || '-' || {sid}
+                 || '.vtt' AS vtt_url,
+               {vtt} AS vtt
+        FROM documents WHERE doc_id % 5 <> 0
+    ) vs_src"""
+    rends = hls_media_renditions_sql(_hls_rendition_src_sql())
+    cues = webvtt_cues_sql(store, keep="vtt_url")
+    return f"""
+        WITH sh_r AS ({rends}), sh_c AS ({cues}), sh_j AS (
+          SELECT r.language, r.rendition_url, c.vtt_url, c.cue_idx,
+                 c.end_ms - c.start_ms AS dur_ms
+          FROM (SELECT * FROM sh_r WHERE type = 'SUBTITLES') r
+          LEFT JOIN sh_c c ON r.rendition_url = c.vtt_url
+        )
+        SELECT language,
+               CAST(COUNT(DISTINCT rendition_url) AS BIGINT)
+                 AS n_declared_tracks,
+               CAST(COUNT(DISTINCT vtt_url) AS BIGINT) AS n_fetched_tracks,
+               CAST(COUNT(cue_idx) AS BIGINT) AS n_cues,
+               CAST(COALESCE(SUM(dur_ms), 0) AS BIGINT) AS caption_ms
+        FROM sh_j GROUP BY language
     """
 
 

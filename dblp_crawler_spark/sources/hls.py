@@ -244,3 +244,86 @@ def hls_playlist_sql(src: str, url_col: str = "url",
                     THEN NOT contains(m, '#EXT-X-ENDLIST') END AS live
         FROM hp_a
     """
+
+
+# ---- alternate renditions (EXT-X-MEDIA) -------------------------------------------
+#
+# Master playlists declare alternate renditions — audio tracks and
+# SUBTITLE tracks — as EXT-X-MEDIA lines with a LANGUAGE attribute
+# and a URI pointing at the rendition's own media playlist. For a
+# multilingual video-text corpus this is the discovery channel for
+# caption tracks: the declaration tells you which languages exist
+# BEFORE fetching anything, and the URI chain (master → subtitle
+# media playlist → .vtt segments) is how the text is actually
+# reached.
+
+HLS_MEDIA_RE = r"#EXT-X-MEDIA:[^\n]*"
+_ATTR_Q = '="([^"]*)"'
+_MEDIA_TYPE_RE = r"TYPE=([A-Z-]+)"
+_MEDIA_LANG_RE = r"LANGUAGE" + _ATTR_Q
+_MEDIA_NAME_RE = r"NAME" + _ATTR_Q
+_MEDIA_GROUP_RE = r"GROUP-ID" + _ATTR_Q
+_MEDIA_URI_RE = r"URI" + _ATTR_Q
+_MEDIA_DEFAULT_RE = r"DEFAULT=(YES|NO)"
+
+
+def hls_media_renditions(files: DataFrame, url_col: str = "url",
+                         m3u8_col: str = "m3u8") -> DataFrame:
+    """One row per EXT-X-MEDIA rendition: (url, media_idx, type,
+    group_id, name, language, is_default, rendition_url) —
+    rendition_url resolved against the master playlist (NULL for
+    URI-less entries: muxed audio declares no separate playlist)."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url
+
+    blocks = files.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(m3u8_col), F.lit(HLS_MEDIA_RE), F.lit(0))
+        ).alias("media_idx", "__blk"),
+    )
+    b = F.col("__blk")
+
+    def attr(pat):
+        return F.nullif(F.regexp_extract(b, pat, 1), F.lit(""))
+
+    return blocks.select(
+        "url",
+        F.col("media_idx").cast("int").alias("media_idx"),
+        attr(_MEDIA_TYPE_RE).alias("type"),
+        attr(_MEDIA_GROUP_RE).alias("group_id"),
+        attr(_MEDIA_NAME_RE).alias("name"),
+        attr(_MEDIA_LANG_RE).alias("language"),
+        (F.regexp_extract(b, _MEDIA_DEFAULT_RE, 1) == "YES")
+        .alias("is_default"),
+        resolve_url("url", attr(_MEDIA_URI_RE)).alias("rendition_url"),
+    )
+
+
+def hls_media_renditions_sql(src: str, url_col: str = "url",
+                             m3u8_col: str = "m3u8") -> str:
+    """DuckDB replay of :func:`hls_media_renditions`."""
+    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+
+    def attr(pat):
+        p = pat.replace("'", "''")
+        return f"NULLIF(regexp_extract(blk, '{p}', 1), '')"
+
+    return f"""
+        WITH hm_b AS (
+          SELECT {url_col} AS url, t.i - 1 AS media_idx, t.blk
+          FROM {src},
+               LATERAL (SELECT unnest(regexp_extract_all({m3u8_col},
+                          '{HLS_MEDIA_RE}', 0)) AS blk,
+                        generate_subscripts(regexp_extract_all({m3u8_col},
+                          '{HLS_MEDIA_RE}', 0), 1) AS i) t
+        )
+        SELECT url, CAST(media_idx AS INT) AS media_idx,
+               {attr(_MEDIA_TYPE_RE)} AS type,
+               {attr(_MEDIA_GROUP_RE)} AS group_id,
+               {attr(_MEDIA_NAME_RE)} AS name,
+               {attr(_MEDIA_LANG_RE)} AS language,
+               regexp_extract(blk, '{_MEDIA_DEFAULT_RE}', 1) = 'YES'
+                 AS is_default,
+               {resolve_url_sql('url', attr(_MEDIA_URI_RE))} AS rendition_url
+        FROM hm_b
+    """

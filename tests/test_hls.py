@@ -89,3 +89,39 @@ def test_hls_duckdb_replays(spark):
                     .sort_values(keys).reset_index(drop=True))
         pd.testing.assert_frame_equal(
             spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
+
+
+def test_hls_media_renditions(spark):
+    from dblp_crawler_spark.sources.hls import (
+        hls_media_renditions,
+        hls_media_renditions_sql,
+    )
+    master = (
+        "#EXTM3U\n"
+        '#EXT-X-MEDIA:TYPE=AUDIO,GROUP-ID="aud",NAME="English",'
+        'LANGUAGE="en",DEFAULT=YES\n'
+        '#EXT-X-MEDIA:TYPE=SUBTITLES,GROUP-ID="subs",NAME="Deutsch",'
+        'LANGUAGE="de",DEFAULT=NO,URI="subs/de.m3u8"\n'
+        "#EXT-X-STREAM-INF:BANDWIDTH=800000\nlow.m3u8\n"
+    )
+    files = spark.createDataFrame(
+        [("https://v.ex.org/c/master.m3u8", master)], "url string, m3u8 string")
+    out = hls_media_renditions(files)
+    got = {r.media_idx: r for r in out.collect()}
+    assert len(got) == 2
+    a = got[0]
+    assert (a.type, a.language, a.is_default, a.rendition_url) == (
+        "AUDIO", "en", True, None)        # muxed: no URI
+    s = got[1]
+    assert (s.type, s.group_id, s.name, s.language, s.is_default) == (
+        "SUBTITLES", "subs", "Deutsch", "de", False)
+    assert s.rendition_url == "https://v.ex.org/c/subs/de.m3u8"
+
+    con = duckdb.connect()
+    con.register("files", files.toPandas())
+    spark_pdf = (out.toPandas()
+                 .sort_values(["url", "media_idx"]).reset_index(drop=True))
+    duck_pdf = (con.sql(hls_media_renditions_sql("files")).df()
+                .sort_values(["url", "media_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
