@@ -4438,6 +4438,56 @@ def q_id3_text_frames(spark, sf_dir):
     return id3_text_frames(blobs)
 
 
+def _zip_fixture_hex() -> tuple[str, str]:
+    """Deterministic zip archives via the stdlib writer (date_time
+    pinned): a real two-entry archive and one whose COMMENT contains
+    a fake EOCD signature (the candidate-validation trap)."""
+    import io
+    import zipfile
+
+    def make(comment: bytes | None):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+            for name, data in (("a.txt", b"hello world"),
+                               ("sub/b.bin", b"\x00" * 64)):
+                zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                z.writestr(zi, data)
+            if comment is not None:
+                z.comment = comment
+        return buf.getvalue().hex().upper()
+
+    return make(None), make(b"PK\x05\x06 fake sig in comment")
+
+
+_ZIP_REAL_HEX, _ZIP_TRICKY_HEX = _zip_fixture_hex()
+
+
+def q_zip_structure(spark, sf_dir):
+    """ZIP EOCD audit (sniff.zip_structure): the other dataset
+    container's table of contents lives at the END — entry count and
+    central-directory extent from the tail only, with Info-ZIP's
+    candidate validation (a signature counts only if its
+    comment-length field closes the file exactly), so a fake
+    PK\\x05\\x06 planted inside the archive comment cannot win.
+    Planted: a real stdlib-written archive, the fake-signature
+    comment trap, a truncated archive (no EOCD), and PNG rows."""
+    from dblp_crawler_spark.operators.sniff import zip_structure
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 4
+    hexstr = (
+        F.when(m == 0, F.lit(_ZIP_REAL_HEX))
+        .when(m == 1, F.lit(_ZIP_TRICKY_HEX))
+        .when(m == 2, F.lit(_ZIP_REAL_HEX[: len(_ZIP_REAL_HEX) // 2 // 2 * 2]))
+        .otherwise(F.lit("89504E470D0A1A0A"))
+    )
+    blobs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
+    return zip_structure(blobs).select(
+        "doc_id", "fmt", "file_bytes", "has_eocd", "n_entries",
+        "cd_offset", "cd_bytes", "complete"
+    )
+
+
 def q_pipeline_audio_admission(spark, sf_dir):
     """Composed audio admission (sniff.audio_admission): the audio
     analog of pipeline_payload_admission — sniff → wav/mp3 header
@@ -7498,6 +7548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_audio_admission": q_pipeline_audio_admission,
         "tar_structure": q_tar_structure,
         "zstd_structure": q_zstd_structure,
+        "zip_structure": q_zip_structure,
         "parquet_structure": q_parquet_structure,
         "webdataset_manifest": q_webdataset_manifest,
         "pipeline_image_harvest": q_pipeline_image_harvest,
@@ -7920,6 +7971,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "pipeline_audio_admission": _audio_admission_oracle(),
         "tar_structure": _tar_structure_oracle(),
         "zstd_structure": _zstd_structure_oracle(),
+        "zip_structure": _zip_structure_oracle(),
         "parquet_structure": _parquet_structure_oracle(),
         "webdataset_manifest": _wds_manifest_oracle(),
         "pipeline_image_harvest": _image_harvest_oracle(),
@@ -9711,6 +9763,28 @@ def _parquet_structure_oracle() -> str:
     staged = (f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt"
               f" FROM {src})")
     return parquet_structure_sql(staged)
+
+
+def _zip_structure_oracle() -> str:
+    """DuckDB replay of q_zip_structure — identical stdlib-written
+    archives."""
+    from dblp_crawler_spark.operators.sniff import (
+        sniff_case_sql,
+        zip_structure_sql,
+    )
+
+    trunc = _ZIP_REAL_HEX[: len(_ZIP_REAL_HEX) // 2 // 2 * 2]
+    src = f"""(
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN '{_ZIP_REAL_HEX}'
+                 WHEN 1 THEN '{_ZIP_TRICKY_HEX}'
+                 WHEN 2 THEN '{trunc}'
+                 ELSE '89504E470D0A1A0A' END AS h
+        FROM documents
+    ) zp_src"""
+    staged = (f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt"
+              f" FROM {src})")
+    return zip_structure_sql(staged)
 
 
 def _wds_manifest_oracle() -> str:

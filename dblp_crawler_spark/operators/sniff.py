@@ -4593,3 +4593,146 @@ def audio_admission_sql(src: str, keep: str = "doc_id", h_col: str = "h",
         )
         SELECT {keep}, fmt, verdict, verdict = 'admit' AS admit FROM aa_v
     """
+
+
+# ---- ZIP end-of-central-directory audit -------------------------------------------
+#
+# The other dataset container (Kaggle dumps, scraped archives).
+# Unlike tar, zip's table of contents lives at the END: the EOCD
+# record (PK\\x05\\x06) in the last ~64 KiB names the entry count and
+# where the central directory starts — so a consumer seeks, never
+# scans. The audit reads the TAIL (the payload_complete discipline),
+# finds the LAST aligned EOCD signature (a comment containing the
+# signature bytes earlier in the tail must not win), and checks the
+# central directory lies within the file.
+
+ZIP_TAIL_BYTES = 1024
+ZIP_EOCD_ATTEMPTS = 4
+_EOCD_SIG = "504B0506"
+
+
+def zip_structure(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Add (fmt, file_bytes, has_eocd, n_entries, cd_offset,
+    cd_bytes, complete) from the last ZIP_TAIL_BYTES only.
+
+    EOCD candidates are validated the way Info-ZIP does: a signature
+    only counts if its comment-length field closes the file exactly
+    (candidate_offset + 22 + comment_len == file_size) — a stray
+    PK\x05\x06 inside the archive comment (or inside member data)
+    fails that equation and the scan steps back to the previous
+    aligned candidate (bounded ZIP_EOCD_ATTEMPTS steps, pinned in
+    tests with a planted fake-signature comment)."""
+    b = F.col(bytes_col)
+    nbytes = F.octet_length(b).cast("long")
+    tail_start = F.greatest(nbytes - F.lit(ZIP_TAIL_BYTES - 1), F.lit(1))
+    staged = df.withColumns(
+        {
+            "fmt": sniffed_type(b),
+            "file_bytes": nbytes,
+            "__zt": F.hex(b.substr(tail_start.cast("int"),
+                                   F.lit(ZIP_TAIL_BYTES))),
+            "__toff": tail_start - F.lit(1),
+        }
+    )
+    hx = F.col("__zt")
+    is_zip = F.col("fmt") == "zip"
+
+    def hop(acc, _i):
+        done = acc["found"].isNotNull() | (acc["slen"] <= 0)
+        seg = hx.substr(F.lit(1), acc["slen"].cast("int"))
+        pre = F.regexp_extract(seg, "^((?:[0-9A-F]{2})*)" + _EOCD_SIG, 1)
+        matched = seg.rlike(_EOCD_SIG)
+        p = F.length(pre) + F.lit(1)
+        clen = _le(hx, p + F.lit(40), 2)
+        valid = (
+            F.col("__toff") + (p - F.lit(1)) / F.lit(2) + F.lit(22) + clen
+            == F.col("file_bytes")
+        )
+        nfound = F.when(matched & valid, p)
+        nslen = F.when(matched, F.length(pre)).otherwise(F.lit(0))
+        return F.struct(
+            F.when(done, acc["found"]).otherwise(nfound).alias("found"),
+            F.when(done, F.lit(0).cast("long"))
+            .otherwise(nslen.cast("long")).alias("slen"),
+        )
+
+    acc0 = F.struct(
+        F.lit(None).cast("long").alias("found"),
+        F.length(hx).cast("long").alias("slen"),
+    )
+    eocd = F.when(
+        is_zip,
+        F.aggregate(F.sequence(F.lit(1), F.lit(ZIP_EOCD_ATTEMPTS)),
+                    acc0, hop)["found"],
+    )
+    s1 = staged.withColumn("__ep", eocd)
+    p = F.col("__ep")
+    out = s1.withColumns(
+        {
+            "has_eocd": F.when(is_zip, p.isNotNull()),
+            "n_entries": _le(hx, p + F.lit(20), 2).cast("long"),
+            "cd_offset": _le(hx, p + F.lit(32), 4),
+            "cd_bytes": _le(hx, p + F.lit(24), 4),
+        }
+    )
+    eocd_abs = F.col("__toff") + (p - F.lit(1)) / F.lit(2)
+    return out.withColumn(
+        "complete",
+        F.when(
+            is_zip,
+            F.coalesce(
+                (F.col("cd_offset") + F.col("cd_bytes") <= eocd_abs),
+                F.lit(False),
+            ),
+        ),
+    ).drop("__zt", "__toff", "__ep")
+
+
+def zip_structure_sql(src: str, keep: str = "doc_id", h_col: str = "h",
+                      fmt_col: str = "fmt") -> str:
+    """DuckDB replay of :func:`zip_structure` over the FULL payload
+    hex (oracle fixtures fit the tail window, so toff = 0) — same
+    comment-length candidate validation, MATERIALIZED hop CTEs."""
+    ctes = [f"""ze0 AS MATERIALIZED (
+          SELECT {keep}, {fmt_col} AS fmt, {h_col} AS h,
+                 CAST(strlen({h_col}) // 2 AS BIGINT) AS file_bytes,
+                 CAST(NULL AS BIGINT) AS found,
+                 CAST(strlen({h_col}) AS BIGINT) AS slen
+          FROM {src}
+        )"""]
+    for k in range(ZIP_EOCD_ATTEMPTS):
+        pre = (f"regexp_extract(substring(h, 1, CAST(slen AS INT)),"
+               f" '^((?:[0-9A-F]{{2}})*){_EOCD_SIG}', 1)")
+        clen = _le_sql_var("h", "strlen(pre) + 1 + 40", 2)
+        ctes.append(f"""ze{k + 1} AS MATERIALIZED (
+          SELECT {keep}, fmt, h, file_bytes,
+                 CASE WHEN found IS NOT NULL OR slen <= 0 THEN found
+                      WHEN matched AND (strlen(pre)) // 2 + 22 + {clen}
+                            = file_bytes
+                        THEN strlen(pre) + 1 END AS found,
+                 CASE WHEN found IS NOT NULL OR slen <= 0 THEN 0
+                      WHEN matched THEN strlen(pre) ELSE 0 END AS slen
+          FROM (SELECT *, {pre} AS pre,
+                       regexp_matches(substring(h, 1, CAST(slen AS INT)),
+                                      '{_EOCD_SIG}') AS matched
+                FROM ze{k}) ze{k}s)""")
+    last = f"ze{ZIP_EOCD_ATTEMPTS}"
+    return f"""
+        WITH {", ".join(ctes)}, zef AS (
+          SELECT {keep}, fmt, h, file_bytes,
+                 CASE WHEN fmt = 'zip' THEN found END AS ep
+          FROM {last}
+        ), zev AS (
+          SELECT *, {_le_sql_var('h', 'ep + 20', 2)} AS n_entries,
+                 {_le_sql_var('h', 'ep + 24', 4)} AS cd_bytes,
+                 {_le_sql_var('h', 'ep + 32', 4)} AS cd_offset
+          FROM zef
+        )
+        SELECT {keep}, fmt, file_bytes,
+               CASE WHEN fmt = 'zip' THEN ep IS NOT NULL END AS has_eocd,
+               CAST(n_entries AS BIGINT) AS n_entries, cd_offset, cd_bytes,
+               CASE WHEN fmt = 'zip' THEN
+                 COALESCE(cd_offset + cd_bytes <= (ep - 1) // 2, false)
+               END AS complete
+        FROM zev
+    """

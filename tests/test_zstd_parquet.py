@@ -114,3 +114,75 @@ def test_parquet_structure_duckdb_replay(spark):
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
     )
+
+
+# ---- zip EOCD ---------------------------------------------------------------
+
+def _zip_cases():
+    import io
+    import zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("a.txt", "hello world")
+        z.writestr("sub/b.bin", b"\x00" * 64)
+    real = buf.getvalue()
+    # comment CONTAINING the EOCD signature — the aligned
+    # longest-prefix pick must still find the real (last) record
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as z:
+        z.writestr("x", "y")
+        z.comment = b"PK\x05\x06 fake"
+    tricky = buf2.getvalue()
+    return {
+        "real": real.hex().upper(),
+        "tricky": tricky.hex().upper(),
+        "trunc": real[: len(real) // 2].hex().upper(),
+        "png": "89504E470D0A1A0A" + "00" * 4,
+    }, real
+
+
+def test_zip_structure_pins(spark):
+    from dblp_crawler_spark.operators.sniff import zip_structure
+    cases, real = _zip_cases()
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    got = {
+        r.name: (r.fmt, r.has_eocd, r.n_entries, r.cd_offset, r.cd_bytes,
+                 r.complete)
+        for r in zip_structure(
+            df.select("name", F.unhex("hx").alias("bytes"))
+        ).collect()
+    }
+    # pin against the stdlib's own EOCD numbers
+    import struct
+    eocd_at = real.rindex(b"PK\x05\x06")
+    n, cdsz, cdoff = struct.unpack("<H", real[eocd_at + 10:eocd_at + 12])[0], \
+        struct.unpack("<I", real[eocd_at + 12:eocd_at + 16])[0], \
+        struct.unpack("<I", real[eocd_at + 16:eocd_at + 20])[0]
+    assert got["real"] == ("zip", True, n, cdoff, cdsz, True)
+    assert n == 2
+    assert got["tricky"][1] and got["tricky"][2] == 1 and got["tricky"][5]
+    assert got["trunc"][1] is False
+    assert got["png"][0] == "png" and got["png"][1] is None
+
+
+def test_zip_structure_duckdb_replay(spark):
+    from dblp_crawler_spark.operators.sniff import zip_structure_sql
+    from dblp_crawler_spark.operators.sniff import zip_structure
+    cases, _ = _zip_cases()
+    df = spark.createDataFrame(list(cases.items()), "name string, hx string")
+    spark_pdf = (
+        zip_structure(df.select("name", F.unhex("hx").alias("bytes")))
+        .select("name", "fmt", "file_bytes", "has_eocd", "n_entries",
+                "cd_offset", "cd_bytes", "complete")
+        .toPandas().sort_values("name").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases.items(), columns=["name", "h"]))
+    staged = f"(SELECT name, h, {sniff_case_sql('h')} AS fmt FROM cases)"
+    duck_pdf = (
+        con.sql(zip_structure_sql(staged, keep="name")).df()
+        .sort_values("name").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )
