@@ -78,3 +78,29 @@ def discover_feeds(pages, within_watermark: str | None = None,
     if within_watermark is not None:
         return ent.dropDuplicatesWithinWatermark(["url"])
     return ent.dropDuplicates(["url"])
+
+
+def monitor_live_segments(playlists, within_watermark: str | None = None,
+                          url_col: str = "url", m3u8_col: str = "m3u8"):
+    """Streaming live-HLS monitor: a live media playlist is re-fetched
+    on a cadence and each fetch repeats most of its segment list with
+    a few NEW segments appended at the tail (the sliding window RFC
+    8216 prescribes for live). The harvest must emit each segment
+    exactly once across those re-fetches — segment extraction
+    (hls_segments) is a stateless projection, streaming-safe
+    verbatim, and the once-only guarantee is keyed state on
+    (playlist, segment URL), the same layering as admit_stream /
+    discover_feeds. ``within_watermark`` bounds state when a live
+    window can only repeat a segment within a horizon (true for
+    real live streams, where the window slides forward
+    monotonically).
+
+    One definition for both engines: on a batch DataFrame it equals
+    hls_segments + dedup; on a readStream it runs under any trigger
+    with the seen state in the checkpoint."""
+    from ..sources.hls import hls_segments
+
+    segs = hls_segments(playlists, url_col=url_col, m3u8_col=m3u8_col)
+    if within_watermark is not None:
+        return segs.dropDuplicatesWithinWatermark(["url", "seg_url"])
+    return segs.dropDuplicates(["url", "seg_url"])

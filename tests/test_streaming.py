@@ -684,3 +684,48 @@ def test_streaming_feed_discovery_matches_batch(spark, tmp_path):
         rows1 + rows2, "host string, feed_xml string")
     assert {r.url for r in discover_feeds(all_pages).collect()} \
         == {u for u, _ in got}
+
+
+def test_streaming_live_segment_monitor(spark, tmp_path):
+    """Live-HLS monitoring: the sliding live window re-declares old
+    segments on every re-fetch; across two availableNow runs with one
+    checkpoint each (playlist, segment) emits exactly once, and new
+    tail segments emit as they appear. Batch mode of the same
+    definition yields the same segment set."""
+    from dblp_crawler_spark.streaming.frontier import monitor_live_segments
+
+    def live(*segs):
+        return "#EXTM3U\n" + "".join(
+            f"#EXTINF:6.0,\n{s}\n" for s in segs)
+
+    url = "https://v.ex.org/live/chan1.m3u8"
+    # fetch 1: segments 0-2; fetch 2 (same run): window slid to 1-3
+    rows1 = [(url, live("s0.ts", "s1.ts", "s2.ts")),
+             (url, live("s1.ts", "s2.ts", "s3.ts"))]
+    # run 2: window slid to 3-5
+    rows2 = [(url, live("s3.ts", "s4.ts", "s5.ts"))]
+    src = str(tmp_path / "hls_src")
+    out = str(tmp_path / "hls_out")
+    ckpt = str(tmp_path / "hls_ckpt")
+    spark.createDataFrame(rows1, "url string, m3u8 string") \
+        .write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("url string, m3u8 string").parquet(src)
+        q = (monitor_live_segments(stream)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(rows2, "url string, m3u8 string") \
+        .write.mode("append").parquet(src)
+    run_once()
+    got = sorted(r.seg_url for r in spark.read.parquet(out).collect())
+    assert got == [f"https://v.ex.org/live/s{i}.ts" for i in range(6)]
+
+    all_fetches = spark.createDataFrame(rows1 + rows2, "url string, m3u8 string")
+    batch = sorted(r.seg_url
+                   for r in monitor_live_segments(all_fetches).collect())
+    assert batch == got
