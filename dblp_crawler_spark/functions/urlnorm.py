@@ -380,6 +380,39 @@ def _dot_normalize_sql(expr: str) -> str:
     return f"regexp_replace({out}, '(/\\.\\.)+$', '/')"
 
 
+def resolvable_href(href: Column | str) -> Column:
+    """True iff :func:`resolve_url` returns non-NULL for this href
+    (against any well-formed base) — the EXACT null characterization
+    read off resolve_url's when-chain: after whitespace strip and
+    fragment strip, the href is non-empty AND is either absolute
+    http(s) or carries no absolute scheme at all (every other branch
+    concatenates non-null pieces).
+
+    This predicate exists for physical-plan health, not semantics:
+    filtering ``resolve_url(...).isNotNull()`` AFTER the projection
+    makes predicate pushdown re-inline the (very large) resolution
+    expression into the Filter node, and the doubled expression blows
+    janino's 64 KB generated-method limit — whole-stage codegen then
+    falls back to interpreted rows for the whole HTML-harvest stage.
+    Pre-filtering candidates with this cheap predicate keeps the big
+    expression evaluated ONCE and the stage codegen'd. Bit-identical
+    row sets are pinned by the extractor tests and oracles."""
+    h0 = F.col(href) if isinstance(href, str) else href
+    h = F.regexp_replace(_strip_ws(h0), "#.*$", "")
+    return (h != "") & (
+        h.rlike("^(?i)https?://") | ~h.rlike(_ABS_SCHEME_RE)
+    )
+
+
+def resolvable_href_sql(href_expr: str) -> str:
+    """DuckDB twin of :func:`resolvable_href`."""
+    h0 = (f"regexp_replace(regexp_replace({href_expr}, '^\\s+', ''), "
+          f"'\\s+$', '')")
+    h = f"regexp_replace({h0}, '#.*$', '')"
+    return (f"({h} <> '' AND (regexp_matches({h}, '^(?i)https?://')"
+            f" OR NOT regexp_matches({h}, '{_ABS_SCHEME_RE}')))")
+
+
 def resolve_url(base: Column | str, href: Column | str) -> Column:
     """Resolve an href found in a page against the page's absolute
     URL — the parse-time step :func:`canonical_url` defers to (its

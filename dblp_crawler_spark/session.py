@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # The URL-resolution/canonicalization expressions are large
+        # CASE trees; with the default 1024 split threshold the
+        # generated doConsume for the HTML-harvest projections
+        # exceeds the JVM's 64 KB method limit, janino hard-errors,
+        # and the whole stage silently falls back to interpreted
+        # rows. A lower threshold makes codegen emit more, smaller
+        # methods: compiles cleanly, same steady-state time at
+        # fixture scale, and keeps WholeStageCodegen spans wide at
+        # real scale (A/B in BENCH.md notes).
+        .config("spark.sql.codegen.methodSplitThreshold", "128")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

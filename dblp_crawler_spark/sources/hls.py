@@ -64,14 +64,16 @@ def hls_segments(files: DataFrame, url_col: str = "url",
             F.regexp_extract_all(F.col(m3u8_col), F.lit(HLS_SEG_RE), F.lit(0))
         ).alias("seg_idx", "__blk"),
     )
+    from dblp_crawler_spark.functions.urlnorm import resolvable_href
+
     b = F.col("__blk")
     uri = F.trim(F.regexp_extract(b, _URI_RE, 1))
-    return blocks.select(
+    return blocks.where(resolvable_href(uri)).select(
         "url",
         F.col("seg_idx").cast("int").alias("seg_idx"),
         resolve_url("url", uri).alias("seg_url"),
         _extinf_ms(b).alias("duration_ms"),
-    ).where(F.col("seg_url").isNotNull())
+    )
 
 
 def hls_variants(files: DataFrame, url_col: str = "url",
@@ -86,9 +88,11 @@ def hls_variants(files: DataFrame, url_col: str = "url",
             F.regexp_extract_all(F.col(m3u8_col), F.lit(HLS_VAR_RE), F.lit(0))
         ).alias("variant_idx", "__blk"),
     )
+    from dblp_crawler_spark.functions.urlnorm import resolvable_href
+
     b = F.col("__blk")
     uri = F.trim(F.regexp_extract(b, _URI_RE, 1))
-    return blocks.select(
+    return blocks.where(resolvable_href(uri)).select(
         "url",
         F.col("variant_idx").cast("int").alias("variant_idx"),
         resolve_url("url", uri).alias("variant_url"),
@@ -98,7 +102,7 @@ def hls_variants(files: DataFrame, url_col: str = "url",
         .alias("width"),
         F.nullif(F.regexp_extract(b, _RES_RE, 2), F.lit("")).cast("int")
         .alias("height"),
-    ).where(F.col("variant_url").isNotNull())
+    )
 
 
 def hls_playlist(files: DataFrame, url_col: str = "url",
@@ -157,7 +161,10 @@ def _extinf_ms_sql(blk: str) -> str:
 def hls_segments_sql(src: str, url_col: str = "url",
                      m3u8_col: str = "m3u8") -> str:
     """DuckDB replay of :func:`hls_segments`."""
-    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+    from dblp_crawler_spark.functions.urlnorm import (
+        resolvable_href_sql,
+        resolve_url_sql,
+    )
 
     return f"""
         WITH hs_b AS (
@@ -175,15 +182,17 @@ def hls_segments_sql(src: str, url_col: str = "url",
         SELECT url, CAST(seg_idx AS INT) AS seg_idx,
                {resolve_url_sql('url', 'uri')} AS seg_url,
                {_extinf_ms_sql('blk')} AS duration_ms
-        FROM hs_u
-        WHERE ({resolve_url_sql('url', 'uri')}) IS NOT NULL
+        FROM hs_u WHERE {resolvable_href_sql('uri')}
     """
 
 
 def hls_variants_sql(src: str, url_col: str = "url",
                      m3u8_col: str = "m3u8") -> str:
     """DuckDB replay of :func:`hls_variants`."""
-    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+    from dblp_crawler_spark.functions.urlnorm import (
+        resolvable_href_sql,
+        resolve_url_sql,
+    )
 
     return f"""
         WITH hv_b AS (
@@ -206,8 +215,7 @@ def hls_variants_sql(src: str, url_col: str = "url",
                         AS INT) AS width,
                TRY_CAST(NULLIF(regexp_extract(blk, '{_RES_RE}', 2), '')
                         AS INT) AS height
-        FROM hv_u
-        WHERE ({resolve_url_sql('url', 'uri')}) IS NOT NULL
+        FROM hv_u WHERE {resolvable_href_sql('uri')}
     """
 
 

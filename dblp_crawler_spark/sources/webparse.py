@@ -831,16 +831,21 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
             F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1))
         ).alias("__href"),
     )
-    out = hrefs.select(
+    from dblp_crawler_spark.functions.urlnorm import resolvable_href
+
+    out = hrefs.where(resolvable_href("__href")).select(
         "url", resolve_url("url", "__href").alias("out_url")
-    ).where(F.col("out_url").isNotNull())
+    )
     return out.distinct()
 
 
 def extract_outlinks_sql(src: str, url_col: str = "url",
                          html_col: str = "html") -> str:
     """DuckDB replay of :func:`extract_outlinks`."""
-    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+    from dblp_crawler_spark.functions.urlnorm import (
+        resolvable_href_sql,
+        resolve_url_sql,
+    )
 
     esc = _HREF_RE.replace("'", "''")
     return f"""
@@ -850,8 +855,9 @@ def extract_outlinks_sql(src: str, url_col: str = "url",
           FROM {src}
         )
         SELECT DISTINCT url, out_url FROM (
-          SELECT url, {resolve_url_sql('url', '__href')} AS out_url FROM ol_h
-        ) WHERE out_url IS NOT NULL
+          SELECT url, {resolve_url_sql('url', '__href')} AS out_url
+          FROM ol_h WHERE {resolvable_href_sql('__href')}
+        ) ol_r
     """
 
 
@@ -919,20 +925,24 @@ def extract_images(pages: DataFrame, url_col: str = "url",
         parsed.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
     )
-    out = best.select(
+    from dblp_crawler_spark.functions.urlnorm import resolvable_href
+
+    return best.where(resolvable_href(F.col("__curl"))).select(
         "url", "tag_idx",
         resolve_url("url", "__curl").alias("img_url"),
         "alt",
         F.col("__w").cast("int").alias("width_hint"),
     )
-    return out.where(F.col("img_url").isNotNull())
 
 
 def extract_images_sql(src: str, url_col: str = "url",
                        html_col: str = "html") -> str:
     """DuckDB replay of :func:`extract_images` — same regexes, same
     widest-candidate window."""
-    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+    from dblp_crawler_spark.functions.urlnorm import (
+        resolvable_href_sql,
+        resolve_url_sql,
+    )
 
     def esc(p):
         return p.replace("'", "''")
@@ -983,8 +993,7 @@ def extract_images_sql(src: str, url_col: str = "url",
         SELECT url, tag_idx,
                {resolve_url_sql('url', 'curl')} AS img_url, alt,
                CAST(w AS INT) AS width_hint
-        FROM ei_r WHERE rn = 1
-          AND ({resolve_url_sql('url', 'curl')}) IS NOT NULL
+        FROM ei_r WHERE rn = 1 AND {resolvable_href_sql('curl')}
     """
 
 
@@ -2406,19 +2415,23 @@ def figure_captions(pages: DataFrame, url_col: str = "url",
         ),
         F.lit(""),
     )
-    out = figs.select(
+    from dblp_crawler_spark.functions.urlnorm import resolvable_href
+
+    return figs.where(resolvable_href(src)).select(
         "url",
         F.col("fig_idx").cast("int").alias("fig_idx"),
         resolve_url("url", src).alias("img_url"),
         caption.alias("caption"),
     )
-    return out.where(F.col("img_url").isNotNull())
 
 
 def figure_captions_sql(src: str, url_col: str = "url",
                         html_col: str = "html") -> str:
     """DuckDB replay of :func:`figure_captions`."""
-    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+    from dblp_crawler_spark.functions.urlnorm import (
+        resolvable_href_sql,
+        resolve_url_sql,
+    )
 
     def esc(p):
         return p.replace("'", "''")
@@ -2443,7 +2456,7 @@ def figure_captions_sql(src: str, url_col: str = "url",
         SELECT url, CAST(fig_idx AS INT) AS fig_idx,
                {resolve_url_sql('url', 's')} AS img_url, caption
         FROM fc_p
-        WHERE ({resolve_url_sql('url', 's')}) IS NOT NULL
+        WHERE {resolvable_href_sql('s')}
     """
 
 
@@ -2784,13 +2797,28 @@ def caption_election(pages: DataFrame, url_col: str = "url",
         "url", "img_url", "caption",
         F.lit(1).alias("__prio"), F.lit("figcaption").alias("channel"),
     )
-    og = og_image_caption(pages, url_col, html_col)
-    ogc = og.where(
-        F.col("og_image_url").isNotNull()
-        & F.coalesce(F.col("og_alt"), F.col("og_description")).isNotNull()
+    # og channel built from the RAW extracted fields so the cheap
+    # pre-filter runs before the (huge) resolution expression — the
+    # same codegen discipline as resolvable_href: filtering on the
+    # computed og_image_url would push the resolution into the
+    # Filter node and blow the 64 KB generated-method limit.
+    from dblp_crawler_spark.functions.urlnorm import (
+        resolvable_href,
+        resolve_url,
+    )
+
+    def _og_field(name):
+        tag = F.regexp_extract(F.col(html_col), _og_tag(name), 1)
+        return F.nullif(F.regexp_extract(tag, _OG_CONTENT_RE, 1), F.lit(""))
+
+    og_img = _og_field("og:image")
+    og_cap = F.coalesce(_og_field("og:image:alt"), _og_field("og:description"))
+    ogc = pages.where(
+        og_img.isNotNull() & resolvable_href(og_img) & og_cap.isNotNull()
     ).select(
-        "url", F.col("og_image_url").alias("img_url"),
-        F.coalesce(F.col("og_alt"), F.col("og_description")).alias("caption"),
+        F.col(url_col).alias("url"),
+        resolve_url(url_col, og_img).alias("img_url"),
+        og_cap.alias("caption"),
         F.lit(2).alias("__prio"), F.lit("og").alias("channel"),
     )
     alts = extract_images(pages, url_col, html_col).where(
@@ -2901,7 +2929,9 @@ def jsonld_images(pages: DataFrame, url_col: str = "url",
         F.get_json_object(b, "$.contentUrl"),
         F.get_json_object(b, "$.url"),
     )
-    return typed.select(
+    from dblp_crawler_spark.functions.urlnorm import resolvable_href
+
+    return typed.where(resolvable_href(raw)).select(
         "url",
         F.col("block_idx").cast("int").alias("block_idx"),
         resolve_url("url", raw).alias("image_url"),
@@ -2911,7 +2941,7 @@ def jsonld_images(pages: DataFrame, url_col: str = "url",
         F.get_json_object(b, "$.acquireLicensePage")
         .alias("acquire_license_page"),
         F.get_json_object(b, "$.creator.name").alias("creator"),
-    ).where(F.col("image_url").isNotNull())
+    )
 
 
 def jsonld_images_sql(src: str, url_col: str = "url",
@@ -2919,7 +2949,10 @@ def jsonld_images_sql(src: str, url_col: str = "url",
     """DuckDB replay of :func:`jsonld_images` — same block regex,
     real JSON functions, json_valid guard (DuckDB's extractor errors
     on malformed input where Spark's returns NULL)."""
-    from dblp_crawler_spark.functions.urlnorm import resolve_url_sql
+    from dblp_crawler_spark.functions.urlnorm import (
+        resolvable_href_sql,
+        resolve_url_sql,
+    )
 
     pat = _LDJSON_RE.replace("'", "''")
     raw = ("COALESCE(json_extract_string(b, '$.contentUrl'),"
@@ -2947,5 +2980,5 @@ def jsonld_images_sql(src: str, url_col: str = "url",
                  AS acquire_license_page,
                json_extract_string(b, '$.creator.name') AS creator
         FROM jl_r
-        WHERE ({resolve_url_sql('url', 'raw')}) IS NOT NULL
+        WHERE {resolvable_href_sql('raw')}
     """
