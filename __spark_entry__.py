@@ -4488,6 +4488,86 @@ def q_zip_structure(spark, sf_dir):
     )
 
 
+def _release_pages(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".org/r/p"), sid)
+    html = F.concat(
+        F.lit('<figure><img src="/i/a'), sid,
+        F.lit('.jpg"><figcaption>shared cap '),
+        (F.col("doc_id") % 23).cast("string"),
+        F.lit("</figcaption></figure>"),
+        F.lit('<img src="/i/a'), sid, F.lit('.jpg" alt="alt '), sid,
+        F.lit('">'),
+        F.lit('<img src="/i/b'), sid, F.lit('.jpg" alt="banner alt '), sid,
+        F.lit('">'),
+    )
+    return docs.select("doc_id", url.alias("url"), html.alias("html"))
+
+
+_REL_PNG_PRE = "89504E470D0A1A0A" + "0000000D49484452"
+
+
+def q_pipeline_caption_release(spark, sf_dir):
+    """The image+caption RELEASE pipeline as ONE oracled plan — the
+    integration statement tying this session's tiers together:
+    caption_election (figcaption beats alt) → equi-join the fetched
+    byte store on img_url → image_dims + image_role_classify
+    (banners rejected by pure geometry) → drop_dups_keep_best on the
+    caption key (LAION rule: captions collide across pages — planted
+    into 23 groups — and the largest-area image survives) →
+    webdataset_manifest (exact ustar arithmetic, samples whole).
+    Every stage is an existing oracled operator and the DuckDB
+    replay chains the same fragments end-to-end. Planted: every
+    fifth content image missing from the store (fetch gap), every
+    page also declaring a 728x90 banner that must not survive the
+    role gate."""
+    from dblp_crawler_spark.operators.archive import webdataset_manifest
+    from dblp_crawler_spark.operators.dedup import drop_dups_keep_best
+    from dblp_crawler_spark.operators.sniff import (
+        image_dims,
+        image_role_classify,
+    )
+    from dblp_crawler_spark.sources.webparse import caption_election
+
+    pages = _release_pages(spark, sf_dir)
+    elected = caption_election(pages.select("url", "html"))
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".org"))
+    w_hex = F.lpad(F.conv(
+        ((F.col("doc_id") % 7) * 100 + 200).cast("string"), 10, 16), 8, "0")
+    a_hex = F.concat(F.lit(_REL_PNG_PRE), F.upper(w_hex),
+                     F.lit("00000258" + "0802000000"))
+    b_hex = F.lit(_REL_PNG_PRE + "000002D8" + "0000005A" + "0802000000")
+    store = (
+        docs.where(F.col("doc_id") % 5 != 0).select(
+            F.concat(host, F.lit("/i/a"), sid, F.lit(".jpg")).alias("img_url"),
+            F.unhex(a_hex).alias("bytes"))
+        .unionByName(docs.select(
+            F.concat(host, F.lit("/i/b"), sid, F.lit(".jpg")).alias("img_url"),
+            F.unhex(b_hex).alias("bytes")))
+    )
+    joined = elected.join(store, "img_url")
+    dims = image_role_classify(image_dims(joined))
+    gated = dims.where(
+        (F.col("role") == "content") & F.col("caption").isNotNull()
+    ).withColumns(
+        {
+            "image_id": F.regexp_extract("img_url", r"/i/([ab]\d+)\.jpg", 1),
+            "area": (F.col("width").cast("long") * F.col("height")),
+        }
+    )
+    best = drop_dups_keep_best(gated, key_col="caption", score_col="area",
+                               id_col="image_id")
+    return webdataset_manifest(
+        best.select("image_id", "bytes", "caption"), target_bytes=1 << 14
+    )
+
+
 def q_pipeline_audio_admission(spark, sf_dir):
     """Composed audio admission (sniff.audio_admission): the audio
     analog of pipeline_payload_admission — sniff → wav/mp3 header
@@ -7546,6 +7626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp3_structure": q_mp3_structure,
         "id3_text_frames": q_id3_text_frames,
         "pipeline_audio_admission": q_pipeline_audio_admission,
+        "pipeline_caption_release": q_pipeline_caption_release,
         "tar_structure": q_tar_structure,
         "zstd_structure": q_zstd_structure,
         "zip_structure": q_zip_structure,
@@ -7969,6 +8050,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "mp3_structure": _mp3_structure_oracle(),
         "id3_text_frames": _id3_frames_oracle(),
         "pipeline_audio_admission": _audio_admission_oracle(),
+        "pipeline_caption_release": _caption_release_oracle(),
         "tar_structure": _tar_structure_oracle(),
         "zstd_structure": _zstd_structure_oracle(),
         "zip_structure": _zip_structure_oracle(),
@@ -9687,6 +9769,83 @@ def _id3_frames_oracle() -> str:
     staged = (f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt"
               f" FROM {src})")
     return id3_text_frames_sql(staged)
+
+
+def _caption_release_oracle() -> str:
+    """DuckDB replay of q_pipeline_caption_release — chains
+    caption_election_sql + the store join + image_dims_sql +
+    image_role_sql + the keep-best window + webdataset_manifest_sql,
+    end-to-end."""
+    from dblp_crawler_spark.operators.archive import webdataset_manifest_sql
+    from dblp_crawler_spark.operators.sniff import (
+        image_dims_sql,
+        image_role_sql,
+        sniff_case_sql,
+    )
+    from dblp_crawler_spark.sources.webparse import caption_election_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    html = (
+        f"'<figure><img src=\"/i/a' || {sid}"
+        f" || '.jpg\"><figcaption>shared cap '"
+        f" || CAST(doc_id % 23 AS VARCHAR) || '</figcaption></figure>'"
+        f" || '<img src=\"/i/a' || {sid} || '.jpg\" alt=\"alt ' || {sid}"
+        f" || '\">'"
+        f" || '<img src=\"/i/b' || {sid} || '.jpg\" alt=\"banner alt '"
+        f" || {sid} || '\">'"
+    )
+    pages = f"""(
+        SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org/r/p'
+                 || {sid} AS url,
+               {html} AS html
+        FROM documents
+    ) rel_pages"""
+    host = "'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org'"
+    w_hex = ("upper(lpad(to_hex(CAST(200 + (doc_id % 7) * 100 AS BIGINT)),"
+             " 8, '0'))")
+    store = f"""(
+        SELECT {host} || '/i/a' || {sid} || '.jpg' AS img_url,
+               '{_REL_PNG_PRE}' || {w_hex} || '00000258' || '0802000000' AS h
+        FROM documents WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT {host} || '/i/b' || {sid} || '.jpg' AS img_url,
+               '{_REL_PNG_PRE}' || '000002D8' || '0000005A' || '0802000000'
+                 AS h
+        FROM documents
+    )"""
+    elect = caption_election_sql(pages)
+    fmt_case, w_sql, h_sql = image_dims_sql("h")
+    role = image_role_sql("width", "height")
+    manifest = webdataset_manifest_sql("rel_best", target_bytes=1 << 14,
+                                       payload_hex_col="h")
+    return f"""
+        WITH rel_e AS ({elect}), rel_s AS (SELECT * FROM {store} st),
+        rel_j AS (
+          SELECT e.img_url, e.caption, s.h
+          FROM rel_e e JOIN rel_s s USING (img_url)
+        ), rel_f AS (
+          SELECT *, {sniff_case_sql('h')} AS fmt FROM rel_j
+        ), rel_d AS (
+          SELECT img_url, caption, h, {w_sql} AS width, {h_sql} AS height
+          FROM rel_f
+        ), rel_r AS (
+          SELECT *, {role} AS role FROM rel_d
+        ), rel_g AS (
+          SELECT regexp_extract(img_url, '/i/([ab]\\d+)\\.jpg', 1)
+                   AS image_id,
+                 caption, h,
+                 CAST(width AS BIGINT) * height AS area
+          FROM rel_r
+          WHERE role = 'content' AND caption IS NOT NULL
+        ), rel_k AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY caption
+                 ORDER BY area DESC, image_id) AS rn
+          FROM rel_g
+        ), rel_best AS (
+          SELECT image_id, h, caption FROM rel_k WHERE rn = 1
+        )
+        SELECT * FROM ({manifest}) rel_m
+    """
 
 
 def _audio_admission_oracle() -> str:
