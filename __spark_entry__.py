@@ -4488,6 +4488,59 @@ def q_zip_structure(spark, sf_dir):
     )
 
 
+def q_html_tables(spark, sf_dir):
+    """Table extraction (webparse.html_tables): <table> grids are
+    training data in their own right — table-QA corpora mine (row,
+    col, cell) triples, and flattening a table into running text
+    destroys exactly what makes it valuable. Cell markup stripped,
+    entities decoded (amp last, so double-escapes decode one level),
+    header rows flagged; three nested explodes, no shuffle."""
+    from dblp_crawler_spark.sources.webparse import html_tables
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".org/t/p"), sid)
+    html = F.concat(
+        F.lit("<table><tr><th>Key</th><th>Val &amp; unit</th></tr>"
+              "<tr><td><b>row"), sid, F.lit("</b></td><td>"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(" &lt; 100</td></tr></table>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("<table><tr><td>extra "), sid,
+                        F.lit("</td></tr></table>")))
+        .otherwise(F.lit("")),
+    )
+    return html_tables(docs.select(url.alias("url"), html.alias("html")))
+
+
+def q_code_blocks(spark, sf_dir):
+    """Code-block mining (webparse.code_blocks): <pre><code> is the
+    code-LLM channel — the language-<x> class convention carries the
+    label, entities decode, and NEWLINES ARE PRESERVED (whitespace
+    is syntax, unlike every prose extractor). Inline <code> outside
+    <pre> never matches. Planted: labeled python, an unlabeled
+    block, and pages with no blocks."""
+    from dblp_crawler_spark.sources.webparse import code_blocks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+                   F.lit(".org/c/p"), sid)
+    m = F.col("doc_id") % 3
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<pre><code class="language-python">def f'), sid,
+            F.lit("(x):\n    return x &lt; "), sid,
+            F.lit("</code></pre><p><code>inline</code></p>")))
+        .when(m == 1, F.concat(
+            F.lit("<pre><code>SELECT "), sid,
+            F.lit(" FROM t &amp;&amp; go</code></pre>")))
+        .otherwise(F.lit("<p>no code here</p>"))
+    )
+    return code_blocks(docs.select(url.alias("url"), html.alias("html")))
+
+
 def _release_pages(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     sid = F.col("doc_id").cast("string")
@@ -7617,6 +7670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_images": q_extract_images,
         "figure_captions": q_figure_captions,
         "caption_election": q_caption_election,
+        "html_tables": q_html_tables,
+        "code_blocks": q_code_blocks,
         "data_uri_images": q_data_uri_images,
         "lazyload_images": q_lazyload_images,
         "image_role": q_image_role,
@@ -8041,6 +8096,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "extract_images": _images_oracle(),
         "figure_captions": _figure_captions_oracle(),
         "caption_election": _caption_election_oracle(),
+        "html_tables": _html_tables_oracle(),
+        "code_blocks": _code_blocks_oracle(),
         "data_uri_images": _data_uri_oracle(),
         "lazyload_images": _lazyload_oracle(),
         "image_role": _image_role_oracle(),
@@ -9769,6 +9826,51 @@ def _id3_frames_oracle() -> str:
     staged = (f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt"
               f" FROM {src})")
     return id3_text_frames_sql(staged)
+
+
+def _html_tables_oracle() -> str:
+    """DuckDB replay of q_html_tables."""
+    from dblp_crawler_spark.sources.webparse import html_tables_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    html = (
+        f"'<table><tr><th>Key</th><th>Val &amp; unit</th></tr>"
+        f"<tr><td><b>row' || {sid} || '</b></td><td>'"
+        f" || CAST(doc_id % 97 AS VARCHAR) || ' &lt; 100</td></tr></table>'"
+        f" || CASE WHEN doc_id % 3 = 0 THEN"
+        f" '<table><tr><td>extra ' || {sid} || '</td></tr></table>'"
+        f" ELSE '' END"
+    )
+    src = f"""(
+        SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org/t/p'
+                 || {sid} AS url,
+               {html} AS html
+        FROM documents
+    ) ht_src"""
+    return html_tables_sql(src)
+
+
+def _code_blocks_oracle() -> str:
+    """DuckDB replay of q_code_blocks."""
+    from dblp_crawler_spark.sources.webparse import code_blocks_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    html = (
+        f"CASE doc_id % 3"
+        f" WHEN 0 THEN '<pre><code class=\"language-python\">def f'"
+        f" || {sid} || '(x):' || chr(10) || '    return x &lt; ' || {sid}"
+        f" || '</code></pre><p><code>inline</code></p>'"
+        f" WHEN 1 THEN '<pre><code>SELECT ' || {sid}"
+        f" || ' FROM t &amp;&amp; go</code></pre>'"
+        f" ELSE '<p>no code here</p>' END"
+    )
+    src = f"""(
+        SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.org/c/p'
+                 || {sid} AS url,
+               {html} AS html
+        FROM documents
+    ) cb_src"""
+    return code_blocks_sql(src)
 
 
 def _caption_release_oracle() -> str:

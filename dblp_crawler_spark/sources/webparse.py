@@ -2982,3 +2982,177 @@ def jsonld_images_sql(src: str, url_col: str = "url",
         FROM jl_r
         WHERE {resolvable_href_sql('raw')}
     """
+
+
+# ---- structured content extraction (tables, code blocks) --------------------------
+#
+# Two HTML structures that are TRAINING DATA in their own right, not
+# just page text: <table> grids (table-QA / structure-aware corpora
+# mine them as (row, col, cell) triples — flattening them into
+# running text destroys exactly what makes them valuable) and
+# <pre><code> blocks (the code-LLM mining channel; the
+# language-<x> class convention carries the label). Both are
+# bounded nested block parses — regexp_extract_all + posexplode per
+# level, map-side, RE2-safe.
+
+_TABLE_RE = r"(?si)<table[^>]*>.*?</table>"
+_TR_RE = r"(?si)<tr[^>]*>.*?</tr>"
+_CELL_RE = r"(?si)<t[dh][^>]*>(.*?)</t[dh]>"
+_PRE_CODE_RE = r"(?si)<pre[^>]*>\s*<code[^>]*>.*?</code>\s*</pre>"
+_CODE_ATTR_RE = r"(?si)<code([^>]*)>"
+_CODE_BODY_RE = r"(?si)<code[^>]*>(.*?)</code>"
+_LANG_CLASS_RE = r"""language-([a-zA-Z0-9+#-]+)"""
+
+#: entity → literal, applied in order (amp LAST so &amp;lt; stays
+#: &lt; — double-escaped entities decode exactly one level)
+HTML_ENTITY_TABLE = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&amp;", "&"),
+]
+
+
+def _unescape(col: Column) -> Column:
+    for ent, lit in HTML_ENTITY_TABLE:
+        col = F.replace(col, F.lit(ent), F.lit(lit))
+    return col
+
+
+def _unescape_sql(expr: str) -> str:
+    for ent, lit in HTML_ENTITY_TABLE:
+        e = ent.replace("'", "''")
+        l = lit.replace("'", "''")
+        expr = f"replace({expr}, '{e}', '{l}')"
+    return expr
+
+
+def html_tables(pages: DataFrame, url_col: str = "url",
+                html_col: str = "html") -> DataFrame:
+    """One row per table CELL: (url, table_idx, row_idx, col_idx,
+    cell, is_header_row) — cell text with inner markup stripped,
+    whitespace folded, entities decoded; is_header_row marks rows
+    whose cells are <th>. Three nested explodes, no shuffle."""
+    tables = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_TABLE_RE), F.lit(0))
+        ).alias("table_idx", "__tbl"),
+    )
+    rows = tables.select(
+        "url", "table_idx",
+        F.posexplode(
+            F.regexp_extract_all(F.col("__tbl"), F.lit(_TR_RE), F.lit(0))
+        ).alias("row_idx", "__row"),
+    )
+    cells = rows.select(
+        "url", "table_idx", "row_idx",
+        F.lower(F.col("__row")).rlike("<th[ >]").alias("is_header_row"),
+        F.posexplode(
+            F.regexp_extract_all(F.col("__row"), F.lit(_CELL_RE), F.lit(1))
+        ).alias("col_idx", "__cell"),
+    )
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("__cell"), r"<[^>]*>", ""), r"\s+", " "
+        )
+    )
+    return cells.select(
+        "url",
+        F.col("table_idx").cast("int").alias("table_idx"),
+        F.col("row_idx").cast("int").alias("row_idx"),
+        F.col("col_idx").cast("int").alias("col_idx"),
+        _unescape(text).alias("cell"),
+        "is_header_row",
+    )
+
+
+def html_tables_sql(src: str, url_col: str = "url",
+                    html_col: str = "html") -> str:
+    """DuckDB replay of :func:`html_tables`."""
+    def esc(p):
+        return p.replace("'", "''")
+
+    text = ("trim(regexp_replace(regexp_replace(cell0, '<[^>]*>', '', 'g'),"
+            " '\\s+', ' ', 'g'))")
+    return f"""
+        WITH ht_t AS (
+          SELECT {url_col} AS url, t.i - 1 AS table_idx, t.tbl
+          FROM {src},
+               LATERAL (SELECT unnest(regexp_extract_all({html_col},
+                          '{esc(_TABLE_RE)}', 0)) AS tbl,
+                        generate_subscripts(regexp_extract_all({html_col},
+                          '{esc(_TABLE_RE)}', 0), 1) AS i) t
+        ), ht_r AS (
+          SELECT url, table_idx, r.i - 1 AS row_idx, r.rw
+          FROM ht_t,
+               LATERAL (SELECT unnest(regexp_extract_all(tbl,
+                          '{esc(_TR_RE)}', 0)) AS rw,
+                        generate_subscripts(regexp_extract_all(tbl,
+                          '{esc(_TR_RE)}', 0), 1) AS i) r
+        ), ht_c AS (
+          SELECT url, table_idx, row_idx,
+                 regexp_matches(lower(rw), '<th[ >]') AS is_header_row,
+                 c.i - 1 AS col_idx, c.cell0
+          FROM ht_r,
+               LATERAL (SELECT unnest(regexp_extract_all(rw,
+                          '{esc(_CELL_RE)}', 1)) AS cell0,
+                        generate_subscripts(regexp_extract_all(rw,
+                          '{esc(_CELL_RE)}', 1), 1) AS i) c
+        )
+        SELECT url, CAST(table_idx AS INT) AS table_idx,
+               CAST(row_idx AS INT) AS row_idx,
+               CAST(col_idx AS INT) AS col_idx,
+               {_unescape_sql(text)} AS cell,
+               is_header_row
+        FROM ht_c
+    """
+
+
+def code_blocks(pages: DataFrame, url_col: str = "url",
+                html_col: str = "html") -> DataFrame:
+    """One row per <pre><code> block: (url, block_idx, lang, code,
+    n_lines) — lang from the language-<x> class convention (NULL
+    when unlabeled), code entity-decoded with NEWLINES PRESERVED
+    (unlike every prose extractor here — whitespace is syntax)."""
+    blocks = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_PRE_CODE_RE), F.lit(0))
+        ).alias("block_idx", "__blk"),
+    )
+    b = F.col("__blk")
+    attrs = F.regexp_extract(b, _CODE_ATTR_RE, 1)
+    code = _unescape(F.regexp_extract(b, _CODE_BODY_RE, 1))
+    return blocks.select(
+        "url",
+        F.col("block_idx").cast("int").alias("block_idx"),
+        F.nullif(F.regexp_extract(attrs, _LANG_CLASS_RE, 1),
+                 F.lit("")).alias("lang"),
+        code.alias("code"),
+        F.size(F.split(code, "\n")).cast("int").alias("n_lines"),
+    )
+
+
+def code_blocks_sql(src: str, url_col: str = "url",
+                    html_col: str = "html") -> str:
+    """DuckDB replay of :func:`code_blocks`."""
+    def esc(p):
+        return p.replace("'", "''")
+
+    code = _unescape_sql(f"regexp_extract(blk, '{esc(_CODE_BODY_RE)}', 1)")
+    return f"""
+        WITH cb_b AS (
+          SELECT {url_col} AS url, t.i - 1 AS block_idx, t.blk
+          FROM {src},
+               LATERAL (SELECT unnest(regexp_extract_all({html_col},
+                          '{esc(_PRE_CODE_RE)}', 0)) AS blk,
+                        generate_subscripts(regexp_extract_all({html_col},
+                          '{esc(_PRE_CODE_RE)}', 0), 1) AS i) t
+        )
+        SELECT url, CAST(block_idx AS INT) AS block_idx,
+               NULLIF(regexp_extract(regexp_extract(blk,
+                 '{esc(_CODE_ATTR_RE)}', 1), '{_LANG_CLASS_RE}', 1), '')
+                 AS lang,
+               {code} AS code,
+               CAST(len(string_split({code}, chr(10))) AS INT) AS n_lines
+        FROM cb_b
+    """
