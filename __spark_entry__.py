@@ -4541,6 +4541,56 @@ def q_code_blocks(spark, sf_dir):
     return code_blocks(docs.select(url.alias("url"), html.alias("html")))
 
 
+def q_feed_enclosures(spark, sf_dir):
+    """Podcast enclosure discovery (webparse.feed_enclosures): the
+    audio axis's declared-inventory channel, completing the symmetry
+    (images: sitemap_images; video: sitemap_videos + HLS; audio: RSS
+    <enclosure>). URL + MIME + DECLARED byte length (fetch budgeting
+    before scheduling; a later Content-Length disagreement feeds
+    truncation evidence) + itunes:duration in any of its SS / MM:SS
+    / HH:MM:SS spellings parsed to exact seconds. Planted: audio and
+    video enclosures with free attribute order, enclosure-less
+    items, and a link-less orphan that remains schedulable."""
+    from dblp_crawler_spark.sources.webparse import feed_enclosures
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    dur = (
+        F.when(m == 0, F.concat(F.lit("<itunes:duration>1:0"),
+                                (F.col("doc_id") % 6).cast("string"),
+                                F.lit(":03</itunes:duration>")))
+        .when(m == 1, F.concat(F.lit("<itunes:duration>"),
+                               ((F.col("doc_id") % 50) + 10).cast("string"),
+                               F.lit(":30</itunes:duration>")))
+        .otherwise(F.lit(""))
+    )
+    enc = F.when(
+        m == 2,
+        F.concat(F.lit('<enclosure type="video/mp4" url="https://cdn'),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".ex/v"), sid, F.lit('.mp4"/>')),
+    ).otherwise(
+        F.concat(F.lit('<enclosure url="https://cdn'),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".ex/e"), sid, F.lit('.mp3" length="'),
+                 ((F.col("doc_id") % 900) * 1000 + 50000).cast("string"),
+                 F.lit('" type="audio/mpeg"/>')),
+    )
+    xml = F.concat(
+        F.lit("<rss><channel><item><link>https://pod"),
+        (F.col("doc_id") % 10).cast("string"), F.lit(".ex/ep"), sid,
+        F.lit("</link>"), enc, dur, F.lit("</item>"),
+        F.lit("<item><link>https://pod.ex/none</link></item>"),
+        F.lit("</channel></rss>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("pod"), (F.col("doc_id") % 10).cast("string"),
+                 F.lit(".ex")).alias("host"),
+        xml.alias("feed_xml"))
+    return feed_enclosures(pages)
+
+
 def _release_pages(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     sid = F.col("doc_id").cast("string")
@@ -7671,6 +7721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "figure_captions": q_figure_captions,
         "caption_election": q_caption_election,
         "html_tables": q_html_tables,
+        "feed_enclosures": q_feed_enclosures,
         "code_blocks": q_code_blocks,
         "data_uri_images": q_data_uri_images,
         "lazyload_images": q_lazyload_images,
@@ -8097,6 +8148,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "figure_captions": _figure_captions_oracle(),
         "caption_election": _caption_election_oracle(),
         "html_tables": _html_tables_oracle(),
+        "feed_enclosures": _feed_enclosures_oracle(),
         "code_blocks": _code_blocks_oracle(),
         "data_uri_images": _data_uri_oracle(),
         "lazyload_images": _lazyload_oracle(),
@@ -9871,6 +9923,45 @@ def _code_blocks_oracle() -> str:
         FROM documents
     ) cb_src"""
     return code_blocks_sql(src)
+
+
+def _feed_enclosures_oracle() -> str:
+    """DuckDB replay of q_feed_enclosures."""
+    from dblp_crawler_spark.sources.webparse import feed_enclosures_sql
+
+    sid = "CAST(doc_id AS VARCHAR)"
+    dur = (
+        f"CASE doc_id % 3"
+        f" WHEN 0 THEN '<itunes:duration>1:0'"
+        f" || CAST(doc_id % 6 AS VARCHAR) || ':03</itunes:duration>'"
+        f" WHEN 1 THEN '<itunes:duration>'"
+        f" || CAST((doc_id % 50) + 10 AS VARCHAR)"
+        f" || ':30</itunes:duration>'"
+        f" ELSE '' END"
+    )
+    enc = (
+        f"CASE WHEN doc_id % 3 = 2 THEN"
+        f" '<enclosure type=\"video/mp4\" url=\"https://cdn'"
+        f" || CAST(doc_id % 5 AS VARCHAR) || '.ex/v' || {sid} || '.mp4\"/>'"
+        f" ELSE '<enclosure url=\"https://cdn'"
+        f" || CAST(doc_id % 5 AS VARCHAR) || '.ex/e' || {sid}"
+        f" || '.mp3\" length=\"'"
+        f" || CAST((doc_id % 900) * 1000 + 50000 AS VARCHAR)"
+        f" || '\" type=\"audio/mpeg\"/>' END"
+    )
+    xml = (
+        f"'<rss><channel><item><link>https://pod'"
+        f" || CAST(doc_id % 10 AS VARCHAR) || '.ex/ep' || {sid}"
+        f" || '</link>' || {enc} || {dur} || '</item>'"
+        f" || '<item><link>https://pod.ex/none</link></item>'"
+        f" || '</channel></rss>'"
+    )
+    src = f"""(
+        SELECT 'pod' || CAST(doc_id % 10 AS VARCHAR) || '.ex' AS host,
+               {xml} AS feed_xml
+        FROM documents
+    ) fe_src"""
+    return feed_enclosures_sql(src)
 
 
 def _caption_release_oracle() -> str:

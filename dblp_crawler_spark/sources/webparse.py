@@ -3156,3 +3156,122 @@ def code_blocks_sql(src: str, url_col: str = "url",
                CAST(len(string_split({code}, chr(10))) AS INT) AS n_lines
         FROM cb_b
     """
+
+
+# ---- podcast enclosures (audio discovery) -----------------------------------------
+#
+# The audio axis's declared-inventory channel, completing the
+# symmetry: images have sitemap_images, video has sitemap_videos +
+# HLS, and podcast audio is announced through RSS <enclosure>
+# elements — url, MIME type, and a DECLARED byte length (the fetch
+# budget knows the cost before scheduling; a declared length that
+# later disagrees with Content-Length feeds payload_complete's
+# truncation evidence). Attribute order is free; itunes:duration
+# ("SS", "MM:SS" or "HH:MM:SS") parses to exact seconds when
+# present.
+
+_ENCLOSURE_RE = r"(?si)<enclosure[^>]*>"
+_ENC_URL_RE = r"""(?i)[\s]url\s*=\s*["']([^"']*)["']"""
+_ENC_TYPE_RE = r"""(?i)[\s]type\s*=\s*["']([^"']*)["']"""
+_ENC_LEN_RE = r"""(?i)[\s]length\s*=\s*["'](\d+)["']"""
+_IT_DUR_RE = r"(?si)<itunes:duration>\s*([0-9:]+)\s*</itunes:duration>"
+
+
+def feed_enclosures(pages: DataFrame, xml_col: str = "feed_xml",
+                    keep: list | None = None) -> DataFrame:
+    """One row per RSS item enclosure: (keep..., item_url,
+    enclosure_url, mime, declared_bytes, duration_s, is_audio) —
+    item_url from the item's <link> (NULL if absent: enclosures are
+    schedulable without one), duration from itunes:duration when
+    declared."""
+    from ..functions.urlnorm import canonical_url
+
+    cols = keep if keep is not None else [c for c in pages.columns if c != xml_col]
+    items = pages.select(
+        *cols,
+        F.explode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(_RSS_ITEM_RE), F.lit(1))
+        ).alias("__item"),
+    )
+    it = F.col("__item")
+    enc = F.regexp_extract(it, _ENCLOSURE_RE, 0)
+    dur_raw = F.nullif(F.regexp_extract(it, _IT_DUR_RE, 1), F.lit(""))
+    parts = F.split(dur_raw, ":")
+    n = F.size(parts)
+    dur_s = F.when(
+        dur_raw.isNotNull() & (n <= 3),
+        F.aggregate(
+            parts, F.lit(0).cast("long"),
+            lambda acc, x: acc * F.lit(60) + x.cast("long"),
+        ),
+    )
+    rows = items.where(enc != "").select(
+        *cols,
+        canonical_url(
+            F.nullif(F.regexp_extract(it, r"(?s)<link>\s*([^<\s]+)", 1),
+                     F.lit(""))
+        ).alias("item_url"),
+        canonical_url(
+            F.nullif(F.regexp_extract(enc, _ENC_URL_RE, 1), F.lit(""))
+        ).alias("enclosure_url"),
+        F.nullif(F.regexp_extract(enc, _ENC_TYPE_RE, 1),
+                 F.lit("")).alias("mime"),
+        F.nullif(F.regexp_extract(enc, _ENC_LEN_RE, 1), F.lit(""))
+        .cast("long").alias("declared_bytes"),
+        dur_s.alias("duration_s"),
+    )
+    return rows.where(F.col("enclosure_url").isNotNull()).withColumn(
+        "is_audio",
+        F.coalesce(F.col("mime").startswith("audio/"), F.lit(False)),
+    )
+
+
+def feed_enclosures_sql(src: str, xml_col: str = "feed_xml",
+                        keep: str = "host") -> str:
+    """DuckDB replay of :func:`feed_enclosures`."""
+    from ..functions.urlnorm import canonical_url_sql
+
+    def esc(p):
+        return p.replace("'", "''")
+
+    link = (f"NULLIF(regexp_extract(item, '(?s)<link>\\s*([^<\\s]+)', 1),"
+            f" '')")
+    enc_url = (f"NULLIF(regexp_extract(enc, '{esc(_ENC_URL_RE)}', 1), '')")
+    dur = f"NULLIF(regexp_extract(item, '{esc(_IT_DUR_RE)}', 1), '')"
+    return f"""
+        WITH fe_i AS (
+          SELECT {keep},
+                 unnest(regexp_extract_all({xml_col},
+                   '{esc(_RSS_ITEM_RE)}', 1)) AS item
+          FROM {src}
+        ), fe_e AS (
+          SELECT {keep}, item,
+                 regexp_extract(item, '{esc(_ENCLOSURE_RE)}', 0) AS enc,
+                 {dur} AS dur_raw
+          FROM fe_i
+        ), fe_r AS (
+          SELECT {keep},
+                 {canonical_url_sql(link)} AS item_url,
+                 {canonical_url_sql(enc_url)} AS enclosure_url,
+                 NULLIF(regexp_extract(enc, '{esc(_ENC_TYPE_RE)}', 1), '')
+                   AS mime,
+                 TRY_CAST(NULLIF(regexp_extract(enc,
+                   '{esc(_ENC_LEN_RE)}', 1), '') AS BIGINT)
+                   AS declared_bytes,
+                 CASE len(string_split(dur_raw, ':'))
+                   WHEN 1 THEN TRY_CAST(dur_raw AS BIGINT)
+                   WHEN 2 THEN
+                     TRY_CAST(string_split(dur_raw, ':')[1] AS BIGINT) * 60
+                     + TRY_CAST(string_split(dur_raw, ':')[2] AS BIGINT)
+                   WHEN 3 THEN
+                     TRY_CAST(string_split(dur_raw, ':')[1] AS BIGINT) * 3600
+                     + TRY_CAST(string_split(dur_raw, ':')[2] AS BIGINT) * 60
+                     + TRY_CAST(string_split(dur_raw, ':')[3] AS BIGINT)
+                 END AS duration_s
+          FROM fe_e WHERE enc <> ''
+        )
+        SELECT {keep}, item_url, enclosure_url, mime, declared_bytes,
+               duration_s,
+               COALESCE(starts_with(mime, 'audio/'), false) AS is_audio
+        FROM fe_r WHERE enclosure_url IS NOT NULL
+    """

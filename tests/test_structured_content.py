@@ -75,3 +75,49 @@ def test_structured_content_duckdb_replays(spark):
                     .sort_values(keys).reset_index(drop=True))
         pd.testing.assert_frame_equal(
             spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
+
+
+_FEED = (
+    "<rss><channel>"
+    "<item><link>https://pod.ex/ep1</link>"
+    '<enclosure url="https://cdn.ex/ep1.mp3" length="12345678" '
+    'type="audio/mpeg"/>'
+    "<itunes:duration>1:02:03</itunes:duration></item>"
+    "<item><link>https://pod.ex/ep2</link>"
+    '<enclosure type="video/mp4" url="https://cdn.ex/ep2.mp4"/>'
+    "<itunes:duration>45:30</itunes:duration></item>"
+    "<item><link>https://pod.ex/noenc</link></item>"
+    '<item><enclosure url="https://cdn.ex/orphan.mp3" '
+    'type="audio/mpeg" length="99"/></item>'
+    "</channel></rss>"
+)
+
+
+def test_feed_enclosures(spark):
+    from dblp_crawler_spark.sources.webparse import (
+        feed_enclosures,
+        feed_enclosures_sql,
+    )
+    pages = spark.createDataFrame([("pod.ex", _FEED)],
+                                  "host string, feed_xml string")
+    out = feed_enclosures(pages)
+    got = {r.enclosure_url: r for r in out.collect()}
+    assert len(got) == 3                          # item without enclosure drops
+    e1 = got["https://cdn.ex/ep1.mp3"]
+    assert (e1.item_url, e1.mime, e1.declared_bytes, e1.duration_s,
+            e1.is_audio) == ("https://pod.ex/ep1", "audio/mpeg",
+                             12345678, 3723, True)
+    e2 = got["https://cdn.ex/ep2.mp4"]            # attr order free
+    assert (e2.mime, e2.declared_bytes, e2.duration_s, e2.is_audio) == (
+        "video/mp4", None, 2730, False)
+    orphan = got["https://cdn.ex/orphan.mp3"]
+    assert orphan.item_url is None and orphan.is_audio
+
+    con = duckdb.connect()
+    con.register("pages", pages.toPandas())
+    spark_pdf = (out.toPandas()
+                 .sort_values("enclosure_url").reset_index(drop=True))
+    duck_pdf = (con.sql(feed_enclosures_sql("pages")).df()
+                .sort_values("enclosure_url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
