@@ -443,3 +443,30 @@ def test_scene_transcripts_single_join_no_cartesian(spark):
         [("v", "00:00.000 --> 00:01.000\nhi\n")], "video_id string, vtt string")
     p = plan_of(scene_transcripts(scene_segments(frames), webvtt_cues(files)))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_structured_extractors_are_map_only(spark):
+    """html_tables / code_blocks / feed_enclosures / sitemap_videos /
+    hls_media_renditions are nested-explode projections: no Exchange
+    — page text never shuffles."""
+    from dblp_crawler_spark.sources.hls import hls_media_renditions
+    from dblp_crawler_spark.sources.webparse import (
+        code_blocks,
+        feed_enclosures,
+        html_tables,
+        sitemap_videos,
+    )
+    pages = spark.createDataFrame(
+        [("https://a.org/p", "<table><tr><td>x</td></tr></table>")],
+        "url string, html string")
+    for fn in (html_tables, code_blocks):
+        assert "Exchange" not in plan_of(fn(pages)), fn.__name__
+    feeds = spark.createDataFrame([("h", "<rss/>")],
+                                  "host string, feed_xml string")
+    assert "Exchange" not in plan_of(feed_enclosures(feeds))
+    sm = spark.createDataFrame([("h", "<urlset/>")],
+                               "host string, sitemap_xml string")
+    assert "Exchange" not in plan_of(sitemap_videos(sm))
+    m3u = spark.createDataFrame([("u", "#EXTM3U\n")],
+                                "url string, m3u8 string")
+    assert "Exchange" not in plan_of(hls_media_renditions(m3u))
