@@ -4541,6 +4541,20 @@ def q_code_blocks(spark, sf_dir):
     return code_blocks(docs.select(url.alias("url"), html.alias("html")))
 
 
+def q_table_markdown(spark, sf_dir):
+    """Table→markdown linearization (webparse.table_markdown over
+    html_tables): the form a table actually enters an LLM corpus in
+    — structure preserved as | bars + the header separator row, pipe
+    characters escaped, ragged rows tolerated with n_cols reporting
+    the max. Two ordered aggregations (array_sort over collected
+    structs — deterministic on any partitioning, no window); the
+    replay chains html_tables_sql into string_agg ORDER BY at both
+    levels."""
+    from dblp_crawler_spark.sources.webparse import table_markdown
+
+    return table_markdown(q_html_tables(spark, sf_dir))
+
+
 def q_feed_enclosures(spark, sf_dir):
     """Podcast enclosure discovery (webparse.feed_enclosures): the
     audio axis's declared-inventory channel, completing the symmetry
@@ -7722,6 +7736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_election": q_caption_election,
         "html_tables": q_html_tables,
         "feed_enclosures": q_feed_enclosures,
+        "table_markdown": q_table_markdown,
         "code_blocks": q_code_blocks,
         "data_uri_images": q_data_uri_images,
         "lazyload_images": q_lazyload_images,
@@ -8149,6 +8164,7 @@ def _portable_hash_oracles() -> dict[str, str]:
         "caption_election": _caption_election_oracle(),
         "html_tables": _html_tables_oracle(),
         "feed_enclosures": _feed_enclosures_oracle(),
+        "table_markdown": _table_markdown_oracle(),
         "code_blocks": _code_blocks_oracle(),
         "data_uri_images": _data_uri_oracle(),
         "lazyload_images": _lazyload_oracle(),
@@ -9923,6 +9939,14 @@ def _code_blocks_oracle() -> str:
         FROM documents
     ) cb_src"""
     return code_blocks_sql(src)
+
+
+def _table_markdown_oracle() -> str:
+    """DuckDB replay of q_table_markdown — chains the html_tables
+    oracle into the markdown renderer fragment."""
+    from dblp_crawler_spark.sources.webparse import table_markdown_sql
+
+    return table_markdown_sql(f"({_html_tables_oracle()})")
 
 
 def _feed_enclosures_oracle() -> str:

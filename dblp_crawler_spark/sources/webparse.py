@@ -3275,3 +3275,84 @@ def feed_enclosures_sql(src: str, xml_col: str = "feed_xml",
                COALESCE(starts_with(mime, 'audio/'), false) AS is_audio
         FROM fe_r WHERE enclosure_url IS NOT NULL
     """
+
+
+def table_markdown(cells: DataFrame) -> DataFrame:
+    """Render :func:`html_tables` cells to GitHub-markdown — the
+    linearization that puts a table into an LLM corpus WITHOUT
+    destroying its structure (column alignment survives as | bars,
+    the header keeps its separator row). One row per table: (url,
+    table_idx, n_rows, n_cols, markdown).
+
+    Scale shape: two ordered aggregations keyed (url, table_idx[,
+    row]) — array_sort over collected (idx, text) structs gives the
+    deterministic in-row and in-table order on any partitioning; no
+    window, no collect. Ragged rows render as-is (markdown is
+    forgiving; n_cols reports the MAX so a consumer can gate on
+    rectangularity)."""
+    pipes = F.regexp_replace(F.col("cell"), r"\|", "\\\\|")
+    rows = cells.groupBy("url", "table_idx", "row_idx").agg(
+        F.max("is_header_row").alias("__hdr"),
+        F.count(F.lit(1)).alias("__ncol"),
+        F.concat(
+            F.lit("| "),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("col_idx"), pipes.alias("c")))),
+                    lambda x: x["c"],
+                ),
+                " | ",
+            ),
+            F.lit(" |"),
+        ).alias("__line"),
+    )
+    line = F.when(
+        (F.col("row_idx") == 0) & F.col("__hdr"),
+        F.concat(
+            F.col("__line"), F.lit("\n"),
+            F.lit("|"),
+            F.repeat(F.lit("---|"), F.col("__ncol").cast("int")),
+        ),
+    ).otherwise(F.col("__line"))
+    return rows.groupBy("url", "table_idx").agg(
+        F.count(F.lit(1)).cast("int").alias("n_rows"),
+        F.max("__ncol").cast("int").alias("n_cols"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("row_idx"), line.alias("l")))
+                ),
+                lambda x: x["l"],
+            ),
+            "\n",
+        ).alias("markdown"),
+    )
+
+
+def table_markdown_sql(cells_src: str) -> str:
+    """DuckDB replay of :func:`table_markdown` — string_agg with
+    ORDER BY at both levels."""
+    return f"""
+        WITH tm_r AS (
+          SELECT url, table_idx, row_idx,
+                 MAX(is_header_row) AS hdr,
+                 COUNT(*) AS ncol,
+                 '| ' || string_agg(regexp_replace(cell, '\\|', '\\\\|', 'g'),
+                                    ' | ' ORDER BY col_idx) || ' |' AS line
+          FROM {cells_src}
+          GROUP BY url, table_idx, row_idx
+        ), tm_l AS (
+          SELECT url, table_idx, row_idx, ncol,
+                 CASE WHEN row_idx = 0 AND hdr
+                      THEN line || chr(10) || '|'
+                           || repeat('---|', CAST(ncol AS INT))
+                      ELSE line END AS line
+          FROM tm_r
+        )
+        SELECT url, table_idx,
+               CAST(COUNT(*) AS INT) AS n_rows,
+               CAST(MAX(ncol) AS INT) AS n_cols,
+               string_agg(line, chr(10) ORDER BY row_idx) AS markdown
+        FROM tm_l
+        GROUP BY url, table_idx
+    """

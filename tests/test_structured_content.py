@@ -121,3 +121,32 @@ def test_feed_enclosures(spark):
                 .sort_values("enclosure_url").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
+
+
+def test_table_markdown(spark):
+    from dblp_crawler_spark.sources.webparse import (
+        html_tables,
+        table_markdown,
+        table_markdown_sql,
+    )
+    pages = _pages(spark, [("https://ex.org/t", _TABLE_HTML)])
+    cells = html_tables(pages)
+    got = {r.table_idx: r for r in table_markdown(cells).collect()}
+    t0 = got[0]
+    assert (t0.n_rows, t0.n_cols) == (3, 2)
+    lines = t0.markdown.split("\n")
+    assert lines[0] == "| Name | Qty & price |"
+    assert lines[1] == "|---|---|"
+    assert lines[2] == "| Apples | 3 < 5 |"
+    assert lines[3] == "| Pears green |  |"
+    assert got[1].markdown == "| solo |"
+
+    con = duckdb.connect()
+    con.register("pages", pages.toPandas())
+    cells_sql = html_tables_sql("pages")
+    spark_pdf = (table_markdown(cells).toPandas()
+                 .sort_values(["url", "table_idx"]).reset_index(drop=True))
+    duck_pdf = (con.sql(table_markdown_sql(f"({cells_sql})")).df()
+                .sort_values(["url", "table_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
