@@ -4649,7 +4649,15 @@ def q_pipeline_caption_release(spark, sf_dir):
     from dblp_crawler_spark.sources.webparse import caption_election
 
     pages = _release_pages(spark, sf_dir)
-    elected = caption_election(pages.select("url", "html"))
+    # lazy localCheckpoint: the election output is slim (url,
+    # img_url, caption) but its PLAN carries the huge URL-resolution
+    # expressions; truncating the lineage stops downstream AQE
+    # re-plans re-optimizing through them (interleaved A/B at sf0.1:
+    # 15.4 s avg vs 17.6 s without, consistent winner across rounds
+    # — same discipline as global_sequence/pack_shards' checkpoint)
+    elected = caption_election(pages.select("url", "html")).localCheckpoint(
+        eager=False
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     sid = F.col("doc_id").cast("string")
@@ -4735,7 +4743,9 @@ def q_pipeline_image_harvest(spark, sf_dir):
         F.lit('<img src="/i/'), sid, F.lit('.png">'),
     )
     pages = docs.select(url.alias("url"), html.alias("html"))
-    harvested = extract_images(pages)
+    # lazy localCheckpoint: slim rows, huge plan — see
+    # q_pipeline_caption_release for the measured rationale
+    harvested = extract_images(pages).localCheckpoint(eager=False)
 
     m = F.col("doc_id") % 4
     hero_hex = F.lit(_ROLE_HEADERS[0])
