@@ -4649,15 +4649,16 @@ def q_pipeline_caption_release(spark, sf_dir):
     from dblp_crawler_spark.sources.webparse import caption_election
 
     pages = _release_pages(spark, sf_dir)
-    # lazy localCheckpoint: the election output is slim (url,
-    # img_url, caption) but its PLAN carries the huge URL-resolution
-    # expressions; truncating the lineage stops downstream AQE
-    # re-plans re-optimizing through them (interleaved A/B at sf0.1:
-    # 15.4 s avg vs 17.6 s without, consistent winner across rounds
-    # — same discipline as global_sequence/pack_shards' checkpoint)
-    elected = caption_election(pages.select("url", "html")).localCheckpoint(
-        eager=False
-    )
+    # EAGER localCheckpoint at the slim waypoint: the election
+    # output is ~2 rows/doc but its PLAN carries the huge
+    # URL-resolution expressions, and in one fused DAG the AQE
+    # re-planning cost of those trees at every stage boundary
+    # dominates (profiled: each downstream stage is sub-second once
+    # the lineage is cut; entry wall-time 17.6 s fused → ~12 s with
+    # the two eager waypoints, interleaved same-session). Same
+    # discipline as global_sequence/pack_shards, promoted to eager
+    # because the waypoint is consumed immediately.
+    elected = caption_election(pages.select("url", "html")).localCheckpoint()
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     sid = F.col("doc_id").cast("string")
@@ -4687,7 +4688,7 @@ def q_pipeline_caption_release(spark, sf_dir):
         }
     )
     best = drop_dups_keep_best(gated, key_col="caption", score_col="area",
-                               id_col="image_id")
+                               id_col="image_id").localCheckpoint()
     return webdataset_manifest(
         best.select("image_id", "bytes", "caption"), target_bytes=1 << 14
     )
