@@ -4396,8 +4396,20 @@ def id3_text_frames(df: DataFrame, bytes_col: str = "bytes",
         ).otherwise(acc["frames"])
         return F.struct(nxt.alias("pos"), frames.alias("frames"))
 
+    # Header flags bit 6 (ID3v2.[34].0 §3.1) announces an extended
+    # header at byte 10; skip it before the first frame hop or the
+    # frame-id grammar fails immediately on its size bytes. v2.4's
+    # size is syncsafe and INCLUDES the whole extended header; v2.3's
+    # is BE32 and EXCLUDES its own 4 size bytes.
+    flags = _hex2long(hx, F.lit(11), 2)
+    has_ext = (flags % 128) >= 64
+    ext_bytes = (
+        F.when(has_ext & v24, _id3_syncsafe(hx, F.lit(21)))
+        .when(has_ext, F.lit(4) + _be(hx, F.lit(21)))
+        .otherwise(F.lit(0))
+    )
     acc0 = F.struct(
-        F.lit(21).cast("long").alias("pos"),   # byte 10: first frame
+        (F.lit(21) + F.lit(2) * ext_bytes).cast("long").alias("pos"),
         F.array().cast("array<long>").alias("frames"),
     )
     walk = F.when(
@@ -4455,9 +4467,16 @@ def id3_text_frames_sql(src: str, keep: str = "doc_id",
                 f" ELSE TRY_CAST(concat('0x', substring(h, ({pos}) + 8, 8))"
                 f" AS BIGINT) END")
 
+    flags = "TRY_CAST(concat('0x', substring(h, 11, 2)) AS BIGINT)"
+    has_ext = f"({flags} % 128) >= 64"
+    ext_bytes = (
+        f"CASE WHEN {has_ext} AND {v24} THEN {syncsafe('21')}"
+        f" WHEN {has_ext} THEN 4 + TRY_CAST(concat('0x',"
+        f" substring(h, 21, 8)) AS BIGINT) ELSE 0 END"
+    )
     ctes = [f"""id0 AS MATERIALIZED (
           SELECT {keep}, {h_col} AS h, {fmt_col} AS fmt,
-                 CAST(21 AS BIGINT) AS pos,
+                 CAST(21 + 2 * ({ext_bytes}) AS BIGINT) AS pos,
                  {", ".join(f"CAST(NULL AS BIGINT) AS f{j + 1}"
                             for j in range(ID3_MAX_FRAMES))}
           FROM {src}

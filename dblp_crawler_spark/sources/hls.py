@@ -27,13 +27,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: an EXTINF tag + its following (non-comment) segment URI line
-HLS_SEG_RE = r"#EXTINF:[0-9.]+[^\n]*\n[^#\n][^\n]*"
+#: an EXTINF tag + its segment URI line. Whole seconds are REQUIRED
+#: (#EXTINF:.5 never matches, so an unparsable duration can't
+#: NULL-absorb the playlist sum on one engine and not the other),
+#: and per-segment tags (EXT-X-BYTERANGE, EXT-X-PROGRAM-DATE-TIME,
+#: EXT-X-KEY, ...) may interpose between EXTINF and the URI — the
+#: #EXT-X- prefix keeps the group from swallowing a following
+#: #EXTINF, so back-to-back segments never merge. Plain comment
+#: lines between EXTINF and URI remain out of grammar (documented).
+HLS_SEG_RE = r"#EXTINF:\d+[^\n]*\n(?:#EXT-X-[^\n]*\n)*[^#\n][^\n]*"
 #: an EXT-X-STREAM-INF tag + its following variant URI line
+#: (RFC 8216 §4.3.4.2: the URI line is the next line — kept strict)
 HLS_VAR_RE = r"#EXT-X-STREAM-INF:[^\n]*\n[^#\n][^\n]*"
 _DUR_INT_RE = r"#EXTINF:(\d+)"
 _DUR_FRAC_RE = r"#EXTINF:\d+\.(\d{1,3})"
-_URI_RE = r"\n([^\n]+)"
+#: the URI is the LAST line of a block (intervening tags start '#')
+_URI_RE = r"\n([^#\n][^\n]*)$"
 _BW_RE = r"BANDWIDTH=(\d+)"
 _RES_RE = r"RESOLUTION=(\d+)x(\d+)"
 

@@ -2383,7 +2383,7 @@ _DATA_SRC_RE = r"""(?i)[\s"']data-src\s*=\s*["']?([^"'\s>]+)"""
 _DATA_SRCSET_DQ_RE = r"""(?i)[\s"']data-srcset\s*=\s*"([^"]*)\""""
 _DATA_SRCSET_SQ_RE = r"""(?i)[\s"']data-srcset\s*=\s*'([^']*)'"""
 _LOADING_RE = r"""(?i)[\s"']loading\s*=\s*["']?(lazy|eager)"""
-_DATA_URI_RE = r"^data:image/([a-z0-9.+-]+);base64,([A-Za-z0-9+/=]+)$"
+_DATA_URI_RE = r"^data:image/([a-z0-9.+-]+);base64,([A-Za-z0-9+/]+={0,2})$"
 
 
 def figure_captions(pages: DataFrame, url_col: str = "url",

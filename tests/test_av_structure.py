@@ -287,3 +287,58 @@ def test_audio_admission(spark):
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
     )
+
+
+def test_id3_extended_header_skipped(spark):
+    """ADVICE r3: flags bit 6 announces an extended header at byte
+    10; without skipping it the frame walk fails the id grammar
+    immediately and yields zero text frames. v2.4's ext size is
+    syncsafe and includes the whole header; v2.3's is BE32 and
+    excludes its own 4 size bytes."""
+    from dblp_crawler_spark.operators.sniff import (
+        id3_text_frames,
+        id3_text_frames_sql,
+        sniff_case_sql,
+    )
+
+    # v2.4: 6-byte ext header = syncsafe size (=6, incl. itself)
+    #       + number-of-flag-bytes (01) + ext flags (00)
+    ext24 = _ss4(6) + "01" + "00"
+    fr24 = _frame24("TIT2", _txt("ExtT", enc="03"))
+    v24e = ("4944330400" + "40"
+            + _ss4((len(ext24) + len(fr24)) // 2) + ext24 + fr24)
+    # v2.3: size (BE32 = 6, excl. itself) + ext flags (2) + padding
+    #       size (4) → 10 bytes total
+    ext23 = "00000006" + "0000" + "00000000"
+    fr23 = _frame23("TIT2", _txt("Ext3"))
+    v23e = ("4944330300" + "40"
+            + _ss4((len(ext23) + len(fr23)) // 2) + ext23 + fr23)
+    # no-ext control alongside, to pin that flags=0 is unchanged
+    fr0 = _frame23("TPE1", _txt("Plain"))
+    v23p = "4944330300" + "00" + _ss4(len(fr0) // 2) + fr0
+    cases = {"v24_ext": v24e + "00" * 8, "v23_ext": v23e + "00" * 8,
+             "plain": v23p + "00" * 8}
+    df = spark.createDataFrame(list(cases.items()), "doc_id string, hx string")
+    rows = id3_text_frames(
+        df.select("doc_id", F.unhex("hx").alias("bytes"))).collect()
+    got = {(r.doc_id, r.frame_id): r.text for r in rows}
+    assert got[("v24_ext", "TIT2")] == "ExtT"
+    assert got[("v23_ext", "TIT2")] == "Ext3"
+    assert got[("plain", "TPE1")] == "Plain"
+    assert len(rows) == 3
+
+    con = duckdb.connect()
+    con.register("cases", pd.DataFrame(cases.items(), columns=["doc_id", "h"]))
+    staged = f"(SELECT doc_id, h, {sniff_case_sql('h')} AS fmt FROM cases)"
+    spark_pdf = (
+        id3_text_frames(df.select("doc_id", F.unhex("hx").alias("bytes")))
+        .toPandas().sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    duck_pdf = (
+        con.sql(id3_text_frames_sql(staged)).df()
+        .sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False
+    )

@@ -125,3 +125,53 @@ def test_hls_media_renditions(spark):
                 .sort_values(["url", "media_idx"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(
         spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)
+
+
+def test_hls_interposed_tags_and_unparsable_extinf(spark):
+    """ADVICE r3: (1) per-segment tags (EXT-X-BYTERANGE,
+    EXT-X-PROGRAM-DATE-TIME) between EXTINF and the URI must not
+    drop the segment; (2) '#EXTINF:.5' (no whole seconds) must not
+    match on EITHER engine (previously Spark's fold NULL-absorbed
+    the playlist sum while DuckDB's SUM skipped the NULL); (3)
+    back-to-back EXTINF lines must not merge into one segment."""
+    tagged = (
+        "#EXTM3U\n"
+        "#EXTINF:4.0,\n"
+        "#EXT-X-BYTERANGE:1000@0\n"
+        "#EXT-X-PROGRAM-DATE-TIME:2024-01-01T00:00:00Z\n"
+        "segA.ts\n"
+        "#EXTINF:.5,\nfractional.ts\n"      # out of grammar → dropped
+        "#EXTINF:6,\nsegB.ts\n"
+        "#EXT-X-ENDLIST\n"
+    )
+    merged = "#EXTM3U\n#EXTINF:3,\n#EXTINF:7,\nonly.ts\n#EXT-X-ENDLIST\n"
+    files = spark.createDataFrame(
+        [("https://v.ex.org/t/tagged.m3u8", tagged),
+         ("https://v.ex.org/t/merged.m3u8", merged)],
+        "url string, m3u8 string")
+    segs = {(r.url.split("/")[-1], r.seg_idx): (r.seg_url, r.duration_ms)
+            for r in hls_segments(files).collect()}
+    assert segs[("tagged.m3u8", 0)] == ("https://v.ex.org/t/segA.ts", 4000)
+    assert segs[("tagged.m3u8", 1)] == ("https://v.ex.org/t/segB.ts", 6000)
+    # the malformed first EXTINF:3 has no URI of its own; only the
+    # second (7 s) block matches
+    assert segs[("merged.m3u8", 0)] == ("https://v.ex.org/t/only.ts", 7000)
+    assert len(segs) == 3
+    pl = {r.url.split("/")[-1]: r for r in hls_playlist(files).collect()}
+    assert (pl["tagged.m3u8"].n_segments,
+            pl["tagged.m3u8"].total_duration_ms) == (2, 10000)
+    assert (pl["merged.m3u8"].n_segments,
+            pl["merged.m3u8"].total_duration_ms) == (1, 7000)
+
+    con = duckdb.connect()
+    con.register("files", files.toPandas())
+    for fn, sql, keys in [
+        (hls_segments, hls_segments_sql, ["url", "seg_idx"]),
+        (hls_playlist, hls_playlist_sql, ["url"]),
+    ]:
+        spark_pdf = (fn(files).toPandas()
+                     .sort_values(keys).reset_index(drop=True))
+        duck_pdf = (con.sql(sql("files")).df()
+                    .sort_values(keys).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            spark_pdf, duck_pdf[spark_pdf.columns], check_dtype=False)

@@ -183,3 +183,27 @@ def test_jsonld_images(spark):
     con.register("pages", pages.toPandas())
     _replay(spark, out, con, jsonld_images_sql("pages"),
             ["url", "block_idx"])
+
+
+def test_data_uri_noncanonical_base64_drops_both_engines(spark):
+    """ADVICE r3: '=' mid-string passed the old charset regex and the
+    %4 gate; Spark's unbase64 decoded it leniently while DuckDB's
+    from_base64 raised a hard error. The canonical grammar
+    ([A-Za-z0-9+/]+={0,2}$) must drop it on BOTH engines."""
+    import base64 as _b64
+
+    b64 = _b64.b64encode(_PNG_40x30).decode()
+    html = (
+        f'<img src="data:image/png;base64,{b64}">'
+        '<img src="data:image/png;base64,AA=A">'       # '=' mid-string
+        '<img src="data:image/png;base64,A===">'       # 3 pad chars
+        '<img src="data:image/png;base64,====">'       # pad only
+        f'<img src="data:image/png;base64,{b64[:-1]}=">'  # canonical pad ok
+    )
+    pages = _pages(spark, [("https://ex.org/p", html)])
+    rows = sorted(r.tag_idx for r in data_uri_images(pages).collect())
+    assert rows == [0, 4]
+    con = duckdb.connect()
+    con.register("pages", pages.toPandas())
+    _replay(spark, data_uri_images(pages), con,
+            data_uri_images_sql("pages"), ["url", "tag_idx"])
