@@ -55,4 +55,19 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Every unpartitioned Window in the package is a documented
+    # tiny-aggregate (exclusive prefix-sum over ≤ a few thousand
+    # partition/bucket offsets, a bounded LIMIT pop, a CDF over a
+    # histogram's bins); WindowExec's "No Partition Defined" WARN on
+    # those drowns out real skew warnings in gate logs, so silence
+    # that one logger and keep everything else at WARN.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j2 API absent (non-default logging backend)
+    return spark
