@@ -59,15 +59,17 @@ def spark_submit(master: str, pyfiles: str, job_args: list[str]) -> dict:
     return json.loads(lines[-1])
 
 
-def run_pair(n: int, workdir: str, masters: tuple[str, str], runs: int) -> dict:
+def run_pair(n: int, workdir: str, masters: tuple[str, str], runs: int,
+             img_px: int = 64, fetch: str = "broadcast") -> dict:
     os.makedirs(workdir, exist_ok=True)
     pyz = build_pkg_zip(os.path.join(workdir, "dblp_crawler_spark.zip"))
-    indir = os.path.join(workdir, f"input_n{n}")
+    suffix = (f"_px{img_px}" if img_px != 64 else "") + (f"_{fetch}" if fetch != "broadcast" else "")
+    indir = os.path.join(workdir, f"input_n{n}{suffix}")
     if not os.path.exists(os.path.join(indir, "frontier", "_SUCCESS")):
-        spark_submit(masters[1], pyz, ["--prepare", "--dir", indir, "--n", str(n)])
+        spark_submit(masters[1], pyz, ["--prepare", "--dir", indir, "--n", str(n), "--img-px", str(img_px), "--fetch", fetch])
     res = {}
     for m in masters:
-        res[m] = spark_submit(m, pyz, ["--measure", "--dir", indir, "--n", str(n), "--runs", str(runs)])
+        res[m] = spark_submit(m, pyz, ["--measure", "--dir", indir, "--n", str(n), "--runs", str(runs), "--fetch", fetch])
     lo, hi = res[masters[0]], res[masters[1]]
     # both protocols reported so the gate verdict is not sensitive to
     # the min-vs-median choice (each run is best/median of `runs`)
@@ -75,6 +77,8 @@ def run_pair(n: int, workdir: str, masters: tuple[str, str], runs: int) -> dict:
     eff_median = (hi["urls_per_sec_median"] / lo["urls_per_sec_median"]) / 4.0
     return {
         "n_urls": n,
+        "img_px": img_px,
+        "fetch": fetch,
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff_best, 3),
@@ -84,7 +88,8 @@ def run_pair(n: int, workdir: str, masters: tuple[str, str], runs: int) -> dict:
     }
 
 
-def run_pair_interleaved(n: int, workdir: str, masters: tuple[str, str], rounds: int) -> dict:
+def run_pair_interleaved(n: int, workdir: str, masters: tuple[str, str], rounds: int,
+                         img_px: int = 64) -> dict:
     """Interleaved protocol: alternate N / 4N submits (A B A B ...)
     and pair each round's two adjacent timings into a per-round
     efficiency. A host whose performance drifts over minutes (the
@@ -96,9 +101,10 @@ def run_pair_interleaved(n: int, workdir: str, masters: tuple[str, str], rounds:
     warm-up run (fresh JVM per submit)."""
     os.makedirs(workdir, exist_ok=True)
     pyz = build_pkg_zip(os.path.join(workdir, "dblp_crawler_spark.zip"))
-    indir = os.path.join(workdir, f"input_n{n}")
+    suffix = f"_px{img_px}" if img_px != 64 else ""
+    indir = os.path.join(workdir, f"input_n{n}{suffix}")
     if not os.path.exists(os.path.join(indir, "frontier", "_SUCCESS")):
-        spark_submit(masters[1], pyz, ["--prepare", "--dir", indir, "--n", str(n)])
+        spark_submit(masters[1], pyz, ["--prepare", "--dir", indir, "--n", str(n), "--img-px", str(img_px)])
     pairs, lo_runs, hi_runs = [], [], []
     for _ in range(rounds):
         lo = spark_submit(masters[0], pyz, ["--measure", "--dir", indir, "--n", str(n), "--runs", "1"])
@@ -112,6 +118,7 @@ def run_pair_interleaved(n: int, workdir: str, masters: tuple[str, str], rounds:
     med = (srt[len(srt) // 2] + srt[(len(srt) - 1) // 2]) / 2
     return {
         "n_urls": n,
+        "img_px": img_px,
         "protocol": "interleaved",
         "masters": list(masters),
         "low_runs_s": lo_runs,
@@ -228,15 +235,17 @@ def main() -> None:
     ap.add_argument("--interleave", action="store_true",
                     help="Alternate N/4N submits; per-round efficiency pairs "
                          "(drift-robust). Prints JSON only; does not write MD.")
+    ap.add_argument("--img-px", type=int, default=64)
+    ap.add_argument("--fetch", choices=["broadcast", "bucketed"], default="broadcast")
     args = ap.parse_args()
     if args.interleave:
-        res = run_pair_interleaved(args.n, args.workdir, ("local[4]", "local[16]"), args.runs)
+        res = run_pair_interleaved(args.n, args.workdir, ("local[4]", "local[16]"), args.runs, args.img_px)
         print(json.dumps({"pair": "4->16", **res}))
         return
-    primary = run_pair(args.n, args.workdir, ("local[4]", "local[16]"), args.runs)
+    primary = run_pair(args.n, args.workdir, ("local[4]", "local[16]"), args.runs, args.img_px, args.fetch)
     print(json.dumps({"pair": "4->16", **primary}))
     if not args.skip_secondary:
-        secondary = run_pair(args.n, args.workdir, ("local[8]", "local[32]"), args.runs)
+        secondary = run_pair(args.n, args.workdir, ("local[8]", "local[32]"), args.runs, args.img_px)
         print(json.dumps({"pair": "8->32", **secondary}))
         if args.write_md:
             write_md(primary, secondary, args.runs, os.path.join(REPO, "BENCH.md"))

@@ -57,7 +57,7 @@ from dblp_crawler_spark.operators.scheduler import (  # noqa: E402
 IMG_W = IMG_H = 64
 
 
-def _spark(master: str | None, shuffle: int | None) -> SparkSession:
+def _spark(master: str | None, shuffle: int | None, extra: dict | None = None) -> SparkSession:
     from dblp_crawler_spark.session import get_spark
 
     # smaller scan splits than the engine default: the images table is
@@ -78,12 +78,13 @@ def _spark(master: str | None, shuffle: int | None) -> SparkSession:
             # wave core's shape is known (broadcast fetch join, scan-
             # partitioned decode), so AQE only adds per-stage pauses.
             "spark.sql.adaptive.enabled": "false",
+            **(extra or {}),
         },
     )
 
 
 # ---- prepare ---------------------------------------------------------------
-def _gen_images(ids: DataFrame) -> DataFrame:
+def _gen_images(ids: DataFrame, img_px: int = IMG_W) -> DataFrame:
     """Arrow-batched synthesis of the input_hint images table."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -91,11 +92,11 @@ def _gen_images(ids: DataFrame) -> DataFrame:
             rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
             for iid, j in zip(pdf["image_id"], pdf["id"]):
                 fmt = "png" if j % 2 == 0 else "jpeg"
-                px = codecs.synth_pixels(iid, IMG_W, IMG_H)
+                px = codecs.synth_pixels(iid, img_px, img_px)
                 rows["image_id"].append(iid)
                 rows["bytes"].append(codecs.encode_image(px, fmt))
-                rows["w"].append(IMG_W)
-                rows["h"].append(IMG_H)
+                rows["w"].append(img_px)
+                rows["h"].append(img_px)
                 rows["fmt"].append(fmt)
                 rows["caption"].append(f"synthetic figure {iid}")
                 rows["phash"].append(codecs.phash64(px))
@@ -104,7 +105,52 @@ def _gen_images(ids: DataFrame) -> DataFrame:
     return ids.mapInPandas(run, schemas.IMAGES)
 
 
-def prepare(spark: SparkSession, outdir: str, n: int) -> None:
+#: bucket count for the large-wave fetch path: ≥ 4N cores at the high
+#: parallelism level so the bucket-aligned join stage keeps every
+#: core fed, and small enough that a bucket's blobs sort in memory.
+N_BUCKETS = 128
+
+
+def _declare_bucketed(spark: SparkSession, outdir: str) -> None:
+    """(Re-)declare the bucketed images table in this session's
+    in-memory catalog over the existing bucketed files — bucket
+    specs live in the catalog, not the files, so every fresh
+    spark-submit session re-creates the (external) definition."""
+    spark.sql("DROP TABLE IF EXISTS images_b")
+    spark.sql(f"""
+        CREATE TABLE images_b (
+          image_id string, bytes binary, w int, h int,
+          fmt string, caption string, phash long)
+        USING parquet
+        CLUSTERED BY (image_id) SORTED BY (image_id) INTO {N_BUCKETS} BUCKETS
+        LOCATION '{os.path.join(outdir, "images_bucketed")}'
+    """)
+
+
+def prepare_bucketed(spark: SparkSession, outdir: str, n: int, img_px: int) -> None:
+    """Large-wave variant of :func:`prepare`: the images table is
+    written BUCKETED by image_id (one file per bucket, sorted), so
+    the fetch join needs NO driver-side broadcast build and NO blob
+    shuffle at any wave size — the scheduled keys shuffle into the
+    bucket layout (slim rows), the blobs are read join-aligned in
+    place. This is the 10^10-scale fetch shape the engine documents
+    (plans/crawl.py S1 note): broadcast-keys for budget-bounded
+    waves, bucket-aligned join once a wave outgrows a broadcast."""
+    base = spark.range(n).select(
+        "id", F.format_string("img_%09d", F.col("id")).alias("image_id")
+    )
+    spark.sql("DROP TABLE IF EXISTS images_b")
+    (
+        _gen_images(base.repartition(N_BUCKETS, "image_id"), img_px)
+        .write.mode("overwrite")
+        .bucketBy(N_BUCKETS, "image_id").sortBy("image_id")
+        .option("path", os.path.join(outdir, "images_bucketed"))
+        .saveAsTable("images_b")
+    )
+    _write_frontier(spark, base, outdir)
+
+
+def prepare(spark: SparkSession, outdir: str, n: int, img_px: int = IMG_W) -> None:
     base = spark.range(n).select(
         "id", F.format_string("img_%09d", F.col("id")).alias("image_id")
     )
@@ -114,11 +160,15 @@ def prepare(spark: SparkSession, outdir: str, n: int) -> None:
     # the decode stage of parallelism (stragglers at high core counts).
     n_files = max(32, n // 2000)
     (
-        _gen_images(base.repartition(n_files))
+        _gen_images(base.repartition(n_files), img_px)
         .write.mode("overwrite")
         .option("parquet.block.size", str(8 * 1024 * 1024))
         .parquet(os.path.join(outdir, "images"))
     )
+    _write_frontier(spark, base, outdir)
+
+
+def _write_frontier(spark: SparkSession, base: DataFrame, outdir: str) -> None:
     # frontier: same 85/15 hot-host split as fixtures.host_of_pid; priority
     # from the url hash (stands in for the ccf/year-derived priority).
     h = F.pmod(F.xxhash64("image_id"), F.lit(100))
@@ -152,24 +202,35 @@ def _scheduled(
 
 
 def run_wave_core(
-    spark: SparkSession, indir: str, host_budget: int | None, sample: float | None = None
+    spark: SparkSession, indir: str, host_budget: int | None, sample: float | None = None,
+    fetch: str = "broadcast",
 ) -> tuple[int, float]:
-    images = spark.read.parquet(os.path.join(indir, "images"))
     sched = _scheduled(spark, indir, host_budget, sample)
     seq = global_sequence(sched.select("url", "priority"), 0, [F.desc("priority"), F.asc("url")])
 
     # Fetch = join of the scheduled keys against the image store. The
     # payload bytes must NEVER travel through a shuffle — a blob
     # shuffle is pure I/O that scales with data, not cores (measured:
-    # it alone erases the 8→32-core speedup). The scheduled batch is
-    # budget-bounded and tiny next to the payload table, so broadcast
-    # the KEYS into the images scan and decode at the scan site; scan
-    # splits (maxPartitionBytes) provide the decode parallelism. At
-    # 10^10 scale with a wave too large to broadcast, the same no-
-    # blob-shuffle property comes from bucketing images by image_id
-    # and bucket-pruning on the scheduled keys.
+    # it alone erases the 8→32-core speedup). Two wave regimes:
+    #   broadcast — budget-bounded waves, tiny next to the payload
+    #     table: broadcast the KEYS into the images scan and decode
+    #     at the scan site (scan splits provide the parallelism).
+    #     The broadcast build is a DRIVER-SIDE single-thread cost —
+    #     level-independent, so at multi-million-row waves it eats
+    #     the N→4N scaling margin (measured: ~0.55 eff at a 2M-row
+    #     full-frontier wave).
+    #   bucketed — waves too large to broadcast: images bucketed by
+    #     image_id (one sorted file per bucket), the slim key side
+    #     shuffles into the bucket layout, blobs are read
+    #     join-aligned in place. Everything scales with cores; no
+    #     driver-side constant. (The 10^10-scale shape.)
     keys = seq.withColumn("image_id", F.substring_index("url", "/", -1))
-    fetched = images.join(F.broadcast(keys), "image_id", "inner")
+    if fetch == "bucketed":
+        images = spark.table("images_b")
+        fetched = images.join(keys, "image_id", "inner")
+    else:
+        images = spark.read.parquet(os.path.join(indir, "images"))
+        fetched = images.join(F.broadcast(keys), "image_id", "inner")
     gated = payload_gate(decode_and_verify(fetched))
     # single action: scheduling, sequencing (the sort + row_number run
     # to produce the joined rows), fetch join and payload verification
@@ -184,7 +245,8 @@ def run_wave_core(
 
 
 def measure(
-    spark: SparkSession, indir: str, host_budget: int | None, warmup: bool, n_runs: int = 4
+    spark: SparkSession, indir: str, host_budget: int | None, warmup: bool, n_runs: int = 4,
+    fetch: str = "broadcast",
 ) -> dict:
     if warmup:
         # untimed FULL warm-up run: spawns every Python worker, JIT/
@@ -192,7 +254,7 @@ def measure(
         # into the page cache. (A 5%-sample warm-up left a monotone
         # decay across the first 4-5 timed runs at high core counts —
         # warm-up leakage that poisons the median.)
-        run_wave_core(spark, indir, host_budget)
+        run_wave_core(spark, indir, host_budget, fetch=fetch)
     # The scheduled count is the politeness-pop output BEFORE the
     # image join (n_fetched is the post-join row count — they can
     # differ if a scheduled url has no stored page). The input is
@@ -206,7 +268,7 @@ def measure(
     runs = []
     for i in range(n_runs):
         t0 = time.monotonic()
-        n_fetched, min_psnr = run_wave_core(spark, indir, host_budget)
+        n_fetched, min_psnr = run_wave_core(spark, indir, host_budget, fetch=fetch)
         runs.append(round(time.monotonic() - t0, 3))
         print(f"# run {i}: {runs[-1]}s", flush=True)
     secs = min(runs)
@@ -223,6 +285,7 @@ def measure(
         "all_runs": runs,
         "urls_per_sec": round((n_sched + n_fetched) / 2 / secs, 1),
         "urls_per_sec_median": round((n_sched + n_fetched) / 2 / secs_median, 1),
+        "fetch": fetch,
     }
 
 
@@ -237,15 +300,41 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--runs", type=int, default=4)
+    # payload side length: 64 px is the default evidence shape; the
+    # 8M-URL pair uses 32 px so the images table fits the sandbox
+    # disk (~22 GB vs ~80 GB) — the frontier/schedule side, where
+    # row-count skew and memory bite, is unaffected.
+    ap.add_argument("--img-px", type=int, default=IMG_W)
+    # fetch-join regime (see run_wave_core): broadcast for
+    # budget-bounded waves, bucketed for full-frontier waves whose
+    # key set outgrows a driver-built broadcast.
+    ap.add_argument("--fetch", choices=["broadcast", "bucketed"], default="broadcast")
     args = ap.parse_args()
-    spark = _spark(args.master, args.shuffle_partitions)
+    extra = {}
+    if args.fetch == "bucketed":
+        extra = {
+            # the key side must not be broadcast (that is the regime
+            # being avoided) and a shuffled-hash probe beats sorting
+            # the key side against the already-sorted buckets
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.join.preferSortMergeJoin": "false",
+            # throwaway in-memory catalog home for the re-declared
+            # external bucketed table
+            "spark.sql.warehouse.dir": os.path.join(args.dir, "warehouse"),
+        }
+    spark = _spark(args.master, args.shuffle_partitions, extra)
     try:
         if args.prepare:
-            prepare(spark, args.dir, args.n)
-            print(json.dumps({"prepared": args.n, "dir": args.dir}))
+            if args.fetch == "bucketed":
+                prepare_bucketed(spark, args.dir, args.n, args.img_px)
+            else:
+                prepare(spark, args.dir, args.n, args.img_px)
+            print(json.dumps({"prepared": args.n, "dir": args.dir, "fetch": args.fetch}))
         if args.measure:
+            if args.fetch == "bucketed":
+                _declare_bucketed(spark, args.dir)
             budget = args.host_budget if args.host_budget > 0 else None
-            print(json.dumps(measure(spark, args.dir, budget, warmup=not args.no_warmup, n_runs=args.runs)))
+            print(json.dumps(measure(spark, args.dir, budget, warmup=not args.no_warmup, n_runs=args.runs, fetch=args.fetch)))
     finally:
         spark.stop()
 
