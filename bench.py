@@ -113,6 +113,21 @@ def main() -> None:
                 "scaling_efficiency": q["scaling_efficiency"],
                 "scaling_efficiency_median": q.get("scaling_efficiency_median"),
             }
+    # 10x-frontier pair (8M URLs, bucketed large-wave fetch — r4)
+    big_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "scaling_8m.json")
+    if os.path.exists(big_path):
+        with open(big_path) as f:
+            p = json.load(f)
+        out["scaling_8m"] = {
+            "n_urls": p["n_urls"],
+            "img_px": p.get("img_px"),
+            "fetch": p.get("fetch"),
+            "urls_per_sec_low": p["low"]["urls_per_sec"],
+            "urls_per_sec_high": p["high"]["urls_per_sec"],
+            "masters": [p["low"]["master"], p["high"]["master"]],
+            "scaling_efficiency": p["scaling_efficiency"],
+            "scaling_efficiency_median": p.get("scaling_efficiency_median"),
+        }
     spark.stop()
     print(json.dumps(out))
 

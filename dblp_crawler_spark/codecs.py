@@ -31,15 +31,26 @@ _MAGIC_JPG = b"SJPG"
 _Q = 4  # jpeg-stand-in quantization step
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _synth_grid(w: int, h: int) -> np.ndarray:
+    """The id-independent gradient layer of synth_pixels, cached per
+    (w, h) — it was ~55% of the per-image cost in the decode-verify
+    hot loop (profiled r4), and every image of a size shares it.
+    Value-identical to the original inline computation."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 255) // max(w - 1, 1) + (yy * 255) // max(h - 1, 1)) // 2
+    return np.stack([base, np.flipud(base), (xx * yy) % 256], axis=-1)
+
+
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     """Deterministic gradient+noise RGB uint8 array for fixtures."""
     seed = zlib.crc32(image_id.encode()) & 0xFFFFFFFF
     rng = np.random.Generator(np.random.PCG64(seed))
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = ((xx * 255) // max(w - 1, 1) + (yy * 255) // max(h - 1, 1)) // 2
-    img = np.stack([base, np.flipud(base), (xx * yy) % 256], axis=-1)
     noise = rng.integers(0, 32, size=(h, w, 3))
-    return ((img + noise) % 256).astype(np.uint8)
+    return ((_synth_grid(w, h) + noise) % 256).astype(np.uint8)
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
@@ -77,6 +88,11 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10((255.0 * 255.0) / mse)
 
 
+#: bit weights for the vectorized 64-bit pack (LSB-first, matching
+#: the original `val |= b << i` loop bit-for-bit)
+_PHASH_W = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
 def phash64(pixels: np.ndarray) -> int:
     """Block-mean 64-bit hash → signed int64 (input_hint phash column)."""
     gray = pixels.astype(np.float64).mean(axis=2)
@@ -85,9 +101,8 @@ def phash64(pixels: np.ndarray) -> int:
     h8, w8 = (h // 8) * 8, (w // 8) * 8
     g = gray[:h8, :w8].reshape(8, h8 // 8, 8, w8 // 8).mean(axis=(1, 3))
     bits = (g > g.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for i, b in enumerate(bits):
-        val |= np.uint64(b) << np.uint64(i)
+    # distinct powers of two — the uint64 sum is exact, no wrap
+    val = (bits * _PHASH_W).sum(dtype=np.uint64)
     return int(val.astype(np.int64))
 
 

@@ -351,8 +351,11 @@ class CrawlEngine:
         # Failures are recovered afterwards by anti-joining the batch
         # against the (small) succeeded key set.
         succ = sched.hint("broadcast").join(self.person_pages, "url", "inner").cache()
-        n_succ = succ.count()
-        n_fail = n_sched - n_succ
+        # n_succ is NOT counted here: success rows become exactly the
+        # status='expanded' rows of this wave's frontier delta (the
+        # scheduled batch is the only source of 'expanded' in the
+        # delta), so the count rides the frontier commit's existing
+        # Observation below — one fewer action per wave.
         failed = sched.join(F.broadcast(succ.select("url")), "url", "left_anti").withColumn(
             "person", F.lit(None).cast(schemas.PERSON_PAYLOAD)
         )
@@ -497,7 +500,9 @@ class CrawlEngine:
         # action.
         obs = Observation()
         delta = delta.observe(
-            obs, F.sum(F.when(F.col("status") == "pending", 1).otherwise(0)).alias("n_pend")
+            obs,
+            F.sum(F.when(F.col("status") == "pending", 1).otherwise(0)).alias("n_pend"),
+            F.sum(F.when(F.col("status") == "expanded", 1).otherwise(0)).alias("n_succ"),
         )
         lake.merge_upsert("frontier", delta, ["pid"], schemas.FRONTIER)
         n_disc = lake.layer_rows("frontier") - n_sched  # from the commit manifest
@@ -512,6 +517,8 @@ class CrawlEngine:
         else:
             remain = self._remain - n_sched + int(obs.get["n_pend"] or 0)
         self._remain = remain
+        n_succ = int(obs.get["n_succ"] or 0)
+        n_fail = n_sched - n_succ
         m = {
             "wave": w, "scheduled": n_sched, "fetch_succ": n_succ, "fetch_fail": n_fail,
             "pubs_new": n_new_pubs, "authors_new": n_disc, "remain_pending": remain, "emitted": n_emit,

@@ -245,3 +245,74 @@ def test_duplicate_seeds_match_reference_semantics(spark, lake):
     assert len(w0_pids) == len(set(w0_pids)), "a seeded person was scheduled twice"
     # the duplicated journal's index IS fetched twice (reference semantics)
     assert urls.count(u.seeds_journals[0] + "/index") == 2
+
+
+def test_long_crawl_bounded(spark, tmp_path):
+    """50-wave soak (r3 verdict item 7): a politeness-starved crawl
+    (host_budget=2 against the ~85%-hot-host fixture universe) takes
+    dozens of waves to drain the backlog. Over that horizon the MoR
+    machinery must keep (a) per-table layer counts bounded by the
+    size-tier merge (max_append_layers) + the inter-compaction
+    accumulation window (compact_every), (b) manifest size bounded
+    (the r2 append_nonempty fix: empty tail waves commit nothing),
+    and (c) a mid-crawl kill/resume at ~wave 25 bit-identical to the
+    oracle's uninterrupted run."""
+    import json
+    import os
+
+    from dblp_crawler_spark.lakehouse import Lakehouse
+
+    u = fixtures.make_universe(n_authors=150, n_pubs=300, n_venues=6, seed=23)
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    fixtures.write_tables(spark, lake, u)
+    cfg = CrawlConfig(
+        year=u.year_filter, rules=u.keyword_rules, host_budget=2, max_attempts=2
+    )
+    eng = CrawlEngine(spark, lake, cfg)
+    eng.initialize()
+    for _ in range(25):
+        eng.run_wave()
+    del eng  # kill mid-crawl; manifests are the only surviving state
+
+    eng2 = CrawlEngine.resume(spark, lake)
+    assert eng2.wave == 25
+    metrics = eng2.run_to_end()
+    n_waves = 25 + len(metrics)
+    assert n_waves >= 40, f"soak too short to exercise layering: {n_waves} waves"
+
+    # (a) layer counts: ≤ max_append_layers survivors after a merge
+    #     + ≤ compact_every new layers before the next one runs
+    bound = cfg.max_append_layers + cfg.compact_every + 1
+    tables = ["frontier", "crawl_order", "seen_pubs", "edges",
+              "publications", "nodes", "emitted_persons", "metrics"]
+    for t in tables:
+        if lake.exists(t):
+            n = lake.n_layers(t)
+            assert n <= bound, f"{t}: {n} layers after {n_waves} waves (bound {bound})"
+
+    # (b) manifest size: the head manifest stays O(bound) entries —
+    #     not O(n_waves) — for every state table
+    for t in tables:
+        if lake.exists(t):
+            man = lake.manifest(t)
+            assert len(man["layers"]) <= bound, (t, len(man["layers"]))
+            assert len(json.dumps(man)) < 64 * 1024, (t, "manifest blew up")
+
+    # (c) resumed run is bit-identical to the uninterrupted oracle
+    res = oracle.run_oracle(u, host_budget=2, max_attempts=2)
+    order = [(r.wave, r.seq, r.url)
+             for r in lake.read("crawl_order").orderBy("seq").collect()]
+    assert order == res.crawl_order
+    assert {r.key for r in lake.read("seen_pubs").collect()} == res.seen_pubs
+    assert {(r.src, r.dst, r.pub_key)
+            for r in lake.read("edges").collect()} == res.edges
+    # wave metrics for the resumed half line up with the oracle too
+    eng_metrics = sorted(
+        (r.wave, r.scheduled, r.fetch_succ, r.fetch_fail, r.remain_pending)
+        for r in lake.read("metrics").collect()
+    )
+    orc_metrics = sorted(
+        (m["wave"], m["scheduled"], m["fetch_succ"], m["fetch_fail"], m["remain_pending"])
+        for m in res.metrics
+    )
+    assert eng_metrics == orc_metrics

@@ -470,3 +470,54 @@ def test_structured_extractors_are_map_only(spark):
     m3u = spark.createDataFrame([("u", "#EXTM3U\n")],
                                 "url string, m3u8 string")
     assert "Exchange" not in plan_of(hls_media_renditions(m3u))
+
+
+def test_bucketed_fetch_no_blob_exchange(spark, tmp_path):
+    """The LARGE-wave fetch regime (throughput_job --fetch bucketed;
+    r4): when a wave outgrows a driver-built broadcast, the images
+    table is bucketed by image_id and the join must (a) read it
+    `Bucketed: true` with NO Exchange above the blob scan — only the
+    slim key side shuffles — and (b) never fall back to broadcast
+    (that driver-side build is the level-independent constant that
+    broke the 2M-row scaling pair)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from throughput_job import N_BUCKETS, _declare_bucketed
+
+    images = spark.createDataFrame(
+        [(f"img_{i:05d}", bytearray(b"x" * 10), 8, 8, "png", "c", 0)
+         for i in range(1000)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    outdir = str(tmp_path / "bktfetch")
+    (images.repartition(N_BUCKETS, "image_id").write.mode("overwrite")
+     .bucketBy(N_BUCKETS, "image_id").sortBy("image_id")
+     .option("path", outdir + "/images_bucketed").saveAsTable("images_b_test"))
+    spark.sql("DROP TABLE IF EXISTS images_b_test")
+    _declare_bucketed(spark, outdir)
+    try:
+        keys = spark.range(200).select(
+            F.format_string("img_%05d", F.col("id")).alias("image_id"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # AQE wraps the plan in AdaptiveSparkPlan(isFinalPlan=false)
+        # and hides the exchanges from the static explain; the
+        # throughput job runs this join with AQE off anyway
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            q = spark.table("images_b").join(keys, "image_id", "inner")
+            plan = plan_of(q)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        assert "Bucketed: true" in plan
+        assert "BroadcastHashJoin" not in plan
+        # exactly ONE exchange node: the slim key side into the
+        # bucket layout; none above the images scan (formatted mode
+        # renders each exchange once in the tree as "Exchange (n)")
+        assert plan.count("Exchange (") == 1, plan
+        assert q.count() == 200
+    finally:
+        spark.sql("DROP TABLE IF EXISTS images_b")

@@ -52,7 +52,8 @@ def spark_submit(master: str, pyfiles: str, job_args: list[str]) -> dict:
         JOB, *job_args,
     ]
     env = dict(os.environ, SPARK_GRAFT_MASTER=master)
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1800)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         timeout=int(os.environ.get("SPARK_GRAFT_SUBMIT_TIMEOUT", "1800")))
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if not lines:
         raise RuntimeError(f"spark-submit produced no JSON: {out.stderr[-2000:]}")

@@ -35,7 +35,10 @@ def main() -> int:
     from dblp_crawler_spark.plans.crawl import CrawlConfig, CrawlEngine
     from dblp_crawler_spark.session import get_spark
 
-    spark = get_spark("profile-wave", master=args.master, shuffle_partitions=8)
+    spark = get_spark(
+        "profile-wave", master=args.master, shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     sc = spark.sparkContext
     u = fixtures.make_universe(
         n_authors=args.authors, n_pubs=args.pubs, seed=11, with_images=False
@@ -67,9 +70,32 @@ def main() -> int:
         sc.setJobGroup("final", "final")
         eng.finalize()
         total = round(time.monotonic() - t_all, 3)
+    # name every job of a representative steady-state wave via the
+    # UI REST API (group ids arrive as job properties there)
+    wave_jobs = []
+    ui = sc.uiWebUrl
+    if ui and len(waves) > 2:
+        import urllib.request
+
+        def get(path):
+            with urllib.request.urlopen(f"{ui}/api/v1{path}", timeout=10) as r:
+                return json.load(r)
+
+        app = get("/applications")[0]["id"]
+        mid = f"wave{waves[len(waves) // 2]['wave']}"
+        for j in get(f"/applications/{app}/jobs"):
+            if j.get("jobGroup") == mid:
+                wave_jobs.append({
+                    "job": j["jobId"],
+                    "name": j["name"].split("\n")[0][:100],
+                    "desc": (j.get("description") or "")[:100],
+                    "duration_ms": None if "completionTime" not in j else None,
+                    "n_tasks": j.get("numTasks"),
+                })
     js = [w["jobs"] for w in waves]
     ss = [w["seconds"] for w in waves]
     print(json.dumps({
+        "mid_wave_jobs": wave_jobs,
         "master": args.master,
         "n_waves": len(waves),
         "init_seconds": init_s,
