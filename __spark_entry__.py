@@ -35,22 +35,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _staged(df: DataFrame) -> DataFrame:
-    """Materialize a small synthesized fixture input once (lazy
-    localCheckpoint). The planted-bytes entries build their input
-    from multi-KB literal when-chains; a downstream header walk that
-    stages the bytes column several times would otherwise re-inline
-    that literal tree into EVERY staging expression, and the
-    multiplied tree is what janino spends seconds compiling (the
-    caption_release waypoint lesson, r3). At real scale this input
-    is a parquet scan — a leaf — so the checkpointed shape is also
-    the honest plan shape. SPARK_GRAFT_NO_STAGING=1 disables it (the
-    A/B control)."""
-    if os.environ.get("SPARK_GRAFT_NO_STAGING"):
-        return df
-    return df.localCheckpoint(eager=False)
-
-
 # --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the engine's J5 pair-co-occurrence core on sf0.001."""
@@ -6273,7 +6257,7 @@ def q_exif_camera_model(spark, sf_dir):
     hexstr = F.lit(_CAM_CASES[-1])
     for i, hx in enumerate(_CAM_CASES[:-1]):
         hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
-    imgs = _staged(docs.select("doc_id", F.unhex(hexstr).alias("bytes")))
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
     return exif_camera_model(imgs).select("doc_id", "fmt", "camera_model")
 
 
@@ -6847,12 +6831,12 @@ def q_pipeline_image_provenance(spark, sf_dir):
     for (c, i), hx in table.items():
         if (c, i) != (2, 2):
             hexstr = F.when((cls == c) & (rot == i), F.lit(hx)).otherwise(hexstr)
-    imgs = _staged(docs.select(
+    imgs = docs.select(
         "doc_id",
         F.concat(F.lit("img"), (F.col("doc_id") % 12).cast("string"),
                  F.lit(".example")).alias("host"),
         F.unhex(hexstr).alias("bytes"),
-    ))
+    )
     x = exif_thumbnail(image_density(png_text_chunk(exif_camera_model(imgs))))
     g = x.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_images"),
@@ -7069,7 +7053,7 @@ def q_exif_software(spark, sf_dir):
     hexstr = F.lit(_SW_CASES[-1])
     for i, hx in enumerate(_SW_CASES[:-1]):
         hexstr = F.when(m == i, F.lit(hx)).otherwise(hexstr)
-    imgs = _staged(docs.select("doc_id", F.unhex(hexstr).alias("bytes")))
+    imgs = docs.select("doc_id", F.unhex(hexstr).alias("bytes"))
     return exif_software(imgs).select("doc_id", "fmt", "software", "gen_hint")
 
 

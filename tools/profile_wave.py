@@ -37,7 +37,12 @@ def main() -> int:
 
     spark = get_spark(
         "profile-wave", master=args.master, shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            **({"spark.sql.sources.parallelPartitionDiscovery.threshold":
+                os.environ["PWAVE_LIST_THRESH"]}
+               if os.environ.get("PWAVE_LIST_THRESH") else {}),
+        },
     )
     sc = spark.sparkContext
     u = fixtures.make_universe(
