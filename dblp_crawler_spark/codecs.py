@@ -34,15 +34,21 @@ _Q = 4  # jpeg-stand-in quantization step
 from functools import lru_cache
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=8)
 def _synth_grid(w: int, h: int) -> np.ndarray:
     """The id-independent gradient layer of synth_pixels, cached per
     (w, h) — it was ~55% of the per-image cost in the decode-verify
     hot loop (profiled r4), and every image of a size shares it.
-    Value-identical to the original inline computation."""
+    Value-identical to the original inline computation. The returned
+    array is SHARED across callers (that is the point of the cache),
+    so it is frozen read-only; anyone needing to mutate must copy.
+    maxsize stays small because each entry is ~24*w*h bytes and a
+    worker only ever sees a handful of distinct sizes."""
     yy, xx = np.mgrid[0:h, 0:w]
     base = ((xx * 255) // max(w - 1, 1) + (yy * 255) // max(h - 1, 1)) // 2
-    return np.stack([base, np.flipud(base), (xx * yy) % 256], axis=-1)
+    grid = np.stack([base, np.flipud(base), (xx * yy) % 256], axis=-1)
+    grid.setflags(write=False)
+    return grid
 
 
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:

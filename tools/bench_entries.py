@@ -34,8 +34,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/sf1")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--allow-dirty", action="store_true")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    from benchguard import refuse_if_dirty
+
+    git = refuse_if_dirty(allow=args.allow_dirty)
 
     import __spark_entry__ as entrymod
     from dblp_crawler_spark.session import get_spark
@@ -56,7 +61,7 @@ def main() -> int:
             out[name] = {"error": str(e)[:300]}
         print(f"# {name}: {out[name]}", flush=True)
     print(json.dumps({"sf_dir": args.sf_dir, "total_sec": round(total, 1),
-                      "entries": out}))
+                      "entries": out, **git}))
     spark.stop()
     return 0
 

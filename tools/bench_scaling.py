@@ -238,15 +238,23 @@ def main() -> None:
                          "(drift-robust). Prints JSON only; does not write MD.")
     ap.add_argument("--img-px", type=int, default=64)
     ap.add_argument("--fetch", choices=["broadcast", "bucketed"], default="broadcast")
+    ap.add_argument("--allow-dirty", action="store_true",
+                    help="Measure despite uncommitted package/tool edits "
+                         "(the dirty set is recorded in the artifact).")
     args = ap.parse_args()
+    from benchguard import refuse_if_dirty
+
+    git = refuse_if_dirty(allow=args.allow_dirty)
     if args.interleave:
         res = run_pair_interleaved(args.n, args.workdir, ("local[4]", "local[16]"), args.runs, args.img_px)
-        print(json.dumps({"pair": "4->16", **res}))
+        print(json.dumps({"pair": "4->16", **git, **res}))
         return
     primary = run_pair(args.n, args.workdir, ("local[4]", "local[16]"), args.runs, args.img_px, args.fetch)
+    primary.update(git)
     print(json.dumps({"pair": "4->16", **primary}))
     if not args.skip_secondary:
         secondary = run_pair(args.n, args.workdir, ("local[8]", "local[32]"), args.runs, args.img_px)
+        secondary.update(git)
         print(json.dumps({"pair": "8->32", **secondary}))
         if args.write_md:
             write_md(primary, secondary, args.runs, os.path.join(REPO, "BENCH.md"))

@@ -88,13 +88,26 @@ def main() -> int:
 
         app = get("/applications")[0]["id"]
         mid = f"wave{waves[len(waves) // 2]['wave']}"
+
+        def rest_ms(j):
+            # REST stamps look like 2026-08-21T10:00:00.123GMT
+            from datetime import datetime
+
+            try:
+                sub, comp = j["submissionTime"], j["completionTime"]
+                fmt = "%Y-%m-%dT%H:%M:%S.%f"
+                d = datetime.strptime(comp[:23], fmt) - datetime.strptime(sub[:23], fmt)
+                return round(d.total_seconds() * 1000)
+            except (KeyError, ValueError):
+                return None
+
         for j in get(f"/applications/{app}/jobs"):
             if j.get("jobGroup") == mid:
                 wave_jobs.append({
                     "job": j["jobId"],
                     "name": j["name"].split("\n")[0][:100],
                     "desc": (j.get("description") or "")[:100],
-                    "duration_ms": None if "completionTime" not in j else None,
+                    "duration_ms": rest_ms(j),
                     "n_tasks": j.get("numTasks"),
                 })
     js = [w["jobs"] for w in waves]

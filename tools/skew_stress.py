@@ -109,7 +109,12 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=20_000)
     ap.add_argument("--lanes", type=int, default=4)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--allow-dirty", action="store_true")
     args = ap.parse_args()
+
+    from benchguard import refuse_if_dirty
+
+    git = refuse_if_dirty(allow=args.allow_dirty)
 
     from dblp_crawler_spark.session import get_spark
 
@@ -139,6 +144,7 @@ def main() -> None:
         ),
         "worst_task_max_over_median": worst,
         "stages": sorted(big, key=lambda h: -h["duration_ms_max"])[:12],
+        **git,
     }
     os.makedirs(os.path.join(os.path.dirname(__file__), "..", ".bench"), exist_ok=True)
     with open(os.path.join(os.path.dirname(__file__), "..", ".bench", "skew_stress.json"), "w") as f:
