@@ -114,6 +114,26 @@ class CrawlConfig:
     # coalesce/skew-split across hundreds of executors pays for the
     # extra scheduling round-trips.
     adaptive_waves: bool = False
+    # S1 fetch-join regime (the r4 scale lesson, measured in BENCH.md):
+    #   'broadcast' — broadcast the scheduled KEYS into the page scan.
+    #     Right for budget-bounded waves; the broadcast build is a
+    #     driver-side single-thread cost, level-independent, so at
+    #     multi-million-row full-frontier waves it erases the N→4N
+    #     scaling margin (measured 0.549 eff at a 2M-row wave).
+    #   'bucketed' — the page store is laid out hash-bucketed+sorted
+    #     by url (sources/bucketed_store layout; Iceberg bucket-
+    #     transform equivalent). The fetch plans as a sort-merge join
+    #     with ZERO Exchange above the payload scan: the slim
+    #     scheduled keys shuffle into the bucket layout, the payloads
+    #     are read join-aligned in place. No driver constant — the
+    #     10^10-URL-frontier shape. The layout is built once per
+    #     pages snapshot (ensure_bucketed_pages) and re-declared per
+    #     session.
+    #   'auto' — per wave: 'bucketed' once the scheduled batch
+    #     reaches fetch_auto_threshold rows, else 'broadcast'.
+    fetch_mode: str = "broadcast"
+    fetch_buckets: int = 128
+    fetch_auto_threshold: int = 1_000_000
 
 
 class CrawlEngine:
@@ -221,12 +241,18 @@ class CrawlEngine:
     # ---- one wave ----------------------------------------------------------
     @property
     def person_pages(self):
-        """Cached (url, person) projection of the page store. The
-        pages table is immutable for the duration of a crawl (TTL
-        refresh happens between crawls), so caching the projection
-        saves one scan per use per wave. At 100 TB the same call
-        site simply stays an (Iceberg-pruned) scan — drop the cache,
-        nothing else changes."""
+        """(url, person) projection of the page store. The pages
+        table is immutable for the duration of a crawl (TTL refresh
+        happens between crawls).
+
+        broadcast/auto mode: a cached projection — saves one scan per
+        use per wave; at 100 TB the same call site simply stays an
+        (Iceberg-pruned) scan. bucketed mode: the hash-bucketed
+        sorted layout (ensure_bucketed_pages) read in place — no
+        cache (the layout IS the fast path, and pinning multi-TB
+        payload blobs in block storage would evict everything else)."""
+        if self.cfg.fetch_mode == "bucketed":
+            return self.spark.table(self.ensure_bucketed_pages())
         if self._person_pages is None:
             self._person_pages = (
                 self.lake.read("pages")
@@ -235,6 +261,97 @@ class CrawlEngine:
                 .cache()
             )
         return self._person_pages
+
+    def ensure_bucketed_pages(self) -> str:
+        """Build (once per pages snapshot) and declare (once per
+        session) the bucketed person-page layout under the lake root;
+        returns the session-catalog table name.
+
+        Layout = Spark native bucketing (sources/bucketed_store.py:
+        bucketBy(n, url) + sortBy(url), one writer task per bucket),
+        the in-repo equivalent of Iceberg's bucket partition
+        transform. Bucket specs live in the catalog, not the files,
+        so a fresh session re-declares the (external) table over the
+        existing files via CREATE TABLE ... CLUSTERED BY ... LOCATION
+        — exactly what tools/throughput_job.py does for the images
+        store. The build is O(pages) ONE TIME per pages snapshot (the
+        marker records snapshot + bucket count; a TTL refresh of the
+        pages table invalidates it)."""
+        import hashlib
+
+        root = self.lake.root
+        path = os.path.join(root, "pages_person_bucketed")
+        marker = path + ".json"
+        n = self.cfg.fetch_buckets
+        tbl = "pages_b_" + hashlib.md5(root.encode()).hexdigest()[:10]
+        pages_snap = self.lake.current_snapshot("pages")
+        built = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                built = json.load(f)
+        if built is None or built.get("pages_snapshot") != pages_snap or built.get("n_buckets") != n:
+            proj = (
+                self.lake.read("pages")
+                .filter(F.col("kind") == "person")
+                .select("url", "person")
+                # one shuffle of the slim wave-independent build; the
+                # same hash family as the bucket spec → one writer
+                # task per bucket → one sorted file per bucket
+                .repartition(n, "url")
+            )
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            (
+                proj.write.mode("overwrite")
+                .bucketBy(n, "url")
+                .sortBy("url")
+                .option("path", path)
+                .saveAsTable(tbl)
+            )
+            with open(marker, "w") as f:
+                json.dump({"pages_snapshot": pages_snap, "n_buckets": n}, f)
+        elif not self.spark.catalog.tableExists(tbl):
+            person_ddl = schemas.PERSON_PAYLOAD.simpleString()
+            self.spark.sql(f"""
+                CREATE TABLE {tbl} (url string, person {person_ddl})
+                USING parquet
+                CLUSTERED BY (url) SORTED BY (url) INTO {n} BUCKETS
+                LOCATION '{path}'
+            """)
+        return tbl
+
+    def _fetch_join(self, sched: DataFrame, n_sched: int) -> DataFrame:
+        """S1: the simulated-HTTP fetch join of the scheduled batch
+        against the person page store, under cfg.fetch_mode. Returns
+        one row per scheduled url with a nullable `person` payload
+        (null = fetch failure). Payload bytes never shuffle in either
+        regime; the difference is where the join's small side goes:
+
+          broadcast — the budget-bounded batch broadcasts into the
+            page scan (build-left inner join) + an anti-join recovers
+            failures. Driver-side single-thread broadcast build:
+            fine for bounded waves, level-independent at full-
+            frontier waves (the measured r4 scale break).
+          bucketed — ONE right-outer sort-merge join against the
+            bucketed+sorted layout: zero Exchange and zero broadcast
+            above the payload scan; the slim scheduled keys shuffle
+            into the bucket layout. Failures fall out of the outer
+            join for free (no second anti-join, no broadcast build).
+        """
+        mode = self.cfg.fetch_mode
+        if mode == "auto":
+            mode = "bucketed" if n_sched >= self.cfg.fetch_auto_threshold else "broadcast"
+        if mode == "bucketed":
+            pages = self.spark.table(self.ensure_bucketed_pages())
+            # the merge hint pins SMJ even when a tiny fixture store
+            # would auto-broadcast — the plan shape is the contract
+            # (tests/test_bucketed.py pins zero Exchange on pages)
+            return pages.join(sched.hint("merge"), "url", "right")
+        succ = sched.hint("broadcast").join(self.person_pages, "url", "inner").cache()
+        self._fetch_scratch.append(succ)
+        failed = sched.join(F.broadcast(succ.select("url")), "url", "left_anti").withColumn(
+            "person", F.lit(None).cast(schemas.PERSON_PAYLOAD)
+        )
+        return succ.unionByName(failed.select(*succ.columns))
 
     def run_wave(self) -> dict:
         """One BFS wave, with AQE toggled per CrawlConfig.adaptive_waves
@@ -344,23 +461,18 @@ class CrawlEngine:
             self.next_seq += n_sched
 
         # ---- fetch (S1/S2: join simulates HTTP against the page store) ---
-        # Join shape for scale: the scheduled batch is budget-bounded
-        # and tiny next to the page store, so broadcast the BATCH into
-        # the pages scan (inner join, build-left) — a plain left-outer
-        # would force Spark to broadcast/shuffle the big pages side.
-        # Failures are recovered afterwards by anti-joining the batch
-        # against the (small) succeeded key set.
-        succ = sched.hint("broadcast").join(self.person_pages, "url", "inner").cache()
+        # Regime per CrawlConfig.fetch_mode (_fetch_join): broadcast
+        # keys for budget-bounded waves, bucket-aligned SMJ for
+        # full-frontier waves. Payload bytes never shuffle either way.
         # n_succ is NOT counted here: success rows become exactly the
         # status='expanded' rows of this wave's frontier delta (the
         # scheduled batch is the only source of 'expanded' in the
         # delta), so the count rides the frontier commit's existing
         # Observation below — one fewer action per wave.
-        failed = sched.join(F.broadcast(succ.select("url")), "url", "left_anti").withColumn(
-            "person", F.lit(None).cast(schemas.PERSON_PAYLOAD)
-        )
-        fetched = succ.unionByName(failed.select(*succ.columns)).cache()
+        self._fetch_scratch: list[DataFrame] = []
+        fetched = self._fetch_join(sched, n_sched).cache()
         ok = F.col("person").isNotNull()
+        succ = fetched.filter(ok)
 
         # frontier transition: merged fetch+expand (oracle.py) — success
         # → 'expanded'; failure retries until max_attempts (O3).
@@ -525,8 +637,9 @@ class CrawlEngine:
         }
         lake.append_local("metrics", [m], schemas.METRICS)  # driver-side, no Spark job
         sched.unpersist()
-        succ.unpersist()
         fetched.unpersist()
+        for df in self._fetch_scratch:
+            df.unpersist()
         self.wave = w + 1
         if remain == 0 and n_new_pubs == 0:
             self.done = True

@@ -83,3 +83,71 @@ def test_ivf_store_partition_pruned(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[cell#\d+L? IN \(([-\d,]+)\)", plan)
     assert m, plan
     assert {int(x) for x in m.group(1).split(",")} == probed and 0 < len(probed) < 8
+
+
+def test_engine_bucketed_fetch_no_blob_exchange(spark, tmp_path):
+    """VERDICT r4 item 1, plan half: the ENGINE's own fetch join
+    (CrawlEngine._fetch_join — the exact code path run_wave executes)
+    in bucketed mode plans as ONE sort-merge join with
+
+      * zero BroadcastExchange anywhere (no driver-side single-thread
+        build — the measured r4 scale break at 2M-row waves), and
+      * exactly one Exchange, on the slim scheduled-key side; the
+        person-page payload scan is the bucketed read (Bucketed:
+        true) with NO Exchange above it — blobs never shuffle.
+    """
+    import re
+
+    from dblp_crawler_spark import fixtures
+    from dblp_crawler_spark.lakehouse import Lakehouse
+    from dblp_crawler_spark.operators.scheduler import politeness_pop
+    from dblp_crawler_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    u = fixtures.make_universe(n_authors=50, n_pubs=120, n_venues=4, seed=5)
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    fixtures.write_tables(spark, lake, u)
+    eng = CrawlEngine(
+        spark, lake, CrawlConfig(year=u.year_filter, rules=u.keyword_rules,
+                                 fetch_mode="bucketed", fetch_buckets=8)
+    )
+    eng.initialize()
+    pending = lake.read("frontier").filter("status = 'pending'")
+    sched = politeness_pop(pending, None)
+    fetched = eng._fetch_join(sched, n_sched=0)
+    plan = plan_of(fetched)
+    assert "BroadcastExchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # and the join is real: every pending url resolves to its page
+    n_pending = pending.count()
+    got = fetched.filter("person IS NOT NULL").count()
+    assert got == fetched.count() == n_pending and n_pending > 0
+
+
+def test_bucketed_layout_rebuilds_on_pages_refresh(spark, tmp_path):
+    """The bucketed layout is pinned to a pages-table snapshot: a
+    refresh of the pages table (new snapshot) invalidates the marker
+    and the next ensure_bucketed_pages() rebuilds — a stale layout
+    can never serve old payloads."""
+    from dblp_crawler_spark import fixtures
+    from dblp_crawler_spark.lakehouse import Lakehouse
+    from dblp_crawler_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    u = fixtures.make_universe(n_authors=30, n_pubs=80, n_venues=3, seed=11)
+    lake = Lakehouse(spark, str(tmp_path / "lake"))
+    fixtures.write_tables(spark, lake, u)
+    eng = CrawlEngine(spark, lake, CrawlConfig(fetch_mode="bucketed", fetch_buckets=4))
+    tbl = eng.ensure_bucketed_pages()
+    n0 = spark.table(tbl).count()
+    # simulate a TTL refresh: re-commit the pages table (new snapshot)
+    lake.overwrite("pages", lake.read("pages"))
+    tbl2 = eng.ensure_bucketed_pages()
+    assert tbl2 == tbl
+    assert spark.table(tbl2).count() == n0
+    import json as _json
+    import os as _os
+
+    marker = _os.path.join(lake.root, "pages_person_bucketed.json")
+    with open(marker) as f:
+        assert _json.load(f)["pages_snapshot"] == lake.current_snapshot("pages")
