@@ -1497,6 +1497,45 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash_near_dups(docs, max_hamming=8, prefix_bits=8, hash_fn=hash60, bits=60)
 
 
+#: skip-and-flag cap for the simhash prefix-block pair guard: at
+#: sf0.01 (the gate SF) 2 of 92 blocks overflow (82 and 32+ docs of
+#: 500) so BOTH sides of the guard are exercised, and at any SF the
+#: emitted pair stream is bounded by n_blocks * cap^2 / 2 — the r4
+#: sf1 run measured 52M unguarded pairs on the homogeneous corpus.
+SIMHASH_BLOCK_CAP = 32
+
+
+def q_dedup_simhash_capped(spark, sf_dir):
+    """SimHash near-dup with the PAIR-EXPLOSION GUARD (r4 verdict
+    item 2): identical portable parameterization to `dedup_simhash`
+    (hash60, 60 bits, prefix 8, hamming <= 8) plus max_block=32 —
+    prefix blocks holding more than 32 docs are excluded from pair
+    expansion (skip-and-flag; the flagged blocks are THE
+    `dedup_simhash_overflow` entry), so candidate volume is bounded
+    by 256 * 32^2/2 pairs regardless of corpus skew. Fully oracled:
+    DuckDB replays fingerprints, blocking, the block-size gate, and
+    the in-block hamming verify."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, max_hamming=8, prefix_bits=8, hash_fn=hash60,
+                               bits=60, max_block=SIMHASH_BLOCK_CAP)
+
+
+def q_dedup_simhash_overflow(spark, sf_dir):
+    """The flag half of the guard: (block, n_docs) for every simhash
+    prefix block over the cap — the escalation worklist a production
+    pass routes to a non-quadratic treatment (exact-hash dedup, the
+    pigeonhole multi-block tier, or per-block sampling) instead of
+    exploding. Together with `dedup_simhash_capped` this partitions
+    the corpus's candidate mass exactly."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_block_overflow(docs, prefix_bits=8, hash_fn=hash60, bits=60,
+                                    max_block=SIMHASH_BLOCK_CAP)
+
+
 def q_dedup_minhash_lsh_fast(spark, sf_dir):
     """The PRODUCTION-hash MinHash+LSH path: library-default
     xxhash64 lanes (JVM-side, one hash call per shingle per lane)
@@ -7679,6 +7718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_lsh_fast": q_dedup_minhash_lsh_fast,
         "dedup_simhash_fast": q_dedup_simhash_fast,
+        "dedup_simhash_capped": q_dedup_simhash_capped,
+        "dedup_simhash_overflow": q_dedup_simhash_overflow,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_planted": q_embedding_near_dup_planted,
         "semdedup_drop_list": q_semdedup_drop_list,
@@ -7996,7 +8037,7 @@ def _portable_hash_oracles() -> dict[str, str]:
     packed = " + ".join(
         f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(bits)
     )
-    simhash_sql = f"""
+    simhash_cte = f"""
         WITH tk AS (
           SELECT doc_id, unnest({tok_distinct}) AS t FROM documents
         ), hh AS (
@@ -8008,10 +8049,29 @@ def _portable_hash_oracles() -> dict[str, str]:
           FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
         ), blocked AS (
           SELECT doc_id, sh, sh // {1 << (bits - prefix_bits)} AS block FROM sim
-        )
+        )"""
+    simhash_sql = simhash_cte + f"""
         SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.sh, y.sh)) AS hamming
         FROM blocked x JOIN blocked y ON x.block = y.block AND x.doc_id < y.doc_id
         WHERE bit_count(xor(x.sh, y.sh)) <= {max_ham}
+    """
+    # capped variant: same fingerprints/blocking, blocks over the cap
+    # excluded from pair expansion (skip-and-flag guard); overflow =
+    # exactly the skipped blocks
+    cap = SIMHASH_BLOCK_CAP
+    simhash_capped_sql = simhash_cte + f""", bsz AS (
+          SELECT block, COUNT(*) AS n FROM blocked GROUP BY block
+        ), keep AS (
+          SELECT b.doc_id, b.sh, b.block
+          FROM blocked b JOIN bsz s ON b.block = s.block AND s.n <= {cap}
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.sh, y.sh)) AS hamming
+        FROM keep x JOIN keep y ON x.block = y.block AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.sh, y.sh)) <= {max_ham}
+    """
+    simhash_overflow_sql = simhash_cte + f"""
+        SELECT block, COUNT(*) AS n_docs FROM blocked
+        GROUP BY block HAVING COUNT(*) > {cap}
     """
 
     # ---- rolling fingerprint: (acc*31 + h%M) % M over ordered tokens ----
@@ -8123,6 +8183,8 @@ def _portable_hash_oracles() -> dict[str, str]:
     return {
         "dedup_minhash_lsh": minhash_sql,
         "dedup_simhash": simhash_sql,
+        "dedup_simhash_capped": simhash_capped_sql,
+        "dedup_simhash_overflow": simhash_overflow_sql,
         "text_fingerprint": fp_sql,
         "sketch_distinct_users": hll_sql,
         "sketch_heavy_hitters": cms_sql,

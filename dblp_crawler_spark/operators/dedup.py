@@ -147,11 +147,26 @@ def minhash_bands(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8,
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8,
-                        hash_fn=None) -> DataFrame:
+                        hash_fn=None, max_bucket: int | None = None) -> DataFrame:
     """Band the signature, hash each band, equi-join on
     (band, band_hash) → candidate pairs (a < b). This is the
-    O(n²)→O(n) LSH step; verify candidates with jaccard after."""
+    O(n²)→O(n) LSH step; verify candidates with jaccard after.
+
+    `max_bucket` is the minhash side of the pair-explosion guard
+    (same skip-and-flag policy as hamming_near_dups.max_block): band
+    buckets holding more than `max_bucket` docs — a near-constant
+    corpus drives every doc into one bucket per band — are excluded
+    from pair expansion, bounding candidates at
+    bands · n/bucket · max_bucket²/2. Enumerate the skipped buckets
+    with :func:`lsh_bucket_overflow` for escalation."""
     banded = minhash_bands(sigs, id_col, bands, hash_fn=hash_fn)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "band_hash")
+        banded = (
+            banded.withColumn("__bn", F.count("*").over(wb))
+            .filter(F.col("__bn") <= int(max_bucket))
+            .drop("__bn")
+        )
     a = banded.withColumnsRenamed({id_col: "a"})
     b = banded.withColumnsRenamed({id_col: "b"})
     return (
@@ -162,17 +177,31 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8,
     )
 
 
+def lsh_bucket_overflow(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8,
+                        hash_fn=None, max_bucket: int = 1024) -> DataFrame:
+    """(band, band_hash, n_docs) for every LSH band bucket over the
+    cap — the buckets lsh_candidate_pairs(max_bucket=cap) skipped."""
+    banded = minhash_bands(sigs, id_col, bands, hash_fn=hash_fn)
+    return (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > int(max_bucket))
+    )
+
+
 def minhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 32, bands: int = 8, shingle_n: int = 3,
-                      threshold: float = 0.8, hash_fn=None) -> DataFrame:
+                      threshold: float = 0.8, hash_fn=None,
+                      max_bucket: int | None = None) -> DataFrame:
     """Full MinHash+LSH pipeline: signature → band join → exact
     Jaccard verification of candidates (no false positives in the
-    output; LSH only bounds recall)."""
+    output; LSH only bounds recall). `max_bucket` engages the band-
+    bucket pair-explosion guard (see lsh_candidate_pairs)."""
     from ..functions.hashing import xx64
 
     hash_fn = hash_fn or xx64
     sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n, hash_fn=hash_fn)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, hash_fn=hash_fn)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, hash_fn=hash_fn, max_bucket=max_bucket)
     # |A∪B| = |A|+|B|−|A∩B|: one array op per pair instead of two
     # (shingle arrays are already distinct), sizes computed pre-join.
     # Intersect 64-bit shingle hashes, not strings: same Jaccard
@@ -229,15 +258,35 @@ def simhash64(text: Column | str, hash_fn=None, bits: int = 64) -> Column:
 
 def hamming_near_dups(hashed: DataFrame, hash_col: str, id_col: str,
                       max_hamming: int = 3, prefix_bits: int = 16,
-                      width: int = 64) -> DataFrame:
+                      width: int = 64, max_block: int | None = None) -> DataFrame:
     """Generic fingerprint near-dup over a `width`-bit hash: block on
     the top `prefix_bits` (near-dups rarely differ there — recall<1
     by design, same trade as any LSH), verify hamming ≤ max_hamming
     in-block with a pure JVM xor+bit_count. Shared kernel for
-    SimHash text near-dup and perceptual-hash image near-dup."""
+    SimHash text near-dup and perceptual-hash image near-dup.
+
+    `max_block` is the PAIR-EXPLOSION GUARD (r4 sf1 lesson: a
+    homogeneous corpus drove one simhash block to 790/5000 docs at
+    sf0.1 and the pair stream to 52M rows at sf1 — quadratic in the
+    hottest block). With a cap, blocks holding more than `max_block`
+    docs are EXCLUDED from pair expansion (skip-and-flag policy —
+    use :func:`hamming_block_overflow` to enumerate them for
+    escalation: an exact-hash pass, the pigeonhole multi-block tier,
+    or per-block sampling). Output pairs are then bounded by
+    n_blocks · max_block²/2 regardless of corpus skew; recall within
+    surviving blocks is unchanged. One extra shuffle-free window
+    count over the already-blocked rows; fingerprints are computed
+    once."""
     blocked = hashed.select(F.col(id_col), F.col(hash_col).alias("sh")).withColumn(
         "block", F.shiftrightunsigned("sh", width - prefix_bits)
     )
+    if max_block is not None:
+        wb = Window.partitionBy("block")
+        blocked = (
+            blocked.withColumn("__bn", F.count("*").over(wb))
+            .filter(F.col("__bn") <= int(max_block))
+            .drop("__bn")
+        )
     a = blocked.withColumnsRenamed({id_col: "a", "sh": "sh_a"})
     b = blocked.withColumnsRenamed({id_col: "b", "sh": "sh_b"})
     return (
@@ -246,6 +295,25 @@ def hamming_near_dups(hashed: DataFrame, hash_col: str, id_col: str,
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+    )
+
+
+def hamming_block_overflow(hashed: DataFrame, hash_col: str,
+                           prefix_bits: int = 16, width: int = 64,
+                           max_block: int = 1024) -> DataFrame:
+    """The flag half of the skip-and-flag guard: one row per prefix
+    block whose doc count exceeds `max_block` — exactly the blocks
+    :func:`hamming_near_dups` (same geometry, same cap) skipped.
+    Returns (block, n_docs), the escalation worklist a production
+    dedup pass routes to a cheaper treatment instead of exploding.
+    One hash agg over slim block keys; nothing quadratic."""
+    blocked = hashed.select(
+        F.shiftrightunsigned(F.col(hash_col), width - prefix_bits).alias("block")
+    )
+    return (
+        blocked.groupBy("block")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > int(max_block))
     )
 
 
@@ -333,11 +401,27 @@ def hamming_near_dups_exact_sql(src: str, hash_col: str, id_col: str,
 
 def simhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3, prefix_bits: int = 16,
-                      hash_fn=None, bits: int = 64) -> DataFrame:
+                      hash_fn=None, bits: int = 64,
+                      max_block: int | None = None) -> DataFrame:
     """SimHash near-dup: `bits`-bit SimHash per doc, then the shared
-    prefix-block + hamming-verify kernel."""
+    prefix-block + hamming-verify kernel. `max_block` engages the
+    pair-explosion guard (see hamming_near_dups): capped output,
+    skipped blocks enumerated by :func:`simhash_block_overflow`."""
     h = _spread(docs).select(F.col(id_col), simhash64(text_col, hash_fn=hash_fn, bits=bits).alias("sh"))
-    return hamming_near_dups(h, "sh", id_col, max_hamming, prefix_bits, width=bits)
+    return hamming_near_dups(h, "sh", id_col, max_hamming, prefix_bits, width=bits,
+                             max_block=max_block)
+
+
+def simhash_block_overflow(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", prefix_bits: int = 16,
+                           hash_fn=None, bits: int = 64,
+                           max_block: int = 1024) -> DataFrame:
+    """(block, n_docs) for every simhash prefix block over the cap —
+    the escalation worklist paired with simhash_near_dups(max_block=
+    cap): together they partition the corpus's candidate mass into
+    'pairs emitted' and 'flagged for a non-quadratic treatment'."""
+    h = _spread(docs).select(F.col(id_col), simhash64(text_col, hash_fn=hash_fn, bits=bits).alias("sh"))
+    return hamming_block_overflow(h, "sh", prefix_bits, width=bits, max_block=max_block)
 
 
 # ---- n-gram jaccard ----------------------------------------------------------
@@ -609,7 +693,12 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "
 
 
 # ---- semantic dedup (SemDeDup) ---------------------------------------------
-def semantic_dedup(emb: DataFrame, n_cells: int = 8, iters: int = 1, seed: int = 99,
+#: auto-sizing bound: cells never exceed this (past it, shard the
+#: quantizer build instead of widening a single centroid table)
+_MAX_AUTO_CELLS = 4096
+
+
+def semantic_dedup(emb: DataFrame, n_cells: int | None = None, iters: int = 1, seed: int = 99,
                    threshold: float = 0.9, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
@@ -632,9 +721,23 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 8, iters: int = 1, seed: int =
     job. Recall < 1 like any clustered near-dup search: cross-cell
     near-dups are unseen by design (raise n_cells for tighter cells
     or iters for better centroids; the trade is documented in the
-    paper)."""
+    paper).
+
+    `n_cells=None` (the default) auto-sizes the quantizer to the
+    corpus: k = clamp(⌈√n⌉, 8, 4096) — the classic IVF sizing that
+    balances the n·k assignment cost against the Σ s² in-cell pair
+    scan (both ≈ n^1.5), so doubling the corpus can never re-create
+    the fixed-k quadratic blowup (r4 sf1 lesson: 190 s at 10× rows
+    with k pinned at 8 — the in-cell scan is quadratic in n/k). The
+    oracled entry passes an explicit k for replay determinism; the
+    count() that sizing needs is one cheap metadata-friendly job and
+    only runs in auto mode."""
     from .similarity import ivf_index_quantized
 
+    if n_cells is None:
+        import math
+
+        n_cells = max(8, min(math.isqrt(emb.count()) + 1, _MAX_AUTO_CELLS))
     _, assigned = ivf_index_quantized(
         emb, n_cells=n_cells, iters=iters, seed=seed, c_id=id_col, c_vec=vec_col
     )

@@ -309,6 +309,44 @@ def _nearest_cells_quantized(qvec: Column, centroids: DataFrame, n: int):
     return cents, F.transform(top, lambda s: s["c"])
 
 
+def _assign_cells_vectorized(c0: DataFrame, cents_df: DataFrame, c_id: str) -> DataFrame:
+    """Value-identical large-k replay of the quantized HOF argmin
+    assignment (pinned equal in tests): exact int64 arithmetic via
+    d = |q|² + |c|² − 2·q·c over the fixed-point vectors (every term
+    < 2^46 — exact), ties → smallest cell (centroid rows ordered by
+    cell; argmin returns the FIRST minimum, and array_sort on
+    (d, cell) structs picks the same one). Arrow-batched numpy
+    matmul instead of an interpreted per-row lambda over all k
+    centroids — the input_hint UDF discipline (vectorized, never
+    per-row Python). The centroid matrix is a driver-side collect of
+    k·dim longs — bounded by the quantizer, never the corpus."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    rows = cents_df.orderBy("cell").collect()
+    C = np.array([list(r["qcent"]) for r in rows], dtype=np.int64)
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    cnorm = (C * C).sum(axis=1)
+
+    keep = [f for f in c0.schema.fields if f.name in (c_id, "__cv", "__qq")]
+    out_schema = StructType(keep + [StructField("cell", IntegerType())])
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf = pdf.copy()
+                pdf["cell"] = np.array([], dtype="int32")
+                yield pdf
+                continue
+            Q = np.array([np.asarray(v, dtype=np.int64) for v in pdf["__qq"]], dtype=np.int64)
+            qn = (Q * Q).sum(axis=1)
+            d = qn[:, None] + cnorm[None, :] - 2 * (Q @ C.T)
+            out = pdf.copy()
+            out["cell"] = cells[d.argmin(axis=1)].astype("int32")
+            yield out
+
+    return c0.select(*[f.name for f in keep]).mapInPandas(run, out_schema)
+
+
 def ivf_index_quantized(corpus: DataFrame, n_cells: int = 8, iters: int = 1, seed: int = 42,
                         c_id: str = "vec_id", c_vec: str = "embedding") -> tuple[DataFrame, DataFrame]:
     """Fixed-point IVF quantizer: EVERY arithmetic step that decides
@@ -334,15 +372,6 @@ def ivf_index_quantized(corpus: DataFrame, n_cells: int = 8, iters: int = 1, see
     Returns (centroids(cell, qcent), assigned(id, vec, cell))."""
     from ..functions.hashing import hash60
 
-    if n_cells > _MAX_HOF_CELLS:
-        import warnings
-
-        warnings.warn(
-            f"n_cells={n_cells} scores centroids through an interpreted HOF "
-            f"lambda; beyond {_MAX_HOF_CELLS} cells build sharded indexes instead",
-            stacklevel=2,
-        )
-
     c0 = (
         corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("__cv"))
         .withColumn("__nrm", l2_norm(F.col("__cv")))
@@ -363,6 +392,15 @@ def ivf_index_quantized(corpus: DataFrame, n_cells: int = 8, iters: int = 1, see
     )
 
     def assign(cents_df):
+        # two value-identical regimes (equality pinned in tests):
+        #   k <= _MAX_HOF_CELLS — pure-expression argmin through the
+        #     broadcast HOF lambda (no Python anywhere);
+        #   k >  _MAX_HOF_CELLS — the interpreted lambda's O(k·dim)
+        #     per-row cost stops scaling (cells grow ∝ corpus under
+        #     the SemDeDup auto-parameterization), so switch to the
+        #     Arrow-batched exact-int64 numpy argmin.
+        if n_cells > _MAX_HOF_CELLS:
+            return _assign_cells_vectorized(c0, cents_df, c_id)
         cents, top1 = _nearest_cells_quantized(F.col("__qq"), cents_df, 1)
         return c0.crossJoin(cents).select(
             F.col(c_id), F.col("__cv"), F.col("__qq"), F.element_at(top1, 1).alias("cell")
