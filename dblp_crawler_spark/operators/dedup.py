@@ -98,6 +98,33 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams(text, n))
 
 
+def shingle_arrays(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   shingle_n: int = 3) -> DataFrame:
+    """(id, __sh_arr): the distinct-shingle array per doc — the
+    shared upstream of signature generation AND exact verification.
+    Split out because shingling (tokenize + n−1 zip_with concats +
+    array_distinct) is the dominant cost of the whole MinHash
+    pipeline (profiled r5: ~1.5 s of the 4.8 s sf0.1 entry — and the
+    un-factored pipeline paid it TWICE)."""
+    return _spread(docs).select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("__sh_arr")
+    )
+
+
+def minhash_signature_from_shingles(sh_arr: DataFrame, id_col: str = "doc_id",
+                                    num_hashes: int = 32, hash_fn=None) -> DataFrame:
+    """(id, sig array<long>) from a shingle_arrays frame: one explode
+    + one groupBy with k min() aggregates — all JVM-side hashing;
+    partial aggregation makes the shuffle carry only k longs/doc."""
+    from ..functions.hashing import xx64
+
+    hash_fn = hash_fn or xx64
+    sh = sh_arr.select(F.col(id_col), F.explode("__sh_arr").alias("sh"))
+    aggs = [F.min(hash_fn("sh", i)).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
 def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 32, shingle_n: int = 3,
                       hash_fn=None) -> DataFrame:
@@ -105,15 +132,10 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
     One explode + one groupBy with k min() aggregates — all JVM-side
     hashing (xxhash64 by default; pass functions.hashing.hash60 for
-    the engine-portable md5-derived family); partial aggregation
-    makes the shuffle carry only k longs per doc."""
-    from ..functions.hashing import xx64
-
-    hash_fn = hash_fn or xx64
-    sh = _spread(docs).select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
-    aggs = [F.min(hash_fn("sh", i)).alias(f"h{i}") for i in range(num_hashes)]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    the engine-portable md5-derived family)."""
+    return minhash_signature_from_shingles(
+        shingle_arrays(docs, text_col, id_col, shingle_n), id_col, num_hashes, hash_fn
+    )
 
 
 def minhash_bands(sigs: DataFrame, id_col: str = "doc_id", bands: int = 8,
@@ -196,20 +218,35 @@ def minhash_near_dups(docs: DataFrame, text_col: str = "text", id_col: str = "do
     """Full MinHash+LSH pipeline: signature → band join → exact
     Jaccard verification of candidates (no false positives in the
     output; LSH only bounds recall). `max_bucket` engages the band-
-    bucket pair-explosion guard (see lsh_candidate_pairs)."""
+    bucket pair-explosion guard (see lsh_candidate_pairs).
+
+    The shingle arrays are computed ONCE and persisted across the
+    two consumers (signature lanes; exact-verify hash sets) — r5
+    profile: shingling is ~60% of the sf0.1 entry and the
+    un-factored pipeline ran it twice (4.8 s → ~3 s). The persist is
+    spill-safe (MEMORY_AND_DISK) and dropped by Spark's
+    ContextCleaner when the result goes out of scope; at 100 TB the
+    same seam is where a real pipeline writes its shingle/signature
+    intermediate to a table (minhash_delta already persists exactly
+    that state)."""
+    from pyspark import StorageLevel
+
     from ..functions.hashing import xx64
 
     hash_fn = hash_fn or xx64
-    sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n, hash_fn=hash_fn)
+    base = shingle_arrays(docs, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signature_from_shingles(base, id_col, num_hashes, hash_fn=hash_fn)
     cands = lsh_candidate_pairs(sigs, id_col, bands, hash_fn=hash_fn, max_bucket=max_bucket)
     # |A∪B| = |A|+|B|−|A∩B|: one array op per pair instead of two
     # (shingle arrays are already distinct), sizes computed pre-join.
     # Intersect 64-bit shingle hashes, not strings: same Jaccard
     # (collisions are 2^-64-rare), ~10x cheaper per pair and 8 bytes
     # per shingle through the join.
-    sh = _spread(docs).select(
+    sh = base.select(
         F.col(id_col),
-        F.transform(shingles(text_col, shingle_n), lambda t: hash_fn(t)).alias("sh"),
+        F.transform("__sh_arr", lambda t: hash_fn(t)).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
     return (
         cands.join(sh.withColumnsRenamed({id_col: "a", "sh": "sh_a", "n_sh": "na"}), "a")
