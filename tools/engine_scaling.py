@@ -55,6 +55,8 @@ def _spark(master: str | None, shuffle: int | None, workdir: str) -> SparkSessio
             "spark.sql.warehouse.dir": os.path.join(workdir, "warehouse"),
             # fixed-shape wave DAG (see CrawlConfig.adaptive_waves)
             "spark.sql.adaptive.enabled": "false",
+            # REST stage telemetry is read after the timed runs
+            "spark.ui.enabled": "true",
         },
     )
 
@@ -151,6 +153,8 @@ def measure(spark: SparkSession, workdir: str, fetch: str, runs: int, warmup: bo
     best = min(times)
     srt = sorted(times)
     med = (srt[len(srt) // 2] + srt[(len(srt) - 1) // 2]) / 2
+    from telemetry import stage_telemetry
+
     return {
         "master": spark.sparkContext.master,
         "fetch": fetch,
@@ -160,6 +164,9 @@ def measure(spark: SparkSession, workdir: str, fetch: str, runs: int, warmup: bo
         "all_runs": times,
         "urls_per_sec": round(scheduled / best, 1),
         "urls_per_sec_median": round(scheduled / med, 1),
+        # r4 verdict item 8: shuffle/spill/skew per heavy stage — the
+        # baseline the next 10x compares against
+        "stages": stage_telemetry(spark, top=15),
     }
 
 

@@ -246,7 +246,7 @@ def run_wave_core(
 
 def measure(
     spark: SparkSession, indir: str, host_budget: int | None, warmup: bool, n_runs: int = 4,
-    fetch: str = "broadcast",
+    fetch: str = "broadcast", telemetry: bool = False,
 ) -> dict:
     if warmup:
         # untimed FULL warm-up run: spawns every Python worker, JIT/
@@ -275,7 +275,15 @@ def measure(
     srt = sorted(runs)
     secs_median = round((srt[len(srt) // 2] + srt[(len(srt) - 1) // 2]) / 2, 3)
     master = spark.sparkContext.master
+    extra = {}
+    if telemetry:
+        from telemetry import stage_telemetry
+
+        # r4 verdict item 8: per-stage shuffle/spill/skew bytes — the
+        # baseline the next 10x (80M) compares against
+        extra["stages"] = stage_telemetry(spark, top=15)
     return {
+        **extra,
         "master": master,
         "n_scheduled": n_sched,
         "n_fetched": n_fetched,
@@ -309,10 +317,15 @@ def main() -> None:
     # budget-bounded waves, bucketed for full-frontier waves whose
     # key set outgrows a driver-built broadcast.
     ap.add_argument("--fetch", choices=["broadcast", "bucketed"], default="broadcast")
+    ap.add_argument("--telemetry", action="store_true",
+                    help="collect per-stage shuffle/spill/skew bytes via the "
+                         "UI REST API after the timed runs")
     args = ap.parse_args()
     extra = {}
+    if args.telemetry:
+        extra["spark.ui.enabled"] = "true"
     if args.fetch == "bucketed":
-        extra = {
+        extra.update({
             # the key side must not be broadcast (that is the regime
             # being avoided) and a shuffled-hash probe beats sorting
             # the key side against the already-sorted buckets
@@ -321,7 +334,7 @@ def main() -> None:
             # throwaway in-memory catalog home for the re-declared
             # external bucketed table
             "spark.sql.warehouse.dir": os.path.join(args.dir, "warehouse"),
-        }
+        })
     spark = _spark(args.master, args.shuffle_partitions, extra)
     try:
         if args.prepare:
@@ -334,7 +347,9 @@ def main() -> None:
             if args.fetch == "bucketed":
                 _declare_bucketed(spark, args.dir)
             budget = args.host_budget if args.host_budget > 0 else None
-            print(json.dumps(measure(spark, args.dir, budget, warmup=not args.no_warmup, n_runs=args.runs, fetch=args.fetch)))
+            print(json.dumps(measure(spark, args.dir, budget, warmup=not args.no_warmup,
+                                     n_runs=args.runs, fetch=args.fetch,
+                                     telemetry=args.telemetry)))
     finally:
         spark.stop()
 
