@@ -1606,6 +1606,32 @@ def q_semdedup_drop_list(spark, sf_dir):
     return D.semantic_dedup(aug, n_cells=8, iters=1, seed=99, threshold=0.9)
 
 
+def q_semdedup_auto(spark, sf_dir):
+    """SemDeDup with the AUTO-SIZED quantizer (r4 verdict item 3):
+    same augmented corpus as `semdedup_drop_list` but n_cells=None,
+    so k = clamp(⌈√n⌉, 8, 4096) grows with the corpus and the
+    in-cell pair scan stays ~n^1.5 instead of quadratic at fixed k
+    (the r4 sf1 lesson: 190 s at 10× rows with k pinned at 8).
+    Returns the per-corpus drop-list SIZE (not the list): with
+    corpus-sized k the kept/dropped partition depends on k, and k
+    depends on a runtime count() — which a STATIC oracle SQL string
+    cannot express, so this entry is rows-only by design; the
+    auto == explicit-k equivalence is pinned in
+    tests/test_semdedup_auto.py and the explicit-k path is the fully
+    oracled `semdedup_drop_list`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    p1 = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    p2 = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+    )
+    aug = base.unionByName(p1).unionByName(p2)
+    drops = D.semantic_dedup(aug, n_cells=None, iters=1, seed=99, threshold=0.9)
+    return drops.agg(F.count("*").alias("n_dropped"))
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup pairs → transitive duplicate clusters (connected
     components by min-label propagation). The grouping step after
@@ -7723,6 +7749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_planted": q_embedding_near_dup_planted,
         "semdedup_drop_list": q_semdedup_drop_list,
+        "semdedup_auto": q_semdedup_auto,
         "dedup_components": q_dedup_components,
         "dedup_drop_list": q_dedup_drop_list,
         "dedup_substring_spans": q_dedup_substring_spans,

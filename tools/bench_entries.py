@@ -22,8 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HEAVY = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_fast",
-    "dedup_simhash", "dedup_simhash_fast", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_fast",
+    "dedup_simhash_capped", "dedup_simhash_overflow",  # r5: pair guard
+    "dedup_ngram_jaccard",
     "dedup_components", "dedup_drop_list", "semdedup_drop_list",
+    "semdedup_auto",  # r5: cells ∝ n
     "embedding_near_dup", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "pipeline_curation", "text_quality", "text_lang_id", "text_top_ngrams",
     "decontaminate", "events_sessionization",
