@@ -42,12 +42,18 @@ def build_pkg_zip(path: str) -> str:
 def spark_submit(master: str, pyfiles: str, job_args: list[str]) -> dict:
     # the single local-mode JVM stands in for the whole cluster, so
     # heap scales with core count (a 4N-executor cluster has 4N× the
-    # RAM of an N-executor cluster at fixed executor size).
+    # RAM of an N-executor cluster at fixed executor size). The
+    # per-core factor is tunable (SPARK_GRAFT_MEM_PER_CORE, GB/core;
+    # default 1.5) but always EQUAL at both levels, so the pair
+    # models bigger executors, never an unfair ratio: the engine's
+    # 8M-row wave OOMs the low level at 1.5 GB/core (r5) and runs at
+    # 3 — a real cluster sizes executors to the wave, not vice versa.
     n_cores = int(master.split("[")[1].rstrip("]")) if "[" in master else 8
+    per_core = float(os.environ.get("SPARK_GRAFT_MEM_PER_CORE", "1.5"))
     cmd = [
         "spark-submit",
         "--master", master,
-        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{int(n_cores * 1.5)}g"),
+        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{int(n_cores * per_core)}g"),
         "--py-files", pyfiles,
         JOB, *job_args,
     ]
