@@ -1536,6 +1536,44 @@ def q_dedup_simhash_overflow(spark, sf_dir):
                                     max_block=SIMHASH_BLOCK_CAP)
 
 
+#: skip-and-flag cap for the minhash LSH band-bucket guard. The
+#: driver's synthetic documents produce small buckets (max 3 at
+#: sf0.01), so cap 2 exercises BOTH guard sides at the gate SF; on a
+#: boilerplate-heavy production corpus the same cap bounds the
+#: candidate stream at bands · n_buckets · cap²/2 (the planted-clique
+#: behavior is pinned in tests/test_pair_guard.py::test_lsh_bucket_cap).
+MINHASH_BUCKET_CAP = 2
+
+
+def q_dedup_minhash_capped(spark, sf_dir):
+    """MinHash+LSH with the band-bucket PAIR-EXPLOSION GUARD:
+    identical portable parameterization to `dedup_minhash_lsh`
+    (hash60, 32 lanes, 8 bands, Jaccard >= 0.2) plus max_bucket=2 —
+    band buckets holding more docs are excluded from candidate
+    expansion (skip-and-flag; the flagged buckets are THE
+    `dedup_minhash_overflow` entry). Fully oracled: DuckDB replays
+    signatures, banding, the bucket-size gate, the candidate join,
+    and the exact-Jaccard verify."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_near_dups(docs, num_hashes=32, bands=8, threshold=0.2,
+                               hash_fn=hash60, max_bucket=MINHASH_BUCKET_CAP)
+
+
+def q_dedup_minhash_overflow(spark, sf_dir):
+    """The flag half of the minhash guard: (band, band_hash, n_docs)
+    for every LSH band bucket over the cap — the escalation worklist
+    the capped entry skipped. Together the two entries partition the
+    candidate mass exactly (same signatures, same banding)."""
+    from dblp_crawler_spark.functions.hashing import hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs, num_hashes=32, hash_fn=hash60)
+    return D.lsh_bucket_overflow(sigs, bands=8, hash_fn=hash60,
+                                 max_bucket=MINHASH_BUCKET_CAP)
+
+
 def q_dedup_minhash_lsh_fast(spark, sf_dir):
     """The PRODUCTION-hash MinHash+LSH path: library-default
     xxhash64 lanes (JVM-side, one hash call per shingle per lane)
@@ -7746,6 +7784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_fast": q_dedup_simhash_fast,
         "dedup_simhash_capped": q_dedup_simhash_capped,
         "dedup_simhash_overflow": q_dedup_simhash_overflow,
+        "dedup_minhash_capped": q_dedup_minhash_capped,
+        "dedup_minhash_overflow": q_dedup_minhash_overflow,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_planted": q_embedding_near_dup_planted,
         "semdedup_drop_list": q_semdedup_drop_list,
@@ -8037,23 +8077,44 @@ def _portable_hash_oracles() -> dict[str, str]:
         )
         for b in range(bands)
     )
-    minhash_sql = f"""
+    minhash_cte = f"""
         WITH sh AS ({shingle}),
         hsh AS (SELECT doc_id, list_transform(sh, t -> {H('t')}) AS hs, len(sh) AS n FROM sh),
         ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
         sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
-        bandt AS ({band_rows}),
-        cand AS (
-          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-          FROM bandt x JOIN bandt y
-            ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
-        )
+        bandt AS ({band_rows})"""
+    minhash_verify = f"""
         SELECT c.a, c.b,
                len(list_intersect(ha.hs, hb.hs))::DOUBLE /
                (ha.n + hb.n - len(list_intersect(ha.hs, hb.hs))) AS jaccard
         FROM cand c JOIN hsh ha ON c.a = ha.doc_id JOIN hsh hb ON c.b = hb.doc_id
         WHERE len(list_intersect(ha.hs, hb.hs))::DOUBLE /
               (ha.n + hb.n - len(list_intersect(ha.hs, hb.hs))) >= {thr}
+    """
+    minhash_sql = minhash_cte + """,
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bandt x JOIN bandt y
+            ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+        )""" + minhash_verify
+    # capped variant: same signatures/banding, buckets over the cap
+    # excluded from candidate expansion; overflow = the skipped buckets
+    mcap = MINHASH_BUCKET_CAP
+    minhash_capped_sql = minhash_cte + f""",
+        bksz AS (
+          SELECT band, band_hash, COUNT(*) AS n FROM bandt GROUP BY band, band_hash
+        ), bkeep AS (
+          SELECT b.doc_id, b.band, b.band_hash
+          FROM bandt b JOIN bksz s
+            ON b.band = s.band AND b.band_hash = s.band_hash AND s.n <= {mcap}
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bkeep x JOIN bkeep y
+            ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+        )""" + minhash_verify
+    minhash_overflow_sql = minhash_cte + f"""
+        SELECT band, band_hash, COUNT(*) AS n_docs FROM bandt
+        GROUP BY band, band_hash HAVING COUNT(*) > {mcap}
     """
 
     # ---- simhash: 60 lanes, prefix-block 8 bits, hamming <= 8 ----
@@ -8212,6 +8273,8 @@ def _portable_hash_oracles() -> dict[str, str]:
         "dedup_simhash": simhash_sql,
         "dedup_simhash_capped": simhash_capped_sql,
         "dedup_simhash_overflow": simhash_overflow_sql,
+        "dedup_minhash_capped": minhash_capped_sql,
+        "dedup_minhash_overflow": minhash_overflow_sql,
         "text_fingerprint": fp_sql,
         "sketch_distinct_users": hll_sql,
         "sketch_heavy_hitters": cms_sql,

@@ -24,6 +24,7 @@ HEAVY = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_fast",
     "dedup_simhash", "dedup_simhash_fast",
     "dedup_simhash_capped", "dedup_simhash_overflow",  # r5: pair guard
+    "dedup_minhash_capped", "dedup_minhash_overflow",
     "dedup_ngram_jaccard",
     "dedup_components", "dedup_drop_list", "semdedup_drop_list",
     "semdedup_auto",  # r5: cells ∝ n
