@@ -202,11 +202,56 @@ def run_pair(n: int, workdir: str, masters: tuple[str, str], runs: int, fetch: s
     }
 
 
+def run_pair_interleaved(n: int, workdir: str, masters: tuple[str, str], rounds: int,
+                         fetch: str) -> dict:
+    """ABAB protocol (same discipline as bench_scaling): alternate
+    N / 4N submits and pair each round's adjacent timings into a
+    per-round efficiency — host drift hits both levels of a round
+    almost equally, so the ratio cancels it. Fresh JVM per submit,
+    each with its own untimed warm-up wave."""
+    from bench_scaling import build_pkg_zip, spark_submit
+
+    os.makedirs(workdir, exist_ok=True)
+    pyz = build_pkg_zip(os.path.join(workdir, "dblp_crawler_spark.zip"))
+    import bench_scaling as BS
+
+    BS.JOB = os.path.abspath(__file__)
+    indir = os.path.join(workdir, f"engine_n{n}_{fetch}")
+    if not os.path.exists(os.path.join(indir, "state0.json")):
+        spark_submit(masters[1], pyz, ["--prepare", "--dir", indir, "--n", str(n), "--fetch", fetch])
+    pairs, lo_runs, hi_runs = [], [], []
+    for _ in range(rounds):
+        lo = spark_submit(masters[0], pyz, ["--measure", "--dir", indir, "--runs", "1", "--fetch", fetch])
+        hi = spark_submit(masters[1], pyz, ["--measure", "--dir", indir, "--runs", "1", "--fetch", fetch])
+        lo_runs.append(lo["seconds"])
+        hi_runs.append(hi["seconds"])
+        pairs.append((hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0)
+        print(f"# round: lo {lo['seconds']}s hi {hi['seconds']}s eff {pairs[-1]:.3f}", flush=True)
+    srt = sorted(pairs)
+    med = (srt[len(srt) // 2] + srt[(len(srt) - 1) // 2]) / 2
+    return {
+        "n_urls": n,
+        "fetch": fetch,
+        "through": "CrawlEngine.run_wave",
+        "protocol": "interleaved",
+        "masters": list(masters),
+        "low_runs_s": lo_runs,
+        "high_runs_s": hi_runs,
+        "per_round_efficiency": [round(p, 3) for p in pairs],
+        "scaling_efficiency_best": round(max(pairs), 3),
+        "scaling_efficiency_median": round(med, 3),
+        "passes_north_rule": max(pairs) >= 0.8,
+        "passes_north_rule_median": med >= 0.8,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--prepare", action="store_true")
     ap.add_argument("--measure", action="store_true")
     ap.add_argument("--pair", action="store_true")
+    ap.add_argument("--interleave", action="store_true",
+                    help="ABAB per-round efficiency pairs (drift-robust)")
     ap.add_argument("--dir", default="/tmp/spark_graft_engine_scaling")
     ap.add_argument("--n", type=int, default=2_000_000)
     ap.add_argument("--runs", type=int, default=3)
@@ -216,15 +261,20 @@ def main() -> None:
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--allow-dirty", action="store_true")
     args = ap.parse_args()
-    if args.pair:
+    if args.pair or args.interleave:
         from benchguard import refuse_if_dirty
 
         git = refuse_if_dirty(allow=args.allow_dirty)
-        out = run_pair(args.n, args.dir, ("local[4]", "local[16]"), args.runs, args.fetch)
+        if args.interleave:
+            out = run_pair_interleaved(args.n, args.dir, ("local[4]", "local[16]"), args.runs, args.fetch)
+            name = f"engine_scaling_{args.fetch}_interleaved.json"
+        else:
+            out = run_pair(args.n, args.dir, ("local[4]", "local[16]"), args.runs, args.fetch)
+            name = f"engine_scaling_{args.fetch}.json"
         out.update(git)
         cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench")
         os.makedirs(cache, exist_ok=True)
-        with open(os.path.join(cache, f"engine_scaling_{args.fetch}.json"), "w") as f:
+        with open(os.path.join(cache, name), "w") as f:
             json.dump(out, f, indent=1)
         print(json.dumps(out))
         return
